@@ -1,0 +1,105 @@
+"""Explicit skew handling: conversation histograms and salted two-phase
+aggregation.
+
+Spark's hash aggregate already does map-side partial aggregation, which
+neutralizes skew for the algebraic tier rollups.  Salting matters for the
+paths where a whole group must be materialized on one task:
+
+* ``applyInPandas`` series kernels — one hot conversation = one task;
+* holistic aggregates (collect_list, exact percentiles).
+
+``salted_two_phase`` splits each group into ``n_salts`` subgroups on a
+deterministic hash of ``turn_idx`` (phase 1), aggregates partials, then
+merges per real key (phase 2).  ``plan_salts`` sizes the salt factor from
+a cheap count histogram — at 100 TB this histogram is itself a rollup
+(one shuffle over (conv_id), tiny output) and can be sampled.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def conv_histogram(df: DataFrame, key: str = "conv_id") -> DataFrame:
+    """Per-key row counts — the driver's skew evidence."""
+    return df.groupBy(key).agg(F.count(F.lit(1)).alias("rows"))
+
+
+def plan_salts(
+    df: DataFrame,
+    key: str = "conv_id",
+    target_rows_per_task: int = 100_000,
+    max_salts: int = 64,
+) -> int:
+    """Pick a salt factor from the worst group's size (driver action)."""
+    top = (
+        conv_histogram(df, key)
+        .agg(F.max("rows").alias("max_rows"))
+        .collect()[0]["max_rows"]
+    )
+    if not top:
+        return 1
+    return int(min(max_salts, max(1, -(-top // target_rows_per_task))))
+
+
+def with_salt(df: DataFrame, n_salts: int, salt_on: str = "turn_idx") -> DataFrame:
+    """Attach a deterministic salt column in [0, n_salts)."""
+    return df.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(salt_on)), F.lit(n_salts))
+    )
+
+
+def salted_two_phase(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    partial_aggs: Sequence[Column],
+    merge_aggs: Sequence[Column],
+    n_salts: int = 16,
+    salt_on: str = "turn_idx",
+) -> DataFrame:
+    """Two-phase aggregation: groupBy(keys + salt) then groupBy(keys).
+
+    ``partial_aggs`` aggregate raw rows within (keys, salt); ``merge_aggs``
+    combine the partials per key.  Both phases are ordinary hash
+    aggregates, so the hot key's rows are spread over ``n_salts`` tasks in
+    phase 1 and only ``n_salts`` partial rows meet in phase 2.
+    """
+    salted = with_salt(df, n_salts, salt_on)
+    phase1 = salted.groupBy(*group_cols, "salt").agg(*partial_aggs)
+    return phase1.groupBy(*group_cols).agg(*merge_aggs)
+
+
+def rollup_salted(df_raw: DataFrame, tier: str, n_salts: int = 16) -> DataFrame:
+    """Skew-proof variant of plans.rollup.rollup_transcripts.
+
+    Same output; used when the input key distribution is pathological
+    enough that even map-side partials leave reducer hot spots (e.g. one
+    conversation dominating a whole file split range).
+    """
+    from .rollup import bucket_start
+
+    prepared = df_raw.select(
+        "conv_id",
+        "turn_idx",
+        bucket_start(F.col("ts"), tier).alias("bucket_ts"),
+        F.col("tool"),
+        F.length("text").alias("text_chars"),
+    )
+    return salted_two_phase(
+        prepared,
+        ["conv_id", "bucket_ts"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("p_turns"),
+            F.count("tool").alias("p_tools"),
+            F.coalesce(F.sum("text_chars"), F.lit(0)).alias("p_chars"),
+        ],
+        merge_aggs=[
+            F.sum("p_turns").alias("turn_rate"),
+            F.sum("p_tools").alias("tool_usage"),
+            F.sum("p_chars").alias("text_len"),
+        ],
+        n_salts=n_salts,
+    )
