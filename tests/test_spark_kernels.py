@@ -1,0 +1,155 @@
+"""Distributed kernel layer: apply_operator/apply_pipe must be bit-exact
+vs the local batch path (which is itself bit-exact vs the reference)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tsaug_spark.operators import (
+    AddNoise,
+    Convolve,
+    Crop,
+    Drift,
+    Dropout,
+    Pool,
+    Quantize,
+    Resize,
+    Reverse,
+    TimeWarp,
+)
+from tsaug_spark.plans.pack import apply_operator, apply_pipe, pack_batch
+
+N, T, C = 6, 48, 3
+CHANNELS = ["turn_rate", "tool_usage", "text_len"]
+
+
+@pytest.fixture(scope="module")
+def long_df(spark):
+    """Rectangular long-format series table for N conversations."""
+    rng = np.random.RandomState(99)
+    batch = rng.uniform(1.0, 9.0, size=(N, T, C))
+    rows = []
+    for i in range(N):
+        for t in range(T):
+            rows.append(
+                (f"conv-{i:04d}", t, *[float(v) for v in batch[i, t]])
+            )
+    pdf = pd.DataFrame(rows, columns=["conv_id", "bucket_idx", *CHANNELS])
+    df = spark.createDataFrame(pdf).repartition(5, "conv_id").cache()
+    df.count()
+    return df, batch
+
+
+def _collect_out(df, repeats):
+    """Distributed output back to a local (N*R, T', C) batch in the
+    series-major (conv, rep) order the local path produces."""
+    pdf = df.toPandas().sort_values(["conv_id", "rep_idx", "bucket_idx"])
+    groups = []
+    for (_, _), part in pdf.groupby(["conv_id", "rep_idx"], sort=True):
+        groups.append(part[CHANNELS].to_numpy(dtype=np.float64))
+    return np.stack(groups)
+
+
+OPS = [
+    Pool(size=4, seed=0),
+    Pool(size=(2, 8), per_channel=True, seed=1),
+    Pool(kind="max", size=[2, 3, 5], seed=2),
+    Pool(repeats=3, prob=0.5, seed=3),
+    Quantize(n_levels=7, seed=4),
+    Quantize(n_levels=(4, 9), per_channel=True, seed=5),
+    Quantize(how="quantile", n_levels=5, seed=6),
+    Dropout(p=0.1, size=2, seed=7),
+    Dropout(p=(0.05, 0.2), size=[1, 3], fill="bfill", seed=8),
+    Dropout(p=0.1, per_channel=True, fill="mean", seed=9),
+    Dropout(p=0.1, fill=0.0, repeats=2, prob=0.7, seed=10),
+    Reverse(seed=11),
+    Reverse(repeats=2, prob=0.5, seed=12),
+    AddNoise(seed=13),
+    AddNoise(loc=(-0.5, 0.5), scale=(0.05, 0.1), seed=14),
+    AddNoise(distr="laplace", per_channel=False, seed=15),
+    AddNoise(kind="multiplicative", repeats=2, prob=0.5, seed=16),
+    Convolve(seed=17),
+    Convolve(window=["hann", "blackman", ("gaussian", 1)], size=(5, 9),
+             per_channel=True, seed=18),
+    Drift(seed=19),
+    Drift(n_drift_points=[3, 5], per_channel=True, max_drift=(0.2, 0.8),
+          seed=20),
+    Drift(per_channel=False, normalize=False, seed=21),
+    TimeWarp(seed=22),
+    TimeWarp(max_speed_ratio=(2, 4), repeats=2, prob=0.5, seed=23),
+    Resize(size=T // 2, seed=24),
+    Resize(size=T * 2, repeats=2, seed=25),
+    Crop(size=T // 2, seed=26),
+    Crop(size=(T // 4, T // 2), resize=T // 3, repeats=2, seed=27),
+]
+
+
+@pytest.mark.parametrize("op", OPS, ids=[repr(o)[:56] for o in OPS])
+def test_distributed_matches_local(long_df, op):
+    df, batch = long_df
+    local = op.augment(batch)
+    dist = _collect_out(
+        apply_operator(df, op, CHANNELS, mode="replay"), op.repeats
+    )
+    assert dist.shape == local.shape
+    if (isinstance(op, Dropout) and op.fill == "mean") or isinstance(
+        op, Drift
+    ):
+        # row-mean fill and the spline solve are batch-shape-sensitive
+        # at the last bit (see plans/pack.py docstring): <= 1 ULP
+        np.testing.assert_allclose(dist, local, rtol=1e-15, atol=0)
+    else:
+        assert np.array_equal(dist, local), (
+            f"max abs diff {np.max(np.abs(dist - local))}"
+        )
+
+
+def test_pipe_distributed_matches_local(long_df):
+    df, batch = long_df
+    ops = [
+        AddNoise(repeats=2, prob=0.8, seed=1),
+        Pool(size=3, seed=2),
+        Quantize(n_levels=6, seed=3),
+    ]
+    local = batch
+    for op in ops:
+        local = op.augment(local)
+    out = apply_pipe(df, ops, CHANNELS, mode="replay")
+    pdf = out.toPandas().sort_values(["conv_id", "bucket_idx"])
+    groups = [
+        part[CHANNELS].to_numpy(np.float64)
+        for _, part in pdf.groupby("conv_id", sort=True)
+    ]
+    dist = np.stack(groups)
+    assert np.array_equal(dist, local)
+
+
+def test_subseed_mode_deterministic_and_distributed(long_df):
+    df, batch = long_df
+    op = AddNoise(seed=5)
+    a = _collect_out(apply_operator(df, op, CHANNELS, mode="subseed"), 1)
+    b = _collect_out(apply_operator(df, op, CHANNELS, mode="subseed"), 1)
+    assert np.array_equal(a, b)
+    # actually perturbed, and per-series independent of partition layout
+    assert not np.array_equal(a, batch)
+    df2 = df.repartition(17)
+    c = _collect_out(apply_operator(df2, op, CHANNELS, mode="subseed"), 1)
+    assert np.array_equal(a, c)
+
+
+def test_replay_rejects_ragged_series(spark):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "b"],
+            "bucket_idx": [0, 1, 0],
+            "turn_rate": [1.0, 2.0, 3.0],
+            "tool_usage": [0.0, 1.0, 0.0],
+            "text_len": [5.0, 6.0, 7.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="rectangular"):
+        apply_operator(df, Pool(size=2, seed=0), CHANNELS, mode="replay")

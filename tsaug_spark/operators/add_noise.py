@@ -114,9 +114,9 @@ class AddNoise(SeriesOp):
             return rng.uniform(low=spec[0], high=spec[1], size=n)
         return rng.choice(spec, size=n)
 
-    def _core(self, X: np.ndarray, Y: Optional[np.ndarray]) -> ArrayPair:
+    def _core(self, X, Y, rng=None) -> ArrayPair:
         N, T, C = X.shape
-        rng = np.random.RandomState(self.seed)
+        rng = rng if rng is not None else np.random.RandomState(self.seed)
 
         if self.distr == "gaussian":
             draw = lambda shape: rng.normal(0.0, 1.0, size=shape)

@@ -288,8 +288,19 @@ class SeriesOp(ABC):
         return X_out, Y_out
 
     @abstractmethod
-    def _core(self, X: np.ndarray, Y: Optional[np.ndarray]) -> ArrayPair:
-        """Operator-specific kernel on the selected (M, T, C) rows."""
+    def _core(
+        self,
+        X: np.ndarray,
+        Y: Optional[np.ndarray],
+        rng: Optional[np.random.RandomState] = None,
+    ) -> ArrayPair:
+        """Operator-specific kernel on the selected (M, T, C) rows.
+
+        ``rng`` defaults to a fresh ``RandomState(self.seed)``; the
+        distributed kernel layer injects a ScriptedRNG that replays the
+        driver-planned draws (plans/rng_plan.py) so per-series execution
+        reproduces the batch draw stream bit-exactly.
+        """
         ...
 
     # ------------------------------------------------------- composition

@@ -134,9 +134,9 @@ class Convolve(SeriesOp):
                 )
         return flat
 
-    def _core(self, X: np.ndarray, Y: Optional[np.ndarray]) -> ArrayPair:
+    def _core(self, X, Y, rng=None) -> ArrayPair:
         N, T, C = X.shape
-        rng = np.random.RandomState(self.seed)
+        rng = rng if rng is not None else np.random.RandomState(self.seed)
         types, sizes = self.plan_windows(rng, N, C)
         flat = X.copy().swapaxes(1, 2).reshape(N * C, T)
         flat = self.smooth_rows(flat, types, sizes)

@@ -83,11 +83,11 @@ class Crop(SeriesOp):
     def output_length(self, T: int) -> int:
         return self._output_size()
 
-    def _apply(self, X: np.ndarray, Y: Optional[np.ndarray]) -> ArrayPair:
+    def _apply(self, X, Y, rng=None) -> ArrayPair:
         # Memory-lean override: gather windows first, never repeat-copy
         # the full-length input.
         N, T, C = X.shape
-        rng = np.random.RandomState(self.seed)
+        rng = rng if rng is not None else np.random.RandomState(self.seed)
 
         if self.prob != 1.0:
             # rectangularity guard ensures N == 1 and repeats == 1 here
@@ -129,5 +129,5 @@ class Crop(SeriesOp):
                 )
         return X_out, Y_out
 
-    def _core(self, X: np.ndarray, Y: Optional[np.ndarray]) -> ArrayPair:
+    def _core(self, X, Y, rng=None) -> ArrayPair:
         raise AssertionError("_apply is overridden; _core is unused")

@@ -113,9 +113,9 @@ class Drift(SeriesOp):
             raise TypeError("Parameter `normalize` must be boolean.")
         self._normalize = v
 
-    def _core(self, X: np.ndarray, Y: Optional[np.ndarray]) -> ArrayPair:
+    def _core(self, X, Y, rng=None) -> ArrayPair:
         N, T, C = X.shape
-        rng = np.random.RandomState(self.seed)
+        rng = rng if rng is not None else np.random.RandomState(self.seed)
 
         if isinstance(self.n_drift_points, int):
             distinct = set([self.n_drift_points])

@@ -107,8 +107,8 @@ class Dropout(SeriesOp):
             return rng.uniform(low=self.p[0], high=self.p[1], size=count)
         return rng.choice(self.p, size=count)
 
-    def _core(self, X: np.ndarray, Y: Optional[np.ndarray]) -> ArrayPair:
-        rng = np.random.RandomState(self.seed)
+    def _core(self, X, Y, rng=None) -> ArrayPair:
+        rng = rng if rng is not None else np.random.RandomState(self.seed)
         N, T, C = X.shape
         sizes = expand_int_spec(self.size)
         rate = self.plan_rates(rng, N, C)

@@ -114,8 +114,8 @@ class Pool(SeriesOp):
                 )
         return flat
 
-    def _core(self, X: np.ndarray, Y: Optional[np.ndarray]) -> ArrayPair:
-        rng = np.random.RandomState(self.seed)
+    def _core(self, X, Y, rng=None) -> ArrayPair:
+        rng = rng if rng is not None else np.random.RandomState(self.seed)
         N, T, C = X.shape
         block = self.plan_block_sizes(rng, N, C)
         flat = X.copy().swapaxes(1, 2).reshape(N * C, T)

@@ -138,8 +138,8 @@ class Quantize(SeriesOp):
             ]
         return flat
 
-    def _core(self, X: np.ndarray, Y: Optional[np.ndarray]) -> ArrayPair:
-        rng = np.random.RandomState(self.seed)
+    def _core(self, X, Y, rng=None) -> ArrayPair:
+        rng = rng if rng is not None else np.random.RandomState(self.seed)
         N, T, C = X.shape
         levels = self.plan_levels(rng, N, C)
 

@@ -75,10 +75,10 @@ class Resize(SeriesOp):
     def output_length(self, T: int) -> int:
         return self.size
 
-    def _apply(self, X: np.ndarray, Y: Optional[np.ndarray]) -> ArrayPair:
+    def _apply(self, X, Y, rng=None) -> ArrayPair:
         # Memory-lean override: resize once, then repeat — never
         # materialize repeats copies of the long input.
-        rng = np.random.RandomState(self.seed)
+        rng = rng if rng is not None else np.random.RandomState(self.seed)
         if self.prob != 1.0:
             # the rectangularity guard ensures N == 1 and repeats == 1 here
             if rng.uniform() > self.prob:
@@ -108,5 +108,5 @@ class Resize(SeriesOp):
                 Y_out = np.repeat(Y_out, self.repeats, axis=0)
         return X_out, Y_out
 
-    def _core(self, X: np.ndarray, Y: Optional[np.ndarray]) -> ArrayPair:
+    def _core(self, X, Y, rng=None) -> ArrayPair:
         raise AssertionError("_apply is overridden; _core is unused")

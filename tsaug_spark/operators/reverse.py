@@ -29,7 +29,7 @@ class Reverse(SeriesOp):
     def _param_names(cls) -> Tuple[str, ...]:
         return tuple()
 
-    def _core(self, X: np.ndarray, Y: Optional[np.ndarray]) -> ArrayPair:
+    def _core(self, X, Y, rng=None) -> ArrayPair:
         X_out = X[:, ::-1, :].copy()
         Y_out = Y[:, ::-1, :].copy() if Y is not None else None
         return X_out, Y_out

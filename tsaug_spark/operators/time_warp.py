@@ -116,8 +116,8 @@ class TimeWarp(SeriesOp):
         anchor_y = np.concatenate([np.zeros((N, 1)), vals], axis=1)
         return pchip_interp(anchor_x, anchor_y, np.arange(T).astype(float))
 
-    def _core(self, X: np.ndarray, Y: Optional[np.ndarray]) -> ArrayPair:
-        rng = np.random.RandomState(self.seed)
+    def _core(self, X, Y, rng=None) -> ArrayPair:
+        rng = rng if rng is not None else np.random.RandomState(self.seed)
         N, T, C = X.shape
         warp = self.plan_warp(rng, N, T)
 

@@ -1,0 +1,211 @@
+"""Long <-> packed series conversion and the distributed operator kernel.
+
+``apply_operator`` runs any series operator over a long-format tier
+DataFrame (one row per (conv_id, bucket)) with ``applyInPandas``: each
+(conv_id, rep_idx) group is pivoted to the same (T, C) float64 matrix the
+local path sees, the operator's unmodified ``_core`` executes on it, and
+the result unpivots back to long rows.  No per-row Python anywhere — the
+JVM<->Python boundary is Arrow record batches.
+
+Two RNG modes (plans/rng_plan.py):
+
+* ``mode='replay'``  — driver replays the reference's batch draw streams
+  and ships per-group queues; output is bit-exact vs the local
+  ``op.augment`` on the packed batch (and transitively vs the reference).
+  Costs one small driver collect (the sorted conv_id list) — parity/test
+  scale only.  One caveat: two numerics are batch-shape-sensitive at the
+  last bit — NumPy's pairwise-SIMD sum ties Dropout's ``fill='mean'`` row
+  mean to the buffer's base alignment (malloc varies it with allocation
+  size), and LAPACK's multi-RHS blocking ties Drift's spline solve to
+  the number of series solved together.  The reference itself has both
+  properties.  Those two paths match to <= 1 ULP rather than bit-exactly;
+  every other operator is exact (tests/test_spark_kernels.py pins both).
+* ``mode='subseed'`` — per-(series, repeat) seeds derived from
+  ``(seed, conv_id, rep)``; fully distributed, no driver state, the
+  production path at 10^12-turn scale.  Deterministic and
+  self-consistent, not reference-bit-exact.
+
+Scale notes: the shuffle is one hash partition on (conv_id, rep_idx);
+hot conversations are bounded by tier width (a 1m-tier year is ~526k
+buckets x 3 channels = ~12 MB per group — one Arrow batch).  For
+pathological groups, chunk series into aligned segments with halo rows
+(Convolve needs ⌊W/2⌋, Pool needs block alignment) before applying —
+see SURVEY.md §7.4 R6.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsaug_spark.operators import Crop, Resize, SeriesOp
+from tsaug_spark.operators.base import expand_int_spec
+from tsaug_spark.operators.resize import resize_batch
+
+from .rng_plan import ScriptedRNG, plan_operator, subseed_for
+
+
+def pack_batch(
+    df_long: DataFrame, value_cols: Sequence[str], idx_col: str = "bucket_idx"
+) -> Tuple[np.ndarray, List[str]]:
+    """Collect a long tier DataFrame into a local (N, T, C) batch.
+
+    Series are ordered by conv_id (ascending) — the canonical batch order
+    the RNG planner assumes.  Test/driver helper; never used by the
+    distributed path.
+    """
+    pdf = df_long.select("conv_id", idx_col, *value_cols).toPandas()
+    convs = sorted(pdf["conv_id"].unique())
+    mats = []
+    for cid in convs:
+        part = pdf[pdf["conv_id"] == cid].sort_values(idx_col)
+        mats.append(part[list(value_cols)].to_numpy(dtype=np.float64))
+    lengths = {m.shape[0] for m in mats}
+    if len(lengths) != 1:
+        raise ValueError(
+            f"series lengths differ ({sorted(lengths)[:5]}...) — gap-fill "
+            "onto a common grid first"
+        )
+    return np.stack(mats), convs
+
+
+def _run_single(
+    op: SeriesOp,
+    x: np.ndarray,
+    selected: bool,
+    queue,
+    rng: Optional[np.random.RandomState],
+) -> np.ndarray:
+    """Execute one (series, repeat) group: (T, C) -> (T', C).
+
+    Reproduces the exact N=1 code path of the local batch run: Crop and
+    Resize use their override semantics; everything else runs ``_core``
+    on the one-row batch when selected, identity otherwise.
+    """
+    T = x.shape[0]
+    if isinstance(op, Resize):
+        if not selected:
+            return x.copy()
+        return resize_batch(x[None], op.size)[0]
+    if isinstance(op, Crop):
+        if not selected:
+            return x.copy()
+        gen = rng if rng is not None else ScriptedRNG(queue)
+        s = int(np.asarray(gen.choice(expand_int_spec(op.size), size=1))[0])
+        start = int(np.asarray(gen.choice(T - s + 1, size=1))[0])
+        window = x[start : start + s, :]
+        return resize_batch(window[None], op._output_size())[0]
+    if not selected:
+        return x.copy()
+    gen = rng if rng is not None else ScriptedRNG(queue)
+    out, _ = op._core(x[None].copy(), None, rng=gen)
+    return out[0]
+
+
+def apply_operator(
+    df_long: DataFrame,
+    op: SeriesOp,
+    value_cols: Sequence[str],
+    idx_col: str = "bucket_idx",
+    mode: str = "replay",
+) -> DataFrame:
+    """Apply a series operator to every conversation series in parallel.
+
+    Input: long rows (conv_id, idx_col, *value_cols) — rectangular per
+    conversation (gap-filled).  Output: (conv_id, rep_idx, bucket_idx,
+    *value_cols) with bucket_idx renumbered 0..T'-1.
+    """
+    value_cols = list(value_cols)
+    spark = df_long.sparkSession
+    out_schema = (
+        "conv_id string, rep_idx int, bucket_idx int, "
+        + ", ".join(f"{c} double" for c in value_cols)
+    )
+
+    plan_bc = None
+    if mode == "replay":
+        convs = [
+            r[0]
+            for r in df_long.select("conv_id")
+            .distinct()
+            .orderBy("conv_id")
+            .collect()
+        ]
+        lengths = (
+            df_long.groupBy("conv_id").count().select("count").distinct()
+        ).collect()
+        if len(lengths) != 1:
+            raise ValueError(
+                "replay mode needs rectangular series — gap-fill first"
+            )
+        T = lengths[0][0]
+        N, C = len(convs), len(value_cols)
+        plans = plan_operator(op, N, T, C)
+        plan_map = {}
+        for i, cid in enumerate(convs):
+            for r in range(op.repeats):
+                gp = plans[i * op.repeats + r]
+                plan_map[(cid, r)] = (gp.selected, gp.queue)
+        plan_bc = spark.sparkContext.broadcast(plan_map)
+    elif mode != "subseed":
+        raise ValueError("mode must be 'replay' or 'subseed'")
+
+    seed = op.seed
+    prob = op.prob
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cid, rep = key[0], int(key[1])
+        pdf = pdf.sort_values(idx_col)
+        x = pdf[value_cols].to_numpy(dtype=np.float64)
+        if plan_bc is not None:
+            selected, queue = plan_bc.value[(cid, rep)]
+            out = _run_single(op, x, selected, queue, None)
+        else:
+            rng = np.random.RandomState(subseed_for(seed, cid, rep))
+            selected = bool(rng.uniform() <= prob)
+            out = _run_single(op, x, selected, [], rng)
+        res = pd.DataFrame(out, columns=value_cols)
+        res.insert(0, "bucket_idx", np.arange(len(res), dtype=np.int32))
+        res.insert(0, "rep_idx", np.int32(rep))
+        res.insert(0, "conv_id", cid)
+        return res
+
+    exploded = df_long.withColumn(
+        "rep_idx", F.explode(F.sequence(F.lit(0), F.lit(op.repeats - 1)))
+    )
+    return exploded.groupBy("conv_id", "rep_idx").applyInPandas(
+        kernel, out_schema
+    )
+
+
+def apply_pipe(
+    df_long: DataFrame,
+    ops: Sequence[SeriesOp],
+    value_cols: Sequence[str],
+    idx_col: str = "bucket_idx",
+    mode: str = "replay",
+) -> DataFrame:
+    """Fold a pipe of operators over the long DataFrame.
+
+    Mirrors OpPipe.augment: each stage's output (keyed by the compound
+    (conv_id, rep_idx) series identity) feeds the next.  rep_idx keys
+    compose by string-appending into conv_id so downstream stages treat
+    each (series, rep) as its own series — matching how the local pipe
+    flattens repeats into the batch axis.
+    """
+    df = df_long
+    for k, op in enumerate(ops):
+        df = apply_operator(df, op, value_cols, idx_col=idx_col, mode=mode)
+        if op.repeats > 1:
+            # zero-padded so lexicographic conv order stays series-major
+            # (rep-minor), matching the local batch row order
+            df = df.withColumn(
+                "conv_id",
+                F.format_string("%s#%04d", "conv_id", "rep_idx"),
+            )
+        df = df.drop("rep_idx")
+    return df
