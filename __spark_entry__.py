@@ -1,10 +1,16 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the tsaug_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship rollup + gap-fill pipeline on
+sf0.001.  ``queries()`` exposes every SQL-expressible operator from
+SURVEY.md §2 (plus the training-data-pipeline operators) as
+(spark, sf_dir) -> DataFrame callables; ``oracle_sql()`` carries the
+DuckDB-equivalent ANSI SQL for each.  Kernel-bound operators (TimeWarp,
+Drift, AddNoise, Convolve subseed paths) are rows-only entries.
+
+Numeric convention: every float column is ROUND()ed (4-6 digits) on BOTH
+sides so the driver's order-insensitive value-hash is insensitive to
+sub-ULP aggregation-order differences between Spark and DuckDB; counts
+and bucket epochs stay exact BIGINTs.
 """
 
 from __future__ import annotations
@@ -12,27 +18,871 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+HOUR = 3600
+DAY = 86400
+
+# --------------------------------------------------------------- helpers
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 1h rollup of events — the base series for windowed ops."""
+    from tsaug_spark.plans.rollup import rollup_events
+
+    return rollup_events(_events(spark, sf_dir), "1h")
+
+
+_HOURLY_SQL = (
+    "SELECT user_id, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s, "
+    "COUNT(*) AS cnt, SUM(value) AS sum_value, MIN(value) AS min_value, "
+    "MAX(value) AS max_value FROM events GROUP BY 1, 2"
+)
+
+
+def _series_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangular per-user series: first 48 hourly buckets of users with
+    >= 48 buckets, gap-free via locf on the complete grid."""
+    from tsaug_spark.plans.gapfill import complete_grid, fill_locf
+
+    t = _hourly(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.timestamp_seconds("bucket_s").alias("bucket_ts"),
+        F.col("cnt").cast("double").alias("cnt"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+    g = fill_locf(complete_grid(t, "1h"), ["cnt", "sum_value"])
+    w = Window.partitionBy("conv_id").orderBy("bucket_ts")
+    g = g.withColumn("bucket_idx", F.row_number().over(w) - 1)
+    g = g.withColumn(
+        "n_buckets", F.count(F.lit(1)).over(Window.partitionBy("conv_id"))
+    )
+    return g.filter(
+        (F.col("n_buckets") >= 48) & (F.col("bucket_idx") < 48)
+    ).select("conv_id", "bucket_idx", "cnt", "sum_value")
+
+
+# ---------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 1m -> 1h rollup cascade + locf gap-fill on sf0.001."""
+    from tsaug_spark.plans.gapfill import complete_grid, fill_locf
+    from tsaug_spark.plans.rollup import rollup_events
+
+    ev = _events(spark, "/root/testdata/sf0.001")
+    minute = rollup_events(ev, "1m")
+    hourly = (
+        minute.groupBy(
+            "user_id",
+            (F.floor(F.col("bucket_s") / HOUR) * HOUR)
+            .cast("long")
+            .alias("bucket_s"),
+        )
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+    )
+    t = hourly.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.timestamp_seconds("bucket_s").alias("bucket_ts"),
+        F.col("cnt").cast("double").alias("cnt"),
+    )
+    filled = fill_locf(complete_grid(t, "1h"), ["cnt"])
+    return filled.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("is_gap"),
+    )
+
+
+# --------------------------------------------------------------- queries
+
+
+def q_rollup_1m(spark, sf):
+    from tsaug_spark.plans.rollup import rollup_events
+
+    return rollup_events(_events(spark, sf), "1m").select(
+        "user_id",
+        "bucket_s",
+        "cnt",
+        F.round(F.col("sum_value"), 4).alias("sum_value"),
+        F.round(F.col("min_value"), 4).alias("min_value"),
+        F.round(F.col("max_value"), 4).alias("max_value"),
+    )
+
+
+def q_rollup_1h(spark, sf):
+    return _hourly(spark, sf).select(
+        "user_id",
+        "bucket_s",
+        "cnt",
+        F.round(F.col("sum_value"), 4).alias("sum_value"),
+        F.round(F.col("min_value"), 4).alias("min_value"),
+        F.round(F.col("max_value"), 4).alias("max_value"),
+    )
+
+
+def q_cascade_1d(spark, sf):
+    """Continuous aggregate: the 1d tier computed FROM the 1h tier."""
+    h = _hourly(spark, sf)
+    return (
+        h.groupBy(
+            "user_id",
+            (F.floor(F.col("bucket_s") / DAY) * DAY)
+            .cast("long")
+            .alias("bucket_s"),
+        )
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.round(F.sum("sum_value"), 4).alias("sum_value"),
+            F.round(F.min("min_value"), 4).alias("min_value"),
+            F.round(F.max("max_value"), 4).alias("max_value"),
+        )
+    )
+
+
+def q_gapfill_locf(spark, sf):
+    from tsaug_spark.plans.gapfill import complete_grid, fill_locf
+
+    t = _hourly(spark, sf).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.timestamp_seconds("bucket_s").alias("bucket_ts"),
+        F.col("cnt"),
+    )
+    filled = fill_locf(complete_grid(t, "1h"), ["cnt"])
+    return filled.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        F.col("cnt"),
+    )
+
+
+def q_gapfill_interp(spark, sf):
+    from tsaug_spark.plans.gapfill import complete_grid, fill_interpolate
+
+    t = _hourly(spark, sf).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.timestamp_seconds("bucket_s").alias("bucket_ts"),
+        F.col("sum_value").cast("double").alias("v"),
+    )
+    filled = fill_interpolate(complete_grid(t, "1h"), ["v"])
+    # no rounding: the interpolation expression tree is structurally
+    # identical to the oracle SQL, so the doubles are bit-identical
+    # (verified at sf0.01); ROUND would *introduce* mismatches because
+    # Spark (BigDecimal HALF_UP) and DuckDB round half-way cases
+    # differently and frac=1/2 gaps produce exact half-way decimals
+    return filled.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        F.col("v"),
+    )
+
+
+def q_pool_ave(spark, sf):
+    """Pool('ave') semantics over calendar-day blocks of the 1h series."""
+    h = _hourly(spark, sf)
+    w = Window.partitionBy(
+        "user_id", F.floor(F.col("bucket_s") / DAY)
+    )
+    return h.select(
+        "user_id",
+        "bucket_s",
+        F.round(F.avg("cnt").over(w), 6).alias("pooled_cnt"),
+        F.max("cnt").over(w).alias("pooled_max"),
+        F.min("cnt").over(w).alias("pooled_min"),
+    )
+
+
+def q_reverse_series(spark, sf):
+    h = _hourly(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("bucket_s")
+    wp = Window.partitionBy("user_id")
+    return h.select(
+        "user_id",
+        (
+            F.count(F.lit(1)).over(wp) - F.row_number().over(w)
+        ).alias("rev_idx"),
+        "cnt",
+    )
+
+
+def q_resize_linear(spark, sf):
+    """Resize-to-24 by the reference's linear interpolation formula."""
+    S = 24
+    h = _hourly(spark, sf)
+    agg = h.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket_s", "cnt"))
+        ).alias("sorted")
+    )
+    arr = agg.select(
+        "user_id",
+        F.transform("sorted", lambda s: s["cnt"].cast("double")).alias("a"),
+    )
+    k = F.col("k")
+    a = F.col("a")
+    T = F.size(a)
+    pos = k.cast("double") / F.lit(float(S - 1)) * (T - 1).cast("double")
+    i0 = F.floor(pos).cast("int")
+    wgt = pos - i0.cast("double")
+    v = (
+        F.when(k == S - 1, F.element_at(a, T))
+        .when(T == 1, F.element_at(a, 1))
+        .otherwise(
+            F.element_at(a, i0 + 1) * (F.lit(1.0) - wgt)
+            + F.element_at(a, i0 + 2) * wgt
+        )
+    )
+    return arr.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(S - 1))).alias("k"),
+        "a",
+    ).select("user_id", "k", F.round(v, 6).alias("v"))
+
+
+def q_quantize_uniform(spark, sf):
+    n = 8
+    h = _hourly(spark, sf).select(
+        "user_id", "bucket_s", F.col("cnt").cast("double").alias("x")
+    )
+    wp = Window.partitionBy("user_id")
+    mn = F.min("x").over(wp)
+    mx = F.max("x").over(wp)
+    span = F.when(mx - mn == 0, F.lit(1.0)).otherwise(mx - mn)
+    q = F.round((F.col("x") - mn) / span * n)
+    q = F.least(F.greatest(q, F.lit(0.0)), F.lit(float(n - 1)))
+    v = (q + 0.5) / n * span + mn
+    return h.select(
+        "user_id", "bucket_s", F.round(v, 6).alias("qv")
+    )
+
+
+def q_crop_slice(spark, sf):
+    s = 12
+    h = _hourly(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("bucket_s")
+    wp = Window.partitionBy("user_id")
+    t = h.select(
+        "user_id",
+        "cnt",
+        (F.row_number().over(w) - 1).alias("idx"),
+        F.count(F.lit(1)).over(wp).alias("T"),
+    )
+    max_start = F.greatest(F.col("T") - s + 1, F.lit(1))
+    start = F.pmod(F.col("user_id"), max_start)
+    return (
+        t.withColumn("start", start)
+        .filter(
+            (F.col("idx") >= F.col("start"))
+            & (F.col("idx") < F.col("start") + s)
+        )
+        .select(
+            "user_id", (F.col("idx") - F.col("start")).alias("new_idx"), "cnt"
+        )
+    )
+
+
+def q_topk_users(spark, sf):
+    return (
+        _events(spark, sf)
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.desc("total_value"), "user_id")
+        .limit(10)
+    )
+
+
+def q_tpch_pricing(spark, sf):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_nation_revenue(spark, sf):
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ----------------------------------------------------- dedup / documents
+
+
+def q_dedup_exact(spark, sf):
+    d = _docs(spark, sf)
+    return d.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("copies")
+    )
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """Word 3-gram shingles per doc (docs with >= 3 whitespace tokens)."""
+    words = F.split(F.col("text"), " ")
+    d = d.withColumn("ws", words).filter(F.size("ws") >= 3)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("ws"), i + 1),
+            F.element_at(F.col("ws"), i + 2),
+            F.element_at(F.col("ws"), i + 3),
+        ),
+    )
+    return d.select("doc_id", F.explode(sh).alias("s"))
+
+
+_SHINGLE_SQL = (
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents "
+    "WHERE len(string_split(text, ' ')) >= 3), "
+    "sh AS (SELECT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s "
+    "FROM (SELECT doc_id, ws, unnest(range(0, len(ws)-2)) AS i FROM w))"
+)
+
+
+def q_minhash_sig(spark, sf):
+    """4-band MinHash signatures via md5 (engine- and oracle-identical)."""
+    sh = _shingles(_docs(spark, sf))
+    aggs = [
+        F.min(F.md5(F.concat(F.col("s"), F.lit(f"|{b}")))).alias(f"sig{b}")
+        for b in range(4)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def q_minhash_pairs(spark, sf):
+    sig = q_minhash_sig(spark, sf)
+    pairs = None
+    for b in range(4):
+        a = sig.select(
+            F.col("doc_id").alias("id_a"), F.col(f"sig{b}").alias("s")
+        )
+        c = sig.select(
+            F.col("doc_id").alias("id_b"), F.col(f"sig{b}").alias("s")
+        )
+        p = a.join(c, "s").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b"
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def q_ngram_jaccard(spark, sf):
+    """Exact word-3-gram Jaccard >= 0.5 candidate pairs."""
+    sh = _shingles(_docs(spark, sf)).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "s")
+    b = sh.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    j = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return j.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_simhash16(spark, sf):
+    """16-bit SimHash from per-word 60-bit md5 prefixes."""
+    d = _docs(spark, sf)
+    w = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    w = w.select("doc_id", h.alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"w{b}")
+        for b in range(16)
+    ]
+    sums = w.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(16):
+        bit = F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def q_embed_cosine(spark, sf):
+    """Brute-force cosine similarity of every vector vs vec_id 0."""
+    e = _emb(spark, sf).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv")
+    )
+    j = e.join(F.broadcast(qv))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    cos = dot(F.col("v"), F.col("qv")) / (
+        F.sqrt(dot(F.col("v"), F.col("v")))
+        * F.sqrt(dot(F.col("qv"), F.col("qv")))
+    )
+    return j.select("vec_id", F.round(cos, 4).alias("cos"))
+
+
+def q_text_quality(spark, sf):
+    d = _docs(spark, sf)
+    n_words = F.size(F.split(F.col("text"), " "))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[.,!?;]"), 0))
+    charlen = F.length("text")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        charlen.alias("n_chars_live"),
+        F.round(n_punct / charlen.cast("double"), 5).alias("punct_ratio"),
+        F.round(charlen / n_words.cast("double"), 4).alias("chars_per_word"),
+    )
+
+
+def q_token_counts(spark, sf):
+    d = _docs(spark, sf)
+    toks = F.size(F.split(F.col("text"), " "))
+    return d.groupBy("source", "lang").agg(
+        F.sum(toks).alias("tokens"),
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+_LANG_RULES = [
+    ("zh", "的"),
+    ("es", " el "),
+    ("de", " der "),
+    ("fr", " le "),
+]
+
+
+def q_lang_id(spark, sf):
+    d = _docs(spark, sf)
+    pred = None
+    for code, marker in _LANG_RULES:
+        cond = F.instr(F.col("text"), marker) > 0
+        pred = (
+            F.when(cond, code) if pred is None else pred.when(cond, code)
+        )
+    pred = pred.otherwise("en")
+    return (
+        d.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_multimodal_bytes(spark, sf):
+    """Opaque-binary column plumbing: utf-8 payloads + byte metadata."""
+    d = _docs(spark, sf).withColumn(
+        "payload", F.encode(F.col("text"), "utf-8")
+    )
+    return d.groupBy("source").agg(
+        F.sum(F.length("payload")).alias("payload_bytes"),
+        F.count(F.lit(1)).alias("n_assets"),
+    )
+
+
+# --------------------------------------------- kernel-bound (rows-only)
+
+
+def q_kernel_pool_replay(spark, sf):
+    """Pool('ave', 4) via the distributed kernel — has a SQL oracle."""
+    from tsaug_spark.operators import Pool
+    from tsaug_spark.plans.pack import apply_operator
+
+    series = _series_df(spark, sf).drop("sum_value")
+    out = apply_operator(
+        series, Pool(size=4, seed=0), ["cnt"], mode="replay"
+    )
+    return out.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        "bucket_idx",
+        F.round("cnt", 6).alias("cnt"),
+    )
+
+
+def _kernel_query(op_factory):
+    def run(spark, sf):
+        from tsaug_spark.plans.pack import apply_operator
+
+        series = _series_df(spark, sf)
+        out = apply_operator(
+            series, op_factory(), ["cnt", "sum_value"], mode="subseed"
+        )
+        return out.select(
+            F.col("conv_id").cast("long").alias("user_id"),
+            "rep_idx",
+            "bucket_idx",
+            F.round("cnt", 6).alias("cnt"),
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+
+    return run
+
+
+def _k_convolve():
+    from tsaug_spark.operators import Convolve
+
+    return Convolve(window="hann", size=7, seed=11)
+
+
+def _k_timewarp():
+    from tsaug_spark.operators import TimeWarp
+
+    return TimeWarp(seed=12)
+
+
+def _k_drift():
+    from tsaug_spark.operators import Drift
+
+    return Drift(max_drift=0.3, seed=13)
+
+
+def _k_addnoise():
+    from tsaug_spark.operators import AddNoise
+
+    return AddNoise(scale=0.05, seed=14)
+
+
+def _k_kmeans():
+    from tsaug_spark.operators import Quantize
+
+    return Quantize(n_levels=5, how="kmeans", seed=15)
+
+
+# ------------------------------------------------------------- registry
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_1m": q_rollup_1m,
+        "rollup_1h": q_rollup_1h,
+        "cascade_1d": q_cascade_1d,
+        "gapfill_locf": q_gapfill_locf,
+        "gapfill_interp": q_gapfill_interp,
+        "pool_ave": q_pool_ave,
+        "reverse_series": q_reverse_series,
+        "resize_linear": q_resize_linear,
+        "quantize_uniform": q_quantize_uniform,
+        "crop_slice": q_crop_slice,
+        "topk_users": q_topk_users,
+        "tpch_pricing": q_tpch_pricing,
+        "nation_revenue": q_nation_revenue,
+        "dedup_exact": q_dedup_exact,
+        "minhash_sig": q_minhash_sig,
+        "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash16": q_simhash16,
+        "embed_cosine": q_embed_cosine,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "multimodal_bytes": q_multimodal_bytes,
+        "kernel_pool_replay": q_kernel_pool_replay,
+        "kernel_convolve": _kernel_query(_k_convolve),
+        "kernel_timewarp": _kernel_query(_k_timewarp),
+        "kernel_drift": _kernel_query(_k_drift),
+        "kernel_addnoise": _kernel_query(_k_addnoise),
+        "kernel_kmeans": _kernel_query(_k_kmeans),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    hourly = _HOURLY_SQL
+    return {
+        "rollup_1m": (
+            "SELECT user_id, CAST(floor(epoch(ts)/60)*60 AS BIGINT) AS "
+            "bucket_s, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value, "
+            "ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS "
+            "max_value FROM events GROUP BY 1, 2"
+        ),
+        "rollup_1h": (
+            f"WITH h AS ({hourly}) SELECT user_id, bucket_s, cnt, "
+            "ROUND(sum_value, 4) AS sum_value, ROUND(min_value, 4) AS "
+            "min_value, ROUND(max_value, 4) AS max_value FROM h"
+        ),
+        "cascade_1d": (
+            "SELECT user_id, CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) "
+            "AS bucket_s, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS "
+            "sum_value, ROUND(MIN(value), 4) AS min_value, "
+            "ROUND(MAX(value), 4) AS max_value FROM events GROUP BY 1, 2"
+        ),
+        "gapfill_locf": (
+            f"WITH b AS ({hourly}), "
+            "bounds AS (SELECT user_id, MIN(bucket_s) lo, MAX(bucket_s) hi "
+            "FROM b GROUP BY 1), "
+            "grid AS (SELECT user_id, CAST(unnest(range(lo, hi + 3600, "
+            "3600)) AS BIGINT) AS bucket_s FROM bounds), "
+            "j AS (SELECT g.user_id, g.bucket_s, b.cnt FROM grid g LEFT "
+            "JOIN b ON g.user_id = b.user_id AND g.bucket_s = b.bucket_s) "
+            "SELECT user_id, bucket_s, last_value(cnt IGNORE NULLS) OVER "
+            "(PARTITION BY user_id ORDER BY bucket_s ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS cnt FROM j"
+        ),
+        "gapfill_interp": (
+            f"WITH b AS ({hourly}), "
+            "bounds AS (SELECT user_id, MIN(bucket_s) lo, MAX(bucket_s) hi "
+            "FROM b GROUP BY 1), "
+            "grid AS (SELECT user_id, CAST(unnest(range(lo, hi + 3600, "
+            "3600)) AS BIGINT) AS bucket_s FROM bounds), "
+            "j AS (SELECT g.user_id, g.bucket_s, b.sum_value AS v FROM grid "
+            "g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket_s = "
+            "b.bucket_s), "
+            "k AS (SELECT user_id, bucket_s, v, "
+            "last_value(v IGNORE NULLS) OVER wb AS pv, "
+            "first_value(v IGNORE NULLS) OVER wf AS nv, "
+            "last_value(CASE WHEN v IS NOT NULL THEN bucket_s END IGNORE "
+            "NULLS) OVER wb AS pt, "
+            "first_value(CASE WHEN v IS NOT NULL THEN bucket_s END IGNORE "
+            "NULLS) OVER wf AS nt FROM j WINDOW "
+            "wb AS (PARTITION BY user_id ORDER BY bucket_s ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW), "
+            "wf AS (PARTITION BY user_id ORDER BY bucket_s ROWS BETWEEN "
+            "CURRENT ROW AND UNBOUNDED FOLLOWING)) "
+            "SELECT user_id, bucket_s, CASE WHEN v IS NOT NULL THEN v "
+            "WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt THEN "
+            "pv * (1 - (bucket_s - pt) / CAST(nt - pt AS DOUBLE)) + "
+            "nv * ((bucket_s - pt) / CAST(nt - pt AS DOUBLE)) "
+            "ELSE COALESCE(pv, nv) END AS v FROM k"
+        ),
+        "pool_ave": (
+            f"WITH h AS ({hourly}) SELECT user_id, bucket_s, "
+            "ROUND(AVG(cnt) OVER w, 6) AS pooled_cnt, "
+            "MAX(cnt) OVER w AS pooled_max, MIN(cnt) OVER w AS pooled_min "
+            "FROM h WINDOW w AS (PARTITION BY user_id, "
+            "CAST(floor(bucket_s / 86400) AS BIGINT))"
+        ),
+        "reverse_series": (
+            f"WITH h AS ({hourly}) SELECT user_id, "
+            "COUNT(*) OVER (PARTITION BY user_id) - "
+            "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY bucket_s) "
+            "AS rev_idx, cnt FROM h"
+        ),
+        "resize_linear": (
+            f"WITH h AS ({hourly}), "
+            "arr AS (SELECT user_id, list(CAST(cnt AS DOUBLE) ORDER BY "
+            "bucket_s) AS a FROM h GROUP BY 1), "
+            "ks AS (SELECT CAST(unnest(range(24)) AS INT) AS k) "
+            "SELECT user_id, k, ROUND(CASE "
+            "WHEN k = 23 THEN a[len(a)] "
+            "WHEN len(a) = 1 THEN a[1] "
+            "ELSE a[CAST(floor(k / 23.0 * (len(a) - 1)) AS INT) + 1] * "
+            "(1 - (k / 23.0 * (len(a) - 1) - floor(k / 23.0 * (len(a) - "
+            "1)))) + a[CAST(floor(k / 23.0 * (len(a) - 1)) AS INT) + 2] * "
+            "(k / 23.0 * (len(a) - 1) - floor(k / 23.0 * (len(a) - 1))) "
+            "END, 6) AS v FROM arr CROSS JOIN ks"
+        ),
+        "quantize_uniform": (
+            f"WITH h AS ({hourly}), "
+            "s AS (SELECT user_id, bucket_s, CAST(cnt AS DOUBLE) AS x, "
+            "MIN(CAST(cnt AS DOUBLE)) OVER (PARTITION BY user_id) AS mn, "
+            "MAX(CAST(cnt AS DOUBLE)) OVER (PARTITION BY user_id) AS mx "
+            "FROM h) "
+            "SELECT user_id, bucket_s, ROUND((LEAST(GREATEST(ROUND((x - mn)"
+            " / (CASE WHEN mx - mn = 0 THEN 1 ELSE mx - mn END) * 8), 0), "
+            "7) + 0.5) / 8 * (CASE WHEN mx - mn = 0 THEN 1 ELSE mx - mn "
+            "END) + mn, 6) AS qv FROM s"
+        ),
+        "crop_slice": (
+            f"WITH h AS ({hourly}), "
+            "t AS (SELECT user_id, cnt, ROW_NUMBER() OVER (PARTITION BY "
+            "user_id ORDER BY bucket_s) - 1 AS idx, COUNT(*) OVER "
+            "(PARTITION BY user_id) AS T FROM h), "
+            "u AS (SELECT *, user_id % GREATEST(T - 11, 1) AS start FROM t) "
+            "SELECT user_id, idx - start AS new_idx, cnt FROM u "
+            "WHERE idx >= start AND idx < start + 12"
+        ),
+        "topk_users": (
+            "SELECT user_id, ROUND(SUM(value), 4) AS total_value, COUNT(*) "
+            "AS n_events FROM events GROUP BY 1 "
+            "ORDER BY total_value DESC, user_id LIMIT 10"
+        ),
+        "tpch_pricing": (
+            "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) "
+            "AS sum_qty, ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS "
+            "sum_disc_price, ROUND(AVG(l_quantity), 4) AS avg_qty, "
+            "COUNT(*) AS count_order FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1, 2"
+        ),
+        "nation_revenue": (
+            "SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue, "
+            "COUNT(*) AS n_orders FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS "
+            "copies FROM documents GROUP BY 1"
+        ),
+        "minhash_sig": (
+            f"{_SHINGLE_SQL} SELECT doc_id, "
+            + ", ".join(
+                f"MIN(md5(s || '|{b}')) AS sig{b}" for b in range(4)
+            )
+            + " FROM sh GROUP BY doc_id"
+        ),
+        "minhash_pairs": (
+            f"{_SHINGLE_SQL}, sig AS (SELECT doc_id, "
+            + ", ".join(
+                f"MIN(md5(s || '|{b}')) AS sig{b}" for b in range(4)
+            )
+            + " FROM sh GROUP BY doc_id) "
+            + " UNION ".join(
+                f"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+                f"FROM sig a JOIN sig b ON a.sig{b2} = b.sig{b2} "
+                f"AND a.doc_id < b.doc_id"
+                for b2 in range(4)
+            )
+        ),
+        "ngram_jaccard": (
+            f"{_SHINGLE_SQL}, ds AS (SELECT DISTINCT doc_id, s FROM sh), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) "
+            "AS inter FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < "
+            "b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, ROUND(inter / CAST(na.n + nb.n - inter AS "
+            "DOUBLE), 4) AS jaccard FROM inter "
+            "JOIN sizes na ON na.doc_id = id_a "
+            "JOIN sizes nb ON nb.doc_id = id_b "
+            "WHERE inter / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.5"
+        ),
+        "simhash16": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS "
+            "wd FROM documents), "
+            "hs AS (SELECT doc_id, ('0x' || substr(md5(wd), 1, 15))::BIGINT "
+            "AS h FROM w WHERE wd <> ''), "
+            "sums AS (SELECT doc_id, "
+            + ", ".join(
+                f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) "
+                f"AS w{b}"
+                for b in range(16)
+            )
+            + " FROM hs GROUP BY doc_id) "
+            "SELECT doc_id, CAST("
+            + " + ".join(
+                f"(CASE WHEN w{b} > 0 THEN {1 << b} ELSE 0 END)"
+                for b in range(16)
+            )
+            + " AS BIGINT) AS simhash FROM sums"
+        ),
+        "embed_cosine": (
+            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM "
+            "embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, ROUND(list_dot_product(CAST(embedding AS "
+            "DOUBLE[]), qv) / (sqrt(list_dot_product(CAST(embedding AS "
+            "DOUBLE[]), CAST(embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(qv, qv))), 4) AS cos "
+            "FROM embeddings, q"
+        ),
+        "text_quality": (
+            "SELECT doc_id, len(string_split(text, ' ')) AS n_words, "
+            "length(text) AS n_chars_live, "
+            "ROUND(len(regexp_extract_all(text, '[.,!?;]')) / "
+            "CAST(length(text) AS DOUBLE), 5) AS punct_ratio, "
+            "ROUND(length(text) / CAST(len(string_split(text, ' ')) AS "
+            "DOUBLE), 4) AS chars_per_word FROM documents"
+        ),
+        "token_counts": (
+            "SELECT source, lang, SUM(len(string_split(text, ' '))) AS "
+            "tokens, COUNT(*) AS docs, SUM(n_chars) AS chars FROM "
+            "documents GROUP BY 1, 2"
+        ),
+        "lang_id": (
+            "SELECT lang, CASE "
+            + " ".join(
+                f"WHEN instr(text, '{m}') > 0 THEN '{c}'"
+                for c, m in _LANG_RULES
+            )
+            + " ELSE 'en' END AS predicted, COUNT(*) AS n "
+            "FROM documents GROUP BY 1, 2"
+        ),
+        "multimodal_bytes": (
+            "SELECT source, SUM(octet_length(encode(text))) AS "
+            "payload_bytes, COUNT(*) AS n_assets FROM documents GROUP BY 1"
+        ),
+        "kernel_pool_replay": (
+            f"WITH b AS ({hourly}), "
+            "bounds AS (SELECT user_id, MIN(bucket_s) lo, MAX(bucket_s) hi "
+            "FROM b GROUP BY 1), "
+            "grid AS (SELECT user_id, CAST(unnest(range(lo, hi + 3600, "
+            "3600)) AS BIGINT) AS bucket_s FROM bounds), "
+            "j AS (SELECT g.user_id, g.bucket_s, b.cnt FROM grid g LEFT "
+            "JOIN b ON g.user_id = b.user_id AND g.bucket_s = b.bucket_s), "
+            "locf AS (SELECT user_id, bucket_s, CAST(last_value(cnt IGNORE "
+            "NULLS) OVER (PARTITION BY user_id ORDER BY bucket_s ROWS "
+            "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS "
+            "cnt, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY "
+            "bucket_s) - 1 AS idx, COUNT(*) OVER (PARTITION BY user_id) "
+            "AS T FROM j), "
+            "s AS (SELECT user_id, idx AS bucket_idx, cnt FROM locf WHERE "
+            "T >= 48 AND idx < 48) "
+            "SELECT user_id, bucket_idx, ROUND(AVG(cnt) OVER (PARTITION BY "
+            "user_id, bucket_idx // 4), 6) AS cnt FROM s"
+        ),
+    }
+
+
+if __name__ == "__main__":
+    from tsaug_spark.session import get_spark
+
+    s = get_spark("tsaug_spark-entry")
+    out = entry(s)
+    out.show(10, truncate=False)
+    print("rows:", out.count())

@@ -71,6 +71,37 @@ def rollup_transcripts(df: DataFrame, tier: str = "1m") -> DataFrame:
     )
 
 
+def rollup_events(
+    df: DataFrame,
+    tier: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Generic tumbling rollup for any (key, ts, value) event stream.
+
+    Output: key, bucket_s (epoch seconds, BIGINT — join/oracle friendly),
+    cnt, sum_value, min_value, max_value.  Same partial+final hash-agg
+    plan shape as the transcript rollup.
+    """
+    seconds = TIERS[tier][1]
+    bucket = (
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / seconds) * seconds)
+        .cast("long")
+        .alias("bucket_s")
+    )
+    return (
+        df.select(F.col(key_col), bucket, F.col(value_col))
+        .groupBy(key_col, "bucket_s")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )
+
+
 def reaggregate(df_tier: DataFrame, from_tier: str, to_tier: str) -> DataFrame:
     """Continuous aggregate: re-roll a finer tier into a coarser one.
 
