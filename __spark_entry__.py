@@ -347,26 +347,9 @@ def q_nation_revenue(spark, sf):
 
 
 def q_dedup_exact(spark, sf):
-    d = _docs(spark, sf)
-    return d.groupBy(F.md5("text").alias("fp")).agg(
-        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("copies")
-    )
+    from tsaug_spark.pipeline.dedup import exact_dedup
 
-
-def _shingles(d: DataFrame) -> DataFrame:
-    """Word 3-gram shingles per doc (docs with >= 3 whitespace tokens)."""
-    words = F.split(F.col("text"), " ")
-    d = d.withColumn("ws", words).filter(F.size("ws") >= 3)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size("ws") - 3),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(F.col("ws"), i + 1),
-            F.element_at(F.col("ws"), i + 2),
-            F.element_at(F.col("ws"), i + 3),
-        ),
-    )
-    return d.select("doc_id", F.explode(sh).alias("s"))
+    return exact_dedup(_docs(spark, sf))
 
 
 _SHINGLE_SQL = (
@@ -378,80 +361,32 @@ _SHINGLE_SQL = (
 
 
 def q_minhash_sig(spark, sf):
-    """4-band MinHash signatures via md5 (engine- and oracle-identical)."""
-    sh = _shingles(_docs(spark, sf))
-    aggs = [
-        F.min(F.md5(F.concat(F.col("s"), F.lit(f"|{b}")))).alias(f"sig{b}")
-        for b in range(4)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    from tsaug_spark.pipeline.dedup import minhash_signatures, shingles
+
+    return minhash_signatures(shingles(_docs(spark, sf)), n_bands=4)
 
 
 def q_minhash_pairs(spark, sf):
-    sig = q_minhash_sig(spark, sf)
-    pairs = None
-    for b in range(4):
-        a = sig.select(
-            F.col("doc_id").alias("id_a"), F.col(f"sig{b}").alias("s")
-        )
-        c = sig.select(
-            F.col("doc_id").alias("id_b"), F.col(f"sig{b}").alias("s")
-        )
-        p = a.join(c, "s").filter(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "id_b"
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    from tsaug_spark.pipeline.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    sig = minhash_signatures(shingles(_docs(spark, sf)), n_bands=4)
+    return lsh_candidate_pairs(sig, n_bands=4)
 
 
 def q_ngram_jaccard(spark, sf):
-    """Exact word-3-gram Jaccard >= 0.5 candidate pairs."""
-    sh = _shingles(_docs(spark, sf)).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "s")
-    b = sh.select(F.col("doc_id").alias("id_b"), "s")
-    inter = (
-        a.join(b, "s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
-    j = (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter")
-            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= 0.5)
-    )
-    return j.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    from tsaug_spark.pipeline.dedup import ngram_jaccard_pairs, shingles
+
+    return ngram_jaccard_pairs(shingles(_docs(spark, sf)), threshold=0.5)
 
 
 def q_simhash16(spark, sf):
-    """16-bit SimHash from per-word 60-bit md5 prefixes."""
-    d = _docs(spark, sf)
-    w = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
-    ).filter(F.col("w") != "")
-    h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
-    w = w.select("doc_id", h.alias("h"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"w{b}")
-        for b in range(16)
-    ]
-    sums = w.groupBy("doc_id").agg(*aggs)
-    sim = None
-    for b in range(16):
-        bit = F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sim = bit if sim is None else sim + bit
-    return sums.select("doc_id", sim.cast("long").alias("simhash"))
+    from tsaug_spark.pipeline.dedup import simhash
+
+    return simhash(_docs(spark, sf), bits=16)
 
 
 def q_embed_cosine(spark, sf):
@@ -460,9 +395,7 @@ def q_embed_cosine(spark, sf):
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    qv = e.filter(F.col("vec_id") == 0).select(
-        F.col("v").alias("qv")
-    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     j = e.join(F.broadcast(qv))
 
     def dot(x, y):
@@ -480,62 +413,31 @@ def q_embed_cosine(spark, sf):
 
 
 def q_text_quality(spark, sf):
-    d = _docs(spark, sf)
-    n_words = F.size(F.split(F.col("text"), " "))
-    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[.,!?;]"), 0))
-    charlen = F.length("text")
-    return d.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        charlen.alias("n_chars_live"),
-        F.round(n_punct / charlen.cast("double"), 5).alias("punct_ratio"),
-        F.round(charlen / n_words.cast("double"), 4).alias("chars_per_word"),
-    )
+    from tsaug_spark.pipeline.text import quality_metrics
+
+    return quality_metrics(_docs(spark, sf))
 
 
 def q_token_counts(spark, sf):
-    d = _docs(spark, sf)
-    toks = F.size(F.split(F.col("text"), " "))
-    return d.groupBy("source", "lang").agg(
-        F.sum(toks).alias("tokens"),
-        F.count(F.lit(1)).alias("docs"),
-        F.sum("n_chars").alias("chars"),
-    )
+    from tsaug_spark.pipeline.text import token_counts
+
+    return token_counts(_docs(spark, sf))
 
 
-_LANG_RULES = [
-    ("zh", "的"),
-    ("es", " el "),
-    ("de", " der "),
-    ("fr", " le "),
-]
+from tsaug_spark.pipeline.text import LANG_RULES as _LANG_RULES  # noqa: E402
 
 
 def q_lang_id(spark, sf):
-    d = _docs(spark, sf)
-    pred = None
-    for code, marker in _LANG_RULES:
-        cond = F.instr(F.col("text"), marker) > 0
-        pred = (
-            F.when(cond, code) if pred is None else pred.when(cond, code)
-        )
-    pred = pred.otherwise("en")
-    return (
-        d.select("lang", pred.alias("predicted"))
-        .groupBy("lang", "predicted")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    from tsaug_spark.pipeline.text import lang_id
+
+    return lang_id(_docs(spark, sf))
 
 
 def q_multimodal_bytes(spark, sf):
-    """Opaque-binary column plumbing: utf-8 payloads + byte metadata."""
-    d = _docs(spark, sf).withColumn(
-        "payload", F.encode(F.col("text"), "utf-8")
-    )
-    return d.groupBy("source").agg(
-        F.sum(F.length("payload")).alias("payload_bytes"),
-        F.count(F.lit(1)).alias("n_assets"),
-    )
+    from tsaug_spark.pipeline.multimodal import attach_payloads, payload_stats
+
+    return payload_stats(attach_payloads(_docs(spark, sf)))
+
 
 
 # --------------------------------------------- kernel-bound (rows-only)

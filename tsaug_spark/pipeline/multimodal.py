@@ -1,0 +1,97 @@
+"""Multimodal column plumbing: opaque binary payloads with typed metadata.
+
+Images / audio / video ride through the engine as ``binary`` columns plus
+a metadata struct (modality, byte size, declared dims/duration).  The
+Spark-side plumbing — schema, partition-friendly batch shapes, Arrow
+``mapInPandas`` feature extraction — is real and tested; the actual media
+*decoding* is stubbed (``NotImplementedError``) because no image/audio
+libraries exist in this container.  ``fake_features`` is the
+deterministic stand-in that preserves the exact UDF signature and batch
+shape a real decoder would use, so swapping in PIL/torchaudio later is a
+one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 8
+
+
+def attach_payloads(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize binary payloads + metadata from text (sandbox source).
+
+    In production the payload column comes straight from the lakehouse
+    (e.g. an Iceberg table of media blobs); everything downstream only
+    sees (payload: binary, meta: struct).
+    """
+    payload = F.encode(F.col(text_col), "utf-8")
+    meta = F.struct(
+        F.lit("image/fake").alias("modality"),
+        F.length(payload).alias("n_bytes"),
+        (F.length(payload) % 64 + 16).alias("width"),
+        (F.length(payload) % 48 + 16).alias("height"),
+    )
+    return df.withColumn("payload", payload).withColumn("meta", meta)
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Real decoder slot — requires an imaging library.
+
+    STUB: this container ships no image/audio codecs; production
+    deployments plug PIL / torchvision / ffmpeg here.
+    """
+    raise NotImplementedError(
+        "media decoding requires an imaging library not present in this "
+        "environment; use fake_features() for plumbing tests"
+    )
+
+
+def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic stand-in feature vector: sha256-seeded floats."""
+    digest = hashlib.sha256(payload).digest()
+    ints = np.frombuffer(digest[: dim * 4], dtype=np.uint32)
+    return (ints / np.float64(2 ** 32)).astype(np.float64)
+
+
+def extract_features(
+    df: DataFrame, use_real_decoder: bool = False
+) -> DataFrame:
+    """Batch feature extraction over payloads via Arrow ``mapInPandas``.
+
+    The iterator-of-batches shape is the production contract: a real
+    decoder amortizes model/codec setup once per partition, then
+    processes each Arrow batch vectorized.
+    """
+    schema = "doc_id long, feature array<double>, n_bytes long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-partition setup happens here (codec init, model load)
+        extractor = decode_image if use_real_decoder else fake_features
+        for pdf in batches:
+            feats = [
+                extractor(bytes(p)).tolist() for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "feature": feats,
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema)
+
+
+def payload_stats(df: DataFrame, group_col: str = "source") -> DataFrame:
+    """Byte accounting per group — the multimodal sizing rollup."""
+    return df.groupBy(group_col).agg(
+        F.sum(F.length("payload")).alias("payload_bytes"),
+        F.count(F.lit(1)).alias("n_assets"),
+    )

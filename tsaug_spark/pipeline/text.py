@@ -1,0 +1,84 @@
+"""Text analysis operators: quality metrics, token counts, language id,
+document fingerprints.  All Catalyst-native (no Python UDFs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: ordered (code, marker) rules — first hit wins, fallback 'en'
+LANG_RULES = [
+    ("zh", "的"),
+    ("es", " el "),
+    ("de", " der "),
+    ("fr", " le "),
+]
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: token count, punctuation density,
+    average word length — the usual cheap quality-filter signals."""
+    n_words = F.size(F.split(F.col(text_col), " "))
+    n_punct = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit("[.,!?;]"), 0)
+    )
+    charlen = F.length(text_col)
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        charlen.alias("n_chars_live"),
+        F.round(n_punct / charlen.cast("double"), 5).alias("punct_ratio"),
+        F.round(charlen / n_words.cast("double"), 4).alias(
+            "chars_per_word"
+        ),
+    )
+
+
+def token_counts(
+    df: DataFrame, group_cols=("source", "lang"), text_col: str = "text"
+) -> DataFrame:
+    """Whitespace-token totals per group (corpus sizing)."""
+    toks = F.size(F.split(F.col(text_col), " "))
+    return df.groupBy(*group_cols).agg(
+        F.sum(toks).alias("tokens"),
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic; returns the confusion table
+    against the ``lang`` ground-truth column."""
+    pred = None
+    for code, marker in LANG_RULES:
+        cond = F.instr(F.col(text_col), marker) > 0
+        pred = F.when(cond, code) if pred is None else pred.when(cond, code)
+    pred = pred.otherwise("en")
+    return (
+        df.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the word sequence.
+
+    ``fp = fold(words, h -> h * 31 + hash(word) mod 2^31-1)`` — a
+    sequential fold (deterministic), cheap re-fingerprinting primitive
+    for incremental dedup.  The modulus keeps ``acc * 31 + h`` under
+    2^36, safely inside int64 for ANSI-mode arithmetic.
+    """
+    MOD = (1 << 31) - 1
+    words = F.split(F.col(text_col), " ")
+    word_h = lambda w: F.pmod(
+        F.conv(F.substring(F.md5(w), 1, 14), 16, 10).cast("long"), F.lit(MOD)
+    )
+    fp = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: F.pmod(acc * 31 + word_h(w), F.lit(MOD)),
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

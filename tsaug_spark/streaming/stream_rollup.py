@@ -1,0 +1,78 @@
+"""Streaming tier rollup: readStream -> watermarked tumbling window agg.
+
+The streaming twin of plans.rollup.rollup_transcripts: the same three
+metric channels per (conv_id, bucket), maintained incrementally with a
+watermark for late turns.  In production this runs in update/append mode
+against the raw transcript stream and feeds the 1m tier table; the
+coarser tiers re-aggregate batch-side (continuous aggregates), which is
+cheaper than nested streaming aggregation and matches the engine's
+batch-incremental watermark design (sources/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsaug_spark.plans.rollup import TIERS
+
+
+def stream_rollup(
+    stream_df: DataFrame,
+    tier: str = "1m",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup of a transcript stream.
+
+    ``stream_df`` is a streaming DataFrame with the transcript schema.
+    Late rows beyond ``watermark`` are dropped (state can be evicted);
+    rows within it update their bucket — the streaming analogue of the
+    batch job's rollup-watermark re-aggregation window.
+    """
+    duration = TIERS[tier][0]
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy("conv_id", F.window("ts", duration).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("turn_rate"),
+            F.count("tool").alias("tool_usage"),
+            F.sum(F.length("text")).alias("text_len"),
+        )
+        .select(
+            "conv_id",
+            F.col("w.start").alias("bucket_ts"),
+            "turn_rate",
+            "tool_usage",
+            "text_len",
+        )
+    )
+
+
+def run_stream_once(
+    spark,
+    source_dir: str,
+    schema,
+    tier: str = "1m",
+    sink_table: str = "stream_rollup_out",
+) -> DataFrame:
+    """Drive the streaming rollup over a file source until caught up.
+
+    File-source + ``availableNow`` trigger processes every pending file
+    then stops — the test/backfill harness for the streaming path.
+    Returns the sink contents as a batch DataFrame.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    rolled = stream_rollup(stream, tier)
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink_table)
