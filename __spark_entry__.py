@@ -262,8 +262,12 @@ def q_quantize_uniform(spark, sf):
         "user_id", "bucket_s", F.col("cnt").cast("double").alias("x")
     )
     wp = Window.partitionBy("user_id")
-    mn = F.min("x").over(wp)
-    mx = F.max("x").over(wp)
+    # materialize mn/mx once: reusing the raw window expressions inline
+    # would plant 10 copies of min/max in the Window operator
+    h = h.withColumn("mn", F.min("x").over(wp)).withColumn(
+        "mx", F.max("x").over(wp)
+    )
+    mn, mx = F.col("mn"), F.col("mx")
     span = F.when(mx - mn == 0, F.lit(1.0)).otherwise(mx - mn)
     q = F.round((F.col("x") - mn) / span * n)
     q = F.least(F.greatest(q, F.lit(0.0)), F.lit(float(n - 1)))

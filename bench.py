@@ -208,18 +208,22 @@ def run_queries(spark, sf_dir: str) -> dict:
     return timings
 
 
+def _burn(_):
+    """Cache-resident integer workload for the CPU control (module-level
+    so multiprocessing can pickle it)."""
+    import numpy as np
+
+    a = np.arange(50_000)
+    x = 0
+    for _ in range(800):
+        x += int((a * 3 + 1).sum() % 97)
+    return x
+
+
 def _cpu_control(levels: tuple[int, int]) -> dict:
     """Measure this VM's attainable core-scaling ceiling with a
     cache-resident integer workload (no Spark, no memory pressure)."""
-    import numpy as np
-
-    def burn(_):
-        a = np.arange(50_000)
-        x = 0
-        for _ in range(800):
-            x += int((a * 3 + 1).sum() % 97)
-        return x
-
+    burn = _burn
     out = {}
     for n in levels:
         with multiprocessing.Pool(n) as p:

@@ -1,0 +1,77 @@
+"""spark-submit entry point for the resumable tier-rollup job.
+
+Cluster usage (the production path — BASELINE.json run mode)::
+
+    python tools/make_pyfiles.py          # builds dist/tsaug_spark.zip
+    spark-submit --py-files dist/tsaug_spark.zip \
+        --master <cluster> jobs/rollup_job.py \
+        --input  <transcripts parquet/iceberg path> \
+        --work-dir <tier + checkpoint root> \
+        --tiers 1m,1h,1d --partitions 64
+
+The job is resumable: rerunning after a crash skips partitions whose
+checkpoint manifest rows exist (sources/checkpoint.py), and every
+partition commit carries lineage (source snapshot, watermark) + metrics
+(points_rolled, bytes_compressed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--work-dir", required=True)
+    ap.add_argument("--tiers", default="1m,1h,1d")
+    ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--snapshot", default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from tsaug_spark.plans.rollup import METRIC_COLS, reaggregate
+    from tsaug_spark.session import get_spark
+    from tsaug_spark.sources.checkpoint import RollupJob
+    from tsaug_spark.sources.tables import ParquetSnapshotTable
+
+    spark = get_spark("tsaug-rollup-job")
+    transcripts = spark.read.parquet(args.input)
+
+    snapshot = args.snapshot or f"path:{args.input}"
+    job = RollupJob(
+        spark,
+        args.work_dir,
+        n_partitions=args.partitions,
+        source_snapshot=snapshot,
+    )
+
+    tiers = args.tiers.split(",")
+    if "1m" in tiers:
+        n = job.run(transcripts, "1m", resume=not args.no_resume)
+        print(f"tier 1m: processed {n} partitions")
+    for fine, coarse in (("1m", "1h"), ("1h", "1d")):
+        if coarse not in tiers:
+            continue
+        src = job.read_tier(fine)
+        out = reaggregate(src, fine, coarse)
+        ParquetSnapshotTable(f"{args.work_dir}/tier_{coarse}").overwrite(out)
+        print(f"tier {coarse}: {out.count()} buckets")
+
+    m = job.metrics().toPandas()
+    print(
+        m.groupby("tier")[
+            ["points_rolled", "bytes_raw", "bytes_compressed"]
+        ].sum()
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -102,10 +102,21 @@ def fill_interpolate(df: DataFrame, cols: Iterable[str]) -> DataFrame:
     ts_sec = F.unix_timestamp("bucket_ts")
     for c in cols:
         obs_ts = F.when(F.col(c).isNotNull(), ts_sec)
-        prev_v = F.last(c, ignorenulls=True).over(w_back)
-        next_v = F.first(c, ignorenulls=True).over(w_fwd)
-        prev_t = F.last(obs_ts, ignorenulls=True).over(w_back)
-        next_t = F.first(obs_ts, ignorenulls=True).over(w_fwd)
+        # materialize the four window results once per column — inlining
+        # them into the CASE expression would replicate each window
+        # function several times inside the Window operator
+        df = (
+            df.withColumn(f"_pv_{c}", F.last(c, ignorenulls=True).over(w_back))
+            .withColumn(f"_nv_{c}", F.first(c, ignorenulls=True).over(w_fwd))
+            .withColumn(
+                f"_pt_{c}", F.last(obs_ts, ignorenulls=True).over(w_back)
+            )
+            .withColumn(
+                f"_nt_{c}", F.first(obs_ts, ignorenulls=True).over(w_fwd)
+            )
+        )
+        prev_v, next_v = F.col(f"_pv_{c}"), F.col(f"_nv_{c}")
+        prev_t, next_t = F.col(f"_pt_{c}"), F.col(f"_nt_{c}")
         frac = (ts_sec - prev_t) / (next_t - prev_t)
         interp = prev_v * (1 - frac) + next_v * frac
         df = df.withColumn(
@@ -116,5 +127,5 @@ def fill_interpolate(df: DataFrame, cols: Iterable[str]) -> DataFrame:
                 interp,
             )
             .otherwise(F.coalesce(prev_v, next_v)),
-        )
+        ).drop(f"_pv_{c}", f"_nv_{c}", f"_pt_{c}", f"_nt_{c}")
     return df
