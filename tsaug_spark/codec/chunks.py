@@ -37,6 +37,13 @@ def compress_tier(
 
     Output: conv_id, n_points, bytes_raw, bytes_compressed, ts_chunk,
     and a ``<col>_chunk`` binary per metric channel.
+
+    Implementation: repartition + sortWithinPartitions co-locates and
+    orders each conversation, then ``mapInPandas`` streams Arrow batches
+    through the *grouped* Gorilla encoders — one vectorized bit-assembly
+    pass per batch instead of per conversation (tier chunks are small,
+    so per-group overhead would dominate).  A carry-over buffer stitches
+    conversations that span Arrow batch boundaries.
     """
     value_cols = list(value_cols)
     schema = (
@@ -44,32 +51,62 @@ def compress_tier(
         "bytes_compressed long, ts_chunk binary, "
         + ", ".join(f"{c}_chunk binary" for c in value_cols)
     )
+    from .gorilla import encode_timestamps_grouped, encode_values_grouped
 
-    def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col)
+    out_cols = [
+        "conv_id", "n_points", "bytes_raw", "bytes_compressed", "ts_chunk",
+    ] + [f"{c}_chunk" for c in value_cols]
+
+    def encode_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        convs_arr = pdf["conv_id"].to_numpy()
+        convs, starts = np.unique(convs_arr, return_index=True)
+        lengths = np.diff(np.append(starts, len(pdf)))
         ts = (pdf[ts_col].astype("int64") // 10 ** 9).to_numpy()
-        row = {
-            "conv_id": key[0],
-            "n_points": len(pdf),
-            "bytes_raw": int(len(pdf) * 8 * (1 + len(value_cols))),
+        ts_chunks = encode_timestamps_grouped(ts, lengths)
+        data = {
+            "conv_id": convs,
+            "n_points": lengths,
+            "bytes_raw": lengths * 8 * (1 + len(value_cols)),
+            "ts_chunk": ts_chunks,
         }
-        ts_chunk = encode_timestamps(ts)
-        total = len(ts_chunk)
-        row["ts_chunk"] = ts_chunk
+        total = np.array([len(c) for c in ts_chunks], dtype=np.int64)
         for c in value_cols:
-            chunk = encode_values(
-                pdf[c].to_numpy(dtype=np.float64)
+            chunks = encode_values_grouped(
+                pdf[c].to_numpy(dtype=np.float64), lengths
             )
-            row[f"{c}_chunk"] = chunk
-            total += len(chunk)
-        row["bytes_compressed"] = total
-        return pd.DataFrame(
-            [row],
-            columns=["conv_id", "n_points", "bytes_raw", "bytes_compressed",
-                     "ts_chunk"] + [f"{c}_chunk" for c in value_cols],
-        )
+            data[f"{c}_chunk"] = chunks
+            total = total + np.array([len(x) for x in chunks])
+        data["bytes_compressed"] = total
+        return pd.DataFrame(data, columns=out_cols)
 
-    return df_tier.groupBy("conv_id").applyInPandas(encode_group, schema)
+    def encode_stream(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        held: pd.DataFrame | None = None
+        for pdf in batches:
+            buf = (
+                pdf
+                if held is None or not len(held)
+                else pd.concat([held, pdf], ignore_index=True)
+            )
+            if not len(buf):
+                held = None
+                continue
+            # hold back the (possibly incomplete) trailing conversation
+            last = buf["conv_id"].iloc[-1]
+            cut = int(buf["conv_id"].searchsorted(last, side="left"))
+            if cut > 0:
+                yield encode_block(buf.iloc[:cut])
+            held = buf.iloc[cut:].reset_index(drop=True)
+        if held is not None and len(held):
+            yield encode_block(held)
+
+    prepared = (
+        df_tier.select("conv_id", ts_col, *value_cols)
+        .repartition("conv_id")
+        .sortWithinPartitions("conv_id", ts_col)
+    )
+    return prepared.mapInPandas(encode_stream, schema)
 
 
 def decompress_tier(

@@ -266,3 +266,134 @@ def _ctz64(x: np.ndarray) -> np.ndarray:
             x == 0, 64, np.log2(f, where=f > 0, out=np.zeros_like(f))
         )
     return np.rint(tz).astype(np.int64)
+
+
+# ----------------------------------------------------- grouped encoders
+def _value_tokens(
+    raw: np.ndarray, prev: np.ndarray, header: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row (token, nbits) triples for the XOR value stream.
+
+    ``header`` marks rows that start a chunk (emitted as a raw 64-bit
+    value); other rows XOR against ``prev``.  Returns (N, 3) arrays.
+    """
+    n = len(raw)
+    xors = np.where(header, np.uint64(0), raw ^ prev)
+    zero = xors == 0
+    lead = np.minimum(_clz64(xors), 31)
+    trail = _ctz64(xors)
+    sig = np.where(zero, 0, 64 - lead - trail).astype(np.int64)
+
+    tokens = np.zeros((n, 3), dtype=np.uint64)
+    nbits = np.zeros((n, 3), dtype=np.int64)
+    tokens[:, 0] = np.where(zero, 0, 0b11)
+    nbits[:, 0] = np.where(zero, 1, 2)
+    tokens[:, 1] = (lead.astype(np.uint64) << np.uint64(6)) | (
+        sig.astype(np.uint64) & np.uint64(63)
+    )
+    nbits[:, 1] = np.where(zero, 0, 11)
+    shift = np.where(zero, 0, trail).astype(np.uint64)
+    tokens[:, 2] = xors >> shift
+    nbits[:, 2] = np.where(zero, 0, sig)
+    # chunk-header rows: one raw 64-bit token
+    tokens[header, 0] = raw[header]
+    nbits[header, 0] = 64
+    tokens[header, 1:] = 0
+    nbits[header, 1:] = 0
+    return tokens, nbits
+
+
+def _split_groups(
+    bits: np.ndarray,
+    row_bits: np.ndarray,
+    lengths: np.ndarray,
+    starts: np.ndarray,
+) -> list[bytes]:
+    """Slice the partition-wide bit stream back into per-group chunks."""
+    group_bits = np.add.reduceat(row_bits, starts)
+    offsets = np.concatenate([[0], np.cumsum(group_bits)[:-1]])
+    out = []
+    for g in range(len(lengths)):
+        o, gb = int(offsets[g]), int(group_bits[g])
+        out.append(
+            np.uint32(lengths[g]).tobytes()
+            + np.packbits(bits[o : o + gb]).tobytes()
+        )
+    return out
+
+
+def encode_values_grouped(
+    values: np.ndarray, lengths: np.ndarray
+) -> list[bytes]:
+    """Encode many concatenated series in one vectorized pass.
+
+    ``values`` is the concatenation of the groups' float64 series (in
+    order), ``lengths`` the per-group lengths.  Byte-identical to
+    calling :func:`encode_values` per group (tested), but the bit
+    assembly runs once over the whole partition instead of per chunk.
+    """
+    vals = np.ascontiguousarray(values, dtype=np.float64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    if len(vals) == 0 or lengths.sum() != len(vals):
+        if len(lengths) and lengths.sum() != len(vals):
+            raise ValueError("lengths do not sum to len(values)")
+        return [np.uint32(0).tobytes() for _ in lengths]
+    starts = np.cumsum(lengths) - lengths
+    raw = vals.view(np.uint64)
+    header = np.zeros(len(raw), dtype=bool)
+    header[starts] = True
+    prev = np.roll(raw, 1)
+    tokens, nbits = _value_tokens(raw, prev, header)
+    bits = _assemble(tokens.ravel(), nbits.ravel())
+    return _split_groups(bits, nbits.sum(axis=1), lengths, starts)
+
+
+def encode_timestamps_grouped(
+    ts: np.ndarray, lengths: np.ndarray
+) -> list[bytes]:
+    """Grouped delta-of-delta encoder; byte-identical to per-group
+    :func:`encode_timestamps`."""
+    t = np.ascontiguousarray(ts, dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    if len(t) == 0 or lengths.sum() != len(t):
+        if len(lengths) and lengths.sum() != len(t):
+            raise ValueError("lengths do not sum to len(ts)")
+        return [np.uint32(0).tobytes() for _ in lengths]
+    starts = np.cumsum(lengths) - lengths
+    n = len(t)
+    pos_in_group = np.arange(n) - np.repeat(starts, lengths)
+
+    prev = np.roll(t, 1)
+    prev2 = np.roll(t, 2)
+    delta = t - prev
+    dod = delta - (prev - prev2)
+
+    tokens = np.zeros((n, 2), dtype=np.uint64)
+    nbits = np.zeros((n, 2), dtype=np.int64)
+    # row 0 of each group: raw 64-bit ts; row 1: raw 64-bit first delta
+    first = pos_in_group == 0
+    second = pos_in_group == 1
+    rest = ~(first | second)
+    tokens[first, 0] = t[first].view(np.uint64)
+    nbits[first, 0] = 64
+    tokens[second, 0] = delta[second].view(np.uint64)
+    nbits[second, 0] = 64
+
+    done = rest & (dod == 0)
+    nbits[done, 0] = 1  # control '0'
+    assigned = done | ~rest
+    for bound, ctrl, ctrl_bits, field in _TS_BUCKETS:
+        fits = (~assigned) & (dod >= -bound) & (dod <= bound - 1)
+        tokens[fits, 0] = ctrl
+        nbits[fits, 0] = ctrl_bits
+        tokens[fits, 1] = (dod[fits] & ((1 << field) - 1)).astype(np.uint64)
+        nbits[fits, 1] = field
+        assigned = assigned | fits
+    over = ~assigned
+    tokens[over, 0] = 0b1111
+    nbits[over, 0] = 4
+    tokens[over, 1] = dod[over].view(np.uint64)
+    nbits[over, 1] = 64
+
+    bits = _assemble(tokens.ravel(), nbits.ravel())
+    return _split_groups(bits, nbits.sum(axis=1), lengths, starts)
