@@ -444,6 +444,87 @@ def q_multimodal_bytes(spark, sf):
 
 
 
+def q_moving_avg(spark, sf):
+    """Centered +-3-bucket moving average — the SQL-expressible
+    (boxcar) special case of Convolve."""
+    h = _hourly(spark, sf)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_s")
+        .rowsBetween(-3, 3)
+    )
+    return h.select(
+        "user_id",
+        "bucket_s",
+        F.round(F.avg("cnt").over(w), 6).alias("smooth_cnt"),
+    )
+
+
+def q_sessionize(spark, sf):
+    """Gap-based sessionization: a >30 min silence starts a session."""
+    ev = _events(spark, sf).select(
+        "user_id", F.unix_timestamp("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("t") - F.lag("t").over(w) > 1800, 1
+        ).otherwise(0),
+    )
+    sessions = marked.withColumn(
+        "session_id", F.sum("new_session").over(w)
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("t") - F.min("t")).alias("duration_s"),
+        )
+    )
+
+
+def q_set_ops(spark, sf):
+    """Users in the top half by event count but NOT top half by value."""
+    ev = _events(spark, sf)
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
+    )
+    med_n, med_v = agg.agg(
+        F.expr("percentile(n, 0.5)"), F.expr("percentile(v, 0.5)")
+    ).collect()[0]
+    by_count = agg.filter(F.col("n") > med_n).select("user_id")
+    by_value = agg.filter(F.col("v") > med_v).select("user_id")
+    return by_count.exceptAll(by_value).distinct()
+
+
+def q_percentiles(spark, sf):
+    """Exact percentiles of value per event_type (linear interp)."""
+    ev = _events(spark, sf)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_rollup_groupingsets(spark, sf):
+    """GROUP BY ROLLUP (event_type) — subtotal + grand-total rows."""
+    ev = _events(spark, sf)
+    return (
+        ev.rollup("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n",
+            "total",
+        )
+    )
+
+
 # --------------------------------------------- kernel-bound (rows-only)
 
 
@@ -540,6 +621,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "multimodal_bytes": q_multimodal_bytes,
+        "moving_avg": q_moving_avg,
+        "sessionize": q_sessionize,
+        "set_ops": q_set_ops,
+        "percentiles": q_percentiles,
+        "rollup_groupingsets": q_rollup_groupingsets,
         "kernel_pool_replay": q_kernel_pool_replay,
         "kernel_convolve": _kernel_query(_k_convolve),
         "kernel_timewarp": _kernel_query(_k_timewarp),
@@ -762,6 +848,42 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_bytes": (
             "SELECT source, SUM(octet_length(encode(text))) AS "
             "payload_bytes, COUNT(*) AS n_assets FROM documents GROUP BY 1"
+        ),
+        "moving_avg": (
+            f"WITH h AS ({hourly}) SELECT user_id, bucket_s, "
+            "ROUND(AVG(cnt) OVER (PARTITION BY user_id ORDER BY bucket_s "
+            "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS smooth_cnt "
+            "FROM h"
+        ),
+        "sessionize": (
+            "WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) "
+            "AS t FROM events), "
+            "m AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER "
+            "(PARTITION BY user_id ORDER BY t) > 1800 THEN 1 ELSE 0 END "
+            "AS new_session FROM e), "
+            "s AS (SELECT user_id, t, SUM(new_session) OVER (PARTITION BY "
+            "user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS session_id FROM m) "
+            "SELECT user_id, session_id, COUNT(*) AS n_events, "
+            "MAX(t) - MIN(t) AS duration_s FROM s GROUP BY 1, 2"
+        ),
+        "set_ops": (
+            "WITH agg AS (SELECT user_id, COUNT(*) AS n, SUM(value) AS v "
+            "FROM events GROUP BY 1), "
+            "med AS (SELECT quantile_cont(n, 0.5) AS mn, "
+            "quantile_cont(v, 0.5) AS mv FROM agg) "
+            "SELECT DISTINCT user_id FROM (SELECT user_id FROM agg, med "
+            "WHERE n > mn EXCEPT SELECT user_id FROM agg, med WHERE v > mv)"
+        ),
+        "percentiles": (
+            "SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS "
+            "p50, ROUND(quantile_cont(value, 0.95), 4) AS p95, COUNT(*) "
+            "AS n FROM events GROUP BY 1"
+        ),
+        "rollup_groupingsets": (
+            "SELECT COALESCE(event_type, 'ALL') AS event_type, COUNT(*) "
+            "AS n, ROUND(SUM(value), 4) AS total FROM events "
+            "GROUP BY ROLLUP (event_type)"
         ),
         "kernel_pool_replay": (
             f"WITH b AS ({hourly}), "

@@ -91,3 +91,41 @@ def test_manifest_lineage_and_metrics(spark, transcripts, tmp_path):
     ).count()
     assert (m["bytes_compressed"] < m["bytes_raw"]).all()
     assert m["watermark_ts"].notna().all()
+
+
+def test_watermark_update_handles_late_data(spark, transcripts, tmp_path):
+    from pyspark.sql import functions as F
+
+    # split input by time: everything before the cutoff arrives first,
+    # the tail (plus rows overlapping the watermark window) arrives late
+    lo, hi = transcripts.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).collect()[0]
+    cutoff = F.timestamp_seconds(F.lit(int(lo + 0.7 * (hi - lo))))
+    early = transcripts.filter(F.col("ts") < cutoff)
+    job = RollupJob(spark, str(tmp_path / "wm"), n_partitions=2,
+                    source_snapshot="snap1")
+    job.run(early, "1m")
+
+    # incremental update with the full table (late + new rows)
+    touched = job.update(transcripts, "1m", grace="2 hours",
+                         new_snapshot="snap2")
+    assert touched > 0
+
+    got = (
+        job.read_tier("1m")
+        .orderBy("conv_id", "bucket_ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = (
+        rollup_transcripts(transcripts, "1m")
+        .orderBy("conv_id", "bucket_ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # watermark advanced and lineage records both snapshots
+    m = job.metrics("1m").toPandas()
+    assert set(m["source_snapshot"]) == {"snap1", "snap2"}

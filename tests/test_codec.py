@@ -103,3 +103,26 @@ def test_compression_ratio_on_rollup_like_series():
 
     const = encode_values(np.full(n, 7.0))
     assert len(const) < n / 7  # ~1 bit per repeated point
+
+
+def test_grouped_encoders_byte_identical():
+    from tsaug_spark.codec.gorilla import (
+        encode_timestamps_grouped,
+        encode_values_grouped,
+    )
+
+    rng = np.random.RandomState(0)
+    lens = rng.randint(1, 200, size=300)
+    vals = np.concatenate([np.round(rng.gamma(2, 2, l)) for l in lens])
+    tss = np.concatenate(
+        [1767225600 + 60 * np.arange(l) + rng.randint(0, 5, l) for l in lens]
+    )
+    gv = encode_values_grouped(vals, lens)
+    gt = encode_timestamps_grouped(tss, lens)
+    off = 0
+    for i, l in enumerate(lens):
+        assert gv[i] == encode_values(vals[off : off + l])
+        assert gt[i] == encode_timestamps(tss[off : off + l])
+        assert np.array_equal(decode_values(gv[i]), vals[off : off + l])
+        assert np.array_equal(decode_timestamps(gt[i]), tss[off : off + l])
+        off += l

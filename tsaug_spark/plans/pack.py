@@ -177,9 +177,84 @@ def apply_operator(
     exploded = df_long.withColumn(
         "rep_idx", F.explode(F.sequence(F.lit(0), F.lit(op.repeats - 1)))
     )
+    if mode == "subseed":
+        # streaming fast path: repartition + sortWithinPartitions then
+        # mapInPandas with a carry-over buffer — avoids the per-group
+        # pandas-DataFrame overhead of applyInPandas, which dominates
+        # when conversations are small and numerous
+        return _apply_subseed_stream(
+            exploded, op, value_cols, idx_col, out_schema
+        )
     return exploded.groupBy("conv_id", "rep_idx").applyInPandas(
         kernel, out_schema
     )
+
+
+def _apply_subseed_stream(
+    exploded: DataFrame,
+    op: SeriesOp,
+    value_cols: Sequence[str],
+    idx_col: str,
+    out_schema: str,
+) -> DataFrame:
+    value_cols = list(value_cols)
+    seed, prob = op.seed, op.prob
+
+    def process_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv = pdf["conv_id"].to_numpy()
+        rep = pdf["rep_idx"].to_numpy()
+        vals = pdf[value_cols].to_numpy(dtype=np.float64)
+        change = (
+            np.flatnonzero((conv[1:] != conv[:-1]) | (rep[1:] != rep[:-1]))
+            + 1
+        )
+        starts = np.concatenate([[0], change, [len(pdf)]])
+        out_conv, out_rep, out_idx, out_vals = [], [], [], []
+        for g in range(len(starts) - 1):
+            s, e = starts[g], starts[g + 1]
+            cid, r = conv[s], int(rep[s])
+            rng = np.random.RandomState(subseed_for(seed, cid, r))
+            selected = bool(rng.uniform() <= prob)
+            out = _run_single(op, vals[s:e], selected, [], rng)
+            out_conv.append(np.repeat(cid, len(out)))
+            out_rep.append(np.full(len(out), r, dtype=np.int32))
+            out_idx.append(np.arange(len(out), dtype=np.int32))
+            out_vals.append(out)
+        res = pd.DataFrame(
+            np.concatenate(out_vals), columns=value_cols
+        )
+        res.insert(0, "bucket_idx", np.concatenate(out_idx))
+        res.insert(0, "rep_idx", np.concatenate(out_rep))
+        res.insert(0, "conv_id", np.concatenate(out_conv))
+        return res
+
+    def stream(batches):
+        held: pd.DataFrame | None = None
+        for pdf in batches:
+            buf = (
+                pdf
+                if held is None or not len(held)
+                else pd.concat([held, pdf], ignore_index=True)
+            )
+            if not len(buf):
+                held = None
+                continue
+            # hold back the trailing (conv, rep) group, which may
+            # continue in the next Arrow batch
+            tail = (buf["conv_id"] == buf["conv_id"].iloc[-1]) & (
+                buf["rep_idx"] == buf["rep_idx"].iloc[-1]
+            )
+            cut = len(buf) - int(tail.sum())
+            if cut > 0:
+                yield process_block(buf.iloc[:cut])
+            held = buf.iloc[cut:].reset_index(drop=True)
+        if held is not None and len(held):
+            yield process_block(held)
+
+    prepared = exploded.repartition("conv_id").sortWithinPartitions(
+        "conv_id", "rep_idx", idx_col
+    )
+    return prepared.mapInPandas(stream, out_schema)
 
 
 def apply_pipe(

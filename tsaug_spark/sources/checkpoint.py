@@ -143,3 +143,102 @@ class RollupJob:
 
     def read_tier(self, tier: str) -> DataFrame:
         return self.table(f"tier_{tier}").read(self.spark).drop("partition_id")
+
+    # ------------------------------------------------------ incremental
+    def watermarks(self, tier: str) -> DataFrame:
+        """Latest committed rollup watermark per partition."""
+        return (
+            self.manifest.read(self.spark)
+            .filter(F.col("tier") == tier)
+            .groupBy("partition_id")
+            .agg(F.max("watermark_ts").alias("watermark_ts"))
+        )
+
+    def update(
+        self,
+        transcripts: DataFrame,
+        tier: str = "1m",
+        grace: str = "1 hour",
+        new_snapshot: Optional[str] = None,
+    ) -> int:
+        """Batch-incremental tier maintenance with late-data handling.
+
+        Re-aggregates only the buckets at or after each partition's
+        stored ``rollup watermark`` minus ``grace`` (the re-aggregation
+        window for late turns), replaces those tier rows, and commits
+        new manifest rows with the advanced watermark.  This is the
+        batch twin of a streaming watermark: turns later than
+        ``watermark - grace`` are folded in exactly; older late turns
+        are dropped by design (widen ``grace`` to keep more).
+
+        Cost model at scale: the filter ``ts >= cutoff`` prunes the raw
+        scan to the recent partitions/files (partition pruning on a
+        ts-partitioned table), so an update touches only the re-rollable
+        tail, never the full history.
+        """
+        wm = self.watermarks(tier).collect()
+        if not wm:
+            return self.run(transcripts, tier)
+        cutoffs = {r["partition_id"]: r["watermark_ts"] for r in wm}
+        snapshot = new_snapshot or self.source_snapshot
+
+        part_col = F.pmod(F.xxhash64("conv_id"), F.lit(self.n_partitions))
+        grace_expr = F.expr(f"INTERVAL {grace}")
+        touched = 0
+        for p in range(self.n_partitions):
+            if p not in cutoffs:
+                touched += self.run(transcripts, tier, partitions=[p])
+                continue
+            cutoff_ts = F.lit(cutoffs[p]) - grace_expr
+            src = transcripts.filter(
+                (part_col == p) & (F.col("ts") >= cutoff_ts)
+            )
+            rolled = rollup_transcripts(src, tier).cache()
+            n_new = rolled.count()
+            if n_new == 0:
+                rolled.unpersist()
+                continue
+            # replace the re-rolled buckets for this partition
+            tier_table = self.table(f"tier_{tier}")
+            existing = tier_table.read(self.spark)
+            kept = existing.filter(
+                ~(
+                    (F.col("partition_id") == p)
+                    & (F.col("bucket_ts") >= cutoff_ts)
+                )
+            )
+            merged = kept.unionByName(
+                rolled.withColumn("partition_id", F.lit(p))
+            )
+            tier_table.overwrite(merged)
+
+            chunks = compress_tier(rolled, METRIC_COLS).cache()
+            stats = chunks.agg(
+                F.coalesce(F.sum("n_points"), F.lit(0)).alias("points"),
+                F.coalesce(F.sum("bytes_raw"), F.lit(0)).alias("raw"),
+                F.coalesce(F.sum("bytes_compressed"), F.lit(0)).alias(
+                    "comp"
+                ),
+            ).collect()[0]
+            new_wm = rolled.agg(F.max("bucket_ts")).collect()[0][0]
+            self.manifest.append(
+                self.spark.createDataFrame(
+                    [
+                        (
+                            tier,
+                            p,
+                            snapshot,
+                            new_wm,
+                            int(stats["points"]),
+                            int(stats["raw"]),
+                            int(stats["comp"]),
+                            time.time(),
+                        )
+                    ],
+                    MANIFEST_SCHEMA,
+                )
+            )
+            rolled.unpersist()
+            chunks.unpersist()
+            touched += 1
+        return touched
