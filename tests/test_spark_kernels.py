@@ -153,3 +153,31 @@ def test_replay_rejects_ragged_series(spark):
     df = spark.createDataFrame(pdf)
     with pytest.raises(ValueError, match="rectangular"):
         apply_operator(df, Pool(size=2, seed=0), CHANNELS, mode="replay")
+
+
+@pytest.mark.parametrize("W,chunk_len", [(7, 16), (8, 16), (5, 7), (21, 16)])
+def test_chunked_convolve_bit_identical(long_df, W, chunk_len):
+    from tsaug_spark.functions.windows import make_window
+    from tsaug_spark.plans.chunked import convolve_chunked
+
+    df, batch = long_df
+    taps = make_window("hann", W)
+    out = convolve_chunked(df, taps, CHANNELS, chunk_len=chunk_len)
+    pdf = out.toPandas().sort_values(["conv_id", "bucket_idx"])
+    groups = [
+        part[CHANNELS].to_numpy(np.float64)
+        for _, part in pdf.groupby("conv_id", sort=True)
+    ]
+    dist = np.stack(groups)
+
+    # whole-series reference: per (series, channel) reflect convolution
+    from tsaug_spark.functions.interpolate import convolve_reflect
+
+    want = np.stack(
+        [
+            (convolve_reflect(batch[i].T, taps) / taps.sum()).T
+            for i in range(batch.shape[0])
+        ]
+    )
+    assert dist.shape == want.shape
+    assert np.array_equal(dist, want)
