@@ -279,36 +279,56 @@ def main() -> None:
             int(x)
             for x in os.environ.get("BENCH_SCALE_LEVELS", "2,8").split(",")
         )
+        rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "3"))
         spark.stop()
-        scaling = {}
-        for level in levels:
-            s = _session(str(level))
-            _register(
-                s,
-                table,
-                TRANSCRIPT_DDL,
-                f"{BENCH_DIR}/transcripts_b{N_BUCKETS}_{n_convs}_"
-                f"{avg_turns}",
-                "conv_id, turn_idx",
-            )
-            run_cascade(s, table)  # warm-up (JIT, page cache)
-            trials = [run_cascade(s, table) for _ in range(2)]
-            m = max(trials, key=lambda t: t["points_per_sec"])
-            scaling[level] = {
-                "points_per_sec": round(m["points_per_sec"]),
-                "turns_per_sec": round(m["turns_per_sec"]),
-                "wall_s": round(m["wall_s"], 3),
-                "trial_walls": [round(t["wall_s"], 3) for t in trials],
-            }
-            s.stop()
         lo, hi = levels
-        speedup = (
-            scaling[hi]["points_per_sec"] / scaling[lo]["points_per_sec"]
-        )
+        loc = f"{BENCH_DIR}/transcripts_b{N_BUCKETS}_{n_convs}_{avg_turns}"
+
+        def measure(level: int) -> dict:
+            s = _session(str(level))
+            _register(s, table, TRANSCRIPT_DDL, loc, "conv_id, turn_idx")
+            run_cascade(s, table)  # warm-up (JIT, page cache)
+            m = run_cascade(s, table)
+            s.stop()
+            return m
+
+        # this VM's effective CPU allocation drifts on a minutes
+        # timescale, so the two levels are interleaved per round and the
+        # speedup is the per-round ratio (median across rounds) — a
+        # sequential A...A B...B protocol confounds level with drift
+        per_round = []
+        details = {lo: [], hi: []}
+        for _ in range(rounds):
+            m_lo = measure(lo)
+            m_hi = measure(hi)
+            details[lo].append(m_lo)
+            details[hi].append(m_hi)
+            per_round.append(
+                m_hi["points_per_sec"] / m_lo["points_per_sec"]
+            )
+        per_round.sort()
+        speedup = per_round[len(per_round) // 2]
+        best = {
+            k: max(v, key=lambda m: m["points_per_sec"])
+            for k, v in details.items()
+        }
         control = _cpu_control(levels)
         result["scaling"] = {
-            f"local{lo}": scaling[lo],
-            f"local{hi}": scaling[hi],
+            f"local{lo}": {
+                "points_per_sec": round(best[lo]["points_per_sec"]),
+                "turns_per_sec": round(best[lo]["turns_per_sec"]),
+                "walls_s": [
+                    round(m["wall_s"], 3) for m in details[lo]
+                ],
+            },
+            f"local{hi}": {
+                "points_per_sec": round(best[hi]["points_per_sec"]),
+                "turns_per_sec": round(best[hi]["turns_per_sec"]),
+                "walls_s": [
+                    round(m["wall_s"], 3) for m in details[hi]
+                ],
+            },
+            "per_round_speedups": [round(x, 3) for x in per_round],
             "speedup": round(speedup, 3),
             "efficiency": round(speedup / (hi / lo), 3),
             "cpu_control": control,
