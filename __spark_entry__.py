@@ -593,6 +593,63 @@ def _k_kmeans():
     return Quantize(n_levels=5, how="kmeans", seed=15)
 
 
+def q_kernel_convolve_chunked(spark, sf):
+    """Halo-chunked hann smoothing — the long-series execution path."""
+    from tsaug_spark.functions.windows import make_window
+    from tsaug_spark.plans.chunked import convolve_chunked
+
+    series = _series_df(spark, sf).drop("sum_value")
+    out = convolve_chunked(
+        series, make_window("hann", 7), ["cnt"], chunk_len=16
+    )
+    return out.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        "bucket_idx",
+        F.round("cnt", 6).alias("cnt"),
+    )
+
+
+def q_embed_near_dup(spark, sf):
+    """Random-hyperplane LSH near-duplicate pairs over embeddings.
+
+    The synthetic embeddings have no true near-duplicates (max pairwise
+    cosine ~0.51 at sf0.01), so the threshold sits where the LSH
+    candidate set is non-empty but selective.
+    """
+    from tsaug_spark.pipeline.dedup import embedding_near_dup
+
+    return embedding_near_dup(_emb(spark, sf), threshold=0.3, n_planes=6)
+
+
+def q_doc_fingerprint(spark, sf):
+    """Order-sensitive rolling-hash document fingerprints."""
+    from tsaug_spark.pipeline.text import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf))
+
+
+def q_ivf_topk(spark, sf):
+    """IVF-bucketed approximate nearest neighbours of vec_id 0."""
+    from tsaug_spark.pipeline.similarity import ivf_index, ivf_topk
+
+    emb = _emb(spark, sf)
+    query = (
+        emb.filter(F.col("vec_id") == 0).toPandas()["embedding"].iloc[0]
+    )
+    indexed, cents = ivf_index(emb, n_cells=8, seed=5)
+    out = ivf_topk(indexed, cents, list(query), k=10, n_probe=3)
+    return out.select("vec_id", F.round("cos", 4).alias("cos"))
+
+
+def q_char_entropy(spark, sf):
+    """Vectorized pandas_udf text-quality signal (no SQL equivalent)."""
+    from tsaug_spark.functions.udfs import char_entropy
+
+    return _docs(spark, sf).select(
+        "doc_id", F.round(char_entropy("text"), 4).alias("entropy_bits")
+    )
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -632,6 +689,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kernel_drift": _kernel_query(_k_drift),
         "kernel_addnoise": _kernel_query(_k_addnoise),
         "kernel_kmeans": _kernel_query(_k_kmeans),
+        "kernel_convolve_chunked": q_kernel_convolve_chunked,
+        "embed_near_dup": q_embed_near_dup,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ivf_topk": q_ivf_topk,
+        "char_entropy": q_char_entropy,
     }
 
 
