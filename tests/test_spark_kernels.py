@@ -181,3 +181,51 @@ def test_chunked_convolve_bit_identical(long_df, W, chunk_len):
     )
     assert dist.shape == want.shape
     assert np.array_equal(dist, want)
+
+
+@pytest.fixture(scope="module")
+def long_df_with_labels(spark, long_df):
+    df, batch = long_df
+    rng = np.random.RandomState(5)
+    labels = rng.choice(2, size=(N, T, 2)).astype(int)
+    rows = []
+    for i in range(N):
+        for t in range(T):
+            rows.append((f"conv-{i:04d}", t, float(labels[i, t, 0]),
+                         float(labels[i, t, 1])))
+    lab = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "bucket_idx", "y0", "y1"])
+    )
+    joined = df.join(lab, ["conv_id", "bucket_idx"]).cache()
+    joined.count()
+    return joined, batch, labels
+
+
+MASK_OPS = [
+    Reverse(seed=30),                      # flips Y
+    Pool(size=4, seed=31),                 # Y untouched
+    Dropout(p=0.1, size=2, seed=32),       # Y untouched
+    Resize(size=T // 2, seed=33),          # Y interpolated + int-rounded
+    Crop(size=T // 2, seed=34),            # Y resized, NOT rounded
+    TimeWarp(seed=35),                     # Y warped + int-rounded
+    AddNoise(repeats=2, prob=0.6, seed=36),
+]
+
+
+@pytest.mark.parametrize("op", MASK_OPS, ids=[repr(o)[:48] for o in MASK_OPS])
+def test_distributed_mask_matches_local(long_df_with_labels, op):
+    joined, batch, labels = long_df_with_labels
+    local_x, local_y = op.augment(batch, labels)
+    out = apply_operator(
+        joined, op, CHANNELS, mode="replay", label_cols=["y0", "y1"]
+    )
+    pdf = out.toPandas().sort_values(["conv_id", "rep_idx", "bucket_idx"])
+    xs, ys = [], []
+    for _, part in pdf.groupby(["conv_id", "rep_idx"], sort=True):
+        xs.append(part[CHANNELS].to_numpy(np.float64))
+        ys.append(part[["y0", "y1"]].to_numpy(np.float64))
+    dist_x, dist_y = np.stack(xs), np.stack(ys)
+    assert np.array_equal(dist_x, local_x)
+    # local Y dtype is int for rounding ops, float for Crop — value
+    # equality over the double transport either way
+    assert np.array_equal(dist_y, local_y.astype(np.float64))

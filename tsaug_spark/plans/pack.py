@@ -73,37 +73,65 @@ def pack_batch(
     return np.stack(mats), convs
 
 
+def _resize_mask(y: np.ndarray, size: int) -> np.ndarray:
+    """Resize a mask with the reference's Y semantics: interpolated then
+    int-rounded, except the size==T copy and size==1 mean paths
+    (resize.py:82-118)."""
+    T = y.shape[0]
+    if size == T:
+        return y.copy()
+    if size == 1:
+        return resize_batch(y[None], 1)[0]
+    return resize_batch(y[None], size)[0].round().astype(np.int64)
+
+
 def _run_single(
     op: SeriesOp,
     x: np.ndarray,
     selected: bool,
     queue,
     rng: Optional[np.random.RandomState],
-) -> np.ndarray:
-    """Execute one (series, repeat) group: (T, C) -> (T', C).
+    y: Optional[np.ndarray] = None,
+):
+    """Execute one (series, repeat) group: (T, C)[, (T, L)] -> (T', C)[,
+    (T', L)].
 
     Reproduces the exact N=1 code path of the local batch run: Crop and
-    Resize use their override semantics; everything else runs ``_core``
-    on the one-row batch when selected, identity otherwise.
+    Resize use their override semantics (Crop's mask rides through the
+    resize as a series — float, un-rounded — the reference asymmetry);
+    everything else runs ``_core`` on the one-row batch when selected,
+    identity otherwise.  Returns the array, or an (x, y) pair when a
+    mask is supplied.
     """
     T = x.shape[0]
     if isinstance(op, Resize):
         if not selected:
-            return x.copy()
-        return resize_batch(x[None], op.size)[0]
+            return x.copy() if y is None else (x.copy(), y.copy())
+        out = resize_batch(x[None], op.size)[0]
+        if y is None:
+            return out
+        return out, _resize_mask(y, op.size)
     if isinstance(op, Crop):
         if not selected:
-            return x.copy()
+            return x.copy() if y is None else (x.copy(), y.copy())
         gen = rng if rng is not None else ScriptedRNG(queue)
         s = int(np.asarray(gen.choice(expand_int_spec(op.size), size=1))[0])
         start = int(np.asarray(gen.choice(T - s + 1, size=1))[0])
-        window = x[start : start + s, :]
-        return resize_batch(window[None], op._output_size())[0]
+        out_len = op._output_size()
+        out = resize_batch(x[start : start + s][None], out_len)[0]
+        if y is None:
+            return out
+        # mask passes through Resize.augment as the X argument: no
+        # rounding (crop.py:191-208)
+        return out, resize_batch(y[start : start + s][None], out_len)[0]
     if not selected:
-        return x.copy()
+        return x.copy() if y is None else (x.copy(), y.copy())
     gen = rng if rng is not None else ScriptedRNG(queue)
-    out, _ = op._core(x[None].copy(), None, rng=gen)
-    return out[0]
+    if y is None:
+        out, _ = op._core(x[None].copy(), None, rng=gen)
+        return out[0]
+    out_x, out_y = op._core(x[None].copy(), y[None].copy(), rng=gen)
+    return out_x[0], out_y[0]
 
 
 def apply_operator(
@@ -112,18 +140,22 @@ def apply_operator(
     value_cols: Sequence[str],
     idx_col: str = "bucket_idx",
     mode: str = "replay",
+    label_cols: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Apply a series operator to every conversation series in parallel.
 
-    Input: long rows (conv_id, idx_col, *value_cols) — rectangular per
-    conversation (gap-filled).  Output: (conv_id, rep_idx, bucket_idx,
-    *value_cols) with bucket_idx renumbered 0..T'-1.
+    Input: long rows (conv_id, idx_col, *value_cols[, *label_cols]) —
+    rectangular per conversation (gap-filled).  Output: (conv_id,
+    rep_idx, bucket_idx, *value_cols[, *label_cols]) with bucket_idx
+    renumbered 0..T'-1.  ``label_cols`` are the reference's Y mask
+    channels: carried/flipped/warped per the operator's mask semantics.
     """
     value_cols = list(value_cols)
+    label_cols = list(label_cols) if label_cols else []
     spark = df_long.sparkSession
     out_schema = (
         "conv_id string, rep_idx int, bucket_idx int, "
-        + ", ".join(f"{c} double" for c in value_cols)
+        + ", ".join(f"{c} double" for c in value_cols + label_cols)
     )
 
     plan_bc = None
@@ -161,14 +193,28 @@ def apply_operator(
         cid, rep = key[0], int(key[1])
         pdf = pdf.sort_values(idx_col)
         x = pdf[value_cols].to_numpy(dtype=np.float64)
+        y = (
+            pdf[label_cols].to_numpy(dtype=np.float64)
+            if label_cols
+            else None
+        )
         if plan_bc is not None:
             selected, queue = plan_bc.value[(cid, rep)]
-            out = _run_single(op, x, selected, queue, None)
+            out = _run_single(op, x, selected, queue, None, y=y)
         else:
             rng = np.random.RandomState(subseed_for(seed, cid, rep))
             selected = bool(rng.uniform() <= prob)
-            out = _run_single(op, x, selected, [], rng)
-        res = pd.DataFrame(out, columns=value_cols)
+            out = _run_single(op, x, selected, [], rng, y=y)
+        if label_cols:
+            out_x, out_y = out
+            res = pd.DataFrame(
+                np.concatenate(
+                    [out_x, np.asarray(out_y, dtype=np.float64)], axis=1
+                ),
+                columns=value_cols + label_cols,
+            )
+        else:
+            res = pd.DataFrame(out, columns=value_cols)
         res.insert(0, "bucket_idx", np.arange(len(res), dtype=np.int32))
         res.insert(0, "rep_idx", np.int32(rep))
         res.insert(0, "conv_id", cid)
@@ -177,11 +223,12 @@ def apply_operator(
     exploded = df_long.withColumn(
         "rep_idx", F.explode(F.sequence(F.lit(0), F.lit(op.repeats - 1)))
     )
-    if mode == "subseed":
+    if mode == "subseed" and not label_cols:
         # streaming fast path: repartition + sortWithinPartitions then
         # mapInPandas with a carry-over buffer — avoids the per-group
         # pandas-DataFrame overhead of applyInPandas, which dominates
-        # when conversations are small and numerous
+        # when conversations are small and numerous (label runs take the
+        # grouped path below)
         return _apply_subseed_stream(
             exploded, op, value_cols, idx_col, out_schema
         )
