@@ -34,9 +34,7 @@ def main() -> None:
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
-    from pyspark.sql import functions as F
-
-    from tsaug_spark.plans.rollup import METRIC_COLS, reaggregate
+    from tsaug_spark.plans.rollup import reaggregate
     from tsaug_spark.session import get_spark
     from tsaug_spark.sources.checkpoint import RollupJob
     from tsaug_spark.sources.tables import ParquetSnapshotTable

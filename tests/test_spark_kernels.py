@@ -6,7 +6,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
-from pyspark.sql import functions as F
 
 from tsaug_spark.operators import (
     AddNoise,
@@ -20,7 +19,7 @@ from tsaug_spark.operators import (
     Reverse,
     TimeWarp,
 )
-from tsaug_spark.plans.pack import apply_operator, apply_pipe, pack_batch
+from tsaug_spark.plans.pack import apply_operator, apply_pipe
 
 N, T, C = 6, 48, 3
 CHANNELS = ["turn_rate", "tool_usage", "text_len"]

@@ -11,8 +11,6 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
-import numpy as np
-
 from .base import ArrayPair, SeriesOp
 
 

@@ -21,7 +21,7 @@ not reference-bit-exact (SURVEY.md §7.2).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

@@ -14,9 +14,9 @@ a killed job continues where it stopped and the final table equals the
 single-shot run (tests/test_checkpoint.py proves this).
 
 Late data: each partition records ``watermark_ts`` = max bucket rolled.
-``run(..., since_watermark=True)`` re-rolls only buckets >= the stored
-watermark (re-aggregation window), replacing those rows — the
-batch-incremental form of a streaming watermark.
+``update()`` re-rolls only buckets >= the stored watermark minus a grace
+window, replacing those rows — the batch-incremental form of a streaming
+watermark.
 """
 
 from __future__ import annotations
@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tsaug_spark.codec.chunks import compress_tier
-from tsaug_spark.plans.rollup import METRIC_COLS, TIERS, rollup_transcripts
+from tsaug_spark.plans.rollup import METRIC_COLS, rollup_transcripts
 
 from .tables import ParquetSnapshotTable
 
