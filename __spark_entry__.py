@@ -528,6 +528,51 @@ def q_rollup_groupingsets(spark, sf):
 # --------------------------------------------- kernel-bound (rows-only)
 
 
+def q_skew_salted_agg(spark, sf):
+    """Hot-key-proof aggregation: salted two-phase groupBy over events.
+
+    Same result as a plain GROUP BY (the oracle), but the hot user's rows
+    are spread over 8 salt subgroups in phase 1, so no single reducer
+    materializes a whole hot key (plans/skew.py; SURVEY §4.2 item 1).
+    """
+    from tsaug_spark.plans.skew import salted_two_phase
+
+    ev = _events(spark, sf)
+    return salted_two_phase(
+        ev,
+        ["user_id"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("value").alias("pv"),
+        ],
+        merge_aggs=[
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("pv"), 4).alias("total_value"),
+        ],
+        n_salts=8,
+        salt_on="event_id",
+    )
+
+
+def q_pipe_reverse_pool(spark, sf):
+    """Distributed operator pipe: Reverse + Pool('ave', 4) composed via
+    apply_pipe (one lazy plan) — the `aug + aug` composition of the
+    reference (base.py:321-349) over per-user hourly series."""
+    from tsaug_spark.operators import Pool, Reverse
+    from tsaug_spark.plans.pack import apply_pipe
+
+    series = _series_df(spark, sf).drop("sum_value")
+    out = apply_pipe(
+        series, [Reverse(seed=0), Pool(size=4, seed=0)], ["cnt"],
+        mode="replay",
+    )
+    return out.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        "bucket_idx",
+        F.round("cnt", 6).alias("cnt"),
+    )
+
+
 def q_kernel_pool_replay(spark, sf):
     """Pool('ave', 4) via the distributed kernel — has a SQL oracle."""
     from tsaug_spark.operators import Pool
@@ -591,6 +636,12 @@ def _k_kmeans():
     from tsaug_spark.operators import Quantize
 
     return Quantize(n_levels=5, how="kmeans", seed=15)
+
+
+def _k_dropout():
+    from tsaug_spark.operators import Dropout
+
+    return Dropout(p=0.1, size=3, fill="ffill", seed=16)
 
 
 def q_kernel_convolve_chunked(spark, sf):
@@ -683,12 +734,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "percentiles": q_percentiles,
         "rollup_groupingsets": q_rollup_groupingsets,
+        "skew_salted_agg": q_skew_salted_agg,
+        "pipe_reverse_pool": q_pipe_reverse_pool,
         "kernel_pool_replay": q_kernel_pool_replay,
         "kernel_convolve": _kernel_query(_k_convolve),
         "kernel_timewarp": _kernel_query(_k_timewarp),
         "kernel_drift": _kernel_query(_k_drift),
         "kernel_addnoise": _kernel_query(_k_addnoise),
         "kernel_kmeans": _kernel_query(_k_kmeans),
+        "kernel_dropout": _kernel_query(_k_dropout),
         "kernel_convolve_chunked": q_kernel_convolve_chunked,
         "embed_near_dup": q_embed_near_dup,
         "doc_fingerprint": q_doc_fingerprint,
@@ -946,6 +1000,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COALESCE(event_type, 'ALL') AS event_type, COUNT(*) "
             "AS n, ROUND(SUM(value), 4) AS total FROM events "
             "GROUP BY ROLLUP (event_type)"
+        ),
+        "skew_salted_agg": (
+            "SELECT user_id, COUNT(*) AS n_events, "
+            "ROUND(SUM(value), 4) AS total_value FROM events GROUP BY 1"
+        ),
+        "pipe_reverse_pool": (
+            f"WITH b AS ({hourly}), "
+            "bounds AS (SELECT user_id, MIN(bucket_s) lo, MAX(bucket_s) hi "
+            "FROM b GROUP BY 1), "
+            "grid AS (SELECT user_id, CAST(unnest(range(lo, hi + 3600, "
+            "3600)) AS BIGINT) AS bucket_s FROM bounds), "
+            "j AS (SELECT g.user_id, g.bucket_s, b.cnt FROM grid g LEFT "
+            "JOIN b ON g.user_id = b.user_id AND g.bucket_s = b.bucket_s), "
+            "locf AS (SELECT user_id, bucket_s, CAST(last_value(cnt IGNORE "
+            "NULLS) OVER (PARTITION BY user_id ORDER BY bucket_s ROWS "
+            "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS "
+            "cnt, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY "
+            "bucket_s) - 1 AS idx, COUNT(*) OVER (PARTITION BY user_id) "
+            "AS T FROM j), "
+            "s AS (SELECT user_id, idx, cnt FROM locf WHERE "
+            "T >= 48 AND idx < 48), "
+            "rev AS (SELECT user_id, 47 - idx AS bucket_idx, cnt FROM s) "
+            "SELECT user_id, bucket_idx, ROUND(AVG(cnt) OVER (PARTITION BY "
+            "user_id, bucket_idx // 4), 6) AS cnt FROM rev"
         ),
         "kernel_pool_replay": (
             f"WITH b AS ({hourly}), "
