@@ -573,6 +573,47 @@ def q_pipe_reverse_pool(spark, sf):
     )
 
 
+def q_asof_enrich(spark, sf):
+    """As-of join: each event enriched with its user's latest 1h-tier
+    bucket at-or-before the event (union+window formulation — no range
+    join; plans/asof.py)."""
+    from tsaug_spark.plans.asof import asof_join
+
+    ev = _events(spark, sf).select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("t")
+    )
+    h = _hourly(spark, sf).select("user_id", "bucket_s", "cnt")
+    out = asof_join(
+        ev, h, key_cols=["user_id"], time_col="t",
+        value_cols=["cnt"], right_time_col="bucket_s",
+    )
+    return out.select("event_id", "user_id", "t", "cnt", "asof_t")
+
+
+def q_codec_roundtrip(spark, sf):
+    """Storage-layer proof: the 1h tier compressed into Gorilla XOR /
+    delta-of-delta chunk rows, then decompressed — the oracle is the
+    uncompressed tier itself, so a value-hash match certifies the binary
+    codec end to end (encode + decode, timestamps + 2 float channels)."""
+    from tsaug_spark.codec.chunks import compress_tier, decompress_tier
+
+    h = _hourly(spark, sf).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.timestamp_seconds("bucket_s").alias("bucket_ts"),
+        F.col("cnt").cast("double").alias("cnt"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+    back = decompress_tier(
+        compress_tier(h, ["cnt", "sum_value"]), ["cnt", "sum_value"]
+    )
+    return back.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
 def q_kernel_pool_replay(spark, sf):
     """Pool('ave', 4) via the distributed kernel — has a SQL oracle."""
     from tsaug_spark.operators import Pool
@@ -736,6 +777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_groupingsets": q_rollup_groupingsets,
         "skew_salted_agg": q_skew_salted_agg,
         "pipe_reverse_pool": q_pipe_reverse_pool,
+        "asof_enrich": q_asof_enrich,
+        "codec_roundtrip": q_codec_roundtrip,
         "kernel_pool_replay": q_kernel_pool_replay,
         "kernel_convolve": _kernel_query(_k_convolve),
         "kernel_timewarp": _kernel_query(_k_timewarp),
@@ -1024,6 +1067,17 @@ def oracle_sql() -> dict[str, str]:
             "rev AS (SELECT user_id, 47 - idx AS bucket_idx, cnt FROM s) "
             "SELECT user_id, bucket_idx, ROUND(AVG(cnt) OVER (PARTITION BY "
             "user_id, bucket_idx // 4), 6) AS cnt FROM rev"
+        ),
+        "asof_enrich": (
+            f"WITH h AS ({hourly}) "
+            "SELECT e.event_id, e.user_id, CAST(floor(epoch(e.ts)) AS "
+            "BIGINT) AS t, h.cnt, h.bucket_s AS asof_t FROM events e "
+            "ASOF LEFT JOIN h ON e.user_id = h.user_id AND "
+            "CAST(floor(epoch(e.ts)) AS BIGINT) >= h.bucket_s"
+        ),
+        "codec_roundtrip": (
+            f"WITH h AS ({hourly}) SELECT user_id, bucket_s, cnt, "
+            "ROUND(sum_value, 4) AS sum_value FROM h"
         ),
         "kernel_pool_replay": (
             f"WITH b AS ({hourly}), "

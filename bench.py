@@ -253,6 +253,11 @@ def main() -> None:
     spark = _session(cpus)
     table = _ensure_transcripts(spark, n_convs, avg_turns)
 
+    if os.environ.get("BENCH_WARMUP", "1") == "1":
+        # first pass pays JIT + page-cache faults + parquet footer reads;
+        # report the steady-state pass (the scaling protocol below always
+        # warms up per level for the same reason)
+        run_cascade(spark, table)
     cascade = run_cascade(spark, table)
     t0 = time.time()
     queries = run_queries(spark, sf_dir)

@@ -1,0 +1,71 @@
+"""asof_join vs the pandas merge_asof oracle (ties, missing keys,
+tolerance)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tsaug_spark.plans.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames():
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c", "zz"], size=200),
+            "t": rng.randint(0, 1000, size=200).astype("int64"),
+            "payload": np.arange(200, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], size=60),
+            "rt": rng.randint(0, 1000, size=60).astype("int64"),
+            "v": rng.uniform(size=60),
+        }
+    )
+    # exact-tie rows: a right row at a left timestamp must match
+    right.loc[0, ["k", "rt"]] = ["a", int(left.loc[0, "t"])]
+    right = right.drop_duplicates(["k", "rt"], keep="last")
+    return left, right
+
+
+def _oracle(left, right, tolerance=None):
+    kw = {"tolerance": tolerance} if tolerance is not None else {}
+    out = pd.merge_asof(
+        left.sort_values("t", kind="stable"),
+        right.sort_values("rt").rename(columns={"rt": "t"}),
+        on="t",
+        by="k",
+        direction="backward",
+        **kw,
+    )
+    return out.sort_values("payload").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("tolerance", [None, 100])
+def test_asof_matches_merge_asof(spark, frames, tolerance):
+    left, right = frames
+    out = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        key_cols=["k"],
+        time_col="t",
+        value_cols=["v"],
+        right_time_col="rt",
+        tolerance=tolerance,
+    )
+    got = (
+        out.toPandas().sort_values("payload").reset_index(drop=True)
+    )
+    exp = _oracle(left, right, tolerance)
+    pd.testing.assert_series_equal(
+        got["v"], exp["v"], check_dtype=False
+    )
+    # the matched right timestamp is exposed for lineage/tolerance use
+    assert (got["asof_t"].isna() == got["v"].isna()).all()
+    # unmatched key ('zz') stays NULL
+    assert got.loc[got["k"] == "zz", "v"].isna().all()

@@ -44,17 +44,24 @@ def _assemble(tokens: np.ndarray, nbits: np.ndarray) -> np.ndarray:
     nbits = nbits.astype(np.int64)
     keep = nbits > 0
     tokens, nbits = tokens[keep], nbits[keep]
+    m = len(nbits)
+    if m == 0:
+        return np.zeros(0, dtype=np.uint8)
     total = int(nbits.sum())
-    bits = np.zeros(total, dtype=np.uint8)
     offsets = np.cumsum(nbits) - nbits
-    toks = tokens.astype(np.uint64)
-    for b in range(int(nbits.max()) if len(nbits) else 0):
-        has = nbits > b
-        shift = (nbits[has] - 1 - b).astype(np.uint64)
-        bits[offsets[has] + b] = (
-            (toks[has] >> shift) & np.uint64(1)
-        ).astype(np.uint8)
-    return bits
+    # one unpackbits over the big-endian byte view gives every token's
+    # 64 MSB-first bits as row i of a (m, 64) matrix; each token then
+    # contributes its LOW nbits[i] bits (matrix columns 64-nbits..63) to
+    # output positions offsets[i]..offsets[i]+nbits[i] — a single flat
+    # gather, O(total_bits), no per-bit-position passes
+    bitmat = np.unpackbits(
+        tokens.astype(">u8").view(np.uint8)
+    )
+    intra = np.arange(total, dtype=np.int64) - np.repeat(offsets, nbits)
+    src = np.repeat(
+        np.arange(m, dtype=np.int64) * 64 + (64 - nbits), nbits
+    ) + intra
+    return bitmat[src]
 
 
 def _read_bits(bits: np.ndarray, pos: int, n: int) -> int:
