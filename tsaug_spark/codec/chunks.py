@@ -101,9 +101,15 @@ def compress_tier(
         if held is not None and len(held):
             yield encode_block(held)
 
+    # pin the exchange's partition count (see plans/pack.py: AQE would
+    # coalesce a bare repartition("conv_id") to 1-2 partitions at this
+    # shuffle size, serializing the encoders onto one Python worker)
+    n_part = int(
+        df_tier.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     prepared = (
         df_tier.select("conv_id", ts_col, *value_cols)
-        .repartition("conv_id")
+        .repartition(n_part, "conv_id")
         .sortWithinPartitions("conv_id", ts_col)
     )
     return prepared.mapInPandas(encode_stream, schema)

@@ -121,35 +121,46 @@ def encode_values(values: np.ndarray) -> bytes:
 
 
 def decode_values(chunk: bytes) -> np.ndarray:
-    """Decode a value chunk (handles the full Gorilla control set)."""
-    n = int(np.frombuffer(chunk[:4], dtype=np.uint32)[0])
-    out = np.empty(n, dtype=np.uint64)
+    """Decode a value chunk (handles the full Gorilla control set).
+
+    Sequential by nature (token boundaries depend on prior tokens), so
+    the loop stays in Python — but every field is read with one
+    ``int.from_bytes`` over a <=10-byte window rather than per-bit
+    array indexing, which is ~10x faster per token.
+    """
+    n = int.from_bytes(chunk[:4], "little")
     if n == 0:
-        return out.view(np.float64)
-    bits = np.unpackbits(np.frombuffer(chunk[4:], dtype=np.uint8))
-    prev = np.uint64(_read_bits(bits, 0, 64))
-    out[0] = prev
+        return np.empty(0, dtype=np.float64)
+    body = chunk[4:]
+
+    def read(pos: int, nb: int) -> int:
+        a = pos >> 3
+        b = (pos + nb + 7) >> 3
+        w = int.from_bytes(body[a:b], "big")
+        return (w >> (((b - a) << 3) - (pos & 7) - nb)) & ((1 << nb) - 1)
+
+    prev = read(0, 64)
+    out = [prev]
     pos = 64
-    lead, sig = 0, 0
-    for i in range(1, n):
-        if bits[pos] == 0:  # identical value
+    lead = sig = 0
+    for _ in range(1, n):
+        if not (body[pos >> 3] >> (7 - (pos & 7))) & 1:  # identical
             pos += 1
-            out[i] = prev
+            out.append(prev)
             continue
-        if bits[pos + 1] == 1:  # new window
-            lead = _read_bits(bits, pos + 2, 5)
-            sig = _read_bits(bits, pos + 7, 6)
-            if sig == 0:
-                sig = 64
+        p1 = pos + 1
+        if (body[p1 >> 3] >> (7 - (p1 & 7))) & 1:  # new window
+            meta = read(pos + 2, 11)
+            lead = meta >> 6
+            sig = (meta & 63) or 64
             pos += 13
         else:  # reuse previous window (streams from full encoders)
             pos += 2
-        payload = _read_bits(bits, pos, sig)
+        payload = read(pos, sig)
         pos += sig
-        xor = np.uint64(payload) << np.uint64(64 - lead - sig)
-        prev = prev ^ xor
-        out[i] = prev
-    return out.view(np.float64)
+        prev ^= payload << (64 - lead - sig)
+        out.append(prev)
+    return np.array(out, dtype=np.uint64).view(np.float64)
 
 
 # -------------------------------------------------------------- timestamps
@@ -205,44 +216,59 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
 
 
 def decode_timestamps(chunk: bytes) -> np.ndarray:
-    n = int(np.frombuffer(chunk[:4], dtype=np.uint32)[0])
-    out = np.empty(n, dtype=np.int64)
+    n = int.from_bytes(chunk[:4], "little")
     if n == 0:
-        return out
-    bits = np.unpackbits(np.frombuffer(chunk[4:], dtype=np.uint8))
-    out[0] = np.uint64(_read_bits(bits, 0, 64)).astype(np.int64)
+        return np.empty(0, dtype=np.int64)
+    body = chunk[4:]
+
+    def read(pos: int, nb: int) -> int:
+        a = pos >> 3
+        b = (pos + nb + 7) >> 3
+        w = int.from_bytes(body[a:b], "big")
+        return (w >> (((b - a) << 3) - (pos & 7) - nb)) & ((1 << nb) - 1)
+
+    def bit(pos: int) -> int:
+        return (body[pos >> 3] >> (7 - (pos & 7))) & 1
+
+    s63, s64 = 1 << 63, 1 << 64
+
+    def se64(raw: int) -> int:  # sign-extend 64-bit
+        return (raw ^ s63) - s63
+
+    def wrap(x: int) -> int:  # int64 wraparound semantics
+        return ((x + s63) % s64) - s63
+
+    out = [se64(read(0, 64))]
     if n == 1:
-        return out
-    # first chunk byte-boundary: header tokens were packed separately,
-    # so re-align: first 128 bits live in the first 16 bytes
+        return np.array(out, dtype=np.int64)
     # Python-int delta arithmetic: immune to transient int64 overflow on
-    # adversarial gaps (the final store masks back to int64)
-    delta = int(np.uint64(_read_bits(bits, 64, 64)).astype(np.int64))
-    out[1] = out[0] + delta
+    # adversarial gaps (every stored value wraps back to int64)
+    delta = se64(read(64, 64))
+    out.append(wrap(out[0] + delta))
     pos = 128
-    for i in range(2, n):
-        if bits[pos] == 0:
+    for _ in range(2, n):
+        if bit(pos) == 0:
             pos += 1
         else:
-            if bits[pos + 1] == 0:
+            if bit(pos + 1) == 0:
                 field, pos = 7, pos + 2
-            elif bits[pos + 2] == 0:
+            elif bit(pos + 2) == 0:
                 field, pos = 9, pos + 3
-            elif bits[pos + 3] == 0:
+            elif bit(pos + 3) == 0:
                 field, pos = 12, pos + 4
             else:
                 field, pos = 64, pos + 4
-            raw = _read_bits(bits, pos, field)
+            raw = read(pos, field)
             pos += field
             if field == 64:
-                dod = int(np.uint64(raw).astype(np.int64))
+                dod = se64(raw)
             else:
                 # sign-extend the two's-complement field
                 sign = 1 << (field - 1)
                 dod = (raw ^ sign) - sign
             delta = delta + dod
-        out[i] = np.int64(np.uint64((int(out[i - 1]) + delta) % (1 << 64)))
-    return out
+        out.append(wrap(out[-1] + delta))
+    return np.array(out, dtype=np.int64)
 
 
 # --------------------------------------------------- bit-count primitives

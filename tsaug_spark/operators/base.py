@@ -195,6 +195,16 @@ class SeriesOp(ABC):
         return T
 
     # ----------------------------------------------------------- augment
+
+    @property
+    def deterministic_core(self) -> bool:
+        """True when ``_core``'s output is independent of its rng
+        argument (every samplable parameter is single-valued), enabling
+        the batched fast path in plans.pack (one batch-core call per
+        equal-length block of series instead of one call per series —
+        identical values because these cores are row-independent)."""
+        return False
+
     def augment(
         self, X: np.ndarray, Y: Optional[np.ndarray] = None
     ) -> Union[np.ndarray, Tuple[np.ndarray, np.ndarray]]:

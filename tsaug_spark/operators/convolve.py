@@ -134,6 +134,13 @@ class Convolve(SeriesOp):
                 )
         return flat
 
+    @property
+    def deterministic_core(self) -> bool:
+        return (
+            isinstance(self.size, int)
+            and not isinstance(self.window, list)
+        )
+
     def _core(self, X, Y, rng=None) -> ArrayPair:
         N, T, C = X.shape
         rng = rng if rng is not None else np.random.RandomState(self.seed)

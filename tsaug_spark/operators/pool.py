@@ -114,6 +114,10 @@ class Pool(SeriesOp):
                 )
         return flat
 
+    @property
+    def deterministic_core(self) -> bool:
+        return isinstance(self.size, int)
+
     def _core(self, X, Y, rng=None) -> ArrayPair:
         rng = rng if rng is not None else np.random.RandomState(self.seed)
         N, T, C = X.shape

@@ -138,6 +138,13 @@ class Quantize(SeriesOp):
             ]
         return flat
 
+    @property
+    def deterministic_core(self) -> bool:
+        return (
+            self.how in ("uniform", "quantile")
+            and isinstance(self.n_levels, int)
+        )
+
     def _core(self, X, Y, rng=None) -> ArrayPair:
         rng = rng if rng is not None else np.random.RandomState(self.seed)
         N, T, C = X.shape

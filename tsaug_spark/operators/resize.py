@@ -108,5 +108,9 @@ class Resize(SeriesOp):
                 Y_out = np.repeat(Y_out, self.repeats, axis=0)
         return X_out, Y_out
 
+    @property
+    def deterministic_core(self) -> bool:
+        return True
+
     def _core(self, X, Y, rng=None) -> ArrayPair:
         raise AssertionError("_apply is overridden; _core is unused")

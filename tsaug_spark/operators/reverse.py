@@ -27,6 +27,10 @@ class Reverse(SeriesOp):
     def _param_names(cls) -> Tuple[str, ...]:
         return tuple()
 
+    @property
+    def deterministic_core(self) -> bool:
+        return True
+
     def _core(self, X, Y, rng=None) -> ArrayPair:
         X_out = X[:, ::-1, :].copy()
         Y_out = Y[:, ::-1, :].copy() if Y is not None else None

@@ -247,6 +247,8 @@ def _apply_subseed_stream(
     value_cols = list(value_cols)
     seed, prob = op.seed, op.prob
 
+    det_fast = op.deterministic_core and prob == 1.0
+
     def process_block(pdf: pd.DataFrame) -> pd.DataFrame:
         conv = pdf["conv_id"].to_numpy()
         rep = pdf["rep_idx"].to_numpy()
@@ -256,17 +258,51 @@ def _apply_subseed_stream(
             + 1
         )
         starts = np.concatenate([[0], change, [len(pdf)]])
+        n_groups = len(starts) - 1
         out_conv, out_rep, out_idx, out_vals = [], [], [], []
-        for g in range(len(starts) - 1):
-            s, e = starts[g], starts[g + 1]
-            cid, r = conv[s], int(rep[s])
-            rng = np.random.RandomState(subseed_for(seed, cid, r))
-            selected = bool(rng.uniform() <= prob)
-            out = _run_single(op, vals[s:e], selected, [], rng)
-            out_conv.append(np.repeat(cid, len(out)))
-            out_rep.append(np.full(len(out), r, dtype=np.int32))
-            out_idx.append(np.arange(len(out), dtype=np.int32))
-            out_vals.append(out)
+        if det_fast:
+            # rng-independent core + prob 1: ONE batch-core call per
+            # equal-length block of series instead of one per series.
+            # Identical values (these cores are row-independent), but
+            # ~series-count fewer Python/NumPy dispatch overheads, which
+            # dominate for short series (BENCH/vs_reference.md)
+            glen = np.diff(starts)
+            outs: list = [None] * n_groups
+            for L in np.unique(glen):
+                gs = np.flatnonzero(glen == L)
+                rows = (
+                    starts[gs][:, None] + np.arange(L)[None, :]
+                ).ravel()
+                batch = vals[rows].reshape(len(gs), L, vals.shape[1])
+                if isinstance(op, Resize):
+                    # same dispatch as _run_single (Resize overrides
+                    # _apply; its _core raises)
+                    out_b = resize_batch(batch, op.size)
+                else:
+                    out_b, _ = op._core(
+                        batch, None, rng=np.random.RandomState(seed)
+                    )
+                for j, g in enumerate(gs):
+                    outs[g] = out_b[j]
+            for g in range(n_groups):
+                out = outs[g]
+                out_conv.append(np.repeat(conv[starts[g]], len(out)))
+                out_rep.append(
+                    np.full(len(out), int(rep[starts[g]]), dtype=np.int32)
+                )
+                out_idx.append(np.arange(len(out), dtype=np.int32))
+                out_vals.append(out)
+        else:
+            for g in range(n_groups):
+                s, e = starts[g], starts[g + 1]
+                cid, r = conv[s], int(rep[s])
+                rng = np.random.RandomState(subseed_for(seed, cid, r))
+                selected = bool(rng.uniform() <= prob)
+                out = _run_single(op, vals[s:e], selected, [], rng)
+                out_conv.append(np.repeat(cid, len(out)))
+                out_rep.append(np.full(len(out), r, dtype=np.int32))
+                out_idx.append(np.arange(len(out), dtype=np.int32))
+                out_vals.append(out)
         res = pd.DataFrame(
             np.concatenate(out_vals), columns=value_cols
         )
@@ -298,7 +334,15 @@ def _apply_subseed_stream(
         if held is not None and len(held):
             yield process_block(held)
 
-    prepared = exploded.repartition("conv_id").sortWithinPartitions(
+    # explicit partition count: a bare repartition("conv_id") is an
+    # AQE-coalescible exchange, and at this stage's typical shuffle size
+    # (tens of MB) AQE collapses it to 1-2 partitions — serializing all
+    # Python kernel work onto one worker.  REPARTITION_BY_NUM pins the
+    # parallelism to the session's shuffle partitions.
+    n_part = int(
+        exploded.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    prepared = exploded.repartition(n_part, "conv_id").sortWithinPartitions(
         "conv_id", "rep_idx", idx_col
     )
     return prepared.mapInPandas(stream, out_schema)
