@@ -144,6 +144,15 @@ def main() -> None:
         must_have=["HashAggregate"],
     )
 
+    # as-of join: union+window formulation must NOT degenerate into a
+    # per-key range join (BroadcastNestedLoopJoin / CartesianProduct)
+    audit(
+        "asof enrich (union + last-ignorenulls window, no range join)",
+        em.q_asof_enrich(spark, sf),
+        must_have=["Window", "Union"],
+        must_not_have=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")
