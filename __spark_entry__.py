@@ -347,6 +347,37 @@ def q_nation_revenue(spark, sf):
     )
 
 
+def q_region_revenue(spark, sf):
+    """Q5-flavoured chain: lineitem -> supplier -> nation -> region,
+    all three dimensions broadcast."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf}/supplier.parquet")
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    r = spark.read.parquet(f"{sf}/region.parquet")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_part_stats(spark, sf):
+    p = spark.read.parquet(f"{sf}/part.parquet")
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
 # ----------------------------------------------------- dedup / documents
 
 
@@ -760,6 +791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_users": q_topk_users,
         "tpch_pricing": q_tpch_pricing,
         "nation_revenue": q_nation_revenue,
+        "region_revenue": q_region_revenue,
+        "part_stats": q_part_stats,
         "dedup_exact": q_dedup_exact,
         "minhash_sig": q_minhash_sig,
         "minhash_pairs": q_minhash_pairs,
@@ -917,6 +950,18 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_orders FROM orders "
             "JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1"
+        ),
+        "region_revenue": (
+            "SELECT r_name, ROUND(SUM(l_extendedprice * (1 - l_discount)),"
+            " 2) AS revenue, COUNT(*) AS n_items FROM lineitem "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY 1"
+        ),
+        "part_stats": (
+            "SELECT p_brand, COUNT(*) AS n_parts, "
+            "ROUND(AVG(p_retailprice), 4) AS avg_price, "
+            "MAX(p_size) AS max_size FROM part GROUP BY 1"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS "
