@@ -166,6 +166,37 @@ def test_multimodal_plumbing(docs):
     assert np.array_equal(fake_features(b"xyz"), fake_features(b"xyz"))
 
 
+def test_multimodal_resize_and_frames(docs):
+    from tsaug_spark.pipeline.multimodal import (
+        resize_payload,
+        sample_frames,
+    )
+
+    with_payload = attach_payloads(docs)
+    resized = resize_payload(with_payload, width=8, height=4).toPandas()
+    assert len(resized) == docs.count()
+    # the resize law: every output payload is exactly width*height bytes
+    assert (resized["payload"].map(len) == 32).all()
+    assert (resized["n_bytes"] == 32).all()
+    # deterministic: identical payloads resize identically (docs 0 and 3)
+    r = resized.set_index("doc_id")["payload"]
+    assert bytes(r[0]) == bytes(r[3])
+
+    frames = sample_frames(
+        with_payload, frame_bytes=8, every_n=2
+    ).toPandas()
+    # fan-out: one row per sampled frame, ordinal stride every_n
+    assert (frames["frame_idx"] % 2 == 0).all()
+    per_doc = frames.groupby("doc_id")["frame_idx"].max()
+    src_len = (
+        with_payload.select(
+            "doc_id", F.length("payload").alias("n")
+        ).toPandas().set_index("doc_id")["n"]
+    )
+    for doc_id, mx in per_doc.items():
+        assert mx <= max(1, src_len[doc_id] // 8)
+
+
 def test_streaming_rollup_matches_batch(spark, transcripts, tmp_path):
     from tsaug_spark.plans.rollup import rollup_transcripts
     from tsaug_spark.streaming.stream_rollup import run_stream_once

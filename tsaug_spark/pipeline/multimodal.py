@@ -95,3 +95,82 @@ def payload_stats(df: DataFrame, group_col: str = "source") -> DataFrame:
         F.sum(F.length("payload")).alias("payload_bytes"),
         F.count(F.lit(1)).alias("n_assets"),
     )
+
+
+def resize_payload(
+    df: DataFrame, width: int, height: int, use_real_decoder: bool = False
+) -> DataFrame:
+    """Resize plumbing: payload -> fixed-(width x height) payload.
+
+    Production: decode -> interpolate -> re-encode inside the same
+    Arrow batch loop.  Sandbox stand-in: deterministic byte resampling
+    at evenly spaced offsets (same output size law as a real resize, so
+    schema, batch shape and downstream sizing behave identically).
+    """
+    out_bytes = width * height
+    schema = (
+        "doc_id long, payload binary, width int, height int, "
+        "n_bytes long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_real_decoder:
+            decode_image(b"")  # raises: no codec in this container
+        for pdf in batches:
+            resized = []
+            for p in pdf["payload"]:
+                raw = np.frombuffer(bytes(p), dtype=np.uint8)
+                if len(raw) == 0:
+                    resized.append(bytes(out_bytes))
+                    continue
+                idx = np.linspace(
+                    0, len(raw) - 1, out_bytes
+                ).round().astype(np.int64)
+                resized.append(raw[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                    "n_bytes": np.int64(out_bytes),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema)
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 256, every_n: int = 4
+) -> DataFrame:
+    """Frame-sampling plumbing: treat each payload as a frame sequence
+    and keep every ``every_n``-th frame.
+
+    Production: ffmpeg keyframe extraction per Arrow batch.  Sandbox
+    stand-in: fixed-size byte windows as pseudo-frames — the fan-out
+    row shape (one row per sampled frame, frame_idx ordinal) matches
+    what a real video sampler emits.
+    """
+    schema = "doc_id long, frame_idx int, frame binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(p)
+                n_frames = max(1, len(raw) // frame_bytes)
+                for k in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    frames.append(
+                        raw[k * frame_bytes:(k + 1) * frame_bytes]
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": np.array(idxs, dtype=np.int32),
+                    "frame": frames,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema)
