@@ -621,6 +621,25 @@ def q_asof_enrich(spark, sf):
     return out.select("event_id", "user_id", "t", "cnt", "asof_t")
 
 
+def q_stream_rollup_1m(spark, sf):
+    """Structured-Streaming 1m rollup (readStream -> watermarked window
+    agg -> availableNow backfill); the oracle is the batch rollup — the
+    streaming path must be indistinguishable once caught up."""
+    from tsaug_spark.streaming.stream_rollup import run_stream_events_once
+
+    out = run_stream_events_once(
+        spark, f"{sf}/events.parquet", tier="1m"
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        "cnt",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )
+
+
 def q_codec_roundtrip(spark, sf):
     """Storage-layer proof: the 1h tier compressed into Gorilla XOR /
     delta-of-delta chunk rows, then decompressed — the oracle is the
@@ -812,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_reverse_pool": q_pipe_reverse_pool,
         "asof_enrich": q_asof_enrich,
         "codec_roundtrip": q_codec_roundtrip,
+        "stream_rollup_1m": q_stream_rollup_1m,
         "kernel_pool_replay": q_kernel_pool_replay,
         "kernel_convolve": _kernel_query(_k_convolve),
         "kernel_timewarp": _kernel_query(_k_timewarp),
@@ -1123,6 +1143,12 @@ def oracle_sql() -> dict[str, str]:
         "codec_roundtrip": (
             f"WITH h AS ({hourly}) SELECT user_id, bucket_s, cnt, "
             "ROUND(sum_value, 4) AS sum_value FROM h"
+        ),
+        "stream_rollup_1m": (
+            "SELECT user_id, CAST(floor(epoch(ts)/60)*60 AS BIGINT) AS "
+            "bucket_s, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value, "
+            "ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS "
+            "max_value FROM events GROUP BY 1, 2"
         ),
         "kernel_pool_replay": (
             f"WITH b AS ({hourly}), "

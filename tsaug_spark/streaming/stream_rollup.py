@@ -76,3 +76,73 @@ def run_stream_once(
     )
     q.awaitTermination(300)
     return spark.table(sink_table)
+
+
+def stream_rollup_events(
+    stream_df: DataFrame,
+    tier: str = "1m",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup of an event stream — the
+    events-table twin of ``stream_rollup`` (same metric set as
+    plans.rollup.rollup_events)."""
+    duration = TIERS[tier][0]
+    # event-time columns must be TIMESTAMP (watermarks reject NTZ)
+    stream_df = stream_df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy("user_id", F.window("ts", duration).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("bucket_ts"),
+            "cnt",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def run_stream_events_once(
+    spark,
+    source_path: str,
+    tier: str = "1m",
+    sink_table: str = "stream_events_out",
+) -> DataFrame:
+    """availableNow-trigger backfill of the event-stream rollup.
+
+    Complete output mode: the caught-up sink equals the batch rollup
+    exactly (watermark only bounds state eviction in update/append).
+    """
+    import os
+
+    schema = spark.read.parquet(source_path).schema
+    # the file source needs a directory; when pointed at a single
+    # parquet file, stream its parent dir filtered to that file
+    if os.path.isdir(source_path):
+        src_dir, glob = source_path, "*"
+    else:
+        src_dir = os.path.dirname(source_path)
+        glob = os.path.basename(source_path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .option("pathGlobFilter", glob)
+        .parquet(src_dir)
+    )
+    rolled = stream_rollup_events(stream, tier)
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink_table)
