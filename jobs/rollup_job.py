@@ -32,6 +32,13 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--snapshot", default=None)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--retention",
+        default=None,
+        help="per-tier expiry windows, e.g. '1m=2 days,1h=90 days' "
+        "(anchored at the coarser tier's rollup watermark, never "
+        "wall clock; omitted tiers are kept forever)",
+    )
     args = ap.parse_args()
 
     from tsaug_spark.plans.rollup import reaggregate
@@ -61,6 +68,14 @@ def main() -> None:
         out = reaggregate(src, fine, coarse)
         ParquetSnapshotTable(f"{args.work_dir}/tier_{coarse}").overwrite(out)
         print(f"tier {coarse}: {out.count()} buckets")
+
+    if args.retention:
+        keep = {}
+        for spec in args.retention.split(","):
+            tier, dur = spec.split("=", 1)
+            keep[tier.strip()] = dur.strip()
+        dropped = job.enforce_retention(keep)
+        print(f"retention: expired rows per tier {dropped}")
 
     m = job.metrics().toPandas()
     print(

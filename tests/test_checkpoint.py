@@ -128,3 +128,48 @@ def test_watermark_update_handles_late_data(spark, transcripts, tmp_path):
     # watermark advanced and lineage records both snapshots
     m = job.metrics("1m").toPandas()
     assert set(m["source_snapshot"]) == {"snap1", "snap2"}
+
+
+def test_retention_expiry(spark, transcripts, tmp_path):
+    job = RollupJob(spark, str(tmp_path / "ret"), n_partitions=2,
+                    source_snapshot="snapR")
+    job.run(transcripts, "1m")
+    job.run(transcripts, "1h")
+
+    before = job.read_tier("1m").cache()
+    n_before = before.count()
+    wm_1h = (
+        job.watermarks("1h").agg(F.min("watermark_ts")).collect()[0][0]
+    )
+    cutoff = pd.Timestamp(wm_1h) - pd.Timedelta(hours=2)
+
+    dropped = job.enforce_retention({"1m": "2 hours", "1h": None})
+    after = job.read_tier("1m").cache()
+
+    # exactly the pre-cutoff rows are gone; the rest are untouched
+    expect_keep = before.filter(F.col("bucket_ts") >= F.lit(cutoff))
+    assert dropped["1m"] == n_before - expect_keep.count()
+    assert dropped["1m"] > 0
+    a = expect_keep.orderBy("conv_id", "bucket_ts").toPandas()
+    b = after.orderBy("conv_id", "bucket_ts").toPandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+    # 1h tier untouched (keep forever)
+    assert "1h" not in dropped or dropped.get("1h", 0) == 0
+
+    # chunk table stays decode-consistent with the surviving tier rows
+    chunks = job.table("tier_1m_chunks").read(spark)
+    back = decompress_tier(chunks.drop("partition_id"), METRIC_COLS)
+    assert back.count() == after.count()
+
+    # idempotent: unchanged manifest -> second pass drops nothing
+    again = job.enforce_retention({"1m": "2 hours", "1h": None})
+    assert again["1m"] == 0
+    # expiry is recorded in the manifest with a distinct tier label
+    exp_rows = (
+        job.manifest.read(spark)
+        .filter(F.col("tier") == "1m#expired")
+        .collect()
+    )
+    assert len(exp_rows) == 1 and exp_rows[0]["points_rolled"] < 0

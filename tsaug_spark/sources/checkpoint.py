@@ -242,3 +242,119 @@ class RollupJob:
             chunks.unpersist()
             touched += 1
         return touched
+
+
+def _expiry_tier(tier: str) -> str:
+    """Manifest tier label for expiry commits (distinct from rollup
+    rows so ``watermarks()`` never sees them)."""
+    return f"{tier}#expired"
+
+
+def enforce_retention(
+    self, keep: "dict[str, Optional[str]]"
+) -> "dict[str, int]":
+    """Expire tier rows older than their retention window.
+
+    ``keep[tier]`` is a Spark INTERVAL body (e.g. ``"2 days"``) or
+    ``None`` = keep forever.  The cutoff for a tier anchors at the next
+    coarser tier's minimum committed rollup watermark — rows are only
+    expired once the cascade above them has absorbed them — falling
+    back to the tier's own watermark for the coarsest tier.  Wall clock
+    is never consulted: rerunning expiry against an unchanged manifest
+    is a no-op, so the operation is idempotent and resumable like every
+    other commit in this job.
+
+    Scale note: on Iceberg this is ``DELETE WHERE bucket_ts < cutoff``
+    — a metadata-only, partition-pruned commit.  The parquet-snapshot
+    fallback rewrites the table filtered and commits atomically; chunk
+    tables expire together with their tier.  Returns rows dropped per
+    tier, and records each expiry in the manifest (tier label
+    ``<tier>#expired``, watermark = cutoff, points_rolled = -dropped).
+    """
+    from tsaug_spark.plans.rollup import TIER_ORDER
+
+    dropped: dict[str, int] = {}
+    for i, tier in enumerate(TIER_ORDER):
+        dur = keep.get(tier)
+        if dur is None:
+            continue
+        anchor = None
+        for coarser in TIER_ORDER[i + 1:]:
+            wm = self.watermarks(coarser).agg(
+                F.min("watermark_ts")
+            ).collect()[0][0]
+            if wm is not None:
+                anchor = wm
+                break
+        if anchor is None:
+            wm = self.watermarks(tier).agg(
+                F.min("watermark_ts")
+            ).collect()[0][0]
+            anchor = wm
+        if anchor is None:
+            continue  # tier never rolled up — nothing to expire
+        cutoff = F.lit(anchor) - F.expr(f"INTERVAL {dur}")
+
+        tier_table = self.table(f"tier_{tier}")
+        if not tier_table.exists():
+            continue
+        cur = tier_table.read(self.spark)
+        n_old = cur.filter(F.col("bucket_ts") < cutoff).count()
+        dropped[tier] = n_old
+        if n_old == 0:
+            continue
+        tier_table.overwrite(cur.filter(F.col("bucket_ts") >= cutoff))
+
+        chunk_table = self.table(f"tier_{tier}_chunks")
+        if chunk_table.exists():
+            # chunk rows carry no bucket_ts; re-derive from their
+            # conversations' surviving tier rows: drop chunks whose
+            # conversation has no remaining tier rows, and rebuild
+            # chunks for conversations that lost a prefix
+            kept_tier = tier_table.read(self.spark)
+            affected = (
+                cur.filter(F.col("bucket_ts") < cutoff)
+                .select("conv_id").distinct()
+            )
+            chunks_cur = chunk_table.read(self.spark)
+            untouched = chunks_cur.join(
+                affected, "conv_id", "left_anti"
+            )
+            rebuilt_src = kept_tier.join(
+                F.broadcast(affected), "conv_id"
+            ).drop("partition_id")
+            from tsaug_spark.plans.rollup import METRIC_COLS as _MC
+
+            rebuilt = compress_tier(rebuilt_src, _MC)
+            part_col = F.pmod(
+                F.xxhash64("conv_id"), F.lit(self.n_partitions)
+            )
+            chunk_table.overwrite(
+                untouched.unionByName(
+                    rebuilt.withColumn(
+                        "partition_id", part_col.cast("int")
+                    )
+                )
+            )
+
+        self.manifest.append(
+            self.spark.createDataFrame(
+                [
+                    (
+                        _expiry_tier(tier),
+                        -1,
+                        self.source_snapshot,
+                        anchor,
+                        -n_old,
+                        0,
+                        0,
+                        time.time(),
+                    )
+                ],
+                MANIFEST_SCHEMA,
+            )
+        )
+    return dropped
+
+
+RollupJob.enforce_retention = enforce_retention
