@@ -41,10 +41,8 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    from tsaug_spark.plans.rollup import reaggregate
     from tsaug_spark.session import get_spark
     from tsaug_spark.sources.checkpoint import RollupJob
-    from tsaug_spark.sources.tables import ParquetSnapshotTable
 
     spark = get_spark("tsaug-rollup-job")
     transcripts = spark.read.parquet(args.input)
@@ -64,10 +62,11 @@ def main() -> None:
     for fine, coarse in (("1m", "1h"), ("1h", "1d")):
         if coarse not in tiers:
             continue
-        src = job.read_tier(fine)
-        out = reaggregate(src, fine, coarse)
-        ParquetSnapshotTable(f"{args.work_dir}/tier_{coarse}").overwrite(out)
-        print(f"tier {coarse}: {out.count()} buckets")
+        n = job.cascade_tier(fine, coarse, resume=not args.no_resume)
+        print(
+            f"tier {coarse}: processed {n} partitions, "
+            f"{job.read_tier(coarse).count()} buckets"
+        )
 
     if args.retention:
         keep = {}

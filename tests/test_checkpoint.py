@@ -173,3 +173,33 @@ def test_retention_expiry(spark, transcripts, tmp_path):
         .collect()
     )
     assert len(exp_rows) == 1 and exp_rows[0]["points_rolled"] < 0
+
+
+def test_cascade_tier_checkpointed(spark, transcripts, tmp_path):
+    from tsaug_spark.plans.rollup import reaggregate
+
+    job = RollupJob(spark, str(tmp_path / "casc"), n_partitions=3,
+                    source_snapshot="snapC")
+    job.run(transcripts, "1m")
+    # partial cascade, then resume — must equal the direct reaggregation
+    assert job.cascade_tier("1m", "1h") == 3
+    assert job.cascade_tier("1m", "1h") == 0  # resumable / idempotent
+
+    direct = (
+        reaggregate(job.read_tier("1m"), "1m", "1h")
+        .orderBy("conv_id", "bucket_ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    got = (
+        job.read_tier("1h")
+        .orderBy("conv_id", "bucket_ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(direct, got, check_dtype=False)
+    # coarser tier carries manifest lineage + metrics like the fine one
+    m = job.metrics("1h").toPandas()
+    assert set(m["partition_id"]) == {0, 1, 2}
+    assert (m["points_rolled"] > 0).any()
+    assert (m["bytes_compressed"] > 0).all()

@@ -358,3 +358,63 @@ def enforce_retention(
 
 
 RollupJob.enforce_retention = enforce_retention
+
+
+def cascade_tier(
+    self, fine: str, coarse: str, resume: bool = True
+) -> int:
+    """Continuous-aggregate maintenance of ``coarse`` FROM ``fine``,
+    with the same per-partition checkpoint/lineage/metrics contract as
+    ``run`` — every tier in the cascade is resumable and manifest-
+    tracked, not just the first.  Reads only the fine tier (never the
+    raw table), so the cascade cost is proportional to tier size.
+    """
+    from tsaug_spark.plans.rollup import reaggregate
+
+    fine_df = self.table(f"tier_{fine}").read(self.spark)
+    todo = list(range(self.n_partitions))
+    if resume:
+        done = self.completed_partitions(coarse)
+        todo = [p for p in todo if p not in done]
+
+    for p in todo:
+        src = fine_df.filter(F.col("partition_id") == p).drop(
+            "partition_id"
+        )
+        rolled = reaggregate(src, fine, coarse).cache()
+        chunks = compress_tier(rolled, METRIC_COLS).cache()
+        stats = chunks.agg(
+            F.coalesce(F.sum("n_points"), F.lit(0)).alias("points"),
+            F.coalesce(F.sum("bytes_raw"), F.lit(0)).alias("raw"),
+            F.coalesce(F.sum("bytes_compressed"), F.lit(0)).alias("comp"),
+        ).collect()[0]
+        wm = rolled.agg(F.max("bucket_ts")).collect()[0][0]
+        self.table(f"tier_{coarse}").append(
+            rolled.withColumn("partition_id", F.lit(p))
+        )
+        self.table(f"tier_{coarse}_chunks").append(
+            chunks.withColumn("partition_id", F.lit(p))
+        )
+        self.manifest.append(
+            self.spark.createDataFrame(
+                [
+                    (
+                        coarse,
+                        p,
+                        self.source_snapshot,
+                        wm,
+                        int(stats["points"]),
+                        int(stats["raw"]),
+                        int(stats["comp"]),
+                        time.time(),
+                    )
+                ],
+                MANIFEST_SCHEMA,
+            )
+        )
+        rolled.unpersist()
+        chunks.unpersist()
+    return len(todo)
+
+
+RollupJob.cascade_tier = cascade_tier
