@@ -90,6 +90,9 @@ def test_manifest_lineage_and_metrics(spark, transcripts, tmp_path):
     ).count()
     assert (m["bytes_compressed"] < m["bytes_raw"]).all()
     assert m["watermark_ts"].notna().all()
+    # lineage carries the partition's time range: [range_start, watermark]
+    assert m["range_start_ts"].notna().all()
+    assert (m["range_start_ts"] <= m["watermark_ts"]).all()
 
 
 def test_watermark_update_handles_late_data(spark, transcripts, tmp_path):

@@ -35,7 +35,8 @@ from .tables import ParquetSnapshotTable
 
 MANIFEST_SCHEMA = (
     "tier string, partition_id int, source_snapshot string, "
-    "watermark_ts timestamp, points_rolled long, bytes_raw long, "
+    "range_start_ts timestamp, watermark_ts timestamp, "
+    "points_rolled long, bytes_raw long, "
     "bytes_compressed long, committed_at double"
 )
 
@@ -113,7 +114,9 @@ class RollupJob:
                 F.coalesce(F.sum("bytes_compressed"), F.lit(0)).alias("comp"),
                 F.max(F.lit(None).cast("timestamp")).alias("_"),
             ).collect()[0]
-            wm = rolled.agg(F.max("bucket_ts")).collect()[0][0]
+            lo, wm = rolled.agg(
+                F.min("bucket_ts"), F.max("bucket_ts")
+            ).collect()[0]
 
             self.table(f"tier_{tier}").append(
                 rolled.withColumn("partition_id", F.lit(p))
@@ -127,6 +130,7 @@ class RollupJob:
                         tier,
                         p,
                         self.source_snapshot,
+                        lo,
                         wm,
                         int(stats["points"]),
                         int(stats["raw"]),
@@ -220,7 +224,9 @@ class RollupJob:
                     "comp"
                 ),
             ).collect()[0]
-            new_wm = rolled.agg(F.max("bucket_ts")).collect()[0][0]
+            new_lo, new_wm = rolled.agg(
+                F.min("bucket_ts"), F.max("bucket_ts")
+            ).collect()[0]
             self.manifest.append(
                 self.spark.createDataFrame(
                     [
@@ -228,6 +234,7 @@ class RollupJob:
                             tier,
                             p,
                             snapshot,
+                            new_lo,
                             new_wm,
                             int(stats["points"]),
                             int(stats["raw"]),
@@ -344,6 +351,7 @@ def enforce_retention(
                         _expiry_tier(tier),
                         -1,
                         self.source_snapshot,
+                        None,
                         anchor,
                         -n_old,
                         0,
@@ -388,7 +396,9 @@ def cascade_tier(
             F.coalesce(F.sum("bytes_raw"), F.lit(0)).alias("raw"),
             F.coalesce(F.sum("bytes_compressed"), F.lit(0)).alias("comp"),
         ).collect()[0]
-        wm = rolled.agg(F.max("bucket_ts")).collect()[0][0]
+        lo, wm = rolled.agg(
+            F.min("bucket_ts"), F.max("bucket_ts")
+        ).collect()[0]
         self.table(f"tier_{coarse}").append(
             rolled.withColumn("partition_id", F.lit(p))
         )
@@ -402,6 +412,7 @@ def cascade_tier(
                         coarse,
                         p,
                         self.source_snapshot,
+                        lo,
                         wm,
                         int(stats["points"]),
                         int(stats["raw"]),
