@@ -243,3 +243,20 @@ def test_drift_max_magnitude():
     # per (series, channel) the peak |drift| is exactly max_drift
     peak = delta.max(axis=1)
     assert np.allclose(peak, 0.5, atol=1e-9)
+
+
+def test_segment_windows_matches_reference_semantics():
+    from tsaug_spark.visualization import segment_windows
+
+    assert segment_windows(np.array([0, 1, 1, 0, 1])) == [(1, 2), (4, 4)]
+    assert segment_windows(np.zeros(5)) == []
+    assert segment_windows(np.ones(4)) == [(0, 3)]
+    # non-binary values are clipped+rounded like the reference
+    assert segment_windows(np.array([0.2, 0.6, 3.0, 0.0])) == [(1, 2)]
+    # plot() is matplotlib-gated in this sandbox
+    import pytest as _pytest
+
+    from tsaug_spark.visualization import plot
+
+    with _pytest.raises(ImportError):
+        plot(np.arange(8.0))
