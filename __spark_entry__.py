@@ -369,6 +369,23 @@ def q_region_revenue(spark, sf):
     )
 
 
+def q_json_props(spark, sf):
+    """JSON scalar functions: extract props.k (JVM-side
+    get_json_object, no UDF) and aggregate per event_type."""
+    ev = _events(spark, sf)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def q_part_stats(spark, sf):
     p = spark.read.parquet(f"{sf}/part.parquet")
     return p.groupBy("p_brand").agg(
@@ -812,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue": q_nation_revenue,
         "region_revenue": q_region_revenue,
         "part_stats": q_part_stats,
+        "json_props": q_json_props,
         "dedup_exact": q_dedup_exact,
         "minhash_sig": q_minhash_sig,
         "minhash_pairs": q_minhash_pairs,
@@ -982,6 +1000,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_brand, COUNT(*) AS n_parts, "
             "ROUND(AVG(p_retailprice), 4) AS avg_price, "
             "MAX(p_size) AS max_size FROM part GROUP BY 1"
+        ),
+        "json_props": (
+            "SELECT event_type, COUNT(*) AS n, "
+            "SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k, "
+            "MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k, "
+            "MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k "
+            "FROM events GROUP BY 1"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS "

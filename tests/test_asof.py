@@ -33,21 +33,22 @@ def frames():
     return left, right
 
 
-def _oracle(left, right, tolerance=None):
+def _oracle(left, right, tolerance=None, direction="backward"):
     kw = {"tolerance": tolerance} if tolerance is not None else {}
     out = pd.merge_asof(
         left.sort_values("t", kind="stable"),
         right.sort_values("rt").rename(columns={"rt": "t"}),
         on="t",
         by="k",
-        direction="backward",
+        direction=direction,
         **kw,
     )
     return out.sort_values("payload").reset_index(drop=True)
 
 
 @pytest.mark.parametrize("tolerance", [None, 100])
-def test_asof_matches_merge_asof(spark, frames, tolerance):
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_merge_asof(spark, frames, tolerance, direction):
     left, right = frames
     out = asof_join(
         spark.createDataFrame(left),
@@ -57,11 +58,12 @@ def test_asof_matches_merge_asof(spark, frames, tolerance):
         value_cols=["v"],
         right_time_col="rt",
         tolerance=tolerance,
+        direction=direction,
     )
     got = (
         out.toPandas().sort_values("payload").reset_index(drop=True)
     )
-    exp = _oracle(left, right, tolerance)
+    exp = _oracle(left, right, tolerance, direction)
     pd.testing.assert_series_equal(
         got["v"], exp["v"], check_dtype=False
     )

@@ -35,17 +35,23 @@ def asof_join(
     value_cols: Sequence[str],
     right_time_col: Optional[str] = None,
     tolerance: Optional[int] = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join of ``right`` onto ``left``.
+    """As-of join of ``right`` onto ``left``.
 
     Returns ``left``'s columns plus, for each ``value_cols`` entry ``v``,
     the value of ``v`` from the latest right row whose time is <= the
-    left row's time (per ``key_cols``), else NULL.  ``tolerance`` (same
-    units as ``time_col``) drops matches older than the window.
+    left row's time (``direction='backward'``) or the earliest right row
+    whose time is >= it (``'forward'``), per ``key_cols``, else NULL.
+    Ties (equal timestamps) match in both directions, as in pandas
+    ``merge_asof`` and DuckDB ``ASOF JOIN``.  ``tolerance`` (same units
+    as ``time_col``) drops matches farther than the window.
 
     Both time columns must be mutually comparable (use epoch seconds or
     timestamps on both sides).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     key_cols = list(key_cols)
     value_cols = list(value_cols)
     rtime = right_time_col or time_col
@@ -71,24 +77,36 @@ def asof_join(
     r_tag = r_tag.select(*l_tag.columns)
 
     u = l_tag.unionByName(r_tag)
-    w = (
-        Window.partitionBy(*key_cols)
-        .orderBy(F.col(time_col).asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    if direction == "backward":
+        # right rows (side 0) sort before left at equal time, so ties
+        # fall inside the [-inf, current] frame
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(F.col(time_col).asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        # mirrored: right rows sort after left at equal time, frame
+        # looks forward, and the FIRST right value wins
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(F.col(time_col).asc(), F.col("__side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     filled = u.select(
         *[F.col(c) for c in left.columns],
         F.col("__side"),
-        *[F.last(f"__r_{v}", ignorenulls=True).over(w).alias(f"__r_{v}")
-          for v in value_cols],
-        F.last("__r_t", ignorenulls=True).over(w).alias("__r_t"),
+        *[pick(f"__r_{v}").alias(f"__r_{v}") for v in value_cols],
+        pick("__r_t").alias("__r_t"),
     )
     out = filled.filter(F.col("__side") == 1).drop("__side")
     if tolerance is not None:
-        within = (
-            F.col(time_col).cast("double") - F.col("__r_t").cast("double")
-            <= F.lit(float(tolerance))
-        )
+        gap = F.col(time_col).cast("double") - F.col("__r_t").cast("double")
+        if direction == "forward":
+            gap = -gap
+        within = gap <= F.lit(float(tolerance))
         for v in value_cols:
             out = out.withColumn(
                 f"__r_{v}", F.when(within, F.col(f"__r_{v}"))
