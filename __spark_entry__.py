@@ -369,6 +369,51 @@ def q_region_revenue(spark, sf):
     )
 
 
+def q_sliding_2h(spark, sf):
+    """Sliding-window rollup: 2h windows hopping every 1h (each event
+    contributes to exactly two windows) via F.window(ts, width, slide)."""
+    ev = _events(spark, sf)
+    return (
+        ev.groupBy(
+            "user_id", F.window("ts", "2 hours", "1 hour").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("bucket_s"),
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def q_dropout_locf_sql(spark, sf):
+    """Dropout(fill='ffill') expressed relationally: a deterministic
+    10% of hourly buckets are dropped, then carried forward with
+    last(ignorenulls) — the reference's gap-generation + locf semantic
+    as a pure Catalyst plan (no kernel)."""
+    h = _hourly(spark, sf).select("user_id", "bucket_s", "cnt")
+    dropped = F.pmod(
+        F.col("user_id") * 31 + F.col("bucket_s") / 3600, F.lit(10)
+    ) < 1
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    masked = h.withColumn(
+        "cnt_gapped", F.when(~dropped, F.col("cnt"))
+    )
+    return masked.select(
+        "user_id",
+        "bucket_s",
+        F.last("cnt_gapped", ignorenulls=True).over(w).alias("cnt_filled"),
+    )
+
+
 def q_json_props(spark, sf):
     """JSON scalar functions: extract props.k (JVM-side
     get_json_object, no UDF) and aggregate per event_type."""
@@ -830,6 +875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "part_stats": q_part_stats,
         "json_props": q_json_props,
+        "sliding_2h": q_sliding_2h,
+        "dropout_locf_sql": q_dropout_locf_sql,
         "dedup_exact": q_dedup_exact,
         "minhash_sig": q_minhash_sig,
         "minhash_pairs": q_minhash_pairs,
@@ -1000,6 +1047,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_brand, COUNT(*) AS n_parts, "
             "ROUND(AVG(p_retailprice), 4) AS avg_price, "
             "MAX(p_size) AS max_size FROM part GROUP BY 1"
+        ),
+        "sliding_2h": (
+            "SELECT user_id, CAST(floor(epoch(ts)/3600)*3600 - o*3600 AS "
+            "BIGINT) AS bucket_s, COUNT(*) AS cnt, "
+            "ROUND(SUM(value), 4) AS sum_value "
+            "FROM events CROSS JOIN (SELECT unnest(range(2)) AS o) "
+            "GROUP BY 1, 2"
+        ),
+        "dropout_locf_sql": (
+            f"WITH h AS ({hourly}), "
+            "m AS (SELECT user_id, bucket_s, CASE WHEN "
+            "(user_id * 31 + bucket_s / 3600) % 10 < 1 THEN NULL "
+            "ELSE cnt END AS cnt_gapped FROM h) "
+            "SELECT user_id, bucket_s, last_value(cnt_gapped IGNORE "
+            "NULLS) OVER (PARTITION BY user_id ORDER BY bucket_s ROWS "
+            "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_filled "
+            "FROM m"
         ),
         "json_props": (
             "SELECT event_type, COUNT(*) AS n, "
