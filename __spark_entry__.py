@@ -556,9 +556,13 @@ def q_moving_avg(spark, sf):
 def q_sessionize(spark, sf):
     """Gap-based sessionization: a >30 min silence starts a session."""
     ev = _events(spark, sf).select(
-        "user_id", F.unix_timestamp("ts").alias("t")
+        "user_id", "event_id", F.unix_timestamp("ts").alias("t")
     )
-    w = Window.partitionBy("user_id").orderBy("t")
+    # event_id tiebreak: t is second-truncated, so ties are possible and
+    # would make lag() nondeterministic; ROWS frame (not the default
+    # RANGE) so tied rows don't collapse into one cumulative-sum peer set
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
     marked = ev.withColumn(
         "new_session",
         F.when(
@@ -566,7 +570,7 @@ def q_sessionize(spark, sf):
         ).otherwise(0),
     )
     sessions = marked.withColumn(
-        "session_id", F.sum("new_session").over(w)
+        "session_id", F.sum("new_session").over(wsum)
     )
     return (
         sessions.groupBy("user_id", "session_id")
@@ -1066,8 +1070,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM m"
         ),
         "json_props": (
+            # CAST the SUM itself: DuckDB SUM(int) yields HUGEINT which
+            # lands in pandas as float64 and breaks the driver value-hash
             "SELECT event_type, COUNT(*) AS n, "
-            "SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k, "
+            "CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) "
+            "AS BIGINT) AS sum_k, "
             "MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k, "
             "MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k "
             "FROM events GROUP BY 1"
@@ -1145,8 +1152,9 @@ def oracle_sql() -> dict[str, str]:
             "DOUBLE), 4) AS chars_per_word FROM documents"
         ),
         "token_counts": (
-            "SELECT source, lang, SUM(len(string_split(text, ' '))) AS "
-            "tokens, COUNT(*) AS docs, SUM(n_chars) AS chars FROM "
+            "SELECT source, lang, CAST(SUM(len(string_split(text, ' '))) "
+            "AS BIGINT) AS tokens, COUNT(*) AS docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS chars FROM "
             "documents GROUP BY 1, 2"
         ),
         "lang_id": (
@@ -1159,8 +1167,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY 1, 2"
         ),
         "multimodal_bytes": (
-            "SELECT source, SUM(octet_length(encode(text))) AS "
-            "payload_bytes, COUNT(*) AS n_assets FROM documents GROUP BY 1"
+            "SELECT source, CAST(SUM(octet_length(encode(text))) AS BIGINT)"
+            " AS payload_bytes, COUNT(*) AS n_assets FROM documents "
+            "GROUP BY 1"
         ),
         "moving_avg": (
             f"WITH h AS ({hourly}) SELECT user_id, bucket_s, "
@@ -1169,14 +1178,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM h"
         ),
         "sessionize": (
-            "WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) "
-            "AS t FROM events), "
-            "m AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER "
-            "(PARTITION BY user_id ORDER BY t) > 1800 THEN 1 ELSE 0 END "
-            "AS new_session FROM e), "
-            "s AS (SELECT user_id, t, SUM(new_session) OVER (PARTITION BY "
-            "user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND "
-            "CURRENT ROW) AS session_id FROM m) "
+            "WITH e AS (SELECT user_id, event_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events), "
+            "m AS (SELECT user_id, event_id, t, CASE WHEN t - lag(t) OVER "
+            "(PARTITION BY user_id ORDER BY t, event_id) > 1800 THEN 1 "
+            "ELSE 0 END AS new_session FROM e), "
+            "s AS (SELECT user_id, t, CAST(SUM(new_session) OVER "
+            "(PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id "
+            "FROM m) "
             "SELECT user_id, session_id, COUNT(*) AS n_events, "
             "MAX(t) - MIN(t) AS duration_s FROM s GROUP BY 1, 2"
         ),

@@ -94,6 +94,19 @@ def main() -> int:
             problems.append(
                 f"cols {sorted(got.columns)} != {sorted(want.columns)}"
             )
+        else:
+            # the driver's hash is dtype-sensitive: DuckDB returning an
+            # integer SUM as HUGEINT->float64 while Spark returns int64
+            # fails there even though values match numerically, so flag
+            # any int-vs-float kind divergence here too
+            for c in got.columns:
+                gk = got[c].dtype.kind
+                wk = want[c].dtype.kind
+                if {gk, wk} == {"i", "f"} or {gk, wk} == {"u", "f"}:
+                    problems.append(
+                        f"dtype kind {c}: spark {got[c].dtype} vs "
+                        f"oracle {want[c].dtype}"
+                    )
         if not problems and value_hash(got) != value_hash(want):
             problems.append("value hash mismatch")
             merged = got.sort_values(sorted(got.columns)).reset_index(
