@@ -746,7 +746,7 @@ def q_kernel_pool_replay(spark, sf):
     )
 
 
-def _kernel_query(op_factory):
+def _kernel_query(op_factory, note=None):
     def run(spark, sf):
         from tsaug_spark.plans.pack import apply_operator
 
@@ -762,7 +762,37 @@ def _kernel_query(op_factory):
             F.round("sum_value", 6).alias("sum_value"),
         )
 
+    run.__doc__ = note or (
+        "Distributed kernel run of the operator over per-user series."
+    )
     return run
+
+
+#: why the remaining kernel entries are rows-only (no oracle_sql): their
+#: outputs depend on MT19937 draw streams (subseed mode seeds a
+#: RandomState per series) and/or iterative numerics that ANSI SQL cannot
+#: express.  Each is verified instead by tests/test_spark_kernels.py
+#: parity against the reference implementation run on the same input.
+_NO_ORACLE_WHY = {
+    "kernel_timewarp": (
+        "PCHIP monotone spline through RNG-drawn anchors + linear "
+        "re-interpolation — RNG-dependent and spline math, not SQL"
+    ),
+    "kernel_drift": (
+        "not-a-knot cubic spline (tridiagonal solve) through RNG-drawn "
+        "Gaussian anchors — not SQL"
+    ),
+    "kernel_addnoise": "per-point RandomState noise stream — not SQL",
+    "kernel_kmeans": (
+        "iterative Lloyd's with RNG init (reference's buggy 1-D "
+        "kmeans) — not SQL"
+    ),
+    "kernel_dropout": (
+        "block mask positions are RandomState draws — not SQL; the "
+        "deterministic-mask equivalent is oracle-checked as "
+        "dropout_locf_sql"
+    ),
+}
 
 
 def _k_convolve():
@@ -837,7 +867,14 @@ def q_doc_fingerprint(spark, sf):
 
 
 def q_ivf_topk(spark, sf):
-    """IVF-bucketed approximate nearest neighbours of vec_id 0."""
+    """IVF-bucketed nearest neighbours of vec_id 0.
+
+    Probes all cells (n_probe == n_cells), so the result is EXACTLY the
+    brute-force top-k — which is what the DuckDB oracle checks: the
+    index partitioning loses nothing.  Approximate-probe quality
+    (recall@10 at n_probe < n_cells) is measured in
+    tests/test_pipeline_oracles.py::test_ivf_recall.
+    """
     from tsaug_spark.pipeline.similarity import ivf_index, ivf_topk
 
     emb = _emb(spark, sf)
@@ -845,8 +882,21 @@ def q_ivf_topk(spark, sf):
         emb.filter(F.col("vec_id") == 0).toPandas()["embedding"].iloc[0]
     )
     indexed, cents = ivf_index(emb, n_cells=8, seed=5)
-    out = ivf_topk(indexed, cents, list(query), k=10, n_probe=3)
+    out = ivf_topk(indexed, cents, list(query), k=10, n_probe=8)
     return out.select("vec_id", F.round("cos", 4).alias("cos"))
+
+
+def q_simhash_pairs(spark, sf):
+    """SimHash near-dup pairs: banded LSH join + Hamming verify.
+
+    Exact for max_hamming < n_bands (pigeonhole), so the brute-force
+    DuckDB self-join oracle must match pair-for-pair.
+    """
+    from tsaug_spark.pipeline.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _docs(spark, sf), bits=32, max_hamming=3, n_bands=4
+    )
 
 
 def q_char_entropy(spark, sf):
@@ -902,18 +952,129 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_roundtrip": q_codec_roundtrip,
         "stream_rollup_1m": q_stream_rollup_1m,
         "kernel_pool_replay": q_kernel_pool_replay,
-        "kernel_convolve": _kernel_query(_k_convolve),
-        "kernel_timewarp": _kernel_query(_k_timewarp),
-        "kernel_drift": _kernel_query(_k_drift),
-        "kernel_addnoise": _kernel_query(_k_addnoise),
-        "kernel_kmeans": _kernel_query(_k_kmeans),
-        "kernel_dropout": _kernel_query(_k_dropout),
+        "kernel_convolve": _kernel_query(
+            _k_convolve,
+            note=(
+                "Hann-7 reflect convolution via the distributed kernel."
+                "  Scalar window/size + prob=1 make it RNG-free, so the"
+                " DuckDB oracle replays the closed-form taps over the"
+                " same locf'd series."
+            ),
+        ),
+        "kernel_timewarp": _kernel_query(
+            _k_timewarp, note=_NO_ORACLE_WHY["kernel_timewarp"]
+        ),
+        "kernel_drift": _kernel_query(
+            _k_drift, note=_NO_ORACLE_WHY["kernel_drift"]
+        ),
+        "kernel_addnoise": _kernel_query(
+            _k_addnoise, note=_NO_ORACLE_WHY["kernel_addnoise"]
+        ),
+        "kernel_kmeans": _kernel_query(
+            _k_kmeans, note=_NO_ORACLE_WHY["kernel_kmeans"]
+        ),
+        "kernel_dropout": _kernel_query(
+            _k_dropout, note=_NO_ORACLE_WHY["kernel_dropout"]
+        ),
         "kernel_convolve_chunked": q_kernel_convolve_chunked,
         "embed_near_dup": q_embed_near_dup,
         "doc_fingerprint": q_doc_fingerprint,
         "ivf_topk": q_ivf_topk,
+        "simhash_pairs": q_simhash_pairs,
         "char_entropy": q_char_entropy,
     }
+
+
+#: locf'd rectangular series CTE chain shared by the kernel oracles —
+#: mirrors _series_df (both channels, first-48-bucket slice)
+_SERIES_SQL = (
+    "bounds AS (SELECT user_id, MIN(bucket_s) lo, MAX(bucket_s) hi "
+    "FROM b GROUP BY 1), "
+    "grid AS (SELECT user_id, CAST(unnest(range(lo, hi + 3600, "
+    "3600)) AS BIGINT) AS bucket_s FROM bounds), "
+    "j AS (SELECT g.user_id, g.bucket_s, b.cnt, b.sum_value FROM grid g "
+    "LEFT JOIN b ON g.user_id = b.user_id AND g.bucket_s = b.bucket_s), "
+    "locf AS (SELECT user_id, bucket_s, "
+    "CAST(last_value(cnt IGNORE NULLS) OVER wl AS DOUBLE) AS cnt, "
+    "CAST(last_value(sum_value IGNORE NULLS) OVER wl AS DOUBLE) AS "
+    "sum_value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY "
+    "bucket_s) - 1 AS idx, COUNT(*) OVER (PARTITION BY user_id) AS T "
+    "FROM j WINDOW wl AS (PARTITION BY user_id ORDER BY bucket_s ROWS "
+    "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+    "s AS (SELECT user_id, idx, cnt, sum_value FROM locf WHERE "
+    "T >= 48 AND idx < 48), "
+    "arr AS (SELECT user_id, list(cnt ORDER BY idx) AS ac, "
+    "list(sum_value ORDER BY idx) AS asv FROM s GROUP BY 1), "
+    "ks AS (SELECT CAST(unnest(range(48)) AS INT) AS k)"
+)
+
+
+def _hann7_conv_expr(arr: str) -> str:
+    """Reflect-boundary hann-7 convolution of ``arr`` (a 48-long DuckDB
+    list) at position k, with the kernel's EXACT float taps.
+
+    convolve1d semantics: the coefficient on offset d is window[3-d]
+    (convolution flips the kernel; hann-7's end taps are 0 so only
+    offsets -2..2 survive), boundary mode 'reflect' maps -1 -> 0,
+    -2 -> 1, 48 -> 47, 49 -> 46, then the sum divides by window.sum().
+    """
+    from tsaug_spark.functions.windows import make_window
+
+    w = make_window("hann", 7)
+    terms = []
+    for d in range(-3, 4):
+        tap = float(w[3 - d])
+        if tap == 0.0:
+            continue
+        j = f"(k + {d})" if d >= 0 else f"(k - {-d})"
+        rj = (
+            f"(CASE WHEN {j} < 0 THEN -1 - {j} WHEN {j} > 47 "
+            f"THEN 95 - {j} ELSE {j} END)"
+        )
+        terms.append(f"{tap!r} * {arr}[{rj} + 1]")
+    return "((" + " + ".join(terms) + f") / {float(w.sum())!r})"
+
+
+def _simhash_sig_sql(bits: int) -> str:
+    """CTE chain computing the ``bits``-wide SimHash per doc (mirrors
+    pipeline/dedup.py::simhash: 60-bit md5 word prefixes, sign of the
+    per-bit +-1 sum)."""
+    return (
+        "w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS "
+        "wd FROM documents), "
+        "hs AS (SELECT doc_id, ('0x' || substr(md5(wd), 1, 15))::BIGINT "
+        "AS h FROM w WHERE wd <> ''), "
+        "sums AS (SELECT doc_id, "
+        + ", ".join(
+            f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) "
+            f"AS w{b}"
+            for b in range(bits)
+        )
+        + " FROM hs GROUP BY doc_id), "
+        "sig AS (SELECT doc_id, CAST("
+        + " + ".join(
+            f"(CASE WHEN w{b} > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(bits)
+        )
+        + " AS BIGINT) AS simhash FROM sums)"
+    )
+
+
+def _near_dup_bucket_sql() -> str:
+    """Random-hyperplane bucket expression with the SAME plane draws as
+    embedding_near_dup(n_planes=6, seed=7) over dim-64 embeddings
+    (np.random.RandomState(7).normal is deterministic)."""
+    import numpy as np
+
+    planes = np.random.RandomState(7).normal(size=(6, 64))
+    parts = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        parts.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1267,6 +1428,68 @@ def oracle_sql() -> dict[str, str]:
             "T >= 48 AND idx < 48) "
             "SELECT user_id, bucket_idx, ROUND(AVG(cnt) OVER (PARTITION BY "
             "user_id, bucket_idx // 4), 6) AS cnt FROM s"
+        ),
+        "kernel_convolve": (
+            f"WITH b AS ({hourly}), {_SERIES_SQL} "
+            "SELECT user_id, CAST(0 AS INT) AS rep_idx, k AS bucket_idx, "
+            f"ROUND({_hann7_conv_expr('ac')}, 6) AS cnt, "
+            f"ROUND({_hann7_conv_expr('asv')}, 6) AS sum_value "
+            "FROM arr CROSS JOIN ks"
+        ),
+        "kernel_convolve_chunked": (
+            f"WITH b AS ({hourly}), {_SERIES_SQL} "
+            "SELECT user_id, k AS bucket_idx, "
+            f"ROUND({_hann7_conv_expr('ac')}, 6) AS cnt "
+            "FROM arr CROSS JOIN ks"
+        ),
+        "simhash_pairs": (
+            f"WITH {_simhash_sig_sql(32)} "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS "
+            "hamming FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+        ),
+        "ivf_topk": (
+            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM "
+            "embeddings WHERE vec_id = 0), "
+            "s AS (SELECT vec_id, list_dot_product(CAST(embedding AS "
+            "DOUBLE[]), qv) / (sqrt(list_dot_product(CAST(embedding AS "
+            "DOUBLE[]), CAST(embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(qv, qv))) AS c FROM embeddings, q) "
+            "SELECT vec_id, ROUND(c, 4) AS cos FROM s "
+            "ORDER BY c DESC, vec_id LIMIT 10"
+        ),
+        "embed_near_dup": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            f"bk AS (SELECT vec_id, v, {_near_dup_bucket_sql()} AS bucket "
+            "FROM e), "
+            "p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, "
+            "list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, "
+            "x.v)) * sqrt(list_dot_product(y.v, y.v))) AS c "
+            "FROM bk x JOIN bk y ON x.bucket = y.bucket AND "
+            "x.vec_id < y.vec_id) "
+            "SELECT id_a, id_b, ROUND(c, 4) AS cos FROM p WHERE c >= 0.3"
+        ),
+        "doc_fingerprint": (
+            "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(string_split(text, ' '), w_ -> "
+            "('0x' || substr(md5(w_), 1, 14))::BIGINT % 2147483647)), "
+            "(acc, h) -> (acc * 31 + h) % 2147483647) AS fingerprint "
+            "FROM documents"
+        ),
+        "char_entropy": (
+            "WITH ch AS (SELECT doc_id, "
+            "unnest(string_split_regex(text, '')) AS c FROM documents), "
+            "cnt AS (SELECT doc_id, c, COUNT(*) AS n FROM ch "
+            "GROUP BY 1, 2), "
+            "tot AS (SELECT doc_id, SUM(n) AS t FROM cnt GROUP BY 1), "
+            "ent AS (SELECT cnt.doc_id, ROUND(-SUM((n / CAST(t AS "
+            "DOUBLE)) * log2(n / CAST(t AS DOUBLE))), 4) AS entropy_bits "
+            "FROM cnt JOIN tot USING (doc_id) GROUP BY 1) "
+            "SELECT d.doc_id, COALESCE(ent.entropy_bits, 0.0) AS "
+            "entropy_bits FROM documents d "
+            "LEFT JOIN ent ON d.doc_id = ent.doc_id"
         ),
     }
 

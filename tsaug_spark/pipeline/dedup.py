@@ -104,6 +104,16 @@ def ngram_jaccard_pairs(
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ds.select(F.col("doc_id").alias("id_a"), "s")
     b = ds.select(F.col("doc_id").alias("id_b"), "s")
+    if candidates is not None:
+        # prune the shingle sides BEFORE the self-join so verify-mode
+        # cost is proportional to the candidate set, not corpus^2; the
+        # pair-level semi-join below still enforces exact membership
+        a = a.join(
+            candidates.select("id_a").distinct(), "id_a", "left_semi"
+        )
+        b = b.join(
+            candidates.select("id_b").distinct(), "id_b", "left_semi"
+        )
     inter = (
         a.join(b, "s")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -157,6 +167,63 @@ def simhash(
         bit = F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return sums.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Banded LSH join, then exact verify: split each signature into
+    ``n_bands`` contiguous bit bands; by pigeonhole, two signatures
+    within Hamming distance ``max_hamming < n_bands`` agree exactly on
+    at least one band, so the per-band equi-joins find EVERY qualifying
+    pair (this is exact, not approximate) while joining on near-uniform
+    band keys instead of doing an all-pairs scan.  Candidates are then
+    verified with ``bit_count(a XOR b)``.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            "exactness needs max_hamming < n_bands (pigeonhole)"
+        )
+    if bits % n_bands:
+        raise ValueError("bits must divide evenly into n_bands")
+    sig = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    w = bits // n_bands
+    mask = (1 << w) - 1
+    pairs: Optional[DataFrame] = None
+    for b in range(n_bands):
+        band = F.shiftright(F.col("simhash"), b * w).bitwiseAND(mask)
+        a = sig.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("simhash").alias("sig_a"),
+            band.alias("band"),
+        )
+        c = sig.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("simhash").alias("sig_b"),
+            band.alias("band"),
+        )
+        p = (
+            a.join(c, "band")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    ham = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    ).cast("long")
+    return (
+        pairs.distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def embedding_near_dup(

@@ -100,22 +100,34 @@ def ivf_index(
             if len(members):
                 centroids[c] = members.mean(axis=0)
 
+    # one array-of-struct centroid literal + a transform/array_min pair:
+    # the per-vector distance fold appears ONCE in the plan regardless of
+    # n_cells (a per-cell CASE chain duplicates it n_cells times, blowing
+    # up the plan past ~64 cells); struct ordering compares d2 first then
+    # cell, so exact-tie behavior matches argmin's first-index rule
     v = _as_double(vec_col)
-    best_cell = None
-    best_d2 = None
-    for c, cen in enumerate(centroids):
-        lit = _lit_vec(cen)
-        d2c = _fold_dot(
-            F.zip_with(v, lit, lambda a, b: a - b),
-            F.zip_with(v, lit, lambda a, b: a - b),
-        )
-        if best_cell is None:
-            best_cell, best_d2 = F.lit(c), d2c
-        else:
-            closer = d2c < best_d2
-            best_cell = F.when(closer, c).otherwise(best_cell)
-            best_d2 = F.when(closer, d2c).otherwise(best_d2)
-    return emb.withColumn("cell", best_cell), centroids
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("cell"), _lit_vec(cen).alias("cen")
+            )
+            for c, cen in enumerate(centroids)
+        ]
+    )
+    d2s = F.transform(
+        cents,
+        lambda s: F.struct(
+            _fold_dot(
+                F.zip_with(v, s["cen"], lambda a, b: a - b),
+                F.zip_with(v, s["cen"], lambda a, b: a - b),
+            ).alias("d2"),
+            s["cell"].alias("cell"),
+        ),
+    )
+    return (
+        emb.withColumn("cell", F.array_min(d2s)["cell"]),
+        centroids,
+    )
 
 
 def ivf_topk(
