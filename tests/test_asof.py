@@ -71,3 +71,70 @@ def test_asof_matches_merge_asof(spark, frames, tolerance, direction):
     assert (got["asof_t"].isna() == got["v"].isna()).all()
     # unmatched key ('zz') stays NULL
     assert got.loc[got["k"] == "zz", "v"].isna().all()
+
+
+@pytest.mark.parametrize("tolerance", [None, 100])
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_salted_asof_matches_unsalted(spark, frames, tolerance, direction):
+    """salt_interval must not change results — only the partitioning."""
+    left, right = frames
+    kwargs = dict(
+        key_cols=["k"],
+        time_col="t",
+        value_cols=["v"],
+        right_time_col="rt",
+        tolerance=tolerance,
+        direction=direction,
+    )
+    l_df, r_df = spark.createDataFrame(left), spark.createDataFrame(right)
+    plain = (
+        asof_join(l_df, r_df, **kwargs)
+        .toPandas()
+        .sort_values("payload")
+        .reset_index(drop=True)
+    )
+    # 50-second chunks over a 0..1000 time range -> ~20 chunks per key,
+    # including chunks with left rows but no right rows (carry-in path)
+    salted = (
+        asof_join(l_df, r_df, salt_interval=50, **kwargs)
+        .toPandas()
+        .sort_values("payload")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        plain[["k", "t", "payload", "v", "asof_t"]],
+        salted[["k", "t", "payload", "v", "asof_t"]],
+        check_dtype=False,
+    )
+
+
+def test_salted_asof_hot_key(spark):
+    """A single hot key spanning many chunks: salted result == pandas
+    merge_asof, and the window partitions on (key, chunk)."""
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame(
+        {
+            "k": ["hot"] * 5000,
+            "t": np.sort(rng.randint(0, 100000, size=5000)).astype("int64"),
+            "payload": np.arange(5000, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": ["hot"] * 300,
+            "rt": rng.randint(0, 100000, size=300).astype("int64"),
+            "v": rng.uniform(size=300),
+        }
+    ).drop_duplicates(["k", "rt"], keep="last")
+    out = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        key_cols=["k"],
+        time_col="t",
+        value_cols=["v"],
+        right_time_col="rt",
+        salt_interval=1000,
+    )
+    got = out.toPandas().sort_values("payload").reset_index(drop=True)
+    exp = _oracle(left, right)
+    pd.testing.assert_series_equal(got["v"], exp["v"], check_dtype=False)

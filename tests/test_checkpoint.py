@@ -206,3 +206,57 @@ def test_cascade_tier_checkpointed(spark, transcripts, tmp_path):
     assert set(m["partition_id"]) == {0, 1, 2}
     assert (m["points_rolled"] > 0).any()
     assert (m["bytes_compressed"] > 0).all()
+
+
+def test_cascade_rerun_new_snapshot_replaces_not_appends(
+    spark, transcripts, tmp_path
+):
+    """The documented late-data workflow: re-running the cascade under a
+    new source snapshot must REPLACE each partition's coarse rows, not
+    stack duplicates into the tier."""
+    job = RollupJob(spark, str(tmp_path / "casc2"), n_partitions=3,
+                    source_snapshot="snapA")
+    job.run(transcripts, "1m")
+    assert job.cascade_tier("1m", "1h") == 3
+    before = (
+        job.read_tier("1h").orderBy("conv_id", "bucket_ts").toPandas()
+    )
+
+    # same fine tier, new snapshot id -> every partition redone
+    job2 = RollupJob(spark, str(tmp_path / "casc2"), n_partitions=3,
+                     source_snapshot="snapB")
+    assert job2.cascade_tier("1m", "1h") == 3
+    after = (
+        job2.read_tier("1h").orderBy("conv_id", "bucket_ts").toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True),
+        after.reset_index(drop=True),
+        check_dtype=False,
+    )
+    # chunk table replaced too: exactly one chunk row per conversation
+    chunks = job2.table("tier_1h_chunks").read(spark).toPandas()
+    assert chunks["conv_id"].is_unique
+
+
+def test_manifest_append_tolerates_old_schema(spark, tmp_path):
+    """A manifest written before a schema extension must keep accepting
+    appends (missing columns backfill as NULL)."""
+    from tsaug_spark.sources.tables import ParquetSnapshotTable
+
+    t = ParquetSnapshotTable(str(tmp_path / "mani"))
+    old = spark.createDataFrame(
+        [("1m", 0, "snap0", 5.0)],
+        "tier string, partition_id int, source_snapshot string, "
+        "committed_at double",
+    )
+    t.append(old)
+    new = spark.createDataFrame(
+        [("1m", 1, "snap1", 6.0, 123456789)],
+        "tier string, partition_id int, source_snapshot string, "
+        "committed_at double, points_rolled long",
+    )
+    t.append(new)  # must not raise
+    got = t.read(spark).toPandas()
+    assert len(got) == 2
+    assert got.loc[got["partition_id"] == 0, "points_rolled"].isna().all()

@@ -11,8 +11,17 @@ scale-safe union+window formulation rather than a range join:
   sort-merge — quadratic in hot keys;
 * instead we union both sides tagged, sort per key by (time, side) once
   (a single Exchange + Sort), and carry the last right-side value
-  forward with ``last(ignorenulls)`` — linear, whole-stage-codegen'd,
-  and skew-bounded by the same salting story as every other window.
+  forward with ``last(ignorenulls)`` — linear and whole-stage-codegen'd.
+
+Skew: the plain formulation windows by ``key_cols`` only, so a hot key
+buffers its whole union partition in one task.  Pass ``salt_interval``
+(seconds) to enable the salted two-pass variant: rows are additionally
+chunked by ``floor(time / salt_interval)`` so the window partitions on
+(key, chunk); a per-(key, chunk) summary frame (one row per chunk —
+tiny) computes the carry-in value from earlier chunks with a second
+window, and the final value is ``coalesce(within-chunk, carry-in)``.
+Identical results (tests/test_asof.py pins salted == unsalted), but a
+hot key's work is spread over ``time_range / salt_interval`` tasks.
 
 ``direction='backward'`` matches pandas ``merge_asof`` / DuckDB
 ``ASOF JOIN`` semantics: ties (equal timestamps) match, because right
@@ -27,6 +36,95 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _salted_fill(
+    u: DataFrame,
+    left_cols: Sequence[str],
+    key_cols: Sequence[str],
+    time_col: str,
+    value_cols: Sequence[str],
+    direction: str,
+    salt_interval: int,
+) -> DataFrame:
+    """Skew-safe fill over the tagged union: window on (key, chunk) and
+    coalesce with a carry-in computed on a one-row-per-chunk summary.
+
+    The only per-row shuffles key on (key, chunk) — a hot key's rows
+    spread over its time chunks — while the cross-chunk dependency runs
+    on the summary frame (|keys| x |chunks| rows).
+    """
+    u = u.withColumn(
+        "__chunk",
+        F.floor(F.col(time_col) / F.lit(salt_interval)).cast("long"),
+    )
+    key_chunk = [*key_cols, "__chunk"]
+    if direction == "backward":
+        w_local = (
+            Window.partitionBy(*key_chunk)
+            .orderBy(F.col(time_col).asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True).over(w_local)  # noqa: E731
+        # per-chunk LAST non-null value per column (max_by ignores rows
+        # whose ordering expression is NULL) + last right-row time
+        summ = lambda v: F.expr(  # noqa: E731
+            f"max_by(__r_{v}, CASE WHEN __r_{v} IS NOT NULL "
+            f"THEN `{time_col}` END)"
+        )
+        t_summ = F.max(time_col)
+        w_carry = (
+            Window.partitionBy(*key_cols)
+            .orderBy("__chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry_pick = lambda c: F.last(c, ignorenulls=True).over(w_carry)  # noqa: E731
+    else:
+        w_local = (
+            Window.partitionBy(*key_chunk)
+            .orderBy(F.col(time_col).asc(), F.col("__side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True).over(w_local)  # noqa: E731
+        summ = lambda v: F.expr(  # noqa: E731
+            f"min_by(__r_{v}, CASE WHEN __r_{v} IS NOT NULL "
+            f"THEN `{time_col}` END)"
+        )
+        t_summ = F.min(time_col)
+        w_carry = (
+            Window.partitionBy(*key_cols)
+            .orderBy("__chunk")
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        carry_pick = lambda c: F.first(c, ignorenulls=True).over(w_carry)  # noqa: E731
+
+    rsum = (
+        u.filter(F.col("__side") == 0)
+        .groupBy(*key_chunk)
+        .agg(
+            *[summ(v).alias(f"__s_{v}") for v in value_cols],
+            t_summ.alias("__s_t"),
+        )
+    )
+    chunks_present = u.select(*key_chunk).distinct()
+    csum = chunks_present.join(rsum, key_chunk, "left")
+    carry = csum.select(
+        *key_chunk,
+        *[carry_pick(f"__s_{v}").alias(f"__c_{v}") for v in value_cols],
+        carry_pick("__s_t").alias("__c_t"),
+    )
+    u2 = u.join(carry, key_chunk, "left")
+    return u2.select(
+        *[F.col(c) for c in left_cols],
+        F.col("__side"),
+        *[
+            F.coalesce(pick(f"__r_{v}"), F.col(f"__c_{v}")).alias(
+                f"__r_{v}"
+            )
+            for v in value_cols
+        ],
+        F.coalesce(pick("__r_t"), F.col("__c_t")).alias("__r_t"),
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -36,6 +134,7 @@ def asof_join(
     right_time_col: Optional[str] = None,
     tolerance: Optional[int] = None,
     direction: str = "backward",
+    salt_interval: Optional[int] = None,
 ) -> DataFrame:
     """As-of join of ``right`` onto ``left``.
 
@@ -48,7 +147,10 @@ def asof_join(
     as ``time_col``) drops matches farther than the window.
 
     Both time columns must be mutually comparable (use epoch seconds or
-    timestamps on both sides).
+    timestamps on both sides).  ``salt_interval`` (same units as the
+    time columns; numeric times only) enables the skew-safe salted
+    variant — same results, hot keys spread over time chunks (module
+    docstring).
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -77,30 +179,36 @@ def asof_join(
     r_tag = r_tag.select(*l_tag.columns)
 
     u = l_tag.unionByName(r_tag)
-    if direction == "backward":
-        # right rows (side 0) sort before left at equal time, so ties
-        # fall inside the [-inf, current] frame
-        w = (
-            Window.partitionBy(*key_cols)
-            .orderBy(F.col(time_col).asc(), F.col("__side").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
+    if salt_interval is not None:
+        filled = _salted_fill(
+            u, left.columns, key_cols, time_col, value_cols, direction,
+            salt_interval,
         )
-        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
     else:
-        # mirrored: right rows sort after left at equal time, frame
-        # looks forward, and the FIRST right value wins
-        w = (
-            Window.partitionBy(*key_cols)
-            .orderBy(F.col(time_col).asc(), F.col("__side").desc())
-            .rowsBetween(0, Window.unboundedFollowing)
+        if direction == "backward":
+            # right rows (side 0) sort before left at equal time, so
+            # ties fall inside the [-inf, current] frame
+            w = (
+                Window.partitionBy(*key_cols)
+                .orderBy(F.col(time_col).asc(), F.col("__side").asc())
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+        else:
+            # mirrored: right rows sort after left at equal time, frame
+            # looks forward, and the FIRST right value wins
+            w = (
+                Window.partitionBy(*key_cols)
+                .orderBy(F.col(time_col).asc(), F.col("__side").desc())
+                .rowsBetween(0, Window.unboundedFollowing)
+            )
+            pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+        filled = u.select(
+            *[F.col(c) for c in left.columns],
+            F.col("__side"),
+            *[pick(f"__r_{v}").alias(f"__r_{v}") for v in value_cols],
+            pick("__r_t").alias("__r_t"),
         )
-        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
-    filled = u.select(
-        *[F.col(c) for c in left.columns],
-        F.col("__side"),
-        *[pick(f"__r_{v}").alias(f"__r_{v}") for v in value_cols],
-        pick("__r_t").alias("__r_t"),
-    )
     out = filled.filter(F.col("__side") == 1).drop("__side")
     if tolerance is not None:
         gap = F.col(time_col).cast("double") - F.col("__r_t").cast("double")

@@ -148,6 +148,21 @@ class RollupJob:
     def read_tier(self, tier: str) -> DataFrame:
         return self.table(f"tier_{tier}").read(self.spark).drop("partition_id")
 
+    def _replace_partition(
+        self, name: str, p: int, rows: DataFrame
+    ) -> None:
+        """Commit ``rows`` as the new content of partition ``p``:
+        append when the partition is empty, else rewrite-without-it +
+        union (Iceberg: ``overwritePartitions``)."""
+        t = self.table(name)
+        if not t.exists():
+            t.append(rows)
+            return
+        existing = t.read(self.spark)
+        t.overwrite(
+            existing.filter(F.col("partition_id") != p).unionByName(rows)
+        )
+
     # ------------------------------------------------------ incremental
     def watermarks(self, tier: str) -> DataFrame:
         """Latest committed rollup watermark per partition."""
@@ -276,7 +291,9 @@ def enforce_retention(
     fallback rewrites the table filtered and commits atomically; chunk
     tables expire together with their tier.  Returns rows dropped per
     tier, and records each expiry in the manifest (tier label
-    ``<tier>#expired``, watermark = cutoff, points_rolled = -dropped).
+    ``<tier>#expired``, ``range_start_ts`` = the anchor used,
+    ``watermark_ts`` = the computed expiry cutoff,
+    points_rolled = -dropped).
     """
     from tsaug_spark.plans.rollup import TIER_ORDER
 
@@ -301,6 +318,10 @@ def enforce_retention(
         if anchor is None:
             continue  # tier never rolled up — nothing to expire
         cutoff = F.lit(anchor) - F.expr(f"INTERVAL {dur}")
+        # concrete expiry boundary for the manifest lineage row
+        cutoff_val = (
+            self.spark.range(1).select(cutoff.alias("c")).collect()[0]["c"]
+        )
 
         tier_table = self.table(f"tier_{tier}")
         if not tier_table.exists():
@@ -310,6 +331,18 @@ def enforce_retention(
         dropped[tier] = n_old
         if n_old == 0:
             continue
+        # materialize the affected conv_id set BEFORE overwriting the
+        # tier: with a lazily-resolving backend (Iceberg) an unforced
+        # plan over `cur` would re-read the already-overwritten table
+        # and evaluate empty, leaving stale chunk rows alive.  The
+        # distinct conv_id set is small (one row per expiring
+        # conversation), so a durable scratch commit is cheap.
+        scratch = self.table(f"_scratch_expiry_{tier}")
+        scratch.overwrite(
+            cur.filter(F.col("bucket_ts") < cutoff)
+            .select("conv_id")
+            .distinct()
+        )
         tier_table.overwrite(cur.filter(F.col("bucket_ts") >= cutoff))
 
         chunk_table = self.table(f"tier_{tier}_chunks")
@@ -319,10 +352,7 @@ def enforce_retention(
             # conversation has no remaining tier rows, and rebuild
             # chunks for conversations that lost a prefix
             kept_tier = tier_table.read(self.spark)
-            affected = (
-                cur.filter(F.col("bucket_ts") < cutoff)
-                .select("conv_id").distinct()
-            )
+            affected = scratch.read(self.spark)
             chunks_cur = chunk_table.read(self.spark)
             untouched = chunks_cur.join(
                 affected, "conv_id", "left_anti"
@@ -351,8 +381,8 @@ def enforce_retention(
                         _expiry_tier(tier),
                         -1,
                         self.source_snapshot,
-                        None,
-                        anchor,
+                        anchor,       # range_start_ts: the anchor used
+                        cutoff_val,   # watermark_ts: the expiry boundary
                         -n_old,
                         0,
                         0,
@@ -376,6 +406,12 @@ def cascade_tier(
     ``run`` — every tier in the cascade is resumable and manifest-
     tracked, not just the first.  Reads only the fine tier (never the
     raw table), so the cascade cost is proportional to tier size.
+
+    Re-running under a NEW source snapshot (the late-data workflow)
+    REPLACES each partition's coarse rows rather than appending —
+    otherwise every re-run would stack duplicate buckets into the
+    coarse tier.  On Iceberg this is ``overwritePartitions``; the
+    parquet-snapshot fallback rewrites the table minus the partition.
     """
     from tsaug_spark.plans.rollup import reaggregate
 
@@ -399,11 +435,13 @@ def cascade_tier(
         lo, wm = rolled.agg(
             F.min("bucket_ts"), F.max("bucket_ts")
         ).collect()[0]
-        self.table(f"tier_{coarse}").append(
-            rolled.withColumn("partition_id", F.lit(p))
+        self._replace_partition(
+            f"tier_{coarse}", p, rolled.withColumn("partition_id", F.lit(p))
         )
-        self.table(f"tier_{coarse}_chunks").append(
-            chunks.withColumn("partition_id", F.lit(p))
+        self._replace_partition(
+            f"tier_{coarse}_chunks",
+            p,
+            chunks.withColumn("partition_id", F.lit(p)),
         )
         self.manifest.append(
             self.spark.createDataFrame(

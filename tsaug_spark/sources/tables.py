@@ -87,7 +87,13 @@ class ParquetSnapshotTable:
         if meta is None:
             return self._commit(df, [])
         spark = df.sparkSession
-        merged = spark.read.parquet(meta["data_path"]).unionByName(df)
+        # allowMissingColumns: schema evolution on append — a table
+        # written before a column was added (e.g. an old manifest
+        # missing range_start_ts) gets NULLs for the new column instead
+        # of failing the resume with an AnalysisException
+        merged = spark.read.parquet(meta["data_path"]).unionByName(
+            df, allowMissingColumns=True
+        )
         return self._commit(merged, [meta["snapshot_id"]])
 
 
