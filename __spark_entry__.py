@@ -706,6 +706,19 @@ def q_stream_rollup_1m(spark, sf):
     )
 
 
+def q_stream_sessionize(spark, sf):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    gap-based sessionization with per-key state carried across
+    micro-batches; the caught-up availableNow backfill must equal the
+    batch sessionize query, which is exactly what the oracle checks."""
+    from tsaug_spark.streaming.stateful import run_stream_sessionize_once
+
+    out = run_stream_sessionize_once(
+        spark, f"{sf}/events.parquet", sink_table="q_stream_sessions"
+    )
+    return out.select("user_id", "session_id", "n_events", "duration_s")
+
+
 def q_codec_roundtrip(spark, sf):
     """Storage-layer proof: the 1h tier compressed into Gorilla XOR /
     delta-of-delta chunk rows, then decompressed — the oracle is the
@@ -951,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": q_asof_enrich,
         "codec_roundtrip": q_codec_roundtrip,
         "stream_rollup_1m": q_stream_rollup_1m,
+        "stream_sessionize": q_stream_sessionize,
         "kernel_pool_replay": q_kernel_pool_replay,
         "kernel_convolve": _kernel_query(
             _k_convolve,
@@ -1339,6 +1353,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM h"
         ),
         "sessionize": (
+            "WITH e AS (SELECT user_id, event_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events), "
+            "m AS (SELECT user_id, event_id, t, CASE WHEN t - lag(t) OVER "
+            "(PARTITION BY user_id ORDER BY t, event_id) > 1800 THEN 1 "
+            "ELSE 0 END AS new_session FROM e), "
+            "s AS (SELECT user_id, t, CAST(SUM(new_session) OVER "
+            "(PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id "
+            "FROM m) "
+            "SELECT user_id, session_id, COUNT(*) AS n_events, "
+            "MAX(t) - MIN(t) AS duration_s FROM s GROUP BY 1, 2"
+        ),
+        "stream_sessionize": (
+            # identical sessions as the batch query: the stateful
+            # streaming path must be indistinguishable once caught up
             "WITH e AS (SELECT user_id, event_id, "
             "CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events), "
             "m AS (SELECT user_id, event_id, t, CASE WHEN t - lag(t) OVER "

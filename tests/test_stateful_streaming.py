@@ -1,0 +1,85 @@
+"""applyInPandasWithState sessionizer: streaming == batch, including
+cross-micro-batch state continuation."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _batch_sessions(spark):
+    import __spark_entry__ as em
+
+    return (
+        em.q_sessionize(spark, SF_DIR)
+        .orderBy("user_id", "session_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+
+def _norm(df):
+    return (
+        df.orderBy("user_id", "session_id")
+        .toPandas()
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+def test_stream_sessionize_matches_batch(spark):
+    from tsaug_spark.streaming.stateful import run_stream_sessionize_once
+
+    got = _norm(
+        run_stream_sessionize_once(
+            spark, f"{SF_DIR}/events.parquet", sink_table="sess_one"
+        )
+    )
+    want = _batch_sessions(spark).astype("int64")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stream_sessionize_state_survives_micro_batches(spark, tmp_path):
+    """Split the events into three time-ordered files processed one per
+    micro-batch: sessions spanning batch boundaries must continue from
+    state, and the caught-up result must equal the batch query."""
+    from tsaug_spark.streaming.stateful import run_stream_sessionize_once
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    lo, hi = ev.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).collect()[0]
+    src = tmp_path / "split"
+    src.mkdir()
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    parts = [
+        ev.filter(F.unix_timestamp("ts") <= cut1),
+        ev.filter(
+            (F.unix_timestamp("ts") > cut1)
+            & (F.unix_timestamp("ts") <= cut2)
+        ),
+        ev.filter(F.unix_timestamp("ts") > cut2),
+    ]
+    for i, part in enumerate(parts):
+        f = str(src / f"part{i}.parquet")
+        part.toPandas().to_parquet(
+            f, engine="pyarrow", coerce_timestamps="us"
+        )
+        os.utime(f, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    got = _norm(
+        run_stream_sessionize_once(
+            spark,
+            str(src),
+            sink_table="sess_split",
+            max_files_per_trigger=1,
+        )
+    )
+    want = _batch_sessions(spark).astype("int64")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -1,0 +1,152 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState``.
+
+The streaming twin of the batch sessionize query (a >``gap``-second
+silence starts a new session): per-key state carries the open session
+(id, start, last-seen, count) across micro-batches, each batch emits the
+current snapshot of every session it touched (update mode), and the
+caught-up, last-update-per-session view equals the batch result exactly.
+
+Arrival-order contract: results match the batch query when each key's
+events arrive in nondecreasing event time across micro-batches (a
+replayed log, a time-ordered backfill, or any single-batch
+``availableNow`` run).  Rows arriving out of order *within* one
+micro-batch are fine (each batch sorts); an event older than the key's
+last-seen time in a *previous* batch would need watermark-deep buffering
+in state, which this operator intentionally does not do — the engine's
+batch path (``RollupJob.update``) is the late-data story, as with the
+tier rollups.
+
+State size: one fixed-width row per active key.  In production, swap
+``NoTimeout`` for ``GroupStateTimeout.EventTimeTimeout`` and call
+``state.setTimeoutTimestamp(last_t + gap)`` so closed sessions evict
+when the watermark passes; the backfill harness keeps NoTimeout (state
+dies with the query).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUT_DDL = (
+    "user_id long, session_id long, n_events long, duration_s long"
+)
+SESSION_STATE_DDL = (
+    "session_id long, start_t long, last_t long, n_events long"
+)
+
+
+def _session_fn(gap: int):
+    def fn(key, pdfs, state: GroupState):
+        batches = [p for p in pdfs if len(p)]
+        if not batches:
+            return
+        rows = pd.concat(batches, ignore_index=True)
+        t = (
+            rows["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+            // 1_000_000_000
+        )
+        order = np.lexsort((rows["event_id"].to_numpy(), t))
+        t = t[order]
+
+        if state.exists:
+            sid0, start0, last0, n0 = state.get
+            prev = np.concatenate(([last0], t[:-1]))
+        else:
+            sid0, start0, n0 = 0, int(t[0]), 0
+            prev = np.concatenate(([t[0]], t[:-1]))
+        new = (t - prev) > gap
+        sids = sid0 + np.cumsum(new)
+
+        uniq, first_idx, counts = np.unique(
+            sids, return_index=True, return_counts=True
+        )
+        out_rows = []
+        open_session = None
+        for sid, fi, c in zip(uniq, first_idx, counts):
+            li = fi + c - 1
+            continuing = state.exists and sid == sid0 and not bool(new[0])
+            if continuing:
+                start, n = start0, n0 + int(c)
+            else:
+                start, n = int(t[fi]), int(c)
+            out_rows.append(
+                (int(key[0]), int(sid), n, int(t[li]) - start)
+            )
+            open_session = (int(sid), start, int(t[li]), n)
+        state.update(open_session)
+        yield pd.DataFrame(
+            out_rows,
+            columns=["user_id", "session_id", "n_events", "duration_s"],
+        )
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stateful streaming sessionization of an event stream."""
+    ev = events.withColumn("ts", events["ts"].cast("timestamp"))
+    ev = ev.withWatermark("ts", watermark)
+    return (
+        ev.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap),
+            SESSION_OUT_DDL,
+            SESSION_STATE_DDL,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_sessionize_once(
+    spark,
+    source_path: str,
+    gap: int = 1800,
+    sink_table: str = "stream_sessions_out",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """availableNow backfill of the stateful sessionizer over a file
+    source; returns the caught-up per-session view (last update wins —
+    n_events and duration_s grow monotonically, so max == latest)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(source_path).schema
+    if os.path.isdir(source_path):
+        src_dir, glob = source_path, "*"
+    else:
+        src_dir = os.path.dirname(source_path)
+        glob = os.path.basename(source_path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", glob)
+        .parquet(src_dir)
+    )
+    q = (
+        sessionize_stream(stream, gap=gap)
+        .writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(sink_table)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("duration_s").alias("duration_s"),
+        )
+    )
