@@ -530,6 +530,20 @@ def q_lang_id(spark, sf):
     return lang_id(_docs(spark, sf))
 
 
+def q_scrub_text(spark, sf):
+    """PII-style scrub pass (emails/URLs/phones -> placeholder tokens),
+    pure Catalyst regexp_replace."""
+    from tsaug_spark.pipeline.text import scrub_text
+
+    return scrub_text(_docs(spark, sf))
+
+
+def q_stopword_ratio(spark, sf):
+    from tsaug_spark.pipeline.text import stopword_ratio
+
+    return stopword_ratio(_docs(spark, sf))
+
+
 def q_multimodal_bytes(spark, sf):
     from tsaug_spark.pipeline.multimodal import attach_payloads, payload_stats
 
@@ -951,6 +965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash16": q_simhash16,
         "embed_cosine": q_embed_cosine,
         "text_quality": q_text_quality,
+        "scrub_text": q_scrub_text,
+        "stopword_ratio": q_stopword_ratio,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "multimodal_bytes": q_multimodal_bytes,
@@ -1071,6 +1087,36 @@ def _simhash_sig_sql(bits: int) -> str:
             for b in range(bits)
         )
         + " AS BIGINT) AS simhash FROM sums)"
+    )
+
+
+def _scrub_oracle_sql() -> str:
+    """Nested regexp_replace with the SAME rules/order as scrub_text
+    (patterns restricted to the Java-regex/RE2 common subset; DuckDB
+    needs the explicit 'g' flag Spark implies)."""
+    from tsaug_spark.pipeline.text import SCRUB_RULES
+
+    expr = "text"
+    for pat, repl in SCRUB_RULES:
+        # DuckDB standard strings keep backslashes literal, so the
+        # pattern passes through unchanged; only quotes need doubling
+        esc = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{esc}', '{repl}', 'g')"
+    return (
+        f"SELECT doc_id, {expr} AS scrubbed, "
+        f"{expr} <> text AS was_scrubbed FROM documents"
+    )
+
+
+def _stopword_oracle_sql() -> str:
+    from tsaug_spark.pipeline.text import STOPWORDS
+
+    lst = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    return (
+        "SELECT doc_id, ROUND(len(list_filter(string_split(lower(text), "
+        f"' '), w_ -> list_contains({lst}, w_))) / "
+        "CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 5) AS "
+        "stopword_ratio FROM documents"
     )
 
 
@@ -1326,6 +1372,8 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(length(text) / CAST(len(string_split(text, ' ')) AS "
             "DOUBLE), 4) AS chars_per_word FROM documents"
         ),
+        "scrub_text": _scrub_oracle_sql(),
+        "stopword_ratio": _stopword_oracle_sql(),
         "token_counts": (
             "SELECT source, lang, CAST(SUM(len(string_split(text, ' '))) "
             "AS BIGINT) AS tokens, COUNT(*) AS docs, "

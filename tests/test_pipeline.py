@@ -218,3 +218,47 @@ def test_streaming_rollup_matches_batch(spark, transcripts, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_scrub_text_masks_pii(spark):
+    from tsaug_spark.pipeline.text import scrub_text
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "mail me at jane.doe+x@corp-example.co.uk today",
+                "see https://example.com/a?b=1#c and http://t.co/xyz",
+                "call 555-123-4567 now",
+                "nothing sensitive here",
+            ],
+        }
+    )
+    out = (
+        scrub_text(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "scrubbed"] == "mail me at <EMAIL> today"
+    assert out.loc[1, "scrubbed"] == "see <URL> and <URL>"
+    assert out.loc[2, "scrubbed"] == "call <PHONE> now"
+    assert out.loc[3, "scrubbed"] == "nothing sensitive here"
+    assert list(out["was_scrubbed"]) == [True, True, True, False]
+
+
+def test_stopword_ratio_values(spark):
+    from tsaug_spark.pipeline.text import stopword_ratio
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["the cat sat on the mat", "xylophone quartz"],
+        }
+    )
+    out = (
+        stopword_ratio(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")["stopword_ratio"]
+    )
+    assert out[0] == pytest.approx(3 / 6)
+    assert out[1] == 0.0

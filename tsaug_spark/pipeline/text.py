@@ -61,6 +61,57 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: conservative English stopword set for ratio features (kept tiny and
+#: fixed so the oracle can embed the same list)
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "was", "at", "by", "that", "this",
+)
+
+#: scrub patterns applied in order (Java regex == RE2-safe subset so
+#: DuckDB's regexp_replace agrees): emails first so their host part
+#: is not half-eaten by the URL rule
+SCRUB_RULES = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def scrub_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mask emails/URLs/phone numbers — the standard pre-training scrub
+    pass, pure Catalyst ``regexp_replace`` (single projection, no UDF,
+    no shuffle)."""
+    out = F.col(text_col)
+    for pat, repl in SCRUB_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return df.select(
+        F.col(id_col),
+        out.alias("scrubbed"),
+        (out != F.col(text_col)).alias("was_scrubbed"),
+    )
+
+
+def stopword_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fraction of whitespace tokens that are stopwords (lowercased) —
+    a cheap fluency/quality signal; near-zero flags keyword soup."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    stops = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(
+        F.filter(words, lambda w: F.array_contains(stops, w))
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(
+            n_stop / F.size(words).cast("double"), 5
+        ).alias("stopword_ratio"),
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
