@@ -194,6 +194,41 @@ def q_gapfill_interp(spark, sf):
     )
 
 
+def q_gapfill_bfill(spark, sf):
+    """Next-observation-carried-backward fill — the Dropout 'bfill'
+    semantic over the complete hourly grid."""
+    from tsaug_spark.plans.gapfill import complete_grid, fill_bfill
+
+    t = _hourly(spark, sf).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.timestamp_seconds("bucket_s").alias("bucket_ts"),
+        F.col("cnt"),
+    )
+    filled = fill_bfill(complete_grid(t, "1h"), ["cnt"])
+    return filled.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        F.col("cnt"),
+    )
+
+
+def q_gapfill_mean(spark, sf):
+    """Per-conversation-mean fill — the Dropout 'mean' semantic."""
+    from tsaug_spark.plans.gapfill import complete_grid, fill_mean
+
+    t = _hourly(spark, sf).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.timestamp_seconds("bucket_s").alias("bucket_ts"),
+        F.col("sum_value").cast("double").alias("v"),
+    )
+    filled = fill_mean(complete_grid(t, "1h"), ["v"])
+    return filled.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        F.round("v", 4).alias("v"),
+    )
+
+
 def q_pool_ave(spark, sf):
     """Pool('ave') semantics over calendar-day blocks of the 1h series."""
     h = _hourly(spark, sf)
@@ -945,6 +980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_1d": q_cascade_1d,
         "gapfill_locf": q_gapfill_locf,
         "gapfill_interp": q_gapfill_interp,
+        "gapfill_bfill": q_gapfill_bfill,
+        "gapfill_mean": q_gapfill_mean,
         "pool_ave": q_pool_ave,
         "reverse_series": q_reverse_series,
         "resize_linear": q_resize_linear,
@@ -1194,6 +1231,30 @@ def oracle_sql() -> dict[str, str]:
             "pv * (1 - (bucket_s - pt) / CAST(nt - pt AS DOUBLE)) + "
             "nv * ((bucket_s - pt) / CAST(nt - pt AS DOUBLE)) "
             "ELSE COALESCE(pv, nv) END AS v FROM k"
+        ),
+        "gapfill_bfill": (
+            f"WITH b AS ({hourly}), "
+            "bounds AS (SELECT user_id, MIN(bucket_s) lo, MAX(bucket_s) hi "
+            "FROM b GROUP BY 1), "
+            "grid AS (SELECT user_id, CAST(unnest(range(lo, hi + 3600, "
+            "3600)) AS BIGINT) AS bucket_s FROM bounds), "
+            "j AS (SELECT g.user_id, g.bucket_s, b.cnt FROM grid g LEFT "
+            "JOIN b ON g.user_id = b.user_id AND g.bucket_s = b.bucket_s) "
+            "SELECT user_id, bucket_s, first_value(cnt IGNORE NULLS) OVER "
+            "(PARTITION BY user_id ORDER BY bucket_s ROWS BETWEEN CURRENT "
+            "ROW AND UNBOUNDED FOLLOWING) AS cnt FROM j"
+        ),
+        "gapfill_mean": (
+            f"WITH b AS ({hourly}), "
+            "bounds AS (SELECT user_id, MIN(bucket_s) lo, MAX(bucket_s) hi "
+            "FROM b GROUP BY 1), "
+            "grid AS (SELECT user_id, CAST(unnest(range(lo, hi + 3600, "
+            "3600)) AS BIGINT) AS bucket_s FROM bounds), "
+            "j AS (SELECT g.user_id, g.bucket_s, b.sum_value AS v FROM "
+            "grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket_s = "
+            "b.bucket_s) "
+            "SELECT user_id, bucket_s, ROUND(COALESCE(v, AVG(v) OVER "
+            "(PARTITION BY user_id)), 4) AS v FROM j"
         ),
         "pool_ave": (
             f"WITH h AS ({hourly}) SELECT user_id, bucket_s, "

@@ -176,6 +176,12 @@ def test_retention_expiry(spark, transcripts, tmp_path):
         .collect()
     )
     assert len(exp_rows) == 1 and exp_rows[0]["points_rolled"] < 0
+    # lineage records the actual boundary: watermark_ts = cutoff,
+    # range_start_ts = the anchor it was derived from
+    assert pd.Timestamp(exp_rows[0]["watermark_ts"]) == cutoff
+    assert pd.Timestamp(exp_rows[0]["range_start_ts"]) == pd.Timestamp(
+        wm_1h
+    )
 
 
 def test_cascade_tier_checkpointed(spark, transcripts, tmp_path):
