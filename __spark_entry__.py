@@ -893,6 +893,33 @@ def _k_dropout():
     return Dropout(p=0.1, size=3, fill="ffill", seed=16)
 
 
+def q_kernel_quantile_buggy(spark, sf):
+    """Quantize(how='quantile') via the distributed kernel — carrying
+    the reference's /100 percentile-scaling bug (quantize.py:180-186).
+
+    RNG-free (scalar n_levels, prob=1), so the DuckDB oracle replays
+    the exact buggy math: percentile positions k/(n*10000)*(T-1) — all
+    inside the first sorted gap — then digitize + center lookup.
+    """
+    from tsaug_spark.operators import Quantize
+    from tsaug_spark.plans.pack import apply_operator
+
+    series = _series_df(spark, sf)
+    out = apply_operator(
+        series,
+        Quantize(n_levels=5, how="quantile", seed=17),
+        ["cnt", "sum_value"],
+        mode="subseed",
+    )
+    return out.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        "rep_idx",
+        "bucket_idx",
+        F.round("cnt", 6).alias("cnt"),
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
 def q_kernel_convolve_chunked(spark, sf):
     """Halo-chunked hann smoothing — the long-series execution path."""
     from tsaug_spark.functions.windows import make_window
@@ -1044,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _k_dropout, note=_NO_ORACLE_WHY["kernel_dropout"]
         ),
         "kernel_convolve_chunked": q_kernel_convolve_chunked,
+        "kernel_quantile_buggy": q_kernel_quantile_buggy,
         "embed_near_dup": q_embed_near_dup,
         "doc_fingerprint": q_doc_fingerprint,
         "ivf_topk": q_ivf_topk,
@@ -1100,6 +1128,48 @@ def _hann7_conv_expr(arr: str) -> str:
         )
         terms.append(f"{tap!r} * {arr}[{rj} + 1]")
     return "((" + " + ".join(terms) + f") / {float(w.sum())!r})"
+
+
+def _quantile_buggy_sql(n: int = 5, T: int = 48) -> str:
+    """Oracle for the reference's buggy quantile quantization
+    (quantize.py:180-186): percentile fractions are divided by 100, so
+    edges/centers sit at positions k/(n*10000)*(T-1) — all inside the
+    first sorted gap.  Every float op mirrors np.percentile's linear
+    interpolation (q/100*(T-1), a + frac*(b-a), frac < 0.5 so no lerp
+    branch) so the doubles match to the bit before ROUND."""
+
+    def interp(arr: str, q_units: float) -> str:
+        pos = (q_units / 100.0) * (T - 1)
+        i0 = int(pos)
+        frac = pos - i0
+        if frac == 0.0:
+            return f"{arr}[{i0 + 1}]"
+        return (
+            f"({arr}[{i0 + 1}] + {frac!r} * "
+            f"({arr}[{i0 + 2}] - {arr}[{i0 + 1}]))"
+        )
+
+    def chan(srt: str, x: str) -> str:
+        edges = [interp(srt, (k / n) / 100) for k in range(n + 1)]
+        centers = [interp(srt, ((0.5 + k) / n) / 100) for k in range(n)]
+        idx = " + ".join(
+            f"(CASE WHEN {x} >= {e} THEN 1 ELSE 0 END)" for e in edges
+        )
+        sel = f"CASE LEAST(({idx}), {n - 1})"
+        for i, c in enumerate(centers):
+            sel += f" WHEN {i} THEN {c}"
+        sel += " END"
+        return sel
+
+    return (
+        f"WITH b AS ({_HOURLY_SQL}), {_SERIES_SQL}, "
+        "srt AS (SELECT user_id, ac, asv, list_sort(ac) AS sc, "
+        "list_sort(asv) AS sv FROM arr) "
+        "SELECT user_id, CAST(0 AS INT) AS rep_idx, k AS bucket_idx, "
+        f"ROUND({chan('sc', 'ac[k + 1]')}, 6) AS cnt, "
+        f"ROUND({chan('sv', 'asv[k + 1]')}, 6) AS sum_value "
+        "FROM srt CROSS JOIN ks"
+    )
 
 
 def _simhash_sig_sql(bits: int) -> str:
@@ -1580,6 +1650,7 @@ def oracle_sql() -> dict[str, str]:
             f"ROUND({_hann7_conv_expr('ac')}, 6) AS cnt "
             "FROM arr CROSS JOIN ks"
         ),
+        "kernel_quantile_buggy": _quantile_buggy_sql(),
         "simhash_pairs": (
             f"WITH {_simhash_sig_sql(32)} "
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
