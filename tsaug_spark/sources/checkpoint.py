@@ -193,7 +193,13 @@ class RollupJob:
         Cost model at scale: the filter ``ts >= cutoff`` prunes the raw
         scan to the recent partitions/files (partition pruning on a
         ts-partitioned table), so an update touches only the re-rollable
-        tail, never the full history.
+        tail, never the full history.  All watermarked partitions are
+        re-rolled in ONE job and replaced in ONE table commit (the
+        per-partition-loop formulation rewrote the tier table once per
+        partition — O(P x table) write amplification); per-partition
+        lineage + metrics rows still land in the manifest.  A crash
+        before the manifest append re-rolls from the old watermarks —
+        the replacement is idempotent.
         """
         wm = self.watermarks(tier).collect()
         if not wm:
@@ -201,69 +207,102 @@ class RollupJob:
         cutoffs = {r["partition_id"]: r["watermark_ts"] for r in wm}
         snapshot = new_snapshot or self.source_snapshot
 
-        part_col = F.pmod(F.xxhash64("conv_id"), F.lit(self.n_partitions))
+        part_col = F.pmod(
+            F.xxhash64("conv_id"), F.lit(self.n_partitions)
+        ).cast("int")
         grace_expr = F.expr(f"INTERVAL {grace}")
         touched = 0
-        for p in range(self.n_partitions):
-            if p not in cutoffs:
-                touched += self.run(transcripts, tier, partitions=[p])
-                continue
-            cutoff_ts = F.lit(cutoffs[p]) - grace_expr
-            src = transcripts.filter(
-                (part_col == p) & (F.col("ts") >= cutoff_ts)
-            )
-            rolled = rollup_transcripts(src, tier).cache()
-            n_new = rolled.count()
-            if n_new == 0:
-                rolled.unpersist()
-                continue
-            # replace the re-rolled buckets for this partition
-            tier_table = self.table(f"tier_{tier}")
-            existing = tier_table.read(self.spark)
-            kept = existing.filter(
-                ~(
-                    (F.col("partition_id") == p)
-                    & (F.col("bucket_ts") >= cutoff_ts)
-                )
-            )
-            merged = kept.unionByName(
-                rolled.withColumn("partition_id", F.lit(p))
-            )
-            tier_table.overwrite(merged)
+        # partitions with no committed watermark: full first-time run
+        missing = [
+            p for p in range(self.n_partitions) if p not in cutoffs
+        ]
+        if missing:
+            touched += self.run(transcripts, tier, partitions=missing)
 
-            chunks = compress_tier(rolled, METRIC_COLS).cache()
-            stats = chunks.agg(
-                F.coalesce(F.sum("n_points"), F.lit(0)).alias("points"),
-                F.coalesce(F.sum("bytes_raw"), F.lit(0)).alias("raw"),
-                F.coalesce(F.sum("bytes_compressed"), F.lit(0)).alias(
-                    "comp"
-                ),
-            ).collect()[0]
-            new_lo, new_wm = rolled.agg(
-                F.min("bucket_ts"), F.max("bucket_ts")
-            ).collect()[0]
-            self.manifest.append(
-                self.spark.createDataFrame(
-                    [
-                        (
-                            tier,
-                            p,
-                            snapshot,
-                            new_lo,
-                            new_wm,
-                            int(stats["points"]),
-                            int(stats["raw"]),
-                            int(stats["comp"]),
-                            time.time(),
-                        )
-                    ],
-                    MANIFEST_SCHEMA,
-                )
+        # one incremental pass over every watermarked partition: each
+        # row keeps only if at/after ITS partition's (watermark - grace)
+        cut_df = self.spark.createDataFrame(
+            list(cutoffs.items()), "partition_id int, wm timestamp"
+        ).withColumn("cut_ts", F.col("wm") - grace_expr)
+        src = (
+            transcripts.withColumn("partition_id", part_col)
+            .join(F.broadcast(cut_df), "partition_id")
+            .filter(F.col("ts") >= F.col("cut_ts"))
+            .drop("partition_id", "wm", "cut_ts")
+        )
+        rolled = (
+            rollup_transcripts(src, tier)
+            .withColumn("partition_id", part_col)
+            .cache()
+        )
+        bounds = {
+            r["partition_id"]: (r["lo"], r["hi"])
+            for r in rolled.groupBy("partition_id")
+            .agg(
+                F.min("bucket_ts").alias("lo"),
+                F.max("bucket_ts").alias("hi"),
             )
+            .collect()
+        }
+        if not bounds:
             rolled.unpersist()
-            chunks.unpersist()
-            touched += 1
-        return touched
+            return touched
+
+        # single commit: drop each re-rolled partition's tail, append
+        # its fresh rows (partitions with no new rows keep theirs)
+        replace_df = self.spark.createDataFrame(
+            [(p, cutoffs[p]) for p in bounds],
+            "partition_id int, wm timestamp",
+        ).withColumn("cut_ts", F.col("wm") - grace_expr)
+        tier_table = self.table(f"tier_{tier}")
+        existing = tier_table.read(self.spark)
+        kept = (
+            existing.join(F.broadcast(replace_df), "partition_id", "left")
+            .filter(
+                F.col("cut_ts").isNull()
+                | (F.col("bucket_ts") < F.col("cut_ts"))
+            )
+            .drop("wm", "cut_ts")
+        )
+        tier_table.overwrite(
+            kept.unionByName(rolled.select(*kept.columns))
+        )
+
+        chunks = compress_tier(
+            rolled.drop("partition_id"), METRIC_COLS
+        ).withColumn("partition_id", part_col)
+        stats = {
+            r["partition_id"]: r
+            for r in chunks.groupBy("partition_id")
+            .agg(
+                F.sum("n_points").alias("points"),
+                F.sum("bytes_raw").alias("raw"),
+                F.sum("bytes_compressed").alias("comp"),
+            )
+            .collect()
+        }
+        now = time.time()
+        self.manifest.append(
+            self.spark.createDataFrame(
+                [
+                    (
+                        tier,
+                        p,
+                        snapshot,
+                        bounds[p][0],
+                        bounds[p][1],
+                        int(stats[p]["points"]) if p in stats else 0,
+                        int(stats[p]["raw"]) if p in stats else 0,
+                        int(stats[p]["comp"]) if p in stats else 0,
+                        now,
+                    )
+                    for p in sorted(bounds)
+                ],
+                MANIFEST_SCHEMA,
+            )
+        )
+        rolled.unpersist()
+        return touched + len(bounds)
 
 
 def _expiry_tier(tier: str) -> str:
