@@ -920,6 +920,29 @@ def q_kernel_quantile_buggy(spark, sf):
     )
 
 
+def q_kernel_quantile_fixed(spark, sf):
+    """The engine's corrected quantile quantization (true quantile
+    bins — what a user wants when not chasing bug parity), same
+    kernel path and oracle machinery as kernel_quantile_buggy."""
+    from tsaug_spark.operators import Quantize
+    from tsaug_spark.plans.pack import apply_operator
+
+    series = _series_df(spark, sf)
+    out = apply_operator(
+        series,
+        Quantize(n_levels=5, how="quantile_fixed", seed=18),
+        ["cnt", "sum_value"],
+        mode="subseed",
+    )
+    return out.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        "rep_idx",
+        "bucket_idx",
+        F.round("cnt", 6).alias("cnt"),
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
 def q_kernel_convolve_chunked(spark, sf):
     """Halo-chunked hann smoothing — the long-series execution path."""
     from tsaug_spark.functions.windows import make_window
@@ -1072,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "kernel_convolve_chunked": q_kernel_convolve_chunked,
         "kernel_quantile_buggy": q_kernel_quantile_buggy,
+        "kernel_quantile_fixed": q_kernel_quantile_fixed,
         "embed_near_dup": q_embed_near_dup,
         "doc_fingerprint": q_doc_fingerprint,
         "ivf_topk": q_ivf_topk,
@@ -1130,13 +1154,21 @@ def _hann7_conv_expr(arr: str) -> str:
     return "((" + " + ".join(terms) + f") / {float(w.sum())!r})"
 
 
-def _quantile_buggy_sql(n: int = 5, T: int = 48) -> str:
-    """Oracle for the reference's buggy quantile quantization
-    (quantize.py:180-186): percentile fractions are divided by 100, so
-    edges/centers sit at positions k/(n*10000)*(T-1) — all inside the
-    first sorted gap.  Every float op mirrors np.percentile's linear
-    interpolation (q/100*(T-1), a + frac*(b-a), frac < 0.5 so no lerp
-    branch) so the doubles match to the bit before ROUND."""
+def _quantile_sql(
+    buggy: bool, n: int = 5, T: int = 48
+) -> str:
+    """Oracle for quantile quantization via the kernel.
+
+    ``buggy=True`` replays the reference's /100 percentile-scaling bug
+    (quantize.py:180-186): fractions are divided by 100, so edges and
+    centers sit at positions k/(n*10000)*(T-1) — all inside the first
+    sorted gap.  ``buggy=False`` is the engine's corrected
+    ``quantile_fixed`` (true quantile bins).  Every float op mirrors
+    np.percentile's linear interpolation — q/100*(T-1), then numpy's
+    branch-per-frac lerp: ``a + frac*(b-a)`` below frac 0.5 and
+    ``b - (b-a)*(1-frac)`` at or above it — so the doubles match to the
+    bit before ROUND."""
+    scale = 100.0 if buggy else 0.01
 
     def interp(arr: str, q_units: float) -> str:
         pos = (q_units / 100.0) * (T - 1)
@@ -1144,14 +1176,16 @@ def _quantile_buggy_sql(n: int = 5, T: int = 48) -> str:
         frac = pos - i0
         if frac == 0.0:
             return f"{arr}[{i0 + 1}]"
-        return (
-            f"({arr}[{i0 + 1}] + {frac!r} * "
-            f"({arr}[{i0 + 2}] - {arr}[{i0 + 1}]))"
-        )
+        a, b = f"{arr}[{i0 + 1}]", f"{arr}[{i0 + 2}]"
+        if frac < 0.5:
+            return f"({a} + {frac!r} * ({b} - {a}))"
+        return f"({b} - ({b} - {a}) * {1.0 - frac!r})"
 
     def chan(srt: str, x: str) -> str:
-        edges = [interp(srt, (k / n) / 100) for k in range(n + 1)]
-        centers = [interp(srt, ((0.5 + k) / n) / 100) for k in range(n)]
+        edges = [interp(srt, (k / n) / scale) for k in range(n + 1)]
+        centers = [
+            interp(srt, ((0.5 + k) / n) / scale) for k in range(n)
+        ]
         idx = " + ".join(
             f"(CASE WHEN {x} >= {e} THEN 1 ELSE 0 END)" for e in edges
         )
@@ -1650,7 +1684,8 @@ def oracle_sql() -> dict[str, str]:
             f"ROUND({_hann7_conv_expr('ac')}, 6) AS cnt "
             "FROM arr CROSS JOIN ks"
         ),
-        "kernel_quantile_buggy": _quantile_buggy_sql(),
+        "kernel_quantile_buggy": _quantile_sql(buggy=True),
+        "kernel_quantile_fixed": _quantile_sql(buggy=False),
         "simhash_pairs": (
             f"WITH {_simhash_sig_sql(32)} "
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "

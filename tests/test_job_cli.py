@@ -1,0 +1,108 @@
+"""End-to-end test of the spark-submit entry point: package the zip,
+run jobs/rollup_job.py as a subprocess with --py-files-style isolation
+(cwd outside the repo, zip on sys.path), verify tiers + manifest."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pandas as pd
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_make_pyfiles_zip_is_importable(tmp_path):
+    subprocess.run(
+        [sys.executable, str(REPO / "tools" / "make_pyfiles.py")],
+        check=True,
+        capture_output=True,
+    )
+    zip_path = REPO / "dist" / "tsaug_spark.zip"
+    assert zip_path.exists()
+    # the zip must be a self-contained package root (what --py-files
+    # ships to executors): import it from a clean interpreter with the
+    # repo NOT on sys.path
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import tsaug_spark.plans.rollup as r; "
+        "import tsaug_spark.sources.checkpoint as c; "
+        "print('ok')" % str(zip_path)
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        check=True,
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        env={**os.environ, "PYTHONPATH": ""},
+    )
+    assert out.stdout.strip() == "ok"
+
+
+def test_rollup_job_cli_end_to_end(spark, transcripts, tmp_path):
+    """Run the CLI as its own driver process over a small parquet input
+    and check the tier tables + manifest it leaves behind."""
+    src = str(tmp_path / "input")
+    transcripts.write.mode("overwrite").parquet(src)
+    work = str(tmp_path / "work")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "jobs" / "rollup_job.py"),
+            "--input", src,
+            "--work-dir", work,
+            "--tiers", "1m,1h,1d",
+            "--partitions", "2",
+            "--snapshot", "cli-test",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "tier 1m: processed 2 partitions" in proc.stdout
+
+    from tsaug_spark.plans.rollup import rollup_transcripts
+    from tsaug_spark.sources.checkpoint import RollupJob
+
+    job = RollupJob(spark, work, n_partitions=2,
+                    source_snapshot="cli-test")
+    got = (
+        job.read_tier("1m")
+        .orderBy("conv_id", "bucket_ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = (
+        rollup_transcripts(transcripts, "1m")
+        .orderBy("conv_id", "bucket_ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every tier carries manifest lineage from the CLI run
+    m = job.metrics().toPandas()
+    assert set(m["tier"]) == {"1m", "1h", "1d"}
+    assert (m["source_snapshot"] == "cli-test").all()
+    # a re-run resumes: zero partitions processed
+    proc2 = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "jobs" / "rollup_job.py"),
+            "--input", src,
+            "--work-dir", work,
+            "--tiers", "1m",
+            "--partitions", "2",
+            "--snapshot", "cli-test",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc2.returncode == 0, proc2.stderr[-3000:]
+    assert "tier 1m: processed 0 partitions" in proc2.stdout

@@ -140,8 +140,10 @@ class Quantize(SeriesOp):
 
     @property
     def deterministic_core(self) -> bool:
+        # kmeans is excluded: its init draws from the rng even with a
+        # scalar n_levels
         return (
-            self.how in ("uniform", "quantile")
+            self.how in ("uniform", "quantile", "quantile_fixed")
             and isinstance(self.n_levels, int)
         )
 
