@@ -515,6 +515,25 @@ def q_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(shingles(_docs(spark, sf)), threshold=0.5)
 
 
+def q_dedup_pipeline(spark, sf):
+    """The production dedup path end-to-end in ONE lazy plan: shingle ->
+    MinHash band signatures -> LSH candidate pairs -> exact Jaccard
+    verify restricted to candidates (the semi-joins sit below the
+    shingle self-join, so verify cost tracks the candidate set)."""
+    from tsaug_spark.pipeline.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    sh = shingles(_docs(spark, sf))
+    cand = lsh_candidate_pairs(
+        minhash_signatures(sh, n_bands=4), n_bands=4
+    )
+    return ngram_jaccard_pairs(sh, threshold=0.5, candidates=cand)
+
+
 def q_simhash16(spark, sf):
     from tsaug_spark.pipeline.dedup import simhash
 
@@ -1049,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": q_minhash_sig,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_pipeline": q_dedup_pipeline,
         "simhash16": q_simhash16,
         "embed_cosine": q_embed_cosine,
         "text_quality": q_text_quality,
@@ -1497,6 +1517,32 @@ def oracle_sql() -> dict[str, str]:
             "b.doc_id GROUP BY 1, 2) "
             "SELECT id_a, id_b, ROUND(inter / CAST(na.n + nb.n - inter AS "
             "DOUBLE), 4) AS jaccard FROM inter "
+            "JOIN sizes na ON na.doc_id = id_a "
+            "JOIN sizes nb ON nb.doc_id = id_b "
+            "WHERE inter / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.5"
+        ),
+        "dedup_pipeline": (
+            f"{_SHINGLE_SQL}, sig AS (SELECT doc_id, "
+            + ", ".join(
+                f"MIN(md5(s || '|{b}')) AS sig{b}" for b in range(4)
+            )
+            + " FROM sh GROUP BY doc_id), "
+            "cand AS ("
+            + " UNION ".join(
+                f"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+                f"FROM sig a JOIN sig b ON a.sig{b2} = b.sig{b2} "
+                f"AND a.doc_id < b.doc_id"
+                for b2 in range(4)
+            )
+            + "), "
+            "ds AS (SELECT DISTINCT doc_id, s FROM sh), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "COUNT(*) AS inter FROM ds a JOIN ds b ON a.s = b.s AND "
+            "a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, ROUND(inter / CAST(na.n + nb.n - inter "
+            "AS DOUBLE), 4) AS jaccard FROM inter "
+            "JOIN cand USING (id_a, id_b) "
             "JOIN sizes na ON na.doc_id = id_a "
             "JOIN sizes nb ON nb.doc_id = id_b "
             "WHERE inter / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.5"
