@@ -311,7 +311,15 @@ def main() -> None:
         try:
             with open(prevs[-1]) as fh:
                 prev = json.load(fh)
-            prev_q = (prev.get("parsed") or prev).get("queries", {})
+            parsed = prev.get("parsed") or prev
+            prev_q = parsed.get("queries", {})
+            prev_turns = parsed.get("turns", 0)
+            # only comparable at the same input size: the cascade and
+            # kernel timings scale with BENCH_TURNS
+            if prev_turns and abs(prev_turns - cascade["turns"]) > (
+                0.1 * prev_turns
+            ):
+                prev_q = {}
             ratio = {
                 k: round(v / prev_q[k], 2)
                 for k, v in result["queries"].items()
