@@ -83,3 +83,44 @@ def test_stream_sessionize_state_survives_micro_batches(spark, tmp_path):
     )
     want = _batch_sessions(spark).astype("int64")
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stream_ingest_into_tier_table(spark, transcripts, tmp_path):
+    """Streaming ingest (update-mode rollup + foreachBatch merge) must
+    leave the RollupJob tier table equal to the batch rollup, with
+    per-batch lineage in the manifest."""
+    from tsaug_spark.plans.rollup import rollup_transcripts
+    from tsaug_spark.sources.checkpoint import RollupJob
+    from tsaug_spark.streaming.stream_sink import run_stream_ingest_once
+
+    src = str(tmp_path / "stream_ingest_src")
+    transcripts.write.mode("overwrite").parquet(src)
+    job = RollupJob(spark, str(tmp_path / "stream_work"),
+                    n_partitions=2, source_snapshot="stream")
+    run_stream_ingest_once(
+        spark,
+        src,
+        transcripts.schema,
+        job,
+        tier="1m",
+        max_files_per_trigger=2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = (
+        job.read_tier("1m")
+        .orderBy("conv_id", "bucket_ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = (
+        rollup_transcripts(transcripts, "1m")
+        .orderBy("conv_id", "bucket_ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    m = job.metrics("1m").toPandas()
+    assert len(m) >= 1
+    assert m["source_snapshot"].str.startswith("stream-batch:").all()
+    # the streamed tier feeds the batch cascade like any other
+    assert job.cascade_tier("1m", "1h") == 2
