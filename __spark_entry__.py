@@ -605,6 +605,40 @@ def q_multimodal_bytes(spark, sf):
 
 
 
+def q_multimodal_frames(spark, sf):
+    """Frame-sampling plumbing fan-out: one row per sampled pseudo-frame
+    (every 4th 256-byte window).  The oracle recomputes the fan-out and
+    per-frame byte lengths arithmetically from octet_length."""
+    from tsaug_spark.pipeline.multimodal import attach_payloads, sample_frames
+
+    frames = sample_frames(attach_payloads(_docs(spark, sf)))
+    return frames.select(
+        "doc_id", "frame_idx", F.length("frame").alias("frame_bytes")
+    )
+
+
+def q_multimodal_features(spark, sf):
+    """mapInPandas feature extraction end-to-end: the deterministic
+    sha256-seeded stand-in features are recomputed in DuckDB from
+    sha256(text) with the same little-endian uint32 / 2^32 math, so the
+    oracle certifies the whole Arrow batch path, not just row counts."""
+    from tsaug_spark.pipeline.multimodal import (
+        FEATURE_DIM,
+        attach_payloads,
+        extract_features,
+    )
+
+    feats = extract_features(attach_payloads(_docs(spark, sf)))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        *[
+            F.round(F.element_at("feature", j + 1), 6).alias(f"f{j}")
+            for j in range(FEATURE_DIM)
+        ],
+    )
+
+
 def q_moving_avg(spark, sf):
     """Centered +-3-bucket moving average — the SQL-expressible
     (boxcar) special case of Convolve."""
@@ -1077,6 +1111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "multimodal_bytes": q_multimodal_bytes,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_features": q_multimodal_features,
         "moving_avg": q_moving_avg,
         "sessionize": q_sessionize,
         "set_ops": q_set_ops,
@@ -1604,6 +1640,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, CAST(SUM(octet_length(encode(text))) AS BIGINT)"
             " AS payload_bytes, COUNT(*) AS n_assets FROM documents "
             "GROUP BY 1"
+        ),
+        "multimodal_frames": (
+            "WITH d AS (SELECT doc_id, octet_length(encode(text)) AS "
+            "len FROM documents), "
+            "f AS (SELECT doc_id, len, GREATEST(1, len // 256) AS "
+            "n_frames FROM d) "
+            "SELECT doc_id, CAST(k AS INT) AS frame_idx, "
+            "CAST(LEAST(256, len - k * 256) AS INT) AS frame_bytes "
+            "FROM f, unnest(range(0, n_frames, 4)) AS t(k)"
+        ),
+        "multimodal_features": (
+            "WITH h AS (SELECT doc_id, octet_length(encode(text)) AS "
+            "n_bytes, sha256(text) AS hx FROM documents) "
+            "SELECT doc_id, n_bytes, "
+            + ", ".join(
+                # little-endian uint32 from hex bytes 4j..4j+3, / 2^32
+                "ROUND(('0x' || "
+                + " || ".join(
+                    f"substr(hx, {j * 8 + 7 - 2 * b}, 2)"
+                    for b in range(4)
+                )
+                + f")::BIGINT / 4294967296.0, 6) AS f{j}"
+                for j in range(8)
+            )
+            + " FROM h"
         ),
         "moving_avg": (
             f"WITH h AS ({hourly}) SELECT user_id, bucket_s, "
