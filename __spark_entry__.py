@@ -789,6 +789,40 @@ def q_asof_enrich(spark, sf):
     return out.select("event_id", "user_id", "t", "cnt", "asof_t")
 
 
+def q_asof_forward(spark, sf):
+    """Forward as-of join: each event enriched with its user's EARLIEST
+    1h bucket at-or-after the event (mirrored union+window plan)."""
+    from tsaug_spark.plans.asof import asof_join
+
+    ev = _events(spark, sf).select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("t")
+    )
+    h = _hourly(spark, sf).select("user_id", "bucket_s", "cnt")
+    out = asof_join(
+        ev, h, key_cols=["user_id"], time_col="t",
+        value_cols=["cnt"], right_time_col="bucket_s",
+        direction="forward",
+    )
+    return out.select("event_id", "user_id", "t", "cnt", "asof_t")
+
+
+def q_asof_salted(spark, sf):
+    """The skew-safe salted as-of join — must return exactly what the
+    plain formulation (and DuckDB's ASOF JOIN) returns."""
+    from tsaug_spark.plans.asof import asof_join
+
+    ev = _events(spark, sf).select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("t")
+    )
+    h = _hourly(spark, sf).select("user_id", "bucket_s", "cnt")
+    out = asof_join(
+        ev, h, key_cols=["user_id"], time_col="t",
+        value_cols=["cnt"], right_time_col="bucket_s",
+        salt_interval=7 * 86400,
+    )
+    return out.select("event_id", "user_id", "t", "cnt", "asof_t")
+
+
 def q_stream_rollup_1m(spark, sf):
     """Structured-Streaming 1m rollup (readStream -> watermarked window
     agg -> availableNow backfill); the oracle is the batch rollup — the
@@ -1121,6 +1155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": q_skew_salted_agg,
         "pipe_reverse_pool": q_pipe_reverse_pool,
         "asof_enrich": q_asof_enrich,
+        "asof_forward": q_asof_forward,
+        "asof_salted": q_asof_salted,
         "codec_roundtrip": q_codec_roundtrip,
         "stream_rollup_1m": q_stream_rollup_1m,
         "stream_sessionize": q_stream_sessionize,
@@ -1743,6 +1779,20 @@ def oracle_sql() -> dict[str, str]:
             "user_id, bucket_idx // 4), 6) AS cnt FROM rev"
         ),
         "asof_enrich": (
+            f"WITH h AS ({hourly}) "
+            "SELECT e.event_id, e.user_id, CAST(floor(epoch(e.ts)) AS "
+            "BIGINT) AS t, h.cnt, h.bucket_s AS asof_t FROM events e "
+            "ASOF LEFT JOIN h ON e.user_id = h.user_id AND "
+            "CAST(floor(epoch(e.ts)) AS BIGINT) >= h.bucket_s"
+        ),
+        "asof_forward": (
+            f"WITH h AS ({hourly}) "
+            "SELECT e.event_id, e.user_id, CAST(floor(epoch(e.ts)) AS "
+            "BIGINT) AS t, h.cnt, h.bucket_s AS asof_t FROM events e "
+            "ASOF LEFT JOIN h ON e.user_id = h.user_id AND "
+            "CAST(floor(epoch(e.ts)) AS BIGINT) <= h.bucket_s"
+        ),
+        "asof_salted": (
             f"WITH h AS ({hourly}) "
             "SELECT e.event_id, e.user_id, CAST(floor(epoch(e.ts)) AS "
             "BIGINT) AS t, h.cnt, h.bucket_s AS asof_t FROM events e "
