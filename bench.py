@@ -195,6 +195,9 @@ def run_queries(spark, sf_dir: str) -> dict:
     )
     timed("minhash_sig", lambda: em.q_minhash_sig(spark, sf_dir).count())
     timed("simhash16", lambda: em.q_simhash16(spark, sf_dir).count())
+    timed(
+        "simhash_pairs", lambda: em.q_simhash_pairs(spark, sf_dir).count()
+    )
     timed("embed_cosine", lambda: em.q_embed_cosine(spark, sf_dir).count())
 
     tier = spark.table("bench_tier_1m").select(

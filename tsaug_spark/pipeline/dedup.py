@@ -72,22 +72,44 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(sig: DataFrame, n_bands: int = 4) -> DataFrame:
-    """Docs sharing any band signature — the LSH bucket join."""
-    pairs: Optional[DataFrame] = None
-    for b in range(n_bands):
-        a = sig.select(
-            F.col("doc_id").alias("id_a"), F.col(f"sig{b}").alias("s")
-        )
-        c = sig.select(
-            F.col("doc_id").alias("id_b"), F.col(f"sig{b}").alias("s")
-        )
-        p = (
-            a.join(c, "s")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    """Docs sharing any band signature — the LSH bucket join.
+
+    One explode + ONE self-join on (band_idx, band_value): a per-band
+    union of joins would recompute the signature aggregate once per
+    branch per side (2 x n_bands full passes); exploding bands into
+    rows computes it once and joins on a composite key whose
+    distribution is as uniform as the band hashes themselves.
+    """
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.col(f"sig{b}").alias("v"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "doc_id",
+        F.col("band.b").alias("band_idx"),
+        F.col("band.v").alias("band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), "band_idx", "band_val"
+    )
+    c = bands.select(
+        F.col("doc_id").alias("id_b"), "band_idx", "band_val"
+    )
+    return (
+        a.join(c, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(
@@ -197,25 +219,48 @@ def simhash_pairs(
     sig = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
     w = bits // n_bands
     mask = (1 << w) - 1
-    pairs: Optional[DataFrame] = None
-    for b in range(n_bands):
-        band = F.shiftright(F.col("simhash"), b * w).bitwiseAND(mask)
-        a = sig.select(
-            F.col("doc_id").alias("id_a"),
-            F.col("simhash").alias("sig_a"),
-            band.alias("band"),
-        )
-        c = sig.select(
-            F.col("doc_id").alias("id_b"),
-            F.col("simhash").alias("sig_b"),
-            band.alias("band"),
-        )
-        p = (
-            a.join(c, "band")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sig_a", "sig_b")
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
+    # explode bands into rows so the signature aggregate is computed
+    # ONCE and a single self-join on (band_idx, band_value) finds all
+    # collisions (a per-band union would recompute it 2 x n_bands times)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(F.col("simhash"), b * w)
+                        .bitwiseAND(mask)
+                        .alias("v"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("band.b").alias("band_idx"),
+        F.col("band.v").alias("band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("sig_a"),
+        "band_idx",
+        "band_val",
+    )
+    c = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("sig_b"),
+        "band_idx",
+        "band_val",
+    )
+    pairs = (
+        a.join(c, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+    )
     ham = F.bit_count(
         F.col("sig_a").bitwiseXOR(F.col("sig_b"))
     ).cast("long")
