@@ -124,3 +124,57 @@ def test_stream_ingest_into_tier_table(spark, transcripts, tmp_path):
     assert m["source_snapshot"].str.startswith("stream-batch:").all()
     # the streamed tier feeds the batch cascade like any other
     assert job.cascade_tier("1m", "1h") == 2
+
+
+def test_stream_ingest_incremental_resume(spark, transcripts, tmp_path):
+    """Second ingest run with the SAME streaming checkpoint only
+    processes newly arrived files and merges them — the streaming
+    late-data path — converging to the full batch rollup."""
+    from pyspark.sql import functions as F
+    from tsaug_spark.plans.rollup import rollup_transcripts
+    from tsaug_spark.sources.checkpoint import RollupJob
+    from tsaug_spark.streaming.stream_sink import run_stream_ingest_once
+
+    lo, hi = transcripts.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).collect()[0]
+    cutoff = F.timestamp_seconds(F.lit(int(lo + 0.6 * (hi - lo))))
+    early = transcripts.filter(F.col("ts") < cutoff)
+    late = transcripts.filter(F.col("ts") >= cutoff)
+
+    src = tmp_path / "inc_src"
+    src.mkdir()
+    early.toPandas().to_parquet(
+        str(src / "a.parquet"), engine="pyarrow", coerce_timestamps="us"
+    )
+    job = RollupJob(spark, str(tmp_path / "inc_work"), n_partitions=2,
+                    source_snapshot="inc")
+    ckpt = str(tmp_path / "inc_ckpt")
+    run_stream_ingest_once(
+        spark, str(src), transcripts.schema, job, tier="1m",
+        checkpoint_dir=ckpt,
+    )
+    n_batches_first = len(job.metrics("1m").toPandas())
+
+    late.toPandas().to_parquet(
+        str(src / "b.parquet"), engine="pyarrow", coerce_timestamps="us"
+    )
+    run_stream_ingest_once(
+        spark, str(src), transcripts.schema, job, tier="1m",
+        checkpoint_dir=ckpt,
+    )
+    got = (
+        job.read_tier("1m")
+        .orderBy("conv_id", "bucket_ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = (
+        rollup_transcripts(transcripts, "1m")
+        .orderBy("conv_id", "bucket_ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the resumed run appended manifest rows for its new batches only
+    assert len(job.metrics("1m").toPandas()) > n_batches_first
