@@ -138,3 +138,53 @@ def test_salted_asof_hot_key(spark):
     got = out.toPandas().sort_values("payload").reset_index(drop=True)
     exp = _oracle(left, right)
     pd.testing.assert_series_equal(got["v"], exp["v"], check_dtype=False)
+
+
+def test_salted_asof_randomized_property(spark):
+    """Randomized stress across seeds: salted == unsalted on frames
+    with duplicate times, missing keys, and chunk-boundary values."""
+    for seed in (11, 29, 47):
+        rng = np.random.RandomState(seed)
+        left = pd.DataFrame(
+            {
+                "k": rng.choice(list("abcdef"), size=400),
+                # multiples of 25 land exactly on 50-wide chunk edges
+                "t": (rng.randint(0, 40, size=400) * 25).astype("int64"),
+                "payload": np.arange(400, dtype="int64"),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": rng.choice(list("abcd"), size=80),
+                "rt": (rng.randint(0, 40, size=80) * 25).astype("int64"),
+                "v": rng.uniform(size=80),
+            }
+        ).drop_duplicates(["k", "rt"], keep="last")
+        kwargs = dict(
+            key_cols=["k"], time_col="t", value_cols=["v"],
+            right_time_col="rt",
+        )
+        l_df = spark.createDataFrame(left)
+        r_df = spark.createDataFrame(right)
+        for direction in ("backward", "forward"):
+            plain = (
+                asof_join(l_df, r_df, direction=direction, **kwargs)
+                .toPandas()
+                .sort_values("payload")
+                .reset_index(drop=True)
+            )
+            salted = (
+                asof_join(
+                    l_df, r_df, direction=direction, salt_interval=50,
+                    **kwargs,
+                )
+                .toPandas()
+                .sort_values("payload")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(
+                plain[["v", "asof_t"]],
+                salted[["v", "asof_t"]],
+                check_dtype=False,
+                obj=f"seed={seed} dir={direction}",
+            )
