@@ -937,8 +937,9 @@ _NO_ORACLE_WHY = {
         "kmeans) — not SQL"
     ),
     "kernel_dropout": (
-        "block mask positions are RandomState draws — not SQL; the "
-        "deterministic-mask equivalent is oracle-checked as "
+        "block mask positions are RandomState draws — not SQL; the SAME "
+        "fill kernel under a deterministic mask is oracle-checked as "
+        "kernel_dropout_det, and the relational formulation as "
         "dropout_locf_sql"
     ),
 }
@@ -1020,6 +1021,34 @@ def q_kernel_quantile_fixed(spark, sf):
         Quantize(n_levels=5, how="quantile_fixed", seed=18),
         ["cnt", "sum_value"],
         mode="subseed",
+    )
+    return out.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        "rep_idx",
+        "bucket_idx",
+        F.round("cnt", 6).alias("cnt"),
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+def q_kernel_dropout_det(spark, sf):
+    """Dropout's REAL block-fill kernel under a deterministic mask.
+
+    The operator's fill machinery (overlap-tolerant fancy-index ffill of
+    3-wide blocks, dropout.py) runs unmodified; only the mask draw comes
+    from rng_plan.PositionalRNG — a position-hash formula the DuckDB
+    oracle replays exactly as a static source-index mapping.  This is
+    the oracle-checkable twin of the RNG-bound `kernel_dropout` entry.
+    """
+    from tsaug_spark.operators import Dropout
+    from tsaug_spark.plans.pack import apply_operator
+    from tsaug_spark.plans.rng_plan import PositionalRNG
+
+    series = _series_df(spark, sf)
+    op = Dropout(p=0.3, size=3, fill="ffill", seed=0)
+    op.rng_factory = PositionalRNG
+    out = apply_operator(
+        series, op, ["cnt", "sum_value"], mode="subseed"
     )
     return out.select(
         F.col("conv_id").cast("long").alias("user_id"),
@@ -1185,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kernel_dropout": _kernel_query(
             _k_dropout, note=_NO_ORACLE_WHY["kernel_dropout"]
         ),
+        "kernel_dropout_det": q_kernel_dropout_det,
         "kernel_convolve_chunked": q_kernel_convolve_chunked,
         "kernel_quantile_buggy": q_kernel_quantile_buggy,
         "kernel_quantile_fixed": q_kernel_quantile_fixed,
@@ -1295,6 +1325,30 @@ def _quantile_sql(
         f"ROUND({chan('sc', 'ac[k + 1]')}, 6) AS cnt, "
         f"ROUND({chan('sv', 'asv[k + 1]')}, 6) AS sum_value "
         "FROM srt CROSS JOIN ks"
+    )
+
+
+def _dropout_det_sql(T: int = 48, s: int = 3, p: float = 0.3) -> str:
+    """Oracle for the deterministic-mask Dropout kernel: recompute the
+    PositionalRNG mask, apply the same ascending-start last-write-wins
+    block-ffill (reads hit the pre-fill values — NumPy fancy assignment
+    gathers before writing), and emit the static src-index mapping."""
+    import numpy as np
+
+    target = p / 1 / s  # rate / len(sizes) / s, as dropout.py computes
+    j = np.arange(T - s)
+    u = ((j * 17 + 7) % 100) / 100.0
+    starts = np.flatnonzero(u <= target)
+    src = np.arange(T)
+    for st in starts:
+        src[st + 1 : st + 1 + s] = st
+    lst = "[" + ", ".join(str(int(x)) for x in src) + "]"
+    return (
+        f"WITH b AS ({_HOURLY_SQL}), {_SERIES_SQL} "
+        "SELECT user_id, CAST(0 AS INT) AS rep_idx, k AS bucket_idx, "
+        f"ROUND(ac[({lst})[k + 1] + 1], 6) AS cnt, "
+        f"ROUND(asv[({lst})[k + 1] + 1], 6) AS sum_value "
+        "FROM arr CROSS JOIN ks"
     )
 
 
@@ -1841,6 +1895,7 @@ def oracle_sql() -> dict[str, str]:
             f"ROUND({_hann7_conv_expr('ac')}, 6) AS cnt "
             "FROM arr CROSS JOIN ks"
         ),
+        "kernel_dropout_det": _dropout_det_sql(),
         "kernel_quantile_buggy": _quantile_sql(buggy=True),
         "kernel_quantile_fixed": _quantile_sql(buggy=False),
         "simhash_pairs": (

@@ -202,7 +202,12 @@ def apply_operator(
             selected, queue = plan_bc.value[(cid, rep)]
             out = _run_single(op, x, selected, queue, None, y=y)
         else:
-            rng = np.random.RandomState(subseed_for(seed, cid, rep))
+            factory = getattr(op, "rng_factory", None)
+            rng = (
+                factory()
+                if factory is not None
+                else np.random.RandomState(subseed_for(seed, cid, rep))
+            )
             selected = bool(rng.uniform() <= prob)
             out = _run_single(op, x, selected, [], rng, y=y)
         if label_cols:
@@ -321,10 +326,18 @@ def _apply_subseed_stream(
             keys = conv.take(
                 pa.array(starts[:-1], type=pa.int64())
             ).to_pylist()
+            # rng_factory hook: an op may carry a deterministic RNG
+            # stand-in (e.g. rng_plan.PositionalRNG) so SQL oracles can
+            # replay its draw-dependent masks exactly
+            factory = getattr(op, "rng_factory", None)
             for g in range(n_groups):
                 s, e = starts[g], starts[g + 1]
-                rng = np.random.RandomState(
-                    subseed_for(seed, keys[g], int(rep[s]))
+                rng = (
+                    factory()
+                    if factory is not None
+                    else np.random.RandomState(
+                        subseed_for(seed, keys[g], int(rep[s]))
+                    )
                 )
                 selected = bool(rng.uniform() <= prob)
                 outs[g] = _run_single(op, vals[s:e], selected, [], rng)

@@ -326,3 +326,25 @@ def subseed_for(seed: Optional[int], conv_id: str, rep: int) -> int:
     for ch in f"{base}|{conv_id}|{rep}":
         h = np.uint64((int(h) ^ ord(ch)) * 1099511628211 % (1 << 64))
     return int(h % np.uint64(2 ** 31 - 1))
+
+
+class PositionalRNG:
+    """Deterministic RandomState stand-in: ``uniform(size=...)`` yields
+    position-hash fractions ``((j*17 + 7) % 100) / 100`` along the last
+    axis (j = flat position mod last-dim), and scalar ``uniform()``
+    returns ``low`` (so prob-selection always selects).
+
+    Purpose: run an RNG-bearing kernel (e.g. Dropout's block mask) under
+    a mask a SQL oracle can replay exactly — the formula is pure integer
+    arithmetic on positions, identical in Python and SQL.  Inject via
+    the ``rng_factory`` hook on an operator (plans/pack.py).
+    """
+
+    def uniform(self, low=0.0, high=1.0, size=None):
+        if size is None:
+            return low
+        shape = size if isinstance(size, tuple) else (int(size),)
+        n = int(np.prod(shape))
+        j = np.arange(n) % shape[-1]
+        u = ((j * 17 + 7) % 100) / 100.0
+        return (low + (high - low) * u).reshape(shape)
