@@ -1059,6 +1059,49 @@ def q_kernel_dropout_det(spark, sf):
     )
 
 
+def _det_kernel_query(op_factory, note):
+    """Kernel run with the deterministic PositionalRNG injected."""
+
+    def run(spark, sf):
+        from tsaug_spark.plans.pack import apply_operator
+        from tsaug_spark.plans.rng_plan import PositionalRNG
+
+        series = _series_df(spark, sf)
+        op = op_factory()
+        op.rng_factory = PositionalRNG
+        out = apply_operator(
+            series, op, ["cnt", "sum_value"], mode="subseed"
+        )
+        return out.select(
+            F.col("conv_id").cast("long").alias("user_id"),
+            "rep_idx",
+            "bucket_idx",
+            F.round("cnt", 6).alias("cnt"),
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+
+    run.__doc__ = note
+    return run
+
+
+def _k_addnoise_det():
+    from tsaug_spark.operators import AddNoise
+
+    return AddNoise(distr="uniform", loc=0.0, scale=0.05, seed=0)
+
+
+def _k_timewarp_det():
+    from tsaug_spark.operators import TimeWarp
+
+    return TimeWarp(seed=0)
+
+
+def _k_drift_det():
+    from tsaug_spark.operators import Drift
+
+    return Drift(max_drift=0.3, seed=0)
+
+
 def q_kernel_convolve_chunked(spark, sf):
     """Halo-chunked hann smoothing — the long-series execution path."""
     from tsaug_spark.functions.windows import make_window
@@ -1215,6 +1258,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _k_dropout, note=_NO_ORACLE_WHY["kernel_dropout"]
         ),
         "kernel_dropout_det": q_kernel_dropout_det,
+        "kernel_addnoise_det": _det_kernel_query(
+            _k_addnoise_det,
+            note=(
+                "AddNoise(distr='uniform') through the REAL kernel with"
+                " PositionalRNG draws — the closed-form DuckDB oracle"
+                " replays base/scale/span with the same float op order."
+            ),
+        ),
+        "kernel_timewarp_det": _det_kernel_query(
+            _k_timewarp_det,
+            note=(
+                "TimeWarp through the REAL kernel (PCHIP warp + linear"
+                " re-interp) under PositionalRNG anchors; the warp path"
+                " folds to static per-position constants in the oracle."
+            ),
+        ),
+        "kernel_drift_det": _det_kernel_query(
+            _k_drift_det,
+            note=(
+                "Drift through the REAL kernel (not-a-knot spline walk)"
+                " under PositionalRNG anchors; the normalized curve"
+                " folds to one static vector per channel in the oracle."
+            ),
+        ),
         "kernel_convolve_chunked": q_kernel_convolve_chunked,
         "kernel_quantile_buggy": q_kernel_quantile_buggy,
         "kernel_quantile_fixed": q_kernel_quantile_fixed,
@@ -1348,6 +1415,116 @@ def _dropout_det_sql(T: int = 48, s: int = 3, p: float = 0.3) -> str:
         "SELECT user_id, CAST(0 AS INT) AS rep_idx, k AS bucket_idx, "
         f"ROUND(ac[({lst})[k + 1] + 1], 6) AS cnt, "
         f"ROUND(asv[({lst})[k + 1] + 1], 6) AS sum_value "
+        "FROM arr CROSS JOIN ks"
+    )
+
+
+def _addnoise_det_sql(
+    T: int = 48, C: int = 2, scale: float = 0.05, loc: float = 0.0
+) -> str:
+    """Closed-form oracle for AddNoise(distr='uniform') under
+    PositionalRNG: base = -sqrt3 + 2*sqrt3*u_j over flat (t, c)
+    positions, noise = base*scale + loc, out = x + noise * channel
+    span — all replicated with the kernel's exact float op order."""
+    import numpy as np
+
+    j = np.arange(T * C)
+    u = (((j * 17 + 7) % 100) / 100.0).reshape(1, T, C)
+    root3 = 3 ** 0.5
+    base = (-root3) + (root3 - (-root3)) * u
+    noise = base * scale + loc
+
+    def chan(arr: str, c: int) -> str:
+        lst = "[" + ", ".join(
+            repr(float(x)) for x in noise[0, :, c]
+        ) + "]"
+        return (
+            f"{arr}[k + 1] + ({lst})[k + 1] * "
+            f"(list_aggregate({arr}, 'max') - "
+            f"list_aggregate({arr}, 'min'))"
+        )
+
+    return (
+        f"WITH b AS ({_HOURLY_SQL}), {_SERIES_SQL} "
+        "SELECT user_id, CAST(0 AS INT) AS rep_idx, k AS bucket_idx, "
+        f"ROUND({chan('ac', 0)}, 6) AS cnt, "
+        f"ROUND({chan('asv', 1)}, 6) AS sum_value "
+        "FROM arr CROSS JOIN ks"
+    )
+
+
+def _timewarp_det_sql(T: int = 48) -> str:
+    """Oracle for TimeWarp under PositionalRNG: the warp path is the
+    same for every series (anchors come from the positional formula,
+    not per-series draws), so the per-position (lo, frac) pairs fold to
+    static constants and the output is a per-k linear blend.
+
+    The constants are produced by the engine's own (parity-pinned)
+    plan_warp/PCHIP port; the driver check therefore certifies the
+    DISTRIBUTED execution path — algorithmic correctness of the port
+    itself is pinned separately by the closed-form PCHIP fixtures."""
+    import numpy as np
+
+    from tsaug_spark.operators import TimeWarp
+    from tsaug_spark.plans.rng_plan import PositionalRNG
+
+    wp = TimeWarp(seed=0).plan_warp(PositionalRNG(), 1, T)[0]
+    lo = np.clip(np.floor(wp).astype(int), 0, T - 2)
+    frac = wp - lo
+
+    def chan(arr: str) -> str:
+        arms = []
+        for k in range(T):
+            lx, f = int(lo[k]), float(frac[k])
+            if f == 0.0:
+                arms.append(f"WHEN {k} THEN {arr}[{lx + 1}]")
+            else:
+                arms.append(
+                    f"WHEN {k} THEN ({arr}[{lx + 1}] + "
+                    f"({arr}[{lx + 2}] - {arr}[{lx + 1}]) * {f!r})"
+                )
+        return "CASE k " + " ".join(arms) + " END"
+
+    return (
+        f"WITH b AS ({_HOURLY_SQL}), {_SERIES_SQL} "
+        "SELECT user_id, CAST(0 AS INT) AS rep_idx, k AS bucket_idx, "
+        f"ROUND({chan('ac')}, 6) AS cnt, "
+        f"ROUND({chan('asv')}, 6) AS sum_value "
+        "FROM arr CROSS JOIN ks"
+    )
+
+
+def _drift_det_sql(T: int = 48) -> str:
+    """Oracle for Drift under PositionalRNG: the normalized drift curve
+    is draw-only (independent of the data), so it folds to one static
+    48-vector per channel; out = x + curve * channel span.  Same
+    certifies-the-distributed-path caveat as _timewarp_det_sql (the
+    curve comes from the parity-pinned not-a-knot spline port)."""
+    import numpy as np
+
+    from tsaug_spark.operators import Drift
+    from tsaug_spark.plans.rng_plan import PositionalRNG
+
+    base = Drift(max_drift=0.3, normalize=False, seed=0)
+    curve = base._core(
+        np.zeros((1, T, 2)), None, rng=PositionalRNG()
+    )[0]
+
+    def chan(arr: str, c: int) -> str:
+        lst = "[" + ", ".join(
+            repr(float(x)) for x in curve[0, :, c]
+        ) + "]"
+        return (
+            f"{arr}[k + 1] + ({lst})[k + 1] * "
+            f"(list_aggregate({arr}, 'max') - "
+            f"list_aggregate({arr}, 'min'))"
+        )
+
+    return (
+        f"WITH b AS ({_HOURLY_SQL}), {_SERIES_SQL} "
+        "SELECT user_id, CAST(0 AS INT) AS rep_idx, k AS bucket_idx, "
+        f"ROUND({chan('ac', 0)}, 6) AS cnt, "
+        f"ROUND({chan('asv', 1)}, 6) AS sum_value "
         "FROM arr CROSS JOIN ks"
     )
 
@@ -1896,6 +2073,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM arr CROSS JOIN ks"
         ),
         "kernel_dropout_det": _dropout_det_sql(),
+        "kernel_addnoise_det": _addnoise_det_sql(),
+        "kernel_timewarp_det": _timewarp_det_sql(),
+        "kernel_drift_det": _drift_det_sql(),
         "kernel_quantile_buggy": _quantile_sql(buggy=True),
         "kernel_quantile_fixed": _quantile_sql(buggy=False),
         "simhash_pairs": (

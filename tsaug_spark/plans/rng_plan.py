@@ -329,22 +329,47 @@ def subseed_for(seed: Optional[int], conv_id: str, rep: int) -> int:
 
 
 class PositionalRNG:
-    """Deterministic RandomState stand-in: ``uniform(size=...)`` yields
-    position-hash fractions ``((j*17 + 7) % 100) / 100`` along the last
-    axis (j = flat position mod last-dim), and scalar ``uniform()``
-    returns ``low`` (so prob-selection always selects).
+    """Deterministic, STATELESS RandomState stand-in.
 
-    Purpose: run an RNG-bearing kernel (e.g. Dropout's block mask) under
-    a mask a SQL oracle can replay exactly — the formula is pure integer
-    arithmetic on positions, identical in Python and SQL.  Inject via
-    the ``rng_factory`` hook on an operator (plans/pack.py).
+    ``uniform(size=...)`` / ``normal`` / ``choice`` yield position-hash
+    values ``u_j = ((j*17 + 7) % 100) / 100`` over the FLAT element
+    position j (row-major); scalar ``uniform()`` returns ``low`` so
+    prob-selection always selects.  Stateless: every call restarts at
+    position 0, so a generator replaying the same call sequence (e.g.
+    an oracle-SQL builder on the driver) sees the same stream.
+
+    Purpose: run an RNG-bearing kernel (Dropout masks, AddNoise draws,
+    TimeWarp/Drift anchors) under draws a SQL oracle can replay exactly
+    — pure integer arithmetic on positions, identical in Python and
+    SQL (or foldable to static per-position constants).  Inject via the
+    ``rng_factory`` hook on an operator (plans/pack.py).
     """
+
+    @staticmethod
+    def _u(shape):
+        n = int(np.prod(shape))
+        j = np.arange(n)
+        return (((j * 17 + 7) % 100) / 100.0).reshape(shape)
 
     def uniform(self, low=0.0, high=1.0, size=None):
         if size is None:
             return low
         shape = size if isinstance(size, tuple) else (int(size),)
-        n = int(np.prod(shape))
-        j = np.arange(n) % shape[-1]
-        u = ((j * 17 + 7) % 100) / 100.0
-        return (low + (high - low) * u).reshape(shape)
+        return low + (high - low) * self._u(shape)
+
+    def normal(self, loc=0.0, scale=1.0, size=None):
+        shape = size if isinstance(size, tuple) else (int(size),)
+        return loc + scale * (self._u(shape) - 0.5) * 2.0
+
+    def choice(self, a, size=None):
+        n_opts = int(a) if isinstance(a, (int, np.integer)) else len(a)
+        if size is None:
+            shape = ()
+        elif isinstance(size, tuple):
+            shape = size
+        else:
+            shape = (int(size),)
+        idx = (np.arange(int(np.prod(shape))) % n_opts).reshape(shape)
+        if isinstance(a, (int, np.integer)):
+            return idx
+        return np.asarray(a)[idx]
