@@ -707,6 +707,46 @@ def q_percentiles(spark, sf):
     )
 
 
+def q_distinct_users_1d(spark, sf):
+    """Exact distinct aggregate per day bucket (the expand+two-phase
+    distinct plan; approx_count_distinct is the 100 TB variant but is
+    estimator-specific, so the driver-checked form is exact)."""
+    ev = _events(spark, sf)
+    day = (
+        (F.floor(F.unix_timestamp("ts") / DAY) * DAY)
+        .cast("long")
+        .alias("bucket_s")
+    )
+    return ev.groupBy(day).agg(
+        F.countDistinct("user_id").alias("uniq_users"),
+        F.countDistinct("event_type").alias("uniq_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_cube_type_day(spark, sf):
+    """GROUP BY CUBE (event_type, day) — all four grouping sets."""
+    ev = _events(spark, sf)
+    day = (
+        (F.floor(F.unix_timestamp("ts") / DAY) * DAY)
+        .cast("long")
+        .alias("bucket_s")
+    )
+    return (
+        ev.cube("event_type", day)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("bucket_s", F.lit(-1)).alias("bucket_s"),
+            "n",
+            "total",
+        )
+    )
+
+
 def q_rollup_groupingsets(spark, sf):
     """GROUP BY ROLLUP (event_type) — subtotal + grand-total rows."""
     ev = _events(spark, sf)
@@ -1224,6 +1264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "percentiles": q_percentiles,
         "rollup_groupingsets": q_rollup_groupingsets,
+        "distinct_users_1d": q_distinct_users_1d,
+        "cube_type_day": q_cube_type_day,
         "skew_salted_agg": q_skew_salted_agg,
         "pipe_reverse_pool": q_pipe_reverse_pool,
         "asof_enrich": q_asof_enrich,
@@ -1984,6 +2026,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COALESCE(event_type, 'ALL') AS event_type, COUNT(*) "
             "AS n, ROUND(SUM(value), 4) AS total FROM events "
             "GROUP BY ROLLUP (event_type)"
+        ),
+        "distinct_users_1d": (
+            "SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS "
+            "bucket_s, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS "
+            "uniq_users, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS "
+            "uniq_types, COUNT(*) AS n_events FROM events GROUP BY 1"
+        ),
+        "cube_type_day": (
+            "SELECT COALESCE(event_type, 'ALL') AS event_type, "
+            "COALESCE(CAST(floor(epoch(ts)/86400)*86400 AS BIGINT), -1) "
+            "AS bucket_s, COUNT(*) AS n, ROUND(SUM(value), 4) AS total "
+            "FROM events GROUP BY CUBE (event_type, "
+            "CAST(floor(epoch(ts)/86400)*86400 AS BIGINT))"
         ),
         "skew_salted_agg": (
             "SELECT user_id, COUNT(*) AS n_events, "
