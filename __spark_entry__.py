@@ -213,19 +213,33 @@ def q_gapfill_bfill(spark, sf):
 
 
 def q_gapfill_mean(spark, sf):
-    """Per-conversation-mean fill — the Dropout 'mean' semantic."""
-    from tsaug_spark.plans.gapfill import complete_grid, fill_mean
+    """Per-conversation-mean fill — the Dropout 'mean' semantic.
+
+    The mean here folds over the SORTED observed values (array_sort +
+    left-to-right aggregate), mirrored exactly by the oracle's
+    list_sort + list fold, so the doubles are bit-identical and need no
+    ROUND — a plain AVG's aggregation order is nondeterministic across
+    partitions and can land exactly on a rounding boundary (observed:
+    a mean of 44.47625 flipping between 44.4762 and 44.4763).  The
+    library fill (plans/gapfill.fill_mean) keeps the plain windowed AVG
+    — numerically the same mean, just not bit-pinned."""
+    from tsaug_spark.plans.gapfill import complete_grid
 
     t = _hourly(spark, sf).select(
         F.col("user_id").cast("string").alias("conv_id"),
         F.timestamp_seconds("bucket_s").alias("bucket_ts"),
         F.col("sum_value").cast("double").alias("v"),
     )
-    filled = fill_mean(complete_grid(t, "1h"), ["v"])
-    return filled.select(
+    g = complete_grid(t, "1h")
+    wp = Window.partitionBy("conv_id")
+    arr = F.array_sort(F.collect_list("v").over(wp))
+    mean = F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    ) / F.size(arr)
+    return g.select(
         F.col("conv_id").cast("long").alias("user_id"),
         F.unix_timestamp("bucket_ts").alias("bucket_s"),
-        F.round("v", 4).alias("v"),
+        F.coalesce(F.col("v"), mean).alias("v"),
     )
 
 
@@ -1714,6 +1728,8 @@ def oracle_sql() -> dict[str, str]:
             "ROW AND UNBOUNDED FOLLOWING) AS cnt FROM j"
         ),
         "gapfill_mean": (
+            # list_sort + in-order fold == Spark's array_sort +
+            # aggregate: bit-identical mean, no ROUND needed
             f"WITH b AS ({hourly}), "
             "bounds AS (SELECT user_id, MIN(bucket_s) lo, MAX(bucket_s) hi "
             "FROM b GROUP BY 1), "
@@ -1721,9 +1737,12 @@ def oracle_sql() -> dict[str, str]:
             "3600)) AS BIGINT) AS bucket_s FROM bounds), "
             "j AS (SELECT g.user_id, g.bucket_s, b.sum_value AS v FROM "
             "grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket_s = "
-            "b.bucket_s) "
-            "SELECT user_id, bucket_s, ROUND(COALESCE(v, AVG(v) OVER "
-            "(PARTITION BY user_id)), 4) AS v FROM j"
+            "b.bucket_s), "
+            "m AS (SELECT user_id, list_sort(list(v) FILTER (v IS NOT "
+            "NULL)) AS a FROM j GROUP BY 1) "
+            "SELECT j.user_id, j.bucket_s, COALESCE(j.v, "
+            "list_aggregate(m.a, 'sum') / len(m.a)) AS v "
+            "FROM j JOIN m ON j.user_id = m.user_id"
         ),
         "pool_ave": (
             f"WITH h AS ({hourly}) SELECT user_id, bucket_s, "
