@@ -1053,12 +1053,14 @@ def q_kernel_quantile_buggy(spark, sf):
         ["cnt", "sum_value"],
         mode="subseed",
     )
+    # no rounding: oracle replays np.percentile bit-exactly (see
+    # _det_kernel_query on why ROUND would hurt)
     return out.select(
         F.col("conv_id").cast("long").alias("user_id"),
         "rep_idx",
         "bucket_idx",
-        F.round("cnt", 6).alias("cnt"),
-        F.round("sum_value", 6).alias("sum_value"),
+        "cnt",
+        "sum_value",
     )
 
 
@@ -1076,12 +1078,14 @@ def q_kernel_quantile_fixed(spark, sf):
         ["cnt", "sum_value"],
         mode="subseed",
     )
+    # no rounding: oracle replays np.percentile bit-exactly (see
+    # _det_kernel_query on why ROUND would hurt)
     return out.select(
         F.col("conv_id").cast("long").alias("user_id"),
         "rep_idx",
         "bucket_idx",
-        F.round("cnt", 6).alias("cnt"),
-        F.round("sum_value", 6).alias("sum_value"),
+        "cnt",
+        "sum_value",
     )
 
 
@@ -1104,12 +1108,14 @@ def q_kernel_dropout_det(spark, sf):
     out = apply_operator(
         series, op, ["cnt", "sum_value"], mode="subseed"
     )
+    # no rounding: the oracle replays the mask bit-exactly (see
+    # _det_kernel_query on why ROUND would hurt)
     return out.select(
         F.col("conv_id").cast("long").alias("user_id"),
         "rep_idx",
         "bucket_idx",
-        F.round("cnt", 6).alias("cnt"),
-        F.round("sum_value", 6).alias("sum_value"),
+        "cnt",
+        "sum_value",
     )
 
 
@@ -1126,12 +1132,16 @@ def _det_kernel_query(op_factory, note):
         out = apply_operator(
             series, op, ["cnt", "sum_value"], mode="subseed"
         )
+        # NO rounding: these paths are replicated bit-exactly by their
+        # oracles, and ROUND itself disagrees between Spark (BigDecimal
+        # HALF_UP) and DuckDB (multiply-based) on exact half-way
+        # decimals — rounding identical doubles INTRODUCES mismatches
         return out.select(
             F.col("conv_id").cast("long").alias("user_id"),
             "rep_idx",
             "bucket_idx",
-            F.round("cnt", 6).alias("cnt"),
-            F.round("sum_value", 6).alias("sum_value"),
+            "cnt",
+            "sum_value",
         )
 
     run.__doc__ = note
@@ -1445,8 +1455,8 @@ def _quantile_sql(
         "srt AS (SELECT user_id, ac, asv, list_sort(ac) AS sc, "
         "list_sort(asv) AS sv FROM arr) "
         "SELECT user_id, CAST(0 AS INT) AS rep_idx, k AS bucket_idx, "
-        f"ROUND({chan('sc', 'ac[k + 1]')}, 6) AS cnt, "
-        f"ROUND({chan('sv', 'asv[k + 1]')}, 6) AS sum_value "
+        f"{chan('sc', 'ac[k + 1]')} AS cnt, "
+        f"{chan('sv', 'asv[k + 1]')} AS sum_value "
         "FROM srt CROSS JOIN ks"
     )
 
@@ -1469,8 +1479,8 @@ def _dropout_det_sql(T: int = 48, s: int = 3, p: float = 0.3) -> str:
     return (
         f"WITH b AS ({_HOURLY_SQL}), {_SERIES_SQL} "
         "SELECT user_id, CAST(0 AS INT) AS rep_idx, k AS bucket_idx, "
-        f"ROUND(ac[({lst})[k + 1] + 1], 6) AS cnt, "
-        f"ROUND(asv[({lst})[k + 1] + 1], 6) AS sum_value "
+        f"ac[({lst})[k + 1] + 1] AS cnt, "
+        f"asv[({lst})[k + 1] + 1] AS sum_value "
         "FROM arr CROSS JOIN ks"
     )
 
@@ -1503,8 +1513,8 @@ def _addnoise_det_sql(
     return (
         f"WITH b AS ({_HOURLY_SQL}), {_SERIES_SQL} "
         "SELECT user_id, CAST(0 AS INT) AS rep_idx, k AS bucket_idx, "
-        f"ROUND({chan('ac', 0)}, 6) AS cnt, "
-        f"ROUND({chan('asv', 1)}, 6) AS sum_value "
+        f"{chan('ac', 0)} AS cnt, "
+        f"{chan('asv', 1)} AS sum_value "
         "FROM arr CROSS JOIN ks"
     )
 
@@ -1544,8 +1554,8 @@ def _timewarp_det_sql(T: int = 48) -> str:
     return (
         f"WITH b AS ({_HOURLY_SQL}), {_SERIES_SQL} "
         "SELECT user_id, CAST(0 AS INT) AS rep_idx, k AS bucket_idx, "
-        f"ROUND({chan('ac')}, 6) AS cnt, "
-        f"ROUND({chan('asv')}, 6) AS sum_value "
+        f"{chan('ac')} AS cnt, "
+        f"{chan('asv')} AS sum_value "
         "FROM arr CROSS JOIN ks"
     )
 
@@ -1579,8 +1589,8 @@ def _drift_det_sql(T: int = 48) -> str:
     return (
         f"WITH b AS ({_HOURLY_SQL}), {_SERIES_SQL} "
         "SELECT user_id, CAST(0 AS INT) AS rep_idx, k AS bucket_idx, "
-        f"ROUND({chan('ac', 0)}, 6) AS cnt, "
-        f"ROUND({chan('asv', 1)}, 6) AS sum_value "
+        f"{chan('ac', 0)} AS cnt, "
+        f"{chan('asv', 1)} AS sum_value "
         "FROM arr CROSS JOIN ks"
     )
 
