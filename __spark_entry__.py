@@ -949,6 +949,33 @@ def q_kernel_pool_replay(spark, sf):
     )
 
 
+def q_kernel_pool_mask(spark, sf):
+    """The Y-mask channel through the grouped kernel: Pool pools the X
+    values and passes the segmentation labels through unchanged
+    (reference pool.py:176-179) — the label (`label_cols`) plumbing of
+    apply_operator, driver-checked."""
+    from tsaug_spark.operators import Pool
+    from tsaug_spark.plans.pack import apply_operator
+
+    series = _series_df(spark, sf).drop("sum_value").withColumn(
+        "lab", (F.col("cnt") > 1).cast("double")
+    )
+    out = apply_operator(
+        series,
+        Pool(size=4, seed=0),
+        ["cnt"],
+        mode="subseed",
+        label_cols=["lab"],
+    )
+    return out.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        "rep_idx",
+        "bucket_idx",
+        F.round("cnt", 6).alias("cnt"),
+        F.col("lab"),
+    )
+
+
 def _kernel_query(op_factory, note=None):
     def run(spark, sf):
         from tsaug_spark.plans.pack import apply_operator
@@ -1299,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup_1m": q_stream_rollup_1m,
         "stream_sessionize": q_stream_sessionize,
         "kernel_pool_replay": q_kernel_pool_replay,
+        "kernel_pool_mask": q_kernel_pool_mask,
         "kernel_convolve": _kernel_query(
             _k_convolve,
             note=(
@@ -2142,6 +2170,27 @@ def oracle_sql() -> dict[str, str]:
             "T >= 48 AND idx < 48) "
             "SELECT user_id, bucket_idx, ROUND(AVG(cnt) OVER (PARTITION BY "
             "user_id, bucket_idx // 4), 6) AS cnt FROM s"
+        ),
+        "kernel_pool_mask": (
+            f"WITH b AS ({hourly}), "
+            "bounds AS (SELECT user_id, MIN(bucket_s) lo, MAX(bucket_s) hi "
+            "FROM b GROUP BY 1), "
+            "grid AS (SELECT user_id, CAST(unnest(range(lo, hi + 3600, "
+            "3600)) AS BIGINT) AS bucket_s FROM bounds), "
+            "j AS (SELECT g.user_id, g.bucket_s, b.cnt FROM grid g LEFT "
+            "JOIN b ON g.user_id = b.user_id AND g.bucket_s = b.bucket_s), "
+            "locf AS (SELECT user_id, bucket_s, CAST(last_value(cnt IGNORE "
+            "NULLS) OVER (PARTITION BY user_id ORDER BY bucket_s ROWS "
+            "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS "
+            "cnt, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY "
+            "bucket_s) - 1 AS idx, COUNT(*) OVER (PARTITION BY user_id) "
+            "AS T FROM j), "
+            "s AS (SELECT user_id, idx AS bucket_idx, cnt FROM locf WHERE "
+            "T >= 48 AND idx < 48) "
+            "SELECT user_id, CAST(0 AS INT) AS rep_idx, bucket_idx, "
+            "ROUND(AVG(cnt) OVER (PARTITION BY user_id, bucket_idx // 4), "
+            "6) AS cnt, CASE WHEN cnt > 1 THEN 1.0 ELSE 0.0 END AS lab "
+            "FROM s"
         ),
         "kernel_convolve": (
             f"WITH b AS ({hourly}), {_SERIES_SQL} "
