@@ -364,6 +364,26 @@ def q_topk_users(spark, sf):
     )
 
 
+def q_topk_per_type(spark, sf):
+    """Top-3 users by total value within each event_type — the
+    window-rank top-k-per-group pattern (row_number over a per-group
+    ordering, then filter)."""
+    ev = _events(spark, sf)
+    agg = ev.groupBy("event_type", "user_id").agg(
+        F.sum("value").alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("v"), F.asc("user_id")
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "event_type", "rk", "user_id", F.round("v", 4).alias("v")
+        )
+    )
+
+
 def q_tpch_pricing(spark, sf):
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     return (
@@ -590,6 +610,12 @@ def q_token_counts(spark, sf):
 
 
 from tsaug_spark.pipeline.text import LANG_RULES as _LANG_RULES  # noqa: E402
+
+
+def q_token_counts_bpe(spark, sf):
+    from tsaug_spark.pipeline.text import token_counts_bpe
+
+    return token_counts_bpe(_docs(spark, sf))
 
 
 def q_lang_id(spark, sf):
@@ -1288,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_uniform": q_quantize_uniform,
         "crop_slice": q_crop_slice,
         "topk_users": q_topk_users,
+        "topk_per_type": q_topk_per_type,
         "tpch_pricing": q_tpch_pricing,
         "nation_revenue": q_nation_revenue,
         "region_revenue": q_region_revenue,
@@ -1306,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_text": q_scrub_text,
         "stopword_ratio": q_stopword_ratio,
         "token_counts": q_token_counts,
+        "token_counts_bpe": q_token_counts_bpe,
         "lang_id": q_lang_id,
         "multimodal_bytes": q_multimodal_bytes,
         "multimodal_frames": q_multimodal_frames,
@@ -1648,6 +1676,17 @@ def _simhash_sig_sql(bits: int) -> str:
     )
 
 
+def _bpe_tokens_sql() -> str:
+    from tsaug_spark.pipeline.text import BPE_TOKEN_PATTERN
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return (
+        f"SELECT source, lang, CAST(SUM(len(regexp_extract_all(text, "
+        f"'{pat}'))) AS BIGINT) AS bpe_tokens, COUNT(*) AS docs "
+        "FROM documents GROUP BY 1, 2"
+    )
+
+
 def _scrub_oracle_sql() -> str:
     """Nested regexp_replace with the SAME rules/order as scrub_text
     (patterns restricted to the Java-regex/RE2 common subset; DuckDB
@@ -1834,6 +1873,16 @@ def oracle_sql() -> dict[str, str]:
             "AS n_events FROM events GROUP BY 1 "
             "ORDER BY total_value DESC, user_id LIMIT 10"
         ),
+        "topk_per_type": (
+            "WITH a AS (SELECT event_type, user_id, SUM(value) AS v "
+            "FROM events GROUP BY 1, 2), "
+            "r AS (SELECT event_type, user_id, v, ROW_NUMBER() OVER "
+            "(PARTITION BY event_type ORDER BY v DESC, user_id) AS rk "
+            "FROM a) "
+            "SELECT event_type, CAST(rk AS BIGINT) AS rk, user_id, "
+            "ROUND(v, 4) AS v FROM r WHERE rk <= 3"
+        ),
+        "token_counts_bpe": _bpe_tokens_sql(),
         "tpch_pricing": (
             "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) "
             "AS sum_qty, ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "

@@ -46,6 +46,29 @@ def token_counts(
     )
 
 
+#: GPT-2-flavoured pre-tokenizer pattern, restricted to the Java-regex /
+#: RE2 common subset (no lookarounds): a token is an optionally
+#: space-prefixed letter run, digit run, or punctuation run
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def token_counts_bpe(
+    df: DataFrame, group_cols=("source", "lang"), text_col: str = "text"
+) -> DataFrame:
+    """BPE-ish regex token totals per group — the subword-style sizing
+    companion to the whitespace ``token_counts`` (regexp_extract_all is
+    Catalyst-native; the same pattern runs verbatim in the oracle)."""
+    toks = F.size(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0
+        )
+    )
+    return df.groupBy(*group_cols).agg(
+        F.sum(toks).cast("long").alias("bpe_tokens"),
+        F.count(F.lit(1)).alias("docs"),
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language heuristic; returns the confusion table
     against the ``lang`` ground-truth column."""
