@@ -14,18 +14,12 @@ it broadcast.
 
 from __future__ import annotations
 
-from typing import Iterator, List, Sequence
+from typing import List, Sequence
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 
-from .gorilla import (
-    decode_timestamps,
-    decode_values,
-    encode_timestamps,
-    encode_values,
-)
+from .gorilla import decode_timestamps, decode_values
 
 
 def compress_tier(
