@@ -331,8 +331,15 @@ def main() -> None:
             result["vs_prev"] = {
                 "baseline": os.path.basename(prevs[-1]),
                 "ratio": ratio,
+                # flag needs BOTH a 1.3x ratio and >0.5s absolute slip:
+                # this host's allocation drifts 2-3x on a minutes
+                # timescale, so sub-second queries trip pure ratios
+                # randomly (BENCH/BASELINE.md)
                 "regressions_gt_1.3x": sorted(
-                    k for k, r in ratio.items() if r > 1.3
+                    k
+                    for k, r in ratio.items()
+                    if r > 1.3
+                    and result["queries"][k] - prev_q[k] > 0.5
                 ),
             }
         except (OSError, json.JSONDecodeError, KeyError):
