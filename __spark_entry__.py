@@ -574,6 +574,19 @@ def q_simhash16(spark, sf):
     return simhash(_docs(spark, sf), bits=16)
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup survivorship: connected components over the exact
+    SimHash pair graph — every doc in a transitively-connected dup
+    group labelled with the group's min doc id.  Oracle: DuckDB
+    WITH RECURSIVE reachability over the same pair SQL."""
+    from tsaug_spark.pipeline.dedup import dedup_clusters, simhash_pairs
+
+    pairs = simhash_pairs(
+        _docs(spark, sf), bits=32, max_hamming=3, n_bands=4
+    )
+    return dedup_clusters(pairs)
+
+
 def q_embed_cosine(spark, sf):
     """Brute-force cosine similarity of every vector vs vec_id 0."""
     e = _emb(spark, sf).select(
@@ -1411,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ivf_topk": q_ivf_topk,
         "simhash_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "char_entropy": q_char_entropy,
     }
 
@@ -2266,6 +2280,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS "
             "hamming FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+        ),
+        "dedup_clusters": (
+            f"WITH RECURSIVE {_simhash_sig_sql(32)}, "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3), "
+            "e AS (SELECT id_a AS src, id_b AS dst FROM p "
+            "UNION SELECT id_b, id_a FROM p), "
+            "walk(doc_id, lab) AS ("
+            "SELECT DISTINCT src, src FROM e "
+            "UNION SELECT e.dst, w.lab FROM walk w "
+            "JOIN e ON e.src = w.doc_id) "
+            "SELECT doc_id, MIN(lab) AS component FROM walk GROUP BY 1"
         ),
         "ivf_topk": (
             "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM "

@@ -262,3 +262,39 @@ def test_stopword_ratio_values(spark):
     )
     assert out[0] == pytest.approx(3 / 6)
     assert out[1] == 0.0
+
+
+def test_dedup_clusters_connected_components(spark):
+    from tsaug_spark.pipeline.dedup import dedup_clusters
+
+    # chain 1-2-3, pair 10-11, triangle 20-21-22 (+ transitive 20-22)
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id_a": [1, 2, 10, 20, 21, 20],
+                "id_b": [2, 3, 11, 21, 22, 22],
+            }
+        )
+    )
+    out = (
+        dedup_clusters(pairs)
+        .toPandas()
+        .set_index("doc_id")["component"]
+        .to_dict()
+    )
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """A 30-hop chain needs many propagation rounds — the fixpoint loop
+    must carry labels the whole way, not just one hop."""
+    from tsaug_spark.pipeline.dedup import dedup_clusters
+
+    n = 30
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": range(n), "id_b": range(1, n + 1)})
+    )
+    out = dedup_clusters(pairs, max_iters=50).toPandas()
+    assert (out["component"] == 0).all()
+    assert len(out) == n + 1

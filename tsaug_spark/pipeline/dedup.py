@@ -272,6 +272,76 @@ def simhash_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every doc in a
+    transitively-connected dup group gets the group's MIN doc id as its
+    ``component`` — the canonical survivor for dedup survivorship.
+
+    Min-label propagation to fixpoint: each round, a doc's label drops
+    to the minimum of its own and its neighbours' labels (one equi-join
+    + hash aggregate per round).  Rounds needed = component diameter;
+    near-dup clusters are near-cliques (LSH pairs), so a handful of
+    rounds converge and ``max_iters`` is a safety bound, not the cost.
+    Per-round ``localCheckpoint`` truncates the iterative lineage (the
+    standard Spark pattern for bounded fixpoint loops); the driver-side
+    convergence check is one count per round.
+    """
+    edges = (
+        pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("component").alias("nbr_component"),
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nbr_component").alias("nbr_min"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        new = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_min", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
 def embedding_near_dup(
     emb: DataFrame,
     threshold: float = 0.95,
