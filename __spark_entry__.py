@@ -584,7 +584,9 @@ def q_dedup_clusters(spark, sf):
     pairs = simhash_pairs(
         _docs(spark, sf), bits=32, max_hamming=3, n_bands=4
     )
-    return dedup_clusters(pairs)
+    # generous diameter bound; the loop exits at fixpoint (observed
+    # <= ~5 rounds: LSH dup groups are near-cliques)
+    return dedup_clusters(pairs, max_iters=64)
 
 
 def q_embed_cosine(spark, sf):
