@@ -1017,6 +1017,45 @@ def q_kernel_pool_mask(spark, sf):
     )
 
 
+def q_kernel_resize(spark, sf):
+    """Resize(24) through the kernel's dedicated dispatch (the memory-
+    lean override path, resize.py semantics) — oracled with the linear
+    interpolation formula over the same locf'd series."""
+    from tsaug_spark.operators import Resize
+    from tsaug_spark.plans.pack import apply_operator
+
+    series = _series_df(spark, sf).drop("sum_value")
+    out = apply_operator(
+        series, Resize(24, seed=0), ["cnt"], mode="subseed"
+    )
+    return out.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        "rep_idx",
+        "bucket_idx",
+        F.round("cnt", 6).alias("cnt"),
+    )
+
+
+def q_kernel_crop_det(spark, sf):
+    """Crop through the kernel's override path under PositionalRNG
+    (choice -> first option / start 0): a deterministic 24-bucket
+    prefix crop, oracled as a plain slice."""
+    from tsaug_spark.operators import Crop
+    from tsaug_spark.plans.pack import apply_operator
+    from tsaug_spark.plans.rng_plan import PositionalRNG
+
+    series = _series_df(spark, sf).drop("sum_value")
+    op = Crop(size=24, seed=0)
+    op.rng_factory = PositionalRNG
+    out = apply_operator(series, op, ["cnt"], mode="subseed")
+    return out.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        "rep_idx",
+        "bucket_idx",
+        F.col("cnt"),
+    )
+
+
 def _kernel_query(op_factory, note=None):
     def run(spark, sf):
         from tsaug_spark.plans.pack import apply_operator
@@ -1370,6 +1409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "kernel_pool_replay": q_kernel_pool_replay,
         "kernel_pool_mask": q_kernel_pool_mask,
+        "kernel_resize": q_kernel_resize,
+        "kernel_crop_det": q_kernel_crop_det,
         "kernel_convolve": _kernel_query(
             _k_convolve,
             note=(
@@ -1664,6 +1705,31 @@ def _drift_det_sql(T: int = 48) -> str:
         f"{chan('ac', 0)} AS cnt, "
         f"{chan('asv', 1)} AS sum_value "
         "FROM arr CROSS JOIN ks"
+    )
+
+
+def _resize_oracle_sql(size: int = 24, T: int = 48) -> str:
+    """Static (lo, weight) pairs replaying resize_positions /
+    resize_batch exactly: out_k = a[lo]*(1-w) + a[lo+1]*w, last sample
+    pinned to a[T-1] (reference resize.py:98-107)."""
+    arms = []
+    for k in range(size - 1):
+        pos = (k / (size - 1)) * (T - 1)
+        lo = int(pos)
+        w = pos - lo
+        if w == 0.0:
+            arms.append(f"WHEN {k} THEN ac[{lo + 1}]")
+        else:
+            arms.append(
+                f"WHEN {k} THEN (ac[{lo + 1}] * {1.0 - w!r} + "
+                f"ac[{lo + 2}] * {w!r})"
+            )
+    arms.append(f"WHEN {size - 1} THEN ac[{T}]")
+    case = "CASE k " + " ".join(arms) + " END"
+    return (
+        f"WITH b AS ({_HOURLY_SQL}), {_SERIES_SQL.replace('range(48)', f'range({size})')} "
+        "SELECT user_id, CAST(0 AS INT) AS rep_idx, k AS bucket_idx, "
+        f"ROUND({case}, 6) AS cnt FROM arr CROSS JOIN ks"
     )
 
 
@@ -2269,6 +2335,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, k AS bucket_idx, "
             f"ROUND({_hann7_conv_expr('ac')}, 6) AS cnt "
             "FROM arr CROSS JOIN ks"
+        ),
+        "kernel_resize": _resize_oracle_sql(),
+        "kernel_crop_det": (
+            f"WITH b AS ({_HOURLY_SQL}), "
+            f"{_SERIES_SQL.replace('range(48)', 'range(24)')} "
+            "SELECT user_id, CAST(0 AS INT) AS rep_idx, k AS bucket_idx, "
+            "ac[k + 1] AS cnt FROM arr CROSS JOIN ks"
         ),
         "kernel_dropout_det": _dropout_det_sql(),
         "kernel_addnoise_det": _addnoise_det_sql(),
