@@ -33,6 +33,15 @@ def main() -> None:
     ap.add_argument("--snapshot", default=None)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument(
+        "--update",
+        action="store_true",
+        help="batch-incremental maintenance instead of a full run: "
+        "re-roll only buckets at/after each partition's committed "
+        "watermark minus --grace (the late-data path; one job + one "
+        "commit for all partitions)",
+    )
+    ap.add_argument("--grace", default="1 hour")
+    ap.add_argument(
         "--retention",
         default=None,
         help="per-tier expiry windows, e.g. '1m=2 days,1h=90 days' "
@@ -57,8 +66,15 @@ def main() -> None:
 
     tiers = args.tiers.split(",")
     if "1m" in tiers:
-        n = job.run(transcripts, "1m", resume=not args.no_resume)
-        print(f"tier 1m: processed {n} partitions")
+        if args.update:
+            n = job.update(
+                transcripts, "1m", grace=args.grace,
+                new_snapshot=snapshot,
+            )
+            print(f"tier 1m: updated {n} partitions")
+        else:
+            n = job.run(transcripts, "1m", resume=not args.no_resume)
+            print(f"tier 1m: processed {n} partitions")
     for fine, coarse in (("1m", "1h"), ("1h", "1d")):
         if coarse not in tiers:
             continue

@@ -106,3 +106,55 @@ def test_rollup_job_cli_end_to_end(spark, transcripts, tmp_path):
     )
     assert proc2.returncode == 0, proc2.stderr[-3000:]
     assert "tier 1m: processed 0 partitions" in proc2.stdout
+
+
+def test_rollup_job_cli_update_late_data(spark, transcripts, tmp_path):
+    """CLI late-data workflow: initial --tiers 1m run on the early
+    slice, then --update with the full table converges to the batch
+    rollup under a new snapshot."""
+    from pyspark.sql import functions as F
+
+    lo, hi = transcripts.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).collect()[0]
+    cutoff = F.timestamp_seconds(F.lit(int(lo + 0.7 * (hi - lo))))
+    early = transcripts.filter(F.col("ts") < cutoff)
+
+    src_early = str(tmp_path / "early")
+    src_full = str(tmp_path / "full")
+    early.write.mode("overwrite").parquet(src_early)
+    transcripts.write.mode("overwrite").parquet(src_full)
+    work = str(tmp_path / "uwork")
+
+    base = [sys.executable, str(REPO / "jobs" / "rollup_job.py"),
+            "--work-dir", work, "--tiers", "1m", "--partitions", "2"]
+    p1 = subprocess.run(
+        base + ["--input", src_early, "--snapshot", "s1"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    p2 = subprocess.run(
+        base + ["--input", src_full, "--snapshot", "s2",
+                "--update", "--grace", "2 hours"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    assert "updated" in p2.stdout
+
+    from tsaug_spark.plans.rollup import rollup_transcripts
+    from tsaug_spark.sources.checkpoint import RollupJob
+
+    job = RollupJob(spark, work, n_partitions=2)
+    got = (
+        job.read_tier("1m")
+        .orderBy("conv_id", "bucket_ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = (
+        rollup_transcripts(transcripts, "1m")
+        .orderBy("conv_id", "bucket_ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
