@@ -1086,13 +1086,19 @@ def _kernel_query(op_factory, note=None):
 _NO_ORACLE_WHY = {
     "kernel_timewarp": (
         "PCHIP monotone spline through RNG-drawn anchors + linear "
-        "re-interpolation — RNG-dependent and spline math, not SQL"
+        "re-interpolation — RNG-dependent and spline math, not SQL; "
+        "deterministic twin: kernel_timewarp_det"
     ),
     "kernel_drift": (
         "not-a-knot cubic spline (tridiagonal solve) through RNG-drawn "
-        "Gaussian anchors — not SQL"
+        "Gaussian anchors — not SQL; deterministic twin: "
+        "kernel_drift_det"
     ),
-    "kernel_addnoise": "per-point RandomState noise stream — not SQL",
+    "kernel_addnoise": (
+        "per-point RandomState noise stream — not SQL; the same kernel "
+        "under deterministic draws is oracle-checked as "
+        "kernel_addnoise_det"
+    ),
     "kernel_kmeans": (
         "iterative Lloyd's with RNG init (reference's buggy 1-D "
         "kmeans) — not SQL"
