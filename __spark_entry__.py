@@ -1296,15 +1296,20 @@ def q_kernel_convolve_chunked(spark, sf):
 
 
 def q_embed_near_dup(spark, sf):
-    """Random-hyperplane LSH near-duplicate pairs over embeddings.
+    """MULTI-BAND random-hyperplane LSH near-duplicate pairs.
 
     The synthetic embeddings have no true near-duplicates (max pairwise
     cosine ~0.51 at sf0.01), so the threshold sits where the LSH
-    candidate set is non-empty but selective.
+    candidate set is non-empty but selective.  Oracle-scale band
+    geometry (2 bands x 4 planes); production default is 4 x 16 —
+    65536 buckets per band, bounded occupancy (the scale fix over the
+    round-2 single-key scheme).
     """
     from tsaug_spark.pipeline.dedup import embedding_near_dup
 
-    return embedding_near_dup(_emb(spark, sf), threshold=0.3, n_planes=6)
+    return embedding_near_dup(
+        _emb(spark, sf), threshold=0.3, n_bands=2, band_width=4
+    )
 
 
 def q_doc_fingerprint(spark, sf):
@@ -1805,21 +1810,29 @@ def _stopword_oracle_sql() -> str:
     )
 
 
-def _near_dup_bucket_sql() -> str:
-    """Random-hyperplane bucket expression with the SAME plane draws as
-    embedding_near_dup(n_planes=6, seed=7) over dim-64 embeddings
-    (np.random.RandomState(7).normal is deterministic)."""
+def _near_dup_band_sql(n_bands: int = 2, band_width: int = 4) -> list:
+    """Per-band hyperplane key expressions with the SAME plane draws as
+    embedding_near_dup(n_bands, band_width, seed=7) over dim-64
+    embeddings (np.random.RandomState(7).normal is deterministic; one
+    (n_bands*band_width, dim) draw, bits folded MSB-first per band —
+    mirroring hyperplane_bands' acc*2+bit fold)."""
     import numpy as np
 
-    planes = np.random.RandomState(7).normal(size=(6, 64))
-    parts = []
-    for i, p in enumerate(planes):
-        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
-        parts.append(
-            f"(CASE WHEN list_dot_product(v, {lit}) >= 0 "
-            f"THEN {1 << i} ELSE 0 END)"
-        )
-    return " + ".join(parts)
+    planes = np.random.RandomState(7).normal(
+        size=(n_bands * band_width, 64)
+    )
+    keys = []
+    for b in range(n_bands):
+        parts = []
+        for i in range(band_width):
+            p = planes[b * band_width + i]
+            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            parts.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) >= 0 "
+                f"THEN {1 << (band_width - 1 - i)} ELSE 0 END)"
+            )
+        keys.append(" + ".join(parts))
+    return keys
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2388,13 +2401,17 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dup": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
             "FROM embeddings), "
-            f"bk AS (SELECT vec_id, v, {_near_dup_bucket_sql()} AS bucket "
-            "FROM e), "
+            "bk AS (SELECT vec_id, v, "
+            + ", ".join(
+                f"({k}) AS k{b}"
+                for b, k in enumerate(_near_dup_band_sql(2, 4))
+            )
+            + " FROM e), "
             "p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, "
             "list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, "
             "x.v)) * sqrt(list_dot_product(y.v, y.v))) AS c "
-            "FROM bk x JOIN bk y ON x.bucket = y.bucket AND "
-            "x.vec_id < y.vec_id) "
+            "FROM bk x JOIN bk y ON x.vec_id < y.vec_id "
+            "AND (x.k0 = y.k0 OR x.k1 = y.k1)) "
             "SELECT id_a, id_b, ROUND(c, 4) AS cos FROM p WHERE c >= 0.3"
         ),
         "doc_fingerprint": (

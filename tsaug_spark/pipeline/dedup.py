@@ -28,6 +28,49 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def cap_hot_buckets(
+    bands: DataFrame,
+    keys: list[str],
+    max_bucket: int,
+) -> DataFrame:
+    """Drop rows belonging to LSH buckets larger than ``max_bucket``.
+
+    Any LSH banding scheme emits k*(k-1)/2 candidate pairs when k rows
+    share a band value — and a 100 TB corpus has millions of EXACT
+    duplicates, which share *every* band value.  Oversized buckets are
+    almost always exact-dup clusters that belong in the cheap
+    hash-aggregate exact-dedup pass (``exact_dedup``), not a pair join;
+    this guard enforces that routing instead of assuming it.
+
+    One aggregate over the band rows + an equi-join back on the same
+    key (no extra shuffle shape beyond the join the caller is about to
+    do anyway).  Callers can count the dropped buckets via
+    ``hot_bucket_stats`` for logging/monitoring.
+    """
+    sizes = bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
+    return (
+        bands.join(sizes, keys)
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+
+
+def hot_bucket_stats(
+    bands: DataFrame, keys: list[str], max_bucket: int
+) -> DataFrame:
+    """Per-bucket sizes of the buckets ``cap_hot_buckets`` would drop.
+
+    Returns (key..., bucket_size) for oversized buckets — the
+    log()-style counter a production job emits before deferring those
+    documents to the exact-dedup path.
+    """
+    return (
+        bands.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
+    )
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -71,7 +114,11 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, n_bands: int = 4) -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    n_bands: int = 4,
+    max_bucket: Optional[int] = None,
+) -> DataFrame:
     """Docs sharing any band signature — the LSH bucket join.
 
     One explode + ONE self-join on (band_idx, band_value): a per-band
@@ -79,6 +126,10 @@ def lsh_candidate_pairs(sig: DataFrame, n_bands: int = 4) -> DataFrame:
     branch per side (2 x n_bands full passes); exploding bands into
     rows computes it once and joins on a composite key whose
     distribution is as uniform as the band hashes themselves.
+
+    ``max_bucket`` guards the k^2 blow-up from exact-duplicate clusters
+    (k identical docs share every band): buckets above the cap are
+    excluded from the join — those docs belong in ``exact_dedup``.
     """
     bands = sig.select(
         "doc_id",
@@ -98,6 +149,8 @@ def lsh_candidate_pairs(sig: DataFrame, n_bands: int = 4) -> DataFrame:
         F.col("band.b").alias("band_idx"),
         F.col("band.v").alias("band_val"),
     )
+    if max_bucket is not None:
+        bands = cap_hot_buckets(bands, ["band_idx", "band_val"], max_bucket)
     a = bands.select(
         F.col("doc_id").alias("id_a"), "band_idx", "band_val"
     )
@@ -199,6 +252,7 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     n_bands: int = 4,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance <= ``max_hamming``.
 
@@ -209,6 +263,13 @@ def simhash_pairs(
     pair (this is exact, not approximate) while joining on near-uniform
     band keys instead of doing an all-pairs scan.  Candidates are then
     verified with ``bit_count(a XOR b)``.
+
+    ``max_bucket`` (optional) excludes band buckets larger than the cap
+    from the join — the k^2 guard for exact-duplicate clusters, which
+    should be collapsed by ``exact_dedup`` first (capping trades the
+    pigeonhole exactness *inside oversized buckets* for boundedness;
+    with exact-dups pre-collapsed no legitimate bucket approaches the
+    cap).
     """
     if max_hamming >= n_bands:
         raise ValueError(
@@ -244,6 +305,8 @@ def simhash_pairs(
         F.col("band.b").alias("band_idx"),
         F.col("band.v").alias("band_val"),
     )
+    if max_bucket is not None:
+        bands = cap_hot_buckets(bands, ["band_idx", "band_val"], max_bucket)
     a = bands.select(
         F.col("doc_id").alias("id_a"),
         F.col("simhash").alias("sig_a"),
@@ -285,8 +348,17 @@ def dedup_clusters(
     near-dup clusters are near-cliques (LSH pairs), so a handful of
     rounds converge and ``max_iters`` is a safety bound, not the cost.
     Per-round ``localCheckpoint`` truncates the iterative lineage (the
-    standard Spark pattern for bounded fixpoint loops); the driver-side
-    convergence check is one count per round.
+    standard Spark pattern for bounded fixpoint loops).
+
+    The convergence check is folded into the round itself: the ``chg``
+    flag is computed in the SAME projection that produces the new
+    labels, so the per-round driver action is a single aggregate scan
+    over the already-materialized (localCheckpoint is eager) label
+    partitions — no second join/pass over labels per round.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iters`` (a silent fall-through would return wrong components
+    for any graph whose diameter exceeds the bound).
     """
     edges = (
         pairs.select(
@@ -306,6 +378,7 @@ def dedup_clusters(
         .withColumn("component", F.col("doc_id"))
         .localCheckpoint()
     )
+    changed = None
     for _ in range(max_iters):
         nbr = (
             edges.join(
@@ -319,27 +392,105 @@ def dedup_clusters(
             .agg(F.min("nbr_component").alias("nbr_min"))
             .withColumnRenamed("src", "doc_id")
         )
+        new_component = F.least(
+            F.col("component"),
+            F.coalesce("nbr_min", F.col("component")),
+        )
         new = (
             labels.join(nbr, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("nbr_min", F.col("component")),
-                ).alias("component"),
+                new_component.alias("new_component"),
+                (new_component != F.col("component"))
+                .cast("int")
+                .alias("chg"),
             )
+            .withColumnRenamed("new_component", "component")
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new
+        changed = new.agg(F.sum("chg").alias("c")).first()["c"] or 0
+        labels = new.drop("chg")
         if changed == 0:
             break
+    if changed:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); the pair graph's "
+            "component diameter exceeds max_iters — raise it"
+        )
     return labels
+
+
+def hyperplane_bands(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 4,
+    band_width: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Multi-band random-hyperplane LSH keys: one row per (vector, band).
+
+    ``n_bands * band_width`` seeded hyperplanes are drawn in ONE
+    ``RandomState(seed).normal`` call (so oracles can replay them) and
+    shipped as a single array-of-arrays literal — the same trick that
+    keeps the IVF centroid assignment a narrow plan instead of a CASE
+    chain.  Each band's key is the ``band_width``-bit sign pattern of
+    its planes' projections; sign bits are computed once via one
+    ``transform`` over the plane literal, then folded per band.
+
+    Output: (vid, v, band_idx, band_val).
+    """
+    import numpy as np
+
+    dim = emb.select(F.size(vec_col).alias("d")).first()["d"]
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_bands * band_width, dim))
+    planes_lit = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in p])
+            for p in planes
+        ]
+    )
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e = emb.select(F.col(id_col).alias("vid"), v.alias("v"))
+
+    # sign bit per plane, one pass: bits[i] = 1 if <v, plane_i> >= 0
+    bits = F.transform(
+        planes_lit,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(F.col("v"), p, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+            >= 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    e = e.withColumn("bits", bits)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.aggregate(
+                    F.slice("bits", b * band_width + 1, band_width),
+                    F.lit(0).cast("long"),
+                    lambda acc, bit: acc * 2 + bit,
+                ).alias("v"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return e.select(
+        "vid", "v", F.explode(band_structs).alias("band")
+    ).select(
+        "vid",
+        "v",
+        F.col("band.b").alias("band_idx"),
+        F.col("band.v").alias("band_val"),
+    )
 
 
 def embedding_near_dup(
@@ -347,48 +498,54 @@ def embedding_near_dup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_bands: int = 4,
+    band_width: int = 16,
     seed: int = 7,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
+    """Embedding-cosine near-duplicate pairs via MULTI-BAND
+    random-hyperplane LSH + exact-cosine verify.
 
-    Vectors are bucketed by the sign pattern of ``n_planes`` seeded
-    random projections (an ``n_planes``-bit key); only same-bucket pairs
-    get the exact cosine check.  Collision probability for cosine c is
-    ``(1 - acos(c)/pi) ** n_planes`` — near-dups (c ~ 1) almost always
-    collide, and the bucket join replaces the quadratic cross join.
+    Each vector gets ``n_bands`` independent ``band_width``-bit sign
+    keys; candidates are pairs agreeing on ANY band (one self-join on
+    the exploded (band_idx, band_val) rows — never all-pairs), deduped,
+    then verified with the exact cosine.
+
+    Why multi-band: a single w-bit key gives 2^w buckets, so the
+    within-bucket exact stage is TH(N^2 / 2^w) — a constant-factor
+    reduction that dies at corpus scale.  With bands, per-band bucket
+    occupancy is ~N / 2^band_width (65536 buckets at the default 16),
+    and recall is 1 - (1 - p^w)^n_bands for per-plane agreement
+    p = 1 - acos(cos)/pi — the same recall shape, bounded occupancy
+    (the structure ``simhash_pairs`` already uses).
+
+    ``max_bucket`` additionally drops oversized band buckets (exact-dup
+    clusters belong in ``exact_dedup`` / vector-hash dedup first).
     """
-    import numpy as np
-
-    first = emb.select(F.size(vec_col).alias("d")).first()
-    dim = first["d"]
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_planes, dim))
-
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    e = emb.select(F.col(id_col).alias("vid"), v.alias("v"))
-
-    def dot_lit(plane):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        return F.aggregate(
-            F.zip_with(F.col("v"), arr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, z: acc + z,
-        )
-
-    key = None
-    for i in range(n_planes):
-        bit = F.when(dot_lit(planes[i]) >= 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
-        )
-        key = bit if key is None else key + bit
-    e = e.withColumn("bucket", key)
-
-    a = e.select(
-        F.col("vid").alias("id_a"), F.col("v").alias("va"), "bucket"
+    bands = hyperplane_bands(
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_bands=n_bands,
+        band_width=band_width,
+        seed=seed,
     )
-    b = e.select(
-        F.col("vid").alias("id_b"), F.col("v").alias("vb"), "bucket"
+    if max_bucket is not None:
+        bands = cap_hot_buckets(
+            bands, ["band_idx", "band_val"], max_bucket
+        )
+
+    a = bands.select(
+        F.col("vid").alias("id_a"),
+        F.col("v").alias("va"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("vid").alias("id_b"),
+        F.col("v").alias("vb"),
+        "band_idx",
+        "band_val",
     )
 
     def dot(x, y):
@@ -402,9 +559,13 @@ def embedding_near_dup(
         F.sqrt(dot(F.col("va"), F.col("va")))
         * F.sqrt(dot(F.col("vb"), F.col("vb")))
     )
+    # dedup candidates on ids BEFORE the cosine verify so a pair
+    # colliding in several bands pays the O(dim) dot product once
     return (
-        a.join(b, "bucket")
+        a.join(b, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))

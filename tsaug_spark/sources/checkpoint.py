@@ -49,11 +49,17 @@ class RollupJob:
     work_dir: str
     n_partitions: int = 8
     source_snapshot: str = "unversioned"
+    # backend: any class exposing the TableLike contract (read/append/
+    # overwrite/overwrite_partitions/snapshot_id/exists) constructed
+    # from a path-like identifier — ParquetSnapshotTable in-sandbox,
+    # IcebergTable on a cluster (tests/test_checkpoint.py parametrizes
+    # the contract over both semantics)
+    table_cls: type = ParquetSnapshotTable
     _tables: dict = field(default_factory=dict)
 
-    def table(self, name: str) -> ParquetSnapshotTable:
+    def table(self, name: str):
         if name not in self._tables:
-            self._tables[name] = ParquetSnapshotTable(
+            self._tables[name] = self.table_cls(
                 f"{self.work_dir}/{name}"
             )
         return self._tables[name]
@@ -151,17 +157,18 @@ class RollupJob:
     def _replace_partition(
         self, name: str, p: int, rows: DataFrame
     ) -> None:
-        """Commit ``rows`` as the new content of partition ``p``:
-        append when the partition is empty, else rewrite-without-it +
-        union (Iceberg: ``overwritePartitions``)."""
+        """Commit ``rows`` as the new content of partition ``p`` via the
+        backend's dynamic-partition overwrite: Iceberg maps this to
+        ``overwritePartitions`` (metadata-only commit touching just
+        partition ``p``, replacement rows materialized first so a
+        self-derived plan can't re-read the overwritten table); the
+        parquet-snapshot backend rewrites kept+new into a fresh
+        snapshot directory before the atomic pointer flip."""
         t = self.table(name)
         if not t.exists():
             t.append(rows)
             return
-        existing = t.read(self.spark)
-        t.overwrite(
-            existing.filter(F.col("partition_id") != p).unionByName(rows)
-        )
+        t.overwrite_partitions(rows, "partition_id")
 
     # ------------------------------------------------------ incremental
     def watermarks(self, tier: str) -> DataFrame:

@@ -82,6 +82,26 @@ class ParquetSnapshotTable:
         parent = self.snapshot_id()
         return self._commit(df, [parent] if parent else [])
 
+    def overwrite_partitions(
+        self, df: DataFrame, partition_col: str = "partition_id"
+    ) -> str:
+        """Replace exactly the partitions present in ``df`` (Iceberg's
+        dynamic-partition-overwrite contract).  Untouched partitions
+        keep their rows.  Safe against self-derived plans here because
+        the commit writes a FRESH data directory before the pointer
+        flip — the lazy read keeps resolving the old snapshot."""
+        meta = self._resolve()
+        if meta is None:
+            return self._commit(df, [])
+        spark = df.sparkSession
+        touched = df.select(partition_col).distinct()
+        existing = spark.read.parquet(meta["data_path"])
+        kept = existing.join(touched, partition_col, "left_anti")
+        return self._commit(
+            kept.unionByName(df, allowMissingColumns=True),
+            [meta["snapshot_id"]],
+        )
+
     def append(self, df: DataFrame) -> str:
         meta = self._resolve()
         if meta is None:
@@ -123,5 +143,24 @@ class IcebergTable:
         return self.snapshot_id()
 
     def overwrite(self, df: DataFrame) -> str | None:
+        # Iceberg resolves the scan snapshot lazily, so a plan derived
+        # from read() of THIS table would re-read the post-replace
+        # state at action time (ADVICE r2: the enforce_retention stale-
+        # read hazard).  Materialize the replacement content first.
+        df = df.localCheckpoint(eager=True)
         df.writeTo(self.identifier).replace()
+        return self.snapshot_id()
+
+    def overwrite_partitions(
+        self, df: DataFrame, partition_col: str = "partition_id"
+    ) -> str | None:
+        """Dynamic partition overwrite: replace only the partitions
+        present in ``df`` — the metadata-only commit the checkpoint
+        layer's partition replacement maps to on Iceberg.  The input is
+        materialized first (localCheckpoint) so self-derived plans
+        cannot re-read the overwritten table (same hazard as above);
+        only the replacement partitions are materialized, never the
+        whole table."""
+        df = df.localCheckpoint(eager=True)
+        df.writeTo(self.identifier).overwritePartitions()
         return self.snapshot_id()

@@ -141,7 +141,12 @@ def run_stream_sessionize_once(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "availableNow sessionize backfill did not finish in 300s; "
+            "the memory sink would be partial — refusing to return it"
+        )
     return (
         spark.table(sink_table)
         .groupBy("user_id", "session_id")

@@ -52,6 +52,23 @@ def merge_batch_into_tier(
         t.overwrite(kept.unionByName(rows.select(*kept.columns)))
     else:
         t.append(rows)
+    # foreachBatch is at-least-once: the merge above is idempotent on
+    # retry, but the lineage append is not — skip it when this batch_id
+    # already has a manifest row for this tier (ADVICE r2)
+    snap = f"stream-batch:{batch_id}"
+    if job.manifest.exists():
+        dup = (
+            job.manifest.read(spark)
+            .filter(
+                (F.col("tier") == tier)
+                & (F.col("source_snapshot") == snap)
+            )
+            .limit(1)
+            .count()
+        )
+        if dup:
+            rows.unpersist()
+            return
     lo, wm = rows.agg(F.min("bucket_ts"), F.max("bucket_ts")).collect()[0]
     job.manifest.append(
         spark.createDataFrame(
@@ -103,4 +120,9 @@ def run_stream_ingest_once(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.start()
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "availableNow ingest did not finish in 300s; tier table "
+            "would be partially populated — refusing to proceed"
+        )
