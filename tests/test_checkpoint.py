@@ -1,15 +1,57 @@
-"""Chunk compression round-trip through Spark + kill/resume checkpointing."""
+"""Chunk compression round-trip through Spark + kill/resume checkpointing.
+
+The RollupJob semantics tests are parametrized over BOTH table
+backends: the in-sandbox ``ParquetSnapshotTable`` (fresh data dir per
+commit) and ``InPlaceLazyTable`` (tests/iceberg_double.py), which
+reproduces Iceberg's storage semantics — one mutable location, lazy
+scan resolution, dynamic partition overwrite.  Passing under both
+proves the checkpoint/cascade/retention/update logic doesn't depend on
+the parquet backend's accidental copy-on-write safety (VERDICT r2 #8,
+ADVICE r2 stale-lazy-read finding).
+"""
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
+from tests.iceberg_double import InPlaceLazyTable
 from tsaug_spark.codec.chunks import compress_tier, decompress_tier
 from tsaug_spark.plans.rollup import METRIC_COLS, rollup_transcripts
 from tsaug_spark.sources.checkpoint import RollupJob
 from tsaug_spark.sources.tables import ParquetSnapshotTable
+
+
+@pytest.fixture(params=["parquet_snapshot", "iceberg_semantics"])
+def table_cls(request):
+    return (
+        ParquetSnapshotTable
+        if request.param == "parquet_snapshot"
+        else InPlaceLazyTable
+    )
+
+
+def test_lazy_double_reproduces_stale_read_hazard(spark, tmp_path):
+    """The double must be a real trap, not a tautology: a lazy plan
+    derived from read() dies when storage is replaced underneath it —
+    the exact hazard IcebergTable's materialize-first overwrite (and
+    the scratch commit in enforce_retention) exists to avoid."""
+    t = InPlaceLazyTable(str(tmp_path / "hz"))
+    t.overwrite(spark.range(10).withColumn("v", F.col("id") * 2))
+    stale_plan = t.read(spark).filter(F.col("id") >= 5)
+    t._replace_dir(
+        spark.range(3)
+        .withColumn("v", F.col("id") * 2)
+        .localCheckpoint(eager=True)
+    )
+    with pytest.raises(Exception):
+        stale_plan.count()
+    # the disciplined path (materialize-first overwrite) stays correct
+    # even when the replacement is derived from the table itself
+    t.overwrite(t.read(spark).filter(F.col("id") >= 1))
+    assert t.read(spark).count() == 2
 
 
 def test_chunk_roundtrip_through_spark(spark, transcripts):
@@ -51,18 +93,21 @@ def test_snapshot_table_atomic_overwrite(spark, tmp_path):
     assert s1 != s2 and t.snapshot_id() == s2
 
 
-def test_kill_resume_equals_single_shot(spark, transcripts, tmp_path):
+def test_kill_resume_equals_single_shot(spark, transcripts, tmp_path, table_cls):
     # single-shot run
     solo = RollupJob(spark, str(tmp_path / "solo"), n_partitions=4,
-                     source_snapshot="snapA")
+                     source_snapshot="snapA",
+                     table_cls=table_cls)
     assert solo.run(transcripts, "1m") == 4
 
     # killed run: only 2 partitions complete, then a fresh job resumes
     broken = RollupJob(spark, str(tmp_path / "resumed"), n_partitions=4,
-                       source_snapshot="snapA")
+                       source_snapshot="snapA",
+                       table_cls=table_cls)
     assert broken.run(transcripts, "1m", partitions=[0, 1]) == 2
     resumed = RollupJob(spark, str(tmp_path / "resumed"), n_partitions=4,
-                        source_snapshot="snapA")
+                        source_snapshot="snapA",
+                        table_cls=table_cls)
     assert resumed.completed_partitions("1m") == {0, 1}
     assert resumed.run(transcripts, "1m") == 2  # only the missing two
     assert resumed.run(transcripts, "1m") == 0  # idempotent
@@ -78,9 +123,10 @@ def test_kill_resume_equals_single_shot(spark, transcripts, tmp_path):
     )
 
 
-def test_manifest_lineage_and_metrics(spark, transcripts, tmp_path):
+def test_manifest_lineage_and_metrics(spark, transcripts, tmp_path, table_cls):
     job = RollupJob(spark, str(tmp_path / "m"), n_partitions=2,
-                    source_snapshot="snap42")
+                    source_snapshot="snap42",
+                    table_cls=table_cls)
     job.run(transcripts, "1m")
     m = job.metrics("1m").toPandas()
     assert set(m["partition_id"]) == {0, 1}
@@ -95,7 +141,7 @@ def test_manifest_lineage_and_metrics(spark, transcripts, tmp_path):
     assert (m["range_start_ts"] <= m["watermark_ts"]).all()
 
 
-def test_watermark_update_handles_late_data(spark, transcripts, tmp_path):
+def test_watermark_update_handles_late_data(spark, transcripts, tmp_path, table_cls):
     from pyspark.sql import functions as F
 
     # split input by time: everything before the cutoff arrives first,
@@ -106,7 +152,8 @@ def test_watermark_update_handles_late_data(spark, transcripts, tmp_path):
     cutoff = F.timestamp_seconds(F.lit(int(lo + 0.7 * (hi - lo))))
     early = transcripts.filter(F.col("ts") < cutoff)
     job = RollupJob(spark, str(tmp_path / "wm"), n_partitions=2,
-                    source_snapshot="snap1")
+                    source_snapshot="snap1",
+                    table_cls=table_cls)
     job.run(early, "1m")
 
     # incremental update with the full table (late + new rows)
@@ -133,9 +180,10 @@ def test_watermark_update_handles_late_data(spark, transcripts, tmp_path):
     assert set(m["source_snapshot"]) == {"snap1", "snap2"}
 
 
-def test_retention_expiry(spark, transcripts, tmp_path):
+def test_retention_expiry(spark, transcripts, tmp_path, table_cls):
     job = RollupJob(spark, str(tmp_path / "ret"), n_partitions=2,
-                    source_snapshot="snapR")
+                    source_snapshot="snapR",
+                    table_cls=table_cls)
     job.run(transcripts, "1m")
     job.run(transcripts, "1h")
 
@@ -184,11 +232,12 @@ def test_retention_expiry(spark, transcripts, tmp_path):
     )
 
 
-def test_cascade_tier_checkpointed(spark, transcripts, tmp_path):
+def test_cascade_tier_checkpointed(spark, transcripts, tmp_path, table_cls):
     from tsaug_spark.plans.rollup import reaggregate
 
     job = RollupJob(spark, str(tmp_path / "casc"), n_partitions=3,
-                    source_snapshot="snapC")
+                    source_snapshot="snapC",
+                    table_cls=table_cls)
     job.run(transcripts, "1m")
     # partial cascade, then resume — must equal the direct reaggregation
     assert job.cascade_tier("1m", "1h") == 3
@@ -215,13 +264,14 @@ def test_cascade_tier_checkpointed(spark, transcripts, tmp_path):
 
 
 def test_cascade_rerun_new_snapshot_replaces_not_appends(
-    spark, transcripts, tmp_path
+    spark, transcripts, tmp_path, table_cls
 ):
     """The documented late-data workflow: re-running the cascade under a
     new source snapshot must REPLACE each partition's coarse rows, not
     stack duplicates into the tier."""
     job = RollupJob(spark, str(tmp_path / "casc2"), n_partitions=3,
-                    source_snapshot="snapA")
+                    source_snapshot="snapA",
+                    table_cls=table_cls)
     job.run(transcripts, "1m")
     assert job.cascade_tier("1m", "1h") == 3
     before = (
@@ -230,7 +280,8 @@ def test_cascade_rerun_new_snapshot_replaces_not_appends(
 
     # same fine tier, new snapshot id -> every partition redone
     job2 = RollupJob(spark, str(tmp_path / "casc2"), n_partitions=3,
-                     source_snapshot="snapB")
+                     source_snapshot="snapB",
+                     table_cls=table_cls)
     assert job2.cascade_tier("1m", "1h") == 3
     after = (
         job2.read_tier("1h").orderBy("conv_id", "bucket_ts").toPandas()
@@ -243,6 +294,29 @@ def test_cascade_rerun_new_snapshot_replaces_not_appends(
     # chunk table replaced too: exactly one chunk row per conversation
     chunks = job2.table("tier_1h_chunks").read(spark).toPandas()
     assert chunks["conv_id"].is_unique
+
+
+def test_cascade_rerun_hits_overwrite_partitions_catalog_call(
+    spark, transcripts, tmp_path
+):
+    """On the Iceberg-semantics backend the late-data cascade re-run
+    must go through the ``overwritePartitions`` catalog call (the
+    metadata-only dynamic partition overwrite), never a full-table
+    ``replace`` — and snapshot ids must advance monotonically for
+    lineage."""
+    job = RollupJob(spark, str(tmp_path / "cat"), n_partitions=2,
+                    source_snapshot="snapA", table_cls=InPlaceLazyTable)
+    job.run(transcripts, "1m")
+    job.cascade_tier("1m", "1h")
+    job2 = RollupJob(spark, str(tmp_path / "cat"), n_partitions=2,
+                     source_snapshot="snapB", table_cls=InPlaceLazyTable)
+    assert job2.cascade_tier("1m", "1h") == 2
+    log = job2.table("tier_1h").catalog_log
+    ops = [e["op"] for e in log]
+    assert ops.count("overwritePartitions") >= 2  # the snapB re-run
+    assert "replace" not in ops
+    sids = [e["snapshot_id"] for e in log]
+    assert sids == sorted(sids) and len(set(sids)) == len(sids)
 
 
 def test_manifest_append_tolerates_old_schema(spark, tmp_path):
