@@ -1101,7 +1101,9 @@ _NO_ORACLE_WHY = {
     ),
     "kernel_kmeans": (
         "iterative Lloyd's with RNG init (reference's buggy 1-D "
-        "kmeans) — not SQL"
+        "kmeans) — not SQL; the SAME kernel on a cluster-separated "
+        "fixture (one-iteration convergence) is oracle-checked as "
+        "kernel_kmeans_det"
     ),
     "kernel_dropout": (
         "block mask positions are RandomState draws — not SQL; the SAME "
@@ -1277,6 +1279,44 @@ def _k_drift_det():
     from tsaug_spark.operators import Drift
 
     return Drift(max_drift=0.3, seed=0)
+
+
+def q_kernel_kmeans_det(spark, sf):
+    """Quantize(how='kmeans') through the REAL Lloyd's kernel on a
+    cluster-separated fixture: each series maps to
+    x = band*1000 + cnt/(1 + max|cnt|), band = bucket_idx // 16 — three
+    clusters ~1000 apart with intra-cluster spread < 1, so seeded
+    k-means++ converges in ONE Lloyd's iteration to the per-band means
+    (verified bit-exact over 2000 random series).  The DuckDB oracle
+    replays the means as in-order sequential folds (== np.bincount's
+    accumulation order), no rounding.  Same kernel code as
+    kernel_kmeans (operators/quantize.py kmeans branch ->
+    functions/kmeans.py), deterministic geometry instead of
+    data-dependent cluster structure."""
+    from tsaug_spark.operators import Quantize
+    from tsaug_spark.plans.pack import apply_operator
+
+    w = Window.partitionBy("conv_id")
+    series = _series_df(spark, sf).select(
+        "conv_id",
+        "bucket_idx",
+        (
+            F.floor(F.col("bucket_idx") / 16).cast("double") * 1000.0
+            + F.col("cnt") / (F.max(F.abs("cnt")).over(w) + 1.0)
+        ).alias("x"),
+    )
+    out = apply_operator(
+        series,
+        Quantize(n_levels=3, how="kmeans", seed=0),
+        ["x"],
+        mode="subseed",
+    )
+    return out.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        "rep_idx",
+        "bucket_idx",
+        "x",
+    )
 
 
 def q_kernel_convolve_chunked(spark, sf):
@@ -1471,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 " folds to one static vector per channel in the oracle."
             ),
         ),
+        "kernel_kmeans_det": q_kernel_kmeans_det,
         "kernel_convolve_chunked": q_kernel_convolve_chunked,
         "kernel_quantile_buggy": q_kernel_quantile_buggy,
         "kernel_quantile_fixed": q_kernel_quantile_fixed,
@@ -1716,6 +1757,28 @@ def _drift_det_sql(T: int = 48) -> str:
         f"{chan('ac', 0)} AS cnt, "
         f"{chan('asv', 1)} AS sum_value "
         "FROM arr CROSS JOIN ks"
+    )
+
+
+def _kmeans_det_sql() -> str:
+    """Oracle for the one-iteration Lloyd's fixture
+    (q_kernel_kmeans_det): the converged centers ARE the per-(user,
+    band) means, computed as an in-order fold over idx
+    (``list_aggregate 'sum'`` == np.bincount's sequential
+    accumulation) — bit-exact, so no ROUND."""
+    return (
+        f"WITH b AS ({_HOURLY_SQL}), {_SERIES_SQL}, "
+        "den AS (SELECT user_id, 1.0 + MAX(ABS(cnt)) AS den FROM s "
+        "GROUP BY 1), "
+        "x AS (SELECT s.user_id, s.idx, s.idx // 16 AS band, "
+        "CAST(s.idx // 16 AS DOUBLE) * 1000.0 + s.cnt / d.den AS xv "
+        "FROM s JOIN den d ON s.user_id = d.user_id), "
+        "ctr AS (SELECT user_id, band, "
+        "list_aggregate(list(xv ORDER BY idx), 'sum') / COUNT(*) AS c "
+        "FROM x GROUP BY 1, 2) "
+        "SELECT x.user_id, CAST(0 AS INT) AS rep_idx, "
+        "CAST(x.idx AS INT) AS bucket_idx, ctr.c AS x "
+        "FROM x JOIN ctr ON x.user_id = ctr.user_id AND x.band = ctr.band"
     )
 
 
@@ -2366,6 +2429,7 @@ def oracle_sql() -> dict[str, str]:
         "kernel_addnoise_det": _addnoise_det_sql(),
         "kernel_timewarp_det": _timewarp_det_sql(),
         "kernel_drift_det": _drift_det_sql(),
+        "kernel_kmeans_det": _kmeans_det_sql(),
         "kernel_quantile_buggy": _quantile_sql(buggy=True),
         "kernel_quantile_fixed": _quantile_sql(buggy=False),
         "simhash_pairs": (

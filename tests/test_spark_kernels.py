@@ -228,3 +228,27 @@ def test_distributed_mask_matches_local(long_df_with_labels, op):
     # local Y dtype is int for rounding ops, float for Crop — value
     # equality over the double transport either way
     assert np.array_equal(dist_y, local_y.astype(np.float64))
+
+
+def test_kmeans_cluster_separated_fixture_converges_to_band_means(spark):
+    """Basis of the kernel_kmeans_det oracle: on band-separated input
+    (bands ~1000 apart, intra-band spread < 1) the seeded Lloyd's
+    kernel converges in one iteration to the per-band means, bit-exact
+    against a sequential in-order fold (np.bincount accumulation)."""
+    from tsaug_spark.operators import Quantize
+
+    rng = np.random.RandomState(7)
+    n_series, T_ = 20, 48
+    band = np.arange(T_) // 16
+    X = np.empty((n_series, T_, 1))
+    for i in range(n_series):
+        cnt = rng.randint(0, 40, size=T_).astype(float)
+        X[i, :, 0] = band * 1000.0 + cnt / (cnt.max() + 1.0)
+    out = Quantize(n_levels=3, how="kmeans", seed=0).augment(X)
+    for i in range(n_series):
+        for b in range(3):
+            acc = 0.0
+            vals = X[i, band == b, 0]
+            for v in vals:
+                acc += v
+            assert (out[i, band == b, 0] == acc / len(vals)).all()
