@@ -1335,6 +1335,25 @@ def q_kernel_convolve_chunked(spark, sf):
     )
 
 
+def q_kernel_pool_chunked(spark, sf):
+    """Block-aligned chunked Pool('ave', 7) — the long-series execution
+    path (plans/chunked.py::pool_chunked): chunk boundaries round up to
+    block multiples, so no pool block crosses a chunk and NO halo rows
+    are shipped.  48 % 7 = 6, so the trailing partial block (pooled as
+    one unit) is exercised; tail indices share group idx // 7 == 6.
+    Oracle: per-(user, idx // 7) in-order fold mean — bit-exact, no
+    rounding."""
+    from tsaug_spark.plans.chunked import pool_chunked
+
+    series = _series_df(spark, sf).drop("sum_value")
+    out = pool_chunked(series, "ave", 7, ["cnt"], chunk_len=16)
+    return out.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        "bucket_idx",
+        "cnt",
+    )
+
+
 def q_embed_near_dup(spark, sf):
     """MULTI-BAND random-hyperplane LSH near-duplicate pairs.
 
@@ -1513,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "kernel_kmeans_det": q_kernel_kmeans_det,
         "kernel_convolve_chunked": q_kernel_convolve_chunked,
+        "kernel_pool_chunked": q_kernel_pool_chunked,
         "kernel_quantile_buggy": q_kernel_quantile_buggy,
         "kernel_quantile_fixed": q_kernel_quantile_fixed,
         "embed_near_dup": q_embed_near_dup,
@@ -2430,6 +2450,16 @@ def oracle_sql() -> dict[str, str]:
         "kernel_timewarp_det": _timewarp_det_sql(),
         "kernel_drift_det": _drift_det_sql(),
         "kernel_kmeans_det": _kmeans_det_sql(),
+        "kernel_pool_chunked": (
+            f"WITH b AS ({_HOURLY_SQL}), {_SERIES_SQL}, "
+            "g AS (SELECT user_id, idx, idx // 7 AS grp, cnt FROM s), "
+            "m AS (SELECT user_id, grp, "
+            "list_aggregate(list(cnt ORDER BY idx), 'sum') / COUNT(*) "
+            "AS v FROM g GROUP BY 1, 2) "
+            "SELECT g.user_id, CAST(g.idx AS INT) AS bucket_idx, "
+            "m.v AS cnt FROM g JOIN m ON g.user_id = m.user_id "
+            "AND g.grp = m.grp"
+        ),
         "kernel_quantile_buggy": _quantile_sql(buggy=True),
         "kernel_quantile_fixed": _quantile_sql(buggy=False),
         "simhash_pairs": (

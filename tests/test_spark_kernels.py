@@ -252,3 +252,33 @@ def test_kmeans_cluster_separated_fixture_converges_to_band_means(spark):
             for v in vals:
                 acc += v
             assert (out[i, band == b, 0] == acc / len(vals)).all()
+
+
+@pytest.mark.parametrize(
+    "kind,size,chunk_len",
+    [("ave", 4, 16), ("ave", 7, 16), ("max", 5, 8), ("min", 3, 10),
+     ("ave", 48, 16), ("ave", 30, 7)],
+)
+def test_chunked_pool_bit_identical(long_df, kind, size, chunk_len):
+    """Block-aligned chunking must reproduce whole-series Pool exactly,
+    including the trailing partial block (T % size pooled as one unit)
+    and sizes larger than the chunk length."""
+    from tsaug_spark.plans.chunked import pool_chunked
+
+    df, batch = long_df
+    out = pool_chunked(df, kind, size, CHANNELS, chunk_len=chunk_len)
+    pdf = out.toPandas().sort_values(["conv_id", "bucket_idx"])
+    groups = [
+        part[CHANNELS].to_numpy(np.float64)
+        for _, part in pdf.groupby("conv_id", sort=True)
+    ]
+    dist = np.stack(groups)
+
+    flat = batch.copy().swapaxes(1, 2).reshape(-1, T)
+    want = (
+        Pool.pool_rows(flat, np.full(len(flat), size), kind)
+        .reshape(batch.shape[0], C, T)
+        .swapaxes(1, 2)
+    )
+    assert dist.shape == want.shape
+    assert np.array_equal(dist, want)

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tsaug_spark.functions.interpolate import convolve_reflect
+from tsaug_spark.operators.pool import Pool
 
 
 def convolve_chunked(
@@ -87,5 +88,66 @@ def convolve_chunked(
         return out
 
     return exploded.groupBy("conv_id", "_chunk").applyInPandas(
+        kernel, schema
+    )
+
+
+def pool_chunked(
+    df_long: DataFrame,
+    kind: str,
+    size: int,
+    value_cols: Sequence[str],
+    chunk_len: int = 1024,
+    idx_col: str = "bucket_idx",
+) -> DataFrame:
+    """Block-aligned chunked Pool for arbitrarily long series.
+
+    ``chunk_len`` is rounded UP to a multiple of ``size``, so no pool
+    block ever crosses a chunk boundary; the trailing partial block
+    (pooled as one unit — reference pool.py:126-181 semantics) cannot
+    contain a boundary either, because boundaries are multiples of
+    ``size`` and the tail [size*floor(T/size), T) holds no interior
+    multiple of ``size``.  Each (conversation, chunk) task therefore
+    pools its segment independently with the SAME ``Pool.pool_rows``
+    kernel and the result is bit-identical to whole-series pooling —
+    with ZERO row duplication (unlike the convolve halo, pooling needs
+    no neighbor data once chunks are block-aligned).
+
+    Requires a dense per-series grid on ``idx_col`` (same contract as
+    ``convolve_chunked``).  Scalar ``size`` only: the chunk alignment
+    is a property of the block size, so the randomized-size variant
+    must ride the whole-series path.
+    """
+    if not isinstance(size, int) or size < 1:
+        raise ValueError("pool_chunked requires a scalar size >= 1")
+    value_cols = list(value_cols)
+    L = -(-chunk_len // size) * size  # ceil to a block multiple
+
+    chunked = df_long.withColumn(
+        "_chunk", F.floor(F.col(idx_col) / L).cast("long")
+    )
+
+    schema = (
+        "conv_id string, bucket_idx int, "
+        + ", ".join(f"{c} double" for c in value_cols)
+    )
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = key[0]
+        pdf = pdf.sort_values(idx_col)
+        ids = pdf[idx_col].to_numpy()
+        # rows = channels: pool_rows pools each (R, T) row blockwise.
+        # A final chunk shorter than ``size`` is entirely the series
+        # tail — one pool unit — which equals pool_rows with block
+        # size = segment length (one full block, same reduction order).
+        flat = pdf[value_cols].to_numpy(dtype=np.float64).T.copy()
+        block = np.full(flat.shape[0], min(size, flat.shape[1]))
+        pooled = Pool.pool_rows(flat, block, kind)
+        out = pd.DataFrame(pooled.T, columns=value_cols)
+        out.insert(0, "bucket_idx", ids.astype(np.int32))
+        out.insert(0, "conv_id", cid)
+        return out
+
+    return chunked.groupBy("conv_id", "_chunk").applyInPandas(
         kernel, schema
     )
