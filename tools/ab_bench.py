@@ -1,23 +1,26 @@
-"""Interleaved A/B benchmark between two checked-out code variants.
+"""Interleaved A/B/N benchmark between checked-out code variants.
 
 Motivation (VERDICT.md round 2, "Next round" #1): the r1->r2 headline
 bench showed a median 1.14x slowdown, but this host's effective CPU
 allocation drifts 2-3x on a minutes timescale (see BENCH/BASELINE.md),
-so separate-session comparisons are not evidence.  This script runs the
-two variants ALTERNATELY in one session (A,B,B,A,A,B,B,A ...), pairs
-each adjacent (A,B) sample, and reports the per-query median ratio —
-the same interleaving protocol the scaling runs use.
+so separate-session comparisons are not evidence.  This script runs
+all variants ALTERNATELY in one session (the start position rotates
+every round so each variant samples every slot in the cycle), pairs
+same-round samples, and reports per-query median ratios vs the first
+variant — the same interleaving protocol the scaling runs use.
 
 Usage:
-    python tools/ab_bench.py /tmp/ab_r1 /tmp/ab_r2 [rounds] [out.json]
+    python tools/ab_bench.py DIR_A DIR_B [DIR_C ...] [--rounds N]
+        [--out out.json]
 
 Each variant dir must contain a bench.py honoring SPARK_GRAFT_SF_DIR /
-SPARK_GRAFT_CPUS / BENCH_TURNS.  Both variants share the transcript
+SPARK_GRAFT_CPUS / BENCH_TURNS.  All variants share the transcript
 cache under /tmp/tsaug_bench, so generation cost is paid once.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import statistics
@@ -40,9 +43,13 @@ def run_bench(variant_dir: str, env: dict) -> dict:
 
 
 def main() -> None:
-    dir_a, dir_b = sys.argv[1], sys.argv[2]
-    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-    out_path = sys.argv[4] if len(sys.argv) > 4 else "BENCH/ab_interleaved.json"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dirs", nargs="+")
+    ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--out", default="BENCH/ab_interleaved.json")
+    args = ap.parse_args()
+    dirs = args.dirs
+    names = [chr(ord("a") + i) for i in range(len(dirs))]
 
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,18 +58,15 @@ def main() -> None:
 
     # unmeasured warm-up of each variant (first-run-in-session loses;
     # BENCH/BASELINE.md protocol)
-    print("warm-up A", flush=True)
-    run_bench(dir_a, env)
-    print("warm-up B", flush=True)
-    run_bench(dir_b, env)
+    for n, d in zip(names, dirs):
+        print(f"warm-up {n}", flush=True)
+        run_bench(d, env)
 
-    samples: dict[str, list[dict]] = {"a": [], "b": []}
-    order_flip = False
-    for r in range(rounds):
-        pair = ["b", "a"] if order_flip else ["a", "b"]
-        order_flip = not order_flip
-        for which in pair:
-            d = dir_a if which == "a" else dir_b
+    samples: dict[str, list[dict]] = {n: [] for n in names}
+    for r in range(args.rounds):
+        rot = r % len(names)
+        order = list(zip(names, dirs))[rot:] + list(zip(names, dirs))[:rot]
+        for which, d in order:
             t0 = time.time()
             res = run_bench(d, env)
             print(
@@ -72,40 +76,60 @@ def main() -> None:
             )
             samples[which].append(res)
 
-    qa = set(samples["a"][0]["queries"])
-    qb = set(samples["b"][0]["queries"])
-    common = sorted(qa & qb)
+    common = sorted(
+        set.intersection(
+            *(set(samples[n][0]["queries"]) for n in names)
+        )
+    )
     per_query = {}
     for q in common:
-        ratios = [
-            samples["b"][i]["queries"][q] / samples["a"][i]["queries"][q]
-            for i in range(rounds)
+        entry = {}
+        for n in names:
+            entry[f"{n}_med"] = round(
+                statistics.median(
+                    s["queries"][q] for s in samples[n]
+                ),
+                3,
+            )
+        for n in names[1:]:
+            ratios = [
+                samples[n][i]["queries"][q]
+                / samples["a"][i]["queries"][q]
+                for i in range(args.rounds)
+            ]
+            entry[f"ratio_{n}_over_a"] = round(
+                statistics.median(ratios), 3
+            )
+            entry[f"ratios_{n}"] = [round(x, 3) for x in ratios]
+        per_query[q] = entry
+
+    totals = {}
+    for n in names[1:]:
+        tr = [
+            sum(samples[n][i]["queries"][q] for q in common)
+            / sum(samples["a"][i]["queries"][q] for q in common)
+            for i in range(args.rounds)
         ]
-        per_query[q] = {
-            "a_med": round(statistics.median(s["queries"][q] for s in samples["a"]), 3),
-            "b_med": round(statistics.median(s["queries"][q] for s in samples["b"]), 3),
-            "ratio_med": round(statistics.median(ratios), 3),
-            "ratios": [round(x, 3) for x in ratios],
-        }
-    total_ratios = [
-        sum(samples["b"][i]["queries"][q] for q in common)
-        / sum(samples["a"][i]["queries"][q] for q in common)
-        for i in range(rounds)
-    ]
+        totals[f"total_ratio_{n}_over_a"] = [round(x, 3) for x in tr]
+        totals[f"total_ratio_{n}_median"] = round(
+            statistics.median(tr), 3
+        )
+
     report = {
-        "protocol": "interleaved A/B, order alternated per round, warm-up discarded",
-        "variant_a": dir_a,
-        "variant_b": dir_b,
-        "rounds": rounds,
+        "protocol": (
+            "interleaved, start position rotates per round, "
+            "warm-up discarded"
+        ),
+        "variants": dict(zip(names, dirs)),
+        "rounds": args.rounds,
         "common_queries": common,
         "per_query": per_query,
-        "total_ratio_b_over_a": [round(x, 3) for x in total_ratios],
-        "total_ratio_median": round(statistics.median(total_ratios), 3),
+        **totals,
     }
-    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    with open(out_path, "w") as f:
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
-    print(json.dumps({"median_total_ratio": report["total_ratio_median"]}))
+    print(json.dumps({k: v for k, v in totals.items() if "median" in k}))
 
 
 if __name__ == "__main__":
