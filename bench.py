@@ -239,6 +239,91 @@ def run_queries(spark, sf_dir: str) -> dict:
     return timings
 
 
+def run_stream_ingest(spark, loc: str, turns: int) -> dict:
+    """Streaming ingest throughput with a mid-stream checkpoint resume.
+
+    Half the transcript files are ingested via the availableNow
+    structured-streaming path (watermarked 1m stream rollup ->
+    foreachBatch merge into the RollupJob tier store), then the
+    remaining files "arrive" and a SECOND query resumes from the SAME
+    checkpoint — the file-source checkpoint skips everything already
+    committed, so the resume processes only the new files.  Reports
+    sustained turns/s across both phases and the caught-up tier row
+    count vs the batch rollup (must match exactly).
+    """
+    import glob as _glob
+    import tempfile
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from tsaug_spark.plans.rollup import rollup_transcripts
+    from tsaug_spark.sources.checkpoint import RollupJob
+    from tsaug_spark.streaming.stream_sink import run_stream_ingest_once
+
+    schema = _parse_datatype_string(TRANSCRIPT_DDL)
+    work = tempfile.mkdtemp(prefix="stream_bench_", dir=BENCH_DIR)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    # stage the transcripts as TIME-ORDERED files with disjoint ts
+    # ranges (repartitionByRange): a streaming source delivers data
+    # roughly in event-time order, and disjoint ranges mean no batch
+    # can contain rows behind the watermark of a previous batch — the
+    # bucketed bench table's conv-hash file layout would scramble time
+    # and trip late-row drops instead.  Staging cost is source prep,
+    # excluded from the measured ingest wall.
+    staged = os.path.join(work, "staged")
+    (
+        spark.read.schema(schema)
+        .parquet(loc)
+        .repartitionByRange(16, "ts")
+        .sortWithinPartitions("ts")
+        .write.parquet(staged)
+    )
+    files = sorted(_glob.glob(os.path.join(staged, "part-*.parquet")))
+    half = max(1, len(files) // 2)
+
+    def arrive(batch):
+        for f in batch:
+            os.link(f, os.path.join(src, os.path.basename(f)))
+
+    job = RollupJob(
+        spark, os.path.join(work, "job"), source_snapshot="stream-bench"
+    )
+    ckpt = os.path.join(work, "ckpt")
+
+    arrive(files[:half])
+    t0 = time.time()
+    run_stream_ingest_once(
+        spark, src, schema, job, "1m", watermark="1 hour",
+        max_files_per_trigger=4, checkpoint_dir=ckpt,
+    )
+    phase1 = time.time() - t0
+
+    arrive(files[half:])  # late arrivals; resume from the checkpoint
+    t1 = time.time()
+    run_stream_ingest_once(
+        spark, src, schema, job, "1m", watermark="1 hour",
+        max_files_per_trigger=4, checkpoint_dir=ckpt,
+    )
+    wall = time.time() - t1 + phase1
+
+    got = job.read_tier("1m").count()
+    want = (
+        rollup_transcripts(
+            spark.read.schema(schema).parquet(loc), "1m"
+        ).count()
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "wall_s": round(wall, 3),
+        "phase1_s": round(phase1, 3),
+        "resume_s": round(wall - phase1, 3),
+        "turns_per_sec": round(turns / wall),
+        "tier_rows": got,
+        "matches_batch_rollup": got == want,
+    }
+
+
 def _burn(_):
     """Cache-resident integer workload for the CPU control (module-level
     so multiprocessing can pickle it)."""
@@ -344,6 +429,12 @@ def main() -> None:
             }
         except (OSError, json.JSONDecodeError, KeyError):
             pass
+
+    if os.environ.get("BENCH_STREAM") == "1":
+        loc = f"{BENCH_DIR}/transcripts_b{N_BUCKETS}_{n_convs}_{avg_turns}"
+        result["streaming"] = run_stream_ingest(
+            spark, loc, cascade["turns"]
+        )
 
     if os.environ.get("BENCH_SCALING") == "1":
         levels = tuple(

@@ -20,6 +20,21 @@ def spark():
     s.stop()
 
 
+@pytest.fixture(params=["parquet_snapshot", "iceberg_semantics"])
+def table_cls(request):
+    """Both table backends: the in-sandbox ParquetSnapshotTable and the
+    Iceberg-semantics double (tests/iceberg_double.py) — RollupJob /
+    streaming-sink semantics tests run against each."""
+    from tests.iceberg_double import InPlaceLazyTable
+    from tsaug_spark.sources.tables import ParquetSnapshotTable
+
+    return (
+        ParquetSnapshotTable
+        if request.param == "parquet_snapshot"
+        else InPlaceLazyTable
+    )
+
+
 @pytest.fixture(scope="session")
 def transcripts(spark):
     """Small deterministic transcript table shared across tests."""

@@ -24,15 +24,6 @@ from tsaug_spark.sources.checkpoint import RollupJob
 from tsaug_spark.sources.tables import ParquetSnapshotTable
 
 
-@pytest.fixture(params=["parquet_snapshot", "iceberg_semantics"])
-def table_cls(request):
-    return (
-        ParquetSnapshotTable
-        if request.param == "parquet_snapshot"
-        else InPlaceLazyTable
-    )
-
-
 def test_lazy_double_reproduces_stale_read_hazard(spark, tmp_path):
     """The double must be a real trap, not a tautology: a lazy plan
     derived from read() dies when storage is replaced underneath it —

@@ -85,7 +85,7 @@ def test_stream_sessionize_state_survives_micro_batches(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
-def test_stream_ingest_into_tier_table(spark, transcripts, tmp_path):
+def test_stream_ingest_into_tier_table(spark, transcripts, tmp_path, table_cls):
     """Streaming ingest (update-mode rollup + foreachBatch merge) must
     leave the RollupJob tier table equal to the batch rollup, with
     per-batch lineage in the manifest."""
@@ -96,7 +96,8 @@ def test_stream_ingest_into_tier_table(spark, transcripts, tmp_path):
     src = str(tmp_path / "stream_ingest_src")
     transcripts.write.mode("overwrite").parquet(src)
     job = RollupJob(spark, str(tmp_path / "stream_work"),
-                    n_partitions=2, source_snapshot="stream")
+                    n_partitions=2, source_snapshot="stream",
+                    table_cls=table_cls)
     run_stream_ingest_once(
         spark,
         src,
@@ -178,3 +179,58 @@ def test_stream_ingest_incremental_resume(spark, transcripts, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     # the resumed run appended manifest rows for its new batches only
     assert len(job.metrics("1m").toPandas()) > n_batches_first
+
+
+def test_merge_batch_retry_is_idempotent_and_partition_scoped(
+    spark, tmp_path, table_cls
+):
+    """foreachBatch is at-least-once: replaying the same (batch_df,
+    batch_id) must leave both the tier table AND the manifest unchanged
+    (ADVICE r2 lineage-dup finding), and merging a batch touching only
+    one partition must not rewrite the other partition's rows."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tsaug_spark.sources.checkpoint import RollupJob
+    from tsaug_spark.streaming.stream_sink import merge_batch_into_tier
+
+    job = RollupJob(spark, str(tmp_path / "retry_work"), n_partitions=4,
+                    source_snapshot="stream", table_cls=table_cls)
+    mk = lambda rows: spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "conv_id", "bucket_ts", "turn_rate", "tool_usage",
+                "text_len",
+            ],
+        )
+    ).withColumn("bucket_ts", F.to_timestamp("bucket_ts"))
+
+    b0 = mk([("c-1", "2024-01-01 00:01:00", 3, 1, 120),
+             ("c-2", "2024-01-01 00:01:00", 2, 0, 80)])
+    merge_batch_into_tier(job, "1m", b0, 0)
+    before = (
+        job.read_tier("1m").orderBy("conv_id", "bucket_ts").toPandas()
+    )
+
+    # retry of batch 0: no tier change, no duplicate manifest row
+    merge_batch_into_tier(job, "1m", b0, 0)
+    after = (
+        job.read_tier("1m").orderBy("conv_id", "bucket_ts").toPandas()
+    )
+    pd.testing.assert_frame_equal(before, after)
+    m = job.metrics("1m").toPandas()
+    assert (m["source_snapshot"] == "stream-batch:0").sum() == 1
+
+    # batch 1 updates only c-1's bucket; c-2's row must survive the
+    # partition-scoped overwrite untouched
+    b1 = mk([("c-1", "2024-01-01 00:01:00", 5, 2, 200)])
+    merge_batch_into_tier(job, "1m", b1, 1)
+    got = (
+        job.read_tier("1m")
+        .orderBy("conv_id", "bucket_ts")
+        .toPandas()
+        .set_index("conv_id")
+    )
+    assert got.loc["c-1", "turn_rate"] == 5
+    assert got.loc["c-2", "turn_rate"] == 2

@@ -45,11 +45,24 @@ def merge_batch_into_tier(
         return
     t = job.table(f"tier_{tier}")
     if t.exists():
+        # partition-scoped merge: only the conversation-bucket
+        # partitions the batch touches are rewritten (kept rows of
+        # those partitions minus re-emitted (conv_id, bucket_ts) keys,
+        # plus the batch rows), committed via the backend's dynamic
+        # partition overwrite — write amplification is O(touched
+        # partitions), not O(table).  On Iceberg this is
+        # overwritePartitions (a MERGE-shaped metadata commit).
+        touched = rows.select("partition_id").distinct()
         keys = rows.select("conv_id", "bucket_ts")
-        kept = t.read(spark).join(
-            keys, ["conv_id", "bucket_ts"], "left_anti"
+        kept = (
+            t.read(spark)
+            .join(touched, "partition_id", "left_semi")
+            .join(keys, ["conv_id", "bucket_ts"], "left_anti")
         )
-        t.overwrite(kept.unionByName(rows.select(*kept.columns)))
+        t.overwrite_partitions(
+            kept.unionByName(rows.select(*kept.columns)),
+            "partition_id",
+        )
     else:
         t.append(rows)
     # foreachBatch is at-least-once: the merge above is idempotent on
