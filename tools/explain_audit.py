@@ -195,6 +195,32 @@ def main() -> None:
         must_not_have=["BroadcastNestedLoopJoin", "CartesianProduct"],
     )
 
+    # multi-band hyperplane LSH: the candidate stage must be a banded
+    # equi-join (union of per-band keys), never an all-pairs product
+    audit(
+        "embed_near_dup (multi-band hyperplane LSH, no cross product)",
+        em.q_embed_near_dup(spark, sf),
+        must_have=["Join"],
+        must_not_have=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    )
+
+    # block-aligned chunked pool: exactly the one groupBy exchange the
+    # (conv, chunk) fan-out needs — no extra shuffle, no driver collect
+    from tsaug_spark.plans.chunked import pool_chunked
+
+    series = em._series_df(spark, sf).drop("sum_value")
+    pc_plan = plan_of(pool_chunked(series, "ave", 7, ["cnt"],
+                                   chunk_len=16))
+    checks.append((
+        "pool_chunked (single exchange for the chunk fan-out)",
+        "FlatMapGroupsInPandas over one hash partitioning",
+        "FlatMapGroupsInPandas" in pc_plan
+        and pc_plan.count("Exchange hashpartitioning(conv_id") <= 2,
+    ))
+    sections.append(
+        f"## pool_chunked (block-aligned)\n\n```\n{pc_plan[:4000]}\n```\n"
+    )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")
