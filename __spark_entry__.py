@@ -974,6 +974,46 @@ def q_codec_roundtrip(spark, sf):
     )
 
 
+def q_codec_range_read(spark, sf):
+    """Chunk-exclusion range read over the compressed store: the 1h
+    tier is packed into DAY-windowed chunk rows (hypertable time
+    chunking), then a middle time slice is read via
+    ``decompress_tier_range`` — the [ts_min, ts_max] zone-map filter
+    prunes chunk rows BEFORE the Gorilla decode UDF, and the exact
+    row filter trims the edge chunks.  Oracle: the same slice of the
+    uncompressed tier (codec roundtrip is bit-exact, so only the
+    pruning logic is under test)."""
+    from tsaug_spark.codec.chunks import (
+        compress_tier,
+        decompress_tier_range,
+    )
+
+    h = _hourly(spark, sf).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.timestamp_seconds("bucket_s").alias("bucket_ts"),
+        F.col("cnt").cast("double").alias("cnt"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+    lo, hi = h.agg(
+        F.min(F.unix_timestamp("bucket_ts")),
+        F.max(F.unix_timestamp("bucket_ts")),
+    ).first()
+    r_lo, r_hi = lo + (hi - lo) // 3, lo + (hi - lo) // 2
+    chunks = compress_tier(h, ["cnt", "sum_value"], window_s=86400)
+    out = decompress_tier_range(
+        chunks,
+        ["cnt", "sum_value"],
+        ts_lo=F.timestamp_seconds(F.lit(r_lo)),
+        ts_hi=F.timestamp_seconds(F.lit(r_hi)),
+    )
+    return out.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
 def q_kernel_pool_replay(spark, sf):
     """Pool('ave', 4) via the distributed kernel — has a SQL oracle."""
     from tsaug_spark.operators import Pool
@@ -1475,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": q_asof_forward,
         "asof_salted": q_asof_salted,
         "codec_roundtrip": q_codec_roundtrip,
+        "codec_range_read": q_codec_range_read,
         "stream_rollup_1m": q_stream_rollup_1m,
         "stream_sessionize": q_stream_sessionize,
         "kernel_pool_replay": q_kernel_pool_replay,
@@ -2378,6 +2419,15 @@ def oracle_sql() -> dict[str, str]:
         "codec_roundtrip": (
             f"WITH h AS ({hourly}) SELECT user_id, bucket_s, cnt, "
             "ROUND(sum_value, 4) AS sum_value FROM h"
+        ),
+        "codec_range_read": (
+            f"WITH h AS ({hourly}), "
+            "r AS (SELECT MIN(bucket_s) + (MAX(bucket_s) - "
+            "MIN(bucket_s)) // 3 AS lo, MIN(bucket_s) + "
+            "(MAX(bucket_s) - MIN(bucket_s)) // 2 AS hi FROM h) "
+            "SELECT user_id, bucket_s, cnt, "
+            "ROUND(sum_value, 4) AS sum_value FROM h, r "
+            "WHERE bucket_s >= r.lo AND bucket_s <= r.hi"
         ),
         "stream_rollup_1m": (
             "SELECT user_id, CAST(floor(epoch(ts)/60)*60 AS BIGINT) AS "

@@ -430,7 +430,12 @@ def main() -> None:
         except (OSError, json.JSONDecodeError, KeyError):
             pass
 
-    if os.environ.get("BENCH_STREAM") == "1":
+    # streaming ingest line (skipped inside scaling runs: those measure
+    # the cascade and would pay the staging cost at every level)
+    if (
+        os.environ.get("BENCH_STREAM", "1") == "1"
+        and os.environ.get("BENCH_SCALING") != "1"
+    ):
         loc = f"{BENCH_DIR}/transcripts_b{N_BUCKETS}_{n_convs}_{avg_turns}"
         result["streaming"] = run_stream_ingest(
             spark, loc, cascade["turns"]

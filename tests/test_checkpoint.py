@@ -331,3 +331,78 @@ def test_manifest_append_tolerates_old_schema(spark, tmp_path):
     got = t.read(spark).toPandas()
     assert len(got) == 2
     assert got.loc[got["partition_id"] == 0, "points_rolled"].isna().all()
+
+
+def test_time_windowed_chunks_and_range_read(spark, transcripts):
+    """Hypertable-style time chunking + chunk-exclusion range read:
+    hour-windowed chunks round-trip bit-exactly, the zone-map filter
+    prunes chunk rows BEFORE decode, and the range read equals the
+    full decode filtered row-for-row."""
+    from tsaug_spark.codec.chunks import decompress_tier_range
+
+    tier = rollup_transcripts(transcripts, "1m").cache()
+    chunks = compress_tier(tier, METRIC_COLS, window_s=3600).cache()
+
+    # windowed chunking splits conversations across days
+    assert chunks.count() > chunks.select("conv_id").distinct().count()
+    # zone maps are consistent and within one window each
+    bad = chunks.filter(
+        (F.col("ts_min") > F.col("ts_max"))
+        | (
+            F.floor(F.unix_timestamp("ts_min") / 3600)
+            != F.floor(F.unix_timestamp("ts_max") / 3600)
+        )
+    ).count()
+    assert bad == 0
+
+    # full roundtrip still bit-exact under windowed chunking
+    back = decompress_tier(chunks, METRIC_COLS)
+    assert back.count() == tier.count()
+    a = tier.orderBy("conv_id", "bucket_ts").toPandas()
+    b = back.orderBy("conv_id", "bucket_ts").toPandas()
+    for c in METRIC_COLS:
+        assert np.array_equal(
+            a[c].to_numpy(np.float64), b[c].to_numpy(np.float64)
+        ), c
+
+    # range read: middle slice
+    lo, hi = tier.agg(F.min("bucket_ts"), F.max("bucket_ts")).collect()[0]
+    r_lo = lo + (hi - lo) / 3
+    r_hi = r_lo + (hi - lo) / 4
+    got = (
+        decompress_tier_range(chunks, METRIC_COLS, r_lo, r_hi)
+        .orderBy("conv_id", "bucket_ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = (
+        tier.filter(
+            (F.col("bucket_ts") >= F.lit(r_lo))
+            & (F.col("bucket_ts") <= F.lit(r_hi))
+        )
+        .orderBy("conv_id", "bucket_ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # the exclusion is real: the zone-map filter drops chunk rows
+    surviving = chunks.filter(
+        (F.col("ts_max") >= F.lit(r_lo)) & (F.col("ts_min") <= F.lit(r_hi))
+    ).count()
+    assert surviving < chunks.count()
+
+    # value zone maps bound their chunk's decoded values
+    one = chunks.select(
+        "turn_rate_min", "turn_rate_max", "conv_id", "ts_min"
+    ).first()
+    seg = back.filter(
+        (F.col("conv_id") == one["conv_id"])
+    ).filter(
+        F.col("bucket_ts") >= F.lit(one["ts_min"])
+    )
+    mn = seg.agg(F.min("turn_rate")).collect()[0][0]
+    assert one["turn_rate_min"] <= mn
+    tier.unpersist()
+    chunks.unpersist()

@@ -55,6 +55,9 @@ def main() -> None:
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     env.setdefault("SPARK_GRAFT_CPUS", "32")
     env.setdefault("BENCH_TURNS", "2000000")
+    # A/B compares the query suite; the streaming ingest line is
+    # separate evidence and would only add constant wall per run
+    env.setdefault("BENCH_STREAM", "0")
 
     # unmeasured warm-up of each variant (first-run-in-session loses;
     # BENCH/BASELINE.md protocol)

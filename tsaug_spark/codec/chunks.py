@@ -26,11 +26,22 @@ def compress_tier(
     df_tier: DataFrame,
     value_cols: Sequence[str],
     ts_col: str = "bucket_ts",
+    window_s: "int | None" = None,
 ) -> DataFrame:
-    """Compress a long tier DataFrame into one chunk row per conversation.
+    """Compress a long tier DataFrame into chunk rows.
 
-    Output: conv_id, n_points, bytes_raw, bytes_compressed, ts_chunk,
+    Output: conv_id, n_points, bytes_raw, bytes_compressed, zone-map
+    columns (ts_min/ts_max and per-channel min/max — the chunk
+    exclusion metadata ``decompress_tier_range`` prunes on), ts_chunk,
     and a ``<col>_chunk`` binary per metric channel.
+
+    With ``window_s=None`` (default) a chunk row is one conversation's
+    whole tier series.  With ``window_s`` set (e.g. 86400), chunks
+    split additionally on ``floor(epoch/window_s)`` boundaries — the
+    hypertable time-chunking that makes the ts zone map decisive for
+    range reads: a chunk then covers at most one window, so a
+    [lo, hi] read decodes only ~(hi-lo)/window_s chunks per
+    conversation instead of every conversation's full history.
 
     Implementation: repartition + sortWithinPartitions co-locates and
     orders each conversation, then ``mapInArrow`` streams raw Arrow
@@ -43,14 +54,23 @@ def compress_tier(
     value_cols = list(value_cols)
     schema = (
         "conv_id string, n_points long, bytes_raw long, "
-        "bytes_compressed long, ts_chunk binary, "
+        "bytes_compressed long, "
+        "ts_min timestamp, ts_max timestamp, "
+        + ", ".join(
+            f"{c}_min double, {c}_max double" for c in value_cols
+        )
+        + ", ts_chunk binary, "
         + ", ".join(f"{c}_chunk binary" for c in value_cols)
     )
     from .gorilla import encode_timestamps_grouped, encode_values_grouped
 
-    out_cols = [
-        "conv_id", "n_points", "bytes_raw", "bytes_compressed", "ts_chunk",
-    ] + [f"{c}_chunk" for c in value_cols]
+    out_cols = (
+        ["conv_id", "n_points", "bytes_raw", "bytes_compressed",
+         "ts_min", "ts_max"]
+        + [f"{c}_{m}" for c in value_cols for m in ("min", "max")]
+        + ["ts_chunk"]
+        + [f"{c}_chunk" for c in value_cols]
+    )
 
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -58,16 +78,6 @@ def compress_tier(
     def encode_block(tbl: "pa.Table") -> "pa.RecordBatch":
         conv = tbl.column("conv_id").combine_chunks()
         n = tbl.num_rows
-        # sorted input: boundaries are a linear Arrow-side comparison
-        # (the pandas formulation paid np.unique over object strings)
-        if n > 1:
-            neq = pc.not_equal(
-                conv.slice(1), conv.slice(0, n - 1)
-            ).to_numpy(zero_copy_only=False)
-            starts = np.concatenate([[0], np.flatnonzero(neq) + 1])
-        else:
-            starts = np.array([0], dtype=np.int64)
-        lengths = np.diff(np.append(starts, n))
         ts = (
             tbl.column(ts_col)
             .combine_chunks()
@@ -75,8 +85,24 @@ def compress_tier(
             .to_numpy(zero_copy_only=False)
             // 10 ** 6  # arrow timestamps are microseconds
         )
+        # sorted input: boundaries are a linear Arrow-side comparison
+        # (the pandas formulation paid np.unique over object strings);
+        # with time windows, a window flip inside a conversation also
+        # starts a new chunk
+        if n > 1:
+            neq = pc.not_equal(
+                conv.slice(1), conv.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+            if window_s:
+                win = ts // window_s
+                neq = neq | (win[1:] != win[:-1])
+            starts = np.concatenate([[0], np.flatnonzero(neq) + 1])
+        else:
+            starts = np.array([0], dtype=np.int64)
+        lengths = np.diff(np.append(starts, n))
         ts_chunks = encode_timestamps_grouped(ts, lengths)
         total = np.array([len(c) for c in ts_chunks], dtype=np.int64)
+        ends = starts + lengths - 1
         arrays = {
             "conv_id": pc.take(conv, pa.array(starts, type=pa.int64())),
             "n_points": pa.array(lengths.astype(np.int64)),
@@ -84,15 +110,30 @@ def compress_tier(
                 (lengths * 8 * (1 + len(value_cols))).astype(np.int64)
             ),
             "ts_chunk": pa.array(ts_chunks, type=pa.binary()),
+            # zone maps for chunk exclusion: input is sorted by
+            # (conv_id, ts), so a chunk's ts range is its first/last
+            # element; value bounds are one segmented fmin/fmax pass
+            "ts_min": pa.array(ts[starts] * 10 ** 6).cast(
+                pa.timestamp("us")
+            ),
+            "ts_max": pa.array(ts[ends] * 10 ** 6).cast(
+                pa.timestamp("us")
+            ),
         }
         for c in value_cols:
-            chunks = encode_values_grouped(
+            vals = (
                 tbl.column(c)
                 .combine_chunks()
                 .to_numpy(zero_copy_only=False)
-                .astype(np.float64, copy=False),
-                lengths,
+                .astype(np.float64, copy=False)
             )
+            arrays[f"{c}_min"] = pa.array(
+                np.fmin.reduceat(vals, starts)
+            )
+            arrays[f"{c}_max"] = pa.array(
+                np.fmax.reduceat(vals, starts)
+            )
+            chunks = encode_values_grouped(vals, lengths)
             arrays[f"{c}_chunk"] = pa.array(chunks, type=pa.binary())
             total = total + np.array([len(x) for x in chunks])
         arrays["bytes_compressed"] = pa.array(total)
@@ -199,3 +240,40 @@ def decompress_tier(
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return df_chunks.mapInArrow(decode_rows, schema)
+
+
+def decompress_tier_range(
+    df_chunks: DataFrame,
+    value_cols: Sequence[str],
+    ts_lo=None,
+    ts_hi=None,
+):
+    """Chunk-exclusion read: decode only the chunks whose zone map
+    overlaps [``ts_lo``, ``ts_hi``] (inclusive).
+
+    The [ts_min, ts_max] predicate is a plain Catalyst filter on the
+    chunk scan — with a parquet-backed chunk table it pushes into the
+    reader (`PushedFilters`), so excluded chunks' binary columns are
+    never materialized, let alone decoded.  This is the classic
+    time-series chunk-exclusion pattern: the expensive step (the
+    Gorilla decode UDF) sees only surviving chunk rows, and the exact
+    row-level filter afterwards trims the partial chunks at the range
+    edges.
+    """
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    def lit(x):
+        return x if isinstance(x, Column) else F.lit(x)
+
+    pruned = df_chunks
+    if ts_lo is not None:
+        pruned = pruned.filter(F.col("ts_max") >= lit(ts_lo))
+    if ts_hi is not None:
+        pruned = pruned.filter(F.col("ts_min") <= lit(ts_hi))
+    out = decompress_tier(pruned, value_cols)
+    if ts_lo is not None:
+        out = out.filter(F.col("bucket_ts") >= lit(ts_lo))
+    if ts_hi is not None:
+        out = out.filter(F.col("bucket_ts") <= lit(ts_hi))
+    return out
