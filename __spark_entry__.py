@@ -974,6 +974,25 @@ def q_codec_roundtrip(spark, sf):
     )
 
 
+def q_sessionize_native(spark, sf):
+    """Gap sessionization via Catalyst's native session_window — the
+    JVM merging-session-window aggregate (streaming/stateful.py::
+    sessionize_native; same operator runs streaming with a watermark).
+    Boundary is session_window's half-open contract: a gap of EXACTLY
+    1800 s starts a new session (strict <), so the oracle's break
+    condition is ``diff >= 1800``."""
+    from tsaug_spark.streaming.stateful import sessionize_native
+
+    ev = _events(spark, sf).select("user_id", "ts")
+    out = sessionize_native(ev, gap=1800)
+    return out.select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("session_start_s"),
+        "n_events",
+        "duration_s",
+    )
+
+
 def q_codec_range_read(spark, sf):
     """Chunk-exclusion range read over the compressed store: the 1h
     tier is packed into DAY-windowed chunk rows (hypertable time
@@ -1504,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "moving_avg": q_moving_avg,
         "sessionize": q_sessionize,
+        "sessionize_native": q_sessionize_native,
         "set_ops": q_set_ops,
         "percentiles": q_percentiles,
         "rollup_groupingsets": q_rollup_groupingsets,
@@ -2419,6 +2439,24 @@ def oracle_sql() -> dict[str, str]:
         "codec_roundtrip": (
             f"WITH h AS ({hourly}) SELECT user_id, bucket_s, cnt, "
             "ROUND(sum_value, 4) AS sum_value FROM h"
+        ),
+        "sessionize_native": (
+            # session_window compares RAW microsecond timestamps with
+            # the strict-< merge rule, so the oracle diffs epoch_us and
+            # breaks on >= gap; second-level fields floor afterwards
+            # (matching unix_timestamp truncation)
+            "WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) "
+            "AS tu FROM events), "
+            "d AS (SELECT user_id, tu, CASE WHEN tu - LAG(tu) OVER "
+            "(PARTITION BY user_id ORDER BY tu) >= 1800000000 THEN 1 "
+            "ELSE 0 END AS brk FROM e), "
+            "s AS (SELECT user_id, tu, SUM(brk) OVER (PARTITION BY "
+            "user_id ORDER BY tu ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS sid FROM d) "
+            "SELECT user_id, MIN(tu) // 1000000 AS session_start_s, "
+            "COUNT(*) AS n_events, MAX(tu) // 1000000 - "
+            "MIN(tu) // 1000000 AS duration_s "
+            "FROM s GROUP BY user_id, sid"
         ),
         "codec_range_read": (
             f"WITH h AS ({hourly}), "

@@ -234,3 +234,53 @@ def test_merge_batch_retry_is_idempotent_and_partition_scoped(
     )
     assert got.loc["c-1", "turn_rate"] == 5
     assert got.loc["c-2", "turn_rate"] == 2
+
+
+def test_native_session_window_stream_matches_batch(spark, tmp_path):
+    """Catalyst-native session_window sessionizer: the SAME operator
+    run as an availableNow stream over time-ordered files (sessions
+    merge incrementally in the JVM state store) must catch up to its
+    own batch result.  Session-window streaming aggs support append
+    (finalized-only, the production mode: watermark evicts closed
+    sessions) and complete; the equality check runs complete so the
+    tail sessions the watermark has not passed are included too."""
+    from tsaug_spark.streaming.stateful import sessionize_native
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "ts"
+    )
+    # time-ordered files with disjoint ts ranges: in-order arrival
+    src = str(tmp_path / "sess_native_src")
+    (
+        ev.repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+        .write.parquet(src)
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_native(stream, gap=1800)
+        .writeStream.format("memory")
+        .queryName("sess_native_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    got = (
+        spark.table("sess_native_out")
+        .orderBy("user_id", "session_start")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = (
+        sessionize_native(ev, gap=1800)
+        .orderBy("user_id", "session_start")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -155,3 +155,50 @@ def run_stream_sessionize_once(
             F.max("duration_s").alias("duration_s"),
         )
     )
+
+
+def sessionize_native(
+    events: DataFrame,
+    gap: int = 1800,
+    watermark: "str | None" = None,
+) -> DataFrame:
+    """Gap sessionization via Catalyst's native ``session_window`` —
+    the JVM-side merging-session-window aggregate (no Python state, no
+    UDF; Spark's incremental session merge handles the streaming state
+    store).  Works on both batch and streaming DataFrames: pass
+    ``watermark`` for streams so closed sessions finalize and evict.
+
+    Boundary semantics are session_window's half-open windows: two
+    events merge iff their gap is STRICTLY less than ``gap`` seconds
+    (an event exactly ``gap`` later starts a new session), which is the
+    standard Spark/Flink session-window contract.  The
+    ``applyInPandasWithState`` twin (``sessionize_stream``) keeps the
+    reference batch query's inclusive boundary and a per-key session
+    counter — the two operators are both tested against their own
+    batch formulations.
+
+    Output: user_id, session_start, session_end (last event + gap),
+    n_events, duration_s (last event − first event).
+    """
+    from pyspark.sql import functions as F
+
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if watermark is not None:
+        ev = ev.withWatermark("ts", watermark)
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", f"{gap} seconds")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            (
+                F.unix_timestamp("session_window.end")
+                - F.unix_timestamp("session_window.start")
+                - F.lit(gap)
+            ).alias("duration_s"),
+        )
+    )
