@@ -78,7 +78,14 @@ def main() -> None:
     for fine, coarse in (("1m", "1h"), ("1h", "1d")):
         if coarse not in tiers:
             continue
-        n = job.cascade_tier(fine, coarse, resume=not args.no_resume)
+        if args.update:
+            # incremental continuous-aggregate refresh: only the
+            # watermark-grace tail of each partition is re-aggregated
+            n = job.cascade_update(
+                fine, coarse, grace=args.grace, new_snapshot=snapshot
+            )
+        else:
+            n = job.cascade_tier(fine, coarse, resume=not args.no_resume)
         print(
             f"tier {coarse}: processed {n} partitions, "
             f"{job.read_tier(coarse).count()} buckets"

@@ -406,3 +406,86 @@ def test_time_windowed_chunks_and_range_read(spark, transcripts):
     assert one["turn_rate_min"] <= mn
     tier.unpersist()
     chunks.unpersist()
+
+
+def test_cascade_update_incremental_refresh(
+    spark, transcripts, tmp_path, table_cls
+):
+    """Incremental continuous-aggregate refresh: after late fine-tier
+    data lands via update(), cascade_update must converge the coarse
+    tier to the direct reaggregation of the full fine tier while
+    replacing only the watermark-grace tail, and BOTH tiers' compressed
+    chunk stores must stay decode-consistent (the update path rebuilds
+    affected conversations' chunks)."""
+    from tsaug_spark.plans.rollup import reaggregate
+
+    lo, hi = transcripts.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).collect()[0]
+    cutoff = F.timestamp_seconds(F.lit(int(lo + 0.7 * (hi - lo))))
+    early = transcripts.filter(F.col("ts") < cutoff)
+    job = RollupJob(spark, str(tmp_path / "cupd"), n_partitions=2,
+                    source_snapshot="snap1", table_cls=table_cls)
+    job.run(early, "1m")
+    assert job.cascade_tier("1m", "1h") == 2
+    before_rows = job.read_tier("1h").count()
+
+    # late data: incremental fine update, then incremental cascade
+    # (cascade grace >= fine grace so the coarse window covers every
+    # re-rolled fine bucket)
+    job.update(transcripts, "1m", grace="2 hours", new_snapshot="snap2")
+    touched = job.cascade_update(
+        "1m", "1h", grace="2 hours", new_snapshot="snap2"
+    )
+    assert touched > 0
+
+    direct = (
+        reaggregate(job.read_tier("1m"), "1m", "1h")
+        .orderBy("conv_id", "bucket_ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    got = (
+        job.read_tier("1h")
+        .orderBy("conv_id", "bucket_ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(direct, got, check_dtype=False)
+    assert len(got) > before_rows  # the late tail actually landed
+
+    # chunk stores stay decode-consistent for both tiers
+    for tier in ("1m", "1h"):
+        chunks = job.table(f"tier_{tier}_chunks").read(spark)
+        back = (
+            decompress_tier(chunks.drop("partition_id"), METRIC_COLS)
+            .orderBy("conv_id", "bucket_ts")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        want = (
+            job.read_tier(tier)
+            .orderBy("conv_id", "bucket_ts")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        assert len(back) == len(want), tier
+        for c in METRIC_COLS:
+            assert np.array_equal(
+                back[c].to_numpy(np.float64),
+                want[c].to_numpy(np.float64),
+            ), (tier, c)
+
+    # lineage records the incremental snapshot on the coarse tier
+    m = job.metrics("1h").toPandas()
+    assert "snap2" in set(m["source_snapshot"])
+    # idempotent-ish: a second cascade_update with no new fine data
+    # still converges (replacement is stable)
+    job.cascade_update("1m", "1h", grace="2 hours", new_snapshot="snap3")
+    again = (
+        job.read_tier("1h")
+        .orderBy("conv_id", "bucket_ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(direct, again, check_dtype=False)

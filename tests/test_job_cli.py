@@ -85,6 +85,24 @@ def test_rollup_job_cli_end_to_end(spark, transcripts, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # the --update run also refreshed the 1h continuous aggregate
+    # incrementally (cascade_update), converging to the direct re-agg
+    from tsaug_spark.plans.rollup import reaggregate
+
+    got_1h = (
+        job.read_tier("1h")
+        .orderBy("conv_id", "bucket_ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want_1h = (
+        reaggregate(job.read_tier("1m"), "1m", "1h")
+        .orderBy("conv_id", "bucket_ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_1h, want_1h, check_dtype=False)
     # every tier carries manifest lineage from the CLI run
     m = job.metrics().toPandas()
     assert set(m["tier"]) == {"1m", "1h", "1d"}
@@ -127,7 +145,7 @@ def test_rollup_job_cli_update_late_data(spark, transcripts, tmp_path):
     work = str(tmp_path / "uwork")
 
     base = [sys.executable, str(REPO / "jobs" / "rollup_job.py"),
-            "--work-dir", work, "--tiers", "1m", "--partitions", "2"]
+            "--work-dir", work, "--tiers", "1m,1h", "--partitions", "2"]
     p1 = subprocess.run(
         base + ["--input", src_early, "--snapshot", "s1"],
         capture_output=True, text=True, timeout=600,

@@ -170,6 +170,34 @@ class RollupJob:
             return
         t.overwrite_partitions(rows, "partition_id")
 
+    def _rebuild_chunks(self, tier: str, affected: DataFrame) -> None:
+        """Re-derive compressed chunk rows for ``affected``
+        conversations from the (already committed) tier table, leaving
+        every other chunk row untouched.  Conversations with no
+        remaining tier rows lose their chunk rows.  ``affected`` is
+        materialized first so the chunk overwrite can never re-read
+        post-overwrite state on a lazily-resolving backend."""
+        chunk_table = self.table(f"tier_{tier}_chunks")
+        if not chunk_table.exists():
+            return
+        affected = affected.localCheckpoint(eager=True)
+        kept_tier = self.table(f"tier_{tier}").read(self.spark)
+        part_col = F.pmod(
+            F.xxhash64("conv_id"), F.lit(self.n_partitions)
+        ).cast("int")
+        rebuilt = compress_tier(
+            kept_tier.join(F.broadcast(affected), "conv_id").drop(
+                "partition_id"
+            ),
+            METRIC_COLS,
+        ).withColumn("partition_id", part_col)
+        untouched = chunk_table.read(self.spark).join(
+            affected, "conv_id", "left_anti"
+        )
+        chunk_table.overwrite(
+            untouched.unionByName(rebuilt, allowMissingColumns=True)
+        )
+
     # ------------------------------------------------------ incremental
     def watermarks(self, tier: str) -> DataFrame:
         """Latest committed rollup watermark per partition."""
@@ -273,6 +301,11 @@ class RollupJob:
         )
         tier_table.overwrite(
             kept.unionByName(rolled.select(*kept.columns))
+        )
+        # keep the compressed store consistent with the re-rolled tier
+        # rows (decompress(chunks) == tier must survive late data)
+        self._rebuild_chunks(
+            tier, rolled.select("conv_id").distinct()
         )
 
         chunks = compress_tier(
@@ -445,7 +478,11 @@ RollupJob.enforce_retention = enforce_retention
 
 
 def cascade_tier(
-    self, fine: str, coarse: str, resume: bool = True
+    self,
+    fine: str,
+    coarse: str,
+    resume: bool = True,
+    partitions: "Optional[Sequence[int]]" = None,
 ) -> int:
     """Continuous-aggregate maintenance of ``coarse`` FROM ``fine``,
     with the same per-partition checkpoint/lineage/metrics contract as
@@ -462,7 +499,9 @@ def cascade_tier(
     from tsaug_spark.plans.rollup import reaggregate
 
     fine_df = self.table(f"tier_{fine}").read(self.spark)
-    todo = list(range(self.n_partitions))
+    todo = list(
+        partitions if partitions is not None else range(self.n_partitions)
+    )
     if resume:
         done = self.completed_partitions(coarse)
         todo = [p for p in todo if p not in done]
@@ -513,3 +552,145 @@ def cascade_tier(
 
 
 RollupJob.cascade_tier = cascade_tier
+
+
+def cascade_update(
+    self,
+    fine: str,
+    coarse: str,
+    grace: str = "1 hour",
+    new_snapshot: "Optional[str]" = None,
+) -> int:
+    """Incremental continuous-aggregate refresh of ``coarse`` FROM
+    ``fine`` — the tier-to-tier twin of ``update()`` (TimescaleDB's
+    incremental continuous-aggregate refresh, not a full re-cascade).
+
+    Per partition, only the coarse buckets at/after the committed
+    coarse rollup watermark minus ``grace`` are re-aggregated from the
+    fine tier; the cutoff is floored to the COARSE bucket grid so no
+    partial bucket is ever rebuilt from a fine-row suffix.  Exactly
+    those rows are replaced via the backend's dynamic partition
+    overwrite (untouched partitions and older buckets keep their
+    rows), compressed chunk rows are re-derived for the affected
+    conversations only, and manifest rows land with the advanced
+    watermark + ``new_snapshot`` lineage.  Partitions with no committed
+    coarse rows get a full ``cascade_tier`` pass.
+
+    Cost at scale: reads the fine tier's re-rollable tail (bucket_ts
+    predicate -> partition/file pruning on a time-partitioned tier),
+    rewrites only touched partitions — never the whole coarse table.
+    """
+    from tsaug_spark.plans.rollup import TIERS, reaggregate
+
+    wm = self.watermarks(coarse).collect()
+    if not wm:
+        return self.cascade_tier(fine, coarse)
+    cutoffs = {r["partition_id"]: r["watermark_ts"] for r in wm}
+    snapshot = new_snapshot or self.source_snapshot
+    width = TIERS[coarse][1]
+
+    touched = 0
+    missing = [
+        p for p in range(self.n_partitions) if p not in cutoffs
+    ]
+    if missing:
+        touched += self.cascade_tier(
+            fine, coarse, resume=False, partitions=missing
+        )
+
+    part_col = F.pmod(
+        F.xxhash64("conv_id"), F.lit(self.n_partitions)
+    ).cast("int")
+    grace_expr = F.expr(f"INTERVAL {grace}")
+    aligned_cut = F.timestamp_seconds(
+        F.floor(
+            F.unix_timestamp(F.col("wm") - grace_expr) / width
+        ).cast("long")
+        * width
+    )
+    cut_df = self.spark.createDataFrame(
+        list(cutoffs.items()), "partition_id int, wm timestamp"
+    ).withColumn("cut_ts", aligned_cut)
+
+    fine_df = self.table(f"tier_{fine}").read(self.spark)
+    src = (
+        fine_df.join(F.broadcast(cut_df), "partition_id")
+        .filter(F.col("bucket_ts") >= F.col("cut_ts"))
+        .drop("partition_id", "wm", "cut_ts")
+    )
+    rolled = (
+        reaggregate(src, fine, coarse)
+        .withColumn("partition_id", part_col)
+        .cache()
+    )
+    bounds = {
+        r["partition_id"]: (r["lo"], r["hi"])
+        for r in rolled.groupBy("partition_id")
+        .agg(
+            F.min("bucket_ts").alias("lo"),
+            F.max("bucket_ts").alias("hi"),
+        )
+        .collect()
+    }
+    if not bounds:
+        rolled.unpersist()
+        return touched
+
+    # single dynamic-partition-overwrite commit: touched partitions'
+    # pre-cutoff rows + their fresh re-aggregated tail
+    replace_df = self.spark.createDataFrame(
+        [(p, cutoffs[p]) for p in bounds],
+        "partition_id int, wm timestamp",
+    ).withColumn("cut_ts", aligned_cut)
+    tier_table = self.table(f"tier_{coarse}")
+    kept = (
+        tier_table.read(self.spark)
+        .join(F.broadcast(replace_df), "partition_id")
+        .filter(F.col("bucket_ts") < F.col("cut_ts"))
+        .drop("wm", "cut_ts")
+    )
+    tier_table.overwrite_partitions(
+        kept.unionByName(rolled.select(*kept.columns)),
+        "partition_id",
+    )
+    self._rebuild_chunks(coarse, rolled.select("conv_id").distinct())
+
+    stats = {
+        r["partition_id"]: r
+        for r in compress_tier(
+            rolled.drop("partition_id"), METRIC_COLS
+        )
+        .withColumn("partition_id", part_col)
+        .groupBy("partition_id")
+        .agg(
+            F.sum("n_points").alias("points"),
+            F.sum("bytes_raw").alias("raw"),
+            F.sum("bytes_compressed").alias("comp"),
+        )
+        .collect()
+    }
+    now = time.time()
+    self.manifest.append(
+        self.spark.createDataFrame(
+            [
+                (
+                    coarse,
+                    p,
+                    snapshot,
+                    bounds[p][0],
+                    bounds[p][1],
+                    int(stats[p]["points"]) if p in stats else 0,
+                    int(stats[p]["raw"]) if p in stats else 0,
+                    int(stats[p]["comp"]) if p in stats else 0,
+                    now,
+                )
+                for p in sorted(bounds)
+            ],
+            MANIFEST_SCHEMA,
+        )
+    )
+    rolled.unpersist()
+    return touched + len(bounds)
+
+
+RollupJob.cascade_update = cascade_update
