@@ -1033,6 +1033,31 @@ def q_codec_range_read(spark, sf):
     )
 
 
+def q_codec_value_filter_read(spark, sf):
+    """Value-predicate chunk exclusion: only chunks whose cnt_max zone
+    map reaches the threshold are decoded (the per-channel min/max
+    zone maps compress_tier emits), then the exact row filter applies.
+    Threshold = floor(0.8 * global max cnt), computed identically on
+    both sides.  Oracle: the uncompressed tier filtered directly."""
+    from tsaug_spark.codec.chunks import compress_tier, decompress_tier
+
+    h = _hourly(spark, sf).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.timestamp_seconds("bucket_s").alias("bucket_ts"),
+        F.col("cnt").cast("double").alias("cnt"),
+    )
+    thr = float(int(h.agg(F.max("cnt")).first()[0] * 0.8))
+    chunks = compress_tier(h, ["cnt"], window_s=86400)
+    out = decompress_tier(
+        chunks.filter(F.col("cnt_max") >= thr), ["cnt"]
+    ).filter(F.col("cnt") >= thr)
+    return out.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
 def q_kernel_pool_replay(spark, sf):
     """Pool('ave', 4) via the distributed kernel — has a SQL oracle."""
     from tsaug_spark.operators import Pool
@@ -1536,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_salted": q_asof_salted,
         "codec_roundtrip": q_codec_roundtrip,
         "codec_range_read": q_codec_range_read,
+        "codec_value_filter_read": q_codec_value_filter_read,
         "stream_rollup_1m": q_stream_rollup_1m,
         "stream_sessionize": q_stream_sessionize,
         "kernel_pool_replay": q_kernel_pool_replay,
@@ -2439,6 +2465,13 @@ def oracle_sql() -> dict[str, str]:
         "codec_roundtrip": (
             f"WITH h AS ({hourly}) SELECT user_id, bucket_s, cnt, "
             "ROUND(sum_value, 4) AS sum_value FROM h"
+        ),
+        "codec_value_filter_read": (
+            f"WITH h AS ({hourly}), "
+            "t AS (SELECT CAST(FLOOR(MAX(cnt) * 0.8) AS BIGINT) AS thr "
+            "FROM h) "
+            "SELECT user_id, bucket_s, cnt FROM h, t "
+            "WHERE cnt >= t.thr"
         ),
         "sessionize_native": (
             # session_window compares RAW microsecond timestamps with

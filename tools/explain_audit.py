@@ -221,6 +221,47 @@ def main() -> None:
         f"## pool_chunked (block-aligned)\n\n```\n{pc_plan[:4000]}\n```\n"
     )
 
+    # chunk-exclusion range read over a PARQUET-BACKED chunk table:
+    # the zone-map predicate must push into the chunk scan, so excluded
+    # chunks' binary columns are never read, let alone decoded
+    import tempfile
+
+    from tsaug_spark.codec.chunks import compress_tier, decompress_tier
+
+    h = em._hourly(spark, sf).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.timestamp_seconds("bucket_s").alias("bucket_ts"),
+        F.col("cnt").cast("double").alias("cnt"),
+    )
+    chunk_dir = tempfile.mkdtemp(prefix="audit_chunks_")
+    compress_tier(h, ["cnt"], window_s=86400).write.mode(
+        "overwrite"
+    ).parquet(chunk_dir)
+    stored = spark.read.parquet(chunk_dir)
+    lo = h.agg(F.min("bucket_ts")).first()[0]
+    pruned = decompress_tier(
+        stored.filter(F.col("ts_min") >= F.lit(lo)), ["cnt"]
+    )
+    p = plan_of(pruned)
+    checks.append((
+        "codec range read (zone-map filter pushed into chunk scan)",
+        "PushedFilters carries ts_min",
+        "PushedFilters" in p and "ts_min" in p.split("PushedFilters")[1][:200],
+    ))
+    sections.append(
+        "## codec chunk-exclusion read (parquet-backed)\n\n"
+        f"```\n{p[:4000]}\n```\n"
+    )
+
+    # native session_window: the whole sessionizer is one JVM aggregate
+    audit(
+        "sessionize_native (Catalyst session_window, no Python)",
+        em.q_sessionize_native(spark, sf),
+        must_have=["session_window"],
+        must_not_have=["FlatMapGroupsInPandas", "ArrowEvalPython",
+                       "BatchEvalPython"],
+    )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")
