@@ -176,3 +176,60 @@ def test_rollup_job_cli_update_late_data(spark, transcripts, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_spark_submit_py_files_end_to_end(spark, transcripts, tmp_path):
+    """The literal north-rule run mode: ``spark-submit --py-files
+    dist/tsaug_spark.zip jobs/rollup_job.py`` — executed from OUTSIDE
+    the repo (script and zip copied to a temp dir, PYTHONPATH empty) so
+    the shipped zip is the only source of the package, exactly as on a
+    cluster."""
+    import shutil
+
+    import pyspark
+
+    spark_submit = (
+        Path(pyspark.__file__).resolve().parent / "bin" / "spark-submit"
+    )
+    subprocess.run(
+        [sys.executable, str(REPO / "tools" / "make_pyfiles.py")],
+        check=True, capture_output=True,
+    )
+    src = str(tmp_path / "in")
+    transcripts.write.mode("overwrite").parquet(src)
+    job_copy = tmp_path / "rollup_job.py"
+    zip_copy = tmp_path / "tsaug_spark.zip"
+    shutil.copy(REPO / "jobs" / "rollup_job.py", job_copy)
+    shutil.copy(REPO / "dist" / "tsaug_spark.zip", zip_copy)
+    work = str(tmp_path / "work")
+
+    proc = subprocess.run(
+        [
+            str(spark_submit),
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", str(zip_copy),
+            str(job_copy),
+            "--input", src,
+            "--work-dir", work,
+            "--tiers", "1m,1h",
+            "--partitions", "2",
+            "--snapshot", "submit-test",
+        ],
+        capture_output=True, text=True, timeout=600,
+        cwd=str(tmp_path), env={**os.environ, "PYTHONPATH": ""},
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "tier 1m: processed 2 partitions" in proc.stdout
+    assert "tier 1h: processed 2 partitions" in proc.stdout
+
+    from tsaug_spark.plans.rollup import rollup_transcripts
+    from tsaug_spark.sources.checkpoint import RollupJob
+
+    job = RollupJob(spark, work, n_partitions=2,
+                    source_snapshot="submit-test")
+    assert job.read_tier("1m").count() == rollup_transcripts(
+        transcripts, "1m"
+    ).count()
+    m = job.metrics("1m").toPandas()
+    assert (m["source_snapshot"] == "submit-test").all()
