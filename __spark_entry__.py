@@ -1507,8 +1507,33 @@ def q_char_entropy(spark, sf):
 # ------------------------------------------------------------- registry
 
 
+#: oracled entries promoted to the front of the registry: the driver's
+#: correctness snapshot has historically covered a prefix of the
+#: registry (CORRECTNESS_r02.json was exactly the first 50 entries), so
+#: the newest flagship operators must not sit behind older entries —
+#: and the 5 rows-only RandomState-stream runs go last, after every
+#: oracle-checked entry.
+_PRIORITY = [
+    "kernel_kmeans_det",
+    "kernel_pool_chunked",
+    "codec_range_read",
+    "codec_value_filter_read",
+    "sessionize_native",
+    "embed_near_dup",
+    "dedup_clusters",
+    "simhash_pairs",
+]
+
+
+def _registry_order(reg: dict) -> dict:
+    rows_only = [k for k in reg if k not in oracle_sql()]
+    head = [k for k in _PRIORITY if k in reg]
+    mid = [k for k in reg if k not in head and k not in rows_only]
+    return {k: reg[k] for k in head + mid + rows_only}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _registry_order({
         "rollup_1m": q_rollup_1m,
         "rollup_1h": q_rollup_1h,
         "cascade_1d": q_cascade_1d,
@@ -1628,7 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "char_entropy": q_char_entropy,
-    }
+    })
 
 
 #: locf'd rectangular series CTE chain shared by the kernel oracles —
