@@ -121,20 +121,28 @@ class InPlaceLazyTable:
         return self._commit_meta("replace")
 
     def overwrite_partitions(
-        self, df: DataFrame, partition_col: str = "partition_id"
+        self,
+        df: DataFrame,
+        partition_col: str = "partition_id",
+        partitions: "list | None" = None,
     ) -> str:
-        """Dynamic partition overwrite: only partitions present in
-        ``df`` are replaced; kept rows are carried over untouched."""
+        """Value-keyed dynamic overwrite (same contract as
+        IcebergTable's condition-based ``overwrite``): only rows whose
+        ``partition_col`` is in ``partitions`` (default: values present
+        in ``df``) are replaced; kept rows are carried over untouched.
+        Explicit ``partitions`` + empty ``df`` clears them."""
         df = df.localCheckpoint(eager=True)
         if not self.exists():
             self._replace_dir(df)
             return self._commit_meta("overwritePartitions")
-        touched = [
-            r[0] for r in df.select(partition_col).distinct().collect()
-        ]
+        if partitions is None:
+            partitions = [
+                r[0]
+                for r in df.select(partition_col).distinct().collect()
+            ]
         kept = (
             self.read(df.sparkSession)
-            .filter(~F.col(partition_col).isin(touched))
+            .filter(~F.col(partition_col).isin(list(partitions)))
             .localCheckpoint(eager=True)
         )
         self._replace_dir(

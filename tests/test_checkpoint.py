@@ -489,3 +489,51 @@ def test_cascade_update_incremental_refresh(
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(direct, again, check_dtype=False)
+
+
+def test_cascade_rerun_clears_partition_whose_fine_rows_vanished(
+    spark, transcripts, tmp_path, table_cls
+):
+    """A cascade re-run whose re-aggregation produces ZERO rows for a
+    partition (its fine rows were dropped, e.g. retention-expired) must
+    CLEAR the partition's stale coarse rows — an inferred touched-set
+    from an empty DataFrame cannot express that, so _replace_partition
+    passes the partition id explicitly."""
+    job = RollupJob(spark, str(tmp_path / "clr"), n_partitions=2,
+                    source_snapshot="snapA", table_cls=table_cls)
+    job.run(transcripts, "1m")
+    assert job.cascade_tier("1m", "1h") == 2
+    t1h = job.table("tier_1h")
+    assert (
+        t1h.read(spark).filter(F.col("partition_id") == 0).count() > 0
+    )
+
+    # partition 0's fine rows disappear entirely
+    t1m = job.table("tier_1m")
+    t1m.overwrite(
+        t1m.read(spark).filter(F.col("partition_id") != 0)
+    )
+
+    job2 = RollupJob(spark, str(tmp_path / "clr"), n_partitions=2,
+                     source_snapshot="snapB", table_cls=table_cls)
+    assert job2.cascade_tier("1m", "1h") == 2
+    assert (
+        t1h.read(spark).filter(F.col("partition_id") == 0).count() == 0
+    )
+    # partition 1 is intact and equals its direct re-aggregation
+    from tsaug_spark.plans.rollup import reaggregate
+
+    direct = (
+        reaggregate(
+            t1m.read(spark).filter(F.col("partition_id") == 1).drop(
+                "partition_id"
+            ),
+            "1m",
+            "1h",
+        )
+        .count()
+    )
+    assert (
+        t1h.read(spark).filter(F.col("partition_id") == 1).count()
+        == direct
+    )

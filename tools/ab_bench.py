@@ -38,8 +38,13 @@ def run_bench(variant_dir: str, env: dict) -> dict:
         text=True,
         timeout=1800,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench failed in {variant_dir} "
+            f"(rc={out.returncode}):\n{out.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:

@@ -32,8 +32,13 @@ def run_one(d: str, env: dict) -> float:
         text=True,
         timeout=600,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)["wall_s"]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"cascade run failed in {d} "
+            f"(rc={out.returncode}):\n{out.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])["wall_s"]
 
 
 def main() -> None:

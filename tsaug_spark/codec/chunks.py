@@ -266,11 +266,18 @@ def decompress_tier_range(
     def lit(x):
         return x if isinstance(x, Column) else F.lit(x)
 
+    # NULL zone maps (chunk rows written before the zone-map columns
+    # existed, preserved by allowMissingColumns appends) must be
+    # treated as MUST-DECODE, not silently excluded
     pruned = df_chunks
     if ts_lo is not None:
-        pruned = pruned.filter(F.col("ts_max") >= lit(ts_lo))
+        pruned = pruned.filter(
+            F.col("ts_max").isNull() | (F.col("ts_max") >= lit(ts_lo))
+        )
     if ts_hi is not None:
-        pruned = pruned.filter(F.col("ts_min") <= lit(ts_hi))
+        pruned = pruned.filter(
+            F.col("ts_min").isNull() | (F.col("ts_min") <= lit(ts_hi))
+        )
     out = decompress_tier(pruned, value_cols)
     if ts_lo is not None:
         out = out.filter(F.col("bucket_ts") >= lit(ts_lo))

@@ -47,11 +47,13 @@ def cap_hot_buckets(
     do anyway).  Callers can count the dropped buckets via
     ``hot_bucket_stats`` for logging/monitoring.
     """
-    sizes = bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
-    return (
-        bands.join(sizes, keys)
-        .filter(F.col("_bsz") <= max_bucket)
-        .drop("_bsz")
+    # anti-join against the (tiny, broadcastable) oversized-bucket set
+    # instead of attaching a count to every band row: the build side
+    # holds only the few hot buckets, not one entry per bucket
+    return bands.join(
+        F.broadcast(hot_bucket_stats(bands, keys, max_bucket)),
+        keys,
+        "left_anti",
     )
 
 

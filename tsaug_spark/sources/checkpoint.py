@@ -168,35 +168,77 @@ class RollupJob:
         if not t.exists():
             t.append(rows)
             return
-        t.overwrite_partitions(rows, "partition_id")
+        # partitions=[p] explicitly: a replacement that produced ZERO
+        # rows must still CLEAR the partition's stale rows (e.g. a
+        # cascade re-run after the fine rows were retention-expired),
+        # which a touched-set inferred from an empty df cannot express
+        t.overwrite_partitions(rows, "partition_id", partitions=[p])
 
-    def _rebuild_chunks(self, tier: str, affected: DataFrame) -> None:
+    def _rebuild_chunks(
+        self, tier: str, affected: DataFrame
+    ) -> "dict[int, dict]":
         """Re-derive compressed chunk rows for ``affected``
         conversations from the (already committed) tier table, leaving
         every other chunk row untouched.  Conversations with no
-        remaining tier rows lose their chunk rows.  ``affected`` is
-        materialized first so the chunk overwrite can never re-read
-        post-overwrite state on a lazily-resolving backend."""
+        remaining tier rows lose their chunk rows.
+
+        The commit is PARTITION-SCOPED: only the conversation-bucket
+        partitions containing affected conversations are rewritten
+        (their unaffected chunk rows carried over), via the backend's
+        value-keyed dynamic overwrite — never the whole chunk table.
+        ``affected`` and the rebuilt chunks are materialized first so
+        the overwrite can never re-read post-overwrite state on a
+        lazily-resolving backend.
+
+        Returns per-partition stored-chunk stats for the affected
+        conversations ({partition_id: {points, raw, comp}}), so callers
+        don't run a second Gorilla encode just for manifest metrics."""
         chunk_table = self.table(f"tier_{tier}_chunks")
         if not chunk_table.exists():
-            return
+            return {}
         affected = affected.localCheckpoint(eager=True)
-        kept_tier = self.table(f"tier_{tier}").read(self.spark)
         part_col = F.pmod(
             F.xxhash64("conv_id"), F.lit(self.n_partitions)
         ).cast("int")
-        rebuilt = compress_tier(
-            kept_tier.join(F.broadcast(affected), "conv_id").drop(
-                "partition_id"
-            ),
-            METRIC_COLS,
-        ).withColumn("partition_id", part_col)
-        untouched = chunk_table.read(self.spark).join(
-            affected, "conv_id", "left_anti"
+        pids = [
+            r[0]
+            for r in affected.select(
+                part_col.alias("partition_id")
+            )
+            .distinct()
+            .collect()
+        ]
+        kept_tier = self.table(f"tier_{tier}").read(self.spark)
+        rebuilt = (
+            compress_tier(
+                kept_tier.join(F.broadcast(affected), "conv_id").drop(
+                    "partition_id"
+                ),
+                METRIC_COLS,
+            )
+            .withColumn("partition_id", part_col)
+            .localCheckpoint(eager=True)
         )
-        chunk_table.overwrite(
-            untouched.unionByName(rebuilt, allowMissingColumns=True)
+        kept_chunks = (
+            chunk_table.read(self.spark)
+            .filter(F.col("partition_id").isin(pids))
+            .join(affected, "conv_id", "left_anti")
         )
+        chunk_table.overwrite_partitions(
+            kept_chunks.unionByName(rebuilt, allowMissingColumns=True),
+            "partition_id",
+            partitions=pids,
+        )
+        return {
+            r["partition_id"]: r
+            for r in rebuilt.groupBy("partition_id")
+            .agg(
+                F.sum("n_points").alias("points"),
+                F.sum("bytes_raw").alias("raw"),
+                F.sum("bytes_compressed").alias("comp"),
+            )
+            .collect()
+        }
 
     # ------------------------------------------------------ incremental
     def watermarks(self, tier: str) -> DataFrame:
@@ -236,6 +278,8 @@ class RollupJob:
         before the manifest append re-rolls from the old watermarks —
         the replacement is idempotent.
         """
+        from tsaug_spark.plans.rollup import TIERS
+
         wm = self.watermarks(tier).collect()
         if not wm:
             return self.run(transcripts, tier)
@@ -246,6 +290,18 @@ class RollupJob:
             F.xxhash64("conv_id"), F.lit(self.n_partitions)
         ).cast("int")
         grace_expr = F.expr(f"INTERVAL {grace}")
+        # floor the cutoff to the tier bucket grid: a grace that is not
+        # a multiple of the bucket width would otherwise KEEP the old
+        # full-bucket row (bucket_ts < cut_ts) while the re-roll emits
+        # a partial aggregate for the SAME bucket from raw rows >=
+        # cut_ts — two conflicting rows per (conv, bucket)
+        width = TIERS[tier][1]
+        aligned_cut = F.timestamp_seconds(
+            F.floor(
+                F.unix_timestamp(F.col("wm") - grace_expr) / width
+            ).cast("long")
+            * width
+        )
         touched = 0
         # partitions with no committed watermark: full first-time run
         missing = [
@@ -258,7 +314,7 @@ class RollupJob:
         # row keeps only if at/after ITS partition's (watermark - grace)
         cut_df = self.spark.createDataFrame(
             list(cutoffs.items()), "partition_id int, wm timestamp"
-        ).withColumn("cut_ts", F.col("wm") - grace_expr)
+        ).withColumn("cut_ts", aligned_cut)
         src = (
             transcripts.withColumn("partition_id", part_col)
             .join(F.broadcast(cut_df), "partition_id")
@@ -288,7 +344,7 @@ class RollupJob:
         replace_df = self.spark.createDataFrame(
             [(p, cutoffs[p]) for p in bounds],
             "partition_id int, wm timestamp",
-        ).withColumn("cut_ts", F.col("wm") - grace_expr)
+        ).withColumn("cut_ts", aligned_cut)
         tier_table = self.table(f"tier_{tier}")
         existing = tier_table.read(self.spark)
         kept = (
@@ -303,24 +359,20 @@ class RollupJob:
             kept.unionByName(rolled.select(*kept.columns))
         )
         # keep the compressed store consistent with the re-rolled tier
-        # rows (decompress(chunks) == tier must survive late data)
-        self._rebuild_chunks(
+        # rows (decompress(chunks) == tier must survive late data);
+        # the returned stats avoid a second Gorilla encode — manifest
+        # metrics for a refresh are: points/raw = the re-rolled rows,
+        # comp = the affected conversations' stored chunk bytes
+        chunk_stats = self._rebuild_chunks(
             tier, rolled.select("conv_id").distinct()
         )
-
-        chunks = compress_tier(
-            rolled.drop("partition_id"), METRIC_COLS
-        ).withColumn("partition_id", part_col)
-        stats = {
-            r["partition_id"]: r
-            for r in chunks.groupBy("partition_id")
-            .agg(
-                F.sum("n_points").alias("points"),
-                F.sum("bytes_raw").alias("raw"),
-                F.sum("bytes_compressed").alias("comp"),
-            )
+        counts = {
+            r["partition_id"]: r["n"]
+            for r in rolled.groupBy("partition_id")
+            .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+        row_bytes = 8 * (1 + len(METRIC_COLS))
         now = time.time()
         self.manifest.append(
             self.spark.createDataFrame(
@@ -331,9 +383,9 @@ class RollupJob:
                         snapshot,
                         bounds[p][0],
                         bounds[p][1],
-                        int(stats[p]["points"]) if p in stats else 0,
-                        int(stats[p]["raw"]) if p in stats else 0,
-                        int(stats[p]["comp"]) if p in stats else 0,
+                        int(counts.get(p, 0)),
+                        int(counts.get(p, 0)) * row_bytes,
+                        int(chunk_stats.get(p, {"comp": 0})["comp"]),
                         now,
                     )
                     for p in sorted(bounds)
@@ -424,34 +476,11 @@ def enforce_retention(
         )
         tier_table.overwrite(cur.filter(F.col("bucket_ts") >= cutoff))
 
-        chunk_table = self.table(f"tier_{tier}_chunks")
-        if chunk_table.exists():
-            # chunk rows carry no bucket_ts; re-derive from their
-            # conversations' surviving tier rows: drop chunks whose
-            # conversation has no remaining tier rows, and rebuild
-            # chunks for conversations that lost a prefix
-            kept_tier = tier_table.read(self.spark)
-            affected = scratch.read(self.spark)
-            chunks_cur = chunk_table.read(self.spark)
-            untouched = chunks_cur.join(
-                affected, "conv_id", "left_anti"
-            )
-            rebuilt_src = kept_tier.join(
-                F.broadcast(affected), "conv_id"
-            ).drop("partition_id")
-            from tsaug_spark.plans.rollup import METRIC_COLS as _MC
-
-            rebuilt = compress_tier(rebuilt_src, _MC)
-            part_col = F.pmod(
-                F.xxhash64("conv_id"), F.lit(self.n_partitions)
-            )
-            chunk_table.overwrite(
-                untouched.unionByName(
-                    rebuilt.withColumn(
-                        "partition_id", part_col.cast("int")
-                    )
-                )
-            )
+        # chunk rows carry no bucket_ts; re-derive from their
+        # conversations' surviving tier rows via the partition-scoped
+        # rebuild (drops chunks of fully-expired conversations,
+        # rebuilds the rest, touches only their partitions)
+        self._rebuild_chunks(tier, scratch.read(self.spark))
 
         self.manifest.append(
             self.spark.createDataFrame(
@@ -653,22 +682,19 @@ def cascade_update(
         kept.unionByName(rolled.select(*kept.columns)),
         "partition_id",
     )
-    self._rebuild_chunks(coarse, rolled.select("conv_id").distinct())
-
-    stats = {
-        r["partition_id"]: r
-        for r in compress_tier(
-            rolled.drop("partition_id"), METRIC_COLS
-        )
-        .withColumn("partition_id", part_col)
-        .groupBy("partition_id")
-        .agg(
-            F.sum("n_points").alias("points"),
-            F.sum("bytes_raw").alias("raw"),
-            F.sum("bytes_compressed").alias("comp"),
-        )
+    # chunk rebuild returns the stored-chunk stats, so no second
+    # Gorilla encode runs just for manifest metrics (points/raw = the
+    # re-aggregated rows; comp = affected conversations' chunk bytes)
+    chunk_stats = self._rebuild_chunks(
+        coarse, rolled.select("conv_id").distinct()
+    )
+    counts = {
+        r["partition_id"]: r["n"]
+        for r in rolled.groupBy("partition_id")
+        .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    row_bytes = 8 * (1 + len(METRIC_COLS))
     now = time.time()
     self.manifest.append(
         self.spark.createDataFrame(
@@ -679,9 +705,9 @@ def cascade_update(
                     snapshot,
                     bounds[p][0],
                     bounds[p][1],
-                    int(stats[p]["points"]) if p in stats else 0,
-                    int(stats[p]["raw"]) if p in stats else 0,
-                    int(stats[p]["comp"]) if p in stats else 0,
+                    int(counts.get(p, 0)),
+                    int(counts.get(p, 0)) * row_bytes,
+                    int(chunk_stats.get(p, {"comp": 0})["comp"]),
                     now,
                 )
                 for p in sorted(bounds)

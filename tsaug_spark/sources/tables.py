@@ -83,18 +83,30 @@ class ParquetSnapshotTable:
         return self._commit(df, [parent] if parent else [])
 
     def overwrite_partitions(
-        self, df: DataFrame, partition_col: str = "partition_id"
+        self,
+        df: DataFrame,
+        partition_col: str = "partition_id",
+        partitions: "list | None" = None,
     ) -> str:
-        """Replace exactly the partitions present in ``df`` (Iceberg's
-        dynamic-partition-overwrite contract).  Untouched partitions
-        keep their rows.  Safe against self-derived plans here because
-        the commit writes a FRESH data directory before the pointer
-        flip — the lazy read keeps resolving the old snapshot."""
+        """Replace exactly the given ``partitions`` (default: those
+        present in ``df``) with ``df``'s rows — value-keyed dynamic
+        partition overwrite.  Untouched partitions keep their rows.
+        Passing ``partitions`` explicitly with an empty ``df`` CLEARS
+        those partitions (a replacement that produced zero rows must
+        not leave stale data behind).  Safe against self-derived plans
+        here because the commit writes a FRESH data directory before
+        the pointer flip — the lazy read keeps resolving the old
+        snapshot."""
         meta = self._resolve()
         if meta is None:
             return self._commit(df, [])
         spark = df.sparkSession
-        touched = df.select(partition_col).distinct()
+        if partitions is None:
+            touched = df.select(partition_col).distinct()
+        else:
+            touched = spark.createDataFrame(
+                [(p,) for p in partitions], f"{partition_col} int"
+            )
         existing = spark.read.parquet(meta["data_path"])
         kept = existing.join(touched, partition_col, "left_anti")
         return self._commit(
@@ -124,6 +136,10 @@ class IcebergTable:
     def __init__(self, identifier: str):
         self.identifier = identifier
 
+    def exists(self) -> bool:
+        spark = SparkSession.getActiveSession()
+        return spark.catalog.tableExists(self.identifier)
+
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.format("iceberg").load(self.identifier)
 
@@ -152,15 +168,33 @@ class IcebergTable:
         return self.snapshot_id()
 
     def overwrite_partitions(
-        self, df: DataFrame, partition_col: str = "partition_id"
+        self,
+        df: DataFrame,
+        partition_col: str = "partition_id",
+        partitions: "list | None" = None,
     ) -> str | None:
-        """Dynamic partition overwrite: replace only the partitions
-        present in ``df`` — the metadata-only commit the checkpoint
-        layer's partition replacement maps to on Iceberg.  The input is
-        materialized first (localCheckpoint) so self-derived plans
-        cannot re-read the overwritten table (same hazard as above);
-        only the replacement partitions are materialized, never the
+        """VALUE-KEYED dynamic overwrite: replace exactly the rows
+        whose ``partition_col`` is in ``partitions`` (default: the
+        values present in ``df``) with ``df``'s rows, via Iceberg's
+        condition-based ``overwrite`` — NOT ``overwritePartitions``,
+        which keys on the table's own partition SPEC and would replace
+        the whole table when the spec doesn't match ``partition_col``
+        (e.g. an unpartitioned tier table).  On a table that IS
+        partitioned by ``partition_col`` the condition prunes to a
+        metadata-level partition replacement.  Passing ``partitions``
+        explicitly with an empty ``df`` clears those partitions.  The
+        input is materialized first (localCheckpoint) so self-derived
+        plans cannot re-read the overwritten table (same hazard as
+        above); only the replacement rows are materialized, never the
         whole table."""
+        from pyspark.sql import functions as F
+
         df = df.localCheckpoint(eager=True)
-        df.writeTo(self.identifier).overwritePartitions()
+        if partitions is None:
+            partitions = [
+                r[0] for r in df.select(partition_col).distinct().collect()
+            ]
+        df.writeTo(self.identifier).overwrite(
+            F.col(partition_col).isin(list(partitions))
+        )
         return self.snapshot_id()

@@ -30,10 +30,21 @@ from .stream_rollup import stream_rollup
 
 
 def merge_batch_into_tier(
-    job: RollupJob, tier: str, batch_df: DataFrame, batch_id: int
+    job: RollupJob,
+    tier: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    stream_id: str = "",
 ) -> None:
     """foreachBatch body: merge one micro-batch of (conv_id, bucket_ts,
-    metrics) rows into the tier table + append a lineage row."""
+    metrics) rows into the tier table + append a lineage row.
+
+    ``stream_id`` scopes the at-least-once lineage dedup: micro-batch
+    ids restart at 0 for every new streaming checkpoint, so without a
+    per-stream scope a SECOND stream's early batches would collide with
+    a previous stream's manifest rows and skip their lineage appends.
+    Pass something stable per checkpoint (run_stream_ingest_once
+    derives it from the checkpoint dir)."""
     spark = batch_df.sparkSession
     part_col = F.pmod(
         F.xxhash64("conv_id"), F.lit(job.n_partitions)
@@ -68,7 +79,11 @@ def merge_batch_into_tier(
     # foreachBatch is at-least-once: the merge above is idempotent on
     # retry, but the lineage append is not — skip it when this batch_id
     # already has a manifest row for this tier (ADVICE r2)
-    snap = f"stream-batch:{batch_id}"
+    snap = (
+        f"stream-batch:{stream_id}:{batch_id}"
+        if stream_id
+        else f"stream-batch:{batch_id}"
+    )
     if job.manifest.exists():
         dup = (
             job.manifest.read(spark)
@@ -89,7 +104,7 @@ def merge_batch_into_tier(
                 (
                     tier,
                     -1,  # streaming commits are not partition-scoped
-                    f"stream-batch:{batch_id}",
+                    snap,
                     lo,
                     wm,
                     int(n),
@@ -123,10 +138,19 @@ def run_stream_ingest_once(
         .parquet(source_dir)
     )
     rolled = stream_rollup(stream, tier, watermark=watermark)
+    import hashlib as _hl
+
+    stream_id = (
+        _hl.md5(checkpoint_dir.encode()).hexdigest()[:8]
+        if checkpoint_dir
+        else ""
+    )
     writer = (
         rolled.writeStream.outputMode("update")
         .foreachBatch(
-            lambda df, bid: merge_batch_into_tier(job, tier, df, bid)
+            lambda df, bid: merge_batch_into_tier(
+                job, tier, df, bid, stream_id=stream_id
+            )
         )
         .trigger(availableNow=True)
     )
