@@ -1455,6 +1455,28 @@ def q_embed_near_dup(spark, sf):
     )
 
 
+def q_embed_dedup_survivors(spark, sf):
+    """End-to-end embedding dedup survivorship: multi-band hyperplane
+    LSH candidates -> exact-cosine verify (>= 0.3) -> connected
+    components -> one survivor (min vec_id) per near-dup group with its
+    group size.  The full pipeline a 100 TB embedding-dedup pass runs,
+    in one plan chain.  Oracle: the banded pair SQL (same plane draws)
+    + WITH RECURSIVE reachability."""
+    from tsaug_spark.pipeline.dedup import (
+        dedup_clusters,
+        embedding_near_dup,
+    )
+
+    pairs = embedding_near_dup(
+        _emb(spark, sf), threshold=0.3, n_bands=2, band_width=4
+    )
+    labels = dedup_clusters(pairs.select("id_a", "id_b"), max_iters=64)
+    return labels.groupBy("component").agg(
+        F.min("doc_id").alias("survivor_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    ).select("survivor_id", "group_size")
+
+
 def q_doc_fingerprint(spark, sf):
     """Order-sensitive rolling-hash document fingerprints."""
     from tsaug_spark.pipeline.text import doc_fingerprint
@@ -1515,6 +1537,7 @@ def q_char_entropy(spark, sf):
 #: oracle-checked entry.
 _PRIORITY = [
     "kernel_kmeans_det",
+    "embed_dedup_survivors",
     "kernel_pool_chunked",
     "codec_range_read",
     "codec_value_filter_read",
@@ -1648,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kernel_quantile_buggy": q_kernel_quantile_buggy,
         "kernel_quantile_fixed": q_kernel_quantile_fixed,
         "embed_near_dup": q_embed_near_dup,
+        "embed_dedup_survivors": q_embed_dedup_survivors,
         "doc_fingerprint": q_doc_fingerprint,
         "ivf_topk": q_ivf_topk,
         "simhash_pairs": q_simhash_pairs,
@@ -2653,6 +2677,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM bk x JOIN bk y ON x.vec_id < y.vec_id "
             "AND (x.k0 = y.k0 OR x.k1 = y.k1)) "
             "SELECT id_a, id_b, ROUND(c, 4) AS cos FROM p WHERE c >= 0.3"
+        ),
+        "embed_dedup_survivors": (
+            "WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS "
+            "DOUBLE[]) AS v FROM embeddings), "
+            "bk AS (SELECT vec_id, v, "
+            + ", ".join(
+                f"({k}) AS k{b}"
+                for b, k in enumerate(_near_dup_band_sql(2, 4))
+            )
+            + " FROM e), "
+            "p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b "
+            "FROM bk x JOIN bk y ON x.vec_id < y.vec_id "
+            "AND (x.k0 = y.k0 OR x.k1 = y.k1) "
+            "WHERE list_dot_product(x.v, y.v) / "
+            "(sqrt(list_dot_product(x.v, x.v)) * "
+            "sqrt(list_dot_product(y.v, y.v))) >= 0.3), "
+            "ed AS (SELECT id_a AS src, id_b AS dst FROM p "
+            "UNION SELECT id_b, id_a FROM p), "
+            "walk(node, lab) AS (SELECT DISTINCT src, src FROM ed "
+            "UNION SELECT ed.dst, w.lab FROM walk w "
+            "JOIN ed ON ed.src = w.node), "
+            "comp AS (SELECT node, MIN(lab) AS component FROM walk "
+            "GROUP BY 1) "
+            "SELECT MIN(node) AS survivor_id, COUNT(*) AS group_size "
+            "FROM comp GROUP BY component"
         ),
         "doc_fingerprint": (
             "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "

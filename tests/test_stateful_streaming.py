@@ -284,3 +284,79 @@ def test_native_session_window_stream_matches_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stream_ingest_then_incremental_cascade(
+    spark, transcripts, tmp_path, table_cls
+):
+    """The full production loop: streaming ingest maintains the 1m
+    tier, cascade_tier builds 1h once, then LATE files arrive, the
+    stream resumes from its checkpoint, and cascade_update refreshes
+    only the 1h watermark-grace tail — the coarse tier must equal the
+    direct re-aggregation of the caught-up fine tier."""
+    from pyspark.sql import functions as F
+
+    from tsaug_spark.plans.rollup import reaggregate, rollup_transcripts
+    from tsaug_spark.sources.checkpoint import RollupJob
+    from tsaug_spark.streaming.stream_sink import run_stream_ingest_once
+
+    lo, hi = transcripts.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).collect()[0]
+    cutoff = F.timestamp_seconds(F.lit(int(lo + 0.6 * (hi - lo))))
+    early = transcripts.filter(F.col("ts") < cutoff)
+    late = transcripts.filter(F.col("ts") >= cutoff)
+
+    src = tmp_path / "loop_src"
+    src.mkdir()
+    early.toPandas().to_parquet(
+        str(src / "a.parquet"), engine="pyarrow", coerce_timestamps="us"
+    )
+    job = RollupJob(spark, str(tmp_path / "loop_work"), n_partitions=2,
+                    source_snapshot="loop", table_cls=table_cls)
+    ckpt = str(tmp_path / "loop_ckpt")
+    run_stream_ingest_once(
+        spark, str(src), transcripts.schema, job, tier="1m",
+        checkpoint_dir=ckpt,
+    )
+    assert job.cascade_tier("1m", "1h") == 2
+
+    late.toPandas().to_parquet(
+        str(src / "b.parquet"), engine="pyarrow", coerce_timestamps="us"
+    )
+    run_stream_ingest_once(
+        spark, str(src), transcripts.schema, job, tier="1m",
+        checkpoint_dir=ckpt,
+    )
+    # the streamed 1m tier is caught up to the batch rollup ...
+    got_1m = (
+        job.read_tier("1m").orderBy("conv_id", "bucket_ts").toPandas()
+    )
+    want_1m = (
+        rollup_transcripts(transcripts, "1m")
+        .orderBy("conv_id", "bucket_ts")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got_1m.reset_index(drop=True),
+        want_1m.reset_index(drop=True),
+        check_dtype=False,
+    )
+    # ... and the incremental cascade refresh converges the 1h tier
+    # (grace wide enough to cover the stream's watermark window)
+    assert job.cascade_update(
+        "1m", "1h", grace="2 hours", new_snapshot="loop2"
+    ) > 0
+    got_1h = (
+        job.read_tier("1h").orderBy("conv_id", "bucket_ts").toPandas()
+    )
+    want_1h = (
+        reaggregate(job.read_tier("1m"), "1m", "1h")
+        .orderBy("conv_id", "bucket_ts")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got_1h.reset_index(drop=True),
+        want_1h.reset_index(drop=True),
+        check_dtype=False,
+    )
