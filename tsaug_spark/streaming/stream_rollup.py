@@ -74,7 +74,12 @@ def run_stream_once(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "availableNow rollup backfill did not finish in 300s; "
+            "the memory sink would be partial — refusing to return it"
+        )
     return spark.table(sink_table)
 
 
@@ -144,5 +149,10 @@ def run_stream_events_once(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "availableNow events rollup backfill did not finish in 300s; "
+            "the memory sink would be partial — refusing to return it"
+        )
     return spark.table(sink_table)
