@@ -204,6 +204,17 @@ def main() -> None:
         must_not_have=["BroadcastNestedLoopJoin", "CartesianProduct"],
     )
 
+    # end-to-end embedding dedup survivorship: the post-CC survivor
+    # aggregate is one hash agg over checkpointed labels; the candidate
+    # stage upstream is the banded equi-join audited above, and nothing
+    # in the chain may degenerate to an all-pairs product
+    audit(
+        "embed_dedup_survivors (survivor agg over CC labels)",
+        em.q_embed_dedup_survivors(spark, sf),
+        must_have=["HashAggregate"],
+        must_not_have=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    )
+
     # block-aligned chunked pool: exactly the one groupBy exchange the
     # (conv, chunk) fan-out needs — no extra shuffle, no driver collect
     from tsaug_spark.plans.chunked import pool_chunked
