@@ -950,6 +950,21 @@ def q_stream_sessionize(spark, sf):
     return out.select("user_id", "session_id", "n_events", "duration_s")
 
 
+def q_stream_dedup(spark, sf):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on a
+    content md5): the staged stream replays the documents table a
+    second time in a later micro-batch, and every replay row must be
+    suppressed by dedup state carried ACROSS batches.  The caught-up
+    sink therefore equals the batch distinct-fingerprint projection,
+    which is what the oracle checks."""
+    from tsaug_spark.streaming.stream_dedup import run_stream_dedup_once
+
+    out = run_stream_dedup_once(
+        spark, f"{sf}/documents.parquet", sink_table="q_stream_dedup"
+    )
+    return out.select("doc_id", "fp")
+
+
 def q_codec_roundtrip(spark, sf):
     """Storage-layer proof: the 1h tier compressed into Gorilla XOR /
     delta-of-delta chunk rows, then decompressed — the oracle is the
@@ -1612,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_value_filter_read": q_codec_value_filter_read,
         "stream_rollup_1m": q_stream_rollup_1m,
         "stream_sessionize": q_stream_sessionize,
+        "stream_dedup": q_stream_dedup,
         "kernel_pool_replay": q_kernel_pool_replay,
         "kernel_pool_mask": q_kernel_pool_mask,
         "kernel_resize": q_kernel_resize,
@@ -2434,6 +2450,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM m) "
             "SELECT user_id, session_id, COUNT(*) AS n_events, "
             "MAX(t) - MIN(t) AS duration_s FROM s GROUP BY 1, 2"
+        ),
+        "stream_dedup": (
+            # the caught-up streaming dedup sink must equal the batch
+            # distinct-fingerprint projection: one survivor per content
+            # md5, and since the staged replays are byte-identical the
+            # surviving row is deterministic
+            "SELECT doc_id, md5(text) AS fp FROM documents"
         ),
         "set_ops": (
             "WITH agg AS (SELECT user_id, COUNT(*) AS n, SUM(value) AS v "
