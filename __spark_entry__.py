@@ -918,6 +918,38 @@ def q_asof_salted(spark, sf):
     return out.select("event_id", "user_id", "t", "cnt", "asof_t")
 
 
+def q_range_busy_windows(spark, sf):
+    """Bucketed range join (point-in-interval as an equi-join): count
+    events falling inside each 2-hour 'busy window' (hours whose event
+    count is >= 1.2x the mean hourly rate, extended to lo+7199s).  The
+    intervals have NO equality key, the case where naive BETWEEN joins
+    plan a BroadcastNestedLoopJoin; plans.range_join chunks the time
+    axis so Catalyst gets a shuffled hash equi-join instead.  Threshold
+    uses explicit sum/count (not AVG) so Spark and DuckDB compute the
+    identical double."""
+    from tsaug_spark.plans.range_join import range_join
+
+    ev = _events(spark, sf).select(
+        "event_id", F.unix_timestamp("ts").alias("t")
+    )
+    hourly = ev.groupBy(
+        (F.floor(F.col("t") / 3600) * 3600).cast("long").alias("lo")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    thresh = hourly.agg(
+        (F.lit(1.2) * F.sum("c") / F.count(F.lit(1))).alias("th")
+    )
+    iv = (
+        hourly.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c") >= F.col("th"))
+        .select("lo", (F.col("lo") + 7199).alias("hi"))
+    )
+    return (
+        range_join(ev, iv, "t", chunk=3600)
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_stream_rollup_1m(spark, sf):
     """Structured-Streaming 1m rollup (readStream -> watermarked window
     agg -> availableNow backfill); the oracle is the batch rollup — the
@@ -1622,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": q_asof_enrich,
         "asof_forward": q_asof_forward,
         "asof_salted": q_asof_salted,
+        "range_busy_windows": q_range_busy_windows,
         "codec_roundtrip": q_codec_roundtrip,
         "codec_range_read": q_codec_range_read,
         "codec_value_filter_read": q_codec_value_filter_read,
@@ -2450,6 +2483,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM m) "
             "SELECT user_id, session_id, COUNT(*) AS n_events, "
             "MAX(t) - MIN(t) AS duration_s FROM s GROUP BY 1, 2"
+        ),
+        "range_busy_windows": (
+            # same busy-window intervals, naive BETWEEN join in DuckDB;
+            # threshold via explicit sum/count on both sides
+            "WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t "
+            "FROM events), "
+            "h AS (SELECT CAST(floor(t/3600)*3600 AS BIGINT) AS lo, "
+            "count(*) AS c FROM e GROUP BY 1), "
+            "iv AS (SELECT lo, lo+7199 AS hi FROM h WHERE c >= "
+            "1.2 * (SELECT SUM(c)::DOUBLE / COUNT(*) FROM h)) "
+            "SELECT iv.lo, iv.hi, count(*) AS n FROM e JOIN iv "
+            "ON e.t BETWEEN iv.lo AND iv.hi GROUP BY 1, 2"
         ),
         "stream_dedup": (
             # the caught-up streaming dedup sink must equal the batch

@@ -195,6 +195,32 @@ def main() -> None:
         must_not_have=["BroadcastNestedLoopJoin", "CartesianProduct"],
     )
 
+    # bucketed range join: the keyless point-in-interval join must be a
+    # shuffled hash equi-join on the time chunk, never the
+    # BroadcastNestedLoopJoin a naive BETWEEN predicate plans (the
+    # interval builder's 1-row scalar-threshold broadcast is excluded
+    # by folding the cutoff to a literal, as in the unit test)
+    from tsaug_spark.plans.range_join import range_join
+
+    ev3 = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id", F.unix_timestamp("ts").alias("t")
+    )
+    hourly3 = ev3.groupBy(
+        (F.floor(F.col("t") / 3600) * 3600).cast("long").alias("lo")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cutoff3 = float(
+        hourly3.agg(F.lit(1.2) * F.sum("c") / F.count(F.lit(1))).first()[0]
+    )
+    iv3 = hourly3.filter(F.col("c") >= F.lit(cutoff3)).select(
+        "lo", (F.col("lo") + 7199).alias("hi")
+    )
+    audit(
+        "range_busy_windows (bucketed range join, no nested loop)",
+        range_join(ev3, iv3, "t", chunk=3600),
+        must_have=["Join"],
+        must_not_have=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    )
+
     # multi-band hyperplane LSH: the candidate stage must be a banded
     # equi-join (union of per-band keys), never an all-pairs product
     audit(
