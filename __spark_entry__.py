@@ -982,6 +982,26 @@ def q_stream_sessionize(spark, sf):
     return out.select("user_id", "session_id", "n_events", "duration_s")
 
 
+def q_hash_split_strata(spark, sf):
+    """Deterministic hash train/val/test split (md5-bucket keyed by
+    doc_id — stable under re-partitioning, cluster resize, and
+    incremental ingest, unlike df.sample), reported per language
+    stratum.  The oracle replays the identical md5 arithmetic in
+    DuckDB, proving the assignment is engine-independent — the property
+    that makes the split safe to persist as a contract."""
+    from tsaug_spark.pipeline.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        hash_split(
+            docs, "doc_id",
+            weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        )
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_stream_dedup(spark, sf):
     """Streaming exact dedup (dropDuplicatesWithinWatermark on a
     content md5): the staged stream replays the documents table a
@@ -1661,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup_1m": q_stream_rollup_1m,
         "stream_sessionize": q_stream_sessionize,
         "stream_dedup": q_stream_dedup,
+        "hash_split_strata": q_hash_split_strata,
         "kernel_pool_replay": q_kernel_pool_replay,
         "kernel_pool_mask": q_kernel_pool_mask,
         "kernel_resize": q_kernel_resize,
@@ -2483,6 +2504,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM m) "
             "SELECT user_id, session_id, COUNT(*) AS n_events, "
             "MAX(t) - MIN(t) AS duration_s FROM s GROUP BY 1, 2"
+        ),
+        "hash_split_strata": (
+            # identical md5-prefix bucket arithmetic, replayed verbatim
+            "WITH b AS (SELECT lang, "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+            "::BIGINT % 10000 AS bkt FROM documents), "
+            "s AS (SELECT lang, CASE WHEN bkt < 8000 THEN 'train' "
+            "WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split "
+            "FROM b) "
+            "SELECT split, lang, count(*) AS n FROM s GROUP BY 1, 2"
         ),
         "range_busy_windows": (
             # same busy-window intervals, naive BETWEEN join in DuckDB;

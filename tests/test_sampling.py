@@ -1,0 +1,128 @@
+"""Deterministic hash sampling / splitting: totality, disjointness,
+stability under repartitioning, salt independence, incremental-ingest
+composition, and plan narrowness (no shuffle)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tsaug_spark.pipeline.sampling import (
+    N_BUCKETS,
+    hash_bucket,
+    hash_sample,
+    hash_split,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_split_is_total_and_disjoint(spark):
+    docs = _docs(spark)
+    out = hash_split(docs, "doc_id",
+                     weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    n = docs.count()
+    per = dict(
+        out.groupBy("split").count().rdd.map(tuple).collect()
+    )
+    assert sum(per.values()) == n
+    assert set(per) <= {"train", "val", "test"}
+    # one split per row by construction; weights roughly honored
+    assert per["train"] > per.get("val", 0)
+
+
+def test_split_stable_under_repartitioning(spark):
+    docs = _docs(spark)
+    a = hash_split(docs, "doc_id").select("doc_id", "split")
+    b = hash_split(docs.repartition(17), "doc_id").select(
+        "doc_id", "split"
+    )
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+def test_salt_namespaces_draws(spark):
+    docs = _docs(spark)
+    a = hash_sample(docs, "doc_id", 0.5, salt="expA")
+    b = hash_sample(docs, "doc_id", 0.5, salt="expB")
+    ids_a = {r.doc_id for r in a.select("doc_id").collect()}
+    ids_b = {r.doc_id for r in b.select("doc_id").collect()}
+    assert ids_a != ids_b          # different draws...
+    a2 = hash_sample(docs, "doc_id", 0.5, salt="expA")
+    ids_a2 = {r.doc_id for r in a2.select("doc_id").collect()}
+    assert ids_a == ids_a2         # ...but each is stable
+
+
+def test_sample_composes_with_ingest_growth(spark):
+    """A row's membership never flips when the table grows: the sample
+    of the grown table restricted to the old ids equals the old
+    sample."""
+    docs = _docs(spark)
+    old = docs.filter(F.col("doc_id") < 30)
+    grown = docs.filter(F.col("doc_id") < 60)
+    s_old = {r.doc_id for r in
+             hash_sample(old, "doc_id", 0.4).select("doc_id").collect()}
+    s_grown = {r.doc_id for r in
+               hash_sample(grown, "doc_id", 0.4).select("doc_id")
+               .collect()}
+    assert {i for i in s_grown if i < 30} == s_old
+
+
+def test_sample_fraction_accuracy(spark):
+    docs = _docs(spark)
+    n = docs.count()
+    got = hash_sample(docs, "doc_id", 0.25).count()
+    assert abs(got / n - 0.25) < 0.08
+
+
+def test_bucket_uniformity():
+    # driverless check of the bucket function's distribution over a
+    # contiguous id range: no bucket hot spots (md5 prefix uniformity)
+    pdf = pd.DataFrame({"id": range(20_000)})
+    import hashlib
+
+    buckets = [
+        int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % N_BUCKETS
+        for i in pdf["id"]
+    ]
+    counts = pd.Series(buckets).value_counts()
+    assert counts.max() <= 12  # mean 2 per bucket; loose tail bound
+
+
+def test_split_weight_validation(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, "doc_id", weights={"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="at least one"):
+        hash_split(docs, "doc_id", weights={})
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(docs, "doc_id", 1.5)
+
+
+def test_projection_is_narrow(spark):
+    """The split is a pure projection: no Exchange in the plan."""
+    docs = _docs(spark)
+    plan = (
+        hash_split(docs, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_bucket_matches_duckdb():
+    import duckdb
+
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT ('0x' || substr(md5('42'), 1, 8))::BIGINT % 10000"
+    ).fetchone()[0]
+    import hashlib
+
+    got = int(hashlib.md5(b"42").hexdigest()[:8], 16) % 10000
+    assert got == want

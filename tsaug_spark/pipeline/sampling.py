@@ -1,0 +1,100 @@
+"""Deterministic hash sampling and train/val/test splitting.
+
+A 100 TB training-data pipeline cannot use ``df.sample()`` for split
+assignment: partition-order-dependent RNG means membership changes
+whenever the file layout, cluster size, or Spark version changes, and
+a document's split must never flip between runs (train/test leakage).
+The standard fix is content-keyed hashing — bucket = md5(id || salt)
+mod N — which is stable under any re-partitioning, reproducible on any
+engine, and needs no shuffle at all (a narrow projection; Catalyst
+keeps it inside whole-stage codegen).
+
+``salt`` namespaces independent draws: the same corpus can be split
+one way for experiment A and another for experiment B by changing the
+salt, while each stays internally stable.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bucket resolution: 32 hash bits folded mod 1e4 gives 0.01% split
+#: granularity with no detectable bias (md5 is uniform on hex prefixes)
+N_BUCKETS = 10_000
+
+
+def hash_bucket(
+    id_col: str, salt: str = "", n_buckets: int = N_BUCKETS
+) -> Column:
+    """Uniform deterministic bucket in [0, n_buckets) from an id.
+
+    First 8 hex chars of md5(id || salt) parsed base-16 (32 bits), mod
+    ``n_buckets`` — bit-reproducible in any engine with md5 (the DuckDB
+    oracle replays it verbatim).
+    """
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Keep a stable ``fraction`` of rows, keyed by ``id_col``.
+
+    Unlike ``df.sample``, re-running on a re-partitioned (or grown)
+    table keeps exactly the same ids — new rows join the sample iff
+    their hash falls in the window, so incremental ingest composes.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    cut = int(round(fraction * N_BUCKETS))
+    return df.where(hash_bucket(id_col, salt) < F.lit(cut))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Mapping[str, float] | None = None,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split, deterministically.
+
+    ``weights`` maps split name -> fraction (must sum to 1 within
+    1/N_BUCKETS); splits occupy consecutive bucket ranges in the
+    mapping's iteration order, so the assignment is total and disjoint
+    by construction.
+    """
+    if weights is None:
+        weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    weights = dict(weights)
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1.0 / N_BUCKETS:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = hash_bucket(id_col, salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cut = int(round(acc * N_BUCKETS))
+        clause = bucket < F.lit(cut)
+        expr = (
+            F.when(clause, F.lit(name))
+            if expr is None
+            else expr.when(clause, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
