@@ -1007,14 +1007,17 @@ def q_stream_dedup(spark, sf):
     content md5): the staged stream replays the documents table a
     second time in a later micro-batch, and every replay row must be
     suppressed by dedup state carried ACROSS batches.  The caught-up
-    sink therefore equals the batch distinct-fingerprint projection,
-    which is what the oracle checks."""
+    sink therefore holds exactly one survivor per distinct content
+    fingerprint — the oracle's distinct-md5 projection.  Only ``fp`` is
+    projected: when the corpus has REAL duplicate texts under different
+    doc_ids (sf0.1 has 8), which id survives is micro-batch-order
+    dependent, but the surviving fingerprint set is not."""
     from tsaug_spark.streaming.stream_dedup import run_stream_dedup_once
 
     out = run_stream_dedup_once(
         spark, f"{sf}/documents.parquet", sink_table="q_stream_dedup"
     )
-    return out.select("doc_id", "fp")
+    return out.select("fp")
 
 
 def q_codec_roundtrip(spark, sf):
@@ -2530,9 +2533,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": (
             # the caught-up streaming dedup sink must equal the batch
             # distinct-fingerprint projection: one survivor per content
-            # md5, and since the staged replays are byte-identical the
-            # surviving row is deterministic
-            "SELECT doc_id, md5(text) AS fp FROM documents"
+            # md5 (fp only — the surviving doc_id is batch-order
+            # dependent when real cross-id duplicates exist)
+            "SELECT DISTINCT md5(text) AS fp FROM documents"
         ),
         "set_ops": (
             "WITH agg AS (SELECT user_id, COUNT(*) AS n, SUM(value) AS v "
