@@ -199,6 +199,14 @@ def run_queries(spark, sf_dir: str) -> dict:
         "simhash_pairs", lambda: em.q_simhash_pairs(spark, sf_dir).count()
     )
     timed("embed_cosine", lambda: em.q_embed_cosine(spark, sf_dir).count())
+    timed(
+        "range_busy_windows",
+        lambda: em.q_range_busy_windows(spark, sf_dir).count(),
+    )
+    timed(
+        "hash_split_strata",
+        lambda: em.q_hash_split_strata(spark, sf_dir).count(),
+    )
 
     tier = spark.table("bench_tier_1m").select(
         "conv_id",
