@@ -982,6 +982,20 @@ def q_stream_sessionize(spark, sf):
     return out.select("user_id", "session_id", "n_events", "duration_s")
 
 
+def q_curate_corpus(spark, sf):
+    """The full per-snapshot curation pass in ONE plan: exact-dedup
+    survivorship (min-id per md5 fingerprint — the plan's single
+    shuffle) -> marker-word language gate -> quality gates (token
+    count, punctuation density, chars/word), reported as per-source
+    yield (docs / tokens / chars kept).  Integer aggregates only, so
+    the report is partitioning-invariant; the oracle replays every
+    stage in SQL."""
+    from tsaug_spark.pipeline.curation import curation_summary
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return curation_summary(docs)
+
+
 def q_hash_split_strata(spark, sf):
     """Deterministic hash train/val/test split (md5-bucket keyed by
     doc_id — stable under re-partitioning, cluster resize, and
@@ -1685,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "stream_dedup": q_stream_dedup,
         "hash_split_strata": q_hash_split_strata,
+        "curate_corpus": q_curate_corpus,
         "kernel_pool_replay": q_kernel_pool_replay,
         "kernel_pool_mask": q_kernel_pool_mask,
         "kernel_resize": q_kernel_resize,
@@ -2507,6 +2522,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM m) "
             "SELECT user_id, session_id, COUNT(*) AS n_events, "
             "MAX(t) - MIN(t) AS duration_s FROM s GROUP BY 1, 2"
+        ),
+        "curate_corpus": (
+            # dedup survivors -> lang gate -> quality gates -> yield
+            "WITH k AS (SELECT *, MIN(doc_id) OVER "
+            "(PARTITION BY md5(text)) AS keep_id FROM documents), "
+            "f AS (SELECT source, text, "
+            "len(string_split(text, ' ')) AS w, "
+            "len(regexp_extract_all(text, '[.,!?;]')) / "
+            "CAST(length(text) AS DOUBLE) AS pr, "
+            "length(text) / CAST(len(string_split(text, ' ')) "
+            "AS DOUBLE) AS cpw FROM k WHERE doc_id = keep_id), "
+            "c AS (SELECT * FROM f WHERE w >= 25 AND pr <= 0.06 "
+            "AND cpw <= 8.0 AND CASE WHEN instr(text, '的') > 0 "
+            "THEN 'zh' WHEN instr(text, ' el ') > 0 THEN 'es' "
+            "WHEN instr(text, ' der ') > 0 THEN 'de' "
+            "WHEN instr(text, ' le ') > 0 THEN 'fr' ELSE 'en' END "
+            "= 'en') "
+            "SELECT source, COUNT(*) AS n_docs, "
+            "CAST(SUM(w) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(length(text)) AS BIGINT) AS n_chars "
+            "FROM c GROUP BY 1"
         ),
         "hash_split_strata": (
             # identical md5-prefix bucket arithmetic, replayed verbatim

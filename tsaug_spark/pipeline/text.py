@@ -69,14 +69,20 @@ def token_counts_bpe(
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-word language heuristic; returns the confusion table
-    against the ``lang`` ground-truth column."""
+def lang_pred(text_col: str = "text"):
+    """The marker-word language-prediction column (CASE chain), shared
+    by lang_id and the curation pipeline."""
     pred = None
     for code, marker in LANG_RULES:
         cond = F.instr(F.col(text_col), marker) > 0
         pred = F.when(cond, code) if pred is None else pred.when(cond, code)
-    pred = pred.otherwise("en")
+    return pred.otherwise("en")
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic; returns the confusion table
+    against the ``lang`` ground-truth column."""
+    pred = lang_pred(text_col)
     return (
         df.select("lang", pred.alias("predicted"))
         .groupBy("lang", "predicted")
