@@ -982,6 +982,23 @@ def q_stream_sessionize(spark, sf):
     return out.select("user_id", "session_id", "n_events", "duration_s")
 
 
+def q_mixture_counts(spark, sf):
+    """Deterministic data mixing: per-source keep-rates (all of src0,
+    half of src1, a quarter of src2, 10% of everything else), keyed by
+    md5 hash buckets so the blend is stable under repartitioning and
+    ingest growth.  Reports the per-source kept counts; the oracle
+    replays the identical bucket arithmetic and CASE rate table."""
+    from tsaug_spark.pipeline.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    mixed = mixture_sample(
+        docs, "doc_id", "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        salt="mix1", default_fraction=0.1,
+    )
+    return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_curate_corpus(spark, sf):
     """The full per-snapshot curation pass in ONE plan: exact-dedup
     survivorship (min-id per md5 fingerprint — the plan's single
@@ -1700,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "hash_split_strata": q_hash_split_strata,
         "curate_corpus": q_curate_corpus,
+        "mixture_counts": q_mixture_counts,
         "kernel_pool_replay": q_kernel_pool_replay,
         "kernel_pool_mask": q_kernel_pool_mask,
         "kernel_resize": q_kernel_resize,
@@ -2522,6 +2540,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM m) "
             "SELECT user_id, session_id, COUNT(*) AS n_events, "
             "MAX(t) - MIN(t) AS duration_s FROM s GROUP BY 1, 2"
+        ),
+        "mixture_counts": (
+            # identical md5-bucket arithmetic (salt 'mix1') + the same
+            # per-source rate table
+            "WITH b AS (SELECT source, "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix1'), "
+            "1, 8))::BIGINT % 10000 AS bkt FROM documents) "
+            "SELECT source, count(*) AS n FROM b WHERE bkt < "
+            "CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000 "
+            "WHEN 'src2' THEN 2500 ELSE 1000 END GROUP BY 1"
         ),
         "curate_corpus": (
             # dedup survivors -> lang gate -> quality gates -> yield

@@ -93,6 +93,44 @@ def test_bucket_uniformity():
     assert counts.max() <= 12  # mean 2 per bucket; loose tail bound
 
 
+def test_mixture_rates_and_subset_growth(spark):
+    from tsaug_spark.pipeline.sampling import mixture_sample
+
+    docs = _docs(spark)
+    lo = mixture_sample(docs, "doc_id", "source", {"src0": 0.3},
+                        salt="m", default_fraction=0.2)
+    hi = mixture_sample(docs, "doc_id", "source", {"src0": 0.6},
+                        salt="m", default_fraction=0.2)
+    ids_lo = {r.doc_id for r in lo.select("doc_id").collect()}
+    ids_hi = {r.doc_id for r in hi.select("doc_id").collect()}
+    # upsampling a stratum strictly grows its kept set (curriculum
+    # schedules can reuse earlier shards)
+    assert ids_lo <= ids_hi
+    # unlisted strata follow default_fraction, roughly
+    n_other = docs.filter(F.col("source") != "src0").count()
+    got = lo.filter(F.col("source") != "src0").count()
+    assert abs(got / n_other - 0.2) < 0.1
+
+
+def test_mixture_zero_default_drops_unlisted(spark):
+    from tsaug_spark.pipeline.sampling import mixture_sample
+
+    docs = _docs(spark)
+    only = mixture_sample(docs, "doc_id", "source", {"src0": 1.0})
+    assert only.filter(F.col("source") != "src0").count() == 0
+    assert only.count() == docs.filter(F.col("source") == "src0").count()
+
+
+def test_mixture_validation(spark):
+    from tsaug_spark.pipeline.sampling import mixture_sample
+
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="fraction for"):
+        mixture_sample(docs, "doc_id", "source", {"src0": 1.5})
+    with pytest.raises(ValueError, match="default_fraction"):
+        mixture_sample(docs, "doc_id", "source", {}, default_fraction=-1)
+
+
 def test_split_weight_validation(spark):
     docs = _docs(spark)
     with pytest.raises(ValueError, match="sum to 1"):

@@ -290,6 +290,42 @@ def main() -> None:
         f"```\n{p[:4000]}\n```\n"
     )
 
+    # curation pass: ONE Exchange (the fingerprint window); every gate
+    # fuses into codegen projections over the survivor stream, no
+    # Python anywhere
+    from tsaug_spark.pipeline.curation import curate
+
+    docs_c = spark.read.parquet(f"{sf}/documents.parquet")
+    cur_plan = plan_of(curate(docs_c))
+    checks.append((
+        "curate_corpus (single-shuffle curation pass, Python-free)",
+        "one Exchange, no BatchEvalPython/ArrowEvalPython",
+        cur_plan.count("Exchange") == 1
+        and "BatchEvalPython" not in cur_plan
+        and "ArrowEvalPython" not in cur_plan,
+    ))
+    sections.append(
+        f"## curate_corpus (curation pass)\n\n```\n{cur_plan[:4000]}\n```\n"
+    )
+
+    # hash split / mixture sample: pure narrow projections — zero
+    # Exchange, membership decided per-row from the md5 bucket
+    from tsaug_spark.pipeline.sampling import hash_split, mixture_sample
+
+    hs_plan = plan_of(hash_split(docs_c, "doc_id"))
+    mx_plan = plan_of(
+        mixture_sample(docs_c, "doc_id", "source", {"src0": 0.5},
+                       default_fraction=0.1)
+    )
+    checks.append((
+        "hash_split / mixture_sample (shuffle-free projections)",
+        "no Exchange in either plan",
+        "Exchange" not in hs_plan and "Exchange" not in mx_plan,
+    ))
+    sections.append(
+        f"## hash_split (narrow projection)\n\n```\n{hs_plan[:2500]}\n```\n"
+    )
+
     # native session_window: the whole sessionizer is one JVM aggregate
     audit(
         "sessionize_native (Catalyst session_window, no Python)",

@@ -60,6 +60,46 @@ def hash_sample(
     return df.where(hash_bucket(id_col, salt) < F.lit(cut))
 
 
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixing step.
+
+    Training corpora are blended by source/domain at explicit rates
+    ("keep all of wiki, 30% of web, 5% of logs").  ``fractions`` maps a
+    ``strata_col`` value to its keep-rate; strata not listed get
+    ``default_fraction``.  Membership is keyed by ``hash_bucket(id ||
+    salt)``, so the mix is stable under repartitioning and incremental
+    ingest, per-row (no shuffle, no per-stratum scan), and upsampling a
+    stratum later (raising its fraction) strictly GROWS its kept set —
+    earlier epochs' samples remain subsets, which lets curriculum
+    schedules reuse cached shards.
+    """
+    for val, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(
+                f"fraction for {val!r} must be in [0, 1], got {frac}"
+            )
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(
+            f"default_fraction must be in [0, 1], got {default_fraction}"
+        )
+    bucket = hash_bucket(id_col, salt)
+    cut = None
+    for val, frac in fractions.items():
+        clause = F.col(strata_col) == F.lit(val)
+        n = F.lit(int(round(frac * N_BUCKETS)))
+        cut = F.when(clause, n) if cut is None else cut.when(clause, n)
+    default_cut = F.lit(int(round(default_fraction * N_BUCKETS)))
+    cut = default_cut if cut is None else cut.otherwise(default_cut)
+    return df.where(bucket < cut)
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
