@@ -982,6 +982,19 @@ def q_stream_sessionize(spark, sf):
     return out.select("user_id", "session_id", "n_events", "duration_s")
 
 
+def q_pack_shards(spark, sf):
+    """Token-budget training-shard packing: each doc lands in shard
+    floor(preceding_cum_tokens / 500) within its source stratum
+    (ordered by doc_id) — the closed-form distributed variant of
+    greedy packing (one window shuffle, overflow bounded by one doc).
+    Returns the per-shard manifest; the oracle replays the identical
+    window cumsum in SQL."""
+    from tsaug_spark.pipeline.shards import shard_manifest
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return shard_manifest(docs, budget=500)
+
+
 def q_mixture_counts(spark, sf):
     """Deterministic data mixing: per-source keep-rates (all of src0,
     half of src1, a quarter of src2, 10% of everything else), keyed by
@@ -1718,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_strata": q_hash_split_strata,
         "curate_corpus": q_curate_corpus,
         "mixture_counts": q_mixture_counts,
+        "pack_shards": q_pack_shards,
         "kernel_pool_replay": q_kernel_pool_replay,
         "kernel_pool_mask": q_kernel_pool_mask,
         "kernel_resize": q_kernel_resize,
@@ -2540,6 +2554,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM m) "
             "SELECT user_id, session_id, COUNT(*) AS n_events, "
             "MAX(t) - MIN(t) AS duration_s FROM s GROUP BY 1, 2"
+        ),
+        "pack_shards": (
+            # identical per-stratum window cumsum and floor arithmetic
+            "WITH t AS (SELECT source, doc_id, "
+            "len(string_split(text, ' ')) AS tok FROM documents), "
+            "c AS (SELECT source, doc_id, tok, SUM(tok) OVER "
+            "(PARTITION BY source ORDER BY doc_id ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) "
+            "SELECT source, CAST(floor((cum - tok) / 500) AS BIGINT) "
+            "AS shard_id, COUNT(*) AS n_docs, "
+            "CAST(SUM(tok) AS BIGINT) AS shard_tokens "
+            "FROM c GROUP BY 1, 2"
         ),
         "mixture_counts": (
             # identical md5-bucket arithmetic (salt 'mix1') + the same

@@ -1,0 +1,91 @@
+"""Token-budget shard packing: assignment semantics, overflow bound,
+losslessness, determinism."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tsaug_spark.pipeline.shards import pack_shards, shard_manifest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _toy(spark):
+    # token counts 4,4,4,4,10,1 in one stratum => budget 8 packing:
+    # cum_before 0,4,8,12,16,26 -> shards 0,0,1,1,2,3
+    texts = [
+        "a b c d", "e f g h", "i j k l", "m n o p",
+        "q r s t u v w x y z", "solo",
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "source": ["s"] * 6,
+                "text": texts,
+            }
+        )
+    )
+
+
+def test_assignment_formula(spark):
+    out = (
+        pack_shards(_toy(spark), budget=8)
+        .orderBy("doc_id")
+        .select("doc_id", "shard_id", "n_tokens")
+        .collect()
+    )
+    assert [r.shard_id for r in out] == [0, 0, 1, 1, 2, 3]
+    assert [r.n_tokens for r in out] == [4, 4, 4, 4, 10, 1]
+
+
+def test_lossless_and_overflow_bound(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    packed = pack_shards(docs, budget=500)
+    assert packed.count() == docs.count()  # nothing lost
+    man = shard_manifest(docs, budget=500)
+    # every shard's tokens < budget + its largest doc (overflow bound)
+    biggest = packed.groupBy("source", "shard_id").agg(
+        F.max("n_tokens").alias("mx"), F.sum("n_tokens").alias("tot")
+    )
+    bad = biggest.filter(F.col("tot") >= 500 + F.col("mx")).count()
+    assert bad == 0
+    # manifest totals reconcile with the corpus
+    tot_man = man.agg(F.sum("shard_tokens")).first()[0]
+    tot_doc = packed.agg(F.sum("n_tokens")).first()[0]
+    assert tot_man == tot_doc
+
+
+def test_oversize_doc_gets_own_shard(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "source": ["s"] * 3,
+                "text": ["a b", "x " * 50, "c d"],
+            }
+        )
+    )
+    out = pack_shards(docs, budget=10).orderBy("doc_id").collect()
+    # the oversize doc advances the cumsum past several budgets; the
+    # doc after it lands in a fresh shard, nothing is dropped
+    assert len(out) == 3
+    assert out[1].shard_id != out[2].shard_id
+
+
+def test_deterministic_under_repartitioning(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = pack_shards(docs, budget=500).select(
+        "doc_id", "shard_id"
+    )
+    b = pack_shards(docs.repartition(13), budget=500).select(
+        "doc_id", "shard_id"
+    )
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+def test_budget_validation(spark):
+    with pytest.raises(ValueError, match="budget"):
+        pack_shards(_toy(spark), budget=0)
