@@ -982,6 +982,21 @@ def q_stream_sessionize(spark, sf):
     return out.select("user_id", "session_id", "n_events", "duration_s")
 
 
+def q_repetition_flags(spark, sf):
+    """Gopher-style repetition filter: docs whose most frequent word
+    is >= 20% of all words (integer arithmetic — top_cnt*5 >= total —
+    so no float-rounding divergence between engines).  The word
+    fan-out collapses in map-side partial aggregation before either
+    doc-keyed shuffle."""
+    from tsaug_spark.pipeline.text import repetition_metrics
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    m = repetition_metrics(docs)
+    return m.where(
+        F.col("top_word_cnt") * 5 >= F.col("n_words")
+    ).select("doc_id", "top_word_cnt", "n_words")
+
+
 def q_pack_shards(spark, sf):
     """Token-budget training-shard packing: each doc lands in shard
     floor(preceding_cum_tokens / 500) within its source stratum
@@ -1732,6 +1747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate_corpus,
         "mixture_counts": q_mixture_counts,
         "pack_shards": q_pack_shards,
+        "repetition_flags": q_repetition_flags,
         "kernel_pool_replay": q_kernel_pool_replay,
         "kernel_pool_mask": q_kernel_pool_mask,
         "kernel_resize": q_kernel_resize,
@@ -2554,6 +2570,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM m) "
             "SELECT user_id, session_id, COUNT(*) AS n_events, "
             "MAX(t) - MIN(t) AS duration_s FROM s GROUP BY 1, 2"
+        ),
+        "repetition_flags": (
+            "WITH w AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS word FROM documents), "
+            "f AS (SELECT doc_id, word, count(*) AS c FROM w "
+            "GROUP BY 1, 2), "
+            "t AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS "
+            "top_word_cnt, CAST(sum(c) AS BIGINT) AS n_words "
+            "FROM f GROUP BY 1) "
+            "SELECT doc_id, top_word_cnt, n_words FROM t "
+            "WHERE top_word_cnt * 5 >= n_words"
         ),
         "pack_shards": (
             # identical per-stratum window cumsum and floor arithmetic

@@ -430,3 +430,26 @@ def test_dedup_clusters_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(pairs, max_iters=3)
+
+
+def test_repetition_metrics_counts(spark):
+    """Exact top-word / total counts on a crafted corpus; the gate is
+    integer arithmetic (top*5 >= total), no float ratio anywhere."""
+    from tsaug_spark.pipeline.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": [
+                    "spam spam spam eggs ham",      # top 3 of 5 -> flag
+                    "one two three four five six",  # top 1 of 6 -> keep
+                ],
+            }
+        )
+    )
+    m = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    assert (m[0].top_word_cnt, m[0].n_words) == (3, 5)
+    assert (m[1].top_word_cnt, m[1].n_words) == (1, 6)
+    flagged = [d for d, r in m.items() if r.top_word_cnt * 5 >= r.n_words]
+    assert flagged == [0]

@@ -69,6 +69,32 @@ def token_counts_bpe(
     )
 
 
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc repetition signals: most-frequent-word count and total
+    word count (the Gopher-style 'top n-gram share' filter at n=1).
+
+    explode -> (doc, word) partial-aggregated counts -> per-doc
+    max/sum: the word fan-out collapses map-side before either
+    shuffle, and both shuffles are keyed by the doc id.  Counts stay
+    integers; callers compare ``top_word_cnt * k >= n_words`` instead
+    of materializing a float ratio, so the gate is exact and
+    engine-independent.
+    """
+    words = df.select(
+        id_col,
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    freq = words.groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return freq.groupBy(id_col).agg(
+        F.max("c").alias("top_word_cnt"),
+        F.sum("c").alias("n_words"),
+    )
+
+
 def lang_pred(text_col: str = "text"):
     """The marker-word language-prediction column (CASE chain), shared
     by lang_id and the curation pipeline."""
