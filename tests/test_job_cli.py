@@ -233,3 +233,72 @@ def test_spark_submit_py_files_end_to_end(spark, transcripts, tmp_path):
     ).count()
     m = job.metrics("1m").toPandas()
     assert (m["source_snapshot"] == "submit-test").all()
+
+
+def test_curate_job_cli_end_to_end(spark, tmp_path):
+    """Full curation CLI over the sf0.001 documents: curated shards
+    partitioned by (split, source) + a manifest that reconciles."""
+    work = str(tmp_path / "curated")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "jobs" / "curate_job.py"),
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", work,
+            "--budget", "300",
+            "--split", "train=0.8,val=0.1,test=0.1",
+            "--mix", "src0=1.0,src1=0.5",
+            "--default-rate", "0.5",
+            "--salt", "clitest",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "curated 500 -> " in proc.stdout
+
+    from pyspark.sql import functions as F
+
+    shards = spark.read.parquet(f"{work}/shards")
+    manifest = spark.read.parquet(f"{work}/manifest")
+    n_docs = shards.count()
+    assert 0 < n_docs < 500            # gates + mixture really dropped
+    assert set(shards.select("split").distinct().toPandas()["split"]) \
+        <= {"train", "val", "test"}
+    # manifest reconciles with the shard files
+    tot_m = manifest.agg(F.sum("shard_tokens")).first()[0]
+    tot_s = shards.agg(F.sum("n_tokens")).first()[0]
+    assert tot_m == tot_s
+    # no shard spans a (split, source) boundary by construction;
+    # shard token totals respect the budget + one-doc overflow
+    joined = (
+        shards.groupBy("split", "source", "shard_id")
+        .agg(F.sum("n_tokens").alias("tot"),
+             F.max("n_tokens").alias("mx"))
+    )
+    assert joined.filter(F.col("tot") >= 300 + F.col("mx")).count() == 0
+    # determinism: same salt -> same membership on a second run
+    work2 = str(tmp_path / "curated2")
+    proc2 = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "jobs" / "curate_job.py"),
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", work2,
+            "--budget", "300",
+            "--split", "train=0.8,val=0.1,test=0.1",
+            "--mix", "src0=1.0,src1=0.5",
+            "--default-rate", "0.5",
+            "--salt", "clitest",
+        ],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert proc2.returncode == 0, proc2.stderr[-3000:]
+    a = spark.read.parquet(f"{work}/shards").select(
+        "doc_id", "split", "shard_id")
+    b = spark.read.parquet(f"{work2}/shards").select(
+        "doc_id", "split", "shard_id")
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0

@@ -19,14 +19,22 @@ serialize the whole corpus through one task).
 
 from __future__ import annotations
 
+from typing import Sequence, Union
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+StrataSpec = Union[str, Sequence[str]]
+
+
+def _strata(spec: StrataSpec) -> list:
+    return [spec] if isinstance(spec, str) else list(spec)
 
 
 def pack_shards(
     df: DataFrame,
     budget: int,
-    strata_col: str = "source",
+    strata_col: StrataSpec = "source",
     order_col: str = "doc_id",
     token_col: str | None = None,
     text_col: str = "text",
@@ -47,7 +55,7 @@ def pack_shards(
         else F.size(F.split(F.col(text_col), " "))
     )
     w = (
-        Window.partitionBy(strata_col)
+        Window.partitionBy(*_strata(strata_col))
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -61,7 +69,7 @@ def pack_shards(
 def shard_manifest(
     df: DataFrame,
     budget: int,
-    strata_col: str = "source",
+    strata_col: StrataSpec = "source",
     **kwargs,
 ) -> DataFrame:
     """Per-shard manifest: (stratum, shard_id, n_docs, n_tokens).
@@ -70,7 +78,7 @@ def shard_manifest(
     aggregates keep it partitioning-invariant.
     """
     packed = pack_shards(df, budget, strata_col=strata_col, **kwargs)
-    return packed.groupBy(strata_col, "shard_id").agg(
+    return packed.groupBy(*_strata(strata_col), "shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("shard_tokens"),
     )
