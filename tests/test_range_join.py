@@ -4,6 +4,8 @@ an equi-join physical plan (never a nested-loop / cartesian product)."""
 from __future__ import annotations
 
 import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from tsaug_spark.plans.range_join import range_join
@@ -131,3 +133,45 @@ def test_rejects_unknown_how(spark):
         assert "inner/left" in str(exc)
     else:  # pragma: no cover
         raise AssertionError("expected ValueError")
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    pts=st.lists(st.integers(min_value=0, max_value=200), min_size=1,
+                 max_size=40),
+    ivs=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=200),
+                  st.integers(min_value=0, max_value=60)),
+        min_size=1, max_size=15,
+    ),
+    chunk=st.sampled_from([1, 7, 16, 64]),
+)
+def test_property_matches_bruteforce(spark, pts, ivs, chunk):
+    """Arbitrary point/interval sets at arbitrary chunk sizes equal the
+    brute-force O(n*m) reference, including duplicate and degenerate
+    (lo == hi) intervals."""
+    pdf_p = pd.DataFrame({"pid": range(len(pts)), "t": pts})
+    pdf_i = pd.DataFrame(
+        {
+            "iid": range(len(ivs)),
+            "lo": [lo for lo, w in ivs],
+            "hi": [lo + w for lo, w in ivs],
+        }
+    )
+    got = (
+        range_join(
+            spark.createDataFrame(pdf_p),
+            spark.createDataFrame(pdf_i),
+            "t", chunk=chunk,
+        )
+        .select("pid", "iid")
+        .collect()
+    )
+    want = {
+        (p, i)
+        for p, t in zip(pdf_p.pid, pdf_p.t)
+        for i, lo, hi in zip(pdf_i.iid, pdf_i.lo, pdf_i.hi)
+        if lo <= t <= hi
+    }
+    assert {(r.pid, r.iid) for r in got} == want
+    assert len(got) == len(want)  # no duplicate emission

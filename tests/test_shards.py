@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from tsaug_spark.pipeline.shards import pack_shards, shard_manifest
@@ -89,3 +91,40 @@ def test_deterministic_under_repartitioning(spark):
 def test_budget_validation(spark):
     with pytest.raises(ValueError, match="budget"):
         pack_shards(_toy(spark), budget=0)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=50), min_size=1,
+                  max_size=40),
+    budget=st.sampled_from([1, 10, 37, 1000]),
+)
+def test_property_lossless_and_bounded(spark, toks, budget):
+    """Random token sequences at random budgets: every doc assigned,
+    shard ids contiguous from 0, totals bounded by budget + max doc."""
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(len(toks)),
+                "source": ["s"] * len(toks),
+                "tok": toks,
+            }
+        )
+    )
+    out = (
+        pack_shards(docs, budget, token_col="tok")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert len(out) == len(toks)
+    shard_ids = sorted({r.shard_id for r in out})
+    # per-shard totals respect the overflow bound
+    per = {}
+    for r in out:
+        per.setdefault(r.shard_id, []).append(r.n_tokens)
+    for sid, lst in per.items():
+        assert sum(lst) < budget + max(lst)
+    # shard ids are non-decreasing in doc order (stream-writable)
+    seq = [r.shard_id for r in out]
+    assert seq == sorted(seq)
+    assert shard_ids[0] == 0
