@@ -982,6 +982,26 @@ def q_stream_sessionize(spark, sf):
     return out.select("user_id", "session_id", "n_events", "duration_s")
 
 
+def q_sketch_distinct_daily(spark, sf):
+    """HLL++ sketch distinct (approx_count_distinct, rsd=0.01) per
+    day: the only distinct-count strategy that survives 100 TB — the
+    sketch is a few KB per group, merges associatively map-side, and
+    never shuffles raw user ids.  Rows-only entry (the HLL estimate
+    has no DuckDB twin); the companion test gates the estimate within
+    2% of the exact count at sf0.01, and the estimate itself is
+    partitioning-independent because HLL register merge is
+    commutative."""
+    ev = _events(spark, sf)
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias(
+                "approx_users"
+            )
+        )
+    )
+
+
 def q_repetition_flags(spark, sf):
     """Gopher-style repetition filter: docs whose most frequent word
     is >= 20% of all words (integer arithmetic — top_cnt*5 >= total —
@@ -1748,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_counts": q_mixture_counts,
         "pack_shards": q_pack_shards,
         "repetition_flags": q_repetition_flags,
+        "sketch_distinct_daily": q_sketch_distinct_daily,
         "kernel_pool_replay": q_kernel_pool_replay,
         "kernel_pool_mask": q_kernel_pool_mask,
         "kernel_resize": q_kernel_resize,

@@ -62,3 +62,41 @@ def test_stream_dedup_within_batch_duplicates(spark, tmp_path):
     # first-occurrence-wins: the 'alpha' survivor is one of its two ids
     alpha = out.filter(F.col("fp") == F.md5(F.lit("alpha"))).collect()
     assert len(alpha) == 1 and alpha[0]["doc_id"] in (1, 3)
+
+
+def test_hash_split_works_on_streams(spark, tmp_path):
+    """hash_split/mixture membership is a stateless narrow projection,
+    so the same expression drops into a streaming plan unchanged and
+    assigns exactly the batch memberships."""
+    from tsaug_spark.pipeline.sampling import hash_split
+
+    src = f"{SF_DIR}/documents.parquet"
+    batch = spark.read.parquet(src)
+    want = {
+        (r.doc_id, r.split)
+        for r in hash_split(batch, "doc_id").select(
+            "doc_id", "split").collect()
+    }
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path))
+    )
+    import shutil
+
+    shutil.copyfile(src, str(tmp_path / "docs.parquet"))
+    q = (
+        hash_split(stream, "doc_id")
+        .select("doc_id", "split")
+        .writeStream.format("memory")
+        .queryName("split_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r.doc_id, r.split)
+        for r in spark.table("split_stream").collect()
+    }
+    assert got == want
