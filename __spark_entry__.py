@@ -1675,6 +1675,195 @@ def q_char_entropy(spark, sf):
     )
 
 
+def q_twa_1h(spark, sf):
+    """Time-weighted average per (user, hour): trapezoidal integration
+    over irregular samples (TimescaleDB time_weight('linear')
+    semantics).  Single-sample buckets degrade to the plain mean.
+    ROUND(4): the per-bucket area/span sums are aggregation-order
+    sensitive."""
+    from tsaug_spark.plans.metrics import time_weighted_avg
+
+    out = time_weighted_avg(_events(spark, sf), "1h")
+    return out.select(
+        F.col("key").alias("user_id"),
+        "bucket_s",
+        "n_samples",
+        F.round("twa", 4).alias("twa"),
+    )
+
+
+def q_counter_rate_1h(spark, sf):
+    """PromQL-style counter increase/rate per (user, hour) with reset
+    semantics: a drop in the sample contributes its full post-reset
+    value, not a negative delta; deltas look across bucket boundaries
+    (the lookbehind sees the previous scrape)."""
+    from tsaug_spark.plans.metrics import counter_rate
+
+    out = counter_rate(
+        _events(spark, sf), "1h", order_col="event_id"
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        "bucket_s",
+        "n_samples",
+        "resets",
+        F.round("increase", 4).alias("increase"),
+        F.round("rate_ps", 6).alias("rate_ps"),
+    )
+
+
+def q_m4_daily(spark, sf):
+    """M4 visualization aggregation (Jugel et al., VLDB 2014): per
+    (user, day) the min/max/first/last values — single hash aggregate,
+    picked values are exact doubles so the oracle compares raw, no
+    rounding; (ts, event_id) breaks timestamp ties."""
+    from tsaug_spark.plans.metrics import m4_downsample
+
+    out = m4_downsample(_events(spark, sf), "1d")
+    return out.select(
+        F.col("key").alias("user_id"),
+        "bucket_s",
+        "n",
+        "vmin",
+        "vmax",
+        "vfirst",
+        "vlast",
+    )
+
+
+def q_ewma_series(spark, sf):
+    """EWMA (alpha=0.25, adjust=False) per rectangular series via the
+    grouped Arrow kernel.  pandas' C recurrence is bit-exact with the
+    oracle's recursive-CTE fold (verified: y=a*x+(1-a)*y_prev matches
+    both operand orders at exact-binary alpha), so raw doubles, no
+    rounding."""
+    from tsaug_spark.plans.metrics import ewma
+
+    out = ewma(_series_df(spark, sf), alpha=0.25)
+    return out.select(
+        F.col("key").cast("long").alias("user_id"),
+        F.col("ord").alias("bucket_idx"),
+        F.col("v").alias("cnt"),
+        "ewma",
+    )
+
+
+def q_heartbeat_1h(spark, sf):
+    """Bucket-local heartbeat liveness per (user, hour): each sample
+    asserts 300 s of liveness clipped at the next sample and the
+    bucket end (TimescaleDB heartbeat_agg's live_ratio, bucket-local
+    variant).  All arithmetic is integer microseconds then one shared
+    division — exact on both sides, no rounding."""
+    from tsaug_spark.plans.metrics import heartbeat_uptime
+
+    out = heartbeat_uptime(_events(spark, sf), "1h", heartbeat=300)
+    return out.select(
+        F.col("key").alias("user_id"),
+        "bucket_s",
+        "n_beats",
+        "covered_s",
+        "uptime",
+    )
+
+
+def q_twa_cascade_1d(spark, sf):
+    """Continuous-aggregate TWA: hourly mergeable partials (trapezoid
+    sums + boundary samples) re-aggregated to daily with bridge
+    segments.  The ORACLE is the DIRECT daily computation — matching
+    proves the cascade integrates exactly the same trapezoids (only
+    float association differs; ROUND 4)."""
+    from tsaug_spark.plans.metrics import twa_merge, twa_partial
+
+    out = twa_merge(twa_partial(_events(spark, sf), "1h"), "1d")
+    return out.select(
+        F.col("key").alias("user_id"),
+        "bucket_s",
+        "n_samples",
+        F.round("twa", 4).alias("twa"),
+    )
+
+
+def q_m4_cascade_1d(spark, sf):
+    """Continuous-aggregate M4: hourly partials (with (ts, event_id)
+    merge keys) re-aggregated to daily.  Every component is algebraic,
+    so the cascade is bit-exact vs the DIRECT daily M4 — the oracle is
+    the same SQL as m4_daily, raw doubles."""
+    from tsaug_spark.plans.metrics import m4_merge, m4_partial
+
+    out = m4_merge(m4_partial(_events(spark, sf), "1h"), "1d")
+    return out.select(
+        F.col("key").alias("user_id"),
+        "bucket_s",
+        "n",
+        "vmin",
+        "vmax",
+        "vfirst",
+        "vlast",
+    )
+
+
+def q_lttb_48to12(spark, sf):
+    """LTTB downsampling (Steinarsson 2013) of each 48-point series to
+    12 points via the grouped Arrow kernel.  Output rows are copies of
+    selected input rows, so the recursive-CTE oracle must match raw
+    doubles — any divergence in the area recurrence would swap the
+    selected point and fail the hash wholesale."""
+    from tsaug_spark.plans.metrics import lttb
+
+    out = lttb(_series_df(spark, sf), 12)
+    return out.select(
+        F.col("key").cast("long").alias("user_id"),
+        F.col("ord").alias("bucket_idx"),
+        F.col("v").alias("cnt"),
+    )
+
+
+def _lttb_sql(T: int = 48, n_out: int = 12) -> str:
+    """Recursive-CTE LTTB oracle: bucket k's selection = argmax
+    triangle area against the previous selection and the next bucket's
+    LEFT-FOLD mean, replayed with the kernel's exact float ops (see
+    plans/metrics.py::lttb)."""
+    nb = n_out - 2
+    ti = T - 2
+    ax = "COALESCE(na.ax, lp.lx)"
+    ay = "COALESCE(na.ay, lp.ly)"
+    areas = (
+        "list_transform(range(1, len(bl.xs) + 1), i -> "
+        f"abs((r.sel_x - {ax}) * (bl.ys[i] - r.sel_y) - "
+        f"(r.sel_x - bl.xs[i]) * ({ay} - r.sel_y)) * 0.5)"
+    )
+    pos = f"list_position({areas}, list_aggregate({areas}, 'max'))"
+    return (
+        f"WITH RECURSIVE b AS ({_HOURLY_SQL}), {_SERIES_SQL}, "
+        "pts AS (SELECT user_id, idx, CAST(idx AS DOUBLE) AS x, "
+        "cnt AS y FROM s), "
+        f"ib AS (SELECT user_id, idx, x, y, "
+        f"((idx - 1) * {nb}) // {ti} + 1 AS bkt FROM pts "
+        f"WHERE idx >= 1 AND idx <= {ti}), "
+        "bl AS (SELECT user_id, bkt, list(x ORDER BY idx) AS xs, "
+        "list(y ORDER BY idx) AS ys, list(idx ORDER BY idx) AS idxs "
+        "FROM ib GROUP BY 1, 2), "
+        "av AS (SELECT user_id, bkt, "
+        "list_aggregate(xs, 'sum') / len(xs) AS ax, "
+        "list_aggregate(ys, 'sum') / len(ys) AS ay FROM bl), "
+        f"lastp AS (SELECT user_id, CAST({T - 1} AS DOUBLE) AS lx, "
+        f"y AS ly FROM pts WHERE idx = {T - 1}), "
+        "r AS (SELECT user_id, 0 AS bkt, CAST(0 AS BIGINT) AS sel_idx, "
+        "x AS sel_x, y AS sel_y FROM pts WHERE idx = 0 "
+        "UNION ALL SELECT bl.user_id, bl.bkt, "
+        f"CAST(bl.idxs[{pos}] AS BIGINT), "
+        f"bl.xs[{pos}], bl.ys[{pos}] "
+        "FROM r JOIN bl ON bl.user_id = r.user_id AND "
+        "bl.bkt = r.bkt + 1 "
+        "LEFT JOIN av na ON na.user_id = bl.user_id AND "
+        "na.bkt = bl.bkt + 1 "
+        "JOIN lastp lp ON lp.user_id = bl.user_id) "
+        "SELECT user_id, sel_idx AS bucket_idx, sel_y AS cnt FROM r "
+        f"UNION ALL SELECT user_id, CAST({T - 1} AS BIGINT), y "
+        f"FROM pts WHERE idx = {T - 1}"
+    )
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -1685,6 +1874,14 @@ def q_char_entropy(spark, sf):
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "twa_cascade_1d",
+    "m4_cascade_1d",
+    "lttb_48to12",
+    "twa_1h",
+    "counter_rate_1h",
+    "m4_daily",
+    "ewma_series",
+    "heartbeat_1h",
     "kernel_kmeans_det",
     "embed_dedup_survivors",
     "kernel_pool_chunked",
@@ -1834,6 +2031,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "char_entropy": q_char_entropy,
+        "twa_1h": q_twa_1h,
+        "counter_rate_1h": q_counter_rate_1h,
+        "m4_daily": q_m4_daily,
+        "ewma_series": q_ewma_series,
+        "heartbeat_1h": q_heartbeat_1h,
+        "lttb_48to12": q_lttb_48to12,
+        "twa_cascade_1d": q_twa_cascade_1d,
+        "m4_cascade_1d": q_m4_cascade_1d,
     })
 
 
@@ -2962,6 +3167,102 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, COALESCE(ent.entropy_bits, 0.0) AS "
             "entropy_bits FROM documents d "
             "LEFT JOIN ent ON d.doc_id = ent.doc_id"
+        ),
+        "twa_1h": (
+            "WITH b AS (SELECT user_id, CAST(floor(epoch(ts)/3600)*3600 "
+            "AS BIGINT) AS bucket_s, epoch_us(ts)/1e6 AS t, "
+            "CAST(value AS DOUBLE) AS v FROM events), "
+            "seg AS (SELECT user_id, bucket_s, v, "
+            "(lead(v) OVER w + v)/2.0 * (lead(t) OVER w - t) AS area, "
+            "lead(t) OVER w - t AS span FROM b WINDOW w AS "
+            "(PARTITION BY user_id, bucket_s ORDER BY t)) "
+            "SELECT user_id, bucket_s, CAST(COUNT(*) AS BIGINT) AS "
+            "n_samples, ROUND(CASE WHEN COALESCE(SUM(span), 0) > 0 THEN "
+            "SUM(area)/SUM(span) ELSE AVG(v) END, 4) AS twa "
+            "FROM seg GROUP BY 1, 2"
+        ),
+        "counter_rate_1h": (
+            "WITH b AS (SELECT user_id, CAST(floor(epoch(ts)/3600)*3600 "
+            "AS BIGINT) AS bucket_s, epoch_us(ts) AS t, event_id AS o, "
+            "CAST(value AS DOUBLE) AS v FROM events), "
+            "d AS (SELECT user_id, bucket_s, "
+            "CASE WHEN lag(v) OVER w IS NULL THEN 0.0 "
+            "WHEN v < lag(v) OVER w THEN v "
+            "ELSE v - lag(v) OVER w END AS contrib, "
+            "CASE WHEN v < lag(v) OVER w THEN 1 ELSE 0 END AS is_reset "
+            "FROM b WINDOW w AS (PARTITION BY user_id ORDER BY t, o)) "
+            "SELECT user_id, bucket_s, CAST(COUNT(*) AS BIGINT) AS "
+            "n_samples, CAST(COALESCE(SUM(is_reset), 0) AS BIGINT) AS "
+            "resets, ROUND(SUM(contrib), 4) AS increase, "
+            "ROUND(SUM(contrib)/3600.0, 6) AS rate_ps "
+            "FROM d GROUP BY 1, 2"
+        ),
+        "m4_daily": (
+            "SELECT user_id, CAST(floor(epoch(ts)/86400)*86400 AS "
+            "BIGINT) AS bucket_s, CAST(COUNT(*) AS BIGINT) AS n, "
+            "MIN(CAST(value AS DOUBLE)) AS vmin, "
+            "MAX(CAST(value AS DOUBLE)) AS vmax, "
+            "first(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS "
+            "vfirst, "
+            "last(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vlast "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "ewma_series": (
+            # raw doubles, no ROUND: the recursive fold replays the
+            # kernel recurrence y = 0.25*x + 0.75*y_prev bit-for-bit
+            # (alpha exact in binary; verified vs pandas ewm)
+            f"WITH RECURSIVE b AS ({hourly}), {_SERIES_SQL}, "
+            "r AS (SELECT user_id, idx, cnt, cnt AS ewma FROM s "
+            "WHERE idx = 0 "
+            "UNION ALL SELECT s2.user_id, s2.idx, s2.cnt, "
+            "CAST(0.25 AS DOUBLE) * s2.cnt + CAST(0.75 AS DOUBLE) * "
+            "r.ewma FROM s s2 JOIN r ON s2.user_id = r.user_id AND "
+            "s2.idx = r.idx + 1) "
+            "SELECT user_id, CAST(idx AS BIGINT) AS bucket_idx, "
+            "cnt, ewma FROM r"
+        ),
+        "lttb_48to12": _lttb_sql(),
+        "twa_cascade_1d": (
+            # DIRECT daily TWA: the cascade must integrate the same
+            # trapezoids (within-hour + hour-bridges == all daily
+            # consecutive-sample segments)
+            "WITH b AS (SELECT user_id, CAST(floor(epoch(ts)/86400)*86400 "
+            "AS BIGINT) AS bucket_s, epoch_us(ts)/1e6 AS t, "
+            "CAST(value AS DOUBLE) AS v FROM events), "
+            "seg AS (SELECT user_id, bucket_s, v, "
+            "(lead(v) OVER w + v)/2.0 * (lead(t) OVER w - t) AS area, "
+            "lead(t) OVER w - t AS span FROM b WINDOW w AS "
+            "(PARTITION BY user_id, bucket_s ORDER BY t)) "
+            "SELECT user_id, bucket_s, CAST(COUNT(*) AS BIGINT) AS "
+            "n_samples, ROUND(CASE WHEN COALESCE(SUM(span), 0) > 0 THEN "
+            "SUM(area)/SUM(span) ELSE AVG(v) END, 4) AS twa "
+            "FROM seg GROUP BY 1, 2"
+        ),
+        "m4_cascade_1d": (
+            # DIRECT daily M4 — the algebraic cascade is bit-exact
+            "SELECT user_id, CAST(floor(epoch(ts)/86400)*86400 AS "
+            "BIGINT) AS bucket_s, CAST(COUNT(*) AS BIGINT) AS n, "
+            "MIN(CAST(value AS DOUBLE)) AS vmin, "
+            "MAX(CAST(value AS DOUBLE)) AS vmax, "
+            "first(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS "
+            "vfirst, "
+            "last(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vlast "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "heartbeat_1h": (
+            "WITH b AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s, "
+            "epoch_us(ts) AS t_us FROM events), "
+            "seg AS (SELECT user_id, bucket_s, "
+            "LEAST(COALESCE(lead(t_us) OVER w - t_us, "
+            "4611686018427387904), 300000000, "
+            "(bucket_s + 3600) * 1000000 - t_us) AS covered_us "
+            "FROM b WINDOW w AS (PARTITION BY user_id, bucket_s "
+            "ORDER BY t_us)) "
+            "SELECT user_id, bucket_s, CAST(COUNT(*) AS BIGINT) AS "
+            "n_beats, CAST(SUM(covered_us) AS BIGINT)/1e6 AS covered_s, "
+            "CAST(SUM(covered_us) AS BIGINT)/(3600*1e6) AS uptime "
+            "FROM seg GROUP BY 1, 2"
         ),
     }
 

@@ -207,6 +207,8 @@ def run_queries(spark, sf_dir: str) -> dict:
         "hash_split_strata",
         lambda: em.q_hash_split_strata(spark, sf_dir).count(),
     )
+    timed("twa_1h", lambda: em.q_twa_1h(spark, sf_dir).count())
+    timed("m4_daily", lambda: em.q_m4_daily(spark, sf_dir).count())
 
     tier = spark.table("bench_tier_1m").select(
         "conv_id",

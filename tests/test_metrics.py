@@ -1,0 +1,250 @@
+"""Closed-form semantics tests for plans/metrics.py.
+
+Each transform gets a tiny hand-computed fixture so the expected values
+are derivable on paper — the large-scale correctness evidence is the
+DuckDB oracle twins (twa_1h / counter_rate_1h / m4_daily / ewma_series
+/ heartbeat_1h in __spark_entry__.py), which replay the same semantics
+over the full events table at sf0.01 and sf0.1.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from tsaug_spark.plans.metrics import (
+    counter_rate,
+    ewma,
+    heartbeat_uptime,
+    lttb,
+    m4_downsample,
+    time_weighted_avg,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    """rows: (user_id, seconds-offset, value) -> events-shaped frame."""
+    data = [
+        (i, T0 + dt.timedelta(seconds=off), uid, float(v))
+        for i, (uid, off, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, value double"
+    )
+
+
+def test_twa_trapezoid(spark):
+    # one user, one hour bucket: samples at t=0 (v=10), t=600 (v=20),
+    # t=1800 (v=40).  areas: (10+20)/2*600=9000, (20+40)/2*1200=36000;
+    # twa = 45000 / 1800 = 25.0
+    df = _ev(spark, [(1, 0, 10), (1, 600, 20), (1, 1800, 40)])
+    out = time_weighted_avg(df, "1h").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_samples"] == 3
+    assert r["twa"] == pytest.approx(25.0)
+
+
+def test_twa_single_sample_is_mean(spark):
+    df = _ev(spark, [(1, 0, 7.5)])
+    r = time_weighted_avg(df, "1h").collect()[0]
+    assert r["twa"] == 7.5 and r["n_samples"] == 1
+
+
+def test_twa_equal_timestamps_degrade_to_mean(spark):
+    # two samples at the identical instant: span sum is 0 -> plain mean
+    df = _ev(spark, [(1, 0, 4.0), (1, 0, 8.0)])
+    r = time_weighted_avg(df, "1h").collect()[0]
+    assert r["twa"] == pytest.approx(6.0)
+
+
+def test_counter_rate_reset_semantics(spark):
+    # counter per hour bucket: 10 -> 25 (+15), 25 -> 5 (RESET: +5),
+    # 5 -> 30 (+25) => bucket increase 45, 1 reset; first sample
+    # contributes 0.
+    df = _ev(spark, [(1, 0, 10), (1, 60, 25), (1, 120, 5), (1, 180, 30)])
+    r = counter_rate(df, "1h", order_col="event_id").collect()[0]
+    assert r["increase"] == pytest.approx(45.0)
+    assert r["resets"] == 1
+    assert r["n_samples"] == 4
+    assert r["rate_ps"] == pytest.approx(45.0 / 3600)
+
+
+def test_counter_rate_crosses_bucket_boundary(spark):
+    # last sample of hour 0 is the baseline for hour 1 (PromQL
+    # lookbehind): hour1 increase = 50 - 40 = 10, not 50.
+    df = _ev(spark, [(1, 3500, 40), (1, 3700, 50)])
+    out = {r["bucket_s"]: r for r in counter_rate(df, "1h").collect()}
+    t0 = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert out[t0]["increase"] == 0.0
+    assert out[t0 + 3600]["increase"] == pytest.approx(10.0)
+
+
+def test_m4_min_max_first_last(spark):
+    df = _ev(
+        spark,
+        [(1, 0, 5), (1, 10, 99), (1, 20, 1), (1, 30, 42)],
+    )
+    r = m4_downsample(df, "1d").collect()[0]
+    assert (r["vmin"], r["vmax"], r["vfirst"], r["vlast"], r["n"]) == (
+        1.0, 99.0, 5.0, 42.0, 4,
+    )
+
+
+def test_m4_tie_broken_by_order_col(spark):
+    # identical timestamps: event_id decides first/last
+    df = _ev(spark, [(1, 0, 50), (1, 0, 60), (1, 0, 55)])
+    r = m4_downsample(df, "1d").collect()[0]
+    assert r["vfirst"] == 50.0 and r["vlast"] == 55.0
+
+
+def test_ewma_recurrence(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(x)) for i, x in enumerate([1, 2, 3, 4, 5])],
+        "conv_id string, bucket_idx int, cnt double",
+    )
+    out = {
+        r["ord"]: r["ewma"]
+        for r in ewma(df, alpha=0.25).collect()
+    }
+    exp = [1.0, 1.25, 1.6875, 2.265625, 2.94921875]
+    assert [out[i] for i in range(5)] == pytest.approx(exp, abs=0)
+
+
+def test_twa_cascade_equals_direct(spark):
+    # samples spanning two hours of one day: hourly partials + bridge
+    # must reproduce the direct daily trapezoid integral
+    from tsaug_spark.plans.metrics import twa_merge, twa_partial
+
+    rows = [(1, 0, 10), (1, 1800, 20), (1, 4000, 50), (1, 5000, 30)]
+    df = _ev(spark, rows)
+    direct = time_weighted_avg(df, "1d").collect()[0]
+    merged = twa_merge(twa_partial(df, "1h"), "1d").collect()[0]
+    assert merged["twa"] == pytest.approx(direct["twa"], rel=1e-12)
+    assert merged["n_samples"] == direct["n_samples"] == 4
+    # paper check: segments (10+20)/2*1800 + (20+50)/2*2200 +
+    # (50+30)/2*1000 over t span 5000
+    exp = (27000 + 77000 + 40000) / 5000
+    assert direct["twa"] == pytest.approx(exp)
+
+
+def test_twa_cascade_single_sample_day(spark):
+    from tsaug_spark.plans.metrics import twa_merge, twa_partial
+
+    df = _ev(spark, [(1, 0, 42.0)])
+    merged = twa_merge(twa_partial(df, "1h"), "1d").collect()[0]
+    assert merged["twa"] == 42.0
+
+
+def test_m4_cascade_bit_exact(spark):
+    from tsaug_spark.plans.metrics import m4_merge, m4_partial
+
+    rows = [
+        (1, 0, 5), (1, 10, 99), (1, 3700, 1), (1, 7300, 42),
+        (2, 100, 7), (2, 3800, 3),
+    ]
+    df = _ev(spark, rows)
+    direct = {
+        (r["key"], r["bucket_s"]): r
+        for r in m4_downsample(df, "1d").collect()
+    }
+    merged = {
+        (r["key"], r["bucket_s"]): r
+        for r in m4_merge(m4_partial(df, "1h"), "1d").collect()
+    }
+    assert direct.keys() == merged.keys()
+    for k in direct:
+        for c in ("n", "vmin", "vmax", "vfirst", "vlast"):
+            assert direct[k][c] == merged[k][c], (k, c)
+
+
+def _lttb_reference(y, n_out):
+    """Independent plain-Python LTTB (range-based loop, np.mean) used
+    only as a test oracle for the kernel's selection."""
+    import numpy as np
+
+    T = len(y)
+    if T <= n_out:
+        return list(range(T))
+    nb = n_out - 2
+    bkt = [((i - 1) * nb) // (T - 2) + 1 for i in range(1, T - 1)]
+    sel = [0]
+    for k in range(1, nb + 1):
+        members = [i + 1 for i, b in enumerate(bkt) if b == k]
+        if k == nb:
+            ax, ay = float(T - 1), y[T - 1]
+        else:
+            nxt = [i + 1 for i, b in enumerate(bkt) if b == k + 1]
+            ax = sum(float(i) for i in nxt) / len(nxt)
+            ay = sum(y[i] for i in nxt) / len(nxt)
+        sx, sy = float(sel[-1]), y[sel[-1]]
+        best, best_a = members[0], -1.0
+        for i in members:
+            a = abs((sx - ax) * (y[i] - sy) - (sx - i) * (ay - sy)) / 2
+            if a > best_a:
+                best, best_a = i, a
+        sel.append(best)
+    sel.append(T - 1)
+    return sel
+
+
+def test_lttb_matches_independent_reference(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for s in range(6):
+        y = rng.uniform(-50, 50, 48)
+        rows += [(f"s{s}", i, float(v)) for i, v in enumerate(y)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, bucket_idx int, cnt double"
+    )
+    out = lttb(df, 12).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["key"], []).append(r["ord"])
+    for s in range(6):
+        y = [v for k, i, v in rows if k == f"s{s}"]
+        exp = _lttb_reference(y, 12)
+        assert sorted(got[f"s{s}"]) == exp, f"series s{s}"
+
+
+def test_lttb_short_series_passthrough(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(5)],
+        "conv_id string, bucket_idx int, cnt double",
+    )
+    out = lttb(df, 12).collect()
+    assert sorted(r["ord"] for r in out) == list(range(5))
+
+
+def test_lttb_keeps_endpoints_and_bucket_counts(spark):
+    df = spark.createDataFrame(
+        [("a", i, float((i * 37) % 11)) for i in range(100)],
+        "conv_id string, bucket_idx int, cnt double",
+    )
+    sel = sorted(r["ord"] for r in lttb(df, 10).collect())
+    assert len(sel) == 10 and sel[0] == 0 and sel[-1] == 99
+    # exactly one point per interior bucket
+    bkts = {((i - 1) * 8) // 98 + 1 for i in sel[1:-1]}
+    assert len(bkts) == 8
+
+
+def test_heartbeat_clipping(spark):
+    # hb=300s; beats at t=0 and t=100 (second clips the first to 100s),
+    # then t=3500 (clipped by bucket end to 100s).
+    # covered = 100 + 300 + 100 = 500 -> uptime 500/3600
+    df = _ev(spark, [(1, 0, 0), (1, 100, 0), (1, 3500, 0)])
+    r = heartbeat_uptime(df, "1h", heartbeat=300).collect()[0]
+    assert r["covered_s"] == pytest.approx(500.0)
+    assert r["uptime"] == pytest.approx(500.0 / 3600.0)
+    assert r["n_beats"] == 3
+
+
+def test_heartbeat_duplicate_beats_dedup(spark):
+    df = _ev(spark, [(1, 0, 0), (1, 0, 0)])
+    r = heartbeat_uptime(df, "1h", heartbeat=300).collect()[0]
+    assert r["n_beats"] == 1 and r["covered_s"] == pytest.approx(300.0)

@@ -41,6 +41,40 @@ ROUNDED_AGGS = [
     ("cube totals", 4,
      "SELECT SUM(value) s FROM events GROUP BY CUBE (event_type, "
      "CAST(floor(epoch(ts)/86400)*86400 AS BIGINT))"),
+    ("twa_1h twa", 4,
+     "WITH b AS (SELECT user_id, CAST(floor(epoch(ts)/3600)*3600 AS "
+     "BIGINT) AS bucket_s, epoch_us(ts)/1e6 AS t, value AS v FROM "
+     "events), seg AS (SELECT user_id, bucket_s, v, (lead(v) OVER w + "
+     "v)/2.0 * (lead(t) OVER w - t) AS area, lead(t) OVER w - t AS "
+     "span FROM b WINDOW w AS (PARTITION BY user_id, bucket_s ORDER "
+     "BY t)) SELECT CASE WHEN COALESCE(SUM(span), 0) > 0 THEN "
+     "SUM(area)/SUM(span) ELSE AVG(v) END s FROM seg GROUP BY "
+     "user_id, bucket_s"),
+    ("twa_cascade_1d twa", 4,
+     "WITH b AS (SELECT user_id, CAST(floor(epoch(ts)/86400)*86400 AS "
+     "BIGINT) AS bucket_s, epoch_us(ts)/1e6 AS t, value AS v FROM "
+     "events), seg AS (SELECT user_id, bucket_s, v, (lead(v) OVER w + "
+     "v)/2.0 * (lead(t) OVER w - t) AS area, lead(t) OVER w - t AS "
+     "span FROM b WINDOW w AS (PARTITION BY user_id, bucket_s ORDER "
+     "BY t)) SELECT CASE WHEN COALESCE(SUM(span), 0) > 0 THEN "
+     "SUM(area)/SUM(span) ELSE AVG(v) END s FROM seg GROUP BY "
+     "user_id, bucket_s"),
+    ("counter_rate_1h increase", 4,
+     "WITH b AS (SELECT user_id, CAST(floor(epoch(ts)/3600)*3600 AS "
+     "BIGINT) AS bucket_s, epoch_us(ts) AS t, event_id AS o, value AS "
+     "v FROM events), d AS (SELECT user_id, bucket_s, CASE WHEN "
+     "lag(v) OVER w IS NULL THEN 0.0 WHEN v < lag(v) OVER w THEN v "
+     "ELSE v - lag(v) OVER w END AS c FROM b WINDOW w AS (PARTITION "
+     "BY user_id ORDER BY t, o)) SELECT SUM(c) s FROM d GROUP BY "
+     "user_id, bucket_s"),
+    ("counter_rate_1h rate_ps", 6,
+     "WITH b AS (SELECT user_id, CAST(floor(epoch(ts)/3600)*3600 AS "
+     "BIGINT) AS bucket_s, epoch_us(ts) AS t, event_id AS o, value AS "
+     "v FROM events), d AS (SELECT user_id, bucket_s, CASE WHEN "
+     "lag(v) OVER w IS NULL THEN 0.0 WHEN v < lag(v) OVER w THEN v "
+     "ELSE v - lag(v) OVER w END AS c FROM b WINDOW w AS (PARTITION "
+     "BY user_id ORDER BY t, o)) SELECT SUM(c)/3600.0 s FROM d "
+     "GROUP BY user_id, bucket_s"),
     ("percentile p50/p95", 4,
      "SELECT quantile_cont(value, 0.5) s FROM events GROUP BY event_type "
      "UNION ALL SELECT quantile_cont(value, 0.95) FROM events "

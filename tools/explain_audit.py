@@ -72,6 +72,31 @@ def main() -> None:
                    "HashAggregate"],
     )
 
+    # gauge/counter metric transforms (plans/metrics.py): each must be
+    # a single-Exchange plan — the lead/lag window and the bucket
+    # aggregate share one hash partitioning on the series key.
+    from tsaug_spark.plans.metrics import (
+        counter_rate,
+        heartbeat_uptime,
+        m4_downsample,
+        time_weighted_avg,
+    )
+
+    for mname, mdf in [
+        ("time_weighted_avg 1h", time_weighted_avg(ev, "1h")),
+        ("counter_rate 1h",
+         counter_rate(ev, "1h", order_col="event_id")),
+        ("m4_downsample 1d", m4_downsample(ev, "1d")),
+        ("heartbeat_uptime 1h", heartbeat_uptime(ev, "1h")),
+    ]:
+        p = plan_of(mdf)
+        n_ex = p.count("Exchange")
+        checks.append((mname, f"single Exchange (found {n_ex})",
+                       n_ex <= 1))
+        checks.append((mname, "partial hash agg",
+                       "partial" in p.lower()))
+        sections.append(f"## {mname}\n\n```\n{p[:2500]}\n```\n")
+
     # bucketed cascade: shuffle-free.  The bench materializes the
     # transcripts as a conv_id-bucketed table under /tmp/tsaug_bench; the
     # catalog is in-memory per session, so re-register the DDL over the

@@ -1,0 +1,529 @@
+"""Gauge/counter metric transforms over irregular samples.
+
+The rollup cascade (plans/rollup.py) treats every channel as an
+algebraic sum/count aggregate.  Production time-series stores add a
+second family of bucket transforms whose semantics depend on the
+*spacing* of samples inside a bucket, not just their values — the
+TimescaleDB toolkit's ``time_weight``/``heartbeat_agg`` and PromQL's
+``rate``/``increase`` are the canonical set.  This module implements
+that family as pure Catalyst plans:
+
+* :func:`time_weighted_avg` — trapezoidal time-weighted mean per bucket
+  (irregular gauges: a sample that holds for 50 minutes counts 50x a
+  sample that holds for one);
+* :func:`counter_rate` — monotone-counter increase/rate per bucket with
+  PromQL reset semantics (a drop in the raw counter is a restart: the
+  post-reset sample contributes its full value, not a negative delta);
+* :func:`m4_downsample` — the M4 visualization aggregation (Jugel et
+  al., VLDB 2014): per pixel-bucket keep min / max / first / last, the
+  four points that make a width-w line plot pixel-exact;
+* :func:`heartbeat_uptime` — bucket-local liveness ratio: each sample
+  asserts liveness for ``heartbeat`` seconds (clipped at the next
+  sample and the bucket end), uptime = covered seconds / bucket length.
+
+Scale notes (10^12 turns): every transform here is ONE shuffle — either
+a (key, bucket) hash aggregate or a (key) ordered window whose state is
+a single lag/lead row.  No UDFs, no driver collects; map-side partial
+aggregation applies to the M4 min/max, and the lag/lead windows carry
+O(1) state per key so hot keys cost time, not memory.  All four are
+sum-/merge-reaggregable per bucket, so they cascade through retention
+tiers the same way the algebraic rollups do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tsaug_spark.plans.rollup import TIERS
+
+
+def _micros(ts_col: str) -> F.Column:
+    # testdata timestamps are TIMESTAMP_NTZ; unix_micros requires an
+    # instant, and under the engine's fixed UTC session timezone the
+    # NTZ -> TIMESTAMP cast is epoch-preserving (session.py pins UTC).
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
+def _bucket_s(ts_col: str, tier: str) -> F.Column:
+    sec = TIERS[tier][1]
+    return (
+        (F.unix_timestamp(F.col(ts_col)) / sec).cast("long") * sec
+    ).alias("bucket_s")
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    tier: str = "1h",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trapezoidal time-weighted average per (key, bucket).
+
+    For consecutive samples (t_i, v_i), (t_{i+1}, v_{i+1}) inside one
+    bucket the segment contributes area (v_i + v_{i+1})/2 * (t_{i+1} -
+    t_i); the bucket's TWA is total area / (t_last - t_first).  A
+    bucket with a single sample (or zero elapsed time) degrades to the
+    plain mean — matching the TimescaleDB ``time_weight('linear')``
+    edge case.
+
+    Output: key, bucket_s, n_samples, twa (double).
+
+    Plan shape: one lead() window over (key, bucket) then one hash
+    aggregate on the same key — Catalyst plans both over a single
+    Exchange because the window partition keys prefix the groupBy keys.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        _bucket_s(ts_col, tier),
+        (_micros(ts_col) / F.lit(1e6)).alias("t"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    w = Window.partitionBy("key", "bucket_s").orderBy("t")
+    seg = base.select(
+        "key",
+        "bucket_s",
+        "v",
+        (
+            (F.lead("v").over(w) + F.col("v"))
+            / F.lit(2.0)
+            * (F.lead("t").over(w) - F.col("t"))
+        ).alias("area"),
+        (F.lead("t").over(w) - F.col("t")).alias("span"),
+    )
+    return (
+        seg.groupBy("key", "bucket_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.when(
+                F.coalesce(F.sum("span"), F.lit(0.0)) > 0,
+                F.sum("area") / F.sum("span"),
+            )
+            .otherwise(F.avg("v"))
+            .alias("twa"),
+        )
+    )
+
+
+def twa_partial(
+    df: DataFrame,
+    tier: str = "1h",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mergeable partial state for the time-weighted average — the
+    continuous-aggregate form of :func:`time_weighted_avg`.
+
+    Per (key, fine bucket) this keeps, besides the within-bucket
+    trapezoid sums, the BOUNDARY samples (first/last timestamp and
+    value): merging consecutive buckets to a coarser tier then only
+    needs the bridge trapezoid between bucket i's last sample and
+    bucket i+1's first sample — which is exactly the segment a direct
+    coarse computation would integrate.  This is how TimescaleDB's
+    ``time_weight`` aggregate rolls up through continuous aggregates.
+
+    Output: key, bucket_s, n_samples, sum_v, area, span,
+    t_first, v_first, t_last, v_last.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        _bucket_s(ts_col, tier),
+        (_micros(ts_col) / F.lit(1e6)).alias("t"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    w = Window.partitionBy("key", "bucket_s").orderBy("t")
+    seg = base.select(
+        "key",
+        "bucket_s",
+        "t",
+        "v",
+        (
+            (F.lead("v").over(w) + F.col("v"))
+            / F.lit(2.0)
+            * (F.lead("t").over(w) - F.col("t"))
+        ).alias("area"),
+        (F.lead("t").over(w) - F.col("t")).alias("span"),
+    )
+    return seg.groupBy("key", "bucket_s").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("v").alias("sum_v"),
+        F.coalesce(F.sum("area"), F.lit(0.0)).alias("area"),
+        F.coalesce(F.sum("span"), F.lit(0.0)).alias("span"),
+        F.min("t").alias("t_first"),
+        F.min_by("v", "t").alias("v_first"),
+        F.max("t").alias("t_last"),
+        F.max_by("v", "t").alias("v_last"),
+    )
+
+
+def twa_merge(
+    partial: DataFrame,
+    to_tier: str,
+) -> DataFrame:
+    """Re-aggregate :func:`twa_partial` rows to a coarser tier.
+
+    Bridge segments between consecutive fine buckets inside the same
+    coarse bucket contribute (v_last_i + v_first_{i+1})/2 *
+    (t_first_{i+1} - t_last_i) — after which the merged TWA equals the
+    direct coarse computation trapezoid-for-trapezoid (the oracle for
+    ``twa_cascade_1d`` is literally the direct daily SQL).  Zero total
+    span degrades to the plain mean, same as the direct form.
+
+    One lead() window + one hash aggregate, both on the coarse key —
+    a single Exchange, so the cascade costs the same as the algebraic
+    tier rollups.
+    """
+    sec = TIERS[to_tier][1]
+    base = partial.withColumn(
+        "coarse_s",
+        (F.col("bucket_s") / F.lit(sec)).cast("long") * F.lit(sec),
+    )
+    w = Window.partitionBy("key", "coarse_s").orderBy("bucket_s")
+    bridged = base.select(
+        "key",
+        "coarse_s",
+        "n_samples",
+        "sum_v",
+        "span",
+        "area",
+        (
+            (F.lead("v_first").over(w) + F.col("v_last"))
+            / F.lit(2.0)
+            * (F.lead("t_first").over(w) - F.col("t_last"))
+        ).alias("bridge_area"),
+        (F.lead("t_first").over(w) - F.col("t_last")).alias(
+            "bridge_span"
+        ),
+    )
+    tot_area = F.sum("area") + F.coalesce(
+        F.sum("bridge_area"), F.lit(0.0)
+    )
+    tot_span = F.sum("span") + F.coalesce(
+        F.sum("bridge_span"), F.lit(0.0)
+    )
+    return bridged.groupBy("key", F.col("coarse_s").alias("bucket_s")).agg(
+        F.sum("n_samples").alias("n_samples"),
+        F.when(tot_span > 0, tot_area / tot_span)
+        .otherwise(F.sum("sum_v") / F.sum("n_samples"))
+        .alias("twa"),
+    )
+
+
+def m4_partial(
+    df: DataFrame,
+    tier: str = "1h",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """:func:`m4_downsample` plus the merge keys (the (ts, order)
+    structs at which vfirst/vlast were taken), making M4 a mergeable
+    sketch: coarser tiers re-aggregate exactly (``m4_merge``)."""
+    ordkey = F.struct(
+        F.col(ts_col).alias("ts"), F.col(order_col).alias("o")
+    )
+    base = df.select(
+        F.col(key_col).alias("key"),
+        _bucket_s(ts_col, tier),
+        ordkey.alias("ord"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    return base.groupBy("key", "bucket_s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.min_by("v", "ord").alias("vfirst"),
+        F.max_by("v", "ord").alias("vlast"),
+        F.min("ord").alias("ord_first"),
+        F.max("ord").alias("ord_last"),
+    )
+
+
+def m4_merge(partial: DataFrame, to_tier: str) -> DataFrame:
+    """Re-aggregate :func:`m4_partial` rows to a coarser tier — every
+    component is algebraic (sum/min/max/min_by/max_by), so this is one
+    partial+final hash aggregate and matches the direct coarse M4
+    bit-for-bit (``m4_cascade_1d``'s oracle is the direct daily SQL)."""
+    sec = TIERS[to_tier][1]
+    coarse = (F.col("bucket_s") / F.lit(sec)).cast("long") * F.lit(sec)
+    return (
+        partial.groupBy("key", coarse.alias("bucket_s"))
+        .agg(
+            F.sum("n").alias("n"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.min_by("vfirst", "ord_first").alias("vfirst"),
+            F.max_by("vlast", "ord_last").alias("vlast"),
+        )
+    )
+
+
+def counter_rate(
+    df: DataFrame,
+    tier: str = "1h",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str | None = None,
+) -> DataFrame:
+    """PromQL-style per-bucket ``increase`` and ``rate`` for counters.
+
+    Per key ordered by time, each sample's contribution is its delta
+    from the previous sample — unless the counter went DOWN, which is a
+    reset: the sample then contributes its full value (the counter
+    restarted from zero and climbed back).  The first sample of a key
+    contributes nothing (no baseline).  Contributions are summed per
+    tumbling bucket; ``rate_ps`` divides by the bucket length.
+
+    Deltas are computed against the previous sample even across bucket
+    boundaries (PromQL semantics: the lookbehind window sees the
+    previous scrape), so a bucket's increase accounts for the rise
+    since the last pre-bucket sample.
+
+    Output: key, bucket_s, n_samples, resets, increase, rate_ps.
+    """
+    sec = TIERS[tier][1]
+    base = df.select(
+        F.col(key_col).alias("key"),
+        _bucket_s(ts_col, tier),
+        _micros(ts_col).alias("t"),
+        F.col(order_col).alias("o") if order_col else F.lit(0).alias("o"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    w = Window.partitionBy("key").orderBy("t", "o")
+    delta = base.withColumn("prev_v", F.lag("v").over(w)).select(
+        "key",
+        "bucket_s",
+        F.when(F.col("prev_v").isNull(), F.lit(0.0))
+        .when(F.col("v") < F.col("prev_v"), F.col("v"))
+        .otherwise(F.col("v") - F.col("prev_v"))
+        .alias("contrib"),
+        (F.col("v") < F.col("prev_v")).cast("int").alias("is_reset"),
+    )
+    return (
+        delta.groupBy("key", "bucket_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.coalesce(F.sum("is_reset"), F.lit(0)).alias("resets"),
+            F.sum("contrib").alias("increase"),
+            (F.sum("contrib") / F.lit(float(sec))).alias("rate_ps"),
+        )
+    )
+
+
+def m4_downsample(
+    df: DataFrame,
+    tier: str = "1d",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """M4 aggregation: per (key, pixel-bucket) the min, max, first and
+    last values — the lossless downsampling for line visualization
+    (Jugel et al., "M4: A Visualization-Oriented Time Series Data
+    Aggregation", VLDB 2014).
+
+    ``order_col`` breaks timestamp ties deterministically (first/last
+    are defined by (ts, order_col) lexicographic order).
+
+    Output: key, bucket_s, n, vmin, vmax, vfirst, vlast.
+
+    Plan shape: a single hash aggregate — min/max are algebraic and
+    min_by/max_by on the (ts, order) struct are too, so the map side
+    emits one partial row per (key, bucket) and hot keys never skew the
+    shuffle.
+    """
+    ordkey = F.struct(
+        F.col(ts_col).alias("ts"), F.col(order_col).alias("o")
+    )
+    base = df.select(
+        F.col(key_col).alias("key"),
+        _bucket_s(ts_col, tier),
+        ordkey.alias("ord"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    return (
+        base.groupBy("key", "bucket_s")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+            F.min_by("v", "ord").alias("vfirst"),
+            F.max_by("v", "ord").alias("vlast"),
+        )
+    )
+
+
+def ewma(
+    df: DataFrame,
+    alpha: float,
+    key_col: str = "conv_id",
+    order_col: str = "bucket_idx",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Exponentially-weighted moving average per series.
+
+    The recurrence y_0 = x_0, y_t = alpha*x_t + (1-alpha)*y_{t-1}
+    (pandas ``ewm(alpha, adjust=False)``) is inherently sequential, so
+    it runs as a grouped Arrow kernel: one hash partition on the series
+    key, then the vectorized pandas C path per group — no per-row
+    Python.  Like Drift/TimeWarp, a series must fit one executor's
+    Arrow batch (documented series-length cap, README §limits); the
+    windowed transforms in this module have no such cap.
+
+    Output: key, order, value, ewma — input rows preserved.
+    """
+    import pandas as pd  # noqa: F401  (documents the kernel dependency)
+
+    out_schema = (
+        f"key {dict(df.dtypes)[key_col]}, ord long, v double, "
+        "ewma double"
+    )
+
+    def _kernel(pdf):
+        pdf = pdf.sort_values("ord")
+        pdf["ewma"] = (
+            pdf["v"].ewm(alpha=alpha, adjust=False).mean()
+        )
+        return pdf[["key", "ord", "v", "ewma"]]
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).cast("long").alias("ord"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    return base.groupBy("key").applyInPandas(_kernel, out_schema)
+
+
+def lttb(
+    df: DataFrame,
+    n_out: int,
+    key_col: str = "conv_id",
+    order_col: str = "bucket_idx",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling per series
+    (Steinarsson 2013): keep the first and last points; split the
+    interior into ``n_out - 2`` buckets by floor scaling
+    (bucket(idx) = ((idx-1)*(n_out-2)) // (T-2) + 1); from each bucket
+    keep the point forming the largest triangle with the PREVIOUSLY
+    SELECTED point and the next bucket's mean (the global last point
+    for the final interior bucket).  Series with T <= n_out pass
+    through unchanged.
+
+    The selection recurrence is sequential per series, so this runs as
+    a grouped Arrow kernel (one hash partition on the key; same
+    series-length cap policy as Drift/TimeWarp).  Every float op is
+    written to replay exactly in SQL — bucket means are LEFT-FOLD sums
+    (np.cumsum, == DuckDB list_aggregate 'sum'), the area expression
+    keeps one operand order, and argmax takes the first maximum — so
+    the recursive-CTE oracle (`lttb_48to12`) matches raw doubles with
+    no rounding.
+
+    Output: key, ord, v — the selected rows only.
+    """
+    import numpy as np
+
+    out_schema = (
+        f"key {dict(df.dtypes)[key_col]}, ord long, v double"
+    )
+
+    def _kernel(pdf):
+        pdf = pdf.sort_values("ord")
+        y = pdf["v"].to_numpy(dtype=float)
+        T = len(y)
+        if T <= n_out:
+            return pdf[["key", "ord", "v"]]
+        x = np.arange(T, dtype=float)
+        nb = n_out - 2
+        bkt = ((np.arange(1, T - 1) - 1) * nb) // (T - 2) + 1
+        sel = [0]
+        for k in range(1, nb + 1):
+            members = np.nonzero(bkt == k)[0] + 1
+            if k == nb:
+                ax, ay = x[T - 1], y[T - 1]
+            else:
+                nxt = np.nonzero(bkt == k + 1)[0] + 1
+                # left-fold mean (cumsum is sequential) == the SQL
+                # list_aggregate('sum') fold — NOT np.mean's pairwise
+                ax = x[nxt].cumsum()[-1] / len(nxt)
+                ay = y[nxt].cumsum()[-1] / len(nxt)
+            sx, sy = x[sel[-1]], y[sel[-1]]
+            xs, ys = x[members], y[members]
+            areas = np.abs(
+                (sx - ax) * (ys - sy) - (sx - xs) * (ay - sy)
+            ) * 0.5
+            sel.append(int(members[int(np.argmax(areas))]))
+        sel.append(T - 1)
+        return pdf.iloc[sel][["key", "ord", "v"]]
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).cast("long").alias("ord"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    return base.groupBy("key").applyInPandas(_kernel, out_schema)
+
+
+def heartbeat_uptime(
+    df: DataFrame,
+    tier: str = "1h",
+    heartbeat: int = 300,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Bucket-local liveness ratio from heartbeat samples.
+
+    Each sample asserts the key was alive for ``heartbeat`` seconds,
+    clipped at the next sample in the same bucket and at the bucket
+    end; covered seconds never double-count overlap because equal-width
+    intervals sorted by start can only overlap their immediate
+    successor.  ``uptime = covered / bucket_seconds``.
+
+    This is the *bucket-local* variant (liveness does not carry across
+    bucket boundaries) — the cheap form that needs only a lead() within
+    (key, bucket).  The carry-across form is a gap-fill problem and is
+    served by plans/gapfill.py.
+
+    Output: key, bucket_s, n_beats, covered_s, uptime.
+    """
+    sec = TIERS[tier][1]
+    w = Window.partitionBy("key", "bucket_s").orderBy("t_us")
+    base = (
+        df.select(
+            F.col(key_col).alias("key"),
+            _bucket_s(ts_col, tier),
+            _micros(ts_col).alias("t_us"),
+        )
+        # duplicate-timestamp dedup via lag in the SAME window
+        # partitioning (not .distinct(), which would add a second
+        # Exchange on (key, bucket, t)); the follow-up lead() reuses
+        # the partitioning so the whole transform is one shuffle.
+        .withColumn("dup", F.lag("t_us").over(w) == F.col("t_us"))
+        .filter(~F.coalesce("dup", F.lit(False)))
+    )
+    bucket_end_us = (F.col("bucket_s") + F.lit(sec)) * F.lit(1_000_000)
+    seg = base.select(
+        "key",
+        "bucket_s",
+        F.least(
+            F.coalesce(
+                F.lead("t_us").over(w) - F.col("t_us"),
+                F.lit(1 << 62),
+            ),
+            F.lit(heartbeat * 1_000_000),
+            bucket_end_us - F.col("t_us"),
+        ).alias("covered_us"),
+    )
+    return (
+        seg.groupBy("key", "bucket_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_beats"),
+            (F.sum("covered_us") / F.lit(1e6)).alias("covered_s"),
+            (F.sum("covered_us") / F.lit(sec * 1e6)).alias("uptime"),
+        )
+    )
