@@ -950,6 +950,24 @@ def q_range_busy_windows(spark, sf):
     )
 
 
+def q_stream_m4_1m(spark, sf):
+    """Streaming M4 (watermarked window agg of min/max/min_by/max_by)
+    backfilled with availableNow; every component is algebraic, so the
+    caught-up sink must equal the direct 1m M4 SQL bit-for-bit."""
+    from tsaug_spark.streaming.stream_rollup import run_stream_m4_once
+
+    out = run_stream_m4_once(spark, f"{sf}/events.parquet", tier="1m")
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        "n",
+        "vmin",
+        "vmax",
+        "vfirst",
+        "vlast",
+    )
+
+
 def q_stream_rollup_1m(spark, sf):
     """Structured-Streaming 1m rollup (readStream -> watermarked window
     agg -> availableNow backfill); the oracle is the batch rollup — the
@@ -1874,6 +1892,7 @@ def _lttb_sql(T: int = 48, n_out: int = 12) -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "stream_m4_1m",
     "twa_cascade_1d",
     "m4_cascade_1d",
     "lttb_48to12",
@@ -2039,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_48to12": q_lttb_48to12,
         "twa_cascade_1d": q_twa_cascade_1d,
         "m4_cascade_1d": q_m4_cascade_1d,
+        "stream_m4_1m": q_stream_m4_1m,
     })
 
 
@@ -3222,6 +3242,16 @@ def oracle_sql() -> dict[str, str]:
             "cnt, ewma FROM r"
         ),
         "lttb_48to12": _lttb_sql(),
+        "stream_m4_1m": (
+            "SELECT user_id, CAST(floor(epoch(ts)/60)*60 AS BIGINT) "
+            "AS bucket_s, CAST(COUNT(*) AS BIGINT) AS n, "
+            "MIN(CAST(value AS DOUBLE)) AS vmin, "
+            "MAX(CAST(value AS DOUBLE)) AS vmax, "
+            "first(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS "
+            "vfirst, "
+            "last(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vlast "
+            "FROM events GROUP BY 1, 2"
+        ),
         "twa_cascade_1d": (
             # DIRECT daily TWA: the cascade must integrate the same
             # trapezoids (within-hour + hour-bridges == all daily

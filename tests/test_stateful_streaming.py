@@ -360,3 +360,37 @@ def test_stream_ingest_then_incremental_cascade(
         want_1h.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_stream_m4_matches_batch_across_micro_batches(spark, tmp_path):
+    """Streaming M4 over >4 source files (maxFilesPerTrigger=4 forces
+    multiple micro-batches) must equal the batch m4_downsample — the
+    per-(key, window) min/max/min_by/max_by state merges across
+    micro-batches."""
+    from tsaug_spark.plans.metrics import m4_downsample
+    from tsaug_spark.streaming.stream_rollup import run_stream_m4_once
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = str(tmp_path / "ev_files")
+    # 6 files -> 2 micro-batches at maxFilesPerTrigger=4
+    ev.repartition(6).write.parquet(src)
+
+    streamed = (
+        run_stream_m4_once(spark, src, tier="1m",
+                           sink_table="t_stream_m4")
+        .withColumn("bucket_s", F.unix_timestamp("bucket_ts"))
+        .select("key", "bucket_s", "n", "vmin", "vmax", "vfirst",
+                "vlast")
+        .orderBy("key", "bucket_s")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    batch = (
+        m4_downsample(ev, "1m")
+        .orderBy("key", "bucket_s")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        streamed, batch[streamed.columns.tolist()], check_dtype=False
+    )

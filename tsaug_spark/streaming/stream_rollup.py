@@ -114,6 +114,100 @@ def stream_rollup_events(
     )
 
 
+def stream_m4(
+    stream_df: DataFrame,
+    tier: str = "1m",
+    watermark: str = "10 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Streaming M4 aggregation: the watermarked-window twin of
+    plans.metrics.m4_downsample.  min/max/min_by/max_by are all
+    algebraic, so Structured Streaming maintains the per-(key, window)
+    state as a constant-size sketch — late rows inside the watermark
+    update their pixel bucket, rows beyond it are dropped and the
+    bucket's four points become final.
+
+    Output: key, bucket_ts, n, vmin, vmax, vfirst, vlast.
+    """
+    duration = TIERS[tier][0]
+    stream_df = stream_df.withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    )
+    ordkey = F.struct(
+        F.col(ts_col).alias("ts"), F.col(order_col).alias("o")
+    )
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(key_col).alias("key"),
+            F.window(ts_col, duration).alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col(value_col).cast("double")).alias("vmin"),
+            F.max(F.col(value_col).cast("double")).alias("vmax"),
+            F.min_by(F.col(value_col).cast("double"), ordkey).alias(
+                "vfirst"
+            ),
+            F.max_by(F.col(value_col).cast("double"), ordkey).alias(
+                "vlast"
+            ),
+        )
+        .select(
+            "key",
+            F.col("w.start").alias("bucket_ts"),
+            "n",
+            "vmin",
+            "vmax",
+            "vfirst",
+            "vlast",
+        )
+    )
+
+
+def run_stream_m4_once(
+    spark,
+    source_path: str,
+    tier: str = "1m",
+    sink_table: str = "stream_m4_out",
+) -> DataFrame:
+    """availableNow-trigger backfill of the streaming M4 aggregation;
+    the caught-up complete-mode sink equals plans.metrics.m4_downsample
+    on the same data exactly (all components algebraic)."""
+    import os
+
+    schema = spark.read.parquet(source_path).schema
+    if os.path.isdir(source_path):
+        src_dir, glob = source_path, "*"
+    else:
+        src_dir = os.path.dirname(source_path)
+        glob = os.path.basename(source_path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .option("pathGlobFilter", glob)
+        .parquet(src_dir)
+    )
+    m4 = stream_m4(stream, tier)
+    q = (
+        m4.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "availableNow M4 backfill did not finish in 300s; the "
+            "memory sink would be partial — refusing to return it"
+        )
+    return spark.table(sink_table)
+
+
 def run_stream_events_once(
     spark,
     source_path: str,
