@@ -950,6 +950,25 @@ def q_range_busy_windows(spark, sf):
     )
 
 
+def q_hist_p_cascade_1d(spark, sf):
+    """Mergeable histogram-quantile cascade: hourly fixed-bin sketches
+    (64 bins over [0, 100)) summed to daily, then interpolated p50/p95
+    estimates.  Counts are exact integers and the estimator is one
+    shared float expression, so the DuckDB oracle (direct daily
+    histogram + same interpolation) matches raw doubles."""
+    from tsaug_spark.plans.metrics import (
+        hist_merge,
+        hist_partial,
+        hist_percentile,
+    )
+
+    daily = hist_merge(hist_partial(_events(spark, sf), "1h"), "1d")
+    out = hist_percentile(daily, [0.5, 0.95])
+    return out.select("key", "bucket_s", "q", "est").select(
+        F.col("key").alias("user_id"), "bucket_s", "q", "est"
+    )
+
+
 def q_stream_m4_1m(spark, sf):
     """Streaming M4 (watermarked window agg of min/max/min_by/max_by)
     backfilled with availableNow; every component is algebraic, so the
@@ -1892,6 +1911,7 @@ def _lttb_sql(T: int = 48, n_out: int = 12) -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "hist_p_cascade_1d",
     "stream_m4_1m",
     "twa_cascade_1d",
     "m4_cascade_1d",
@@ -2059,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twa_cascade_1d": q_twa_cascade_1d,
         "m4_cascade_1d": q_m4_cascade_1d,
         "stream_m4_1m": q_stream_m4_1m,
+        "hist_p_cascade_1d": q_hist_p_cascade_1d,
     })
 
 
@@ -3242,6 +3263,30 @@ def oracle_sql() -> dict[str, str]:
             "cnt, ewma FROM r"
         ),
         "lttb_48to12": _lttb_sql(),
+        "hist_p_cascade_1d": (
+            # direct daily histogram == merged hourly histograms
+            # (binning is per-sample); same interpolation expression
+            "WITH b AS (SELECT user_id, "
+            "CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket_s, "
+            "CAST(LEAST(GREATEST(floor(value / 1.5625), 0), 63) AS "
+            "INT) AS bin FROM events), "
+            "h AS (SELECT user_id, bucket_s, bin, COUNT(*) AS cnt "
+            "FROM b GROUP BY 1, 2, 3), "
+            "c AS (SELECT user_id, bucket_s, bin, cnt, "
+            "SUM(cnt) OVER (PARTITION BY user_id, bucket_s ORDER BY "
+            "bin) AS cum, "
+            "SUM(cnt) OVER (PARTITION BY user_id, bucket_s) AS total "
+            "FROM h), "
+            "x AS (SELECT c.*, q FROM c CROSS JOIN "
+            "(SELECT unnest([0.5, 0.95]) AS q) "
+            "WHERE cum >= q * total), "
+            "sel AS (SELECT user_id, bucket_s, q, "
+            "arg_min({'bin': bin, 'cnt': cnt, 'cum': cum}, bin) AS s, "
+            "first(total) AS total FROM x GROUP BY 1, 2, 3) "
+            "SELECT user_id, bucket_s, q, "
+            "0.0 + 1.5625 * (s.bin + (q * total - (s.cum - s.cnt)) / "
+            "s.cnt) AS est FROM sel"
+        ),
         "stream_m4_1m": (
             "SELECT user_id, CAST(floor(epoch(ts)/60)*60 AS BIGINT) "
             "AS bucket_s, CAST(COUNT(*) AS BIGINT) AS n, "

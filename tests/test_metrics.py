@@ -161,6 +161,52 @@ def test_m4_cascade_bit_exact(spark):
             assert direct[k][c] == merged[k][c], (k, c)
 
 
+def test_hist_percentile_within_one_bin_of_exact(spark):
+    import numpy as np
+
+    from tsaug_spark.plans.metrics import hist_partial, hist_percentile
+
+    rng = np.random.RandomState(3)
+    vals = rng.uniform(0, 100, 2000)
+    df = _ev(spark, [(1, i, float(v)) for i, v in enumerate(vals)])
+    est = {
+        r["q"]: r["est"]
+        for r in hist_percentile(
+            hist_partial(df, "1d"), [0.5, 0.95]
+        ).collect()
+    }
+    bin_w = 100.0 / 64
+    for q in (0.5, 0.95):
+        exact = float(np.quantile(vals, q))
+        assert abs(est[q] - exact) <= bin_w, (q, est[q], exact)
+
+
+def test_hist_merge_equals_direct(spark):
+    from tsaug_spark.plans.metrics import hist_merge, hist_partial
+
+    rows = [(1, i * 700, float((i * 13) % 97)) for i in range(200)]
+    df = _ev(spark, rows)
+    direct = {
+        (r["key"], r["bucket_s"], r["bin"]): r["cnt"]
+        for r in hist_partial(df, "1d").collect()
+    }
+    merged = {
+        (r["key"], r["bucket_s"], r["bin"]): r["cnt"]
+        for r in hist_merge(hist_partial(df, "1h"), "1d").collect()
+    }
+    assert direct == merged
+
+
+def test_hist_clamps_out_of_range(spark):
+    from tsaug_spark.plans.metrics import hist_partial
+
+    df = _ev(spark, [(1, 0, -5.0), (1, 1, 250.0)])
+    bins = sorted(
+        (r["bin"], r["cnt"]) for r in hist_partial(df, "1d").collect()
+    )
+    assert bins == [(0, 1), (63, 1)]
+
+
 def _lttb_reference(y, n_out):
     """Independent plain-Python LTTB (range-based loop, np.mean) used
     only as a test oracle for the kernel's selection."""

@@ -211,6 +211,112 @@ def twa_merge(
     )
 
 
+def hist_partial(
+    df: DataFrame,
+    tier: str = "1h",
+    lo: float = 0.0,
+    hi: float = 100.0,
+    n_bins: int = 64,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Fixed-bin histogram sketch per (key, bucket) — the mergeable
+    quantile state for percentile cascades (the role t-digest/KLL play
+    in TimescaleDB/Druid, in the deterministic equi-width form that a
+    SQL oracle can replay exactly).
+
+    Values are clamped into [lo, hi); bin width w = (hi-lo)/n_bins;
+    the sketch is LONG format (key, bucket_s, bin, cnt) so merging to
+    a coarser tier is a plain sum — one hash aggregate, map-side
+    combinable, and per-bucket state is at most ``n_bins`` rows.
+    Quantile estimates from the sketch are within one bin width of the
+    exact value (gated in tests).
+    """
+    w = (hi - lo) / n_bins
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col("v") - F.lit(lo)) / F.lit(w)), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            _bucket_s(ts_col, tier),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .withColumn("bin", bin_col)
+        .groupBy("key", "bucket_s", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(partial: DataFrame, to_tier: str) -> DataFrame:
+    """Merge histogram sketches to a coarser tier: elementwise count
+    sum — exactly equal to building the coarse histogram directly,
+    since binning is per-sample."""
+    sec = TIERS[to_tier][1]
+    coarse = (F.col("bucket_s") / F.lit(sec)).cast("long") * F.lit(sec)
+    return (
+        partial.groupBy("key", coarse.alias("bucket_s"), "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def hist_percentile(
+    hist: DataFrame,
+    qs: list[float],
+    lo: float = 0.0,
+    hi: float = 100.0,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Interpolated percentile estimates from a histogram sketch.
+
+    For each q: target = q * total; the estimate sits in the first bin
+    whose cumulative count reaches the target, linearly interpolated
+    inside the bin: est = lo + w * (bin + (target - cum_prev) / cnt).
+    Every float op replays identically in SQL (counts are exact
+    integers, one shared expression) so the oracle compares raw
+    doubles.
+
+    Output: key, bucket_s, q, est.
+    """
+    w = (hi - lo) / n_bins
+    win = Window.partitionBy("key", "bucket_s").orderBy("bin")
+    tot = Window.partitionBy("key", "bucket_s")
+    h = hist.select(
+        "key",
+        "bucket_s",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(win).alias("cum"),
+        F.sum("cnt").over(tot).alias("total"),
+    )
+    qdf = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    sel = (
+        h.select("*", qdf)
+        .filter(
+            F.col("cum") >= F.col("q") * F.col("total")
+        )
+        .groupBy("key", "bucket_s", "q")
+        .agg(
+            F.min_by(
+                F.struct("bin", "cnt", "cum"), "bin"
+            ).alias("s"),
+            F.first("total").alias("total"),
+        )
+    )
+    est = F.lit(lo) + F.lit(w) * (
+        F.col("s.bin")
+        + (F.col("q") * F.col("total") - (F.col("s.cum") - F.col("s.cnt")))
+        / F.col("s.cnt")
+    )
+    return sel.select("key", "bucket_s", "q", est.alias("est"))
+
+
 def m4_partial(
     df: DataFrame,
     tier: str = "1h",
