@@ -950,6 +950,39 @@ def q_range_busy_windows(spark, sf):
     )
 
 
+def q_rolling_zscore(spark, sf):
+    """Rolling z-score anomaly flags on the hourly per-user series:
+    trailing-24-bucket mean/std from EXACT integer window sums (cnt,
+    cnt^2 are small integers, so S and Q are exact in double on both
+    engines), then one shared float expression
+    z = (cnt - S/24) / sqrt((Q - S*S/24) / 23) — bit-identical in
+    DuckDB, so the |z| > 3 row set matches with raw doubles and the
+    flagged-row filter cannot flip between engines."""
+    h = _hourly(spark, sf).select("user_id", "bucket_s", "cnt")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_s")
+        .rowsBetween(-23, 0)
+    )
+    g = h.select(
+        "user_id",
+        "bucket_s",
+        "cnt",
+        F.count(F.lit(1)).over(w).alias("nw"),
+        F.sum("cnt").over(w).alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("s2"),
+    ).filter(F.col("nw") == 24)
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.lit(24.0)
+    ) / F.lit(23.0)
+    z = (F.col("cnt") - F.col("s1") / F.lit(24.0)) / F.sqrt(var)
+    out = g.filter(var > 0).select(
+        "user_id", "bucket_s", "cnt", z.alias("z")
+    )
+    return out.filter(F.abs("z") > 3)
+
+
 def q_hist_p_cascade_1d(spark, sf):
     """Mergeable histogram-quantile cascade: hourly fixed-bin sketches
     (64 bins over [0, 100)) summed to daily, then interpolated p50/p95
@@ -1911,6 +1944,7 @@ def _lttb_sql(T: int = 48, n_out: int = 12) -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "rolling_zscore",
     "hist_p_cascade_1d",
     "stream_m4_1m",
     "twa_cascade_1d",
@@ -2080,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_cascade_1d": q_m4_cascade_1d,
         "stream_m4_1m": q_stream_m4_1m,
         "hist_p_cascade_1d": q_hist_p_cascade_1d,
+        "rolling_zscore": q_rolling_zscore,
     })
 
 
@@ -3263,6 +3298,23 @@ def oracle_sql() -> dict[str, str]:
             "cnt, ewma FROM r"
         ),
         "lttb_48to12": _lttb_sql(),
+        "rolling_zscore": (
+            f"WITH h AS ({hourly}), "
+            "g AS (SELECT user_id, bucket_s, cnt, "
+            "COUNT(*) OVER w AS nw, SUM(cnt) OVER w AS s1, "
+            "SUM(cnt*cnt) OVER w AS s2 FROM h WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY bucket_s ROWS BETWEEN 23 "
+            "PRECEDING AND CURRENT ROW)), "
+            "z AS (SELECT user_id, bucket_s, cnt, "
+            "(cnt - CAST(s1 AS DOUBLE)/24.0) / "
+            "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*"
+            "CAST(s1 AS DOUBLE)/24.0)/23.0) AS z "
+            "FROM g WHERE nw = 24 AND "
+            "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*"
+            "CAST(s1 AS DOUBLE)/24.0)/23.0 > 0) "
+            "SELECT user_id, bucket_s, cnt, z FROM z "
+            "WHERE abs(z) > 3"
+        ),
         "hist_p_cascade_1d": (
             # direct daily histogram == merged hourly histograms
             # (binning is per-sample); same interpolation expression

@@ -97,6 +97,19 @@ def main() -> None:
                        "partial" in p.lower()))
         sections.append(f"## {mname}\n\n```\n{p[:2500]}\n```\n")
 
+    # histogram quantile estimator: the sketch build shuffles on
+    # (key, bucket, bin); the cum/total windows and the per-q argmin
+    # aggregate all cluster on (key, bucket) prefixes, so Catalyst
+    # reuses one more Exchange — 2 total, and no more.
+    from tsaug_spark.plans.metrics import hist_partial, hist_percentile
+
+    hp = hist_percentile(hist_partial(ev, "1d"), [0.5, 0.95])
+    p = plan_of(hp)
+    n_ex = p.count("Exchange")
+    checks.append(("hist_percentile 1d",
+                   f"<= 2 Exchanges (found {n_ex})", n_ex <= 2))
+    sections.append(f"## hist_percentile 1d\n\n```\n{p[:2500]}\n```\n")
+
     # bucketed cascade: shuffle-free.  The bench materializes the
     # transcripts as a conv_id-bucketed table under /tmp/tsaug_bench; the
     # catalog is in-memory per session, so re-register the DDL over the
