@@ -951,53 +951,43 @@ def q_range_busy_windows(spark, sf):
 
 
 def q_rolling_zscore(spark, sf):
-    """Rolling z-score anomaly flags on the hourly per-user series:
-    trailing-24-bucket mean/std from EXACT integer window sums (cnt,
-    cnt^2 are small integers, so S and Q are exact in double on both
-    engines), then one shared float expression
-    z = (cnt - S/24) / sqrt((Q - S*S/24) / 23) — bit-identical in
-    DuckDB, so the |z| > 3 row set matches with raw doubles and the
-    flagged-row filter cannot flip between engines."""
+    """Rolling z-score anomaly flags on the hourly per-user series
+    (plans/metrics.py::rolling_zscore): trailing-24-bucket mean/std
+    from EXACT integer window sums, one shared float expression for z,
+    so the |z| > 3 row set is bit-identical in DuckDB (raw doubles —
+    the flagged-row filter cannot flip between engines)."""
+    from tsaug_spark.plans.metrics import rolling_zscore
+
     h = _hourly(spark, sf).select("user_id", "bucket_s", "cnt")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("bucket_s")
-        .rowsBetween(-23, 0)
+    out = rolling_zscore(h, window=24, threshold=3.0)
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.col("ord").alias("bucket_s"),
+        F.col("v").alias("cnt"),
+        "z",
     )
-    g = h.select(
-        "user_id",
-        "bucket_s",
-        "cnt",
-        F.count(F.lit(1)).over(w).alias("nw"),
-        F.sum("cnt").over(w).alias("s1"),
-        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("s2"),
-    ).filter(F.col("nw") == 24)
-    var = (
-        F.col("s2").cast("double")
-        - F.col("s1").cast("double") * F.col("s1") / F.lit(24.0)
-    ) / F.lit(23.0)
-    z = (F.col("cnt") - F.col("s1") / F.lit(24.0)) / F.sqrt(var)
-    out = g.filter(var > 0).select(
-        "user_id", "bucket_s", "cnt", z.alias("z")
-    )
-    return out.filter(F.abs("z") > 3)
 
 
 def q_hist_p_cascade_1d(spark, sf):
     """Mergeable histogram-quantile cascade: hourly fixed-bin sketches
-    (64 bins over [0, 100)) summed to daily, then interpolated p50/p95
-    estimates.  Counts are exact integers and the estimator is one
-    shared float expression, so the DuckDB oracle (direct daily
-    histogram + same interpolation) matches raw doubles."""
+    (64 bins over [0, 640) — sized to cover the events value range,
+    max ~560 at sf0.1, so estimates really are within one bin width of
+    exact rather than saturating at a clamped edge) summed to daily,
+    then interpolated p50/p95.  Counts are exact integers and the
+    estimator is one shared float expression, so the DuckDB oracle
+    (direct daily histogram + same interpolation) matches raw
+    doubles."""
     from tsaug_spark.plans.metrics import (
         hist_merge,
         hist_partial,
         hist_percentile,
     )
 
-    daily = hist_merge(hist_partial(_events(spark, sf), "1h"), "1d")
-    out = hist_percentile(daily, [0.5, 0.95])
-    return out.select("key", "bucket_s", "q", "est").select(
+    daily = hist_merge(
+        hist_partial(_events(spark, sf), "1h", lo=0.0, hi=640.0), "1d"
+    )
+    out = hist_percentile(daily, [0.5, 0.95], lo=0.0, hi=640.0)
+    return out.select(
         F.col("key").alias("user_id"), "bucket_s", "q", "est"
     )
 
@@ -3320,7 +3310,7 @@ def oracle_sql() -> dict[str, str]:
             # (binning is per-sample); same interpolation expression
             "WITH b AS (SELECT user_id, "
             "CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket_s, "
-            "CAST(LEAST(GREATEST(floor(value / 1.5625), 0), 63) AS "
+            "CAST(LEAST(GREATEST(floor(value / 10.0), 0), 63) AS "
             "INT) AS bin FROM events), "
             "h AS (SELECT user_id, bucket_s, bin, COUNT(*) AS cnt "
             "FROM b GROUP BY 1, 2, 3), "
@@ -3336,7 +3326,7 @@ def oracle_sql() -> dict[str, str]:
             "arg_min({'bin': bin, 'cnt': cnt, 'cum': cum}, bin) AS s, "
             "first(total) AS total FROM x GROUP BY 1, 2, 3) "
             "SELECT user_id, bucket_s, q, "
-            "0.0 + 1.5625 * (s.bin + (q * total - (s.cum - s.cnt)) / "
+            "0.0 + 10.0 * (s.bin + (q * total - (s.cum - s.cnt)) / "
             "s.cnt) AS est FROM sel"
         ),
         "stream_m4_1m": (

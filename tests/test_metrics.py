@@ -210,49 +210,30 @@ def test_hist_clamps_out_of_range(spark):
 
 def test_rolling_zscore_flags_spike_only(spark):
     # 30 hourly buckets of cnt=10 with one cnt=100 spike: only the
-    # spike (and no steady bucket) exceeds |z| > 3 once the window is
-    # full.  Mirrors q_rolling_zscore's exact-integer-sum construction.
-    import __spark_entry__  # noqa: F401  (query under test lives there)
+    # spike exceeds |z| > 3 once the window is full.  Drives the REAL
+    # production function (plans/metrics.py::rolling_zscore).
+    from tsaug_spark.plans.metrics import rolling_zscore
 
-    rows = []
-    for i in range(30):
-        v = 100 if i == 27 else 10
-        # one event per hour -> hourly cnt equals 1; instead synthesize
-        # cnt via repeated events: v events in hour i
-        rows += [(1, i * 3600 + j, 1.0) for j in range(v)]
-    df = _ev(spark, rows)
-    from pyspark.sql import Window as W
-
-    h = (
-        df.groupBy(
-            "user_id",
-            (F.unix_timestamp("ts") / 3600).cast("long").alias("hb"),
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    rows = [(1, i, 100 if i == 27 else 10) for i in range(30)]
+    h = spark.createDataFrame(
+        rows, "user_id long, bucket_s long, cnt long"
     )
-    w = W.partitionBy("user_id").orderBy("hb").rowsBetween(-23, 0)
-    g = h.select(
-        "user_id",
-        "hb",
-        "cnt",
-        F.count(F.lit(1)).over(w).alias("nw"),
-        F.sum("cnt").over(w).alias("s1"),
-        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("s2"),
-    ).filter(F.col("nw") == 24)
-    var = (
-        F.col("s2").cast("double")
-        - F.col("s1").cast("double") * F.col("s1") / F.lit(24.0)
-    ) / F.lit(23.0)
-    z = (F.col("cnt") - F.col("s1") / F.lit(24.0)) / F.sqrt(var)
-    flagged = (
-        g.filter(var > 0)
-        .select("hb", z.alias("z"))
-        .filter(F.abs("z") > 3)
-        .collect()
-    )
-    base = int(T0.replace(tzinfo=dt.timezone.utc).timestamp()) // 3600
-    assert [int(r["hb"]) - base for r in flagged] == [27]
+    flagged = rolling_zscore(h, window=24, threshold=3.0).collect()
+    assert [r["ord"] for r in flagged] == [27]
     assert flagged[0]["z"] > 4
+
+
+def test_rolling_zscore_skips_partial_and_flat_windows(spark):
+    from tsaug_spark.plans.metrics import rolling_zscore
+
+    # 40 constant buckets: windows are full from bucket 23 on, but
+    # variance is zero everywhere -> nothing flagged, nothing divides
+    # by zero
+    h = spark.createDataFrame(
+        [(1, i, 5) for i in range(40)],
+        "user_id long, bucket_s long, cnt long",
+    )
+    assert rolling_zscore(h).count() == 0
 
 
 def _lttb_reference(y, n_out):

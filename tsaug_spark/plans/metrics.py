@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from tsaug_spark.plans.rollup import TIERS
+from tsaug_spark.plans.rollup import TIERS, bucket_epoch_s
 
 
 def _micros(ts_col: str) -> F.Column:
@@ -45,11 +45,9 @@ def _micros(ts_col: str) -> F.Column:
     return F.unix_micros(F.col(ts_col).cast("timestamp"))
 
 
-def _bucket_s(ts_col: str, tier: str) -> F.Column:
-    sec = TIERS[tier][1]
-    return (
-        (F.unix_timestamp(F.col(ts_col)) / sec).cast("long") * sec
-    ).alias("bucket_s")
+# tier bucketing shared with the rollup cascade (one definition, one
+# oracle form: floor(epoch(ts)/sec)*sec)
+_bucket_s = bucket_epoch_s
 
 
 def time_weighted_avg(
@@ -58,6 +56,7 @@ def time_weighted_avg(
     key_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Trapezoidal time-weighted average per (key, bucket).
 
@@ -78,9 +77,14 @@ def time_weighted_avg(
         F.col(key_col).alias("key"),
         _bucket_s(ts_col, tier),
         (_micros(ts_col) / F.lit(1e6)).alias("t"),
+        F.col(order_col).alias("o") if order_col else F.lit(0).alias("o"),
         F.col(value_col).cast("double").alias("v"),
     )
-    w = Window.partitionBy("key", "bucket_s").orderBy("t")
+    # order_col breaks duplicate-timestamp ties; without it, tied
+    # samples make the trapezoid chain order-dependent (zero-width
+    # segments are fine, but the NEIGHBORING segments' endpoint values
+    # depend on which tied row sorts first)
+    w = Window.partitionBy("key", "bucket_s").orderBy("t", "o")
     seg = base.select(
         "key",
         "bucket_s",
@@ -112,6 +116,7 @@ def twa_partial(
     key_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Mergeable partial state for the time-weighted average — the
     continuous-aggregate form of :func:`time_weighted_avg`.
@@ -131,13 +136,15 @@ def twa_partial(
         F.col(key_col).alias("key"),
         _bucket_s(ts_col, tier),
         (_micros(ts_col) / F.lit(1e6)).alias("t"),
+        F.col(order_col).alias("o") if order_col else F.lit(0).alias("o"),
         F.col(value_col).cast("double").alias("v"),
     )
-    w = Window.partitionBy("key", "bucket_s").orderBy("t")
+    w = Window.partitionBy("key", "bucket_s").orderBy("t", "o")
     seg = base.select(
         "key",
         "bucket_s",
         "t",
+        "o",
         "v",
         (
             (F.lead("v").over(w) + F.col("v"))
@@ -152,9 +159,9 @@ def twa_partial(
         F.coalesce(F.sum("area"), F.lit(0.0)).alias("area"),
         F.coalesce(F.sum("span"), F.lit(0.0)).alias("span"),
         F.min("t").alias("t_first"),
-        F.min_by("v", "t").alias("v_first"),
+        F.min_by("v", F.struct("t", "o")).alias("v_first"),
         F.max("t").alias("t_last"),
-        F.max_by("v", "t").alias("v_last"),
+        F.max_by("v", F.struct("t", "o")).alias("v_last"),
     )
 
 
@@ -178,7 +185,8 @@ def twa_merge(
     sec = TIERS[to_tier][1]
     base = partial.withColumn(
         "coarse_s",
-        (F.col("bucket_s") / F.lit(sec)).cast("long") * F.lit(sec),
+        F.floor(F.col("bucket_s") / F.lit(sec)).cast("long")
+        * F.lit(sec),
     )
     w = Window.partitionBy("key", "coarse_s").orderBy("bucket_s")
     bridged = base.select(
@@ -226,7 +234,10 @@ def hist_partial(
     in TimescaleDB/Druid, in the deterministic equi-width form that a
     SQL oracle can replay exactly).
 
-    Values are clamped into [lo, hi); bin width w = (hi-lo)/n_bins;
+    Values are clamped into [lo, hi) — estimates are only within one
+    bin width of exact for values INSIDE the range, so size [lo, hi)
+    to the data (a p95 above ``hi`` saturates at the last bin edge);
+    bin width w = (hi-lo)/n_bins;
     the sketch is LONG format (key, bucket_s, bin, cnt) so merging to
     a coarser tier is a plain sum — one hash aggregate, map-side
     combinable, and per-bucket state is at most ``n_bins`` rows.
@@ -257,7 +268,9 @@ def hist_merge(partial: DataFrame, to_tier: str) -> DataFrame:
     sum — exactly equal to building the coarse histogram directly,
     since binning is per-sample."""
     sec = TIERS[to_tier][1]
-    coarse = (F.col("bucket_s") / F.lit(sec)).cast("long") * F.lit(sec)
+    coarse = F.floor(F.col("bucket_s") / F.lit(sec)).cast(
+        "long"
+    ) * F.lit(sec)
     return (
         partial.groupBy("key", coarse.alias("bucket_s"), "bin")
         .agg(F.sum("cnt").alias("cnt"))
@@ -354,7 +367,9 @@ def m4_merge(partial: DataFrame, to_tier: str) -> DataFrame:
     partial+final hash aggregate and matches the direct coarse M4
     bit-for-bit (``m4_cascade_1d``'s oracle is the direct daily SQL)."""
     sec = TIERS[to_tier][1]
-    coarse = (F.col("bucket_s") / F.lit(sec)).cast("long") * F.lit(sec)
+    coarse = F.floor(F.col("bucket_s") / F.lit(sec)).cast(
+        "long"
+    ) * F.lit(sec)
     return (
         partial.groupBy("key", coarse.alias("bucket_s"))
         .agg(
@@ -363,6 +378,10 @@ def m4_merge(partial: DataFrame, to_tier: str) -> DataFrame:
             F.max("vmax").alias("vmax"),
             F.min_by("vfirst", "ord_first").alias("vfirst"),
             F.max_by("vlast", "ord_last").alias("vlast"),
+            # keep the merge keys so merged rows are themselves
+            # mergeable (1m -> 1h -> 1d chains without re-partialing)
+            F.min("ord_first").alias("ord_first"),
+            F.max("ord_last").alias("ord_last"),
         )
     )
 
@@ -388,6 +407,10 @@ def counter_rate(
     boundaries (PromQL semantics: the lookbehind window sees the
     previous scrape), so a bucket's increase accounts for the rise
     since the last pre-bucket sample.
+
+    Pass ``order_col`` whenever timestamps can tie within a key: with
+    the default constant tiebreaker, tied samples (e.g. 100 then 5 at
+    the same instant) make contrib/resets order-dependent.
 
     Output: key, bucket_s, n_samples, resets, increase, rate_ps.
     """
@@ -505,6 +528,52 @@ def ewma(
     return base.groupBy("key").applyInPandas(_kernel, out_schema)
 
 
+def rolling_zscore(
+    hourly: DataFrame,
+    window: int = 24,
+    threshold: float = 3.0,
+    key_col: str = "user_id",
+    order_col: str = "bucket_s",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Flag buckets whose integer count deviates more than ``threshold``
+    sigma from the trailing-``window``-bucket mean.
+
+    Mean and variance come from EXACT integer window sums (S = sum cnt,
+    Q = sum cnt^2 — exact in double for realistic counts), so the z
+    expression — and therefore the flagged ROW SET, where a borderline
+    value could otherwise flip between engines — replays bit-identically
+    in SQL.  Only full windows are scored; zero-variance windows are
+    skipped.
+
+    Output: key, ord, v, z — flagged rows only.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    g = hourly.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).alias("ord"),
+        F.col(value_col).alias("v"),
+        F.count(F.lit(1)).over(w).alias("nw"),
+        F.sum(value_col).over(w).alias("s1"),
+        F.sum(F.col(value_col) * F.col(value_col)).over(w).alias("s2"),
+    ).filter(F.col("nw") == window)
+    dn = F.lit(float(window))
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / dn
+    ) / F.lit(float(window - 1))
+    z = (F.col("v") - F.col("s1") / dn) / F.sqrt(var)
+    return (
+        g.filter(var > 0)
+        .select("key", "ord", "v", z.alias("z"))
+        .filter(F.abs("z") > F.lit(float(threshold)))
+    )
+
+
 def lttb(
     df: DataFrame,
     n_out: int,
@@ -544,7 +613,10 @@ def lttb(
         T = len(y)
         if T <= n_out:
             return pdf[["key", "ord", "v"]]
-        x = np.arange(T, dtype=float)
+        # x = the actual order values (not positions): series with
+        # gaps in order_col keep true triangle geometry.  Buckets stay
+        # equal-COUNT (standard LTTB), only areas/means use real x.
+        x = pdf["ord"].to_numpy(dtype=float)
         nb = n_out - 2
         bkt = ((np.arange(1, T - 1) - 1) * nb) // (T - 2) + 1
         sel = [0]

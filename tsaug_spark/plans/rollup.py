@@ -48,6 +48,17 @@ def bucket_start(ts: Column, tier: str) -> Column:
     )
 
 
+def bucket_epoch_s(ts_col: str, tier: str) -> Column:
+    """Tier bucket start as epoch seconds (BIGINT) — floor, not
+    cast-truncation, so pre-epoch timestamps bucket consistently with
+    the DuckDB oracles' floor(epoch(ts)/sec).  Shared by rollup_events
+    and plans/metrics.py."""
+    seconds = TIERS[tier][1]
+    return (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / seconds) * seconds
+    ).cast("long").alias("bucket_s")
+
+
 def rollup_transcripts(df: DataFrame, tier: str = "1m") -> DataFrame:
     """Roll raw transcripts up to one row per (conv_id, bucket).
 
@@ -84,14 +95,12 @@ def rollup_events(
     cnt, sum_value, min_value, max_value.  Same partial+final hash-agg
     plan shape as the transcript rollup.
     """
-    seconds = TIERS[tier][1]
-    bucket = (
-        (F.floor(F.unix_timestamp(F.col(ts_col)) / seconds) * seconds)
-        .cast("long")
-        .alias("bucket_s")
-    )
     return (
-        df.select(F.col(key_col), bucket, F.col(value_col))
+        df.select(
+            F.col(key_col),
+            bucket_epoch_s(ts_col, tier),
+            F.col(value_col),
+        )
         .groupBy(key_col, "bucket_s")
         .agg(
             F.count(F.lit(1)).alias("cnt"),

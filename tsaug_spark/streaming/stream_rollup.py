@@ -168,15 +168,13 @@ def stream_m4(
     )
 
 
-def run_stream_m4_once(
-    spark,
-    source_path: str,
-    tier: str = "1m",
-    sink_table: str = "stream_m4_out",
+def _run_availablenow_backfill(
+    spark, source_path: str, transform, sink_table: str, what: str
 ) -> DataFrame:
-    """availableNow-trigger backfill of the streaming M4 aggregation;
-    the caught-up complete-mode sink equals plans.metrics.m4_downsample
-    on the same data exactly (all components algebraic)."""
+    """Shared availableNow file-source backfill runner: schema-sniff
+    the parquet source (dir, or single file via its parent + glob),
+    apply ``transform`` to the stream, drain into a complete-mode
+    memory sink, and refuse to return a partial sink on timeout."""
     import os
 
     schema = spark.read.parquet(source_path).schema
@@ -191,9 +189,9 @@ def run_stream_m4_once(
         .option("pathGlobFilter", glob)
         .parquet(src_dir)
     )
-    m4 = stream_m4(stream, tier)
     q = (
-        m4.writeStream.format("memory")
+        transform(stream)
+        .writeStream.format("memory")
         .queryName(sink_table)
         .outputMode("complete")
         .trigger(availableNow=True)
@@ -202,10 +200,25 @@ def run_stream_m4_once(
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError(
-            "availableNow M4 backfill did not finish in 300s; the "
-            "memory sink would be partial — refusing to return it"
+            f"availableNow {what} backfill did not finish in 300s; "
+            "the memory sink would be partial — refusing to return it"
         )
     return spark.table(sink_table)
+
+
+def run_stream_m4_once(
+    spark,
+    source_path: str,
+    tier: str = "1m",
+    sink_table: str = "stream_m4_out",
+) -> DataFrame:
+    """availableNow-trigger backfill of the streaming M4 aggregation;
+    the caught-up complete-mode sink equals plans.metrics.m4_downsample
+    on the same data exactly (all components algebraic)."""
+    return _run_availablenow_backfill(
+        spark, source_path, lambda st: stream_m4(st, tier),
+        sink_table, "M4",
+    )
 
 
 def run_stream_events_once(
@@ -219,34 +232,7 @@ def run_stream_events_once(
     Complete output mode: the caught-up sink equals the batch rollup
     exactly (watermark only bounds state eviction in update/append).
     """
-    import os
-
-    schema = spark.read.parquet(source_path).schema
-    # the file source needs a directory; when pointed at a single
-    # parquet file, stream its parent dir filtered to that file
-    if os.path.isdir(source_path):
-        src_dir, glob = source_path, "*"
-    else:
-        src_dir = os.path.dirname(source_path)
-        glob = os.path.basename(source_path)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 4)
-        .option("pathGlobFilter", glob)
-        .parquet(src_dir)
+    return _run_availablenow_backfill(
+        spark, source_path, lambda st: stream_rollup_events(st, tier),
+        sink_table, "events rollup",
     )
-    rolled = stream_rollup_events(stream, tier)
-    q = (
-        rolled.writeStream.format("memory")
-        .queryName(sink_table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "availableNow events rollup backfill did not finish in 300s; "
-            "the memory sink would be partial — refusing to return it"
-        )
-    return spark.table(sink_table)
