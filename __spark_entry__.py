@@ -968,6 +968,42 @@ def q_rolling_zscore(spark, sf):
     )
 
 
+def q_cms_user_daily(spark, sf):
+    """Count-min frequency sketch cascade (plans/sketches.py): hourly
+    depth-4 × width-256 sketches merged to daily (CMS is linear, so
+    the cascade equals a direct daily build — exactly what the oracle
+    replays), then point-queried for every observed user.  Hashing is
+    the engine-independent md5-prefix idiom, so DuckDB rebuilds the
+    identical counters and the BIGINT estimates hash-match.  The
+    est >= exact one-sided guarantee is gated in tests."""
+    from tsaug_spark.plans.sketches import (
+        cms_merge,
+        cms_partial,
+        cms_query,
+    )
+
+    ev = _events(spark, sf)
+    daily = cms_merge(
+        cms_partial(ev, "1h", item_col="user_id"), "1d"
+    )
+    probes = ev.select(F.col("user_id").cast("string").alias("item"))
+    return cms_query(daily, probes)
+
+
+def q_autocorr_1h(spark, sf):
+    """Lag-1 autocorrelation of each user's zero-filled hourly count
+    series (plans/metrics.py::autocorr_lag1) — seasonality/burstiness
+    diagnostic.  All six sufficient statistics are exact integer sums,
+    the correlation is one shared float expression, so DuckDB matches
+    raw doubles."""
+    from tsaug_spark.plans.metrics import autocorr_lag1
+
+    out = autocorr_lag1(_events(spark, sf), "1h", key_col="user_id")
+    return out.select(
+        F.col("key").cast("long").alias("user_id"), "acf1"
+    )
+
+
 def q_hist_p_cascade_1d(spark, sf):
     """Mergeable histogram-quantile cascade: hourly fixed-bin sketches
     (64 bins over [0, 640) — sized to cover the events value range,
@@ -1934,6 +1970,8 @@ def _lttb_sql(T: int = 48, n_out: int = 12) -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "cms_user_daily",
+    "autocorr_1h",
     "rolling_zscore",
     "hist_p_cascade_1d",
     "stream_m4_1m",
@@ -2105,6 +2143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_m4_1m": q_stream_m4_1m,
         "hist_p_cascade_1d": q_hist_p_cascade_1d,
         "rolling_zscore": q_rolling_zscore,
+        "cms_user_daily": q_cms_user_daily,
+        "autocorr_1h": q_autocorr_1h,
     })
 
 
@@ -3304,6 +3344,57 @@ def oracle_sql() -> dict[str, str]:
             "CAST(s1 AS DOUBLE)/24.0)/23.0 > 0) "
             "SELECT user_id, bucket_s, cnt, z FROM z "
             "WHERE abs(z) > 3"
+        ),
+        "cms_user_daily": (
+            # direct daily count-min build == merged hourly sketches
+            # (CMS is linear); identical md5-prefix slot arithmetic on
+            # both sides, exact integer counters, min over depth rows
+            "WITH base AS (SELECT CAST(user_id AS VARCHAR) AS item, "
+            "CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket_s "
+            "FROM events), "
+            "rs AS (SELECT unnest([0, 1, 2, 3]) AS r), "
+            "sk AS (SELECT bucket_s, r, "
+            "('0x' || substr(md5(item || ':' || CAST(r AS VARCHAR)), "
+            "1, 8))::BIGINT % 256 AS slot, COUNT(*) AS cnt "
+            "FROM base CROSS JOIN rs GROUP BY 1, 2, 3), "
+            "pr AS (SELECT item, r, "
+            "('0x' || substr(md5(item || ':' || CAST(r AS VARCHAR)), "
+            "1, 8))::BIGINT % 256 AS slot FROM "
+            "(SELECT DISTINCT item FROM base) CROSS JOIN rs), "
+            "bk AS (SELECT DISTINCT bucket_s FROM sk), "
+            "g AS (SELECT bk.bucket_s, pr.item, pr.r, pr.slot "
+            "FROM bk CROSS JOIN pr) "
+            "SELECT g.item, g.bucket_s, "
+            "CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est "
+            "FROM g LEFT JOIN sk ON sk.bucket_s = g.bucket_s "
+            "AND sk.r = g.r AND sk.slot = g.slot "
+            "GROUP BY 1, 2"
+        ),
+        "autocorr_1h": (
+            # zero-filled hourly grid, lead-1 pairs, exact integer
+            # sufficient statistics, ONE shared float expression
+            "WITH e AS (SELECT user_id, "
+            "CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS h "
+            "FROM events), "
+            "c0 AS (SELECT user_id, h, COUNT(*) AS cnt "
+            "FROM e GROUP BY 1, 2), "
+            "b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM e), "
+            "hours AS (SELECT CAST(unnest(generate_series(lo, hi, "
+            "3600)) AS BIGINT) AS h FROM b), "
+            "grid AS (SELECT u.user_id, hours.h FROM "
+            "(SELECT DISTINCT user_id FROM e) u CROSS JOIN hours), "
+            "s0 AS (SELECT grid.user_id, grid.h, "
+            "CAST(COALESCE(c0.cnt, 0) AS BIGINT) AS x FROM grid "
+            "LEFT JOIN c0 ON c0.user_id = grid.user_id "
+            "AND c0.h = grid.h), "
+            "p AS (SELECT user_id, x, lead(x) OVER "
+            "(PARTITION BY user_id ORDER BY h) AS y FROM s0), "
+            "s AS (SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, "
+            "SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx, "
+            "SUM(y*y) AS syy FROM p WHERE y IS NOT NULL GROUP BY 1) "
+            "SELECT user_id, CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "NULLIF(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * "
+            "sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 0) AS acf1 FROM s"
         ),
         "hist_p_cascade_1d": (
             # direct daily histogram == merged hourly histograms

@@ -15,6 +15,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tsaug_spark.plans.metrics import (
+    autocorr_lag1,
     counter_rate,
     ewma,
     heartbeat_uptime,
@@ -323,3 +324,45 @@ def test_heartbeat_duplicate_beats_dedup(spark):
     df = _ev(spark, [(1, 0, 0), (1, 0, 0)])
     r = heartbeat_uptime(df, "1h", heartbeat=300).collect()[0]
     assert r["n_beats"] == 1 and r["covered_s"] == pytest.approx(300.0)
+
+
+def test_autocorr_alternating_is_minus_one(spark):
+    # user 1 fires 2 events in even hours 0,2,4,6,8 and none in odd
+    # hours: zero-filled series [2,0,2,0,2,0,2,0,2] -> ACF(1) = -1
+    # exactly (n=8, sx=sy=8, sxy=0, sxx=syy=16 -> -64/64).
+    rows = [
+        (1, h * 3600 + k, 1.0)
+        for h in (0, 2, 4, 6, 8)
+        for k in (0, 1)
+    ]
+    out = autocorr_lag1(_ev(spark, rows), "1h").collect()
+    assert len(out) == 1 and out[0].acf1 == -1.0
+
+
+def test_autocorr_constant_series_is_null(spark):
+    # one event every hour: zero-variance series -> NULL via NULLIF,
+    # never a divide-by-zero NaN/Inf.
+    rows = [(1, h * 3600, 1.0) for h in range(6)]
+    out = autocorr_lag1(_ev(spark, rows), "1h").collect()
+    assert len(out) == 1 and out[0].acf1 is None
+
+
+def test_autocorr_matches_numpy_on_shared_grid(spark):
+    # two users on the GLOBAL [min, max] grid (user 2 zero-filled at
+    # the edges user 1 defines); compare against np.corrcoef of the
+    # same zero-filled lag pairs.
+    import numpy as np
+
+    rows = [(1, h * 3600, 1.0) for h in range(10) for _ in range(h % 3 + 1)]
+    rows += [(2, h * 3600, 1.0) for h in (2, 3, 5, 8) for _ in range(2)]
+    out = {
+        r.key: r.acf1
+        for r in autocorr_lag1(_ev(spark, rows), "1h").collect()
+    }
+    series = {
+        1: [h % 3 + 1 for h in range(10)],
+        2: [2 if h in (2, 3, 5, 8) else 0 for h in range(10)],
+    }
+    for uid, xs in series.items():
+        expect = np.corrcoef(xs[:-1], xs[1:])[0, 1]
+        assert abs(out[uid] - expect) < 1e-12, (uid, out[uid], expect)

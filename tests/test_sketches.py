@@ -42,3 +42,80 @@ def test_sketch_partitioning_independent(spark):
         }
 
     assert est(ev) == est(ev.repartition(29)) == est(ev.repartition(3))
+
+
+# ---- count-min sketch (plans/sketches.py) ----
+
+
+def _cms_daily(spark):
+    from tsaug_spark.plans.sketches import cms_merge, cms_partial
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    return ev, cms_merge(cms_partial(ev, "1h", item_col="user_id"), "1d")
+
+
+def test_cms_estimate_one_sided_and_tight(spark):
+    """est >= exact for EVERY (user, day) — the count-min guarantee —
+    and with 150 items in a 4x256 sketch, nearly all estimates are
+    exact (collisions in all 4 rows are rare)."""
+    from tsaug_spark.plans.sketches import cms_query
+
+    ev, daily = _cms_daily(spark)
+    probes = ev.select(F.col("user_id").cast("string").alias("item"))
+    est = {
+        (r.item, r.bucket_s): r.est
+        for r in cms_query(daily, probes).collect()
+    }
+    exact = {
+        (str(r.user_id), r.bucket_s): r.n
+        for r in ev.groupBy(
+            "user_id",
+            (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+            .cast("long")
+            .alias("bucket_s"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(exact) <= set(est)
+    overs = []
+    for k, n in exact.items():
+        assert est[k] >= n, (k, est[k], n)
+        overs.append(est[k] - n)
+    # at this occupancy the sketch should be exact for >=90% of cells
+    assert sum(1 for o in overs if o == 0) / len(overs) >= 0.9
+    # absent (user, day) cells estimate 0 unless all 4 rows collide
+    absent = [v for k, v in est.items() if k not in exact]
+    assert absent and sum(1 for v in absent if v == 0) / len(absent) >= 0.9
+
+
+def test_cms_cascade_equals_direct_build(spark):
+    """CMS is linear: hourly sketches summed to daily == the sketch
+    built directly at the daily tier, counter for counter — the
+    property that lets sketches cascade through retention tiers
+    without re-reading raw data."""
+    from tsaug_spark.plans.sketches import cms_partial
+
+    ev, daily = _cms_daily(spark)
+    direct = cms_partial(ev, "1d", item_col="user_id")
+    key = lambda r: (r.bucket_s, r.r, r.slot)  # noqa: E731
+    assert {key(r): r.cnt for r in daily.collect()} == {
+        key(r): r.cnt for r in direct.collect()
+    }
+
+
+def test_cms_size_bounded_and_partitioning_independent(spark):
+    """Per-bucket sketch size is capped at depth*width rows no matter
+    the item cardinality, and the counters are exact integer sums —
+    identical under any input partitioning (map-side combinable)."""
+    from tsaug_spark.plans.sketches import cms_partial
+
+    ev, daily = _cms_daily(spark)
+    per_bucket = daily.groupBy("bucket_s").count().collect()
+    assert per_bucket and all(r["count"] <= 4 * 256 for r in per_bucket)
+    rep = cms_partial(ev.repartition(13), "1d", item_col="user_id")
+    direct = cms_partial(ev, "1d", item_col="user_id")
+    key = lambda r: (r.bucket_s, r.r, r.slot)  # noqa: E731
+    assert {key(r): r.cnt for r in rep.collect()} == {
+        key(r): r.cnt for r in direct.collect()
+    }

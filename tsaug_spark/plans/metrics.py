@@ -705,3 +705,86 @@ def heartbeat_uptime(
             (F.sum("covered_us") / F.lit(sec * 1e6)).alias("uptime"),
         )
     )
+
+
+def autocorr_lag1(
+    df: DataFrame,
+    tier: str = "1h",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Lag-1 autocorrelation of each key's bucket-count series —
+    the basic seasonality/burstiness diagnostic (an ACF(1) near 1 means
+    smooth load; near 0, Poisson-like arrivals; negative, alternation).
+
+    The series is each key's event count per ``tier`` bucket on the
+    COMPLETE global [min, max] bucket grid, zero-filled — lag-1 is only
+    well-defined on a dense series, and the zero-filled form is what
+    monitoring stores (PromQL ``absent``-aware functions) operate on.
+
+    Oracle-exactness: counts are exact integers, so n, Σx, Σy, Σxy,
+    Σx², Σy² are order-independent integer sums; the correlation is ONE
+    shared float expression over them:
+
+        acf1 = (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²))
+
+    which replays bit-identically in DuckDB (the exact-integer-sums
+    pattern that made rolling_zscore's flag set deterministic).  A
+    zero-variance side yields NULL via NULLIF, both engines.
+
+    Scale: one count aggregate, one grid join, one per-key window whose
+    state is a single lead row, one per-key aggregate.  The dense grid
+    is keys × buckets rows — bounded by retention (e.g. 30 d of hourly
+    buckets = 720/key), not by event volume.
+    """
+    sec = TIERS[tier][1]
+    base = df.select(
+        F.col(key_col).alias("key"), _bucket_s(ts_col, tier)
+    )
+    counts = base.groupBy("key", "bucket_s").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bounds = base.agg(
+        F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi")
+    )
+    grid = (
+        base.select("key")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "key",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(sec))
+            ).alias("bucket_s"),
+        )
+    )
+    w = Window.partitionBy("key").orderBy("bucket_s")
+    series = (
+        grid.join(counts, ["key", "bucket_s"], "left")
+        .withColumn("x", F.coalesce("cnt", F.lit(0).cast("long")))
+        .withColumn("y", F.lead("x").over(w))
+        .filter(F.col("y").isNotNull())
+    )
+    s = series.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return s.select(
+        "key", (num / F.nullif(den, F.lit(0.0))).alias("acf1")
+    )

@@ -1,0 +1,141 @@
+"""Mergeable frequency sketches for the retention cascade.
+
+The tier cascade already carries three kinds of mergeable state:
+algebraic sum/count rollups (plans/rollup.py), boundary-sample TWA and
+M4 partials, and fixed-bin histogram quantile sketches
+(plans/metrics.py).  This module adds the fourth classic: a
+**count-min sketch** (Cormode & Muthukrishnan 2005) — the bounded-size
+frequency summary behind heavy-hitter queries in Druid/Spark's own
+``count_min_sketch`` aggregate — built here as a pure Catalyst plan so
+the DuckDB oracle can replay every hash and counter exactly.
+
+Design for 10^12 turns:
+
+* The sketch is LONG format ``(bucket_s, r, slot, cnt)`` — at most
+  ``depth * width`` rows per time bucket regardless of item
+  cardinality.  Building it is ONE hash aggregate over rows exploded
+  ``depth`` ways, with map-side partial aggregation collapsing each
+  mapper's output to the sketch size before the shuffle; raw items
+  never travel.
+* Merging to a coarser tier is a plain ``SUM`` group-by (count-min is
+  linear), identical to the histogram sketch's cascade — so hourly
+  sketches roll to daily without touching raw data, and the cascaded
+  sketch is bit-equal to one built directly at the coarse tier.
+* Point queries join a (usually tiny, broadcastable) probe-item dim
+  against the sketch on ``(r, slot)`` and take ``min`` over the
+  ``depth`` rows — the classic ``est >= true`` one-sided estimate with
+  ``P[est > true + eps*N] <= (1/2)^depth`` at ``width = e/eps``.
+
+Hashing is the repo's engine-independent md5 idiom
+(pipeline/sampling.py): first 8 hex chars of ``md5(item ':' r)``
+parsed base-16, mod ``width`` — replayed verbatim in DuckDB as
+``('0x' || substr(md5(item || ':' || r), 1, 8))::BIGINT % width``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsaug_spark.plans.rollup import TIERS, bucket_epoch_s
+
+
+def _slot(item: F.Column, r: F.Column, width: int) -> F.Column:
+    """Hash row ``r``'s slot for ``item``: md5-prefix base-16 mod width
+    (32-bit unsigned prefix, so the mod is on a non-negative value in
+    every engine)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", item, r)), 1, 8), 16, 10
+        ).cast("long")
+        % F.lit(width)
+    ).cast("int")
+
+
+def cms_partial(
+    df: DataFrame,
+    tier: str = "1h",
+    item_col: str = "user_id",
+    depth: int = 4,
+    width: int = 256,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Count-min sketch per time bucket: ``(bucket_s, r, slot, cnt)``.
+
+    One narrow projection explodes each row into ``depth`` (r, slot)
+    increments, then a single hash aggregate counts per cell.  Output
+    is at most ``depth * width`` rows per bucket.
+    """
+    item = F.col(item_col).cast("string")
+    rs = F.explode(
+        F.array(*[F.lit(r) for r in range(depth)])
+    ).alias("r")
+    return (
+        df.select(item.alias("item"), bucket_epoch_s(ts_col, tier))
+        .select("item", "bucket_s", rs)
+        .select(
+            "bucket_s",
+            "r",
+            _slot(F.col("item"), F.col("r"), width).alias("slot"),
+        )
+        .groupBy("bucket_s", "r", "slot")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(partial: DataFrame, to_tier: str) -> DataFrame:
+    """Merge sketches to a coarser tier: elementwise counter sum.
+
+    Count-min is linear, so the cascaded sketch equals the one built
+    directly at the coarse tier — the property the oracle checks by
+    replaying the direct build.
+    """
+    sec = TIERS[to_tier][1]
+    coarse = F.floor(F.col("bucket_s") / F.lit(sec)).cast(
+        "long"
+    ) * F.lit(sec)
+    return (
+        partial.groupBy(coarse.alias("bucket_s"), "r", "slot")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_query(
+    sketch: DataFrame,
+    probes: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+    item_col: str = "item",
+) -> DataFrame:
+    """Point-query frequency estimates: ``(item, bucket_s, est)``.
+
+    The probe dim is hashed the same way the sketch was built,
+    broadcast (it is the small side by construction — a candidate list,
+    not the corpus), crossed with the sketch's buckets, and left-joined
+    so an absent cell reads as 0; ``est = min`` over the ``depth``
+    rows.  ``est >= true`` always; collisions only inflate it.
+    """
+    item = F.col(item_col).cast("string")
+    rs = F.explode(
+        F.array(*[F.lit(r) for r in range(depth)])
+    ).alias("r")
+    probe = (
+        probes.select(item.alias("item"))
+        .distinct()
+        .select("item", rs)
+        .select(
+            "item",
+            "r",
+            _slot(F.col("item"), F.col("r"), width).alias("slot"),
+        )
+    )
+    buckets = sketch.select("bucket_s").distinct()
+    grid = buckets.crossJoin(F.broadcast(probe))
+    return (
+        grid.join(sketch, ["bucket_s", "r", "slot"], "left")
+        .withColumn(
+            "cell", F.coalesce(F.col("cnt"), F.lit(0).cast("long"))
+        )
+        .groupBy("item", "bucket_s")
+        .agg(F.min("cell").alias("est"))
+    )
