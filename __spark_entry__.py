@@ -990,6 +990,54 @@ def q_cms_user_daily(spark, sf):
     return cms_query(daily, probes)
 
 
+def q_heavy_hitters_1d(spark, sf):
+    """Heavy hitters per day via the classic sketch-shortlist + exact
+    verify two-pass: the daily count-min sketch screens every probe
+    item down to the cells whose ESTIMATE clears the threshold, and the
+    exact count pass runs only over events whose (item, day) survived
+    the screen (a broadcast semi-join — the shortlist is bounded by
+    N/threshold cells, broadcastable by construction).  Because
+    ``est >= exact`` always, the screen has NO false negatives, so the
+    final HAVING-filtered answer is EXACTLY the true heavy-hitter set —
+    which is why the oracle is a plain GROUP BY / HAVING with no sketch
+    in sight.  At 10^12 turns this is the shape that matters: the wide
+    exact aggregation never sees the long tail, only the screened
+    minority; the sketch build itself shuffles at most depth*width rows
+    per bucket."""
+    from tsaug_spark.plans.sketches import (
+        cms_merge,
+        cms_partial,
+        cms_query,
+    )
+
+    ev = _events(spark, sf)
+    daily = cms_merge(
+        cms_partial(ev, "1h", item_col="user_id"), "1d"
+    )
+    probes = ev.select(F.col("user_id").cast("string").alias("item"))
+    shortlist = cms_query(daily, probes).filter(F.col("est") >= 6)
+    keyed = ev.select(
+        F.col("user_id").cast("string").alias("item"),
+        (F.floor(F.unix_timestamp("ts") / DAY) * DAY)
+        .cast("long")
+        .alias("bucket_s"),
+    )
+    return (
+        keyed.join(
+            F.broadcast(shortlist.select("item", "bucket_s")),
+            ["item", "bucket_s"],
+        )
+        .groupBy("item", "bucket_s")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 6)
+        .select(
+            F.col("item").cast("long").alias("user_id"),
+            "bucket_s",
+            "n",
+        )
+    )
+
+
 def q_autocorr_1h(spark, sf):
     """Lag-1 autocorrelation of each user's zero-filled hourly count
     series (plans/metrics.py::autocorr_lag1) — seasonality/burstiness
@@ -1970,6 +2018,7 @@ def _lttb_sql(T: int = 48, n_out: int = 12) -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "heavy_hitters_1d",
     "cms_user_daily",
     "autocorr_1h",
     "rolling_zscore",
@@ -2144,6 +2193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_p_cascade_1d": q_hist_p_cascade_1d,
         "rolling_zscore": q_rolling_zscore,
         "cms_user_daily": q_cms_user_daily,
+        "heavy_hitters_1d": q_heavy_hitters_1d,
         "autocorr_1h": q_autocorr_1h,
     })
 
@@ -3369,6 +3419,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM g LEFT JOIN sk ON sk.bucket_s = g.bucket_s "
             "AND sk.r = g.r AND sk.slot = g.slot "
             "GROUP BY 1, 2"
+        ),
+        "heavy_hitters_1d": (
+            # the sketch screen has no false negatives (est >= exact),
+            # so the engine's shortlist+verify answer IS the exact
+            # heavy-hitter set — the oracle needs no sketch at all
+            "SELECT user_id, "
+            "CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket_s, "
+            "COUNT(*) AS n FROM events "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 6"
         ),
         "autocorr_1h": (
             # zero-filled hourly grid, lead-1 pairs, exact integer

@@ -119,3 +119,56 @@ def test_cms_size_bounded_and_partitioning_independent(spark):
     assert {key(r): r.cnt for r in rep.collect()} == {
         key(r): r.cnt for r in direct.collect()
     }
+
+
+def test_heavy_hitters_equals_exact_having(spark):
+    """The sketch screen has no false negatives, so shortlist+verify
+    returns EXACTLY the plain GROUP BY / HAVING heavy-hitter set."""
+    import __spark_entry__ as em
+
+    got = {
+        (r.user_id, r.bucket_s): r.n
+        for r in em.q_heavy_hitters_1d(spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    exact = {
+        (r.user_id, r.bucket_s): r.n
+        for r in ev.groupBy(
+            "user_id",
+            (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+            .cast("long")
+            .alias("bucket_s"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 6)
+        .collect()
+    }
+    assert got == exact and exact  # non-trivial fixture
+
+
+def test_heavy_hitter_shortlist_is_superset(spark):
+    """est >= exact cell-for-cell, so every true heavy cell survives
+    the screen — the property the exact-verify pass relies on."""
+    from tsaug_spark.plans.sketches import cms_query
+
+    ev, daily = _cms_daily(spark)
+    probes = ev.select(F.col("user_id").cast("string").alias("item"))
+    screened = {
+        (r.item, r.bucket_s)
+        for r in cms_query(daily, probes)
+        .filter(F.col("est") >= 6)
+        .collect()
+    }
+    heavy = {
+        (str(r.user_id), r.bucket_s)
+        for r in ev.groupBy(
+            "user_id",
+            (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+            .cast("long")
+            .alias("bucket_s"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 6)
+        .collect()
+    }
+    assert heavy <= screened and heavy
