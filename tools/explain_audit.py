@@ -373,6 +373,59 @@ def main() -> None:
                        "BatchEvalPython"],
     )
 
+    # count-min sketch build: partial+final hash aggregate (raw items
+    # collapse to sketch cells map-side, so the shuffle carries at most
+    # depth*width rows per bucket per mapper), no Python anywhere
+    from tsaug_spark.plans.sketches import cms_merge, cms_partial
+
+    cms_plan = plan_of(
+        cms_merge(cms_partial(ev, "1h", item_col="user_id"), "1d")
+    )
+    checks.append((
+        "cms build+merge (map-side combine, pure Catalyst)",
+        "partial & final HashAggregate, no Python eval",
+        "partial_count" in cms_plan
+        and "HashAggregate" in cms_plan
+        and "BatchEvalPython" not in cms_plan
+        and "ArrowEvalPython" not in cms_plan,
+    ))
+    sections.append(
+        f"## cms_partial -> cms_merge (count-min cascade)\n\n"
+        f"```\n{cms_plan[:3000]}\n```\n"
+    )
+
+    # heavy hitters: the exact-verify pass must join the shortlist as
+    # the BROADCAST side (it is bounded by N/threshold cells)
+    audit(
+        "heavy_hitters_1d (broadcast shortlist verify)",
+        em.q_heavy_hitters_1d(spark, sf),
+        must_have=["BroadcastHashJoin"],
+        must_not_have=["SortMergeJoin", "BatchEvalPython"],
+        execute=True,
+    )
+
+    # autocorr: the per-key window (lead) and the sufficient-statistics
+    # aggregate share ONE hash partitioning on the key; grid bounds are
+    # a broadcast scalar join, not a shuffle
+    from tsaug_spark.plans.metrics import autocorr_lag1
+
+    ac_plan = plan_of(autocorr_lag1(ev, "1h"), execute=True)
+    # AQE's toString repeats the pre-adaptive plan under an
+    # "== Initial Plan ==" banner — audit only the finalized section
+    ac_final = ac_plan.split("Initial Plan")[0]
+    checks.append((
+        "autocorr_lag1 (shared key partitioning)",
+        "exactly 2 hash Exchanges: window + stats agg reuse the "
+        "grid's key partitioning",
+        ac_final.count("Exchange hashpartitioning") == 2
+        and "BatchEvalPython" not in ac_plan
+        and "ArrowEvalPython" not in ac_plan,
+    ))
+    sections.append(
+        f"## autocorr_lag1 (zero-filled lag-1 ACF)\n\n"
+        f"```\n{ac_plan[:3000]}\n```\n"
+    )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")
