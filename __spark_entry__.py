@@ -990,6 +990,26 @@ def q_cms_user_daily(spark, sf):
     return cms_query(daily, probes)
 
 
+def q_stream_cms_1h(spark, sf):
+    """Streaming count-min sketch (watermarked window agg of exact
+    counter sums) backfilled with availableNow; counters are algebraic,
+    so the caught-up sink must equal the batch cms_partial — and the
+    DuckDB direct hourly build — counter for counter.  Per-window
+    streaming state is bounded at depth*width cells no matter the item
+    cardinality."""
+    from tsaug_spark.streaming.stream_rollup import run_stream_cms_once
+
+    out = run_stream_cms_once(
+        spark, f"{sf}/events.parquet", tier="1h"
+    )
+    return out.select(
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        "r",
+        "slot",
+        "cnt",
+    )
+
+
 def q_heavy_hitters_1d(spark, sf):
     """Heavy hitters per day via the classic sketch-shortlist + exact
     verify two-pass: the daily count-min sketch screens every probe
@@ -2018,6 +2038,7 @@ def _lttb_sql(T: int = 48, n_out: int = 12) -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "stream_cms_1h",
     "heavy_hitters_1d",
     "cms_user_daily",
     "autocorr_1h",
@@ -2194,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_zscore": q_rolling_zscore,
         "cms_user_daily": q_cms_user_daily,
         "heavy_hitters_1d": q_heavy_hitters_1d,
+        "stream_cms_1h": q_stream_cms_1h,
         "autocorr_1h": q_autocorr_1h,
     })
 
@@ -3419,6 +3441,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM g LEFT JOIN sk ON sk.bucket_s = g.bucket_s "
             "AND sk.r = g.r AND sk.slot = g.slot "
             "GROUP BY 1, 2"
+        ),
+        "stream_cms_1h": (
+            # counters are exact sums, so the caught-up streaming sink
+            # equals the direct hourly CMS build counter for counter
+            "WITH base AS (SELECT CAST(user_id AS VARCHAR) AS item, "
+            "CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s "
+            "FROM events), "
+            "rs AS (SELECT unnest([0, 1, 2, 3]) AS r) "
+            "SELECT bucket_s, r, "
+            "('0x' || substr(md5(item || ':' || CAST(r AS VARCHAR)), "
+            "1, 8))::BIGINT % 256 AS slot, COUNT(*) AS cnt "
+            "FROM base CROSS JOIN rs GROUP BY 1, 2, 3"
         ),
         "heavy_hitters_1d": (
             # the sketch screen has no false negatives (est >= exact),

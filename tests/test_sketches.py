@@ -172,3 +172,25 @@ def test_heavy_hitter_shortlist_is_superset(spark):
         .collect()
     }
     assert heavy <= screened and heavy
+
+
+def test_stream_cms_equals_batch_partial(spark):
+    """Streaming==batch for the sketch: the availableNow-backfilled
+    watermarked window agg equals cms_partial counter for counter
+    (counts are algebraic; watermark only bounds state eviction)."""
+    from tsaug_spark.plans.sketches import cms_partial
+    from tsaug_spark.streaming.stream_rollup import run_stream_cms_once
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch = cms_partial(ev, "1h", item_col="user_id")
+    streamed = run_stream_cms_once(
+        spark, f"{SF_DIR}/events.parquet", tier="1h",
+        sink_table="t_stream_cms",
+    ).select(
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        "r", "slot", "cnt",
+    )
+    key = lambda r: (r.bucket_s, r.r, r.slot)  # noqa: E731
+    assert {key(r): r.cnt for r in streamed.collect()} == {
+        key(r): r.cnt for r in batch.collect()
+    }

@@ -236,3 +236,75 @@ def run_stream_events_once(
         spark, source_path, lambda st: stream_rollup_events(st, tier),
         sink_table, "events rollup",
     )
+
+
+def stream_cms(
+    stream_df: DataFrame,
+    tier: str = "1h",
+    watermark: str = "10 minutes",
+    item_col: str = "user_id",
+    depth: int = 4,
+    width: int = 256,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming count-min sketch: the watermarked-window twin of
+    plans.sketches.cms_partial.
+
+    Counters are plain sums, so Structured Streaming maintains each
+    (window, r, slot) cell incrementally and the per-window state is
+    CONSTANT size — at most ``depth * width`` cells regardless of item
+    cardinality.  That is the whole point of sketching the stream: a
+    heavy-hitter screen over 10^12 turns holds ~1k cells of state per
+    open window where an exact streaming count would hold one row per
+    distinct item.  Late rows inside the watermark update their cell;
+    beyond it the sketch is final and cascades batch-side
+    (plans.sketches.cms_merge — CMS is linear).
+
+    Output: bucket_ts, r, slot, cnt.
+    """
+    from tsaug_spark.plans.sketches import _slot
+
+    duration = TIERS[tier][0]
+    stream_df = stream_df.withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    )
+    rs = F.explode(
+        F.array(*[F.lit(r) for r in range(depth)])
+    ).alias("r")
+    keyed = (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col),
+            F.col(item_col).cast("string").alias("item"),
+        )
+        .select(F.col(ts_col), "item", rs)
+        .select(
+            F.col(ts_col),
+            "r",
+            _slot(F.col("item"), F.col("r"), width).alias("slot"),
+        )
+    )
+    return (
+        keyed.groupBy(
+            F.window(ts_col, duration).alias("w"), "r", "slot"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("bucket_ts"), "r", "slot", "cnt"
+        )
+    )
+
+
+def run_stream_cms_once(
+    spark,
+    source_path: str,
+    tier: str = "1h",
+    sink_table: str = "stream_cms_out",
+) -> DataFrame:
+    """availableNow-trigger backfill of the streaming count-min sketch;
+    counters are exact sums, so the caught-up sink equals
+    plans.sketches.cms_partial on the same data counter-for-counter."""
+    return _run_availablenow_backfill(
+        spark, source_path, lambda st: stream_cms(st, tier),
+        sink_table, "count-min sketch",
+    )
