@@ -990,6 +990,31 @@ def q_cms_user_daily(spark, sf):
     return cms_query(daily, probes)
 
 
+def q_cohort_retention(spark, sf):
+    """Daily cohort retention matrix (plans/cohorts.py): first-seen day
+    cohorts x day offsets, n_active / cohort_size per cell.  Two hash
+    aggregates + one user-keyed equi-join; output bounded by
+    cohorts x offsets, never event volume.  All counts exact integers,
+    the rate one shared float division — hash-matches DuckDB."""
+    from tsaug_spark.plans.cohorts import cohort_retention
+
+    return cohort_retention(_events(spark, sf))
+
+
+def q_funnel_signup_purchase(spark, sf):
+    """Ordered funnel signup -> view -> purchase (plans/cohorts.py):
+    per stage, users whose earliest qualifying event is STRICTLY after
+    their previous-stage time, plus the mean hours from signup
+    (exact integer microsecond sums, one float division).  A chain of
+    user-keyed conditional aggregates and equi-joins whose frames
+    shrink monotonically — co-partitioned shuffles only."""
+    from tsaug_spark.plans.cohorts import funnel
+
+    return funnel(
+        _events(spark, sf), ["signup", "view", "purchase"]
+    )
+
+
 def q_stream_cms_1h(spark, sf):
     """Streaming count-min sketch (watermarked window agg of exact
     counter sums) backfilled with availableNow; counters are algebraic,
@@ -2038,6 +2063,8 @@ def _lttb_sql(T: int = 48, n_out: int = 12) -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "cohort_retention",
+    "funnel_signup_purchase",
     "stream_cms_1h",
     "heavy_hitters_1d",
     "cms_user_daily",
@@ -2216,6 +2243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_daily": q_cms_user_daily,
         "heavy_hitters_1d": q_heavy_hitters_1d,
         "stream_cms_1h": q_stream_cms_1h,
+        "cohort_retention": q_cohort_retention,
+        "funnel_signup_purchase": q_funnel_signup_purchase,
         "autocorr_1h": q_autocorr_1h,
     })
 
@@ -3441,6 +3470,51 @@ def oracle_sql() -> dict[str, str]:
             "FROM g LEFT JOIN sk ON sk.bucket_s = g.bucket_s "
             "AND sk.r = g.r AND sk.slot = g.slot "
             "GROUP BY 1, 2"
+        ),
+        "cohort_retention": (
+            # first-seen-day cohorts x day offsets; exact integer
+            # counts, one shared float division for the rate
+            "WITH a AS (SELECT DISTINCT user_id AS key, "
+            "CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day_s "
+            "FROM events), "
+            "c AS (SELECT key, MIN(day_s) AS cohort_s FROM a "
+            "GROUP BY 1), "
+            "s AS (SELECT cohort_s, COUNT(*) AS cohort_size FROM c "
+            "GROUP BY 1), "
+            "cells AS (SELECT c.cohort_s, "
+            "CAST((a.day_s - c.cohort_s)/86400 AS BIGINT) AS offset_d, "
+            "COUNT(*) AS n_active FROM a JOIN c USING (key) "
+            "GROUP BY 1, 2) "
+            "SELECT cells.cohort_s, offset_d, n_active, cohort_size, "
+            "CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) "
+            "AS retention FROM cells JOIN s USING (cohort_s)"
+        ),
+        "funnel_signup_purchase": (
+            # strictly-after stage chaining on exact epoch_us integers;
+            # the mean delay is one float division over integer sums
+            "WITH e AS (SELECT user_id AS key, event_type, "
+            "epoch_us(ts) AS t FROM events), "
+            "s0 AS (SELECT key, MIN(t) AS t_us FROM e "
+            "WHERE event_type = 'signup' GROUP BY 1), "
+            "s1 AS (SELECT e.key, MIN(e.t) AS t_us, s0.t_us AS t0 "
+            "FROM e JOIN s0 ON e.key = s0.key "
+            "WHERE e.event_type = 'view' AND e.t > s0.t_us "
+            "GROUP BY e.key, s0.t_us), "
+            "s2 AS (SELECT e.key, MIN(e.t) AS t_us, s1.t0 AS t0 "
+            "FROM e JOIN s1 ON e.key = s1.key "
+            "WHERE e.event_type = 'purchase' AND e.t > s1.t_us "
+            "GROUP BY e.key, s1.t0), "
+            "r AS (SELECT 0 AS stage_idx, 'signup' AS stage, "
+            "COUNT(*) AS users, CAST(SUM(t_us - t_us) AS BIGINT) "
+            "AS delay_us FROM s0 "
+            "UNION ALL SELECT 1, 'view', COUNT(*), "
+            "CAST(SUM(t_us - t0) AS BIGINT) FROM s1 "
+            "UNION ALL SELECT 2, 'purchase', COUNT(*), "
+            "CAST(SUM(t_us - t0) AS BIGINT) FROM s2) "
+            "SELECT stage_idx, stage, users, "
+            "CAST(delay_us AS DOUBLE) / 3600000000.0 / "
+            "NULLIF(CAST(users AS DOUBLE), 0) AS avg_hours_from_start "
+            "FROM r"
         ),
         "stream_cms_1h": (
             # counters are exact sums, so the caught-up streaming sink

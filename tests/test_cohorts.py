@@ -1,0 +1,97 @@
+"""Closed-form semantics tests for plans/cohorts.py — tiny
+hand-computed fixtures; the full-table correctness evidence is the
+DuckDB oracle twins (cohort_retention / funnel_signup_purchase)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from tsaug_spark.plans.cohorts import cohort_retention, funnel
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    """rows: (user_id, seconds-offset, event_type)."""
+    return spark.createDataFrame(
+        [
+            (u, T0 + dt.timedelta(seconds=s), et)
+            for u, s, et in rows
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+DAY = 86400
+
+
+def test_cohort_retention_matrix(spark):
+    # users 1,2 first seen day 0; user 3 first seen day 1.
+    # day-0 cohort: both active d0; only user 1 active d1; user 2 d2.
+    rows = [
+        (1, 0, "view"),
+        (2, 10, "view"),
+        (1, DAY + 5, "view"),
+        (2, 2 * DAY + 5, "view"),
+        (3, DAY + 50, "view"),
+        (3, DAY + 60, "view"),  # same day — distinct'd away
+    ]
+    out = {
+        (r.cohort_s, r.offset_d): (
+            r.n_active,
+            r.cohort_size,
+            r.retention,
+        )
+        for r in cohort_retention(_ev(spark, rows)).collect()
+    }
+    c0 = int(T0.timestamp()) // DAY * DAY
+    assert out == {
+        (c0, 0): (2, 2, 1.0),
+        (c0, 1): (1, 2, 0.5),
+        (c0, 2): (1, 2, 0.5),
+        (c0 + DAY, 0): (1, 1, 1.0),
+    }
+
+
+def test_funnel_strictly_after_ordering(spark):
+    # user 1 completes signup -> view -> purchase in order.
+    # user 2 purchases BEFORE viewing: reaches view, not purchase.
+    # user 3 views at the exact same microsecond as signup: tie does
+    #   not advance (strictly after).
+    # user 4 never signs up: not in the funnel at all.
+    rows = [
+        (1, 0, "signup"), (1, 3600, "view"), (1, 7200, "purchase"),
+        (2, 0, "signup"), (2, 100, "purchase"), (2, 200, "view"),
+        (3, 0, "signup"), (3, 0, "view"),
+        (4, 0, "view"), (4, 10, "purchase"),
+    ]
+    out = {
+        r.stage: (r.stage_idx, r.users, r.avg_hours_from_start)
+        for r in funnel(
+            _ev(spark, rows), ["signup", "view", "purchase"]
+        ).collect()
+    }
+    assert out["signup"] == (0, 3, 0.0)
+    # user 1 views at +1h, user 2 at +200s
+    assert out["view"][0:2] == (1, 2)
+    assert abs(out["view"][2] - (3600 + 200) / 2 / 3600) < 1e-12
+    # only user 1 purchases after viewing (+2h from signup)
+    assert out["purchase"] == (2, 1, 2.0)
+
+
+def test_funnel_partitioning_independent(spark):
+    rows = [
+        (u, u * 37 + k * 1000, et)
+        for u in range(20)
+        for k, et in enumerate(["signup", "view", "purchase"])
+    ]
+    a = funnel(_ev(spark, rows), ["signup", "view", "purchase"])
+    b = funnel(
+        _ev(spark, rows).repartition(7),
+        ["signup", "view", "purchase"],
+    )
+    key = lambda r: (r.stage_idx, r.stage, r.users,  # noqa: E731
+                     r.avg_hours_from_start)
+    assert sorted(map(key, a.collect())) == sorted(
+        map(key, b.collect())
+    )
