@@ -426,6 +426,27 @@ def main() -> None:
         f"```\n{ac_plan[:3000]}\n```\n"
     )
 
+    # cohort retention: the cohort-sizes dim joins broadcast; the big
+    # sides (active-days x cohorts) co-partition on the user key
+    audit(
+        "cohort_retention (broadcast sizes dim, no Python)",
+        em.q_cohort_retention(spark, sf),
+        must_have=["BroadcastHashJoin"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython"],
+        execute=True,
+    )
+
+    # funnel: every stage transition is a user-keyed equi-join over
+    # monotonically shrinking frames — no nested-loop join anywhere
+    audit(
+        "funnel signup->view->purchase (equi-joins only)",
+        em.q_funnel_signup_purchase(spark, sf),
+        must_not_have=["CartesianProduct", "BroadcastNestedLoopJoin",
+                       "BatchEvalPython", "ArrowEvalPython"],
+        execute=True,
+    )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")
