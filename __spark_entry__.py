@@ -990,6 +990,35 @@ def q_cms_user_daily(spark, sf):
     return cms_query(daily, probes)
 
 
+def q_seasonal_profile(spark, sf):
+    """Hour-of-day seasonal profile (plans/metrics.py): each user's
+    mean event count per hour-of-day slot across the global day span —
+    exact integer counts over an exact integer day count, one shared
+    float division."""
+    from tsaug_spark.plans.metrics import seasonal_profile
+
+    return seasonal_profile(_events(spark, sf)).select(
+        F.col("key").alias("user_id"),
+        "hod",
+        "n_events",
+        "n_days",
+        "mean_cnt",
+    )
+
+
+def q_cusum_changepoint_1h(spark, sf):
+    """Offline CUSUM changepoint locator (plans/metrics.py): per user,
+    the hourly bucket where cumulative deviation from the series mean
+    peaks.  The statistic scales to exact integers (n*prefix - t*S),
+    so the argmax and its earliest-bucket tie-break are integer
+    decisions that replay bit-identically in SQL."""
+    from tsaug_spark.plans.metrics import cusum_changepoint
+
+    return cusum_changepoint(_events(spark, sf), "1h").select(
+        F.col("key").alias("user_id"), "bucket_s", "cusum", "n"
+    )
+
+
 def q_cohort_retention(spark, sf):
     """Daily cohort retention matrix (plans/cohorts.py): first-seen day
     cohorts x day offsets, n_active / cohort_size per cell.  Two hash
@@ -2063,6 +2092,8 @@ def _lttb_sql(T: int = 48, n_out: int = 12) -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "seasonal_profile",
+    "cusum_changepoint_1h",
     "cohort_retention",
     "funnel_signup_purchase",
     "stream_cms_1h",
@@ -2245,6 +2276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cms_1h": q_stream_cms_1h,
         "cohort_retention": q_cohort_retention,
         "funnel_signup_purchase": q_funnel_signup_purchase,
+        "seasonal_profile": q_seasonal_profile,
+        "cusum_changepoint_1h": q_cusum_changepoint_1h,
         "autocorr_1h": q_autocorr_1h,
     })
 
@@ -3470,6 +3503,49 @@ def oracle_sql() -> dict[str, str]:
             "FROM g LEFT JOIN sk ON sk.bucket_s = g.bucket_s "
             "AND sk.r = g.r AND sk.slot = g.slot "
             "GROUP BY 1, 2"
+        ),
+        "seasonal_profile": (
+            # exact integer event counts over the exact global day
+            # count; one shared float division for the mean
+            "WITH base AS (SELECT user_id, "
+            "CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day_s, "
+            "EXTRACT(hour FROM ts) AS hod FROM events), "
+            "b AS (SELECT CAST((MAX(day_s) - MIN(day_s))/86400 + 1 "
+            "AS BIGINT) AS n_days FROM base) "
+            "SELECT user_id, hod, COUNT(*) AS n_events, b.n_days, "
+            "CAST(COUNT(*) AS DOUBLE) / CAST(b.n_days AS DOUBLE) "
+            "AS mean_cnt FROM base CROSS JOIN b "
+            "GROUP BY 1, 2, b.n_days"
+        ),
+        "cusum_changepoint_1h": (
+            # scaled statistic n*prefix - t*S is exact integer, so the
+            # argmax + earliest-bucket tie-break replay bit-identically
+            "WITH e AS (SELECT user_id, "
+            "CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS h "
+            "FROM events), "
+            "c0 AS (SELECT user_id, h, COUNT(*) AS cnt FROM e "
+            "GROUP BY 1, 2), "
+            "b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM e), "
+            "hours AS (SELECT CAST(unnest(generate_series(lo, hi, "
+            "3600)) AS BIGINT) AS h FROM b), "
+            "grid AS (SELECT u.user_id, hours.h FROM "
+            "(SELECT DISTINCT user_id FROM e) u CROSS JOIN hours), "
+            "s0 AS (SELECT grid.user_id, grid.h, "
+            "CAST(COALESCE(c0.cnt, 0) AS BIGINT) AS x FROM grid "
+            "LEFT JOIN c0 ON c0.user_id = grid.user_id "
+            "AND c0.h = grid.h), "
+            "s1 AS (SELECT user_id, h, "
+            "SUM(x) OVER (PARTITION BY user_id ORDER BY h) AS prefix, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY h) AS t, "
+            "COUNT(*) OVER (PARTITION BY user_id) AS n, "
+            "SUM(x) OVER (PARTITION BY user_id) AS s FROM s0), "
+            "s2 AS (SELECT user_id, h, "
+            "CAST(n*prefix - t*s AS BIGINT) AS c_scaled, n, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY abs(n*prefix - t*s) DESC, h ASC) AS rk FROM s1) "
+            "SELECT user_id, h AS bucket_s, "
+            "CAST(c_scaled AS DOUBLE) / CAST(n AS DOUBLE) AS cusum, n "
+            "FROM s2 WHERE rk = 1"
         ),
         "cohort_retention": (
             # first-seen-day cohorts x day offsets; exact integer

@@ -366,3 +366,49 @@ def test_autocorr_matches_numpy_on_shared_grid(spark):
     for uid, xs in series.items():
         expect = np.corrcoef(xs[:-1], xs[1:])[0, 1]
         assert abs(out[uid] - expect) < 1e-12, (uid, out[uid], expect)
+
+
+def test_seasonal_profile_calendar_mean(spark):
+    # user 1 fires 2 events at hour 3 on day 0 and 1 event at hour 3
+    # on day 2: span = 3 days, hod-3 mean = 3/3 = 1.0; nothing else.
+    from tsaug_spark.plans.metrics import seasonal_profile
+
+    rows = [
+        (1, 3 * 3600, 1.0),
+        (1, 3 * 3600 + 60, 1.0),
+        (1, 2 * 86400 + 3 * 3600, 1.0),
+    ]
+    out = seasonal_profile(_ev(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.key, r.hod, r.n_events, r.n_days) == (1, 3, 3, 3)
+    assert r.mean_cnt == 1.0
+
+
+def test_cusum_finds_level_shift(spark):
+    # user 1: 1 event/hour for hours 0-9, then 5/hour for hours 10-19.
+    # C_t = prefix - t*mean peaks in magnitude exactly at the shift
+    # boundary (t=10, the last pre-shift bucket).
+    from tsaug_spark.plans.metrics import cusum_changepoint
+
+    rows = [(1, h * 3600 + k, 1.0) for h in range(10) for k in range(1)]
+    rows += [
+        (1, h * 3600 + k, 1.0) for h in range(10, 20) for k in range(5)
+    ]
+    out = cusum_changepoint(_ev(spark, rows), "1h").collect()
+    assert len(out) == 1
+    r = out[0]
+    # peak at bucket hour 9 (t=10): C = 10 - 10*3 = -20
+    assert r.bucket_s % 86400 == 9 * 3600
+    assert r.cusum == -20.0 and r.n == 20
+
+
+def test_cusum_tie_breaks_earliest(spark):
+    # symmetric series [2,0,0,2]: |C| ties at t=1..3 (|C'|=4);
+    # earliest bucket wins deterministically.
+    from tsaug_spark.plans.metrics import cusum_changepoint
+
+    rows = [(1, 0, 1.0), (1, 1, 1.0), (1, 3 * 3600, 1.0),
+            (1, 3 * 3600 + 1, 1.0)]
+    out = cusum_changepoint(_ev(spark, rows), "1h").collect()
+    assert len(out) == 1 and out[0].bucket_s % 86400 == 0

@@ -788,3 +788,131 @@ def autocorr_lag1(
     return s.select(
         "key", (num / F.nullif(den, F.lit(0.0))).alias("acf1")
     )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hour-of-day seasonal profile: each key's mean event count per
+    hour-of-day slot across the table's day span — the baseline a
+    deseasonalized anomaly rule subtracts before flagging.
+
+    The mean is over ALL days in the global [min, max] day span
+    (zero-filled semantics: a day with no events still counts), so it
+    is one exact integer count divided by one exact integer day count
+    — a single shared float division that replays bit-identically in
+    the oracle.  Days at the span edges count fully even if partially
+    observed; the profile is a calendar baseline, not a coverage
+    average.
+
+    Output: key, hod (0-23), n_events, n_days, mean_cnt.
+    """
+    day = (
+        F.floor(F.unix_timestamp(ts_col) / F.lit(86400)) * F.lit(86400)
+    ).cast("long")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        day.alias("day_s"),
+        F.hour(ts_col).alias("hod"),
+    )
+    bounds = base.agg(
+        (
+            (F.max("day_s") - F.min("day_s")) / F.lit(86400) + F.lit(1)
+        )
+        .cast("long")
+        .alias("n_days")
+    )
+    return (
+        base.groupBy("key", "hod")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "key",
+            "hod",
+            "n_events",
+            "n_days",
+            (
+                F.col("n_events").cast("double")
+                / F.col("n_days").cast("double")
+            ).alias("mean_cnt"),
+        )
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    tier: str = "1h",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Offline CUSUM changepoint locator: for each key, the bucket
+    where the cumulative deviation from the series mean peaks —
+    argmax_t |sum_{i<=t}(x_i - mean)| over the zero-filled bucket grid.
+    A level shift at time T makes |C_t| peak at T; a stationary series
+    peaks nowhere in particular with small magnitude.
+
+    Determinism is the whole design: with n buckets and total S, the
+    statistic scales to C'_t = n * prefix_t - t * S — EXACT integers —
+    so the argmax (and its tie-break: earliest bucket) is decided on
+    integer comparisons and replays bit-identically in SQL.  The
+    reported ``cusum`` is C'_t / n, one shared float division.
+
+    Output: key, bucket_s (peak location), cusum (signed peak value),
+    n (series length).
+    """
+    sec = TIERS[tier][1]
+    base = df.select(
+        F.col(key_col).alias("key"), _bucket_s(ts_col, tier)
+    )
+    counts = base.groupBy("key", "bucket_s").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bounds = base.agg(
+        F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi")
+    )
+    grid = (
+        base.select("key")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "key",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(sec))
+            ).alias("bucket_s"),
+        )
+    )
+    w = Window.partitionBy("key").orderBy("bucket_s")
+    wtot = Window.partitionBy("key")
+    series = (
+        grid.join(counts, ["key", "bucket_s"], "left")
+        .withColumn("x", F.coalesce("cnt", F.lit(0).cast("long")))
+        .withColumn(
+            "prefix",
+            F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("t", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wtot))
+        .withColumn("s", F.sum("x").over(wtot))
+        .withColumn(
+            "c_scaled",
+            F.col("n") * F.col("prefix") - F.col("t") * F.col("s"),
+        )
+    )
+    pick = Window.partitionBy("key").orderBy(
+        F.abs(F.col("c_scaled")).desc(), F.col("bucket_s").asc()
+    )
+    return (
+        series.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "key",
+            "bucket_s",
+            (
+                F.col("c_scaled").cast("double")
+                / F.col("n").cast("double")
+            ).alias("cusum"),
+            "n",
+        )
+    )
