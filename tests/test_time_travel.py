@@ -1,0 +1,79 @@
+"""Time-travel surface of ParquetSnapshotTable: history, read_as_of,
+rollback, expire_snapshots — the Iceberg VERSION AS OF / rollback /
+expire parity the lineage records point into."""
+
+from __future__ import annotations
+
+import pytest
+
+from tsaug_spark.sources.tables import ParquetSnapshotTable
+
+
+def _vals(df):
+    return sorted(r.v for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = ParquetSnapshotTable(str(tmp_path / "tt"))
+    return t
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "v int")
+
+
+def test_history_and_read_as_of(spark, table):
+    s1 = table.overwrite(_df(spark, [1]))
+    s2 = table.append(_df(spark, [2]))
+    s3 = table.overwrite(_df(spark, [9]))
+    hist = [m["snapshot_id"] for m in table.history()]
+    assert hist == [s3, s2, s1]
+    assert _vals(table.read(spark)) == [9]
+    assert _vals(table.read_as_of(spark, s2)) == [1, 2]
+    assert _vals(table.read_as_of(spark, s1)) == [1]
+    # parent lineage chains through the commits
+    metas = {m["snapshot_id"]: m for m in table.history()}
+    assert metas[s3]["parents"] == [s2]
+    assert metas[s2]["parents"] == [s1]
+
+
+def test_rollback_is_metadata_only_and_chains(spark, table):
+    s1 = table.overwrite(_df(spark, [1, 2]))
+    table.append(_df(spark, [3]))
+    table.rollback(s1)
+    assert table.snapshot_id() == s1
+    assert _vals(table.read(spark)) == [1, 2]
+    # a commit after rollback chains from the rolled-back snapshot
+    s3 = table.append(_df(spark, [7]))
+    metas = {m["snapshot_id"]: m for m in table.history()}
+    assert metas[s3]["parents"] == [s1]
+    assert _vals(table.read(spark)) == [1, 2, 7]
+
+
+def test_expire_keeps_recent_and_current(spark, table):
+    snaps = [table.overwrite(_df(spark, [i])) for i in range(4)]
+    expired = table.expire_snapshots(keep_last=2)
+    assert expired == [snaps[1], snaps[0]]
+    # recent snapshots still travel; expired ones raise
+    assert _vals(table.read_as_of(spark, snaps[3])) == [3]
+    assert _vals(table.read_as_of(spark, snaps[2])) == [2]
+    for old in (snaps[0], snaps[1]):
+        with pytest.raises(LookupError):
+            table.read_as_of(spark, old)
+
+
+def test_expire_never_drops_current_even_if_old(spark, table):
+    s1 = table.overwrite(_df(spark, [1]))
+    table.overwrite(_df(spark, [2]))
+    table.rollback(s1)  # current is now the OLDEST snapshot
+    table.expire_snapshots(keep_last=1)
+    assert _vals(table.read(spark)) == [1]
+
+
+def test_unknown_snapshot_raises(spark, table):
+    table.overwrite(_df(spark, [1]))
+    with pytest.raises(LookupError):
+        table.read_as_of(spark, "0000000000000-deadbeef")
+    with pytest.raises(LookupError):
+        table.rollback("0000000000000-deadbeef")

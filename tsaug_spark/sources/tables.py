@@ -59,24 +59,114 @@ class ParquetSnapshotTable:
             raise FileNotFoundError(f"no snapshot at {self.path}")
         return spark.read.parquet(meta["data_path"])
 
+    @property
+    def _meta_dir(self) -> str:
+        return os.path.join(self.path, "meta")
+
     def _commit(self, df: DataFrame, parents: list[str]) -> str:
         snap = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         data_path = os.path.join(self.path, "data", snap)
         df.write.mode("errorifexists").parquet(data_path)
+        meta = {
+            "snapshot_id": snap,
+            "data_path": data_path,
+            "parents": parents,
+            "committed_at": time.time(),
+        }
+        # durable per-snapshot metadata (the Iceberg metadata-file
+        # analogue) — the pointer only ever holds the CURRENT snapshot,
+        # so history/time-travel resolve through meta/<snap>.json
+        os.makedirs(self._meta_dir, exist_ok=True)
+        with open(os.path.join(self._meta_dir, f"{snap}.json"), "w") as fh:
+            json.dump(meta, fh)
         tmp = self._pointer + f".tmp.{uuid.uuid4().hex[:8]}"
         os.makedirs(self.path, exist_ok=True)
         with open(tmp, "w") as fh:
-            json.dump(
-                {
-                    "snapshot_id": snap,
-                    "data_path": data_path,
-                    "parents": parents,
-                    "committed_at": time.time(),
-                },
-                fh,
-            )
+            json.dump(meta, fh)
         os.replace(tmp, self._pointer)  # atomic commit
         return snap
+
+    # ---- time travel (Iceberg VERSION AS OF / rollback parity) ----
+
+    def history(self) -> list[dict]:
+        """All retained snapshots, newest first — the audit trail a
+        training run pins its inputs to.  Resolves through the durable
+        per-snapshot metadata files; a table written before meta/
+        existed degrades to just the current pointer."""
+        try:
+            names = sorted(os.listdir(self._meta_dir), reverse=True)
+        except FileNotFoundError:
+            cur = self._resolve()
+            return [cur] if cur else []
+        out = []
+        for n in names:
+            if n.endswith(".json"):
+                with open(os.path.join(self._meta_dir, n)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def _meta_of(self, snapshot_id: str) -> dict:
+        p = os.path.join(self._meta_dir, f"{snapshot_id}.json")
+        try:
+            with open(p) as fh:
+                meta = json.load(fh)
+        except FileNotFoundError:
+            raise LookupError(
+                f"snapshot {snapshot_id} unknown at {self.path} "
+                "(never committed, or expired)"
+            )
+        if not os.path.isdir(meta["data_path"]):
+            raise LookupError(
+                f"snapshot {snapshot_id} data expired at {self.path}"
+            )
+        return meta
+
+    def read_as_of(
+        self, spark: SparkSession, snapshot_id: str
+    ) -> DataFrame:
+        """Time-travel read: the table exactly as of ``snapshot_id``
+        (Iceberg ``VERSION AS OF``).  Raises LookupError if the
+        snapshot was never committed or its data has been expired."""
+        return spark.read.parquet(
+            self._meta_of(snapshot_id)["data_path"]
+        )
+
+    def rollback(self, snapshot_id: str) -> str:
+        """Repoint the table at an earlier retained snapshot (Iceberg
+        ``rollback_to_snapshot``).  Pure metadata — no data is copied;
+        subsequent commits chain from the rolled-back snapshot."""
+        meta = self._meta_of(snapshot_id)
+        tmp = self._pointer + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, self._pointer)
+        return snapshot_id
+
+    def expire_snapshots(self, keep_last: int = 3) -> list[str]:
+        """Garbage-collect all but the newest ``keep_last`` snapshots
+        (Iceberg ``expire_snapshots``): their data directories and
+        metadata files are deleted; the CURRENT snapshot is always
+        retained regardless of age.  Returns the expired ids."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        current = self.snapshot_id()
+        hist = self.history()
+        expired = []
+        for meta in hist[keep_last:]:
+            snap = meta["snapshot_id"]
+            if snap == current:
+                continue
+            shutil.rmtree(meta["data_path"], ignore_errors=True)
+            try:
+                os.remove(
+                    os.path.join(self._meta_dir, f"{snap}.json")
+                )
+            except FileNotFoundError:
+                pass
+            expired.append(snap)
+        return expired
 
     def overwrite(self, df: DataFrame) -> str:
         parent = self.snapshot_id()
@@ -153,6 +243,35 @@ class IcebergTable:
             .collect()
         )
         return str(rows[0]["snapshot_id"]) if rows else None
+
+    def read_as_of(
+        self, spark: SparkSession, snapshot_id: str
+    ) -> DataFrame:
+        """Time-travel read via Iceberg's snapshot-id scan option
+        (``VERSION AS OF``)."""
+        return (
+            spark.read.format("iceberg")
+            .option("snapshot-id", snapshot_id)
+            .load(self.identifier)
+        )
+
+    def rollback(self, snapshot_id: str) -> str:
+        spark = SparkSession.getActiveSession()
+        spark.sql(
+            "CALL system.rollback_to_snapshot"
+            f"('{self.identifier}', {snapshot_id})"
+        )
+        return snapshot_id
+
+    def history(self) -> list[dict]:
+        spark = SparkSession.getActiveSession()
+        return [
+            r.asDict()
+            for r in spark.read.format("iceberg")
+            .load(f"{self.identifier}.snapshots")
+            .orderBy("committed_at", ascending=False)
+            .collect()
+        ]
 
     def append(self, df: DataFrame) -> str | None:
         df.writeTo(self.identifier).append()
