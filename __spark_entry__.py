@@ -990,6 +990,22 @@ def q_cms_user_daily(spark, sf):
     return cms_query(daily, probes)
 
 
+def q_contamination(spark, sf):
+    """Benchmark decontamination (pipeline/dedup.py): fraction of each
+    corpus doc's distinct 3-gram shingles appearing in a benchmark set
+    (here the deterministic doc_id % 37 == 0 slice standing in for an
+    eval suite).  One broadcast semi-join of corpus shingles against
+    the deduped benchmark shingle dim — no corpus self-join.  Exact
+    integer counts, one shared float division, flag on that single
+    expression."""
+    from tsaug_spark.pipeline.dedup import contamination_flags
+
+    docs = _docs(spark, sf)
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    return contamination_flags(corpus, bench)
+
+
 def q_seasonal_profile(spark, sf):
     """Hour-of-day seasonal profile (plans/metrics.py): each user's
     mean event count per hour-of-day slot across the global day span —
@@ -2092,6 +2108,7 @@ def _lttb_sql(T: int = 48, n_out: int = 12) -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "contamination",
     "seasonal_profile",
     "cusum_changepoint_1h",
     "cohort_retention",
@@ -2278,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "seasonal_profile": q_seasonal_profile,
         "cusum_changepoint_1h": q_cusum_changepoint_1h,
+        "contamination": q_contamination,
         "autocorr_1h": q_autocorr_1h,
     })
 
@@ -3503,6 +3521,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM g LEFT JOIN sk ON sk.bucket_s = g.bucket_s "
             "AND sk.r = g.r AND sk.slot = g.slot "
             "GROUP BY 1, 2"
+        ),
+        "contamination": (
+            # same shingling as _SHINGLE_SQL, split into benchmark
+            # (doc_id % 37 == 0) and corpus; exact integer counts,
+            # one shared float division for overlap and its flag
+            f"{_SHINGLE_SQL}, "
+            "ds AS (SELECT DISTINCT doc_id, s FROM sh), "
+            "bench AS (SELECT DISTINCT s FROM ds "
+            "WHERE doc_id % 37 = 0), "
+            "corpus AS (SELECT * FROM ds WHERE doc_id % 37 <> 0), "
+            "totals AS (SELECT doc_id, COUNT(*) AS n_shingles "
+            "FROM corpus GROUP BY 1), "
+            "hits AS (SELECT doc_id, COUNT(*) AS n_hits FROM corpus "
+            "JOIN bench USING (s) GROUP BY 1) "
+            "SELECT t.doc_id, t.n_shingles, "
+            "CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, "
+            "CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / "
+            "CAST(t.n_shingles AS DOUBLE) AS overlap, "
+            "CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / "
+            "CAST(t.n_shingles AS DOUBLE) >= 0.2 AS contaminated "
+            "FROM totals t LEFT JOIN hits h ON h.doc_id = t.doc_id"
         ),
         "seasonal_profile": (
             # exact integer event counts over the exact global day

@@ -209,6 +209,22 @@ def run_queries(spark, sf_dir: str) -> dict:
     )
     timed("twa_1h", lambda: em.q_twa_1h(spark, sf_dir).count())
     timed("m4_daily", lambda: em.q_m4_daily(spark, sf_dir).count())
+    timed(
+        "heavy_hitters_1d",
+        lambda: em.q_heavy_hitters_1d(spark, sf_dir).count(),
+    )
+    timed(
+        "cohort_retention",
+        lambda: em.q_cohort_retention(spark, sf_dir).count(),
+    )
+    timed(
+        "funnel",
+        lambda: em.q_funnel_signup_purchase(spark, sf_dir).count(),
+    )
+    timed(
+        "cusum_changepoint",
+        lambda: em.q_cusum_changepoint_1h(spark, sf_dir).count(),
+    )
 
     tier = spark.table("bench_tier_1m").select(
         "conv_id",

@@ -453,3 +453,29 @@ def test_repetition_metrics_counts(spark):
     assert (m[1].top_word_cnt, m[1].n_words) == (1, 6)
     flagged = [d for d, r in m.items() if r.top_word_cnt * 5 >= r.n_words]
     assert flagged == [0]
+
+
+def test_contamination_overlap_fraction(spark):
+    # corpus doc 1: "a b c d" -> shingles {a b c, b c d}; benchmark
+    # contains "a b c x" -> shingles {a b c, b c x}: overlap 1/2,
+    # flagged at threshold 0.5.  doc 2 shares nothing.  doc 3 is too
+    # short to shingle and must be absent.
+    from tsaug_spark.pipeline.dedup import contamination_flags
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d"), (2, "p q r s"), (3, "xy")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c x")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in contamination_flags(
+            corpus, bench, threshold=0.5
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert (out[1].n_shingles, out[1].n_hits) == (2, 1)
+    assert out[1].overlap == 0.5 and out[1].contaminated
+    assert (out[2].n_hits, out[2].contaminated) == (0, False)

@@ -572,3 +572,58 @@ def embedding_near_dup(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
     )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    width: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: for each corpus document, the
+    fraction of its DISTINCT word ``width``-gram shingles that also
+    appear in ``benchmark`` — the standard n-gram-overlap test that
+    keeps eval data out of a training corpus.
+
+    The benchmark shingle dim (an eval suite — thousands of documents,
+    not billions) deduplicates to a broadcastable set, so the overlap
+    count is a broadcast semi-join against every corpus shingle: one
+    narrow pass over the corpus, no corpus-side self-join, no shuffle
+    of raw text.  Counts are exact integers; the overlap ratio is one
+    shared float division, and the flag compares against ``threshold``
+    on that single expression — deterministic in any engine.
+
+    Output: doc_id, n_shingles, n_hits, overlap, contaminated.
+    """
+    corpus_sh = shingles(docs, text_col, id_col, width).distinct()
+    bench_sh = (
+        shingles(benchmark, text_col, id_col, width)
+        .select("s")
+        .distinct()
+    )
+    totals = corpus_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    overlap = F.col("n_hits").cast("double") / F.col(
+        "n_shingles"
+    ).cast("double")
+    return (
+        totals.join(hits, "doc_id", "left")
+        .withColumn(
+            "n_hits", F.coalesce("n_hits", F.lit(0).cast("long"))
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            overlap.alias("overlap"),
+            (overlap >= F.lit(threshold)).alias("contaminated"),
+        )
+    )
