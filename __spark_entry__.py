@@ -990,6 +990,23 @@ def q_cms_user_daily(spark, sf):
     return cms_query(daily, probes)
 
 
+def q_distinct_cascade_1d(spark, sf):
+    """Mergeable HLL distinct cascade (plans/sketches.py): hourly
+    DataSketches HLL sketches unioned to daily, then estimated —
+    distinct users per day answered from hourly tier state without
+    re-reading raw events.  The sketch binary is engine-specific, so
+    this entry is rows-only; tests gate cascade == direct-build
+    estimates and <= 2% error vs exact."""
+    from tsaug_spark.plans.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_partial,
+    )
+
+    ev = _events(spark, sf)
+    return hll_estimate(hll_merge(hll_partial(ev, "1h"), "1d"))
+
+
 def q_contamination(spark, sf):
     """Benchmark decontamination (pipeline/dedup.py): fraction of each
     corpus doc's distinct 3-gram shingles appearing in a benchmark set
@@ -2296,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile": q_seasonal_profile,
         "cusum_changepoint_1h": q_cusum_changepoint_1h,
         "contamination": q_contamination,
+        "distinct_cascade_1d": q_distinct_cascade_1d,
         "autocorr_1h": q_autocorr_1h,
     })
 

@@ -194,3 +194,61 @@ def test_stream_cms_equals_batch_partial(spark):
     assert {key(r): r.cnt for r in streamed.collect()} == {
         key(r): r.cnt for r in batch.collect()
     }
+
+
+# ---- mergeable HLL distinct cascade (plans/sketches.py) ----
+
+
+def test_hll_cascade_equals_direct_estimates(spark):
+    """HLL registers take elementwise max under union: hourly sketches
+    unioned to daily estimate the same distinct count as a sketch
+    built directly at the daily tier."""
+    from tsaug_spark.plans.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_partial,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    cascaded = {
+        r.bucket_s: r.approx_distinct
+        for r in hll_estimate(
+            hll_merge(hll_partial(ev, "1h"), "1d")
+        ).collect()
+    }
+    direct = {
+        r.bucket_s: r.approx_distinct
+        for r in hll_estimate(hll_partial(ev, "1d")).collect()
+    }
+    assert cascaded == direct and cascaded
+
+
+def test_hll_cascade_within_2pct_of_exact(spark):
+    from pyspark.sql import functions as F2
+
+    from tsaug_spark.plans.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_partial,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    est = {
+        r.bucket_s: r.approx_distinct
+        for r in hll_estimate(
+            hll_merge(hll_partial(ev, "1h"), "1d")
+        ).collect()
+    }
+    exact = {
+        r.bucket_s: r.n
+        for r in ev.groupBy(
+            (F2.floor(F2.unix_timestamp("ts") / 86400) * 86400)
+            .cast("long")
+            .alias("bucket_s")
+        )
+        .agg(F2.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for day, n in exact.items():
+        assert abs(est[day] - n) / n <= 0.02, (day, est[day], n)

@@ -3,11 +3,14 @@
 The tier cascade already carries three kinds of mergeable state:
 algebraic sum/count rollups (plans/rollup.py), boundary-sample TWA and
 M4 partials, and fixed-bin histogram quantile sketches
-(plans/metrics.py).  This module adds the fourth classic: a
+(plans/metrics.py).  This module adds two more classics: a
 **count-min sketch** (Cormode & Muthukrishnan 2005) — the bounded-size
 frequency summary behind heavy-hitter queries in Druid/Spark's own
 ``count_min_sketch`` aggregate — built here as a pure Catalyst plan so
-the DuckDB oracle can replay every hash and counter exactly.
+the DuckDB oracle can replay every hash and counter exactly; and a
+**mergeable HLL distinct cascade** over Spark's Apache DataSketches
+aggregates (``hll_sketch_agg`` / ``hll_union_agg``), whose binary
+sketches cascade hourly -> daily by register union.
 
 Design for 10^12 turns:
 
@@ -138,4 +141,51 @@ def cms_query(
         )
         .groupBy("item", "bucket_s")
         .agg(F.min("cell").alias("est"))
+    )
+
+
+def hll_partial(
+    df: DataFrame,
+    tier: str = "1h",
+    item_col: str = "user_id",
+    ts_col: str = "ts",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable HLL distinct sketch per time bucket: ``(bucket_s,
+    sk)`` with ``sk`` an Apache DataSketches HllSketch binary
+    (Spark's ``hll_sketch_agg``) — KB-size state per bucket, map-side
+    combinable, raw ids never shuffled."""
+    return (
+        df.select(
+            F.col(item_col).cast("string").alias("item"),
+            bucket_epoch_s(ts_col, tier),
+        )
+        .groupBy("bucket_s")
+        .agg(F.hll_sketch_agg("item", F.lit(lg_k)).alias("sk"))
+    )
+
+
+def hll_merge(partial: DataFrame, to_tier: str) -> DataFrame:
+    """Merge HLL sketches to a coarser tier (``hll_union_agg``).
+
+    HLL registers take elementwise max under union, so the cascaded
+    daily sketch estimates the same distinct count as one built
+    directly at the daily tier — the property that lets the retention
+    cascade answer "distinct users per day" from hourly state without
+    re-reading raw data.
+    """
+    sec = TIERS[to_tier][1]
+    coarse = F.floor(F.col("bucket_s") / F.lit(sec)).cast(
+        "long"
+    ) * F.lit(sec)
+    return partial.groupBy(coarse.alias("bucket_s")).agg(
+        F.hll_union_agg("sk").alias("sk")
+    )
+
+
+def hll_estimate(sketch: DataFrame) -> DataFrame:
+    """Materialize estimates: ``(bucket_s, approx_distinct)``."""
+    return sketch.select(
+        "bucket_s",
+        F.hll_sketch_estimate("sk").alias("approx_distinct"),
     )
