@@ -42,6 +42,15 @@ def main() -> None:
     )
     ap.add_argument("--grace", default="1 hour")
     ap.add_argument(
+        "--expire-snapshots",
+        type=int,
+        default=None,
+        metavar="N",
+        help="after the run, garbage-collect all but the newest N "
+        "TABLE snapshots per tier/chunk/manifest table (time-travel "
+        "history GC; the current snapshot is always kept)",
+    )
+    ap.add_argument(
         "--retention",
         default=None,
         help="per-tier expiry windows, e.g. '1m=2 days,1h=90 days' "
@@ -98,6 +107,15 @@ def main() -> None:
             keep[tier.strip()] = dur.strip()
         dropped = job.enforce_retention(keep)
         print(f"retention: expired rows per tier {dropped}")
+
+    if args.expire_snapshots is not None:
+        gone = job.expire_table_snapshots(
+            keep_last=args.expire_snapshots, tiers=tiers
+        )
+        print(
+            "snapshot GC: expired "
+            f"{ {k: len(v) for k, v in gone.items()} }"
+        )
 
     m = job.metrics().toPandas()
     print(

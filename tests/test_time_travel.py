@@ -77,3 +77,30 @@ def test_unknown_snapshot_raises(spark, table):
         table.read_as_of(spark, "0000000000000-deadbeef")
     with pytest.raises(LookupError):
         table.rollback("0000000000000-deadbeef")
+
+
+def test_rollup_job_snapshot_gc(spark, transcripts, tmp_path):
+    """expire_table_snapshots GCs time-travel history across the job's
+    tables while the current tier state stays readable and identical."""
+    from tsaug_spark.sources.checkpoint import RollupJob
+
+    job = RollupJob(
+        spark, str(tmp_path / "gc"), n_partitions=2,
+        source_snapshot="s1",
+    )
+    job.run(transcripts, "1m")
+    job.cascade_tier("1m", "1h")
+    # a second maintenance pass advances every table's snapshot
+    job2 = RollupJob(
+        spark, str(tmp_path / "gc"), n_partitions=2,
+        source_snapshot="s2",
+    )
+    job2.update(transcripts, "1m", grace="1 hour", new_snapshot="s2")
+    before = job2.read_tier("1m").count()
+    tbl = job2.table("tier_1m")
+    assert len(tbl.history()) >= 2
+    gone = job2.expire_table_snapshots(keep_last=1, tiers=["1m", "1h"])
+    assert any(v for v in gone.values())
+    assert len(tbl.history()) == 1
+    assert job2.read_tier("1m").count() == before
+    assert job2.read_tier("1h").count() > 0

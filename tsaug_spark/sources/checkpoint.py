@@ -154,6 +154,32 @@ class RollupJob:
     def read_tier(self, tier: str) -> DataFrame:
         return self.table(f"tier_{tier}").read(self.spark).drop("partition_id")
 
+    def expire_table_snapshots(
+        self, keep_last: int = 3, tiers: "list[str] | None" = None
+    ) -> "dict[str, list[str]]":
+        """Garbage-collect old TABLE snapshots (time-travel history)
+        across the job's tier, chunk, and manifest tables — the
+        operational companion to ``enforce_retention``, which expires
+        ROWS inside the current snapshot.  Every commit keeps the full
+        previous table contents readable for time travel; without GC a
+        daily-overwritten tier doubles its storage every run.  The
+        current snapshot is always retained.  Backends without snapshot
+        GC (Iceberg handles it via its own expire_snapshots procedure)
+        are skipped."""
+        from tsaug_spark.plans.rollup import TIERS
+
+        names = ["_manifest"]
+        for t in tiers or list(TIERS):
+            names += [f"tier_{t}", f"tier_{t}_chunks"]
+        out: dict[str, list[str]] = {}
+        for n in names:
+            tbl = self.table(n)
+            if tbl.exists() and hasattr(tbl, "expire_snapshots"):
+                expired = tbl.expire_snapshots(keep_last=keep_last)
+                if expired:
+                    out[n] = expired
+        return out
+
     def _replace_partition(
         self, name: str, p: int, rows: DataFrame
     ) -> None:
