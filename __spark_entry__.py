@@ -996,7 +996,8 @@ def q_distinct_cascade_1d(spark, sf):
     distinct users per day answered from hourly tier state without
     re-reading raw events.  The sketch binary is engine-specific, so
     this entry is rows-only; tests gate cascade == direct-build
-    estimates and <= 2% error vs exact."""
+    estimates and <= 2% error vs exact, and ``hll_md5_cascade_1d`` is
+    the fully-oracled md5-register twin of the same cascade shape."""
     from tsaug_spark.plans.sketches import (
         hll_estimate,
         hll_merge,
@@ -1005,6 +1006,25 @@ def q_distinct_cascade_1d(spark, sf):
 
     ev = _events(spark, sf)
     return hll_estimate(hll_merge(hll_partial(ev, "1h"), "1d"))
+
+
+def q_hll_md5_cascade_1d(spark, sf):
+    """Oracled twin of the HLL cascade (plans/sketches.py): classic
+    md5-register HLL (p=12, m=4096) built hourly, max-merged to daily,
+    raw-estimated with an exact-integer denominator.  The DuckDB
+    oracle builds registers DIRECTLY at the daily tier — hash equality
+    proves the cascade merge is lossless (max is associative), with
+    every hash bit and the estimator replayed exactly in SQL."""
+    from tsaug_spark.plans.sketches import (
+        hll_md5_estimate,
+        hll_md5_merge,
+        hll_md5_registers,
+    )
+
+    ev = _events(spark, sf)
+    return hll_md5_estimate(
+        hll_md5_merge(hll_md5_registers(ev, "1h"), "1d")
+    )
 
 
 def q_contamination(spark, sf):
@@ -2125,6 +2145,7 @@ def _lttb_sql(T: int = 48, n_out: int = 12) -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "hll_md5_cascade_1d",
     "contamination",
     "seasonal_profile",
     "cusum_changepoint_1h",
@@ -2314,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint_1h": q_cusum_changepoint_1h,
         "contamination": q_contamination,
         "distinct_cascade_1d": q_distinct_cascade_1d,
+        "hll_md5_cascade_1d": q_hll_md5_cascade_1d,
         "autocorr_1h": q_autocorr_1h,
     })
 
@@ -3539,6 +3561,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM g LEFT JOIN sk ON sk.bucket_s = g.bucket_s "
             "AND sk.r = g.r AND sk.slot = g.slot "
             "GROUP BY 1, 2"
+        ),
+        "hll_md5_cascade_1d": (
+            # direct DAILY register build replays the hourly->daily
+            # max-merge (max is associative); identical md5 bits on
+            # both sides, exact-integer estimator denominator scaled
+            # by 2^53, one final float division
+            "WITH base AS (SELECT CAST(user_id AS VARCHAR) AS item, "
+            "CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket_s "
+            "FROM events), "
+            "h AS (SELECT bucket_s, "
+            "('0x' || substr(md5(item), 1, 3))::INT AS reg, "
+            "('0x' || substr(md5(item), 4, 13))::BIGINT AS v "
+            "FROM base), "
+            "regs AS (SELECT bucket_s, reg, "
+            "MAX(CASE WHEN v = 0 THEN 53 "
+            "ELSE strpos(lpad(bin(v), 52, '0'), '1') END)::INT AS rho "
+            "FROM h GROUP BY 1, 2), "
+            "agg AS (SELECT bucket_s, COUNT(*) AS regs_used, "
+            "SUM((1::BIGINT << (53 - rho))::HUGEINT) AS s "
+            "FROM regs GROUP BY 1), "
+            "raws AS (SELECT bucket_s, regs_used, "
+            "1.0897106820939319e23 / CAST(s + "
+            "(4096 - regs_used)::HUGEINT * "
+            "9007199254740992::HUGEINT AS DOUBLE) AS raw "
+            "FROM agg) "
+            "SELECT bucket_s, CAST(regs_used AS BIGINT) AS regs_used, "
+            "CASE WHEN regs_used < 4096 AND raw <= 10240.0 "
+            "THEN 4096.0 * ln(4096.0 / "
+            "CAST(4096 - regs_used AS DOUBLE)) "
+            "ELSE raw END AS est_distinct FROM raws"
         ),
         "contamination": (
             # same shingling as _SHINGLE_SQL, split into benchmark

@@ -252,3 +252,85 @@ def test_hll_cascade_within_2pct_of_exact(spark):
     assert est.keys() == exact.keys()
     for day, n in exact.items():
         assert abs(est[day] - n) / n <= 0.02, (day, est[day], n)
+
+
+def test_hll_md5_cascade_bit_equal_to_direct(spark):
+    """The oracled md5-register twin: hourly registers max-merged to
+    daily are BIT-equal to registers built directly at the daily tier
+    (max is associative), and so are the estimates."""
+    from tsaug_spark.plans.sketches import (
+        hll_md5_estimate,
+        hll_md5_merge,
+        hll_md5_registers,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    cascaded = hll_md5_merge(hll_md5_registers(ev, "1h"), "1d")
+    direct = hll_md5_registers(ev, "1d")
+    as_map = lambda df: {
+        (r.bucket_s, r.reg): r.rho for r in df.collect()
+    }
+    assert as_map(cascaded) == as_map(direct) and cascaded.count()
+    est = lambda df: {
+        r.bucket_s: (r.regs_used, r.est_distinct)
+        for r in hll_md5_estimate(df).collect()
+    }
+    assert est(cascaded) == est(direct)
+
+
+def test_hll_md5_estimate_within_5pct_of_exact(spark):
+    """Raw estimator (no bias corrections) at m=4096 on ~100-500
+    distinct/day: relative error well inside 5%."""
+    from tsaug_spark.plans.sketches import (
+        hll_md5_estimate,
+        hll_md5_merge,
+        hll_md5_registers,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    est = {
+        r.bucket_s: r.est_distinct
+        for r in hll_md5_estimate(
+            hll_md5_merge(hll_md5_registers(ev, "1h"), "1d")
+        ).collect()
+    }
+    exact = {
+        r.bucket_s: r.n
+        for r in ev.groupBy(
+            (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+            .cast("long")
+            .alias("bucket_s")
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for day, n in exact.items():
+        assert abs(est[day] - n) / n <= 0.05, (day, est[day], n)
+
+
+def test_hll_md5_registers_match_numpy_reference(spark):
+    """Registers agree with a from-scratch NumPy HLL on the same md5
+    bit layout — pins the Catalyst expressions to the algorithm, not
+    just to the DuckDB replay of the same expressions."""
+    import hashlib
+
+    from tsaug_spark.plans.sketches import hll_md5_registers
+
+    items = [str(i) for i in range(3000)]
+    df = spark.createDataFrame(
+        [(it, "2024-01-01 00:00:00") for it in items],
+        "user_id string, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp"))
+    got = {
+        (r.reg, r.rho)
+        for r in hll_md5_registers(df, "1d").collect()
+    }
+    regs: dict = {}
+    for it in items:
+        h = hashlib.md5(it.encode()).hexdigest()
+        reg = int(h[:3], 16)
+        v = int(h[3:16], 16)
+        rho = 53 if v == 0 else 53 - v.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rho)
+    assert got == set(regs.items())

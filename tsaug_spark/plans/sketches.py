@@ -189,3 +189,100 @@ def hll_estimate(sketch: DataFrame) -> DataFrame:
         "bucket_s",
         F.hll_sketch_estimate("sk").alias("approx_distinct"),
     )
+
+
+# --- engine-independent md5-register HLL -------------------------------
+#
+# The DataSketches cascade above is the production path, but its binary
+# sketch is engine-specific, so the driver can only rows-check it.  The
+# functions below are the oracled twin: classic HLL registers built from
+# the repo's md5 idiom, entirely in Catalyst expressions DuckDB replays
+# verbatim — register index = first 3 md5 hex chars (p=12, m=4096),
+# rho = 1-based position of the first set bit in the next 52 hash bits.
+# Registers are exact integers, merging is elementwise MAX (associative,
+# so hourly->daily max-merge is bit-equal to a direct daily build), and
+# the raw estimator divides a float constant by an EXACT integer sum
+# (terms scaled by 2^53), so the result is order-independent — no
+# float-accumulation flakes in the value hash.
+
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P  # 4096 registers; rel. error ~1.04/sqrt(m) = 1.6%
+_HLL_SCALE = 2 ** 53  # 2^(-rho) terms scaled to exact integers
+# alpha_m * m^2 * 2^53 with alpha_m = 0.7213 / (1 + 1.079/m)
+_HLL_NUMER = 1.0897106820939319e23
+
+
+def hll_md5_registers(
+    df: DataFrame,
+    tier: str = "1h",
+    item_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """HLL registers per time bucket: ``(bucket_s, reg, rho)``.
+
+    One narrow projection + one hash aggregate (map-side combinable:
+    MAX) — at most ``m`` rows per bucket regardless of item
+    cardinality, raw ids never shuffled.  Same scale contract as
+    ``hll_partial``."""
+    h = F.md5(F.col(item_col).cast("string"))
+    v = F.conv(F.substring(h, 4, 13), 16, 10).cast("long")
+    rho = (
+        F.when(v == 0, F.lit(53))
+        .otherwise(F.instr(F.lpad(F.bin(v), 52, "0"), "1"))
+        .cast("int")
+    )
+    return (
+        df.select(
+            bucket_epoch_s(ts_col, tier),
+            F.conv(F.substring(h, 1, 3), 16, 10)
+            .cast("int")
+            .alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("bucket_s", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_md5_merge(regs: DataFrame, to_tier: str) -> DataFrame:
+    """Max-merge registers to a coarser tier — the HLL union."""
+    sec = TIERS[to_tier][1]
+    coarse = F.floor(F.col("bucket_s") / F.lit(sec)).cast(
+        "long"
+    ) * F.lit(sec)
+    return regs.groupBy(coarse.alias("bucket_s"), "reg").agg(
+        F.max("rho").alias("rho")
+    )
+
+
+def hll_md5_estimate(regs: DataFrame) -> DataFrame:
+    """HLL estimate per bucket: ``(bucket_s, regs_used,
+    est_distinct)``.
+
+    ``sum(2^-rho)`` is computed as an exact DECIMAL sum of
+    ``2^(53-rho)`` integers (absent registers contribute ``2^53``), so
+    the raw estimate is one float division of exact integers —
+    deterministic under any aggregation order.  Small-range regime
+    uses the standard LinearCounting branch ``m * ln(m / empty)``
+    (Flajolet et al. 2007) when ``raw <= 2.5m`` and empty registers
+    exist; the branch condition itself is a function of exact
+    integers, so both engines take the same branch, and ``ln`` of an
+    identical argument agrees far inside the oracle's 9-significant-
+    digit hash tolerance."""
+    term = F.expr("CAST(shiftleft(1L, 53 - rho) AS DECIMAL(38,0))")
+    used = F.count("*")
+    empty_regs = (F.lit(_HLL_M) - used).cast("long")
+    empty = empty_regs.cast("decimal(38,0)") * F.lit(
+        _HLL_SCALE
+    ).cast("decimal(38,0)")
+    raw = F.lit(_HLL_NUMER) / (F.sum(term) + empty).cast("double")
+    lc = F.lit(float(_HLL_M)) * F.log(
+        F.lit(float(_HLL_M)) / empty_regs.cast("double")
+    )
+    est = F.when(
+        (empty_regs > 0) & (raw <= F.lit(2.5 * _HLL_M)), lc
+    ).otherwise(raw)
+    return regs.groupBy("bucket_s").agg(
+        used.cast("long").alias("regs_used"),
+        est.alias("est_distinct"),
+    )
