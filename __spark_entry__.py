@@ -901,6 +901,25 @@ def q_asof_forward(spark, sf):
     return out.select("event_id", "user_id", "t", "cnt", "asof_t")
 
 
+def q_asof_nearest(spark, sf):
+    """Nearest as-of join: each event enriched with its user's CLOSEST
+    1h bucket in either direction (equal gaps resolve backward, as in
+    pandas merge_asof).  Fused one-pass plan: one sort per key, a
+    backward and a forward window frame over it — not two joins."""
+    from tsaug_spark.plans.asof import asof_join
+
+    ev = _events(spark, sf).select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("t")
+    )
+    h = _hourly(spark, sf).select("user_id", "bucket_s", "cnt")
+    out = asof_join(
+        ev, h, key_cols=["user_id"], time_col="t",
+        value_cols=["cnt"], right_time_col="bucket_s",
+        direction="nearest",
+    )
+    return out.select("event_id", "user_id", "t", "cnt", "asof_t")
+
+
 def q_asof_salted(spark, sf):
     """The skew-safe salted as-of join — must return exactly what the
     plain formulation (and DuckDB's ASOF JOIN) returns."""
@@ -2146,6 +2165,7 @@ def _lttb_sql(T: int = 48, n_out: int = 12) -> str:
 #: oracle-checked entry.
 _PRIORITY = [
     "hll_md5_cascade_1d",
+    "asof_nearest",
     "contamination",
     "seasonal_profile",
     "cusum_changepoint_1h",
@@ -2237,6 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": q_asof_enrich,
         "asof_forward": q_asof_forward,
         "asof_salted": q_asof_salted,
+        "asof_nearest": q_asof_nearest,
         "range_busy_windows": q_range_busy_windows,
         "codec_roundtrip": q_codec_roundtrip,
         "codec_range_read": q_codec_range_read,
@@ -3253,6 +3274,30 @@ def oracle_sql() -> dict[str, str]:
             "BIGINT) AS t, h.cnt, h.bucket_s AS asof_t FROM events e "
             "ASOF LEFT JOIN h ON e.user_id = h.user_id AND "
             "CAST(floor(epoch(e.ts)) AS BIGINT) >= h.bucket_s"
+        ),
+        "asof_nearest": (
+            # nearest = closer of DuckDB's two directional ASOF
+            # joins; equal gaps resolve backward (pandas semantics)
+            f"WITH h AS ({hourly}), "
+            "e AS (SELECT event_id, user_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events), "
+            "b AS (SELECT e.event_id, e.user_id, e.t, "
+            "h.cnt AS b_cnt, h.bucket_s AS b_t FROM e "
+            "ASOF LEFT JOIN h ON e.user_id = h.user_id "
+            "AND e.t >= h.bucket_s), "
+            "f AS (SELECT e.event_id, h.cnt AS f_cnt, "
+            "h.bucket_s AS f_t FROM e "
+            "ASOF LEFT JOIN h ON e.user_id = h.user_id "
+            "AND e.t <= h.bucket_s), "
+            "j AS (SELECT b.*, f.f_cnt, f.f_t, "
+            "CASE WHEN b.b_t IS NULL THEN TRUE "
+            "WHEN f.f_t IS NULL THEN FALSE "
+            "ELSE (f.f_t - b.t) < (b.t - b.b_t) END AS use_fwd "
+            "FROM b JOIN f USING (event_id)) "
+            "SELECT event_id, user_id, t, "
+            "CASE WHEN use_fwd THEN f_cnt ELSE b_cnt END AS cnt, "
+            "CASE WHEN use_fwd THEN f_t ELSE b_t END AS asof_t "
+            "FROM j"
         ),
         "codec_roundtrip": (
             f"WITH h AS ({hourly}) SELECT user_id, bucket_s, cnt, "

@@ -47,7 +47,7 @@ def _oracle(left, right, tolerance=None, direction="backward"):
 
 
 @pytest.mark.parametrize("tolerance", [None, 100])
-@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 def test_asof_matches_merge_asof(spark, frames, tolerance, direction):
     left, right = frames
     out = asof_join(
@@ -74,7 +74,7 @@ def test_asof_matches_merge_asof(spark, frames, tolerance, direction):
 
 
 @pytest.mark.parametrize("tolerance", [None, 100])
-@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 def test_salted_asof_matches_unsalted(spark, frames, tolerance, direction):
     """salt_interval must not change results — only the partitioning."""
     left, right = frames
@@ -166,7 +166,7 @@ def test_salted_asof_randomized_property(spark):
         )
         l_df = spark.createDataFrame(left)
         r_df = spark.createDataFrame(right)
-        for direction in ("backward", "forward"):
+        for direction in ("backward", "forward", "nearest"):
             plain = (
                 asof_join(l_df, r_df, direction=direction, **kwargs)
                 .toPandas()

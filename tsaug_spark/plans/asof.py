@@ -125,6 +125,58 @@ def _salted_fill(
     )
 
 
+def _nearest_of_two_passes(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    value_cols: Sequence[str],
+    right_time_col: Optional[str],
+    tolerance: Optional[int],
+    salt_interval: Optional[int],
+) -> DataFrame:
+    """``direction='nearest'`` as backward-then-forward composition —
+    used for the salted variant, where each directional pass is itself
+    skew-safe.  Ties (equal gaps) resolve backward, like pandas."""
+    b = asof_join(
+        left, right, key_cols, time_col, value_cols,
+        right_time_col, None, "backward", salt_interval,
+    )
+    for v in value_cols:
+        b = b.withColumnRenamed(v, f"__b_{v}")
+    b = b.withColumnRenamed(f"asof_{time_col}", "__b_t")
+    out = asof_join(
+        b, right, key_cols, time_col, value_cols,
+        right_time_col, None, "forward", salt_interval,
+    )
+    t = F.col(time_col).cast("double")
+    f_t = F.col(f"asof_{time_col}")
+    b_t = F.col("__b_t")
+    use_fwd = F.when(b_t.isNull(), F.lit(True)).otherwise(
+        f_t.isNotNull()
+        & ((f_t.cast("double") - t) < (t - b_t.cast("double")))
+    )
+    for v in value_cols:
+        out = out.withColumn(
+            v, F.when(use_fwd, F.col(v)).otherwise(F.col(f"__b_{v}"))
+        )
+    out = out.withColumn(
+        f"asof_{time_col}", F.when(use_fwd, f_t).otherwise(b_t)
+    )
+    if tolerance is not None:
+        within = (
+            F.abs(t - F.col(f"asof_{time_col}").cast("double"))
+            <= F.lit(float(tolerance))
+        )
+        for v in value_cols:
+            out = out.withColumn(v, F.when(within, F.col(v)))
+        out = out.withColumn(
+            f"asof_{time_col}",
+            F.when(within, F.col(f"asof_{time_col}")),
+        )
+    return out.drop("__b_t", *[f"__b_{v}" for v in value_cols])
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -140,10 +192,13 @@ def asof_join(
 
     Returns ``left``'s columns plus, for each ``value_cols`` entry ``v``,
     the value of ``v`` from the latest right row whose time is <= the
-    left row's time (``direction='backward'``) or the earliest right row
-    whose time is >= it (``'forward'``), per ``key_cols``, else NULL.
-    Ties (equal timestamps) match in both directions, as in pandas
-    ``merge_asof`` and DuckDB ``ASOF JOIN``.  ``tolerance`` (same units
+    left row's time (``direction='backward'``), the earliest right row
+    whose time is >= it (``'forward'``), or whichever of those two is
+    closer in time (``'nearest'``; equal gaps resolve backward), per
+    ``key_cols``, else NULL.  Ties (equal timestamps) match in both
+    directions, as in pandas ``merge_asof`` and DuckDB ``ASOF JOIN``;
+    unsalted ``'nearest'`` is a fused one-pass plan — one sort, a
+    backward and a forward frame over it.  ``tolerance`` (same units
     as ``time_col``) drops matches farther than the window.
 
     Both time columns must be mutually comparable (use epoch seconds or
@@ -152,11 +207,21 @@ def asof_join(
     variant — same results, hot keys spread over time chunks (module
     docstring).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward', or 'nearest'"
+        )
     key_cols = list(key_cols)
     value_cols = list(value_cols)
     rtime = right_time_col or time_col
+    if direction == "nearest" and salt_interval is not None:
+        # skew-safe nearest = compose the two salted directional passes
+        # (each is itself skew-safe), then pick the closer match per
+        # row.  Two exchanges instead of one — the price of salting.
+        return _nearest_of_two_passes(
+            left, right, key_cols, time_col, value_cols,
+            right_time_col, tolerance, salt_interval,
+        )
 
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
@@ -185,7 +250,47 @@ def asof_join(
             salt_interval,
         )
     else:
-        if direction == "backward":
+        if direction == "nearest":
+            # fused one-pass: ONE sort by (time, side), a backward
+            # frame and a forward frame over it, closest match wins
+            # (ties -> backward, as in pandas merge_asof).  A same-time
+            # right row is already a gap-0 backward match, so the
+            # forward frame starting at the left row needs no tie
+            # handling of its own.
+            w_sort = Window.partitionBy(*key_cols).orderBy(
+                F.col(time_col).asc(), F.col("__side").asc()
+            )
+            w_b = w_sort.rowsBetween(Window.unboundedPreceding, 0)
+            w_f = w_sort.rowsBetween(0, Window.unboundedFollowing)
+            cols = [*value_cols, "t"]
+            picks = {
+                c: (
+                    F.last(f"__r_{c}", ignorenulls=True).over(w_b),
+                    F.first(f"__r_{c}", ignorenulls=True).over(w_f),
+                )
+                for c in cols
+            }
+            t = F.col(time_col).cast("double")
+            b_t, f_t = picks["t"]
+            use_fwd = F.when(b_t.isNull(), F.lit(True)).otherwise(
+                f_t.isNotNull()
+                & (
+                    (f_t.cast("double") - t)
+                    < (t - b_t.cast("double"))
+                )
+            )
+            filled = u.select(
+                *[F.col(c) for c in left.columns],
+                F.col("__side"),
+                *[
+                    F.when(use_fwd, picks[v][1])
+                    .otherwise(picks[v][0])
+                    .alias(f"__r_{v}")
+                    for v in value_cols
+                ],
+                F.when(use_fwd, f_t).otherwise(b_t).alias("__r_t"),
+            )
+        elif direction == "backward":
             # right rows (side 0) sort before left at equal time, so
             # ties fall inside the [-inf, current] frame
             w = (
@@ -203,17 +308,20 @@ def asof_join(
                 .rowsBetween(0, Window.unboundedFollowing)
             )
             pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
-        filled = u.select(
-            *[F.col(c) for c in left.columns],
-            F.col("__side"),
-            *[pick(f"__r_{v}").alias(f"__r_{v}") for v in value_cols],
-            pick("__r_t").alias("__r_t"),
-        )
+        if direction != "nearest":
+            filled = u.select(
+                *[F.col(c) for c in left.columns],
+                F.col("__side"),
+                *[pick(f"__r_{v}").alias(f"__r_{v}") for v in value_cols],
+                pick("__r_t").alias("__r_t"),
+            )
     out = filled.filter(F.col("__side") == 1).drop("__side")
     if tolerance is not None:
         gap = F.col(time_col).cast("double") - F.col("__r_t").cast("double")
         if direction == "forward":
             gap = -gap
+        elif direction == "nearest":
+            gap = F.abs(gap)
         within = gap <= F.lit(float(tolerance))
         for v in value_cols:
             out = out.withColumn(
