@@ -447,6 +447,39 @@ def main() -> None:
         execute=True,
     )
 
+    # md5-register HLL cascade: two pure hash aggregates (registers,
+    # then per-bucket estimate) — no join, no Python, map-side
+    # combinable MAX before every exchange
+    audit(
+        "hll_md5_cascade_1d (hash aggregates only, no Python)",
+        em.q_hll_md5_cascade_1d(spark, sf),
+        must_have=["HashAggregate"],
+        must_not_have=["CartesianProduct", "BroadcastNestedLoopJoin",
+                       "BatchEvalPython", "ArrowEvalPython",
+                       "SortMergeJoin"],
+        execute=True,
+    )
+
+    # nearest as-of: the fused one-pass form — exactly ONE Window node
+    # computes both the backward and forward frames over one sort
+    p_nearest = plan_of(em.q_asof_nearest(spark, sf), execute=True)
+    # AQE's string repeats nodes under "== Initial Plan ==" — count
+    # Window nodes in the final plan only
+    n_windows = p_nearest.split("== Initial Plan ==")[0].count("Window ")
+    checks.append(
+        ("asof_nearest (fused one-pass)",
+         "exactly one Window node", n_windows == 1)
+    )
+    for frag in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "BatchEvalPython"):
+        checks.append(
+            ("asof_nearest (fused one-pass)", f"free of {frag}",
+             frag not in p_nearest)
+        )
+    sections.append(
+        f"## asof_nearest (fused one-pass)\n\n```\n{p_nearest[:4000]}\n```\n"
+    )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")
