@@ -51,6 +51,16 @@ def main() -> None:
         "history GC; the current snapshot is always kept)",
     )
     ap.add_argument(
+        "--compact-files",
+        type=int,
+        default=None,
+        metavar="MB",
+        help="after the run, bin-pack each tier/chunk/manifest "
+        "table's current snapshot into ~MB-sized data files "
+        "(OPTIMIZE/rewrite_data_files analogue; file counts grow "
+        "monotonically under appends and incremental updates)",
+    )
+    ap.add_argument(
         "--retention",
         default=None,
         help="per-tier expiry windows, e.g. '1m=2 days,1h=90 days' "
@@ -107,6 +117,15 @@ def main() -> None:
             keep[tier.strip()] = dur.strip()
         dropped = job.enforce_retention(keep)
         print(f"retention: expired rows per tier {dropped}")
+
+    if args.compact_files is not None:
+        packed = job.compact_tables(
+            target_file_mb=args.compact_files, tiers=tiers
+        )
+        print(
+            "compaction: "
+            f"{ {k: (v['before_files'], v['after_files']) for k, v in packed.items()} }"
+        )
 
     if args.expire_snapshots is not None:
         gone = job.expire_table_snapshots(

@@ -180,6 +180,34 @@ class RollupJob:
                     out[n] = expired
         return out
 
+    def compact_tables(
+        self,
+        target_file_mb: int = 128,
+        tiers: "list[str] | None" = None,
+    ) -> "dict[str, dict]":
+        """Bin-pack small data files across the job's tier, chunk, and
+        manifest tables (Iceberg ``rewrite_data_files`` / Delta
+        ``OPTIMIZE`` analogue) — the file-level companion to
+        ``expire_table_snapshots``: expiry GCs old SNAPSHOTS, this
+        consolidates the CURRENT one, whose file count grows
+        monotonically under streaming ingest and incremental updates.
+        Pure rewrite: row content unchanged, previous snapshot stays
+        time-travelable.  Only tables that actually compacted are
+        reported."""
+        from tsaug_spark.plans.rollup import TIERS
+
+        names = ["_manifest"]
+        for t in tiers or list(TIERS):
+            names += [f"tier_{t}", f"tier_{t}_chunks"]
+        out: dict[str, dict] = {}
+        for n in names:
+            tbl = self.table(n)
+            if tbl.exists() and hasattr(tbl, "compact"):
+                res = tbl.compact(self.spark, target_file_mb)
+                if res.get("compacted"):
+                    out[n] = res
+        return out
+
     def _replace_partition(
         self, name: str, p: int, rows: DataFrame
     ) -> None:

@@ -168,6 +168,57 @@ class ParquetSnapshotTable:
             expired.append(snap)
         return expired
 
+    def data_files(self) -> list[tuple[str, int]]:
+        """(path, bytes) of the CURRENT snapshot's parquet data files."""
+        meta = self._resolve()
+        if meta is None:
+            return []
+        out = []
+        for root, _dirs, names in os.walk(meta["data_path"]):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    out.append((p, os.path.getsize(p)))
+        return out
+
+    def compact(
+        self, spark: SparkSession, target_file_mb: int = 128
+    ) -> dict:
+        """Rewrite the current snapshot into ~``target_file_mb`` files
+        (Iceberg ``rewrite_data_files`` / Delta ``OPTIMIZE`` analogue).
+
+        Every ``append`` here rewrites old+new files into the next
+        snapshot, so file counts grow monotonically under streaming
+        ingest and incremental maintenance; compaction bin-packs them
+        back.  Pure rewrite — row content is unchanged, the previous
+        snapshot stays time-travelable until ``expire_snapshots``.
+        Skipped (no new snapshot) when the table is already at or
+        below the target file count."""
+        meta = self._resolve()
+        if meta is None:
+            raise FileNotFoundError(f"no snapshot at {self.path}")
+        files = self.data_files()
+        total = sum(sz for _p, sz in files)
+        import math
+
+        n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+        if n >= len(files):
+            return {
+                "before_files": len(files),
+                "after_files": len(files),
+                "bytes": total,
+                "compacted": False,
+            }
+        df = spark.read.parquet(meta["data_path"]).coalesce(n)
+        snap = self._commit(df, [meta["snapshot_id"]])
+        return {
+            "before_files": len(files),
+            "after_files": len(self.data_files()),
+            "bytes": total,
+            "compacted": True,
+            "snapshot_id": snap,
+        }
+
     def overwrite(self, df: DataFrame) -> str:
         parent = self.snapshot_id()
         return self._commit(df, [parent] if parent else [])
@@ -272,6 +323,26 @@ class IcebergTable:
             .orderBy("committed_at", ascending=False)
             .collect()
         ]
+
+    def compact(
+        self, spark: SparkSession, target_file_mb: int = 128
+    ) -> dict:
+        """Bin-pack small data files via Iceberg's maintenance
+        procedure (``rewrite_data_files``); pure rewrite, snapshot
+        history preserved."""
+        rows = spark.sql(
+            "CALL system.rewrite_data_files(table => "
+            f"'{self.identifier}', options => map("
+            "'target-file-size-bytes', "
+            f"'{target_file_mb * 1024 * 1024}'))"
+        ).collect()
+        d = rows[0].asDict() if rows else {}
+        return {
+            "before_files": d.get("rewritten_data_files_count"),
+            "after_files": d.get("added_data_files_count"),
+            "bytes": d.get("rewritten_bytes_count"),
+            "compacted": bool(d.get("rewritten_data_files_count")),
+        }
 
     def append(self, df: DataFrame) -> str | None:
         df.writeTo(self.identifier).append()
