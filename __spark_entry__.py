@@ -1046,6 +1046,21 @@ def q_hll_md5_cascade_1d(spark, sf):
     )
 
 
+def q_seasonal_decompose(spark, sf):
+    """Classical additive seasonal decomposition, period 24 h
+    (plans/metrics.py): per-user hourly counts on the zero-filled
+    global day grid split into trend (centered 2x24 MA), seasonal
+    (centered hour-of-day means of the detrended interior days), and
+    residual.  Every aggregate is an exact integer; the only float
+    ops are three divisions and two subtractions, so the whole
+    decomposition replays bit-identically in SQL."""
+    from tsaug_spark.plans.metrics import seasonal_decompose
+
+    ev = _events(spark, sf)
+    out = seasonal_decompose(ev, key_col="user_id", ts_col="ts")
+    return out.withColumnRenamed("key", "user_id")
+
+
 def q_contamination(spark, sf):
     """Benchmark decontamination (pipeline/dedup.py): fraction of each
     corpus doc's distinct 3-gram shingles appearing in a benchmark set
@@ -2166,6 +2181,7 @@ def _lttb_sql(T: int = 48, n_out: int = 12) -> str:
 _PRIORITY = [
     "hll_md5_cascade_1d",
     "asof_nearest",
+    "seasonal_decompose_24h",
     "contamination",
     "seasonal_profile",
     "cusum_changepoint_1h",
@@ -2258,6 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": q_asof_forward,
         "asof_salted": q_asof_salted,
         "asof_nearest": q_asof_nearest,
+        "seasonal_decompose_24h": q_seasonal_decompose,
         "range_busy_windows": q_range_busy_windows,
         "codec_roundtrip": q_codec_roundtrip,
         "codec_range_read": q_codec_range_read,
@@ -3606,6 +3623,58 @@ def oracle_sql() -> dict[str, str]:
             "FROM g LEFT JOIN sk ON sk.bucket_s = g.bucket_s "
             "AND sk.r = g.r AND sk.slot = g.slot "
             "GROUP BY 1, 2"
+        ),
+        "seasonal_decompose_24h": (
+            # same construction: zero-filled hourly grid over the
+            # global day span, 2x24 MA trend from integer window
+            # sums, interior-day phase means as exact-integer
+            # rationals, centered; NULL trend/resid at frame edges
+            "WITH base AS (SELECT user_id AS key, "
+            "CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s "
+            "FROM events), "
+            "counts AS (SELECT key, bucket_s, COUNT(*) AS cnt "
+            "FROM base GROUP BY 1, 2), "
+            "b2 AS (SELECT d0, d1, (d1 - d0) // 86400 + 1 AS n_days "
+            "FROM (SELECT CAST(floor(MIN(bucket_s)/86400.0)*86400 "
+            "AS BIGINT) AS d0, CAST(floor(MAX(bucket_s)/86400.0)"
+            "*86400 AS BIGINT) AS d1 FROM base)), "
+            "grid AS (SELECT k.key, b2.d0, b2.n_days, "
+            "unnest(generate_series(b2.d0, b2.d1 + 82800, 3600)) "
+            "AS bucket_s FROM (SELECT DISTINCT key FROM base) k "
+            "CROSS JOIN b2), "
+            "g AS (SELECT grid.key, grid.d0, grid.n_days, "
+            "grid.bucket_s, COALESCE(c.cnt, 0) AS cnt FROM grid "
+            "LEFT JOIN counts c ON c.key = grid.key "
+            "AND c.bucket_s = grid.bucket_s), "
+            "w AS (SELECT *, "
+            "SUM(cnt) OVER (PARTITION BY key ORDER BY bucket_s "
+            "ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) + "
+            "SUM(cnt) OVER (PARTITION BY key ORDER BY bucket_s "
+            "ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS s48, "
+            "COUNT(*) OVER (PARTITION BY key ORDER BY bucket_s "
+            "ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS ca, "
+            "COUNT(*) OVER (PARTITION BY key ORDER BY bucket_s "
+            "ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS cb, "
+            "(bucket_s - d0) // 86400 AS day_idx, "
+            "(bucket_s // 3600) % 24 AS phase FROM g), "
+            "ph AS (SELECT key, phase, n_days, "
+            "48*SUM(cnt) - SUM(s48) AS num FROM w "
+            "WHERE day_idx BETWEEN 1 AND n_days - 2 "
+            "GROUP BY 1, 2, 3), "
+            "tot AS (SELECT key, SUM(num) AS ntot FROM ph "
+            "GROUP BY 1), "
+            "sea AS (SELECT ph.key, ph.phase, "
+            "CAST(num AS DOUBLE)/(48.0*(n_days - 2)) - "
+            "CAST(ntot AS DOUBLE)/(1152.0*(n_days - 2)) AS seasonal "
+            "FROM ph JOIN tot USING (key)) "
+            "SELECT w.key AS user_id, w.bucket_s, w.cnt, "
+            "CASE WHEN ca = 24 AND cb = 24 "
+            "THEN s48/48.0 END AS trend, "
+            "sea.seasonal, "
+            "w.cnt - (CASE WHEN ca = 24 AND cb = 24 "
+            "THEN s48/48.0 END) - sea.seasonal AS resid "
+            "FROM w LEFT JOIN sea ON sea.key = w.key "
+            "AND sea.phase = w.phase"
         ),
         "hll_md5_cascade_1d": (
             # direct DAILY register build replays the hourly->daily

@@ -412,3 +412,71 @@ def test_cusum_tie_breaks_earliest(spark):
             (1, 3 * 3600 + 1, 1.0)]
     out = cusum_changepoint(_ev(spark, rows), "1h").collect()
     assert len(out) == 1 and out[0].bucket_s % 86400 == 0
+
+
+def test_seasonal_decompose_matches_numpy(spark):
+    """Full decomposition vs a from-scratch NumPy replica of the
+    classical algorithm (2x24 centered MA, interior-day phase means,
+    centered seasonal) on a deterministic 6-day hourly pattern."""
+    import numpy as np
+
+    from tsaug_spark.plans.metrics import seasonal_decompose
+
+    rng = np.random.RandomState(5)
+    d0 = 1_700_006_400  # a UTC midnight
+    hours = np.arange(6 * 24)
+    # diurnal pattern + trend ramp, expressed as event COUNTS by
+    # repeating each hour's timestamp cnt times
+    cnt = (
+        3
+        + (hours // 24)
+        + np.round(2 * np.sin(2 * np.pi * (hours % 24) / 24)).astype(int)
+        + rng.randint(0, 2, size=hours.size)
+    ).clip(min=0)
+    rows = [
+        (int(d0 + h * 3600 + 7),)  # +7s: lands inside the hour bucket
+        for h, c in zip(hours, cnt)
+        for _ in range(int(c))
+    ]
+    df = spark.createDataFrame(rows, "t long").select(
+        F.lit("k").alias("user_id"),
+        F.col("t").cast("timestamp").alias("ts"),
+    )
+    out = (
+        seasonal_decompose(df, key_col="user_id", ts_col="ts")
+        .orderBy("bucket_s")
+        .collect()
+    )
+    assert len(out) == hours.size
+    got_cnt = np.array([r.cnt for r in out])
+    np.testing.assert_array_equal(got_cnt, cnt)
+
+    # NumPy replica
+    x = cnt.astype(float)
+    trend = np.full(x.size, np.nan)
+    for i in range(12, x.size - 12):
+        trend[i] = (x[i - 12:i + 12].sum() + x[i - 11:i + 13].sum()) / 48
+    D = 6
+    interior = (hours // 24 >= 1) & (hours // 24 <= D - 2)
+    det = x - trend
+    phase_means = np.array([
+        det[interior & (hours % 24 == p)].mean() for p in range(24)
+    ])
+    seasonal = phase_means - phase_means.mean()
+
+    got_trend = np.array(
+        [r.trend if r.trend is not None else np.nan for r in out]
+    )
+    np.testing.assert_allclose(
+        got_trend, trend, rtol=1e-12, equal_nan=True
+    )
+    got_seasonal = np.array([r.seasonal for r in out])
+    np.testing.assert_allclose(
+        got_seasonal, seasonal[hours % 24], rtol=1e-9
+    )
+    # reconstruction identity where trend exists
+    for r in out:
+        if r.trend is not None:
+            assert abs(r.cnt - r.trend - r.seasonal - r.resid) < 1e-9
+    # seasonal centering: phase effects sum to ~0
+    assert abs(got_seasonal[:24].sum()) < 1e-9

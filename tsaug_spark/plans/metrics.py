@@ -916,3 +916,145 @@ def cusum_changepoint(
             "n",
         )
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Classical additive seasonal decomposition (statsmodels
+    ``seasonal_decompose``, period = 24 h) of each key's hourly event
+    counts on the zero-filled grid over the table's global day span:
+    ``cnt = trend + seasonal + resid``.
+
+    * **trend**: centered 2x24 moving average — the standard
+      even-period form, computed as the sum of two 24-wide integer
+      window sums divided by 48; NULL at the 12/11 edge rows.
+    * **seasonal**: phase (hour-of-day) means of the detrended series
+      over INTERIOR COMPLETE days only (day 1 .. D-2), so every phase
+      averages exactly D-2 rows, then centered to sum to zero.  Using
+      ``detrended = cnt - s48/48``, the phase mean folds to
+      ``(48*sum(cnt) - sum(s48)) / (48*(D-2))`` — all-integer
+      numerators, so both the phase term and the centering term are
+      single divisions of exact integers and replay bit-identically
+      in the SQL oracle (no float-accumulation order sensitivity).
+    * **resid**: ``cnt - trend - seasonal``; NULL where trend is.
+
+    Scale: one hash aggregate for counts, one per-key window pass,
+    one (key, phase) aggregate — the grid explode is a projection
+    (``sequence`` + ``explode``), never a join against a generated
+    table.
+
+    Output: key, bucket_s, cnt, trend, seasonal, resid.
+    """
+    hour = (
+        F.floor(F.unix_timestamp(ts_col) / F.lit(3600)) * F.lit(3600)
+    ).cast("long")
+    base = df.select(F.col(key_col).alias("key"), hour.alias("bucket_s"))
+    counts = base.groupBy("key", "bucket_s").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bounds = (
+        base.agg(
+            (F.floor(F.min("bucket_s") / F.lit(86400)) * F.lit(86400))
+            .cast("long")
+            .alias("d0"),
+            (F.floor(F.max("bucket_s") / F.lit(86400)) * F.lit(86400))
+            .cast("long")
+            .alias("d1"),
+        )
+        .select(
+            "d0",
+            "d1",
+            ((F.col("d1") - F.col("d0")) / F.lit(86400) + F.lit(1))
+            .cast("long")
+            .alias("n_days"),
+        )
+    )
+    grid = (
+        base.select("key")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "key",
+            "d0",
+            "n_days",
+            F.explode(
+                F.sequence(
+                    F.col("d0"),
+                    F.col("d1") + F.lit(86400 - 3600),
+                    F.lit(3600),
+                )
+            ).alias("bucket_s"),
+        )
+    )
+    wa = (
+        Window.partitionBy("key")
+        .orderBy("bucket_s")
+        .rowsBetween(-12, 11)
+    )
+    wb = (
+        Window.partitionBy("key")
+        .orderBy("bucket_s")
+        .rowsBetween(-11, 12)
+    )
+    g = (
+        grid.join(counts, ["key", "bucket_s"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0).cast("long")))
+        .withColumn(
+            "s48",
+            (F.sum("cnt").over(wa) + F.sum("cnt").over(wb)).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "full",
+            (F.count(F.lit(1)).over(wa) == 24)
+            & (F.count(F.lit(1)).over(wb) == 24),
+        )
+        .withColumn(
+            "day_idx",
+            ((F.col("bucket_s") - F.col("d0")) / F.lit(86400)).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "phase",
+            (F.col("bucket_s") / F.lit(3600)).cast("long") % 24,
+        )
+    )
+    ph = (
+        g.filter(
+            (F.col("day_idx") >= 1)
+            & (F.col("day_idx") <= F.col("n_days") - 2)
+        )
+        .groupBy("key", "phase", "n_days")
+        .agg(
+            (
+                F.lit(48) * F.sum("cnt") - F.sum("s48")
+            ).alias("num")
+        )
+    )
+    tot = ph.groupBy("key").agg(F.sum("num").alias("ntot"))
+    den = (F.col("n_days") - F.lit(2)).cast("double")
+    sea = ph.join(tot, "key").select(
+        "key",
+        "phase",
+        (
+            F.col("num").cast("double") / (F.lit(48.0) * den)
+            - F.col("ntot").cast("double") / (F.lit(1152.0) * den)
+        ).alias("seasonal"),
+    )
+    trend = F.when(F.col("full"), F.col("s48") / F.lit(48.0))
+    return (
+        g.join(sea, ["key", "phase"], "left")
+        .select(
+            "key",
+            "bucket_s",
+            "cnt",
+            trend.alias("trend"),
+            "seasonal",
+            (F.col("cnt") - trend - F.col("seasonal")).alias("resid"),
+        )
+    )
