@@ -180,6 +180,61 @@ class RollupJob:
                     out[n] = expired
         return out
 
+    def read_tier_realtime(
+        self, tier: str, transcripts: DataFrame
+    ) -> DataFrame:
+        """Real-time continuous aggregate (TimescaleDB-style): the
+        committed tier rows for buckets strictly BELOW each
+        partition's rollup watermark, unioned with a fresh rollup of
+        the raw transcript tail at/after it — an always-current view
+        between maintenance runs that never re-reads rolled history.
+
+        The watermark bucket itself is recomputed from raw (it may
+        still be filling — the same bucket ``update()`` re-rolls), so
+        for every turn the job has seen the view equals a from-scratch
+        rollup; turns later than the update contract's grace window
+        are dropped by design, exactly as in ``update()``.
+
+        Scale: the raw scan is pre-filtered by the GLOBAL minimum
+        watermark — a literal, so it pushes into the parquet scan and
+        prunes a ts-partitioned table to the recent tail — then
+        refined per partition with a broadcast join of the (tiny)
+        watermark table.  The driver collects exactly one scalar."""
+        if not self.manifest.exists():
+            return rollup_transcripts(transcripts, tier)
+        wm = self.watermarks(tier)
+        stored = (
+            self.table(f"tier_{tier}")
+            .read(self.spark)
+            .join(F.broadcast(wm), "partition_id", "left")
+            .filter(F.col("bucket_ts") < F.col("watermark_ts"))
+            .drop("partition_id", "watermark_ts")
+        )
+        min_wm, n_committed = wm.agg(
+            F.min("watermark_ts"), F.count(F.lit(1))
+        ).collect()[0]
+        if min_wm is None:
+            return rollup_transcripts(transcripts, tier)
+        tail_src = transcripts
+        if n_committed == self.n_partitions:
+            # every partition has a watermark -> the global minimum is
+            # a safe literal pre-filter (pushes into the scan); with
+            # uncommitted partitions their full history must stay
+            tail_src = tail_src.filter(F.col("ts") >= F.lit(min_wm))
+        part_col = F.pmod(
+            F.xxhash64("conv_id"), F.lit(self.n_partitions)
+        )
+        tail_src = (
+            tail_src.withColumn("partition_id", part_col)
+            .join(F.broadcast(wm), "partition_id", "left")
+            .filter(
+                F.col("watermark_ts").isNull()
+                | (F.col("ts") >= F.col("watermark_ts"))
+            )
+            .drop("partition_id", "watermark_ts")
+        )
+        return stored.unionByName(rollup_transcripts(tail_src, tier))
+
     def compact_tables(
         self,
         target_file_mb: int = 128,
