@@ -1061,6 +1061,18 @@ def q_seasonal_decompose(spark, sf):
     return out.withColumnRenamed("key", "user_id")
 
 
+def q_crosscorr(spark, sf):
+    """Lagged cross-correlation click->purchase per user at lags
+    0..3 h (plans/metrics.py): integer sufficient statistics on the
+    zero-filled hourly grid, one shared float expression — the
+    lead/lag diagnostic for event-type causality screening."""
+    from tsaug_spark.plans.metrics import crosscorr
+
+    ev = _events(spark, sf)
+    out = crosscorr(ev, "click", "purchase", tier="1h", max_lag=3)
+    return out.withColumnRenamed("key", "user_id")
+
+
 def q_contamination(spark, sf):
     """Benchmark decontamination (pipeline/dedup.py): fraction of each
     corpus doc's distinct 3-gram shingles appearing in a benchmark set
@@ -2182,6 +2194,7 @@ _PRIORITY = [
     "hll_md5_cascade_1d",
     "asof_nearest",
     "seasonal_decompose_24h",
+    "crosscorr_click_purchase",
     "contamination",
     "seasonal_profile",
     "cusum_changepoint_1h",
@@ -2275,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_salted": q_asof_salted,
         "asof_nearest": q_asof_nearest,
         "seasonal_decompose_24h": q_seasonal_decompose,
+        "crosscorr_click_purchase": q_crosscorr,
         "range_busy_windows": q_range_busy_windows,
         "codec_roundtrip": q_codec_roundtrip,
         "codec_range_read": q_codec_range_read,
@@ -3623,6 +3637,40 @@ def oracle_sql() -> dict[str, str]:
             "FROM g LEFT JOIN sk ON sk.bucket_s = g.bucket_s "
             "AND sk.r = g.r AND sk.slot = g.slot "
             "GROUP BY 1, 2"
+        ),
+        "crosscorr_click_purchase": (
+            # self-join formulation of the same math: exact integer
+            # sufficient statistics per (key, lag), one float
+            # expression; window-lead (Spark) == shifted equi-join
+            # (here) on the complete grid
+            "WITH base AS (SELECT user_id AS key, "
+            "CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s, "
+            "event_type FROM events), "
+            "counts AS (SELECT key, bucket_s, "
+            "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+            "AS xa, "
+            "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 "
+            "END) AS xb FROM base GROUP BY 1, 2), "
+            "bounds AS (SELECT MIN(bucket_s) AS lo, MAX(bucket_s) "
+            "AS hi FROM base), "
+            "grid AS (SELECT k.key, unnest(generate_series(lo, hi, "
+            "3600)) AS bucket_s FROM (SELECT DISTINCT key FROM base) "
+            "k CROSS JOIN bounds), "
+            "g AS (SELECT grid.key, grid.bucket_s, "
+            "COALESCE(c.xa, 0) AS xa, COALESCE(c.xb, 0) AS xb "
+            "FROM grid LEFT JOIN counts c USING (key, bucket_s)), "
+            "lags AS (SELECT unnest([0, 1, 2, 3]) AS lag), "
+            "pairs AS (SELECT a.key, l.lag, a.xa, b.xb AS y "
+            "FROM g a CROSS JOIN lags l JOIN g b ON b.key = a.key "
+            "AND b.bucket_s = a.bucket_s + l.lag*3600), "
+            "s AS (SELECT key, lag, COUNT(*) AS n, SUM(xa) AS sx, "
+            "SUM(y) AS sy, SUM(xa*y) AS sxy, SUM(xa*xa) AS sxx, "
+            "SUM(y*y) AS syy FROM pairs GROUP BY 1, 2) "
+            "SELECT key AS user_id, CAST(lag AS INT) AS lag, n, "
+            "CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "NULLIF(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * "
+            "sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 0.0) AS xcorr "
+            "FROM s"
         ),
         "seasonal_decompose_24h": (
             # same construction: zero-filled hourly grid over the

@@ -480,3 +480,68 @@ def test_seasonal_decompose_matches_numpy(spark):
             assert abs(r.cnt - r.trend - r.seasonal - r.resid) < 1e-9
     # seasonal centering: phase effects sum to ~0
     assert abs(got_seasonal[:24].sum()) < 1e-9
+
+
+def test_crosscorr_matches_numpy(spark):
+    """crosscorr(key, lag) == np.corrcoef of the zero-filled count
+    series against its lag-shifted partner, for every lag."""
+    import numpy as np
+
+    from tsaug_spark.plans.metrics import crosscorr
+
+    rng = np.random.RandomState(9)
+    d0 = 1_700_006_400
+    n = 72
+    # purchases echo clicks two hours later (plus noise)
+    clicks = rng.randint(0, 5, size=n)
+    purch = np.roll(clicks, 2) + rng.randint(0, 2, size=n)
+    purch[:2] = rng.randint(0, 2, size=2)
+    rows = []
+    for h in range(n):
+        ts = d0 + h * 3600 + 13
+        rows += [(ts, "click")] * int(clicks[h])
+        rows += [(ts, "purchase")] * int(purch[h])
+    df = spark.createDataFrame(rows, "t long, event_type string").select(
+        F.lit("k").alias("user_id"),
+        F.col("t").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    got = {
+        r.lag: (r.n, r.xcorr)
+        for r in crosscorr(
+            df, "click", "purchase", tier="1h", max_lag=3
+        ).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    for lag in range(4):
+        x = clicks[: n - lag].astype(float)
+        y = purch[lag:].astype(float)
+        want = np.corrcoef(x, y)[0, 1]
+        assert got[lag][0] == n - lag
+        assert abs(got[lag][1] - want) < 1e-9, (lag, got[lag], want)
+    # the planted 2-hour echo dominates
+    assert got[2][1] == max(v for _n, v in got.values())
+
+
+def test_crosscorr_self_lag0_is_one(spark):
+    import numpy as np
+
+    from tsaug_spark.plans.metrics import crosscorr
+
+    rng = np.random.RandomState(3)
+    d0 = 1_700_006_400
+    rows = []
+    for h in range(48):
+        rows += [(d0 + h * 3600, "click")] * int(rng.randint(1, 4))
+    df = spark.createDataFrame(rows, "t long, event_type string").select(
+        F.lit("k").alias("user_id"),
+        F.col("t").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    got = {
+        r.lag: r.xcorr
+        for r in crosscorr(
+            df, "click", "click", tier="1h", max_lag=1
+        ).collect()
+    }
+    assert abs(got[0] - 1.0) < 1e-12

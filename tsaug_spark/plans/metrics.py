@@ -1058,3 +1058,107 @@ def seasonal_decompose(
             (F.col("cnt") - trend - F.col("seasonal")).alias("resid"),
         )
     )
+
+
+def crosscorr(
+    df: DataFrame,
+    type_a: str,
+    type_b: str,
+    tier: str = "1h",
+    max_lag: int = 3,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Lagged cross-correlation between two event types per key:
+    ``xcorr(key, lag) = corr(cnt_a[t], cnt_b[t + lag])`` for
+    lag 0..max_lag on the zero-filled global bucket grid — the
+    lead/lag diagnostic behind "do clicks drive purchases, and how
+    many hours later?".
+
+    Same exactness contract as ``autocorr_lag1``: counts are exact
+    integers, all six sufficient statistics are integer sums, and the
+    correlation is one shared float expression, so the whole output
+    replays bit-identically in SQL.  Zero-variance sides yield NULL.
+
+    Scale: one hash aggregate over (key, bucket) with both counts as
+    conditional sums, one per-key window pass producing the max_lag+1
+    leads, one ``stack`` projection (no join, no explode blow-up —
+    max_lag+1 rows per grid point), one (key, lag) aggregate.
+
+    Output: key, lag, n, xcorr.
+    """
+    sec = TIERS[tier][1]
+    base = df.select(
+        F.col(key_col).alias("key"),
+        _bucket_s(ts_col, tier),
+        F.col(type_col).alias("etype"),
+    )
+    counts = base.groupBy("key", "bucket_s").agg(
+        F.sum(
+            F.when(F.col("etype") == type_a, 1).otherwise(0)
+        ).alias("xa"),
+        F.sum(
+            F.when(F.col("etype") == type_b, 1).otherwise(0)
+        ).alias("xb"),
+    )
+    bounds = base.agg(
+        F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi")
+    )
+    grid = (
+        base.select("key")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "key",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(sec))
+            ).alias("bucket_s"),
+        )
+    )
+    w = Window.partitionBy("key").orderBy("bucket_s")
+    series = (
+        grid.join(counts, ["key", "bucket_s"], "left")
+        .withColumn("xa", F.coalesce("xa", F.lit(0).cast("long")))
+        .withColumn("xb", F.coalesce("xb", F.lit(0).cast("long")))
+    )
+    for lag in range(max_lag + 1):
+        series = series.withColumn(
+            f"y{lag}", F.lead("xb", lag).over(w)
+        )
+    stack = F.expr(
+        "stack("
+        + str(max_lag + 1)
+        + ", "
+        + ", ".join(f"{lag}, y{lag}" for lag in range(max_lag + 1))
+        + ") AS (lag, y)"
+    )
+    pairs = series.select("key", "xa", stack).filter(
+        F.col("y").isNotNull()
+    )
+    s = pairs.groupBy("key", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("xa") * F.col("y")).alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return s.select(
+        "key",
+        F.col("lag").cast("int").alias("lag"),
+        "n",
+        (num / F.nullif(den, F.lit(0.0))).alias("xcorr"),
+    )
