@@ -2065,6 +2065,25 @@ def q_ewma_series(spark, sf):
     )
 
 
+def q_holt_series(spark, sf):
+    """Holt double exponential smoothing (alpha=0.5, beta=0.25) per
+    rectangular series: level + trend + one-step-ahead fitted via the
+    grouped Arrow kernel; the oracle's recursive CTE folds the same
+    recurrence token-for-token (exact-binary coefficients), so raw
+    doubles, no rounding."""
+    from tsaug_spark.plans.metrics import holt
+
+    out = holt(_series_df(spark, sf), alpha=0.5, beta=0.25)
+    return out.select(
+        F.col("key").cast("long").alias("user_id"),
+        F.col("ord").alias("bucket_idx"),
+        F.col("v").alias("cnt"),
+        "level",
+        "trend",
+        "fitted",
+    )
+
+
 def q_heartbeat_1h(spark, sf):
     """Bucket-local heartbeat liveness per (user, hour): each sample
     asserts 300 s of liveness clipped at the next sample and the
@@ -2195,6 +2214,7 @@ _PRIORITY = [
     "asof_nearest",
     "seasonal_decompose_24h",
     "crosscorr_click_purchase",
+    "holt_series",
     "contamination",
     "seasonal_profile",
     "cusum_changepoint_1h",
@@ -2289,6 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "seasonal_decompose_24h": q_seasonal_decompose,
         "crosscorr_click_purchase": q_crosscorr,
+        "holt_series": q_holt_series,
         "range_busy_windows": q_range_busy_windows,
         "codec_roundtrip": q_codec_roundtrip,
         "codec_range_read": q_codec_range_read,
@@ -3594,6 +3615,27 @@ def oracle_sql() -> dict[str, str]:
             "s2.idx = r.idx + 1) "
             "SELECT user_id, CAST(idx AS BIGINT) AS bucket_idx, "
             "cnt, ewma FROM r"
+        ),
+        "holt_series": (
+            # raw doubles: the recursive fold mirrors the kernel's
+            # l = 0.5*x + 0.5*(l+b); b = 0.25*(l_new - l) + 0.75*b
+            # exactly (coefficients exact in binary); fitted = l + b
+            # of the previous step, NULL at idx 0
+            f"WITH RECURSIVE b AS ({hourly}), {_SERIES_SQL}, "
+            "r AS (SELECT user_id, idx, cnt, cnt AS level, "
+            "CAST(0.0 AS DOUBLE) AS trend, "
+            "CAST(NULL AS DOUBLE) AS fitted FROM s WHERE idx = 0 "
+            "UNION ALL SELECT s2.user_id, s2.idx, s2.cnt, "
+            "CAST(0.5 AS DOUBLE) * s2.cnt + CAST(0.5 AS DOUBLE) * "
+            "(r.level + r.trend) AS level, "
+            "CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * s2.cnt "
+            "+ CAST(0.5 AS DOUBLE) * (r.level + r.trend)) - r.level) "
+            "+ CAST(0.75 AS DOUBLE) * r.trend AS trend, "
+            "r.level + r.trend AS fitted "
+            "FROM s s2 JOIN r ON s2.user_id = r.user_id AND "
+            "s2.idx = r.idx + 1) "
+            "SELECT user_id, CAST(idx AS BIGINT) AS bucket_idx, "
+            "cnt, level, trend, fitted FROM r"
         ),
         "lttb_48to12": _lttb_sql(),
         "rolling_zscore": (

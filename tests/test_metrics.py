@@ -545,3 +545,44 @@ def test_crosscorr_self_lag0_is_one(spark):
         ).collect()
     }
     assert abs(got[0] - 1.0) < 1e-12
+
+
+def test_holt_matches_independent_replica(spark):
+    """Holt level/trend/fitted vs an independent pure-Python fold on a
+    ramp+noise fixture; constant series collapses to level==const,
+    trend==0, fitted==const."""
+    import numpy as np
+
+    from tsaug_spark.plans.metrics import holt
+
+    rng = np.random.RandomState(17)
+    x = 10.0 + 0.5 * np.arange(60) + rng.uniform(-1, 1, size=60)
+    df = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(x)],
+        "conv_id string, bucket_idx long, cnt double",
+    )
+    out = {
+        r.ord: (r.level, r.trend, r.fitted)
+        for r in holt(df, alpha=0.5, beta=0.25).collect()
+    }
+    l, b = x[0], 0.0
+    assert out[0] == (x[0], 0.0, None)
+    for t in range(1, 60):
+        fitted = l + b
+        l_new = 0.5 * x[t] + 0.5 * (l + b)
+        b = 0.25 * (l_new - l) + 0.75 * b
+        l = l_new
+        got = out[t]
+        assert got == (l, b, fitted), t  # bit-exact, same fold
+
+    const = spark.createDataFrame(
+        [("k", i, 7.0) for i in range(20)],
+        "conv_id string, bucket_idx long, cnt double",
+    )
+    for r in holt(const, alpha=0.5, beta=0.25).collect():
+        assert r.level == 7.0 and r.trend == 0.0
+        assert r.fitted == (7.0 if r.ord > 0 else None)
+
+    # the planted ramp is learned: late trend approaches 0.5
+    late_trend = out[59][1]
+    assert abs(late_trend - 0.5) < 0.3

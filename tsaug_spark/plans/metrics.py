@@ -1162,3 +1162,66 @@ def crosscorr(
         "n",
         (num / F.nullif(den, F.lit(0.0))).alias("xcorr"),
     )
+
+
+def holt(
+    df: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    key_col: str = "conv_id",
+    order_col: str = "bucket_idx",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) per
+    series — the one-step-ahead forecaster a capacity alert compares
+    actual load against:
+
+        l_0 = x_0,  b_0 = 0
+        l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+        fitted_t = l_{t-1} + b_{t-1}   (NULL at t = 0)
+
+    Inherently sequential like ``ewma``, so it runs as a grouped Arrow
+    kernel (one hash partition on the key; the documented series-
+    length cap applies).  With exact-binary alpha/beta the kernel's
+    operation order is mirrored token-for-token by the oracle's
+    recursive-CTE fold, so outputs are raw doubles — bit-identical,
+    no rounding.
+
+    Output: key, ord, v, level, trend, fitted.
+    """
+    a, one_a = float(alpha), 1.0 - float(alpha)
+    b_, one_b = float(beta), 1.0 - float(beta)
+    out_schema = (
+        f"key {dict(df.dtypes)[key_col]}, ord long, v double, "
+        "level double, trend double, fitted double"
+    )
+
+    def _kernel(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values("ord").reset_index(drop=True)
+        x = pdf["v"].to_numpy()
+        n = x.size
+        level = np.empty(n)
+        trend = np.empty(n)
+        fitted = np.full(n, np.nan)
+        l_prev, b_prev = x[0], 0.0
+        level[0], trend[0] = l_prev, b_prev
+        for t in range(1, n):
+            fitted[t] = l_prev + b_prev
+            l_new = a * x[t] + one_a * (l_prev + b_prev)
+            b_prev = b_ * (l_new - l_prev) + one_b * b_prev
+            l_prev = l_new
+            level[t], trend[t] = l_prev, b_prev
+        pdf["level"] = level
+        pdf["trend"] = trend
+        pdf["fitted"] = fitted
+        return pdf[["key", "ord", "v", "level", "trend", "fitted"]]
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).cast("long").alias("ord"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    return base.groupBy("key").applyInPandas(_kernel, out_schema)
