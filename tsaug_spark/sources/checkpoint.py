@@ -29,7 +29,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tsaug_spark.codec.chunks import compress_tier
-from tsaug_spark.plans.rollup import METRIC_COLS, rollup_transcripts
+from tsaug_spark.plans.rollup import (
+    METRIC_COLS,
+    TIER_ORDER,
+    TIERS,
+    rollup_transcripts,
+)
 
 from .tables import ParquetSnapshotTable
 
@@ -234,6 +239,83 @@ class RollupJob:
             .drop("partition_id", "watermark_ts")
         )
         return stored.unionByName(rollup_transcripts(tail_src, tier))
+
+    def query_series(
+        self,
+        ts_lo: int,
+        ts_hi: int,
+        max_points: int = 500,
+        conv_ids: "Sequence[str] | None" = None,
+        value_col: str = "turn_rate",
+    ):
+        """Dashboard read path: serve [``ts_lo``, ``ts_hi``] (epoch
+        seconds) from the FINEST retention tier whose bucket count
+        fits ``max_points``; if even the coarsest tier overflows the
+        budget, M4-downsample it to pixel buckets (min/max/first/last
+        — the lossless line-rendering reduction).
+
+        The tier choice is pure driver arithmetic (span / bucket
+        width); the read is the chunk-exclusion path — the zone-map
+        range filter and any ``conv_ids`` filter apply to CHUNK rows
+        before the Gorilla decode, so excluded chunks' binary columns
+        are never decoded.  Returns ``(df, tier, m4_applied)``:
+        tier rows (conv_id, bucket_ts, metrics...) normally, or
+        (conv_id, px_ts, vmin, vmax, vfirst, vlast) under M4.
+        """
+        from tsaug_spark.codec.chunks import decompress_tier_range
+
+        span = int(ts_hi) - int(ts_lo)
+        if span <= 0:
+            raise ValueError("ts_hi must be > ts_lo")
+        chosen = TIER_ORDER[-1]
+        for tier in TIER_ORDER:
+            if span / TIERS[tier][1] <= max_points:
+                chosen = tier
+                break
+        chunks = self.table(f"tier_{chosen}_chunks").read(self.spark)
+        if conv_ids is not None:
+            chunks = chunks.filter(
+                F.col("conv_id").isin(list(conv_ids))
+            )
+        # include the partially-covered leading bucket: a 1d bucket
+        # starting at midnight covers a ts_lo of 00:17, so the row
+        # filter keys on bucket STARTS floored to the tier width
+        lo_eff = (int(ts_lo) // TIERS[chosen][1]) * TIERS[chosen][1]
+        rows = decompress_tier_range(
+            chunks,
+            METRIC_COLS,
+            ts_lo=F.timestamp_seconds(F.lit(lo_eff)),
+            ts_hi=F.timestamp_seconds(F.lit(int(ts_hi))),
+        )
+        if span / TIERS[chosen][1] <= max_points:
+            return rows, chosen, False
+        import math
+
+        px = max(
+            TIERS[chosen][1],
+            int(math.ceil(span / max(1, max_points // 4))),
+        )
+        e = F.unix_timestamp("bucket_ts")
+        m4 = (
+            rows.withColumn(
+                "px_ts",
+                F.timestamp_seconds(
+                    (F.floor(e / F.lit(px)) * F.lit(px)).cast("long")
+                ),
+            )
+            .groupBy("conv_id", "px_ts")
+            .agg(
+                F.min(value_col).alias("vmin"),
+                F.max(value_col).alias("vmax"),
+                F.expr(
+                    f"min_by({value_col}, bucket_ts)"
+                ).alias("vfirst"),
+                F.expr(
+                    f"max_by({value_col}, bucket_ts)"
+                ).alias("vlast"),
+            )
+        )
+        return m4, chosen, True
 
     def compact_tables(
         self,
