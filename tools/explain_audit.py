@@ -480,6 +480,35 @@ def main() -> None:
         f"## asof_nearest (fused one-pass)\n\n```\n{p_nearest[:4000]}\n```\n"
     )
 
+    # seasonal decomposition / cross-correlation: pure Catalyst —
+    # grid explode is a projection (no generated-table join), no
+    # Python evaluation anywhere
+    audit(
+        "seasonal_decompose_24h (pure Catalyst, projected grid)",
+        em.q_seasonal_decompose(spark, sf),
+        must_have=["HashAggregate", "Window"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+    audit(
+        "crosscorr_click_purchase (single window pass, stack fan-out)",
+        em.q_crosscorr(spark, sf),
+        must_have=["HashAggregate", "Window"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
+    # holt: exactly one grouped-kernel exchange, like ewma
+    audit(
+        "holt_series (one grouped Arrow kernel)",
+        em.q_holt_series(spark, sf),
+        must_have=["FlatMapGroupsInPandas"],
+        must_not_have=["CartesianProduct", "BatchEvalPython"],
+        execute=True,
+    )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")
