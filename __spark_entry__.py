@@ -1163,6 +1163,26 @@ def q_stream_cms_1h(spark, sf):
     )
 
 
+def q_stream_hll_1h(spark, sf):
+    """Streaming md5-register HLL distinct sketch (watermarked window
+    MAX of register ranks) backfilled with availableNow; max-merge is
+    exact, so the caught-up sink equals the batch register build —
+    and the DuckDB direct hourly build — register for register, with
+    constant per-window state (<= 4096 rows)."""
+    from tsaug_spark.streaming.stream_rollup import (
+        run_stream_hll_once,
+    )
+
+    out = run_stream_hll_once(
+        spark, f"{sf}/events.parquet", tier="1h"
+    )
+    return out.select(
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        "reg",
+        "rho",
+    )
+
+
 def q_heavy_hitters_1d(spark, sf):
     """Heavy hitters per day via the classic sketch-shortlist + exact
     verify two-pass: the daily count-min sketch screens every probe
@@ -2215,6 +2235,7 @@ _PRIORITY = [
     "seasonal_decompose_24h",
     "crosscorr_click_purchase",
     "holt_series",
+    "stream_hll_1h",
     "contamination",
     "seasonal_profile",
     "cusum_changepoint_1h",
@@ -2310,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose_24h": q_seasonal_decompose,
         "crosscorr_click_purchase": q_crosscorr,
         "holt_series": q_holt_series,
+        "stream_hll_1h": q_stream_hll_1h,
         "range_busy_windows": q_range_busy_windows,
         "codec_roundtrip": q_codec_roundtrip,
         "codec_range_read": q_codec_range_read,
@@ -3904,6 +3926,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(delay_us AS DOUBLE) / 3600000000.0 / "
             "NULLIF(CAST(users AS DOUBLE), 0) AS avg_hours_from_start "
             "FROM r"
+        ),
+        "stream_hll_1h": (
+            # max-merge is exact: the caught-up streaming sink equals
+            # the direct hourly register build, same md5 bit layout
+            # as hll_md5_cascade_1d
+            "WITH base AS (SELECT CAST(user_id AS VARCHAR) AS item, "
+            "CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s "
+            "FROM events), "
+            "h AS (SELECT bucket_s, "
+            "('0x' || substr(md5(item), 1, 3))::INT AS reg, "
+            "('0x' || substr(md5(item), 4, 13))::BIGINT AS v "
+            "FROM base) "
+            "SELECT bucket_s, reg, "
+            "MAX(CASE WHEN v = 0 THEN 53 "
+            "ELSE strpos(lpad(bin(v), 52, '0'), '1') END)::INT AS rho "
+            "FROM h GROUP BY 1, 2"
         ),
         "stream_cms_1h": (
             # counters are exact sums, so the caught-up streaming sink

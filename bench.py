@@ -225,6 +225,17 @@ def run_queries(spark, sf_dir: str) -> dict:
         "cusum_changepoint",
         lambda: em.q_cusum_changepoint_1h(spark, sf_dir).count(),
     )
+    timed(
+        "hll_md5_cascade_1d",
+        lambda: em.q_hll_md5_cascade_1d(spark, sf_dir).count(),
+    )
+    timed(
+        "seasonal_decompose",
+        lambda: em.q_seasonal_decompose(spark, sf_dir).count(),
+    )
+    timed(
+        "asof_nearest", lambda: em.q_asof_nearest(spark, sf_dir).count()
+    )
 
     tier = spark.table("bench_tier_1m").select(
         "conv_id",

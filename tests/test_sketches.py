@@ -334,3 +334,34 @@ def test_hll_md5_registers_match_numpy_reference(spark):
         rho = 53 if v == 0 else 53 - v.bit_length()
         regs[reg] = max(regs.get(reg, 0), rho)
     assert got == set(regs.items())
+
+
+def test_stream_hll_equals_batch_registers(spark):
+    """Streaming==batch for the md5-register HLL: the availableNow-
+    backfilled watermarked window MAX equals hll_md5_registers
+    register for register, and so do the estimates."""
+    from tsaug_spark.plans.sketches import (
+        hll_md5_estimate,
+        hll_md5_registers,
+    )
+    from tsaug_spark.streaming.stream_rollup import (
+        run_stream_hll_once,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch = hll_md5_registers(ev, "1h")
+    streamed = run_stream_hll_once(
+        spark, f"{SF_DIR}/events.parquet", tier="1h",
+        sink_table="t_stream_hll",
+    ).select(
+        F.unix_timestamp("bucket_ts").alias("bucket_s"), "reg", "rho"
+    )
+    as_map = lambda df: {  # noqa: E731
+        (r.bucket_s, r.reg): r.rho for r in df.collect()
+    }
+    assert as_map(streamed) == as_map(batch)
+    est = lambda df: {  # noqa: E731
+        r.bucket_s: (r.regs_used, r.est_distinct)
+        for r in hll_md5_estimate(df).collect()
+    }
+    assert est(streamed) == est(batch)

@@ -212,6 +212,21 @@ _HLL_SCALE = 2 ** 53  # 2^(-rho) terms scaled to exact integers
 _HLL_NUMER = 1.0897106820939319e23
 
 
+def hll_md5_reg_rho(item: F.Column) -> "tuple[F.Column, F.Column]":
+    """(register index, rank) columns for one item: reg = first 3 md5
+    hex chars (12 bits), rho = 1-based first-set-bit position of the
+    next 52 bits.  Shared by the batch build and the streaming twin."""
+    h = F.md5(item.cast("string"))
+    v = F.conv(F.substring(h, 4, 13), 16, 10).cast("long")
+    rho = (
+        F.when(v == 0, F.lit(53))
+        .otherwise(F.instr(F.lpad(F.bin(v), 52, "0"), "1"))
+        .cast("int")
+    )
+    reg = F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
+    return reg, rho
+
+
 def hll_md5_registers(
     df: DataFrame,
     tier: str = "1h",
@@ -224,19 +239,11 @@ def hll_md5_registers(
     MAX) — at most ``m`` rows per bucket regardless of item
     cardinality, raw ids never shuffled.  Same scale contract as
     ``hll_partial``."""
-    h = F.md5(F.col(item_col).cast("string"))
-    v = F.conv(F.substring(h, 4, 13), 16, 10).cast("long")
-    rho = (
-        F.when(v == 0, F.lit(53))
-        .otherwise(F.instr(F.lpad(F.bin(v), 52, "0"), "1"))
-        .cast("int")
-    )
+    reg, rho = hll_md5_reg_rho(F.col(item_col))
     return (
         df.select(
             bucket_epoch_s(ts_col, tier),
-            F.conv(F.substring(h, 1, 3), 16, 10)
-            .cast("int")
-            .alias("reg"),
+            reg.alias("reg"),
             rho.alias("rho"),
         )
         .groupBy("bucket_s", "reg")

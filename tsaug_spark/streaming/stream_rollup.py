@@ -295,6 +295,58 @@ def stream_cms(
     )
 
 
+def stream_hll_registers(
+    stream_df: DataFrame,
+    tier: str = "1h",
+    watermark: str = "10 minutes",
+    item_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming md5-register HLL distinct sketch: the watermarked-
+    window twin of plans.sketches.hll_md5_registers.
+
+    Registers take MAX under union, so Structured Streaming maintains
+    each (window, reg) cell incrementally with CONSTANT per-window
+    state — at most m = 4096 register rows no matter how many distinct
+    items the window sees; raw ids never enter state.  Late rows
+    inside the watermark can only RAISE a register (max is monotone),
+    and the caught-up sink equals the batch build register for
+    register — which is what the driver oracle checks.
+
+    Output: bucket_ts, reg, rho.
+    """
+    from tsaug_spark.plans.sketches import hll_md5_reg_rho
+
+    duration = TIERS[tier][0]
+    stream_df = stream_df.withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    )
+    reg, rho = hll_md5_reg_rho(F.col(item_col))
+    keyed = stream_df.withWatermark(ts_col, watermark).select(
+        F.col(ts_col), reg.alias("reg"), rho.alias("rho")
+    )
+    return (
+        keyed.groupBy(F.window(ts_col, duration).alias("w"), "reg")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.col("w.start").alias("bucket_ts"), "reg", "rho")
+    )
+
+
+def run_stream_hll_once(
+    spark,
+    source_path: str,
+    tier: str = "1h",
+    sink_table: str = "stream_hll_out",
+) -> DataFrame:
+    """availableNow-trigger backfill of the streaming HLL registers;
+    max-merge is exact, so the caught-up sink equals
+    plans.sketches.hll_md5_registers register for register."""
+    return _run_availablenow_backfill(
+        spark, source_path, lambda st: stream_hll_registers(st, tier),
+        sink_table, "HLL registers",
+    )
+
+
 def run_stream_cms_once(
     spark,
     source_path: str,
