@@ -1073,6 +1073,20 @@ def q_crosscorr(spark, sf):
     return out.withColumnRenamed("key", "user_id")
 
 
+def q_bm25_search(spark, sf):
+    """BM25 full-text search (pipeline/search.py): inverted-index
+    postings + Okapi scoring for the query [spark, join, vector],
+    k1=1.2, b=0.75.  Only the query terms' postings are scanned; the
+    per-term partial scores pivot to fixed columns summed in query
+    order, so the float total is deterministic and the whole scoring
+    expression replays token-for-token in SQL."""
+    from tsaug_spark.pipeline.search import bm25_scores, build_postings
+
+    docs = _docs(spark, sf)
+    postings = build_postings(docs)
+    return bm25_scores(postings, ["spark", "join", "vector"])
+
+
 def q_contamination(spark, sf):
     """Benchmark decontamination (pipeline/dedup.py): fraction of each
     corpus doc's distinct 3-gram shingles appearing in a benchmark set
@@ -2236,6 +2250,7 @@ _PRIORITY = [
     "crosscorr_click_purchase",
     "holt_series",
     "stream_hll_1h",
+    "bm25_search",
     "contamination",
     "seasonal_profile",
     "cusum_changepoint_1h",
@@ -2332,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crosscorr_click_purchase": q_crosscorr,
         "holt_series": q_holt_series,
         "stream_hll_1h": q_stream_hll_1h,
+        "bm25_search": q_bm25_search,
         "range_busy_windows": q_range_busy_windows,
         "codec_roundtrip": q_codec_roundtrip,
         "codec_range_read": q_codec_range_read,
@@ -3701,6 +3717,47 @@ def oracle_sql() -> dict[str, str]:
             "FROM g LEFT JOIN sk ON sk.bucket_s = g.bucket_s "
             "AND sk.r = g.r AND sk.slot = g.slot "
             "GROUP BY 1, 2"
+        ),
+        "bm25_search": (
+            # identical expression tree: whitespace postings, Okapi
+            # idf/tf with k1=1.2 b=0.75 (2.2 == 1.2+1.0 and 0.25 ==
+            # 1.0-0.75 exactly in binary), per-term pivot summed in
+            # query order
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS term FROM documents), "
+            "base AS (SELECT doc_id, term FROM toks "
+            "WHERE term <> ''), "
+            "lens AS (SELECT doc_id, COUNT(*) AS doc_len FROM base "
+            "GROUP BY 1), "
+            "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM base "
+            "GROUP BY 1, 2), "
+            "p AS (SELECT tf.doc_id, tf.term, tf.tf, lens.doc_len "
+            "FROM tf JOIN lens USING (doc_id)), "
+            "stats AS (SELECT COUNT(*) AS n_docs, SUM(doc_len) AS "
+            "sum_len FROM lens), "
+            "m AS (SELECT * FROM p WHERE term IN "
+            "('spark', 'join', 'vector')), "
+            "dfreq AS (SELECT term, COUNT(*) AS df FROM m "
+            "GROUP BY 1), "
+            "sc AS (SELECT m.doc_id, m.term, "
+            "ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / "
+            "(CAST(df AS DOUBLE) + 0.5)) * "
+            "(CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + "
+            "1.2 * (0.25 + 0.75 * (CAST(doc_len AS DOUBLE) / "
+            "(CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))) "
+            "AS s FROM m JOIN dfreq USING (term) CROSS JOIN stats), "
+            "pt AS (SELECT doc_id, "
+            "SUM(CASE WHEN term = 'spark' THEN s END) AS s0, "
+            "SUM(CASE WHEN term = 'join' THEN s END) AS s1, "
+            "SUM(CASE WHEN term = 'vector' THEN s END) AS s2 "
+            "FROM sc GROUP BY 1) "
+            "SELECT doc_id, CAST("
+            "(CASE WHEN s0 IS NOT NULL THEN 1 ELSE 0 END) + "
+            "(CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END) + "
+            "(CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END) AS INT) "
+            "AS n_terms, "
+            "COALESCE(s0, 0.0) + COALESCE(s1, 0.0) + "
+            "COALESCE(s2, 0.0) AS score FROM pt"
         ),
         "crosscorr_click_purchase": (
             # self-join formulation of the same math: exact integer
