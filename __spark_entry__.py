@@ -2118,6 +2118,39 @@ def q_holt_series(spark, sf):
     )
 
 
+def q_sax_symbols(spark, sf):
+    """SAX word (w=8 segments, alphabet a-d) per rectangular series
+    (Lin et al. 2003): PAA on exact integer sums, z-scored against
+    exact integer sufficient statistics, Gaussian-breakpoint symbols.
+    Every float is a correctly-rounded function of exact integers, so
+    the symbols are bit-deterministic and the oracle replays the
+    arithmetic token-for-token — discrete output, no rounding at all."""
+    from tsaug_spark.plans.metrics import sax_symbols
+
+    out = sax_symbols(_series_df(spark, sf), n_segments=8, alphabet=4)
+    return out.select(F.col("key").cast("long").alias("user_id"), "sax")
+
+
+def q_gapfill_locf_ttl(spark, sf):
+    """LOCF with a 2-bucket (7200 s) staleness TTL — the Prometheus
+    lookback-delta semantics: a gap is carried forward only while the
+    last observation is fresh; staler buckets are absent from the
+    read (returned rows are the non-stale ones)."""
+    from tsaug_spark.plans.gapfill import complete_grid, fill_locf_ttl
+
+    t = _hourly(spark, sf).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.timestamp_seconds("bucket_s").alias("bucket_ts"),
+        F.col("cnt"),
+    )
+    filled = fill_locf_ttl(complete_grid(t, "1h"), ["cnt"], 7200)
+    return filled.filter(F.col("cnt").isNotNull()).select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        F.col("cnt"),
+    )
+
+
 def q_heartbeat_1h(spark, sf):
     """Bucket-local heartbeat liveness per (user, hour): each sample
     asserts 300 s of liveness clipped at the next sample and the
@@ -2346,6 +2379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose_24h": q_seasonal_decompose,
         "crosscorr_click_purchase": q_crosscorr,
         "holt_series": q_holt_series,
+        "sax_symbols": q_sax_symbols,
+        "gapfill_locf_ttl": q_gapfill_locf_ttl,
         "stream_hll_1h": q_stream_hll_1h,
         "bm25_search": q_bm25_search,
         "range_busy_windows": q_range_busy_windows,
@@ -3674,6 +3709,47 @@ def oracle_sql() -> dict[str, str]:
             "s2.idx = r.idx + 1) "
             "SELECT user_id, CAST(idx AS BIGINT) AS bucket_idx, "
             "cnt, level, trend, fitted FROM r"
+        ),
+        "sax_symbols": (
+            # discrete symbols from exact-integer statistics: mean,
+            # population std, and PAA means are single divisions /
+            # sqrts of exact BIGINT sums — correctly rounded, so both
+            # engines compute identical doubles and identical symbols
+            f"WITH b AS ({hourly}), {_SERIES_SQL}, "
+            "st AS (SELECT user_id, SUM(CAST(cnt AS BIGINT)) AS s1, "
+            "SUM(CAST(cnt AS BIGINT) * CAST(cnt AS BIGINT)) AS s2, "
+            "COUNT(*) AS n FROM s GROUP BY 1), "
+            "sg AS (SELECT user_id, CAST((idx * 8) // 48 AS INT) AS seg, "
+            "SUM(CAST(cnt AS BIGINT)) AS ss, COUNT(*) AS sc "
+            "FROM s GROUP BY 1, 2), "
+            "z AS (SELECT sg.user_id, seg, "
+            "CASE WHEN n * s2 - s1 * s1 = 0 THEN 0.0 ELSE "
+            "(CAST(ss AS DOUBLE) / sc - CAST(s1 AS DOUBLE) / n) / "
+            "(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n) END AS zv "
+            "FROM sg JOIN st USING (user_id)) "
+            "SELECT user_id, string_agg(CASE "
+            "WHEN zv < -0.6744897501960817 THEN 'a' "
+            "WHEN zv < 0.0 THEN 'b' "
+            "WHEN zv < 0.6744897501960817 THEN 'c' "
+            "ELSE 'd' END, '' ORDER BY seg) AS sax "
+            "FROM z GROUP BY user_id"
+        ),
+        "gapfill_locf_ttl": (
+            f"WITH b AS ({hourly}), "
+            "bounds AS (SELECT user_id, MIN(bucket_s) lo, MAX(bucket_s) hi "
+            "FROM b GROUP BY 1), "
+            "grid AS (SELECT user_id, CAST(unnest(range(lo, hi + 3600, "
+            "3600)) AS BIGINT) AS bucket_s FROM bounds), "
+            "j AS (SELECT g.user_id, g.bucket_s, b.cnt FROM grid g LEFT "
+            "JOIN b ON g.user_id = b.user_id AND g.bucket_s = b.bucket_s), "
+            "k AS (SELECT user_id, bucket_s, "
+            "last_value(cnt IGNORE NULLS) OVER wl AS lv, "
+            "last_value(CASE WHEN cnt IS NOT NULL THEN bucket_s END "
+            "IGNORE NULLS) OVER wl AS lt FROM j WINDOW wl AS "
+            "(PARTITION BY user_id ORDER BY bucket_s ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW)) "
+            "SELECT user_id, bucket_s, lv AS cnt FROM k "
+            "WHERE bucket_s - lt <= 7200"
         ),
         "lttb_48to12": _lttb_sql(),
         "rolling_zscore": (

@@ -586,3 +586,90 @@ def test_holt_matches_independent_replica(spark):
     # the planted ramp is learned: late trend approaches 0.5
     late_trend = out[59][1]
     assert abs(late_trend - 0.5) < 0.3
+
+
+# ------------------------------------------------------------- SAX
+
+
+def _sax_replica(values, w, bps):
+    """Independent numpy SAX: z-normalize, PAA, breakpoint symbols."""
+    import numpy as np
+
+    x = np.asarray(values, dtype=float)
+    n = len(x)
+    mean = x.sum() / n
+    var = (n * (x * x).sum() - x.sum() ** 2) / (n * n)
+    std = var**0.5
+    seg = np.floor(np.arange(n) * w / n).astype(int)
+    paa = np.array([x[seg == k].mean() for k in range(w)])
+    z = np.zeros(w) if std == 0 else (paa - mean) / std
+    letters = "abcd"
+    out = []
+    for v in z:
+        i = 0
+        while i < len(bps) and v >= bps[i]:
+            i += 1
+        out.append(letters[i])
+    return "".join(out)
+
+
+def test_sax_matches_independent_replica(spark):
+    from tsaug_spark.plans.metrics import _SAX_BREAKPOINTS, sax_symbols
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    series = {}
+    for key in ["u1", "u2", "u3"]:
+        vals = rng.randint(0, 50, size=48).tolist()
+        series[key] = vals
+        rows += [(key, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, bucket_idx long, cnt double"
+    )
+    got = {
+        r["key"]: r["sax"]
+        for r in sax_symbols(df, n_segments=8, alphabet=4).collect()
+    }
+    bps = _SAX_BREAKPOINTS[4]
+    for key, vals in series.items():
+        assert got[key] == _sax_replica(vals, 8, bps), key
+
+
+def test_sax_constant_series_is_all_c(spark):
+    # zero variance -> z = 0 for every segment -> symbol 'c' (the
+    # first breakpoint >= 0 in the a=4 alphabet is 0.6745)
+    from tsaug_spark.plans.metrics import sax_symbols
+
+    rows = [("k", i, 5.0) for i in range(48)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, bucket_idx long, cnt double"
+    )
+    out = sax_symbols(df, n_segments=8, alphabet=4).collect()
+    assert out[0]["sax"] == "c" * 8
+
+
+def test_sax_word_length_and_order(spark):
+    # a monotone ramp must produce a non-decreasing symbol word of
+    # exactly n_segments letters (PAA means rise monotonically)
+    from tsaug_spark.plans.metrics import sax_symbols
+
+    rows = [("k", i, float(i)) for i in range(48)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, bucket_idx long, cnt double"
+    )
+    word = sax_symbols(df, n_segments=8, alphabet=4).collect()[0]["sax"]
+    assert len(word) == 8
+    assert list(word) == sorted(word)
+    assert word[0] == "a" and word[-1] == "d"
+
+
+def test_sax_rejects_unknown_alphabet(spark):
+    from tsaug_spark.plans.metrics import sax_symbols
+
+    df = spark.createDataFrame(
+        [("k", 0, 1.0)], "conv_id string, bucket_idx long, cnt double"
+    )
+    with pytest.raises(ValueError):
+        sax_symbols(df, alphabet=7)

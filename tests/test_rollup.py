@@ -12,6 +12,7 @@ from tsaug_spark.plans.gapfill import (
     fill_const,
     fill_interpolate,
     fill_locf,
+    fill_locf_ttl,
     fill_mean,
 )
 from tsaug_spark.plans.rollup import (
@@ -136,6 +137,39 @@ def test_complete_grid_and_fills(spark):
     expected_mean = (2.0 + 8.0 + 4.0) / 3
     assert mean_fill[1] == pytest.approx(expected_mean)
     assert col_for(fill_const, -1.0)[1] == -1.0
+
+
+def test_fill_locf_ttl_staleness(spark):
+    # c1 observes at 00:00 and 00:05; with a 2-minute TTL the 00:01 and
+    # 00:02 gaps are carried, 00:03 / 00:04 are stale (NULL); an
+    # observation itself is always fresh (age 0)
+    rows = [
+        ("c1", "2026-01-01 00:00:00", 2.0),
+        ("c1", "2026-01-01 00:05:00", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["conv_id", "bucket_ts_s", "turn_rate"]
+    ).select(
+        "conv_id",
+        F.to_timestamp("bucket_ts_s").alias("bucket_ts"),
+        "turn_rate",
+    )
+    grid = complete_grid(df, "1m")
+    out = (
+        fill_locf_ttl(grid, ["turn_rate"], ttl_seconds=120)
+        .orderBy("bucket_ts")
+        .toPandas()["turn_rate"]
+    )
+    assert list(out[:3]) == [2.0, 2.0, 2.0]
+    assert out[3:5].isna().all()
+    assert out[5] == 9.0
+    # TTL large enough degenerates to plain locf
+    full = (
+        fill_locf_ttl(grid, ["turn_rate"], ttl_seconds=3600)
+        .orderBy("bucket_ts")
+        .toPandas()["turn_rate"]
+    )
+    assert list(full) == [2.0, 2.0, 2.0, 2.0, 2.0, 9.0]
 
 
 def test_bucket_idx_dense(transcripts):

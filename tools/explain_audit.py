@@ -509,6 +509,39 @@ def main() -> None:
         execute=True,
     )
 
+    # bm25: query-term filter prunes the postings side before any join;
+    # the per-term df dim and corpus stats are broadcast (never shuffled
+    # against the postings), and scoring is pure Catalyst
+    audit(
+        "bm25_search (pruned postings, broadcast dims, pure Catalyst)",
+        em.q_bm25_search(spark, sf),
+        must_have=["BroadcastHashJoin", "HashAggregate"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
+    # sax: two co-keyed hash aggregates + one key equi-join, all JVM
+    audit(
+        "sax_symbols (exact-integer stats, pure Catalyst)",
+        em.q_sax_symbols(spark, sf),
+        must_have=["HashAggregate"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
+    # locf-ttl: same single window pass as plain locf (value + obs-ts
+    # share one sort), no extra exchange, no Python
+    audit(
+        "gapfill_locf_ttl (one window pass, staleness bound)",
+        em.q_gapfill_locf_ttl(spark, sf),
+        must_have=["Window"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")

@@ -65,6 +65,32 @@ def fill_locf(df: DataFrame, cols: Iterable[str]) -> DataFrame:
     return df
 
 
+def fill_locf_ttl(
+    df: DataFrame, cols: Iterable[str], ttl_seconds: int
+) -> DataFrame:
+    """LOCF with a staleness bound (Prometheus-style lookback delta).
+
+    A gap bucket is filled from the last observation only while the
+    observation is at most ``ttl_seconds`` old; beyond that the series
+    is considered stale and the bucket stays NULL.  Same single window
+    pass as :func:`fill_locf` — the carried value and the carried
+    observation timestamp share one (conv_id, bucket_ts) sort, so the
+    TTL costs no extra shuffle.
+    """
+    w = _series_window().rowsBetween(Window.unboundedPreceding, 0)
+    ts_sec = F.unix_timestamp("bucket_ts")
+    for c in cols:
+        obs_ts = F.when(F.col(c).isNotNull(), ts_sec)
+        last_v = F.last(c, ignorenulls=True).over(w)
+        last_t = F.last(obs_ts, ignorenulls=True).over(w)
+        # own observations are age 0; no prior observation => NULL age
+        # => NULL out (never filled), matching the stale semantics
+        df = df.withColumn(
+            c, F.when(ts_sec - last_t <= F.lit(int(ttl_seconds)), last_v)
+        )
+    return df
+
+
 def fill_bfill(df: DataFrame, cols: Iterable[str]) -> DataFrame:
     """Next-observation-carried-backward (the Dropout 'bfill' semantics)."""
     w = _series_window().rowsBetween(0, Window.unboundedFollowing)

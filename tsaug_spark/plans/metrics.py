@@ -1225,3 +1225,110 @@ def holt(
         F.col(value_col).cast("double").alias("v"),
     )
     return base.groupBy("key").applyInPandas(_kernel, out_schema)
+
+
+# SAX breakpoints: standard-normal quantiles splitting the z axis into
+# equiprobable regions (Lin et al. 2003, "A Symbolic Representation of
+# Time Series").  Literal doubles so the SQL oracle replays them
+# token-for-token.
+_SAX_BREAKPOINTS = {
+    3: [-0.4307272992954576, 0.4307272992954576],
+    4: [-0.6744897501960817, 0.0, 0.6744897501960817],
+    5: [
+        -0.8416212335729142,
+        -0.2533471031357997,
+        0.2533471031357997,
+        0.8416212335729142,
+    ],
+}
+
+
+def sax_symbols(
+    df: DataFrame,
+    n_segments: int = 8,
+    alphabet: int = 4,
+    key_col: str = "conv_id",
+    order_col: str = "bucket_idx",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """SAX symbolization (Lin et al. 2003): PAA + Gaussian-breakpoint
+    symbols, one word per series — the building block for symbolic
+    motif/novelty search over a fleet of conversation series.
+
+    Pipeline (pure Catalyst, two co-keyed hash aggregates + one
+    equi-join on the series key):
+
+    1. per-series sufficient statistics from EXACT integer sums
+       (``sum x``, ``sum x^2`` as BIGINT) — mean and population std
+       are then correctly-rounded doubles, identical in any engine;
+    2. PAA: segment ``floor(ord * w / T)`` means, again exact integer
+       sums divided once — normalization is affine so z-scoring the
+       PAA means equals PAA over z-scores in real arithmetic, and this
+       order keeps every float op a deterministic function of exact
+       integers (no order-dependent float accumulation anywhere);
+    3. symbols by half-open breakpoint intervals, assembled in segment
+       order with ``array_sort`` over (segment, symbol) structs.
+
+    Constant series (zero variance) map to z = 0.  Input values must
+    be integer-valued (counts); the cast to BIGINT truncates, matching
+    the oracle's CAST semantics only on exact integers.
+
+    Scale: the join is key-to-key (same partitioning both sides, no
+    broadcast needed), segments-per-series is a constant, and the
+    final word assembly is one ``collect_list`` of ``n_segments``
+    structs per series — O(w) state per key.
+    """
+    if alphabet not in _SAX_BREAKPOINTS:
+        raise ValueError(f"alphabet must be one of {list(_SAX_BREAKPOINTS)}")
+    bps = _SAX_BREAKPOINTS[alphabet]
+    letters = [chr(ord("a") + i) for i in range(alphabet)]
+
+    x = F.col(value_col).cast("long")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).cast("long").alias("ord"),
+        x.alias("x"),
+    )
+    stats = base.groupBy("key").agg(
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # segment index over the per-series length: T is constant per the
+    # rectangular-series precondition, so floor(ord * w / T)
+    sized = base.withColumn(
+        "T", F.count(F.lit(1)).over(Window.partitionBy("key"))
+    ).withColumn(
+        "seg",
+        F.floor(F.col("ord") * F.lit(n_segments) / F.col("T")).cast("int"),
+    )
+    paa = sized.groupBy("key", "seg").agg(
+        F.sum("x").alias("ss"), F.count(F.lit(1)).alias("sc")
+    )
+    j = paa.join(stats, "key")
+    mean = F.col("s1").cast("double") / F.col("n")
+    var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    std = F.sqrt(var_num.cast("double")) / F.col("n")
+    z = F.when(var_num == 0, F.lit(0.0)).otherwise(
+        (F.col("ss").cast("double") / F.col("sc") - mean) / std
+    )
+    sym = F.when(z < F.lit(bps[0]), F.lit(letters[0]))
+    for i in range(1, alphabet - 1):
+        sym = sym.when(z < F.lit(bps[i]), F.lit(letters[i]))
+    sym = sym.otherwise(F.lit(letters[-1]))
+    words = (
+        j.select("key", "seg", sym.alias("sym"))
+        .groupBy("key")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg", "sym"))
+                    ),
+                    lambda s: s["sym"],
+                ),
+                "",
+            ).alias("sax")
+        )
+    )
+    return words
