@@ -2151,6 +2151,33 @@ def q_gapfill_locf_ttl(spark, sf):
     )
 
 
+def q_concurrency_1m(spark, sf):
+    """Active-session concurrency per minute — the sweep line over
+    30-min-gap session intervals: +1/-1 bucket deltas hash-aggregated
+    BEFORE one ordered running sum over the pre-aggregated bucket axis
+    (rows bounded by time range, never session count).  Integer
+    arithmetic end-to-end — exact and partitioning-independent."""
+    from tsaug_spark.plans.metrics import concurrency_curve
+
+    ev = _events(spark, sf).select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(F.col("t") - F.lag("t").over(w) > 1800, 1).otherwise(0),
+    )
+    sessions = (
+        marked.withColumn("session_id", F.sum("new_session").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("t").alias("start_s"), F.max("t").alias("end_s"))
+    )
+    return concurrency_curve(sessions, "1m").select(
+        "bucket_s", "delta", "concurrent"
+    )
+
+
 def q_heartbeat_1h(spark, sf):
     """Bucket-local heartbeat liveness per (user, hour): each sample
     asserts 300 s of liveness clipped at the next sample and the
@@ -2381,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_series": q_holt_series,
         "sax_symbols": q_sax_symbols,
         "gapfill_locf_ttl": q_gapfill_locf_ttl,
+        "concurrency_1m": q_concurrency_1m,
         "stream_hll_1h": q_stream_hll_1h,
         "bm25_search": q_bm25_search,
         "range_busy_windows": q_range_busy_windows,
@@ -3733,6 +3761,30 @@ def oracle_sql() -> dict[str, str]:
             "WHEN zv < 0.6744897501960817 THEN 'c' "
             "ELSE 'd' END, '' ORDER BY seg) AS sax "
             "FROM z GROUP BY user_id"
+        ),
+        "concurrency_1m": (
+            # sweep line: sessions -> +1 at floor(start/60)*60, -1 at
+            # (floor(end/60)+1)*60, per-bucket delta sums, running sum.
+            # all integers, so exact under any aggregation order
+            "WITH e AS (SELECT user_id, event_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events), "
+            "m AS (SELECT user_id, event_id, t, CASE WHEN t - lag(t) OVER "
+            "(PARTITION BY user_id ORDER BY t, event_id) > 1800 THEN 1 "
+            "ELSE 0 END AS new_session FROM e), "
+            "s AS (SELECT user_id, t, CAST(SUM(new_session) OVER "
+            "(PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id "
+            "FROM m), "
+            "iv AS (SELECT user_id, session_id, MIN(t) AS start_s, "
+            "MAX(t) AS end_s FROM s GROUP BY 1, 2), "
+            "d AS (SELECT (start_s // 60) * 60 AS bucket_s, 1 AS d "
+            "FROM iv UNION ALL SELECT ((end_s // 60) + 1) * 60, -1 "
+            "FROM iv), "
+            "a AS (SELECT CAST(bucket_s AS BIGINT) AS bucket_s, "
+            "CAST(SUM(d) AS BIGINT) AS delta FROM d GROUP BY 1) "
+            "SELECT bucket_s, delta, CAST(SUM(delta) OVER (ORDER BY "
+            "bucket_s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS concurrent FROM a"
         ),
         "gapfill_locf_ttl": (
             f"WITH b AS ({hourly}), "

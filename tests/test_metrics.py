@@ -673,3 +673,25 @@ def test_sax_rejects_unknown_alphabet(spark):
     )
     with pytest.raises(ValueError):
         sax_symbols(df, alphabet=7)
+
+
+def test_concurrency_curve_sweep_line(spark):
+    from tsaug_spark.plans.metrics import concurrency_curve
+
+    # sessions: [0,120], [60,180], [300,300] at 1m buckets ->
+    # level 1 from 00:00, 2 from 01:00, 1 from 03:00 (first ends in
+    # bucket 2 so its -1 lands at 180), 0 from 04:00, 1 at 05:00, 0 after
+    rows = [(0, 120), (60, 180), (300, 300)]
+    df = spark.createDataFrame(rows, "start_s long, end_s long")
+    out = {
+        r["bucket_s"]: (r["delta"], r["concurrent"])
+        for r in concurrency_curve(df, "1m").collect()
+    }
+    assert out == {
+        0: (1, 1),
+        60: (1, 2),
+        180: (-1, 1),
+        240: (-1, 0),
+        300: (1, 1),
+        360: (-1, 0),
+    }

@@ -542,6 +542,17 @@ def main() -> None:
         execute=True,
     )
 
+    # concurrency: deltas hash-aggregated before the ordered running
+    # sum, so the single-partition window sees pre-aggregated buckets
+    audit(
+        "concurrency_1m (sweep line: agg before ordered cumsum)",
+        em.q_concurrency_1m(spark, sf),
+        must_have=["HashAggregate", "Window"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")

@@ -1332,3 +1332,50 @@ def sax_symbols(
         )
     )
     return words
+
+
+def concurrency_curve(
+    sessions: DataFrame,
+    tier: str,
+    start_col: str = "start_s",
+    end_col: str = "end_s",
+) -> DataFrame:
+    """Active-interval concurrency per tier bucket — the sweep line
+    over session intervals ("how many conversations were live each
+    minute"), gaps-and-islands' dual.
+
+    A session [s, e] is active in every bucket it overlaps, so it
+    contributes +1 at ``floor(s / w)`` and -1 at ``floor(e / w) + 1``;
+    the running sum of bucket deltas is the concurrency step function
+    (sparse: rows only where the level changes — the value holds until
+    the next row's bucket).
+
+    Scale shape: the deltas are hash-aggregated per bucket FIRST
+    (map-side combine, one narrow explode of two structs per session),
+    so the ordered running-sum window sees one row per distinct bucket
+    — bounded by time-range / tier-width (525 600 rows per YEAR at
+    1m), never by session count.  The single-partition window over
+    that pre-aggregated axis is deliberate and safe; for multi-decade
+    ranges run the curve at a coarser tier.  All arithmetic is
+    integer, so the result is partitioning-independent and exact.
+    """
+    sec = TIERS[tier][1]
+    b_start = (F.floor(F.col(start_col) / sec) * sec).cast("long")
+    b_end_excl = ((F.floor(F.col(end_col) / sec) + 1) * sec).cast("long")
+    deltas = sessions.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    b_start.alias("bucket_s"), F.lit(1).alias("d")
+                ),
+                F.struct(
+                    b_end_excl.alias("bucket_s"), F.lit(-1).alias("d")
+                ),
+            )
+        ).alias("e")
+    ).select("e.bucket_s", "e.d")
+    agg = deltas.groupBy("bucket_s").agg(F.sum("d").alias("delta"))
+    w = Window.orderBy("bucket_s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return agg.withColumn("concurrent", F.sum("delta").over(w))
