@@ -2178,6 +2178,22 @@ def q_concurrency_1m(spark, sf):
     )
 
 
+def q_event_transitions(spark, sf):
+    """First-order Markov transition counts between event types per
+    user timeline (lag window + hash aggregate; the shuffle payload is
+    the |states|^2 transition matrix, not the row count).  Integer
+    counts — exact."""
+    from tsaug_spark.plans.metrics import transition_counts
+
+    ev = _events(spark, sf).select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("t")
+    )
+    return transition_counts(
+        ev, key_col="user_id", ts_col="t", state_col="event_type",
+        order_col="event_id",
+    )
+
+
 def q_heartbeat_1h(spark, sf):
     """Bucket-local heartbeat liveness per (user, hour): each sample
     asserts 300 s of liveness clipped at the next sample and the
@@ -2409,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_symbols": q_sax_symbols,
         "gapfill_locf_ttl": q_gapfill_locf_ttl,
         "concurrency_1m": q_concurrency_1m,
+        "event_transitions": q_event_transitions,
         "stream_hll_1h": q_stream_hll_1h,
         "bm25_search": q_bm25_search,
         "range_busy_windows": q_range_busy_windows,
@@ -3761,6 +3778,15 @@ def oracle_sql() -> dict[str, str]:
             "WHEN zv < 0.6744897501960817 THEN 'c' "
             "ELSE 'd' END, '' ORDER BY seg) AS sax "
             "FROM z GROUP BY user_id"
+        ),
+        "event_transitions": (
+            "WITH e AS (SELECT user_id, event_id, event_type, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events), "
+            "m AS (SELECT lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY t, event_id) AS from_state, event_type AS to_state "
+            "FROM e) "
+            "SELECT from_state, to_state, COUNT(*) AS n FROM m "
+            "WHERE from_state IS NOT NULL GROUP BY 1, 2"
         ),
         "concurrency_1m": (
             # sweep line: sessions -> +1 at floor(start/60)*60, -1 at

@@ -695,3 +695,21 @@ def test_concurrency_curve_sweep_line(spark):
         300: (1, 1),
         360: (-1, 0),
     }
+
+
+def test_transition_counts_markov_bigrams(spark):
+    from tsaug_spark.plans.metrics import transition_counts
+
+    # u1: A -> B -> B -> C ; u2: A -> B   (per-key streams never mix)
+    rows = [
+        ("u1", 1, "A"), ("u1", 2, "B"), ("u1", 3, "B"), ("u1", 4, "C"),
+        ("u2", 1, "A"), ("u2", 2, "B"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, t long, ev string")
+    out = {
+        (r["from_state"], r["to_state"]): r["n"]
+        for r in transition_counts(
+            df, key_col="user_id", ts_col="t", state_col="ev"
+        ).collect()
+    }
+    assert out == {("A", "B"): 2, ("B", "B"): 1, ("B", "C"): 1}

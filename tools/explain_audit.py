@@ -553,6 +553,16 @@ def main() -> None:
         execute=True,
     )
 
+    # transitions: one lag window + one hash aggregate, all JVM
+    audit(
+        "event_transitions (lag window + matrix-sized aggregate)",
+        em.q_event_transitions(spark, sf),
+        must_have=["HashAggregate", "Window"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")

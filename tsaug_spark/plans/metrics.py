@@ -1379,3 +1379,36 @@ def concurrency_curve(
         Window.unboundedPreceding, 0
     )
     return agg.withColumn("concurrent", F.sum("delta").over(w))
+
+
+def transition_counts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    order_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition counts over per-key ordered state
+    streams: how often state A is immediately followed by state B
+    within a key's timeline ("tool X then tool Y" patterns over agent
+    transcripts).
+
+    One lag() window per key (O(1) state per row) then one hash
+    aggregate with at most |states|^2 groups — map-side combine makes
+    the shuffle payload the transition matrix itself, independent of
+    row count.  ``order_col`` breaks duplicate-timestamp ties so the
+    lag chain is deterministic.  Output: from_state, to_state, n.
+    """
+    cols = [F.col(ts_col)]
+    if order_col:
+        cols.append(F.col(order_col))
+    w = Window.partitionBy(key_col).orderBy(*cols)
+    prev = F.lag(state_col).over(w)
+    return (
+        df.select(
+            prev.alias("from_state"), F.col(state_col).alias("to_state")
+        )
+        .filter(F.col("from_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
