@@ -2194,6 +2194,46 @@ def q_event_transitions(spark, sf):
     )
 
 
+def q_overlap_pairs(spark, sf):
+    """Cross-user session co-presence: pairs of users whose 30-min-gap
+    sessions overlapped in time, with the overlapping-session-pair
+    count.  Bucketed interval-overlap join (plans/range_join.py):
+    chunk equi-join + canonical-chunk emission — never a nested-loop
+    over interval pairs.  Integer counts — exact."""
+    from tsaug_spark.plans.range_join import interval_overlap_join
+
+    ev = _events(spark, sf).select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(F.col("t") - F.lag("t").over(w) > 1800, 1).otherwise(0),
+    )
+    sessions = (
+        marked.withColumn("session_id", F.sum("new_session").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("t").alias("start_s"), F.max("t").alias("end_s"))
+    )
+    a = sessions.select(
+        F.col("user_id").alias("user_a"),
+        F.col("start_s").alias("a_lo"),
+        F.col("end_s").alias("a_hi"),
+    )
+    b = sessions.select(
+        F.col("user_id").alias("user_b"),
+        F.col("start_s").alias("b_lo"),
+        F.col("end_s").alias("b_hi"),
+    )
+    pairs = interval_overlap_join(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi", chunk=3600
+    ).where(F.col("user_a") < F.col("user_b"))
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_overlaps")
+    )
+
+
 def q_heartbeat_1h(spark, sf):
     """Bucket-local heartbeat liveness per (user, hour): each sample
     asserts 300 s of liveness clipped at the next sample and the
@@ -2426,6 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf_ttl": q_gapfill_locf_ttl,
         "concurrency_1m": q_concurrency_1m,
         "event_transitions": q_event_transitions,
+        "overlap_pairs": q_overlap_pairs,
         "stream_hll_1h": q_stream_hll_1h,
         "bm25_search": q_bm25_search,
         "range_busy_windows": q_range_busy_windows,
@@ -3778,6 +3819,23 @@ def oracle_sql() -> dict[str, str]:
             "WHEN zv < 0.6744897501960817 THEN 'c' "
             "ELSE 'd' END, '' ORDER BY seg) AS sax "
             "FROM z GROUP BY user_id"
+        ),
+        "overlap_pairs": (
+            "WITH e AS (SELECT user_id, event_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events), "
+            "m AS (SELECT user_id, event_id, t, CASE WHEN t - lag(t) OVER "
+            "(PARTITION BY user_id ORDER BY t, event_id) > 1800 THEN 1 "
+            "ELSE 0 END AS new_session FROM e), "
+            "s AS (SELECT user_id, t, CAST(SUM(new_session) OVER "
+            "(PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id "
+            "FROM m), "
+            "iv AS (SELECT user_id, session_id, MIN(t) AS start_s, "
+            "MAX(t) AS end_s FROM s GROUP BY 1, 2) "
+            "SELECT a.user_id AS user_a, b.user_id AS user_b, "
+            "COUNT(*) AS n_overlaps FROM iv a JOIN iv b ON "
+            "a.user_id < b.user_id AND a.start_s <= b.end_s AND "
+            "b.start_s <= a.end_s GROUP BY 1, 2"
         ),
         "event_transitions": (
             "WITH e AS (SELECT user_id, event_id, event_type, "

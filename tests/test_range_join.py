@@ -175,3 +175,50 @@ def test_property_matches_bruteforce(spark, pts, ivs, chunk):
     }
     assert {(r.pid, r.iid) for r in got} == want
     assert len(got) == len(want)  # no duplicate emission
+
+
+def test_interval_overlap_join_vs_brute_force(spark):
+    """Bucketed overlap join == naive overlap predicate, pairs emitted
+    exactly once even when a pair shares many chunks."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tsaug_spark.plans.range_join import interval_overlap_join
+
+    rng = random.Random(11)
+    ivs = []
+    for i in range(60):
+        lo = rng.randrange(0, 50_000)
+        ivs.append((i, lo, lo + rng.randrange(0, 20_000)))  # long spans
+    a = spark.createDataFrame(
+        [(f"a{i}", lo, hi) for i, lo, hi in ivs],
+        "id_a string, a_lo long, a_hi long",
+    )
+    b = spark.createDataFrame(
+        [(f"b{i}", lo, hi) for i, lo, hi in ivs],
+        "id_b string, b_lo long, b_hi long",
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in interval_overlap_join(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi", chunk=3600
+        ).collect()
+    )
+    want = sorted(
+        (f"a{i}", f"b{j}")
+        for (i, lo1, hi1), (j, lo2, hi2) in itertools.product(ivs, ivs)
+        if lo1 <= hi2 and lo2 <= hi1
+    )
+    assert got == want  # exactly-once emission (no dup from shared chunks)
+
+
+def test_interval_overlap_join_rejects_column_collision(spark):
+    import pytest
+
+    from tsaug_spark.plans.range_join import interval_overlap_join
+
+    df = spark.createDataFrame([(1, 2)], "lo long, hi long")
+    with pytest.raises(ValueError):
+        interval_overlap_join(df, df, "lo", "hi", "lo", "hi")

@@ -563,6 +563,17 @@ def main() -> None:
         execute=True,
     )
 
+    # interval overlap join: chunk equi-join, never a nested loop
+    audit(
+        "overlap_pairs (bucketed interval-overlap equi-join)",
+        em.q_overlap_pairs(spark, sf),
+        must_have=["HashAggregate"],
+        must_not_have=["CartesianProduct", "BroadcastNestedLoopJoin",
+                       "BatchEvalPython", "ArrowEvalPython",
+                       "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")

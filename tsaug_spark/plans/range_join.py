@@ -75,3 +75,66 @@ def range_join(
     for c in drop:
         joined = joined.drop(c)
     return joined
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_lo: str,
+    a_hi: str,
+    b_lo: str,
+    b_hi: str,
+    chunk: int = 3600,
+    key_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Join every pair of intervals that OVERLAP (``a.lo <= b.hi AND
+    b.lo <= a.hi``) — the interval-interval companion to
+    :func:`range_join`, same bucketed equi-join shape.
+
+    Both sides are exploded to the chunks they cover; overlapping
+    intervals always share the chunk containing ``max(a.lo, b.lo)``,
+    and the pair is emitted ONLY in that canonical chunk — so the
+    output needs no distinct pass even though a pair may co-occur in
+    many chunks.  Shuffle volume is O(sum of interval lengths /
+    chunk); per-chunk join work is occupancy², which is the measured
+    concurrency of the interval set, not its cardinality.
+
+    Column names must not collide across the two sides (except
+    ``key_cols``, which are joined on equality and kept once).
+    """
+    keys = list(key_cols or [])
+    dup = (set(a.columns) & set(b.columns)) - set(keys)
+    if dup:
+        raise ValueError(
+            f"colliding non-key columns across sides: {sorted(dup)}"
+        )
+    ia = a.withColumn(
+        "__chunk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(a_lo) / F.lit(chunk)).cast("long"),
+                F.floor(F.col(a_hi) / F.lit(chunk)).cast("long"),
+            )
+        ),
+    )
+    ib = b.withColumn(
+        "__chunk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(b_lo) / F.lit(chunk)).cast("long"),
+                F.floor(F.col(b_hi) / F.lit(chunk)).cast("long"),
+            )
+        ),
+    )
+    cond = [ia["__chunk"] == ib["__chunk"]] + [
+        ia[k].eqNullSafe(ib[k]) for k in keys
+    ]
+    overlap = (ia[a_lo] <= ib[b_hi]) & (ib[b_lo] <= ia[a_hi])
+    canonical = (
+        F.floor(F.greatest(ia[a_lo], ib[b_lo]) / F.lit(chunk)).cast("long")
+        == ia["__chunk"]
+    )
+    joined = ia.join(ib, cond, "inner").where(overlap & canonical)
+    for c in [ia["__chunk"], ib["__chunk"]] + [ib[k] for k in keys]:
+        joined = joined.drop(c)
+    return joined
