@@ -2234,6 +2234,26 @@ def q_overlap_pairs(spark, sf):
     )
 
 
+def q_rollup_monthly(spark, sf):
+    """Calendar-bucket continuous aggregate: the daily-equivalent tier
+    re-rolled into VARIABLE-width month buckets (date_trunc under the
+    pinned-UTC session; the oracle uses timezone-free make_timestamp
+    so both sides bucket identical epochs).  Algebraic sums — exact."""
+    h = _hourly(spark, sf)
+    return (
+        h.groupBy(
+            "user_id",
+            F.date_format(
+                F.timestamp_seconds("bucket_s"), "yyyy-MM"
+            ).alias("month"),
+        )
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.round(F.sum("sum_value"), 4).alias("sum_value"),
+        )
+    )
+
+
 def q_heartbeat_1h(spark, sf):
     """Bucket-local heartbeat liveness per (user, hour): each sample
     asserts 300 s of liveness clipped at the next sample and the
@@ -2467,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concurrency_1m": q_concurrency_1m,
         "event_transitions": q_event_transitions,
         "overlap_pairs": q_overlap_pairs,
+        "rollup_monthly": q_rollup_monthly,
         "stream_hll_1h": q_stream_hll_1h,
         "bm25_search": q_bm25_search,
         "range_busy_windows": q_range_busy_windows,
@@ -3819,6 +3840,14 @@ def oracle_sql() -> dict[str, str]:
             "WHEN zv < 0.6744897501960817 THEN 'c' "
             "ELSE 'd' END, '' ORDER BY seg) AS sax "
             "FROM z GROUP BY user_id"
+        ),
+        "rollup_monthly": (
+            # make_timestamp(micros) is timezone-free, matching the
+            # engine's pinned-UTC date_format bucketing exactly
+            "SELECT user_id, strftime(make_timestamp("
+            "CAST(floor(epoch(ts)) AS BIGINT) * 1000000), '%Y-%m') AS "
+            "month, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value "
+            "FROM events GROUP BY 1, 2"
         ),
         "overlap_pairs": (
             "WITH e AS (SELECT user_id, event_id, "

@@ -200,3 +200,32 @@ def test_rollup_plan_prunes_and_partial_aggregates(transcripts):
     assert "HashAggregate" in plan
     # two HashAggregate nodes = partial + final (map-side combine present)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_reaggregate_calendar_month_boundaries(spark):
+    from tsaug_spark.plans.rollup import reaggregate_calendar
+
+    # daily buckets straddling a month boundary: Jan 30, Jan 31, Feb 1
+    rows = [
+        ("c1", "2026-01-30 00:00:00", 1, 1, 10),
+        ("c1", "2026-01-31 00:00:00", 2, 0, 20),
+        ("c1", "2026-02-01 00:00:00", 4, 1, 40),
+    ]
+    df = spark.createDataFrame(
+        rows, ["conv_id", "b", "turn_rate", "tool_usage", "text_len"]
+    ).select(
+        "conv_id", F.to_timestamp("b").alias("bucket_ts"),
+        "turn_rate", "tool_usage", "text_len",
+    )
+    out = {
+        str(r["bucket_ts"]): (r["turn_rate"], r["tool_usage"], r["text_len"])
+        for r in reaggregate_calendar(df, "month").collect()
+    }
+    assert out == {
+        "2026-01-01 00:00:00": (3, 1, 30),
+        "2026-02-01 00:00:00": (4, 1, 40),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        reaggregate_calendar(df, "fortnight")

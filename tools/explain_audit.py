@@ -574,6 +574,16 @@ def main() -> None:
         execute=True,
     )
 
+    # calendar rollup: one partial+final hash aggregate, all JVM
+    audit(
+        "rollup_monthly (calendar buckets, single hash aggregate)",
+        em.q_rollup_monthly(spark, sf),
+        must_have=["HashAggregate"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")

@@ -128,6 +128,31 @@ def reaggregate(df_tier: DataFrame, from_tier: str, to_tier: str) -> DataFrame:
     )
 
 
+_CALENDAR_UNITS = ("week", "month", "quarter", "year")
+
+
+def reaggregate_calendar(df_tier: DataFrame, unit: str = "month") -> DataFrame:
+    """Calendar continuous aggregate: re-roll a fixed-width tier into
+    VARIABLE-width calendar buckets (week / month / quarter / year)
+    via ``date_trunc`` — the tier family fixed-second arithmetic can't
+    express (months are 28-31 days).
+
+    Exact for any day-divisible source tier: under the engine's pinned
+    UTC session every 1m/1h/1d bucket nests entirely inside one
+    calendar unit, so the algebraic sums re-roll losslessly.  Same
+    single hash-aggregate shape as :func:`reaggregate`.
+    """
+    if unit not in _CALENDAR_UNITS:
+        raise ValueError(f"unit must be one of {_CALENDAR_UNITS}")
+    return (
+        df_tier.groupBy(
+            "conv_id",
+            F.date_trunc(unit, F.col("bucket_ts")).alias("bucket_ts"),
+        )
+        .agg(*[F.sum(c).alias(c) for c in METRIC_COLS])
+    )
+
+
 def cascade(df_raw: DataFrame) -> dict[str, DataFrame]:
     """Build all three tier DataFrames (lazy; share the 1m scan)."""
     tiers: dict[str, DataFrame] = {}
