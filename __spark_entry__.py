@@ -1283,6 +1283,31 @@ def q_hist_p_cascade_1d(spark, sf):
     )
 
 
+def q_dd_p_cascade_1d(spark, sf):
+    """DDSketch relative-error quantile cascade (Masson et al., VLDB
+    2019 — plans/sketches.py::dd_partial): hourly log-bucket sketches
+    (gamma = 1.0202, alpha = 1%) summed to daily, then p50/p95 read as
+    the harmonic midpoint of the first bucket whose cumulative count
+    reaches q*total.  Unlike the fixed-bin histogram cascade this needs
+    no [lo, hi) range sizing and the error guarantee is RELATIVE
+    (within 1% of the exact quantile at any magnitude — gated in
+    tests).  Values are integerized to cents before the ln-bucket
+    index, so both engines bucket exact integers; counts are exact and
+    the estimator is one float expression of the selected integer idx,
+    so DuckDB matches raw doubles."""
+    from tsaug_spark.plans.sketches import (
+        dd_merge,
+        dd_partial,
+        dd_quantile,
+    )
+
+    daily = dd_merge(dd_partial(_events(spark, sf), "1h"), "1d")
+    out = dd_quantile(daily, [0.5, 0.95])
+    return out.select(
+        F.col("key").alias("user_id"), "bucket_s", "q", "est"
+    )
+
+
 def q_stream_m4_1m(spark, sf):
     """Streaming M4 (watermarked window agg of min/max/min_by/max_by)
     backfilled with availableNow; every component is algebraic, so the
@@ -2370,6 +2395,34 @@ def _lttb_sql(T: int = 48, n_out: int = 12) -> str:
     )
 
 
+def _dd_p_cascade_sql() -> str:
+    """Direct daily DDSketch replay: bucketing is per-sample so the
+    merged hourly cascade equals the direct daily build; the ln-bucket
+    divisor and gamma constants are the SAME Python float literals the
+    Spark plan uses (plans/sketches.py::DD_LNG / DD_GAMMA)."""
+    from tsaug_spark.plans.sketches import DD_GAMMA, DD_LNG
+
+    return (
+        "WITH b AS (SELECT user_id, "
+        "CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket_s, "
+        "CAST(ceil(ln(CAST(CAST(round(value*100) AS BIGINT) AS "
+        f"DOUBLE)) / {DD_LNG!r}) AS INT) AS idx FROM events), "
+        "h AS (SELECT user_id, bucket_s, idx, COUNT(*) AS cnt "
+        "FROM b GROUP BY 1, 2, 3), "
+        "c AS (SELECT user_id, bucket_s, idx, "
+        "SUM(cnt) OVER (PARTITION BY user_id, bucket_s ORDER BY idx) "
+        "AS cum, "
+        "SUM(cnt) OVER (PARTITION BY user_id, bucket_s) AS total "
+        "FROM h), "
+        "x AS (SELECT c.*, q FROM c CROSS JOIN "
+        "(SELECT unnest([0.5, 0.95]) AS q) WHERE cum >= q * total), "
+        "sel AS (SELECT user_id, bucket_s, q, MIN(idx) AS idx "
+        "FROM x GROUP BY 1, 2, 3) "
+        f"SELECT user_id, bucket_s, q, 2.0 * power({DD_GAMMA!r}, idx) "
+        f"/ {DD_GAMMA + 1.0!r} / 100.0 AS est FROM sel"
+    )
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -2380,6 +2433,7 @@ def _lttb_sql(T: int = 48, n_out: int = 12) -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "dd_p_cascade_1d",
     "hll_md5_cascade_1d",
     "asof_nearest",
     "seasonal_decompose_24h",
@@ -2578,6 +2632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_cascade_1d": q_m4_cascade_1d,
         "stream_m4_1m": q_stream_m4_1m,
         "hist_p_cascade_1d": q_hist_p_cascade_1d,
+        "dd_p_cascade_1d": q_dd_p_cascade_1d,
         "rolling_zscore": q_rolling_zscore,
         "cms_user_daily": q_cms_user_daily,
         "heavy_hitters_1d": q_heavy_hitters_1d,
@@ -4312,6 +4367,7 @@ def oracle_sql() -> dict[str, str]:
             "0.0 + 10.0 * (s.bin + (q * total - (s.cum - s.cnt)) / "
             "s.cnt) AS est FROM sel"
         ),
+        "dd_p_cascade_1d": _dd_p_cascade_sql(),
         "stream_m4_1m": (
             "SELECT user_id, CAST(floor(epoch(ts)/60)*60 AS BIGINT) "
             "AS bucket_s, CAST(COUNT(*) AS BIGINT) AS n, "

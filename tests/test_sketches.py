@@ -365,3 +365,84 @@ def test_stream_hll_equals_batch_registers(spark):
         for r in hll_md5_estimate(df).collect()
     }
     assert est(streamed) == est(batch)
+
+
+# ---- DDSketch log-bucket quantile cascade (plans/sketches.py) ----
+
+
+def test_dd_quantile_within_alpha_relative(spark):
+    """The DDSketch guarantee: every (user, day, q) estimate is within
+    alpha = 1% RELATIVE error of the exact quantile (the ceil(q*n)-th
+    smallest sample — the same rank the sketch's cum >= q*total walk
+    selects), at every magnitude."""
+    import math
+
+    from tsaug_spark.plans.sketches import (
+        DD_ALPHA,
+        dd_partial,
+        dd_quantile,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    est = {
+        (r.key, r.bucket_s, r.q): r.est
+        for r in dd_quantile(dd_partial(ev, "1d"), [0.5, 0.95]).collect()
+    }
+    rows = ev.select(
+        "user_id",
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+        .cast("long")
+        .alias("bucket_s"),
+        "value",
+    ).collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault((r.user_id, r.bucket_s), []).append(r.value)
+    assert len(est) == 2 * len(groups)
+    for (uid, b), vals in groups.items():
+        vals.sort()
+        for q in (0.5, 0.95):
+            exact = vals[math.ceil(q * len(vals)) - 1]
+            got = est[(uid, b, q)]
+            assert abs(got - exact) <= DD_ALPHA * exact + 1e-12, (
+                uid, b, q, got, exact,
+            )
+
+
+def test_dd_cascade_bit_equal_to_direct(spark):
+    """DDSketch is linear: hourly sketches summed to daily are
+    bit-equal to the direct daily build (bucketing is per-sample)."""
+    from tsaug_spark.plans.sketches import dd_merge, dd_partial
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    direct = {
+        (r.key, r.bucket_s, r.idx): r.cnt
+        for r in dd_partial(ev, "1d").collect()
+    }
+    cascaded = {
+        (r.key, r.bucket_s, r.idx): r.cnt
+        for r in dd_merge(dd_partial(ev, "1h"), "1d").collect()
+    }
+    assert direct == cascaded
+
+
+def test_dd_state_bounded_and_partition_independent(spark):
+    """Per (key, bucket) state is the number of distinct log-buckets —
+    bounded by ~ln(max/min)/ln(gamma) (~540 for cents in [1, 5e4])
+    regardless of sample count — and the sketch is identical under any
+    input partitioning (hash-agg of exact integers)."""
+    import math
+
+    from tsaug_spark.plans.sketches import DD_LNG, dd_partial
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    sk = dd_partial(ev, "1d").collect()
+    per_group: dict = {}
+    for r in sk:
+        per_group[(r.key, r.bucket_s)] = per_group.get(
+            (r.key, r.bucket_s), 0
+        ) + 1
+    bound = math.ceil(math.log(50000) / DD_LNG) + 2
+    assert max(per_group.values()) <= bound
+    again = dd_partial(ev.repartition(17), "1d").collect()
+    assert sorted(map(tuple, sk)) == sorted(map(tuple, again))

@@ -293,3 +293,122 @@ def hll_md5_estimate(regs: DataFrame) -> DataFrame:
         used.cast("long").alias("regs_used"),
         est.alias("est_distinct"),
     )
+
+
+# --- DDSketch log-bucket quantile cascade ------------------------------
+#
+# The fixed-bin histogram sketch (plans/metrics.py) answers percentile
+# cascades with ABSOLUTE error one bin width — the right tool when the
+# value range is known.  DDSketch (Masson, Rim & Lee, VLDB 2019; the
+# quantile summary behind Datadog's metrics store) gives a RELATIVE
+# error guarantee instead: bucket i holds values in
+# (gamma^(i-1), gamma^i] with gamma = (1+alpha)/(1-alpha), so the
+# estimate 2*gamma^i/(gamma+1) (the bucket's harmonic midpoint) is
+# within alpha of the true quantile at EVERY magnitude — no range
+# sizing, and the index space is logarithmic (values spanning 6 decades
+# at alpha=0.01 need only ~700 buckets).
+#
+# Engine form mirrors the histogram sketch: LONG format
+# ``(key, bucket_s, idx, cnt)`` built by one narrow projection + one
+# map-side-combinable hash aggregate; merging to a coarser tier is a
+# plain SUM (DDSketch is linear), so the hourly->daily cascade is
+# bit-equal to a direct daily build; per (key, bucket) state is bounded
+# by the number of DISTINCT log-buckets, not the sample count.
+#
+# Oracle determinism: values are integerized first (cents =
+# round(value*100), exact for the 2-decimal event values), so
+# ``ceil(ln(cents)/ln(gamma))`` is evaluated on exact integer
+# arguments; a 1-ulp ``ln`` disagreement between engines could only
+# flip the ceil if ln(c)/ln(gamma) sat within ~1e-15 of an integer,
+# which for integer c and irrational gamma does not occur in the data
+# (and the divisor ln(gamma) is passed as an identical Python float
+# literal to both engines).
+
+import math
+
+DD_ALPHA = 0.01
+DD_GAMMA = (1 + DD_ALPHA) / (1 - DD_ALPHA)
+DD_LNG = math.log(DD_GAMMA)
+
+
+def dd_partial(
+    df: DataFrame,
+    tier: str = "1h",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """DDSketch per (key, time bucket): ``(key, bucket_s, idx, cnt)``.
+
+    ``idx = ceil(ln(cents)/ln(gamma))`` over the integerized positive
+    value (cents >= 1 → idx >= 0).  Zero/negative values are the
+    caller's contract to exclude (event values are >= 0.01 by schema);
+    a production zero-bucket would be one extra NULL-idx row.
+    """
+    cents = F.round(F.col(value_col).cast("double") * 100).cast("long")
+    idx = F.ceil(
+        F.log(cents.cast("double")) / F.lit(DD_LNG)
+    ).cast("int")
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            bucket_epoch_s(ts_col, tier),
+            idx.alias("idx"),
+        )
+        .groupBy("key", "bucket_s", "idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dd_merge(partial: DataFrame, to_tier: str) -> DataFrame:
+    """Merge DDSketches to a coarser tier: elementwise count sum —
+    bit-equal to building the coarse sketch directly, since bucketing
+    is per-sample."""
+    sec = TIERS[to_tier][1]
+    coarse = F.floor(F.col("bucket_s") / F.lit(sec)).cast(
+        "long"
+    ) * F.lit(sec)
+    return (
+        partial.groupBy("key", coarse.alias("bucket_s"), "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def dd_quantile(sketch: DataFrame, qs: list[float]) -> DataFrame:
+    """Quantile estimates from a DDSketch: ``(key, bucket_s, q, est)``.
+
+    For each q the estimate lives in the first log-bucket whose
+    cumulative count reaches ``q * total``; the returned value is the
+    bucket's harmonic midpoint ``2*gamma^idx/(gamma+1)`` de-integerized
+    back to value units — within ``alpha`` relative error of the exact
+    quantile (gated in tests).  Counts are exact integers and the
+    estimator is one float expression of the selected integer idx, so
+    the DuckDB oracle compares raw doubles.
+    """
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("key", "bucket_s").orderBy("idx")
+    tot = Window.partitionBy("key", "bucket_s")
+    h = sketch.select(
+        "key",
+        "bucket_s",
+        "idx",
+        F.sum("cnt").over(win).alias("cum"),
+        F.sum("cnt").over(tot).alias("total"),
+    )
+    qdf = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    sel = (
+        h.select("*", qdf)
+        .filter(F.col("cum") >= F.col("q") * F.col("total"))
+        .groupBy("key", "bucket_s", "q")
+        .agg(F.min("idx").alias("idx"))
+    )
+    est = (
+        F.lit(2.0)
+        * F.pow(F.lit(DD_GAMMA), F.col("idx"))
+        / F.lit(DD_GAMMA + 1.0)
+        / F.lit(100.0)
+    )
+    return sel.select("key", "bucket_s", "q", est.alias("est"))
