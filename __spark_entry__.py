@@ -1308,6 +1308,26 @@ def q_dd_p_cascade_1d(spark, sf):
     )
 
 
+def q_mk_trend_daily(spark, sf):
+    """Mann–Kendall trend test + Theil–Sen slope per user over the
+    zero-filled daily count series (plans/metrics.py::mann_kendall) —
+    the nonparametric "is this user's activity trending?" classifier.
+    s_stat and the tie-corrected variance numerator are exact integer
+    sums, z is one shared float expression, and the Sen slope median
+    is an explicit rank selection (not an engine percentile), so
+    DuckDB matches raw doubles."""
+    from tsaug_spark.plans.metrics import mann_kendall
+
+    out = mann_kendall(_events(spark, sf), "1d")
+    return out.select(
+        F.col("key").cast("long").alias("user_id"),
+        "n",
+        "s_stat",
+        "z",
+        "sen_slope",
+    )
+
+
 def q_stream_m4_1m(spark, sf):
     """Streaming M4 (watermarked window agg of min/max/min_by/max_by)
     backfilled with availableNow; every component is algebraic, so the
@@ -2433,6 +2453,7 @@ def _dd_p_cascade_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "mk_trend_daily",
     "dd_p_cascade_1d",
     "hll_md5_cascade_1d",
     "asof_nearest",
@@ -2633,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_m4_1m": q_stream_m4_1m,
         "hist_p_cascade_1d": q_hist_p_cascade_1d,
         "dd_p_cascade_1d": q_dd_p_cascade_1d,
+        "mk_trend_daily": q_mk_trend_daily,
         "rolling_zscore": q_rolling_zscore,
         "cms_user_daily": q_cms_user_daily,
         "heavy_hitters_1d": q_heavy_hitters_1d,
@@ -4368,6 +4390,49 @@ def oracle_sql() -> dict[str, str]:
             "s.cnt) AS est FROM sel"
         ),
         "dd_p_cascade_1d": _dd_p_cascade_sql(),
+        "mk_trend_daily": (
+            # same dense zero-filled daily grid, exact-integer S and
+            # tie-corrected variance, rank-selected Sen median
+            "WITH base AS (SELECT user_id, "
+            "CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS b "
+            "FROM events), "
+            "bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM base), "
+            "cnts AS (SELECT user_id, b, COUNT(*) AS c FROM base "
+            "GROUP BY 1, 2), "
+            "grid AS (SELECT user_id, "
+            "unnest(generate_series(lo, hi, 86400)) AS b FROM "
+            "(SELECT DISTINCT user_id FROM base) CROSS JOIN bounds), "
+            "s AS (SELECT g.user_id, (g.b - bounds.lo) // 86400 AS "
+            "idx, COALESCE(c.c, 0) AS x FROM grid g CROSS JOIN bounds "
+            "LEFT JOIN cnts c ON c.user_id = g.user_id AND "
+            "c.b = g.b), "
+            "pairs AS (SELECT a.user_id, "
+            "CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 "
+            "ELSE 0 END AS sgn, "
+            "CAST(b.x - a.x AS DOUBLE) / CAST(b.idx - a.idx AS "
+            "DOUBLE) AS slope FROM s a JOIN s b ON "
+            "a.user_id = b.user_id AND a.idx < b.idx), "
+            "ranked AS (SELECT user_id, sgn, slope, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY slope) "
+            "AS rn, COUNT(*) OVER (PARTITION BY user_id) AS m "
+            "FROM pairs), "
+            "stats AS (SELECT user_id, SUM(sgn) AS s_stat, "
+            "AVG(CASE WHEN rn = (m + 1) // 2 OR rn = (m + 2) // 2 "
+            "THEN slope END) AS sen_slope FROM ranked GROUP BY 1), "
+            "ties AS (SELECT user_id, SUM(t) AS n, "
+            "SUM(t * (t - 1) * (2 * t + 5)) AS tie_term FROM "
+            "(SELECT user_id, x, COUNT(*) AS t FROM s GROUP BY 1, 2) "
+            "GROUP BY 1), "
+            "j AS (SELECT st.user_id, st.s_stat, st.sen_slope, ti.n, "
+            "NULLIF(sqrt(CAST(ti.n * (ti.n - 1) * (2 * ti.n + 5) - "
+            "ti.tie_term AS DOUBLE) / 18.0), 0.0) AS sd "
+            "FROM stats st JOIN ties ti ON ti.user_id = st.user_id) "
+            "SELECT user_id, CAST(n AS BIGINT) AS n, "
+            "CAST(s_stat AS BIGINT) AS s_stat, "
+            "CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)/sd "
+            "WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)/sd "
+            "ELSE 0.0 * sd END AS z, sen_slope FROM j"
+        ),
         "stream_m4_1m": (
             "SELECT user_id, CAST(floor(epoch(ts)/60)*60 AS BIGINT) "
             "AS bucket_s, CAST(COUNT(*) AS BIGINT) AS n, "

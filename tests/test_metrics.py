@@ -713,3 +713,68 @@ def test_transition_counts_markov_bigrams(spark):
         ).collect()
     }
     assert out == {("A", "B"): 2, ("B", "B"): 1, ("B", "C"): 1}
+
+
+# ---- Mann-Kendall trend + Theil-Sen slope ----
+
+
+def test_mann_kendall_monotone_and_flat(spark):
+    """A strictly increasing count series gives the maximal S =
+    n(n-1)/2, a positive z, and the exact Sen slope; a constant series
+    gives S = 0 with zero variance -> NULL z."""
+    from tsaug_spark.plans.metrics import mann_kendall
+
+    rows = []
+    # user 1: day d has d+1 events (strictly increasing, slope 1/day)
+    # user 2: exactly 2 events every day (all ties)
+    for d in range(5):
+        for k in range(d + 1):
+            rows.append((1, d * 86400 + k, 1.0))
+        rows.append((2, d * 86400, 1.0))
+        rows.append((2, d * 86400 + 1, 1.0))
+    out = {r.key: r for r in mann_kendall(_ev(spark, rows), "1d").collect()}
+    n = 5
+    assert out[1].n == n
+    assert out[1].s_stat == n * (n - 1) // 2
+    assert out[1].z > 0
+    assert out[1].sen_slope == 1.0
+    assert out[2].s_stat == 0
+    assert out[2].z is None  # all-tie series: var_s = 0
+    assert out[2].sen_slope == 0.0
+
+
+def test_mann_kendall_matches_brute_force(spark):
+    """Every per-user statistic at sf0.01 equals a numpy O(n^2) pair
+    enumeration over the same zero-filled daily grid (S exactly, z and
+    Sen slope to float equality)."""
+    import numpy as np
+
+    from tsaug_spark.plans.metrics import mann_kendall
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    got = {r.key: r for r in mann_kendall(ev, "1d").collect()}
+    pdf = ev.select("user_id", "ts").toPandas()
+    b = (pdf.ts.astype("int64") // 10**9 // 86400) * 86400
+    lo, hi = int(b.min()), int(b.max())
+    T = (hi - lo) // 86400 + 1
+    for uid, idxs in b.groupby(pdf.user_id):
+        x = np.zeros(T, dtype=np.int64)
+        for day, c in idxs.value_counts().items():
+            x[(int(day) - lo) // 86400] = c
+        s_stat, slopes = 0, []
+        for i in range(T):
+            d = x[i + 1:] - x[i]
+            s_stat += int(np.sign(d).sum())
+            slopes.extend(d / np.arange(1, T - i))
+        _, t = np.unique(x, return_counts=True)
+        var = (T * (T - 1) * (2 * T + 5)
+               - int((t * (t - 1) * (2 * t + 5)).sum())) / 18.0
+        r = got[uid]
+        assert r.n == T and r.s_stat == s_stat
+        if var == 0:
+            assert r.z is None
+        else:
+            z = ((s_stat - 1) if s_stat > 0 else
+                 (s_stat + 1) if s_stat < 0 else 0) / np.sqrt(var)
+            assert abs(r.z - z) < 1e-12
+        assert abs(r.sen_slope - float(np.median(slopes))) < 1e-12

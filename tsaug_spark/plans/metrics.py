@@ -1412,3 +1412,152 @@ def transition_counts(
         .groupBy("from_state", "to_state")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    tier: str = "1d",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Mann–Kendall trend test + Theil–Sen slope per key over its
+    zero-filled bucket-count series — the standard nonparametric "is
+    this series trending?" pair (Mann 1945, Kendall 1975; Sen 1968),
+    robust to outliers and needing no distributional assumptions.
+
+    Per key the series is its event count on the COMPLETE global
+    [min, max] ``tier`` bucket grid, zero-filled (same dense-series
+    contract as ``autocorr_lag1``).  Statistics:
+
+    * ``s_stat = Σ_{i<j} sign(x_j − x_i)`` — an exact integer.
+    * ``var_s = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) / 18`` with the
+      standard tie correction (t = size of each tied value group);
+      the numerator is an exact integer, so ``var_s`` and the z score
+
+          z = (s_stat ∓ 1) / sqrt(var_s)   (continuity-corrected)
+
+      are ONE shared float expression both engines evaluate on
+      identical integer inputs.
+    * ``sen_slope`` = median over all pair slopes
+      ``(x_j − x_i)/(j − i)`` (bucket-index units).  The median is an
+      explicit rank selection — rows ``(m+1) div 2`` and
+      ``(m+2) div 2`` of the slope sort, averaged — not an
+      engine-specific percentile, so DuckDB replays it exactly
+      (equal-slope ties make the row_number order immaterial).
+
+    Scale: the pair self-join is quadratic in the SERIES LENGTH (n =
+    buckets in retention, e.g. 30 daily or 720 hourly points), not in
+    event volume, and embarrassingly parallel across keys — keys ×
+    n²/2 pair rows through one equi-join partitioned by key.  For
+    multi-year series at fine tiers, switch to the O(n log n)
+    merge-sort inversion-count form; at rollup tiers the closed
+    quadratic form is smaller than one shuffle of the raw data.
+
+    Output: key, n, s_stat, z (NULL when var_s = 0), sen_slope.
+    """
+    sec = TIERS[tier][1]
+    base = df.select(
+        F.col(key_col).alias("key"), _bucket_s(ts_col, tier)
+    )
+    counts = base.groupBy("key", "bucket_s").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bounds = base.agg(
+        F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi")
+    )
+    grid = (
+        base.select("key")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "key",
+            "lo",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(sec))
+            ).alias("bucket_s"),
+        )
+    )
+    series = (
+        grid.join(counts, ["key", "bucket_s"], "left")
+        .select(
+            "key",
+            ((F.col("bucket_s") - F.col("lo")) / F.lit(sec))
+            .cast("long")
+            .alias("idx"),
+            F.coalesce("cnt", F.lit(0).cast("long")).alias("x"),
+        )
+    )
+    a, b = series.alias("a"), series.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.idx") < F.col("b.idx")),
+    ).select(
+        F.col("a.key").alias("key"),
+        F.when(F.col("b.x") > F.col("a.x"), F.lit(1))
+        .when(F.col("b.x") < F.col("a.x"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("sgn"),
+        (
+            (F.col("b.x") - F.col("a.x")).cast("double")
+            / (F.col("b.idx") - F.col("a.idx")).cast("double")
+        ).alias("slope"),
+    )
+    sw = Window.partitionBy("key").orderBy("slope")
+    cw = Window.partitionBy("key")
+    ranked = pairs.select(
+        "key",
+        "sgn",
+        "slope",
+        F.row_number().over(sw).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("m"),
+    )
+    mid_lo = F.expr("(m + 1) div 2")
+    mid_hi = F.expr("(m + 2) div 2")
+    stats = ranked.groupBy("key").agg(
+        F.sum("sgn").alias("s_stat"),
+        F.avg(
+            F.when(
+                (F.col("rn") == mid_lo) | (F.col("rn") == mid_hi),
+                F.col("slope"),
+            )
+        ).alias("sen_slope"),
+    )
+    ties = (
+        series.groupBy("key", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("key")
+        .agg(
+            F.sum(F.lit(1) * F.col("t")).alias("n"),
+            F.sum(
+                F.col("t")
+                * (F.col("t") - 1)
+                * (2 * F.col("t") + 5)
+            ).alias("tie_term"),
+        )
+    )
+    j = stats.join(ties, "key")
+    n = F.col("n")
+    var_num = (
+        n * (n - 1) * (2 * n + 5) - F.col("tie_term")
+    ).cast("double")
+    sd = F.nullif(F.sqrt(var_num / F.lit(18.0)), F.lit(0.0))
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1).cast("double") / sd,
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1).cast("double") / sd,
+        )
+        .otherwise(F.lit(0.0) * sd)
+    )
+    return j.select(
+        "key",
+        n.cast("long").alias("n"),
+        "s_stat",
+        z.alias("z"),
+        "sen_slope",
+    )
