@@ -2163,6 +2163,31 @@ def q_holt_series(spark, sf):
     )
 
 
+def q_holt_winters(spark, sf):
+    """Holt–Winters additive triple smoothing (alpha=0.5, beta=0.25,
+    gamma=0.25, season m=24) per rectangular 48-bucket series: the
+    first season initializes level/seasonals (exact integer sum / 24),
+    the second is smoothed by the grouped Arrow kernel
+    (plans/metrics.py::holt_winters).  The oracle's recursive CTE
+    carries the rolling 24-element seasonal list and folds the same
+    recurrence token-for-token (exact-binary coefficients), so raw
+    doubles, no rounding."""
+    from tsaug_spark.plans.metrics import holt_winters
+
+    out = holt_winters(
+        _series_df(spark, sf), alpha=0.5, beta=0.25, gamma=0.25, m=24
+    )
+    return out.select(
+        F.col("key").cast("long").alias("user_id"),
+        F.col("ord").alias("bucket_idx"),
+        F.col("v").alias("cnt"),
+        "level",
+        "trend",
+        "season",
+        "fitted",
+    )
+
+
 def q_sax_symbols(spark, sf):
     """SAX word (w=8 segments, alphabet a-d) per rectangular series
     (Lin et al. 2003): PAA on exact integer sums, z-scored against
@@ -2443,6 +2468,47 @@ def _dd_p_cascade_sql() -> str:
     )
 
 
+def _hw_sql() -> str:
+    """Holt–Winters recursive-CTE replay: the anchor row carries the
+    init level (exact integer sum / 24) and the 24-element seasonal
+    list; each step reads s_{t-24} as seas[1], computes the kernel's
+    recurrence token-for-token (exact-binary 0.5/0.25/0.75), and
+    rotates the list."""
+    lv = (
+        "(CAST(0.5 AS DOUBLE) * (s2.cnt - hw.seas[1]) + "
+        "CAST(0.5 AS DOUBLE) * (hw.level + hw.trend))"
+    )
+    sn = (
+        f"CAST(0.25 AS DOUBLE) * (s2.cnt - {lv}) + "
+        "CAST(0.75 AS DOUBLE) * hw.seas[1]"
+    )
+    return (
+        f"WITH RECURSIVE b AS ({_HOURLY_SQL}), {_SERIES_SQL}, "
+        "init AS (SELECT user_id, CAST(SUM(CAST(cnt AS BIGINT)) AS "
+        "DOUBLE) / CAST(24 AS DOUBLE) AS mean FROM s WHERE idx < 24 "
+        "GROUP BY 1), "
+        "sv AS (SELECT s.user_id, init.mean, "
+        "list(s.cnt - init.mean ORDER BY s.idx) AS seas "
+        "FROM s JOIN init ON init.user_id = s.user_id "
+        "WHERE s.idx < 24 GROUP BY s.user_id, init.mean), "
+        "hw AS (SELECT user_id, 23 AS idx, "
+        "CAST(NULL AS DOUBLE) AS cnt, mean AS level, "
+        "CAST(0.0 AS DOUBLE) AS trend, CAST(NULL AS DOUBLE) AS "
+        "season, CAST(NULL AS DOUBLE) AS fitted, seas FROM sv "
+        "UNION ALL SELECT s2.user_id, s2.idx, s2.cnt, "
+        f"{lv} AS level, "
+        f"CAST(0.25 AS DOUBLE) * ({lv} - hw.level) + "
+        "CAST(0.75 AS DOUBLE) * hw.trend AS trend, "
+        f"{sn} AS season, "
+        "hw.level + hw.trend + hw.seas[1] AS fitted, "
+        f"list_concat(hw.seas[2:], [{sn}]) AS seas "
+        "FROM s s2 JOIN hw ON s2.user_id = hw.user_id AND "
+        "s2.idx = hw.idx + 1) "
+        "SELECT user_id, CAST(idx AS BIGINT) AS bucket_idx, cnt, "
+        "level, trend, season, fitted FROM hw WHERE idx >= 24"
+    )
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -2453,6 +2519,7 @@ def _dd_p_cascade_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "holt_winters_24h",
     "mk_trend_daily",
     "dd_p_cascade_1d",
     "hll_md5_cascade_1d",
@@ -2655,6 +2722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_p_cascade_1d": q_hist_p_cascade_1d,
         "dd_p_cascade_1d": q_dd_p_cascade_1d,
         "mk_trend_daily": q_mk_trend_daily,
+        "holt_winters_24h": q_holt_winters,
         "rolling_zscore": q_rolling_zscore,
         "cms_user_daily": q_cms_user_daily,
         "heavy_hitters_1d": q_heavy_hitters_1d,
@@ -4390,6 +4458,7 @@ def oracle_sql() -> dict[str, str]:
             "s.cnt) AS est FROM sel"
         ),
         "dd_p_cascade_1d": _dd_p_cascade_sql(),
+        "holt_winters_24h": _hw_sql(),
         "mk_trend_daily": (
             # same dense zero-filled daily grid, exact-integer S and
             # tie-corrected variance, rank-selected Sen median

@@ -778,3 +778,45 @@ def test_mann_kendall_matches_brute_force(spark):
                  (s_stat + 1) if s_stat < 0 else 0) / np.sqrt(var)
             assert abs(r.z - z) < 1e-12
         assert abs(r.sen_slope - float(np.median(slopes))) < 1e-12
+
+
+# ---- Holt-Winters triple exponential smoothing ----
+
+
+def test_holt_winters_periodic_is_exact_fit(spark):
+    """A perfectly m-periodic series is a fixed point of additive
+    Holt-Winters: level stays at the season mean, trend at 0, the
+    seasonals never move, and every one-step forecast equals the
+    actual value."""
+    from tsaug_spark.plans.metrics import holt_winters
+
+    m = 4
+    pat = [3.0, 7.0, 1.0, 5.0]  # mean 4.0
+    rows = [
+        ("a", i, pat[i % m]) for i in range(3 * m)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, bucket_idx long, cnt double"
+    )
+    out = holt_winters(df, m=m).orderBy("ord").collect()
+    assert [r.ord for r in out] == list(range(m, 3 * m))
+    for r in out:
+        assert r.fitted == pat[r.ord % m]
+        assert r.level == 4.0 and r.trend == 0.0
+        assert r.season == pat[r.ord % m] - 4.0
+
+
+def test_holt_winters_warmup_consumed_and_short_series_empty(spark):
+    """Rows before t = m are init-only (not emitted); a series no
+    longer than one season yields no output."""
+    from tsaug_spark.plans.metrics import holt_winters
+
+    rows = [("a", i, float(i)) for i in range(24)] + [
+        ("b", i, float(i)) for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, bucket_idx long, cnt double"
+    )
+    got = holt_winters(df, m=24).collect()
+    assert {r.key for r in got} == {"b"}
+    assert sorted(r.ord for r in got) == list(range(24, 30))

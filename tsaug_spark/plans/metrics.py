@@ -1561,3 +1561,85 @@ def mann_kendall(
         z.alias("z"),
         "sen_slope",
     )
+
+
+def holt_winters(
+    df: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+    m: int = 24,
+    key_col: str = "conv_id",
+    order_col: str = "bucket_idx",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Holt–Winters additive triple exponential smoothing (level +
+    trend + length-``m`` season) per series — the seasonal load
+    forecaster (Winters 1960).  Classic init over the first season:
+    ``l = mean(x[0:m])``, ``b = 0``, ``s_i = x_i − mean``; then for
+    t ≥ m::
+
+        fitted_t = l + b + s_{t−m}
+        l_t = alpha·(x_t − s_{t−m}) + (1−alpha)·(l + b)
+        b_t = beta·(l_t − l) + (1−beta)·b
+        s_t = gamma·(x_t − l_t) + (1−gamma)·s_{t−m}
+
+    Rows before ``t = m`` are consumed by initialization and not
+    emitted.  Inherently sequential (like ``holt``/``ewma``) so it
+    runs as a grouped Arrow kernel — one hash partition per key, the
+    documented series-length cap applies.  With exact-binary
+    coefficients and integer-valued inputs (the init mean is an exact
+    integer sum / m), every step is mirrored token-for-token by the
+    oracle's recursive CTE carrying the rolling seasonal list, so
+    outputs are raw doubles — bit-identical, no rounding.
+
+    Output: key, ord, v, level, trend, season, fitted   (t >= m).
+    """
+    a, one_a = float(alpha), 1.0 - float(alpha)
+    b_, one_b = float(beta), 1.0 - float(beta)
+    g_, one_g = float(gamma), 1.0 - float(gamma)
+    out_schema = (
+        f"key {dict(df.dtypes)[key_col]}, ord long, v double, "
+        "level double, trend double, season double, fitted double"
+    )
+
+    def _kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("ord").reset_index(drop=True)
+        x = pdf["v"].to_numpy()
+        n = x.size
+        if n <= m:
+            return pdf.iloc[0:0].assign(
+                level=0.0, trend=0.0, season=0.0, fitted=0.0
+            )[["key", "ord", "v", "level", "trend", "season",
+               "fitted"]]
+        mean = float(np.sum(x[:m])) / float(m)
+        seas = [x[i] - mean for i in range(m)]
+        l_prev, b_prev = mean, 0.0
+        rows = []
+        for t in range(m, n):
+            s_old = seas[t - m]
+            fitted = l_prev + b_prev + s_old
+            l_new = a * (x[t] - s_old) + one_a * (l_prev + b_prev)
+            b_new = b_ * (l_new - l_prev) + one_b * b_prev
+            s_new = g_ * (x[t] - l_new) + one_g * s_old
+            seas.append(s_new)
+            rows.append(
+                (pdf["key"].iloc[0], int(pdf["ord"].iloc[t]), x[t],
+                 l_new, b_new, s_new, fitted)
+            )
+            l_prev, b_prev = l_new, b_new
+        return pd.DataFrame(
+            rows,
+            columns=["key", "ord", "v", "level", "trend", "season",
+                     "fitted"],
+        )
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).cast("long").alias("ord"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    return base.groupBy("key").applyInPandas(_kernel, out_schema)
