@@ -2022,6 +2022,19 @@ def q_embed_dedup_survivors(spark, sf):
     ).select("survivor_id", "group_size")
 
 
+def q_unigram_surprisal(spark, sf):
+    """Unigram-LM quality score (pipeline/text.py::unigram_surprisal):
+    corpus unigram counts -> per-type integer-centibit surprisal ->
+    per-doc exact-integer sum + one division.  The oracle replays the
+    tokenization, counts, and floor(100*(log2(total)-log2(c)))
+    quantization verbatim."""
+    from tsaug_spark.pipeline.text import unigram_surprisal
+
+    return unigram_surprisal(_docs(spark, sf)).select(
+        "doc_id", "n_tokens", "sum_cb", "avg_cb"
+    )
+
+
 def q_doc_fingerprint(spark, sf):
     """Order-sensitive rolling-hash document fingerprints."""
     from tsaug_spark.pipeline.text import doc_fingerprint
@@ -2519,6 +2532,7 @@ def _hw_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "unigram_surprisal",
     "holt_winters_24h",
     "mk_trend_daily",
     "dd_p_cascade_1d",
@@ -2706,6 +2720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": q_embed_near_dup,
         "embed_dedup_survivors": q_embed_dedup_survivors,
         "doc_fingerprint": q_doc_fingerprint,
+        "unigram_surprisal": q_unigram_surprisal,
         "ivf_topk": q_ivf_topk,
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -4459,6 +4474,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dd_p_cascade_1d": _dd_p_cascade_sql(),
         "holt_winters_24h": _hw_sql(),
+        "unigram_surprisal": (
+            # same tokenization (lowercase letter runs), vocab counts,
+            # per-type centibit floor, exact-integer per-doc sums
+            "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all("
+            "lower(text), '[a-z]+')) AS tok FROM documents), "
+            "freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1), "
+            "tot AS (SELECT SUM(c) AS total FROM freq), "
+            "cbt AS (SELECT tok, CAST(floor(100.0 * "
+            "(log2(CAST(total AS DOUBLE)) - log2(CAST(c AS DOUBLE)))) "
+            "AS BIGINT) AS cb FROM freq CROSS JOIN tot) "
+            "SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(cb) AS BIGINT) AS sum_cb, "
+            "CAST(SUM(cb) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS "
+            "avg_cb FROM toks t JOIN cbt ON cbt.tok = t.tok "
+            "GROUP BY t.doc_id"
+        ),
         "mk_trend_daily": (
             # same dense zero-filled daily grid, exact-integer S and
             # tie-corrected variance, rank-selected Sen median

@@ -479,3 +479,57 @@ def test_contamination_overlap_fraction(spark):
     assert (out[1].n_shingles, out[1].n_hits) == (2, 1)
     assert out[1].overlap == 0.5 and out[1].contaminated
     assert (out[2].n_hits, out[2].contaminated) == (0, False)
+
+
+# ---- unigram LM surprisal (pipeline/text.py) ----
+
+
+def test_unigram_surprisal_closed_form(spark):
+    """Hand corpus: 4 'the', 2 'cat', 1 'sat', 1 'x' (total 8).
+    Surprisal cb = floor(100*(log2(8)-log2(c))): the=100, cat=200,
+    sat=x=300.  Per-doc sums are exact integers."""
+    from tsaug_spark.pipeline.text import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The the THE the"),
+            (2, "cat cat sat"),
+            (3, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_surprisal(docs).collect()}
+    assert out[1].n_tokens == 4
+    assert out[1].sum_cb == 4 * 100 and out[1].avg_cb == 100.0
+    assert out[2].sum_cb == 200 + 200 + 300
+    assert out[3].sum_cb == 300 and out[3].avg_cb == 300.0
+
+
+def test_unigram_surprisal_rare_scores_higher(spark):
+    """Monotonicity on real data: a doc made of the corpus's rarest
+    tokens scores strictly above one made of its commonest (the
+    quality-filter ordering), and token-less docs are absent."""
+    from tsaug_spark.pipeline.text import unigram_surprisal
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    )
+    out = unigram_surprisal(docs)
+    got = {r.doc_id: r for r in out.collect()}
+    import pyspark.sql.functions as F
+
+    empties = {
+        r.doc_id
+        for r in docs.filter(
+            F.size(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit("[a-z]+"), 0
+                )
+            )
+            == 0
+        ).collect()
+    }
+    assert empties.isdisjoint(got)
+    assert len(got) + len(empties) == docs.count()
+    avg = sorted(r.avg_cb for r in got.values())
+    assert avg[0] < avg[-1]  # scores actually spread

@@ -188,3 +188,67 @@ def doc_fingerprint(
         lambda acc, w: F.pmod(acc * 31 + word_h(w), F.lit(MOD)),
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def unigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram language-model quality score per document — the cheap
+    perplexity proxy behind CCNet/Gopher-style LM quality filtering:
+    documents whose tokens are improbable under the corpus's own
+    unigram distribution (gibberish, boilerplate soup, wrong-language
+    text) score high-surprisal and can be gated.
+
+    Two passes, all Catalyst: (1) corpus unigram counts — one
+    vocabulary-bounded hash aggregate over exploded lowercase letter
+    runs (map-side combine ships the vocab, not the tokens); (2) each
+    token's SURPRISAL in integer centibits::
+
+        cb(tok) = floor(100 * (log2(total) - log2(count(tok))))
+
+    joined back (the frequency table is vocab-sized → broadcast; at
+    web scale with a >10M-type vocab switch to a shuffle join, salting
+    the stopword head), then one per-doc aggregate.  MLE needs no
+    smoothing: every scored token exists in the corpus by
+    construction.
+
+    Determinism: quantizing PER VOCABULARY TYPE (not per doc) makes
+    the per-doc sum an exact-integer aggregate — a 1-ulp ``log2``
+    disagreement between engines could only flip a floor at ~1e-13
+    distance from an integer, a per-type (not per-token) event with
+    vocab-scale probability ~1e-9 — so ``sum_cb`` is exact and
+    ``avg_cb`` is one division of exact integers.
+
+    Output: doc_id, n_tokens, sum_cb, avg_cb (centibits/token; 100 cb
+    = 1 bit).  Token-less documents are not emitted.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+            )
+        ).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    cb = F.floor(
+        F.lit(100.0)
+        * (
+            F.log2(F.col("total").cast("double"))
+            - F.log2(F.col("c").cast("double"))
+        )
+    ).alias("cb")
+    cb_table = freq.crossJoin(F.broadcast(total)).select("tok", cb)
+    return (
+        toks.join(F.broadcast(cb_table), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cb").alias("sum_cb"),
+            (
+                F.sum("cb").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_cb"),
+        )
+    )
