@@ -1283,6 +1283,23 @@ def q_hist_p_cascade_1d(spark, sf):
     )
 
 
+def q_burstiness(spark, sf):
+    """Arrival burstiness per user (plans/metrics.py::burstiness):
+    CV² of exact-µs inter-arrival gaps (squares summed as
+    DECIMAL(38,0)) and the Fano factor of zero-filled hourly counts —
+    both one shared float expression over exact integer sums, so
+    DuckDB matches raw doubles."""
+    from tsaug_spark.plans.metrics import burstiness
+
+    out = burstiness(_events(spark, sf), "1h")
+    return out.select(
+        F.col("key").cast("long").alias("user_id"),
+        "n_events",
+        "cv2",
+        "fano",
+    )
+
+
 def q_dd_p_cascade_1d(spark, sf):
     """DDSketch relative-error quantile cascade (Masson et al., VLDB
     2019 — plans/sketches.py::dd_partial): hourly log-bucket sketches
@@ -2532,6 +2549,7 @@ def _hw_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "burstiness_1h",
     "unigram_surprisal",
     "holt_winters_24h",
     "mk_trend_daily",
@@ -2738,6 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_p_cascade_1d": q_dd_p_cascade_1d,
         "mk_trend_daily": q_mk_trend_daily,
         "holt_winters_24h": q_holt_winters,
+        "burstiness_1h": q_burstiness,
         "rolling_zscore": q_rolling_zscore,
         "cms_user_daily": q_cms_user_daily,
         "heavy_hitters_1d": q_heavy_hitters_1d,
@@ -4474,6 +4493,42 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dd_p_cascade_1d": _dd_p_cascade_sql(),
         "holt_winters_24h": _hw_sql(),
+        "burstiness_1h": (
+            # exact-µs gaps, HUGEINT squares (the decimal twin of the
+            # Spark plan's DECIMAL(38,0)), shared float expressions
+            "WITH b AS (SELECT user_id, epoch_us(ts) AS t_us, "
+            "event_id, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS "
+            "bucket_s FROM events), "
+            "g AS (SELECT user_id, t_us - lag(t_us) OVER "
+            "(PARTITION BY user_id ORDER BY t_us, event_id) AS d "
+            "FROM b), "
+            "ia AS (SELECT user_id, COUNT(*) AS gg, SUM(d) AS sd, "
+            "SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS sd2 "
+            "FROM g WHERE d IS NOT NULL GROUP BY 1), "
+            "iac AS (SELECT user_id, gg + 1 AS n_events, "
+            "(CAST(gg AS DOUBLE) * CAST(sd2 AS DOUBLE) - "
+            "CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) / "
+            "NULLIF(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE), 0.0) "
+            "AS cv2 FROM ia WHERE gg >= 2), "
+            "bounds AS (SELECT MIN(bucket_s) AS lo, MAX(bucket_s) AS "
+            "hi FROM b), "
+            "grid AS (SELECT user_id, "
+            "unnest(generate_series(lo, hi, 3600)) AS bucket_s FROM "
+            "(SELECT DISTINCT user_id FROM b) CROSS JOIN bounds), "
+            "cnts AS (SELECT user_id, bucket_s, COUNT(*) AS c FROM b "
+            "GROUP BY 1, 2), "
+            "ser AS (SELECT g2.user_id, COALESCE(cnts.c, 0) AS c "
+            "FROM grid g2 LEFT JOIN cnts ON cnts.user_id = g2.user_id "
+            "AND cnts.bucket_s = g2.bucket_s), "
+            "fa AS (SELECT user_id, COUNT(*) AS n, SUM(c) AS sc, "
+            "SUM(c * c) AS sc2 FROM ser GROUP BY 1) "
+            "SELECT i.user_id, CAST(i.n_events AS BIGINT) AS "
+            "n_events, i.cv2, "
+            "(CAST(n AS DOUBLE) * CAST(sc2 AS DOUBLE) - "
+            "CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) / "
+            "NULLIF(CAST(n AS DOUBLE) * CAST(sc AS DOUBLE), 0.0) AS "
+            "fano FROM iac i JOIN fa ON fa.user_id = i.user_id"
+        ),
         "unigram_surprisal": (
             # same tokenization (lowercase letter runs), vocab counts,
             # per-type centibit floor, exact-integer per-doc sums

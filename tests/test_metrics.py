@@ -820,3 +820,52 @@ def test_holt_winters_warmup_consumed_and_short_series_empty(spark):
     got = holt_winters(df, m=24).collect()
     assert {r.key for r in got} == {"b"}
     assert sorted(r.ord for r in got) == list(range(24, 30))
+
+
+# ---- burstiness: CV^2 of inter-arrivals + Fano factor ----
+
+
+def test_burstiness_regular_arrivals(spark):
+    """Perfectly regular arrivals: CV^2 = 0 (zero gap variance); one
+    event per bucket makes the count series constant -> Fano 0."""
+    from tsaug_spark.plans.metrics import burstiness
+
+    rows = [(1, h * 3600, 1.0) for h in range(10)]
+    out = burstiness(_ev(spark, rows), "1h").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_events == 10 and r.cv2 == 0.0 and r.fano == 0.0
+
+
+def test_burstiness_matches_numpy(spark):
+    """CV^2 and Fano at sf0.01 equal the numpy population-moment
+    computation over the same exact-microsecond gaps / zero-filled
+    hourly grid."""
+    import numpy as np
+
+    from tsaug_spark.plans.metrics import burstiness
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    got = {r.key: r for r in burstiness(ev, "1h").collect()}
+    pdf = ev.select("user_id", "ts", "event_id").toPandas()
+    t_us = pdf.ts.astype("int64") // 1000
+    b = (t_us // 10**6 // 3600) * 3600
+    lo, hi = int(b.min()), int(b.max())
+    T = (hi - lo) // 3600 + 1
+    for uid, grp in pdf.assign(t_us=t_us, b=b).groupby("user_id"):
+        g = grp.sort_values(["t_us", "event_id"])
+        d = np.diff(g.t_us.to_numpy()).astype(object)  # exact ints
+        assert got[uid].n_events == len(g)
+        cv2 = float(
+            (len(d) * sum(x * x for x in d) - sum(d) ** 2)
+            / (sum(d) ** 2)
+        )
+        assert abs(got[uid].cv2 - cv2) < 1e-9 * max(1.0, cv2)
+        c = np.zeros(T, dtype=np.int64)
+        for bb, n in g.b.value_counts().items():
+            c[(int(bb) - lo) // 3600] = n
+        fano = float(
+            (T * int((c * c).sum()) - int(c.sum()) ** 2)
+            / (T * int(c.sum()))
+        )
+        assert abs(got[uid].fano - fano) < 1e-9 * max(1.0, fano)

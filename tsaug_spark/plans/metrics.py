@@ -1643,3 +1643,99 @@ def holt_winters(
         F.col(value_col).cast("double").alias("v"),
     )
     return base.groupBy("key").applyInPandas(_kernel, out_schema)
+
+
+def burstiness(
+    df: DataFrame,
+    tier: str = "1h",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Arrival-process burstiness per key: the squared coefficient of
+    variation of inter-arrival times (CV² = 1 for Poisson, > 1 bursty,
+    < 1 regular) and the Fano factor of the zero-filled ``tier``
+    bucket counts (variance-to-mean; again 1 = Poisson) — the two
+    standard dispersion diagnostics for event streams.
+
+    Exactness: inter-arrival deltas are exact integer MICROSECONDS;
+    their squares are summed as DECIMAL(38,0) (a 30-day gap squared
+    overflows int64 but has ~25 decimal digits), and bucket-count
+    statistics are plain int64 sums.  Both engines then evaluate ONE
+    shared float expression over identically-rounded casts of the same
+    exact integers::
+
+        cv2  = (g·Σd² − (Σd)²) / ((Σd)·(Σd))          g = n_events−1
+        fano = (n·Σc² − (Σc)²) / (n·Σc)               n = grid size
+
+    so results are raw doubles, no rounding.  NULL when undefined
+    (fewer than 2 gaps, zero mean gap, or zero counts).
+
+    Plan shape: one lag window per key (O(1) state) + two hash
+    aggregates, one of them on the bounded dense grid — same
+    single-shuffle contract as ``autocorr_lag1``.
+
+    Output: key, n_events, cv2, fano.
+    """
+    sec = TIERS[tier][1]
+    base = df.select(
+        F.col(key_col).alias("key"),
+        _micros(ts_col).alias("t_us"),
+        F.col(order_col).alias("o"),
+        _bucket_s(ts_col, tier),
+    )
+    w = Window.partitionBy("key").orderBy("t_us", "o")
+    d = (F.col("t_us") - F.lag("t_us").over(w)).alias("d")
+    gaps = base.select("key", d).filter(F.col("d").isNotNull())
+    d_dec = F.col("d").cast("decimal(18,0)")
+    ia = gaps.groupBy("key").agg(
+        F.count(F.lit(1)).alias("g"),
+        F.sum("d").alias("sd"),
+        F.sum(d_dec * d_dec).alias("sd2"),
+    )
+    gd, sdd, sd2d = (
+        F.col("g").cast("double"),
+        F.col("sd").cast("double"),
+        F.col("sd2").cast("double"),
+    )
+    cv2 = (gd * sd2d - sdd * sdd) / F.nullif(
+        sdd * sdd, F.lit(0.0)
+    )
+    ia = ia.filter(F.col("g") >= 2).select(
+        "key", (F.col("g") + 1).alias("n_events"), cv2.alias("cv2")
+    )
+    counts = base.groupBy("key", "bucket_s").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bounds = base.agg(
+        F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi")
+    )
+    grid = (
+        base.select("key")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "key",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(sec))
+            ).alias("bucket_s"),
+        )
+    )
+    series = grid.join(counts, ["key", "bucket_s"], "left").select(
+        "key", F.coalesce("cnt", F.lit(0).cast("long")).alias("c")
+    )
+    fa = series.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+    )
+    nd, scd, sc2d = (
+        F.col("n").cast("double"),
+        F.col("sc").cast("double"),
+        F.col("sc2").cast("double"),
+    )
+    fano = (nd * sc2d - scd * scd) / F.nullif(
+        nd * scd, F.lit(0.0)
+    )
+    fa = fa.select("key", fano.alias("fano"))
+    return ia.join(fa, "key")
