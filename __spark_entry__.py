@@ -1283,6 +1283,19 @@ def q_hist_p_cascade_1d(spark, sf):
     )
 
 
+def q_corr_matrix(spark, sf):
+    """Pairwise Pearson correlation matrix between event-type hourly
+    count series (plans/metrics.py::corr_matrix) — upper triangle,
+    zero-filled global grid, exact-integer sufficient statistics, one
+    shared float correlation expression; DuckDB matches raw
+    doubles."""
+    from tsaug_spark.plans.metrics import corr_matrix
+
+    return corr_matrix(_events(spark, sf), "1h").select(
+        "cat_a", "cat_b", "n", "corr"
+    )
+
+
 def q_burstiness(spark, sf):
     """Arrival burstiness per user (plans/metrics.py::burstiness):
     CV² of exact-µs inter-arrival gaps (squares summed as
@@ -2549,6 +2562,7 @@ def _hw_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "corr_matrix_1h",
     "burstiness_1h",
     "unigram_surprisal",
     "holt_winters_24h",
@@ -2757,6 +2771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mk_trend_daily": q_mk_trend_daily,
         "holt_winters_24h": q_holt_winters,
         "burstiness_1h": q_burstiness,
+        "corr_matrix_1h": q_corr_matrix,
         "rolling_zscore": q_rolling_zscore,
         "cms_user_daily": q_cms_user_daily,
         "heavy_hitters_1d": q_heavy_hitters_1d,
@@ -4493,6 +4508,31 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dd_p_cascade_1d": _dd_p_cascade_sql(),
         "holt_winters_24h": _hw_sql(),
+        "corr_matrix_1h": (
+            # same dense per-type grid, integer sufficient statistics,
+            # shared correlation expression (autocorr_1h's idiom)
+            "WITH base AS (SELECT event_type AS cat, "
+            "CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS b "
+            "FROM events), "
+            "bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM base), "
+            "cnts AS (SELECT cat, b, COUNT(*) AS c FROM base "
+            "GROUP BY 1, 2), "
+            "grid AS (SELECT cat, "
+            "unnest(generate_series(lo, hi, 3600)) AS b FROM "
+            "(SELECT DISTINCT cat FROM base) CROSS JOIN bounds), "
+            "s AS (SELECT g.cat, g.b, COALESCE(c.c, 0) AS x FROM "
+            "grid g LEFT JOIN cnts c ON c.cat = g.cat AND c.b = g.b), "
+            "p AS (SELECT a.cat AS cat_a, b2.cat AS cat_b, a.x, "
+            "b2.x AS y FROM s a JOIN s b2 ON a.b = b2.b AND "
+            "a.cat < b2.cat), "
+            "st AS (SELECT cat_a, cat_b, COUNT(*) AS n, SUM(x) AS sx, "
+            "SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx, "
+            "SUM(y*y) AS syy FROM p GROUP BY 1, 2) "
+            "SELECT cat_a, cat_b, CAST(n AS BIGINT) AS n, "
+            "CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "NULLIF(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * "
+            "sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 0) AS corr FROM st"
+        ),
         "burstiness_1h": (
             # exact-µs gaps, HUGEINT squares (the decimal twin of the
             # Spark plan's DECIMAL(38,0)), shared float expressions

@@ -869,3 +869,70 @@ def test_burstiness_matches_numpy(spark):
             / (T * int(c.sum()))
         )
         assert abs(got[uid].fano - fano) < 1e-9 * max(1.0, fano)
+
+
+# ---- pairwise correlation matrix between category series ----
+
+
+def test_corr_matrix_closed_forms(spark):
+    """Three synthetic types: 'up' and 'dn' perfectly anti-correlated
+    counts, 'up' and 'cp' identical -> corr +1; flat type -> NULL.
+    Upper triangle only, all pairs present."""
+    from tsaug_spark.plans.metrics import corr_matrix
+
+    rows = []
+    for h in range(6):
+        for _ in range(h + 1):
+            rows.append(("up", h))
+            rows.append(("cp", h))
+        for _ in range(6 - h):
+            rows.append(("dn", h))
+        rows.append(("fl", h))
+    df = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1, h), t)
+            for i, (t, h) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, event_type string",
+    )
+    out = {
+        (r.cat_a, r.cat_b): r.corr
+        for r in corr_matrix(df, "1h").collect()
+    }
+    assert len(out) == 6  # C(4,2) upper triangle
+    assert abs(out[("cp", "up")] - 1.0) < 1e-12
+    assert abs(out[("dn", "up")] + 1.0) < 1e-12
+    assert out[("fl", "up")] is None  # zero-variance side
+    assert all(a < b for a, b in out)
+
+
+def test_corr_matrix_matches_numpy(spark):
+    """All C(5,2) pairs at sf0.01 equal np.corrcoef over the same
+    zero-filled hourly grids."""
+    import numpy as np
+
+    from tsaug_spark.plans.metrics import corr_matrix
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    got = {
+        (r.cat_a, r.cat_b): (r.n, r.corr)
+        for r in corr_matrix(ev, "1h").collect()
+    }
+    pdf = ev.select("event_type", "ts").toPandas()
+    b = (pdf.ts.astype("int64") // 10**9 // 3600) * 3600
+    lo, hi = int(b.min()), int(b.max())
+    T = (hi - lo) // 3600 + 1
+    series = {}
+    for cat, grp in b.groupby(pdf.event_type):
+        x = np.zeros(T)
+        for bb, c in grp.value_counts().items():
+            x[(int(bb) - lo) // 3600] = c
+        series[cat] = x
+    cats = sorted(series)
+    assert len(got) == len(cats) * (len(cats) - 1) // 2
+    for i, ca in enumerate(cats):
+        for cb in cats[i + 1:]:
+            n, corr = got[(ca, cb)]
+            assert n == T
+            ref = float(np.corrcoef(series[ca], series[cb])[0, 1])
+            assert abs(corr - ref) < 1e-9

@@ -1739,3 +1739,89 @@ def burstiness(
     )
     fa = fa.select("key", fano.alias("fano"))
     return ia.join(fa, "key")
+
+
+def corr_matrix(
+    df: DataFrame,
+    tier: str = "1h",
+    cat_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix between category count
+    series — which event types co-move hour-to-hour (the all-pairs
+    generalization of :func:`crosscorr` at lag 0, upper triangle
+    only).
+
+    Each category's series is its count per ``tier`` bucket on the
+    COMPLETE global [min, max] grid, zero-filled; the matrix join is
+    a self-equi-join on ``bucket_s`` with ``cat_a < cat_b`` — at most
+    |categories|² · grid rows, independent of event volume.  All six
+    sufficient statistics are exact integer sums; the correlation is
+    the same ONE shared float expression as ``autocorr_lag1``, so the
+    oracle compares raw doubles (NULL for a zero-variance side).
+
+    Output: cat_a, cat_b, n, corr.
+    """
+    sec = TIERS[tier][1]
+    base = df.select(
+        F.col(cat_col).alias("cat"), _bucket_s(ts_col, tier)
+    )
+    counts = base.groupBy("cat", "bucket_s").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bounds = base.agg(
+        F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi")
+    )
+    grid = (
+        base.select("cat")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "cat",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(sec))
+            ).alias("bucket_s"),
+        )
+    )
+    series = grid.join(counts, ["cat", "bucket_s"], "left").select(
+        "cat",
+        "bucket_s",
+        F.coalesce("cnt", F.lit(0).cast("long")).alias("x"),
+    )
+    a, b = series.alias("a"), series.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket_s") == F.col("b.bucket_s"))
+        & (F.col("a.cat") < F.col("b.cat")),
+    ).select(
+        F.col("a.cat").alias("cat_a"),
+        F.col("b.cat").alias("cat_b"),
+        F.col("a.x").alias("x"),
+        F.col("b.x").alias("y"),
+    )
+    s = pairs.groupBy("cat_a", "cat_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return s.select(
+        "cat_a",
+        "cat_b",
+        "n",
+        (num / F.nullif(den, F.lit(0.0))).alias("corr"),
+    )
