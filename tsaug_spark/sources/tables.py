@@ -31,9 +31,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 @dataclass
 class ParquetSnapshotTable:
-    """Parquet directory + atomic JSON snapshot pointer."""
+    """Parquet directory + atomic JSON snapshot pointer.
+
+    ``bloom_cols`` opts selected columns into parquet bloom filters
+    (``parquet.bloom.filter.enabled#<col>``) on every write through
+    :meth:`_commit` — the needle-in-haystack point-lookup index for
+    columns too high-cardinality to dictionary-encode (a ``conv_id``
+    probe at 10^12 turns touches only the row groups whose bloom
+    admits the key; parquet-mr skips the bloom and keeps the exact
+    dictionary filter when a chunk stays fully dictionary-encoded, so
+    the option is safe to leave on).  ``bloom_ndv`` sizes the filter
+    (bits ~= 10 x ndv at the default 1% fpp).
+    """
 
     path: str
+    bloom_cols: tuple = ()
+    bloom_ndv: int = 1_000_000
 
     @property
     def _pointer(self) -> str:
@@ -66,7 +79,15 @@ class ParquetSnapshotTable:
     def _commit(self, df: DataFrame, parents: list[str]) -> str:
         snap = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         data_path = os.path.join(self.path, "data", snap)
-        df.write.mode("errorifexists").parquet(data_path)
+        writer = df.write.mode("errorifexists")
+        for c in self.bloom_cols:
+            writer = writer.option(
+                f"parquet.bloom.filter.enabled#{c}", "true"
+            ).option(
+                f"parquet.bloom.filter.expected.ndv#{c}",
+                str(self.bloom_ndv),
+            )
+        writer.parquet(data_path)
         meta = {
             "snapshot_id": snap,
             "data_path": data_path,
