@@ -1177,6 +1177,23 @@ def q_stream_cms_1h(spark, sf):
     )
 
 
+def q_stream_dd_1h(spark, sf):
+    """Streaming DDSketch (watermarked window count per (key,
+    log-bucket)) backfilled with availableNow; counts are exact sums,
+    so the caught-up sink equals the batch dd_partial — and the DuckDB
+    direct hourly build — cell for cell, with per-(window, key) state
+    bounded by distinct log-buckets."""
+    from tsaug_spark.streaming.stream_rollup import run_stream_dd_once
+
+    out = run_stream_dd_once(spark, f"{sf}/events.parquet", tier="1h")
+    return out.select(
+        F.col("key").cast("long").alias("user_id"),
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        "idx",
+        "cnt",
+    )
+
+
 def q_stream_hll_1h(spark, sf):
     """Streaming md5-register HLL distinct sketch (watermarked window
     MAX of register ranks) backfilled with availableNow; max-merge is
@@ -2511,6 +2528,21 @@ def _dd_p_cascade_sql() -> str:
     )
 
 
+def _stream_dd_sql() -> str:
+    """Direct hourly DDSketch build — counts are exact sums, so the
+    streaming caught-up sink equals it cell for cell."""
+    from tsaug_spark.plans.sketches import DD_LNG
+
+    return (
+        "SELECT user_id, "
+        "CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s, "
+        "CAST(ceil(ln(CAST(CAST(round(value*100) AS BIGINT) AS "
+        f"DOUBLE)) / {DD_LNG!r}) AS INT) AS idx, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM events GROUP BY 1, 2, 3"
+    )
+
+
 def _hw_sql() -> str:
     """Holt–Winters recursive-CTE replay: the anchor row carries the
     init level (exact integer sum / 24) and the 24-element seasonal
@@ -2562,6 +2594,7 @@ def _hw_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "stream_dd_1h",
     "corr_matrix_1h",
     "burstiness_1h",
     "unigram_surprisal",
@@ -2772,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters_24h": q_holt_winters,
         "burstiness_1h": q_burstiness,
         "corr_matrix_1h": q_corr_matrix,
+        "stream_dd_1h": q_stream_dd_1h,
         "rolling_zscore": q_rolling_zscore,
         "cms_user_daily": q_cms_user_daily,
         "heavy_hitters_1d": q_heavy_hitters_1d,
@@ -4419,6 +4453,7 @@ def oracle_sql() -> dict[str, str]:
             "NULLIF(CAST(users AS DOUBLE), 0) AS avg_hours_from_start "
             "FROM r"
         ),
+        "stream_dd_1h": _stream_dd_sql(),
         "stream_hll_1h": (
             # max-merge is exact: the caught-up streaming sink equals
             # the direct hourly register build, same md5 bit layout

@@ -446,3 +446,26 @@ def test_dd_state_bounded_and_partition_independent(spark):
     assert max(per_group.values()) <= bound
     again = dd_partial(ev.repartition(17), "1d").collect()
     assert sorted(map(tuple, sk)) == sorted(map(tuple, again))
+
+
+def test_stream_dd_equals_batch_partial(spark):
+    """Streaming==batch for the DDSketch: the availableNow-backfilled
+    watermarked window agg equals dd_partial cell for cell (counts are
+    algebraic; watermark only bounds state eviction)."""
+    from tsaug_spark.plans.sketches import dd_partial
+    from tsaug_spark.streaming.stream_rollup import run_stream_dd_once
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch = dd_partial(ev, "1h")
+    streamed = run_stream_dd_once(
+        spark, f"{SF_DIR}/events.parquet", tier="1h",
+        sink_table="t_stream_dd",
+    ).select(
+        "key",
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        "idx", "cnt",
+    )
+    key = lambda r: (r.key, r.bucket_s, r.idx)  # noqa: E731
+    assert {key(r): r.cnt for r in streamed.collect()} == {
+        key(r): r.cnt for r in batch.collect()
+    }

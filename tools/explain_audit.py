@@ -584,6 +584,70 @@ def main() -> None:
         execute=True,
     )
 
+    # DDSketch cascade: pure hash aggregates, no Python, no extra
+    # shuffle beyond the (key, bucket, idx) group-by
+    audit(
+        "dd_p_cascade_1d (DDSketch log-bucket quantile cascade)",
+        em.q_dd_p_cascade_1d(spark, sf),
+        must_have=["HashAggregate"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
+    # Mann-Kendall: the pair join must be an EQUI join on key with the
+    # idx inequality as a post-condition — never a cartesian.  (The
+    # plan's one BroadcastNestedLoopJoin is the intentional one-row
+    # bounds broadcast building the dense grid, same as autocorr.)
+    audit(
+        "mk_trend_daily (pair self-join keyed, not cartesian)",
+        em.q_mk_trend_daily(spark, sf),
+        must_have=["HashAggregate", "SortMergeJoin [key"],
+        must_not_have=["CartesianProduct",
+                       "BatchEvalPython", "ArrowEvalPython"],
+        execute=True,
+    )
+
+    # correlation matrix: bucket-equi self-join, integer aggregates
+    audit(
+        "corr_matrix_1h (bucket-equi self-join)",
+        em.q_corr_matrix(spark, sf),
+        must_have=["HashAggregate", "oin [bucket_s"],
+        must_not_have=["CartesianProduct",
+                       "BatchEvalPython", "ArrowEvalPython"],
+        execute=True,
+    )
+
+    # burstiness: one lag window + hash aggregates, all JVM
+    audit(
+        "burstiness_1h (lag window + integer aggregates)",
+        em.q_burstiness(spark, sf),
+        must_have=["HashAggregate", "Window"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
+    # unigram surprisal: the vocab-sized frequency table must come back
+    # as a BROADCAST join against the exploded tokens
+    audit(
+        "unigram_surprisal (vocab broadcast join)",
+        em.q_unigram_surprisal(spark, sf),
+        must_have=["BroadcastHashJoin", "HashAggregate"],
+        must_not_have=["CartesianProduct", "SortMergeJoin",
+                       "BatchEvalPython", "ArrowEvalPython"],
+        execute=True,
+    )
+
+    # Holt-Winters: ONE grouped Arrow kernel after one hash partition
+    audit(
+        "holt_winters_24h (single grouped Arrow kernel)",
+        em.q_holt_winters(spark, sf),
+        must_have=["FlatMapGroupsInPandas"],
+        must_not_have=["CartesianProduct", "BatchEvalPython"],
+        execute=True,
+    )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")

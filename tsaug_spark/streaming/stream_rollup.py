@@ -360,3 +360,66 @@ def run_stream_cms_once(
         spark, source_path, lambda st: stream_cms(st, tier),
         sink_table, "count-min sketch",
     )
+
+
+def stream_dd(
+    stream_df: DataFrame,
+    tier: str = "1h",
+    watermark: str = "10 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming DDSketch: the watermarked-window twin of
+    plans.sketches.dd_partial.
+
+    Log-bucket counts are plain sums, so Structured Streaming
+    maintains each (window, key, idx) cell incrementally and the
+    per-(window, key) state is bounded by the number of DISTINCT
+    log-buckets (~ln(max/min)/ln(gamma) cells), not the sample count —
+    a streaming p99 over 10^12 turns holds a few hundred cells per
+    open window.  Late rows inside the watermark bump their cell;
+    beyond it the sketch is final and cascades batch-side
+    (plans.sketches.dd_merge — DDSketch is linear).
+
+    Output: key, bucket_ts, idx, cnt.
+    """
+    from tsaug_spark.plans.sketches import DD_LNG
+
+    duration = TIERS[tier][0]
+    stream_df = stream_df.withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    )
+    cents = F.round(F.col(value_col).cast("double") * 100).cast("long")
+    idx = F.ceil(
+        F.log(cents.cast("double")) / F.lit(DD_LNG)
+    ).cast("int")
+    keyed = stream_df.withWatermark(ts_col, watermark).select(
+        F.col(ts_col),
+        F.col(key_col).alias("key"),
+        idx.alias("idx"),
+    )
+    return (
+        keyed.groupBy(
+            F.window(ts_col, duration).alias("w"), "key", "idx"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "key", F.col("w.start").alias("bucket_ts"), "idx", "cnt"
+        )
+    )
+
+
+def run_stream_dd_once(
+    spark,
+    source_path: str,
+    tier: str = "1h",
+    sink_table: str = "stream_dd_out",
+) -> DataFrame:
+    """availableNow-trigger backfill of the streaming DDSketch;
+    counters are exact sums, so the caught-up sink equals
+    plans.sketches.dd_partial cell for cell."""
+    return _run_availablenow_backfill(
+        spark, source_path, lambda st: stream_dd(st, tier),
+        sink_table, "DDSketch",
+    )
