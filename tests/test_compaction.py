@@ -81,3 +81,54 @@ def test_rollup_job_compact_tables(spark, transcripts, tmp_path):
     # chunk payloads still decode after the rewrite
     chunks = job2.table("tier_1m_chunks").read(spark)
     assert chunks.count() > 0
+
+
+def test_sorted_compaction_clusters_files(spark, tmp_path):
+    """compact(sort_by=...) range-partitions the rewrite: per-file key
+    ranges become DISJOINT (decisive min/max pruning for point/range
+    reads), row multiset is unchanged, and the previous snapshot stays
+    time-travelable."""
+    import pyarrow.parquet as pq
+
+    from tsaug_spark.sources.tables import ParquetSnapshotTable
+
+    tb = ParquetSnapshotTable(str(tmp_path / "t"))
+    # interleaved keys across 8 shuffled files
+    df = (
+        spark.range(0, 400000)
+        .selectExpr("id % 997 AS k", "id AS v")
+        .repartition(8)
+    )
+    tb.overwrite(df)
+    before = tb.snapshot_id()
+
+    def ranges(t):
+        out = []
+        for p, _sz in t.data_files():
+            md = pq.ParquetFile(p).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)
+                assert col.path_in_schema == "k"
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            out.append((min(mins), max(maxs)))
+        return sorted(out)
+
+    pre = ranges(tb)
+    # every pre-compaction file spans nearly the whole key domain
+    assert all(hi - lo > 900 for lo, hi in pre)
+
+    res = tb.compact(spark, target_file_mb=1, sort_by=["k"])
+    assert res["compacted"]
+    post = ranges(tb)
+    assert len(post) >= 2
+    for (lo1, hi1), (lo2, _hi2) in zip(post, post[1:]):
+        assert hi1 <= lo2  # disjoint (range partitioning)
+
+    got = sorted(
+        (r.k, r.v) for r in tb.read(spark).collect()
+    )
+    ref = sorted((r.k, r.v) for r in df.collect())
+    assert got == ref
+    assert tb.read_as_of(spark, before).count() == 400000

@@ -203,7 +203,10 @@ class ParquetSnapshotTable:
         return out
 
     def compact(
-        self, spark: SparkSession, target_file_mb: int = 128
+        self,
+        spark: SparkSession,
+        target_file_mb: int = 128,
+        sort_by: "list[str] | None" = None,
     ) -> dict:
         """Rewrite the current snapshot into ~``target_file_mb`` files
         (Iceberg ``rewrite_data_files`` / Delta ``OPTIMIZE`` analogue).
@@ -214,7 +217,16 @@ class ParquetSnapshotTable:
         back.  Pure rewrite — row content is unchanged, the previous
         snapshot stays time-travelable until ``expire_snapshots``.
         Skipped (no new snapshot) when the table is already at or
-        below the target file count."""
+        below the target file count — unless ``sort_by`` is given.
+
+        ``sort_by`` additionally CLUSTERS the rewrite (Iceberg
+        ``rewrite_data_files`` with a sort strategy / Delta ``OPTIMIZE
+        ZORDER BY`` analogue): ``repartitionByRange`` + in-partition
+        sort gives files DISJOINT key ranges, so per-file and
+        row-group min/max statistics become decisive for point and
+        range reads — the file-level twin of the chunk store's zone
+        maps.  Row multiset is unchanged; order within the table is
+        not part of the contract."""
         meta = self._resolve()
         if meta is None:
             raise FileNotFoundError(f"no snapshot at {self.path}")
@@ -223,14 +235,22 @@ class ParquetSnapshotTable:
         import math
 
         n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
-        if n >= len(files):
+        if n >= len(files) and not sort_by:
             return {
                 "before_files": len(files),
                 "after_files": len(files),
                 "bytes": total,
                 "compacted": False,
             }
-        df = spark.read.parquet(meta["data_path"]).coalesce(n)
+        df = spark.read.parquet(meta["data_path"])
+        if sort_by:
+            from pyspark.sql import functions as F
+
+            df = df.repartitionByRange(
+                n, *[F.col(c) for c in sort_by]
+            ).sortWithinPartitions(*sort_by)
+        else:
+            df = df.coalesce(n)
         snap = self._commit(df, [meta["snapshot_id"]])
         return {
             "before_files": len(files),
