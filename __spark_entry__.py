@@ -1300,6 +1300,31 @@ def q_hist_p_cascade_1d(spark, sf):
     )
 
 
+def q_activity_gini(spark, sf):
+    """Gini coefficient of per-user event counts
+    (plans/metrics.py::activity_gini): exact-integer rank/count sums,
+    one float division — the skew summary for partition planning."""
+    from tsaug_spark.plans.metrics import activity_gini
+
+    return activity_gini(_events(spark, sf)).select(
+        "n_keys", "total", "gini"
+    )
+
+
+def q_type_entropy(spark, sf):
+    """Shannon entropy of each user's event-type mix
+    (plans/metrics.py::type_entropy): sorted-fold of the per-type
+    c*log2(c) terms so both engines accumulate identically."""
+    from tsaug_spark.plans.metrics import type_entropy
+
+    return type_entropy(_events(spark, sf)).select(
+        F.col("key").cast("long").alias("user_id"),
+        "n_events",
+        "n_types",
+        "entropy",
+    )
+
+
 def q_corr_matrix(spark, sf):
     """Pairwise Pearson correlation matrix between event-type hourly
     count series (plans/metrics.py::corr_matrix) — upper triangle,
@@ -2594,6 +2619,8 @@ def _hw_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "activity_gini",
+    "type_entropy",
     "stream_dd_1h",
     "corr_matrix_1h",
     "burstiness_1h",
@@ -2806,6 +2833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burstiness_1h": q_burstiness,
         "corr_matrix_1h": q_corr_matrix,
         "stream_dd_1h": q_stream_dd_1h,
+        "activity_gini": q_activity_gini,
+        "type_entropy": q_type_entropy,
         "rolling_zscore": q_rolling_zscore,
         "cms_user_daily": q_cms_user_daily,
         "heavy_hitters_1d": q_heavy_hitters_1d,
@@ -4543,6 +4572,32 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dd_p_cascade_1d": _dd_p_cascade_sql(),
         "holt_winters_24h": _hw_sql(),
+        "activity_gini": (
+            "WITH c AS (SELECT user_id, COUNT(*) AS x FROM events "
+            "GROUP BY 1), "
+            "r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, "
+            "user_id) AS BIGINT) AS i FROM c), "
+            "s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(i*x) AS "
+            "six FROM r) "
+            "SELECT CAST(n AS BIGINT) AS n_keys, CAST(sx AS BIGINT) "
+            "AS total, CAST(2*six - (n+1)*sx AS DOUBLE) / "
+            "CAST(n*sx AS DOUBLE) AS gini FROM s"
+        ),
+        "type_entropy": (
+            # sorted-fold of c*log2(c) terms (list ORDER BY category,
+            # left fold) matches Spark's array_sort+aggregate
+            "WITH c AS (SELECT user_id, event_type, COUNT(*) AS c "
+            "FROM events GROUP BY 1, 2), "
+            "t AS (SELECT user_id, event_type, c, CAST(c AS DOUBLE) * "
+            "log2(CAST(c AS DOUBLE)) AS term FROM c), "
+            "a AS (SELECT user_id, SUM(c) AS n, COUNT(*) AS n_types, "
+            "list_reduce(list(term ORDER BY event_type), "
+            "(x, y) -> x + y) AS sumterm FROM t GROUP BY 1) "
+            "SELECT user_id, CAST(n AS BIGINT) AS n_events, "
+            "CAST(n_types AS BIGINT) AS n_types, "
+            "log2(CAST(n AS DOUBLE)) - sumterm / CAST(n AS DOUBLE) "
+            "AS entropy FROM a"
+        ),
         "corr_matrix_1h": (
             # same dense per-type grid, integer sufficient statistics,
             # shared correlation expression (autocorr_1h's idiom)

@@ -936,3 +936,65 @@ def test_corr_matrix_matches_numpy(spark):
             assert n == T
             ref = float(np.corrcoef(series[ca], series[cb])[0, 1])
             assert abs(corr - ref) < 1e-9
+
+
+# ---- activity Gini + event-type entropy ----
+
+
+def test_activity_gini_closed_forms(spark):
+    """Uniform counts -> G = 0; maximal concentration (n-1 keys with 1
+    event, one key with the rest) approaches the closed form
+    (n-1)*(T-n... ) — checked against a direct numpy Gini."""
+    import numpy as np
+
+    from tsaug_spark.plans.metrics import activity_gini
+
+    def gini_np(xs):
+        xs = np.sort(np.asarray(xs))
+        n = len(xs)
+        i = np.arange(1, n + 1)
+        return float(
+            (2 * (i * xs).sum() - (n + 1) * xs.sum())
+            / (n * xs.sum())
+        )
+
+    uniform = [(u, u * 10 + k, 1.0) for u in range(8) for k in range(5)]
+    r = activity_gini(_ev(spark, uniform)).collect()[0]
+    assert r.n_keys == 8 and r.total == 40 and r.gini == 0.0
+
+    skewed = [(0, k, 1.0) for k in range(93)] + [
+        (u, 2000 + u, 1.0) for u in range(1, 8)
+    ]
+    r = activity_gini(_ev(spark, skewed)).collect()[0]
+    assert abs(r.gini - gini_np([93, 1, 1, 1, 1, 1, 1, 1])) < 1e-12
+    assert r.gini > 0.7
+
+
+def test_type_entropy_closed_forms_and_numpy(spark):
+    """Single-type key -> 0 bits; uniform 4-type key -> 2 bits; real
+    data matches scipy-free numpy entropy."""
+    import numpy as np
+
+    import datetime as _dt
+
+    from tsaug_spark.plans.metrics import type_entropy
+
+    rows = [(1, _dt.datetime(2024, 1, 1), "a")] * 7 + [
+        (2, _dt.datetime(2024, 1, 1), t) for t in "abcd" * 3
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, t) for i, (u, ts, t) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {r.key: r for r in type_entropy(df).collect()}
+    assert out[1].entropy == 0.0 and out[1].n_types == 1
+    assert abs(out[2].entropy - 2.0) < 1e-12 and out[2].n_types == 4
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    got = {r.key: r.entropy for r in type_entropy(ev).collect()}
+    pdf = ev.select("user_id", "event_type").toPandas()
+    for uid, g in pdf.groupby("user_id"):
+        c = g.event_type.value_counts().to_numpy().astype(float)
+        p = c / c.sum()
+        ref = float(-(p * np.log2(p)).sum())
+        assert abs(got[uid] - ref) < 1e-9

@@ -1825,3 +1825,110 @@ def corr_matrix(
         "n",
         (num / F.nullif(den, F.lit(0.0))).alias("corr"),
     )
+
+
+def activity_gini(
+    df: DataFrame, key_col: str = "user_id"
+) -> DataFrame:
+    """Gini coefficient of per-key activity — how unequally events
+    concentrate across keys (0 = uniform, →1 = one key dominates);
+    the standard skew summary a capacity planner reads before picking
+    a partitioning strategy.
+
+    Closed form over counts sorted ascending with 1-based rank i::
+
+        G = (2·Σ i·x_i − (n+1)·Σ x) / (n·Σ x)
+
+    Computed WITHOUT ranking individual keys: ties share equal x, so
+    a distinct activity level x with multiplicity m occupies one
+    contiguous rank block and contributes
+    ``x · (offset·m + m(m+1)/2)`` to Σ i·x_i.  The plan is therefore
+    key-count aggregate → count-of-counts aggregate (rows = DISTINCT
+    activity levels, typically thousands even at 10^9 keys) → one
+    ordered window over that tiny frame — no global sort of the key
+    population.  Every sum is an exact integer and G is one float
+    division — raw doubles, both engines.
+
+    Output: one row — n_keys, total, gini.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    levels = counts.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    w = (
+        Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    blocks = levels.select(
+        "x",
+        "m",
+        (F.sum("m").over(w) - F.col("m")).alias("offset"),
+    )
+    # all-integer block contribution (m(m+1) is even, `div` keeps the
+    # arithmetic in int64; at extreme key populations Σ i·x_i needs a
+    # DECIMAL widening — int64 holds it through ~10^8 keys)
+    six_term = F.expr(
+        "x * (offset * m + (m * (m + 1)) div 2)"
+    )
+    s = blocks.agg(
+        F.sum("m").alias("n"),
+        F.sum(F.col("x") * F.col("m")).alias("sx"),
+        F.sum(six_term).alias("six"),
+    )
+    g = (
+        (2 * F.col("six") - (F.col("n") + 1) * F.col("sx"))
+        .cast("double")
+        / (F.col("n") * F.col("sx")).cast("double")
+    )
+    return s.select(
+        F.col("n").alias("n_keys"),
+        F.col("sx").alias("total"),
+        g.alias("gini"),
+    )
+
+
+def type_entropy(
+    df: DataFrame,
+    key_col: str = "user_id",
+    cat_col: str = "event_type",
+) -> DataFrame:
+    """Shannon entropy (bits) of each key's category mix — behavioral
+    diversity (0 = single-category key, log2(|categories|) = uniform).
+
+    ``H = log2(n) − (Σ c·log2 c)/n`` over the key's per-category
+    counts.  The Σ term folds a SORTED (by category) list left to
+    right, so both engines accumulate the handful of float terms in
+    the same order; counts are exact integers underneath.
+
+    Output: key, n_events, n_types, entropy.
+    """
+    counts = df.groupBy(
+        F.col(key_col).alias("key"), F.col(cat_col).alias("cat")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    term = (
+        F.col("c").cast("double")
+        * F.log2(F.col("c").cast("double"))
+    ).alias("term")
+    per = counts.select("key", "cat", "c", term)
+    agg = per.groupBy("key").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("cat", "term"))
+            ),
+            F.lit(0.0),
+            lambda a, s: a + s["term"],
+        ).alias("sumterm"),
+    )
+    ent = F.log2(F.col("n").cast("double")) - F.col(
+        "sumterm"
+    ) / F.col("n").cast("double")
+    return agg.select(
+        "key",
+        F.col("n").alias("n_events"),
+        "n_types",
+        ent.alias("entropy"),
+    )
