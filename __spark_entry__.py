@@ -2055,6 +2055,19 @@ def q_kernel_pool_chunked(spark, sf):
     )
 
 
+def q_knn_join(spark, sf):
+    """Approximate kNN self-join (pipeline/similarity.py::knn_join):
+    top-3 cosine neighbors per vector among multi-band hyperplane-LSH
+    candidates (oracle-scale 2 bands x 4 planes), exact left-fold
+    cosine re-rank.  The oracle replays the plane draws AND the
+    element-order fold token-for-token, so raw ranks never diverge."""
+    from tsaug_spark.pipeline.similarity import knn_join
+
+    return knn_join(
+        _emb(spark, sf), k=3, n_bands=2, band_width=4
+    ).select("id_a", "id_b", "rank", "cos")
+
+
 def q_embed_near_dup(spark, sf):
     """MULTI-BAND random-hyperplane LSH near-duplicate pairs.
 
@@ -2619,6 +2632,7 @@ def _hw_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "knn_join",
     "activity_gini",
     "type_entropy",
     "stream_dd_1h",
@@ -2835,6 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dd_1h": q_stream_dd_1h,
         "activity_gini": q_activity_gini,
         "type_entropy": q_type_entropy,
+        "knn_join": q_knn_join,
         "rolling_zscore": q_rolling_zscore,
         "cms_user_daily": q_cms_user_daily,
         "heavy_hitters_1d": q_heavy_hitters_1d,
@@ -3222,6 +3237,43 @@ def _near_dup_band_sql(n_bands: int = 2, band_width: int = 4) -> list:
             )
         keys.append(" + ".join(parts))
     return keys
+
+
+def _knn_join_sql() -> str:
+    """knn_join replay: same plane draws (2 bands x 4 planes, seed 7),
+    candidates in BOTH directions, and the cosine as the SAME
+    element-order left fold the Spark plan uses (list_reduce seeds
+    with the first element; Spark seeds 0.0 — 0.0 + x == x exactly),
+    so ranks are bit-deterministic."""
+
+    def fold(x, y):
+        return (
+            f"list_reduce(list_transform(range(1, len({x}) + 1), "
+            f"i_ -> {x}[i_] * {y}[i_]), (a_, b_) -> a_ + b_)"
+        )
+
+    cos = (
+        f"{fold('x.v', 'y.v')} / (sqrt({fold('x.v', 'x.v')}) * "
+        f"sqrt({fold('y.v', 'y.v')}))"
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "bk AS (SELECT vec_id, v, "
+        + ", ".join(
+            f"({k}) AS k{b}"
+            for b, k in enumerate(_near_dup_band_sql(2, 4))
+        )
+        + " FROM e), "
+        "p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, "
+        f"{cos} AS c "
+        "FROM bk x JOIN bk y ON x.vec_id <> y.vec_id "
+        "AND (x.k0 = y.k0 OR x.k1 = y.k1)), "
+        "r AS (SELECT id_a, id_b, c, row_number() OVER "
+        "(PARTITION BY id_a ORDER BY c DESC, id_b) AS rank FROM p) "
+        "SELECT id_a, id_b, CAST(rank AS INT) AS rank, "
+        "ROUND(c, 4) AS cos FROM r WHERE rank <= 3"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3939,6 +3991,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, ROUND(c, 4) AS cos FROM s "
             "ORDER BY c DESC, vec_id LIMIT 10"
         ),
+        "knn_join": _knn_join_sql(),
         "embed_near_dup": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
             "FROM embeddings), "

@@ -69,3 +69,57 @@ def test_postings_invariants(spark):
     # term frequencies per doc sum to the doc length
     for d, total in by_doc.items():
         assert total == len(DOCS[d][1].split(" "))
+
+
+# ---- approximate kNN self-join (pipeline/similarity.py) ----
+
+
+def test_knn_join_recall_vs_brute_force(spark):
+    """With generous band geometry (8 bands x 2 planes) the LSH
+    candidate set recovers the true top-1 cosine neighbor for >= 90%
+    of vectors (numpy brute force as truth); ranks are 1..k with no
+    per-anchor overflow."""
+    import numpy as np
+
+    from tsaug_spark.pipeline.similarity import knn_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = knn_join(emb, k=3, n_bands=8, band_width=2).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.id_a, []).append((r.rank, r.id_b))
+    assert all(
+        sorted(rk for rk, _ in v) == list(range(1, len(v) + 1))
+        for v in per.values()
+    )
+    pdf = emb.toPandas()
+    ids = pdf.vec_id.to_numpy()
+    V = np.stack(pdf.embedding.to_numpy()).astype(float)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = V @ V.T
+    np.fill_diagonal(S, -np.inf)
+    true_top1 = {
+        int(ids[i]): int(ids[int(np.argmax(S[i]))])
+        for i in range(len(ids))
+    }
+    hits = sum(
+        1
+        for a, nbrs in per.items()
+        if any(b == true_top1[a] for _rk, b in nbrs)
+    )
+    assert hits / len(true_top1) >= 0.9, hits / len(true_top1)
+
+
+def test_knn_join_both_directions_and_k_bound(spark):
+    """Every anchor appears (candidates are symmetric) and no anchor
+    exceeds k rows."""
+    from tsaug_spark.pipeline.similarity import knn_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = knn_join(emb, k=2, n_bands=8, band_width=2).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.id_a, 0)
+        per[r.id_a] += 1
+    assert max(per.values()) <= 2
+    assert len(per) == emb.count()  # generous bands: nobody isolated

@@ -150,3 +150,87 @@ def ivf_topk(
         .orderBy(F.desc("cos"), id_col)
         .limit(k)
     )
+
+
+def knn_join(
+    emb: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 4,
+    band_width: int = 16,
+    seed: int = 7,
+    max_bucket: "int | None" = None,
+) -> DataFrame:
+    """Approximate kNN self-join: each vector's top-``k`` cosine
+    neighbors AMONG its multi-band hyperplane-LSH candidates — the
+    "nearest neighbors for every item" primitive behind semantic dedup
+    review queues and kNN-graph clustering, without an all-pairs pass.
+
+    Candidates come from the same bounded-occupancy banded join as
+    :func:`tsaug_spark.pipeline.dedup.embedding_near_dup` (pairs
+    agreeing on ANY band, deduped before scoring so a pair colliding in
+    several bands pays the O(dim) dot product once; both directions are
+    kept because each side ranks its own neighborhood).  Exact cosine
+    re-rank, then ONE row_number window per anchor id.  Recall misses
+    only neighbors that disagree on every band (probability
+    ``(1 - p^w)^n_bands`` with per-plane agreement p).
+
+    Determinism: the cosine is the canonical left fold over vector
+    elements (``_fold_dot``), replayed token-for-token by the oracle,
+    so ranks (ordered by cos DESC, id_b) never diverge between
+    engines.
+
+    Output: id_a, id_b, rank (1-based), cos (rounded for display;
+    ranking uses the raw double).
+    """
+    from pyspark.sql import Window
+
+    from tsaug_spark.pipeline.dedup import (
+        cap_hot_buckets,
+        hyperplane_bands,
+    )
+
+    bands = hyperplane_bands(
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_bands=n_bands,
+        band_width=band_width,
+        seed=seed,
+    )
+    if max_bucket is not None:
+        bands = cap_hot_buckets(
+            bands, ["band_idx", "band_val"], max_bucket
+        )
+    a = bands.select(
+        F.col("vid").alias("id_a"),
+        F.col("v").alias("va"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("vid").alias("id_b"),
+        F.col("v").alias("vb"),
+        "band_idx",
+        "band_val",
+    )
+    cos = _fold_dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_fold_dot(F.col("va"), F.col("va")))
+        * F.sqrt(_fold_dot(F.col("vb"), F.col("vb")))
+    )
+    scored = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("c", cos)
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("c"), "id_b")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "id_a", "id_b", "rank", F.round("c", 4).alias("cos")
+        )
+    )
