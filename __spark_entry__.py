@@ -1300,6 +1300,32 @@ def q_hist_p_cascade_1d(spark, sf):
     )
 
 
+def q_skew_report(spark, sf):
+    """Top-10 heaviest users with share and cumulative share
+    (plans/skew.py::skew_report) — the salt-factor planning view.
+    Integer counts, single divisions; DuckDB matches raw doubles."""
+    from tsaug_spark.plans.skew import skew_report
+
+    return skew_report(_events(spark, sf), key="user_id").select(
+        "rnk",
+        F.col("key").cast("long").alias("user_id"),
+        "cnt",
+        "share",
+        "cum_share",
+    )
+
+
+def q_type_token_ratio(spark, sf):
+    """Lexical-diversity gate (pipeline/text.py::type_token_ratio):
+    distinct-token share per document, exact integer counts + one
+    division."""
+    from tsaug_spark.pipeline.text import type_token_ratio
+
+    return type_token_ratio(_docs(spark, sf)).select(
+        "doc_id", "n_tokens", "n_types", "ttr"
+    )
+
+
 def q_activity_gini(spark, sf):
     """Gini coefficient of per-user event counts
     (plans/metrics.py::activity_gini): exact-integer rank/count sums,
@@ -2633,6 +2659,8 @@ def _hw_sql() -> str:
 #: oracle-checked entry.
 _PRIORITY = [
     "knn_join",
+    "skew_report",
+    "type_token_ratio",
     "activity_gini",
     "type_entropy",
     "stream_dd_1h",
@@ -2850,6 +2878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_gini": q_activity_gini,
         "type_entropy": q_type_entropy,
         "knn_join": q_knn_join,
+        "skew_report": q_skew_report,
+        "type_token_ratio": q_type_token_ratio,
         "rolling_zscore": q_rolling_zscore,
         "cms_user_daily": q_cms_user_daily,
         "heavy_hitters_1d": q_heavy_hitters_1d,
@@ -4625,6 +4655,31 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dd_p_cascade_1d": _dd_p_cascade_sql(),
         "holt_winters_24h": _hw_sql(),
+        "skew_report": (
+            "WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events "
+            "GROUP BY 1), "
+            "t AS (SELECT SUM(cnt) AS total FROM c), "
+            "r AS (SELECT user_id, cnt, "
+            "CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS "
+            "INT) AS rnk, "
+            "SUM(cnt) OVER (ORDER BY cnt DESC, user_id ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c) "
+            "SELECT rnk, user_id, CAST(cnt AS BIGINT) AS cnt, "
+            "CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share, "
+            "CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share "
+            "FROM r CROSS JOIN t WHERE rnk <= 10"
+        ),
+        "type_token_ratio": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z]+') AS toks "
+            "FROM documents), "
+            "s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS "
+            "n_tokens, CAST(len(list_distinct(toks)) AS BIGINT) AS "
+            "n_types FROM t WHERE len(toks) > 0) "
+            "SELECT doc_id, n_tokens, n_types, "
+            "CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS "
+            "ttr FROM s"
+        ),
         "activity_gini": (
             "WITH c AS (SELECT user_id, COUNT(*) AS x FROM events "
             "GROUP BY 1), "

@@ -41,3 +41,24 @@ def test_per_turn_text_stable_through_pipeline(spark, transcripts, tmp_path):
         .count()
     )
     assert dup == 0
+
+
+def test_skew_report_shares_and_ordering(spark):
+    """Shares sum to the heavy keys' mass, cum_share is monotone, and
+    the heaviest key leads (validated against a pandas groupby)."""
+    from tsaug_spark.plans.skew import skew_report
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    rows = skew_report(ev, key="user_id", top=10).collect()
+    assert [r.rnk for r in rows] == list(range(1, 11))
+    pdf = ev.groupBy("user_id").count().toPandas()
+    total = pdf["count"].sum()
+    top = pdf.sort_values(
+        ["count", "user_id"], ascending=[False, True]
+    ).head(10)
+    assert [r.key for r in rows] == top.user_id.tolist()
+    for r, (_i, t) in zip(rows, top.iterrows()):
+        assert r.cnt == t["count"]
+        assert abs(r.share - t["count"] / total) < 1e-12
+    cums = [r.cum_share for r in rows]
+    assert all(b > a for a, b in zip(cums, cums[1:]))

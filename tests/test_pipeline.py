@@ -533,3 +533,22 @@ def test_unigram_surprisal_rare_scores_higher(spark):
     assert len(got) + len(empties) == docs.count()
     avg = sorted(r.avg_cb for r in got.values())
     assert avg[0] < avg[-1]  # scores actually spread
+
+
+def test_type_token_ratio_closed_forms(spark):
+    """All-distinct doc -> ttr 1; single repeated token -> 1/n;
+    token-less docs absent."""
+    from tsaug_spark.pipeline.text import type_token_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "spam spam spam spam"),
+            (3, "123 !!!"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in type_token_ratio(docs).collect()}
+    assert out[1].ttr == 1.0 and out[1].n_types == 3
+    assert out[2].ttr == 0.25 and out[2].n_tokens == 4
+    assert 3 not in out

@@ -252,3 +252,36 @@ def unigram_surprisal(
             ).alias("avg_cb"),
         )
     )
+
+
+def type_token_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Type-token ratio per document — the lexical-diversity quality
+    gate (Gopher-style): boilerplate and keyword-stuffed pages repeat
+    a tiny vocabulary, so a low distinct-token share flags them.
+
+    One narrow projection, everything exact: token and distinct-token
+    counts are integers from the same lowercase-letter-run
+    tokenization the other text gates use; the ratio is one division.
+    Token-less documents are not emitted.
+
+    Output: doc_id, n_tokens, n_types, ttr.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+    ).filter(F.col("n_tokens") > 0)
+    return base.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        (
+            F.col("n_types").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("ttr"),
+    )

@@ -103,3 +103,47 @@ def rollup_salted(df_raw: DataFrame, tier: str, n_salts: int = 16) -> DataFrame:
         ],
         n_salts=n_salts,
     )
+
+
+def skew_report(
+    df: DataFrame, key: str = "user_id", top: int = 10
+) -> DataFrame:
+    """Partition-planning skew report: the ``top`` heaviest keys with
+    their share and cumulative share of all rows — the number a
+    capacity planner reads before choosing salt factors (pairs with
+    :func:`plan_salts`, and with ``activity_gini`` for the one-number
+    summary).
+
+    One hash aggregate over keys, one global top-k (rank over the
+    key-count frame, rows = distinct keys; Spark's TakeOrdered handles
+    the global limit without a full sort materialization).  Counts are
+    exact integers; shares are single divisions of exact integers, so
+    the oracle compares raw doubles.
+
+    Output: rnk, key, cnt, share, cum_share.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    w = Window.orderBy(F.desc("cnt"), "key")
+    cum = Window.orderBy(F.desc("cnt"), "key").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .withColumn("cum", F.sum("cnt").over(cum))
+        .filter(F.col("rnk") <= top)
+        .crossJoin(F.broadcast(total))
+    )
+    return ranked.select(
+        "rnk",
+        "key",
+        "cnt",
+        (F.col("cnt").cast("double") / F.col("total").cast("double"))
+        .alias("share"),
+        (F.col("cum").cast("double") / F.col("total").cast("double"))
+        .alias("cum_share"),
+    )
