@@ -2287,6 +2287,20 @@ def q_holt_series(spark, sf):
     )
 
 
+def q_dtw_cross_48(spark, sf):
+    """Banded DTW distance (Sakoe–Chiba w=8) between each user's
+    48-bucket turn-count and value curves
+    (plans/metrics.py::dtw_distance).  Every DP op is an IEEE add or
+    exact min, so the oracle's cell-by-cell recursive CTE replays the
+    distance bit-exactly — raw doubles, no rounding."""
+    from tsaug_spark.plans.metrics import dtw_distance
+
+    out = dtw_distance(_series_df(spark, sf), band=8)
+    return out.select(
+        F.col("key").cast("long").alias("user_id"), "T", "dtw"
+    )
+
+
 def q_holt_winters(spark, sf):
     """Holt–Winters additive triple smoothing (alpha=0.5, beta=0.25,
     gamma=0.25, season m=24) per rectangular 48-bucket series: the
@@ -2607,6 +2621,36 @@ def _stream_dd_sql() -> str:
     )
 
 
+def _dtw_sql(T: int = 48, w: int = 8) -> str:
+    """Banded-DTW replay: one recursion step per DP cell, state =
+    (i, j, prev row, growing cur row) with 1-indexed lists carrying
+    the j=0 boundary; cell = |a_i − b_j| + least of the three
+    neighbors — the kernel's ops token-for-token (IEEE add + exact
+    min), so the final distance is bit-equal."""
+    inf = "CAST('infinity' AS DOUBLE)"
+    cell = (
+        f"CASE WHEN abs(i - (j + 1)) > {w} THEN {inf} "
+        "ELSE abs(ac[i] - asv[j + 1]) + "
+        "least(prev[j + 2], prev[j + 1], cur[j + 1]) END"
+    )
+    return (
+        f"WITH RECURSIVE b AS ({_HOURLY_SQL}), {_SERIES_SQL}, "
+        "d AS (SELECT user_id, ac, asv, 1 AS i, 0 AS j, "
+        f"list_concat([CAST(0.0 AS DOUBLE)], "
+        f"list_transform(range({T}), x_ -> {inf})) AS prev, "
+        f"[{inf}] AS cur FROM arr "
+        "UNION ALL SELECT user_id, ac, asv, "
+        f"CASE WHEN j < {T} THEN i ELSE i + 1 END AS i, "
+        f"CASE WHEN j < {T} THEN j + 1 ELSE 0 END AS j, "
+        f"CASE WHEN j < {T} THEN prev ELSE cur END AS prev, "
+        f"CASE WHEN j < {T} THEN list_append(cur, {cell}) "
+        f"ELSE [{inf}] END AS cur "
+        f"FROM d WHERE NOT (i = {T} AND j = {T})) "
+        f"SELECT user_id, CAST({T} AS BIGINT) AS T, "
+        f"cur[{T + 1}] AS dtw FROM d WHERE i = {T} AND j = {T}"
+    )
+
+
 def _hw_sql() -> str:
     """Holt–Winters recursive-CTE replay: the anchor row carries the
     init level (exact integer sum / 24) and the 24-element seasonal
@@ -2658,6 +2702,7 @@ def _hw_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "dtw_cross_48",
     "knn_join",
     "skew_report",
     "type_token_ratio",
@@ -2872,6 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_p_cascade_1d": q_dd_p_cascade_1d,
         "mk_trend_daily": q_mk_trend_daily,
         "holt_winters_24h": q_holt_winters,
+        "dtw_cross_48": q_dtw_cross_48,
         "burstiness_1h": q_burstiness,
         "corr_matrix_1h": q_corr_matrix,
         "stream_dd_1h": q_stream_dd_1h,
@@ -4655,6 +4701,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dd_p_cascade_1d": _dd_p_cascade_sql(),
         "holt_winters_24h": _hw_sql(),
+        "dtw_cross_48": _dtw_sql(),
         "skew_report": (
             "WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events "
             "GROUP BY 1), "

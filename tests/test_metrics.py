@@ -998,3 +998,61 @@ def test_type_entropy_closed_forms_and_numpy(spark):
         p = c / c.sum()
         ref = float(-(p * np.log2(p)).sum())
         assert abs(got[uid] - ref) < 1e-9
+
+
+# ---- banded DTW distance ----
+
+
+def test_dtw_closed_forms(spark):
+    """Identical channels -> 0; a constant offset c walks the diagonal
+    -> T*c; a one-bucket phase shift of a spike costs less than the
+    unaligned pointwise distance (the elastic-matching property)."""
+    from tsaug_spark.plans.metrics import dtw_distance
+
+    T = 12
+    rows = []
+    for t in range(T):
+        spike_a = 10.0 if t == 5 else 0.0
+        spike_b = 10.0 if t == 6 else 0.0
+        rows += [
+            ("same", t, 3.0, 3.0),
+            ("off", t, 2.0, 5.0),
+            ("shift", t, spike_a, spike_b),
+        ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, bucket_idx long, cnt double, "
+        "sum_value double"
+    )
+    out = {r.key: r.dtw for r in dtw_distance(df, band=3).collect()}
+    assert out["same"] == 0.0
+    assert out["off"] == T * 3.0
+    assert out["shift"] < 20.0  # pointwise would be 20
+
+
+def test_dtw_matches_full_matrix_numpy(spark):
+    """Engine DTW at sf0.01 equals an independent full-matrix numpy DP
+    with the same Sakoe-Chiba band, bit for bit."""
+    import numpy as np
+
+    import __spark_entry__ as em
+    from tsaug_spark.plans.metrics import dtw_distance
+
+    series = em._series_df(spark, "/root/testdata/sf0.01")
+    got = {r.key: r.dtw for r in dtw_distance(series, band=8).collect()}
+    pdf = series.toPandas()
+    for uid, g in pdf.groupby("conv_id"):
+        g = g.sort_values("bucket_idx")
+        a = g.cnt.to_numpy()
+        b = g.sum_value.to_numpy()
+        n = len(a)
+        inf = float("inf")
+        dp = np.full((n + 1, n + 1), inf)
+        dp[0, 0] = 0.0
+        for i in range(1, n + 1):
+            for j in range(1, n + 1):
+                if abs(i - j) > 8:
+                    continue
+                dp[i, j] = abs(a[i - 1] - b[j - 1]) + min(
+                    dp[i - 1, j], dp[i - 1, j - 1], dp[i, j - 1]
+                )
+        assert got[uid] == dp[n, n], (uid, got[uid], dp[n, n])

@@ -1932,3 +1932,69 @@ def type_entropy(
         "n_types",
         ent.alias("entropy"),
     )
+
+
+def dtw_distance(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    order_col: str = "bucket_idx",
+    col_a: str = "cnt",
+    col_b: str = "sum_value",
+    band: int = 8,
+) -> DataFrame:
+    """Banded dynamic-time-warping distance between two equal-length
+    channels of each series (Sakoe & Chiba 1978) — the elastic shape
+    similarity the time-series classification / motif literature is
+    built on (here: how closely a conversation's turn-rate curve
+    tracks its value curve, tolerating phase shifts up to ``band``
+    buckets).
+
+    Classic DP with absolute-difference cost and a Sakoe–Chiba band::
+
+        dp[i][j] = |a_i − b_j| + min(dp[i−1][j], dp[i−1][j−1],
+                                     dp[i][j−1]),   |i−j| ≤ band
+
+    Inherently sequential per series, so it runs as a grouped Arrow
+    kernel — O(T·band) per key, embarrassingly parallel across keys
+    (the production contract for rollup-tier series lengths; the
+    whole-series cap policy documented for Drift/TimeWarp applies).
+    Every DP op is an IEEE add or exact min of identically-derived
+    doubles, so the oracle's cell-by-cell recursive CTE replays the
+    distance bit-exactly.
+
+    Output: key, T, dtw.
+    """
+    out_schema = (
+        f"key {dict(df.dtypes)[key_col]}, T long, dtw double"
+    )
+    w = int(band)
+
+    def _kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("ord").reset_index(drop=True)
+        a = pdf["va"].to_numpy()
+        b = pdf["vb"].to_numpy()
+        n = a.size
+        inf = float("inf")
+        prev = np.full(n + 1, inf)
+        prev[0] = 0.0
+        for i in range(1, n + 1):
+            cur = np.full(n + 1, inf)
+            for j in range(max(1, i - w), min(n, i + w) + 1):
+                cost = abs(a[i - 1] - b[j - 1])
+                cur[j] = cost + min(prev[j], prev[j - 1], cur[j - 1])
+            prev = cur
+        return pd.DataFrame(
+            {"key": [pdf["key"].iloc[0]], "T": [n],
+             "dtw": [prev[n]]}
+        )
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).cast("long").alias("ord"),
+        F.col(col_a).cast("double").alias("va"),
+        F.col(col_b).cast("double").alias("vb"),
+    )
+    return base.groupBy("key").applyInPandas(_kernel, out_schema)
