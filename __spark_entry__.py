@@ -2588,8 +2588,10 @@ def _dd_p_cascade_sql() -> str:
     return (
         "WITH b AS (SELECT user_id, "
         "CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket_s, "
-        "CAST(ceil(ln(CAST(CAST(round(value*100) AS BIGINT) AS "
-        f"DOUBLE)) / {DD_LNG!r}) AS INT) AS idx FROM events), "
+        "CAST(CASE WHEN CAST(round(value*100) AS BIGINT) <= 0 "
+        "THEN -1 ELSE "
+        "ceil(ln(CAST(CAST(round(value*100) AS BIGINT) AS "
+        f"DOUBLE)) / {DD_LNG!r}) END AS INT) AS idx FROM events), "
         "h AS (SELECT user_id, bucket_s, idx, COUNT(*) AS cnt "
         "FROM b GROUP BY 1, 2, 3), "
         "c AS (SELECT user_id, bucket_s, idx, "
@@ -2601,8 +2603,9 @@ def _dd_p_cascade_sql() -> str:
         "(SELECT unnest([0.5, 0.95]) AS q) WHERE cum >= q * total), "
         "sel AS (SELECT user_id, bucket_s, q, MIN(idx) AS idx "
         "FROM x GROUP BY 1, 2, 3) "
-        f"SELECT user_id, bucket_s, q, 2.0 * power({DD_GAMMA!r}, idx) "
-        f"/ {DD_GAMMA + 1.0!r} / 100.0 AS est FROM sel"
+        "SELECT user_id, bucket_s, q, CASE WHEN idx < 0 THEN 0.0 "
+        f"ELSE 2.0 * power({DD_GAMMA!r}, idx) "
+        f"/ {DD_GAMMA + 1.0!r} / 100.0 END AS est FROM sel"
     )
 
 
@@ -2614,8 +2617,10 @@ def _stream_dd_sql() -> str:
     return (
         "SELECT user_id, "
         "CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s, "
-        "CAST(ceil(ln(CAST(CAST(round(value*100) AS BIGINT) AS "
-        f"DOUBLE)) / {DD_LNG!r}) AS INT) AS idx, "
+        "CAST(CASE WHEN CAST(round(value*100) AS BIGINT) <= 0 "
+        "THEN -1 ELSE "
+        "ceil(ln(CAST(CAST(round(value*100) AS BIGINT) AS "
+        f"DOUBLE)) / {DD_LNG!r}) END AS INT) AS idx, "
         "CAST(COUNT(*) AS BIGINT) AS cnt "
         "FROM events GROUP BY 1, 2, 3"
     )

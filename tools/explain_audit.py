@@ -648,6 +648,51 @@ def main() -> None:
         execute=True,
     )
 
+    # kNN join: banded equi-join candidates, never an all-pairs plan
+    audit(
+        "knn_join (banded LSH candidates, no cartesian)",
+        em.q_knn_join(spark, sf),
+        must_have=["Window", "SortAggregate"],
+        must_not_have=["CartesianProduct", "BroadcastNestedLoopJoin",
+                       "BatchEvalPython", "ArrowEvalPython"],
+        execute=True,
+    )
+
+    # DTW: one grouped Arrow kernel after one hash partition
+    audit(
+        "dtw_cross_48 (single grouped Arrow kernel)",
+        em.q_dtw_cross_48(spark, sf),
+        must_have=["FlatMapGroupsInPandas"],
+        must_not_have=["CartesianProduct", "BatchEvalPython"],
+        execute=True,
+    )
+
+    # Gini: ordered window over the count-of-counts frame (distinct
+    # activity levels), never a global sort of the key population
+    audit(
+        "activity_gini (count-of-counts window)",
+        em.q_activity_gini(spark, sf),
+        must_have=["HashAggregate", "Window"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
+    # skew report / entropy / TTR: JVM-only aggregates & projections
+    for nm, q, have in [
+        ("skew_report", em.q_skew_report, "HashAggregate"),
+        ("type_entropy", em.q_type_entropy, "HashAggregate"),
+        ("type_token_ratio", em.q_type_token_ratio, "*("),
+    ]:
+        audit(
+            f"{nm} (JVM only)",
+            q(spark, sf),
+            must_have=[have],
+            must_not_have=["CartesianProduct", "BatchEvalPython",
+                           "ArrowEvalPython", "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")

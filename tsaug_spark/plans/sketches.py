@@ -341,13 +341,14 @@ def dd_partial(
     """DDSketch per (key, time bucket): ``(key, bucket_s, idx, cnt)``.
 
     ``idx = ceil(ln(cents)/ln(gamma))`` over the integerized positive
-    value (cents >= 1 → idx >= 0).  Zero/negative values are the
-    caller's contract to exclude (event values are >= 0.01 by schema);
-    a production zero-bucket would be one extra NULL-idx row.
+    value (cents >= 1 → idx >= 0); non-positive values land in the
+    classic DDSketch ZERO bucket, encoded as ``idx = -1`` so it sorts
+    below every log bucket and the quantile walk naturally counts it
+    first (estimate 0.0).
     """
     cents = F.round(F.col(value_col).cast("double") * 100).cast("long")
-    idx = F.ceil(
-        F.log(cents.cast("double")) / F.lit(DD_LNG)
+    idx = F.when(cents <= 0, F.lit(-1)).otherwise(
+        F.ceil(F.log(cents.cast("double")) / F.lit(DD_LNG))
     ).cast("int")
     return (
         df.select(
@@ -405,7 +406,7 @@ def dd_quantile(sketch: DataFrame, qs: list[float]) -> DataFrame:
         .groupBy("key", "bucket_s", "q")
         .agg(F.min("idx").alias("idx"))
     )
-    est = (
+    est = F.when(F.col("idx") < 0, F.lit(0.0)).otherwise(
         F.lit(2.0)
         * F.pow(F.lit(DD_GAMMA), F.col("idx"))
         / F.lit(DD_GAMMA + 1.0)

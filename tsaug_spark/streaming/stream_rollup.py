@@ -391,8 +391,8 @@ def stream_dd(
         ts_col, F.col(ts_col).cast("timestamp")
     )
     cents = F.round(F.col(value_col).cast("double") * 100).cast("long")
-    idx = F.ceil(
-        F.log(cents.cast("double")) / F.lit(DD_LNG)
+    idx = F.when(cents <= 0, F.lit(-1)).otherwise(
+        F.ceil(F.log(cents.cast("double")) / F.lit(DD_LNG))
     ).cast("int")
     keyed = stream_df.withWatermark(ts_col, watermark).select(
         F.col(ts_col),
