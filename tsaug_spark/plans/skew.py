@@ -114,11 +114,13 @@ def skew_report(
     :func:`plan_salts`, and with ``activity_gini`` for the one-number
     summary).
 
-    One hash aggregate over keys, one global top-k (rank over the
-    key-count frame, rows = distinct keys; Spark's TakeOrdered handles
-    the global limit without a full sort materialization).  Counts are
-    exact integers; shares are single divisions of exact integers, so
-    the oracle compares raw doubles.
+    One hash aggregate over keys, then the global top-k as an
+    ``orderBy().limit()`` — Spark plans that as TakeOrderedAndProject
+    (per-partition top-k + a k-row driver merge), NOT a single-
+    partition sort of the key population; the rank/cumulative window
+    then runs over only the ``top`` surviving rows.  Counts are exact
+    integers; shares are single divisions of exact integers, so the
+    oracle compares raw doubles.
 
     Output: rnk, key, cnt, share, cum_share.
     """
@@ -128,14 +130,14 @@ def skew_report(
         F.count(F.lit(1)).alias("cnt")
     )
     total = counts.agg(F.sum("cnt").alias("total"))
+    topk = counts.orderBy(F.desc("cnt"), "key").limit(top)
     w = Window.orderBy(F.desc("cnt"), "key")
     cum = Window.orderBy(F.desc("cnt"), "key").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     ranked = (
-        counts.withColumn("rnk", F.row_number().over(w))
+        topk.withColumn("rnk", F.row_number().over(w))
         .withColumn("cum", F.sum("cnt").over(cum))
-        .filter(F.col("rnk") <= top)
         .crossJoin(F.broadcast(total))
     )
     return ranked.select(
