@@ -1300,6 +1300,23 @@ def q_hist_p_cascade_1d(spark, sf):
     )
 
 
+def q_seasonal_anomaly(spark, sf):
+    """Hour-of-day seasonal anomaly flags
+    (plans/metrics.py::seasonal_anomaly): buckets >= 3 population
+    sigmas from the user's own hourly profile.  Exact integer
+    sufficient statistics, shared float mu/sigma/z, deterministic flag
+    set; DuckDB matches raw doubles."""
+    from tsaug_spark.plans.metrics import seasonal_anomaly
+
+    return seasonal_anomaly(_events(spark, sf), "1h").select(
+        F.col("key").cast("long").alias("user_id"),
+        "bucket_s",
+        "cnt",
+        "mu",
+        "z",
+    )
+
+
 def q_skew_report(spark, sf):
     """Top-10 heaviest users with share and cumulative share
     (plans/skew.py::skew_report) — the salt-factor planning view.
@@ -2707,6 +2724,7 @@ def _hw_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "seasonal_anomaly_1h",
     "dtw_cross_48",
     "knn_join",
     "skew_report",
@@ -2930,6 +2948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_entropy": q_type_entropy,
         "knn_join": q_knn_join,
         "skew_report": q_skew_report,
+        "seasonal_anomaly_1h": q_seasonal_anomaly,
         "type_token_ratio": q_type_token_ratio,
         "rolling_zscore": q_rolling_zscore,
         "cms_user_daily": q_cms_user_daily,
@@ -4707,6 +4726,34 @@ def oracle_sql() -> dict[str, str]:
         "dd_p_cascade_1d": _dd_p_cascade_sql(),
         "holt_winters_24h": _hw_sql(),
         "dtw_cross_48": _dtw_sql(),
+        "seasonal_anomaly_1h": (
+            "WITH base AS (SELECT user_id, "
+            "CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS b "
+            "FROM events), "
+            "bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM base), "
+            "cnts AS (SELECT user_id, b, COUNT(*) AS c FROM base "
+            "GROUP BY 1, 2), "
+            "grid AS (SELECT user_id, "
+            "unnest(generate_series(lo, hi, 3600)) AS b FROM "
+            "(SELECT DISTINCT user_id FROM base) CROSS JOIN bounds), "
+            "s AS (SELECT g.user_id, g.b, COALESCE(c.c, 0) AS x, "
+            "CAST((g.b % 86400) // 3600 AS INT) AS hod FROM grid g "
+            "LEFT JOIN cnts c ON c.user_id = g.user_id AND "
+            "c.b = g.b), "
+            "prof AS (SELECT user_id, hod, COUNT(*) AS n, SUM(x) AS "
+            "sx, SUM(x*x) AS sx2 FROM s GROUP BY 1, 2), "
+            "pp AS (SELECT user_id, hod, "
+            "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu, "
+            "NULLIF(sqrt(CAST(n*sx2 - sx*sx AS DOUBLE)) / "
+            "CAST(n AS DOUBLE), 0.0) AS sigma FROM prof) "
+            "SELECT s.user_id, s.b AS bucket_s, CAST(s.x AS BIGINT) "
+            "AS cnt, pp.mu, "
+            "(CAST(s.x AS DOUBLE) - pp.mu) / pp.sigma AS z "
+            "FROM s JOIN pp ON pp.user_id = s.user_id AND "
+            "pp.hod = s.hod "
+            "WHERE abs((CAST(s.x AS DOUBLE) - pp.mu) / pp.sigma) "
+            ">= 3.0"
+        ),
         "skew_report": (
             "WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events "
             "GROUP BY 1), "

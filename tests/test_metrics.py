@@ -1056,3 +1056,61 @@ def test_dtw_matches_full_matrix_numpy(spark):
                     dp[i - 1, j], dp[i - 1, j - 1], dp[i, j - 1]
                 )
         assert got[uid] == dp[n, n], (uid, got[uid], dp[n, n])
+
+
+# ---- seasonal anomaly flags ----
+
+
+def test_seasonal_anomaly_planted_burst(spark):
+    """A key with a steady 2-events-per-hour-8 rhythm plus one planted
+    30-event burst flags exactly the burst bucket; a perfectly
+    periodic key flags nothing (zero variance per hour -> z NULL)."""
+    from tsaug_spark.plans.metrics import seasonal_anomaly
+
+    rows = []
+    for d in range(10):
+        for u, n in ((1, 2), (2, 3)):
+            cnt = 30 if (u == 1 and d == 7) else n
+            for k in range(cnt):
+                rows.append((u, d * 86400 + 8 * 3600 + k, 1.0))
+    out = seasonal_anomaly(_ev(spark, rows), "1h").collect()
+    t0_epoch = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert [(r.key, r.bucket_s) for r in out] == [
+        (1, t0_epoch + 7 * 86400 + 8 * 3600)
+    ]
+    assert out[0].cnt == 30 and out[0].z >= 3
+
+
+def test_seasonal_anomaly_matches_numpy(spark):
+    """Flag set at sf0.01 equals the numpy hour-of-day profile
+    z-score computation over the same zero-filled grid."""
+    import numpy as np
+
+    from tsaug_spark.plans.metrics import seasonal_anomaly
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    got = {
+        (r.key, r.bucket_s) for r in seasonal_anomaly(ev, "1h").collect()
+    }
+    pdf = ev.select("user_id", "ts").toPandas()
+    b = (pdf.ts.astype("int64") // 10**9 // 3600) * 3600
+    lo, hi = int(b.min()), int(b.max())
+    grid = np.arange(lo, hi + 1, 3600)
+    expected = set()
+    for uid, grp in b.groupby(pdf.user_id):
+        x = np.zeros(len(grid), dtype=np.int64)
+        for bb, c in grp.value_counts().items():
+            x[(int(bb) - lo) // 3600] = c
+        hod = (grid % 86400) // 3600
+        for h in range(24):
+            xs = x[hod == h]
+            n = len(xs)
+            mu = xs.sum() / n
+            var_num = n * int((xs * xs).sum()) - int(xs.sum()) ** 2
+            if var_num == 0:
+                continue
+            sigma = np.sqrt(float(var_num)) / n
+            for i in np.nonzero(hod == h)[0]:
+                if abs((x[i] - mu) / sigma) >= 3.0:
+                    expected.add((uid, int(grid[i])))
+    assert got == expected and len(got) > 0

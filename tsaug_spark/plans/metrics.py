@@ -1998,3 +1998,89 @@ def dtw_distance(
         F.col(col_b).cast("double").alias("vb"),
     )
     return base.groupBy("key").applyInPandas(_kernel, out_schema)
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    tier: str = "1h",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Seasonality-aware anomaly flags: buckets whose count deviates
+    from the key's OWN hour-of-day profile by more than ``z_thresh``
+    population standard deviations — the composite a monitoring stack
+    wires from its seasonal baseline + z-score primitives (a 3 a.m.
+    burst is anomalous even when 3 p.m. sees that load every day).
+
+    The profile is per (key, hour-of-day) over the zero-filled global
+    grid, so mean/std are over the full retention window including
+    silent days.  Sufficient statistics are exact integer sums; mu,
+    sigma, and z are single shared float expressions, and the flag
+    comparison runs on identically-derived doubles — so the flagged
+    row set is deterministic across engines (zero-variance hours flag
+    only via the mu side, z NULL).
+
+    Plan: counts aggregate → grid join (bounded) → one (key, hod)
+    aggregate joined back — two shuffles over grid-bounded frames.
+
+    Output: key, bucket_s, cnt, mu, z   (only flagged rows).
+    """
+    sec = TIERS[tier][1]
+    base = df.select(
+        F.col(key_col).alias("key"), _bucket_s(ts_col, tier)
+    )
+    counts = base.groupBy("key", "bucket_s").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bounds = base.agg(
+        F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi")
+    )
+    grid = (
+        base.select("key")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "key",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(sec))
+            ).alias("bucket_s"),
+        )
+    )
+    series = grid.join(counts, ["key", "bucket_s"], "left").select(
+        "key",
+        "bucket_s",
+        F.coalesce("cnt", F.lit(0).cast("long")).alias("x"),
+        ((F.col("bucket_s") % 86400) / F.lit(sec))
+        .cast("int")
+        .alias("hod"),
+    )
+    prof = series.groupBy("key", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("sx").cast("double") / nd
+    sigma = (
+        F.sqrt(
+            (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx"))
+            .cast("double")
+        )
+        / nd
+    )
+    prof = prof.select(
+        "key", "hod", mu.alias("mu"), F.nullif(sigma, F.lit(0.0)).alias("sigma")
+    )
+    j = series.join(prof, ["key", "hod"])
+    z = (F.col("x").cast("double") - F.col("mu")) / F.col("sigma")
+    return (
+        j.select(
+            "key",
+            "bucket_s",
+            F.col("x").alias("cnt"),
+            "mu",
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= F.lit(float(z_thresh)))
+    )
