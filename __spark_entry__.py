@@ -2304,6 +2304,22 @@ def q_holt_series(spark, sf):
     )
 
 
+def q_motif_pair_48(spark, sf):
+    """Top motif per 48-bucket series (plans/metrics.py::motif_pair):
+    closest non-overlapping z-normalized length-8 subsequence pair —
+    the matrix-profile primitive.  Window statistics are single float
+    functions of exact integer sums; the distance folds squared
+    differences left-to-right and the winner is an argmin under
+    (dist, i, j) — the oracle replays all of it, so the selected pair
+    is bit-deterministic."""
+    from tsaug_spark.plans.metrics import motif_pair
+
+    out = motif_pair(_series_df(spark, sf), m=8)
+    return out.select(
+        F.col("key").cast("long").alias("user_id"), "i", "j", "dist"
+    )
+
+
 def q_dtw_cross_48(spark, sf):
     """Banded DTW distance (Sakoe–Chiba w=8) between each user's
     48-bucket turn-count and value curves
@@ -2643,6 +2659,52 @@ def _stream_dd_sql() -> str:
     )
 
 
+def _motif_sql(T: int = 48, m: int = 8) -> str:
+    """Motif replay: per-window exact-integer sums (left folds), the
+    kernel's mu/sigma expressions, squared-difference fold written as
+    (d)*(d) — not pow — and the (dist, i, j) argmin as a DuckDB
+    struct arg_min (lexicographic)."""
+    n_sub = T - m + 1
+
+    def za(side, k):
+        return (
+            f"(CASE WHEN {side}.sig = 0 THEN 0.0 ELSE "
+            f"({side}.ac[{side}.i + {k}] - {side}.mu) / {side}.sig "
+            "END)"
+        )
+
+    d = " + ".join(
+        f"({za('a', k)} - {za('b', k)}) * "
+        f"({za('a', k)} - {za('b', k)})"
+        for k in range(m)
+    )
+    fold = (
+        f"list_reduce(list_transform(range(0, {m}), "
+        "k_ -> ac[i + k_]), (x_, y_) -> x_ + y_)"
+    )
+    fold2 = (
+        f"list_reduce(list_transform(range(0, {m}), "
+        "k_ -> ac[i + k_] * ac[i + k_]), (x_, y_) -> x_ + y_)"
+    )
+    return (
+        f"WITH b AS ({_HOURLY_SQL}), {_SERIES_SQL}, "
+        f"subs AS (SELECT user_id, ac, "
+        f"CAST(unnest(range(1, {n_sub + 1})) AS INT) AS i FROM arr), "
+        f"st AS (SELECT user_id, ac, i, {fold} AS sx, {fold2} AS sx2 "
+        "FROM subs), "
+        f"zs AS (SELECT user_id, ac, i, sx / {m} AS mu, "
+        f"sqrt({m} * sx2 - sx * sx) / {m} AS sig FROM st), "
+        "p AS (SELECT a.user_id, a.i AS i, b.i AS j, "
+        f"sqrt({d}) AS dist "
+        "FROM zs a JOIN zs b ON a.user_id = b.user_id AND "
+        f"b.i >= a.i + {m}), "
+        "sel AS (SELECT user_id, i, j, dist, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY dist, i, j) AS rn FROM p) "
+        "SELECT user_id, CAST(i - 1 AS BIGINT) AS i, "
+        "CAST(j - 1 AS BIGINT) AS j, dist FROM sel WHERE rn = 1"
+    )
+
+
 def _dtw_sql(T: int = 48, w: int = 8) -> str:
     """Banded-DTW replay: one recursion step per DP cell, state =
     (i, j, prev row, growing cur row) with 1-indexed lists carrying
@@ -2724,6 +2786,7 @@ def _hw_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "motif_pair_48",
     "seasonal_anomaly_1h",
     "dtw_cross_48",
     "knn_join",
@@ -2941,6 +3004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mk_trend_daily": q_mk_trend_daily,
         "holt_winters_24h": q_holt_winters,
         "dtw_cross_48": q_dtw_cross_48,
+        "motif_pair_48": q_motif_pair_48,
         "burstiness_1h": q_burstiness,
         "corr_matrix_1h": q_corr_matrix,
         "stream_dd_1h": q_stream_dd_1h,
@@ -4726,6 +4790,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_p_cascade_1d": _dd_p_cascade_sql(),
         "holt_winters_24h": _hw_sql(),
         "dtw_cross_48": _dtw_sql(),
+        "motif_pair_48": _motif_sql(),
         "seasonal_anomaly_1h": (
             "WITH base AS (SELECT user_id, "
             "CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS b "

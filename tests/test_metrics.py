@@ -1114,3 +1114,64 @@ def test_seasonal_anomaly_matches_numpy(spark):
                 if abs((x[i] - mu) / sigma) >= 3.0:
                     expected.add((uid, int(grid[i])))
     assert got == expected and len(got) > 0
+
+
+# ---- motif discovery (top matrix-profile pair) ----
+
+
+def test_motif_pair_planted_motif(spark):
+    """A series with the same shape planted twice on a noisy-unique
+    background recovers exactly that (i, j) pair at distance 0
+    (z-normalization makes the scaled copy match too)."""
+    from tsaug_spark.plans.metrics import motif_pair
+
+    pat = [1.0, 5.0, 2.0, 7.0, 3.0, 9.0, 4.0, 6.0]
+    bg = [float((17 * t * t + 3 * t) % 101) for t in range(48)]
+    x = list(bg)
+    x[4:12] = pat                      # motif at i=4
+    x[30:38] = [2 * p + 10 for p in pat]  # scaled+shifted copy at j=30
+    df = spark.createDataFrame(
+        [("a", t, v) for t, v in enumerate(x)],
+        "conv_id string, bucket_idx long, cnt double",
+    )
+    r = motif_pair(df, m=8).collect()[0]
+    assert (r.i, r.j) == (4, 30)
+    assert r.dist < 1e-7
+
+
+def test_motif_pair_matches_numpy(spark):
+    """Engine motif at sf0.01 equals an independent numpy full scan
+    (same exclusion zone, same tie order)."""
+    import numpy as np
+
+    import __spark_entry__ as em
+    from tsaug_spark.plans.metrics import motif_pair
+
+    series = em._series_df(spark, "/root/testdata/sf0.01")
+    got = {
+        r.key: (r.i, r.j, r.dist)
+        for r in motif_pair(series, m=8).collect()
+    }
+    pdf = series.toPandas()
+    m = 8
+    for uid, g in pdf.groupby("conv_id"):
+        x = g.sort_values("bucket_idx").cnt.to_numpy()
+        n_sub = len(x) - m + 1
+        zs = []
+        for i in range(n_sub):
+            w = x[i:i + m]
+            mu = w.sum() / m
+            sig = np.sqrt(m * (w * w).sum() - w.sum() ** 2) / m
+            zs.append(
+                np.zeros(m) if sig == 0 else (w - mu) / sig
+            )
+        best = None
+        for i in range(n_sub):
+            for j in range(i + m, n_sub):
+                d = float(np.sqrt(((zs[i] - zs[j]) ** 2).sum()))
+                cand = (d, i, j)
+                if best is None or cand < best:
+                    best = cand
+        bi, bj = got[uid][0], got[uid][1]
+        assert (bi, bj) == (best[1], best[2]), (uid, got[uid], best)
+        assert abs(got[uid][2] - best[0]) < 1e-9

@@ -2084,3 +2084,93 @@ def seasonal_anomaly(
         )
         .filter(F.abs(F.col("z")) >= F.lit(float(z_thresh)))
     )
+
+
+def motif_pair(
+    df: DataFrame,
+    m: int = 8,
+    key_col: str = "conv_id",
+    order_col: str = "bucket_idx",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Top motif per series: the pair of NON-OVERLAPPING length-``m``
+    subsequences with the smallest z-normalized Euclidean distance —
+    the matrix-profile primitive (Yeh et al., ICDM 2016) behind motif
+    discovery ("which load pattern does this conversation repeat?").
+
+    Each subsequence is z-normalized by its own mean/std (population;
+    a flat window z-scores to all-zeros by convention), then::
+
+        d(i, j) = sqrt(Σ_k (z_i[k] − z_j[k])²),   j ≥ i + m
+
+    All subsequence statistics are single float functions of exact
+    integer window sums; the distance folds the m squared differences
+    left-to-right, and the winning pair is an argmin under the total
+    order (d, i, j) — every step replayed token-for-token by the
+    oracle, so the selected motif is bit-deterministic.
+
+    O(T²·m) per key as a grouped Arrow kernel (T = rollup-tier series
+    length, bounded by retention), embarrassingly parallel across
+    keys; the STOMP O(T²) recurrence is the constant-factor upgrade at
+    longer T.
+
+    Output: key, i, j, dist   (0-based window starts).
+    """
+    mm = int(m)
+    out_schema = (
+        f"key {dict(df.dtypes)[key_col]}, i long, j long, dist double"
+    )
+
+    def _kernel(pdf):
+        from math import sqrt
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("ord").reset_index(drop=True)
+        x = pdf["v"].tolist()
+        n = len(x)
+        n_sub = n - mm + 1
+        if n_sub < mm + 1:
+            return pd.DataFrame(
+                columns=["key", "i", "j", "dist"]
+            ).astype({"i": "int64", "j": "int64", "dist": "float64"})
+        mus, sigs = [], []
+        for i in range(n_sub):
+            sx = 0.0
+            sx2 = 0.0
+            for k in range(mm):
+                sx = sx + x[i + k]
+                sx2 = sx2 + x[i + k] * x[i + k]
+            mu = sx / mm
+            sigs.append(sqrt(mm * sx2 - sx * sx) / mm)
+            mus.append(mu)
+
+        def z(i, k):
+            return (
+                0.0
+                if sigs[i] == 0.0
+                else (x[i + k] - mus[i]) / sigs[i]
+            )
+
+        best = None
+        for i in range(n_sub):
+            for j in range(i + mm, n_sub):
+                acc = 0.0
+                for k in range(mm):
+                    d = z(i, k) - z(j, k)
+                    acc = acc + d * d
+                dist = sqrt(acc)
+                cand = (dist, i, j)
+                if best is None or cand < best:
+                    best = cand
+        return pd.DataFrame(
+            {"key": [pdf["key"].iloc[0]], "i": [best[1]],
+             "j": [best[2]], "dist": [best[0]]}
+        )
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).cast("long").alias("ord"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    return base.groupBy("key").applyInPandas(_kernel, out_schema)
