@@ -1177,6 +1177,23 @@ def q_stream_cms_1h(spark, sf):
     )
 
 
+def q_stream_attribution(spark, sf):
+    """Stream-stream event-time join
+    (streaming/stream_join.py::stream_interval_join): purchases within
+    1h after a click of the same user, watermark-bounded state on both
+    sides.  The inner join emits exact matched rows, so the caught-up
+    append sink equals the batch interval join row for row — delay is
+    an exact integer microsecond difference."""
+    from tsaug_spark.streaming.stream_join import run_stream_join_once
+
+    out = run_stream_join_once(
+        spark, f"{sf}/events.parquet", window_s=3600
+    )
+    return out.select(
+        "user_id", "click_id", "purchase_id", "delay_us"
+    )
+
+
 def q_stream_dd_1h(spark, sf):
     """Streaming DDSketch (watermarked window count per (key,
     log-bucket)) backfilled with availableNow; counts are exact sums,
@@ -2786,6 +2803,7 @@ def _hw_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "stream_attribution",
     "motif_pair_48",
     "seasonal_anomaly_1h",
     "dtw_cross_48",
@@ -3008,6 +3026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burstiness_1h": q_burstiness,
         "corr_matrix_1h": q_corr_matrix,
         "stream_dd_1h": q_stream_dd_1h,
+        "stream_attribution": q_stream_attribution,
         "activity_gini": q_activity_gini,
         "type_entropy": q_type_entropy,
         "knn_join": q_knn_join,
@@ -4700,6 +4719,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM r"
         ),
         "stream_dd_1h": _stream_dd_sql(),
+        "stream_attribution": (
+            # batch interval join == caught-up stream-stream sink
+            "SELECT c.user_id, c.event_id AS click_id, "
+            "p.event_id AS purchase_id, "
+            "CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS "
+            "delay_us "
+            "FROM events c JOIN events p ON p.user_id = c.user_id "
+            "AND c.event_type = 'click' AND p.event_type = 'purchase' "
+            "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR"
+        ),
         "stream_hll_1h": (
             # max-merge is exact: the caught-up streaming sink equals
             # the direct hourly register build, same md5 bit layout

@@ -394,3 +394,49 @@ def test_stream_m4_matches_batch_across_micro_batches(spark, tmp_path):
     pd.testing.assert_frame_equal(
         streamed, batch[streamed.columns.tolist()], check_dtype=False
     )
+
+
+def test_stream_interval_join_equals_batch(spark):
+    """Stream-stream inner join (watermarked, interval-bounded)
+    drained with availableNow equals the batch interval join row for
+    row, and every emitted delay is inside [0, window]."""
+    from pyspark.sql import functions as F
+
+    from tsaug_spark.streaming.stream_join import run_stream_join_once
+
+    src = "/root/testdata/sf0.01/events.parquet"
+    streamed = run_stream_join_once(
+        spark, src, window_s=3600, sink_table="t_stream_join"
+    )
+    got = {
+        (r.user_id, r.click_id, r.purchase_id, r.delay_us)
+        for r in streamed.collect()
+    }
+    ev = spark.read.parquet(src)
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").cast("timestamp").alias("ct"),
+        F.col("event_id").alias("ci"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("ts").cast("timestamp").alias("pt"),
+        F.col("event_id").alias("pi"),
+    )
+    ref = {
+        (r.u, r.ci, r.pi, r.d)
+        for r in c.join(
+            p,
+            (F.col("u") == F.col("pu"))
+            & (F.col("pt") >= F.col("ct"))
+            & (F.col("pt") <= F.col("ct") + F.expr(
+                "INTERVAL 3600 SECONDS")),
+        )
+        .select(
+            "u", "ci", "pi",
+            (F.unix_micros("pt") - F.unix_micros("ct")).alias("d"),
+        )
+        .collect()
+    }
+    assert got == ref and len(got) > 0
+    assert all(0 <= d <= 3600 * 10**6 for *_x, d in got)
