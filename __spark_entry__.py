@@ -2321,6 +2321,29 @@ def q_holt_series(spark, sf):
     )
 
 
+#: the query shape for pattern_search: a single-bucket burst with
+#: symmetric shoulders (z-normalized inside the operator)
+_SEARCH_PATTERN = [0.0, 0.0, 1.0, 4.0, 9.0, 4.0, 1.0, 0.0]
+
+
+def q_pattern_search(spark, sf):
+    """Query-by-pattern subsequence search
+    (plans/metrics.py::pattern_search): the 10 closest z-normalized
+    length-8 windows to a burst-shaped query across all series — pure
+    Catalyst folds against the broadcast pattern literal, global top-k
+    via TakeOrdered.  The oracle replays the folds and the pattern's
+    z constants token-for-token, so the ranked set is
+    bit-deterministic."""
+    from tsaug_spark.plans.metrics import pattern_search
+
+    out = pattern_search(
+        _series_df(spark, sf), _SEARCH_PATTERN, top=10
+    )
+    return out.select(
+        F.col("key").cast("long").alias("user_id"), "i", "dist"
+    )
+
+
 def q_motif_pair_48(spark, sf):
     """Top motif per 48-bucket series (plans/metrics.py::motif_pair):
     closest non-overlapping z-normalized length-8 subsequence pair —
@@ -2722,6 +2745,56 @@ def _motif_sql(T: int = 48, m: int = 8) -> str:
     )
 
 
+def _pattern_sql(T: int = 48, m: int = 8, top: int = 10) -> str:
+    """pattern_search replay: same window folds as the motif oracle,
+    distance against the SAME precomputed z-normalized pattern
+    literals, top-k under the strict (dist, key, i) order."""
+    from math import sqrt
+
+    pat = _SEARCH_PATTERN
+    psx = 0.0
+    psx2 = 0.0
+    for v in pat:
+        psx += v
+        psx2 += v * v
+    pmu = psx / m
+    psig = sqrt(m * psx2 - psx * psx) / m
+    pz = [(v - pmu) / psig if psig else 0.0 for v in pat]
+
+    def zw(k):
+        return (
+            "(CASE WHEN sig = 0 THEN 0.0 ELSE "
+            f"(ac[i + {k}] - mu) / sig END)"
+        )
+
+    d = " + ".join(
+        f"({zw(k)} - {pz[k]!r}) * ({zw(k)} - {pz[k]!r})"
+        for k in range(m)
+    )
+    fold = (
+        f"list_reduce(list_transform(range(0, {m}), "
+        "k_ -> ac[i + k_]), (x_, y_) -> x_ + y_)"
+    )
+    fold2 = (
+        f"list_reduce(list_transform(range(0, {m}), "
+        "k_ -> ac[i + k_] * ac[i + k_]), (x_, y_) -> x_ + y_)"
+    )
+    return (
+        f"WITH b AS ({_HOURLY_SQL}), {_SERIES_SQL}, "
+        f"subs AS (SELECT user_id, ac, "
+        f"CAST(unnest(range(1, {T - m + 2})) AS INT) AS i FROM arr), "
+        f"st AS (SELECT user_id, ac, i, {fold} AS sx, {fold2} AS sx2 "
+        "FROM subs), "
+        f"zs AS (SELECT user_id, ac, i, sx / {m} AS mu, "
+        f"sqrt({m} * sx2 - sx * sx) / {m} AS sig FROM st) "
+        f"SELECT user_id, CAST(i - 1 AS BIGINT) AS i, sqrt({d}) AS "
+        "dist FROM zs "
+        # the engine's key is the STRING conv_id, so the tie-break on
+        # equal distances is lexicographic — replicate that order
+        f"ORDER BY dist, CAST(user_id AS VARCHAR), i LIMIT {top}"
+    )
+
+
 def _dtw_sql(T: int = 48, w: int = 8) -> str:
     """Banded-DTW replay: one recursion step per DP cell, state =
     (i, j, prev row, growing cur row) with 1-indexed lists carrying
@@ -2803,6 +2876,7 @@ def _hw_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "pattern_search",
     "stream_attribution",
     "motif_pair_48",
     "seasonal_anomaly_1h",
@@ -3023,6 +3097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters_24h": q_holt_winters,
         "dtw_cross_48": q_dtw_cross_48,
         "motif_pair_48": q_motif_pair_48,
+        "pattern_search": q_pattern_search,
         "burstiness_1h": q_burstiness,
         "corr_matrix_1h": q_corr_matrix,
         "stream_dd_1h": q_stream_dd_1h,
@@ -4820,6 +4895,7 @@ def oracle_sql() -> dict[str, str]:
         "holt_winters_24h": _hw_sql(),
         "dtw_cross_48": _dtw_sql(),
         "motif_pair_48": _motif_sql(),
+        "pattern_search": _pattern_sql(),
         "seasonal_anomaly_1h": (
             "WITH base AS (SELECT user_id, "
             "CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS b "

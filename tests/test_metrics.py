@@ -1175,3 +1175,63 @@ def test_motif_pair_matches_numpy(spark):
         bi, bj = got[uid][0], got[uid][1]
         assert (bi, bj) == (best[1], best[2]), (uid, got[uid], best)
         assert abs(got[uid][2] - best[0]) < 1e-9
+
+
+# ---- query-by-pattern subsequence search ----
+
+
+def test_pattern_search_planted_exact_match(spark):
+    """A series containing the (scaled) query pattern verbatim ranks
+    that window first at distance 0."""
+    from tsaug_spark.plans.metrics import pattern_search
+
+    pat = [0.0, 0.0, 1.0, 4.0, 9.0, 4.0, 1.0, 0.0]
+    bg = [float((13 * t * t + 7 * t) % 97) for t in range(48)]
+    x = list(bg)
+    x[20:28] = [3 * p + 2 for p in pat]  # scaled copy at i=20
+    rows = [("a", t, v) for t, v in enumerate(x)] + [
+        ("b", t, v) for t, v in enumerate(bg)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, bucket_idx long, cnt double"
+    )
+    top = pattern_search(df, pat, top=3).collect()
+    assert (top[0].key, top[0].i) == ("a", 20)
+    assert top[0].dist < 1e-7 < top[1].dist
+
+
+def test_pattern_search_matches_numpy_topk(spark):
+    """The global top-10 at sf0.01 equals a numpy scan with the same
+    z-normalization and the same (dist, key, i) tie order."""
+    import numpy as np
+
+    import __spark_entry__ as em
+    from tsaug_spark.plans.metrics import pattern_search
+
+    pat = em._SEARCH_PATTERN
+    m = len(pat)
+    series = em._series_df(spark, "/root/testdata/sf0.01")
+    got = [
+        (r.key, r.i, r.dist)
+        for r in pattern_search(series, pat, top=10).collect()
+    ]
+    p = np.asarray(pat)
+    pmu = p.sum() / m
+    psig = np.sqrt(m * (p * p).sum() - p.sum() ** 2) / m
+    pz = (p - pmu) / psig
+    cands = []
+    pdf = series.toPandas()
+    for uid, g in pdf.groupby("conv_id"):
+        x = g.sort_values("bucket_idx").cnt.to_numpy()
+        for i in range(len(x) - m + 1):
+            w = x[i:i + m]
+            sig = np.sqrt(m * (w * w).sum() - w.sum() ** 2) / m
+            z = np.zeros(m) if sig == 0 else (w - w.sum() / m) / sig
+            cands.append(
+                (float(np.sqrt(((z - pz) ** 2).sum())), uid, i)
+            )
+    cands.sort()
+    ref = [(u, i, d) for d, u, i in cands[:10]]
+    assert [(k, i) for k, i, _ in got] == [(k, i) for k, i, _ in ref]
+    for (_k, _i, dg), (_k2, _i2, dr) in zip(got, ref):
+        assert abs(dg - dr) < 1e-9

@@ -2174,3 +2174,139 @@ def motif_pair(
         F.col(value_col).cast("double").alias("v"),
     )
     return base.groupBy("key").applyInPandas(_kernel, out_schema)
+
+
+def pattern_search(
+    df: DataFrame,
+    pattern: "list[float]",
+    top: int = 10,
+    key_col: str = "conv_id",
+    order_col: str = "bucket_idx",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Query-by-pattern subsequence search: the ``top`` closest
+    z-normalized matches to ``pattern`` across ALL series — the
+    cross-corpus companion to :func:`motif_pair` ("find every
+    conversation whose load ever looked like THIS"), and the shape
+    UCR-style similarity search takes.
+
+    Pure Catalyst, no kernel: each series is packed to an ordered
+    array once, window starts explode from a bounded ``sequence``,
+    window statistics and the distance are left-to-right ``aggregate``
+    folds against the BROADCAST z-normalized pattern literal, and the
+    global top-k is ``orderBy().limit()`` — TakeOrderedAndProject, no
+    single-partition sort.  Work is keys × (T−m+1) fold evaluations of
+    length m — linear in corpus size, embarrassingly parallel.
+
+    Determinism: window sums are exact integers; mu/sigma/distance are
+    the same single-IEEE-op chains the motif kernel uses (flat windows
+    z-score to zeros), and the pattern constants are Python floats
+    embedded identically in both engines, so the ranked result is
+    bit-deterministic under the (dist, key, i) total order.
+
+    Output: user... key, i, dist — ``top`` rows, sorted.
+    """
+    from math import sqrt as _sqrt
+
+    m = len(pattern)
+    psx = 0.0
+    psx2 = 0.0
+    for v in pattern:
+        psx = psx + float(v)
+        psx2 = psx2 + float(v) * float(v)
+    pmu = psx / m
+    psig = _sqrt(m * psx2 - psx * psx) / m
+    pz = [
+        0.0 if psig == 0.0 else (float(v) - pmu) / psig
+        for v in pattern
+    ]
+
+    packed = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(order_col).cast("long").alias("ord"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .groupBy("key")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "v"))),
+                lambda s: s["v"],
+            ).alias("xs"),
+            F.count(F.lit(1)).alias("T"),
+        )
+    )
+    win = packed.select(
+        "key",
+        "xs",
+        F.explode(
+            F.sequence(F.lit(0), F.col("T") - F.lit(m))
+        ).alias("i"),
+    ).select("key", "xs", F.col("i").cast("int").alias("i"))
+
+    def elem(k):
+        return F.element_at(F.col("xs"), F.col("i") + k + 1)
+
+    sx = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, k: acc + F.element_at(
+            F.col("xs"), F.col("i") + k + 1
+        ),
+    )
+    sx2 = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.element_at(F.col("xs"), F.col("i") + k + 1)
+        * F.element_at(F.col("xs"), F.col("i") + k + 1),
+    )
+    st = win.select(
+        "key", "xs", "i", sx.alias("sx"), sx2.alias("sx2")
+    ).select(
+        "key",
+        "xs",
+        "i",
+        (F.col("sx") / F.lit(m)).alias("mu"),
+        (
+            F.sqrt(
+                F.lit(m) * F.col("sx2") - F.col("sx") * F.col("sx")
+            )
+            / F.lit(m)
+        ).alias("sig"),
+    )
+    pz_arr = F.array(*[F.lit(z) for z in pz])
+    dist2 = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + (
+            F.when(
+                F.col("sig") == 0.0, F.lit(0.0)
+            ).otherwise(
+                (
+                    F.element_at(F.col("xs"), F.col("i") + k + 1)
+                    - F.col("mu")
+                )
+                / F.col("sig")
+            )
+            - F.element_at(pz_arr, k + 1)
+        )
+        * (
+            F.when(
+                F.col("sig") == 0.0, F.lit(0.0)
+            ).otherwise(
+                (
+                    F.element_at(F.col("xs"), F.col("i") + k + 1)
+                    - F.col("mu")
+                )
+                / F.col("sig")
+            )
+            - F.element_at(pz_arr, k + 1)
+        ),
+    )
+    return (
+        st.select("key", "i", F.sqrt(dist2).alias("dist"))
+        .orderBy("dist", "key", "i")
+        .limit(top)
+    )
