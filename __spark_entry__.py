@@ -1317,6 +1317,18 @@ def q_hist_p_cascade_1d(spark, sf):
     )
 
 
+def q_transition_latency(spark, sf):
+    """Dwell time per state transition
+    (plans/metrics.py::transition_latency): exact integer microsecond
+    deltas through one lag window, matrix-sized aggregate; mean is one
+    division of exact sums."""
+    from tsaug_spark.plans.metrics import transition_latency
+
+    return transition_latency(_events(spark, sf)).select(
+        "from_state", "to_state", "n", "mean_delay_us", "max_delay_us"
+    )
+
+
 def q_seasonal_anomaly(spark, sf):
     """Hour-of-day seasonal anomaly flags
     (plans/metrics.py::seasonal_anomaly): buckets >= 3 population
@@ -2880,6 +2892,7 @@ _PRIORITY = [
     "stream_attribution",
     "motif_pair_48",
     "seasonal_anomaly_1h",
+    "transition_latency",
     "dtw_cross_48",
     "knn_join",
     "skew_report",
@@ -3107,6 +3120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "skew_report": q_skew_report,
         "seasonal_anomaly_1h": q_seasonal_anomaly,
+        "transition_latency": q_transition_latency,
         "type_token_ratio": q_type_token_ratio,
         "rolling_zscore": q_rolling_zscore,
         "cms_user_daily": q_cms_user_daily,
@@ -4896,6 +4910,18 @@ def oracle_sql() -> dict[str, str]:
         "dtw_cross_48": _dtw_sql(),
         "motif_pair_48": _motif_sql(),
         "pattern_search": _pattern_sql(),
+        "transition_latency": (
+            "WITH g AS (SELECT lag(event_type) OVER w AS from_state, "
+            "event_type AS to_state, "
+            "epoch_us(ts) - lag(epoch_us(ts)) OVER w AS d "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id)) "
+            "SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) "
+            "AS n, CAST(SUM(d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
+            "AS mean_delay_us, CAST(MAX(d) AS BIGINT) AS "
+            "max_delay_us FROM g WHERE from_state IS NOT NULL "
+            "GROUP BY 1, 2"
+        ),
         "seasonal_anomaly_1h": (
             "WITH base AS (SELECT user_id, "
             "CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS b "

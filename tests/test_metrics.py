@@ -1235,3 +1235,33 @@ def test_pattern_search_matches_numpy_topk(spark):
     assert [(k, i) for k, i, _ in got] == [(k, i) for k, i, _ in ref]
     for (_k, _i, dg), (_k2, _i2, dr) in zip(got, ref):
         assert abs(dg - dr) < 1e-9
+
+
+def test_transition_latency_hand_chain(spark):
+    """Two users' interleaved chains: per-pair counts and exact mean
+    microsecond delays from a hand-computed fixture."""
+    import datetime as _dt
+
+    from tsaug_spark.plans.metrics import transition_latency
+
+    rows = [
+        (1, 0.0, "a"), (1, 1.5, "b"), (1, 4.5, "b"),
+        (2, 0.0, "a"), (2, 2.0, "b"),
+    ]
+    df = spark.createDataFrame(
+        [
+            (i, _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=s),
+             u, t)
+            for i, (u, s, t) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {
+        (r.from_state, r.to_state): r
+        for r in transition_latency(df).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab.n == 2 and ab.mean_delay_us == (1.5e6 + 2.0e6) / 2
+    assert ab.max_delay_us == 2_000_000
+    bb = out[("b", "b")]
+    assert bb.n == 1 and bb.mean_delay_us == 3.0e6

@@ -2310,3 +2310,41 @@ def pattern_search(
         .orderBy("dist", "key", "i")
         .limit(top)
     )
+
+
+def transition_latency(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Dwell-time statistics per state transition: for each (from,
+    to) pair, how long keys take between consecutive events — the
+    latency companion to :func:`transition_counts` ("how long after a
+    click does the purchase come?", tool-to-tool turnaround in agent
+    transcripts).
+
+    Same single lag window (O(1) state per row), then one hash
+    aggregate with at most |states|² groups.  Delays are exact integer
+    microseconds; mean/min/max are single functions of exact sums, so
+    DuckDB matches raw doubles.
+
+    Output: from_state, to_state, n, mean_delay_us, max_delay_us.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    prev_state = F.lag(state_col).over(w)
+    prev_t = F.lag(_micros(ts_col)).over(w)
+    seg = df.select(
+        prev_state.alias("from_state"),
+        F.col(state_col).alias("to_state"),
+        (_micros(ts_col) - prev_t).alias("d"),
+    ).filter(F.col("from_state").isNotNull())
+    return seg.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum("d").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_delay_us"),
+        F.max("d").alias("max_delay_us"),
+    )
