@@ -537,3 +537,54 @@ def test_cascade_rerun_clears_partition_whose_fine_rows_vanished(
         t1h.read(spark).filter(F.col("partition_id") == 1).count()
         == direct
     )
+
+
+def test_op_downsample_tier_pool_equals_local(
+    spark, transcripts, tmp_path, table_cls
+):
+    """The operator-downsampled tier (Pool('ave', 4) over the 1h tier)
+    is checkpointed/resumable like cascade_tier, carries manifest
+    lineage, and equals running the reference-parity Pool locally on
+    each conversation's collected series."""
+    import numpy as np
+
+    from tsaug_spark.operators import Pool
+    from tsaug_spark.sources.checkpoint import METRIC_COLS
+
+    job = RollupJob(spark, str(tmp_path / "opds"), n_partitions=2,
+                    source_snapshot="snapOP", table_cls=table_cls)
+    job.run(transcripts, "1h")
+    assert job.op_downsample_tier(
+        "1h", "4h_pool", Pool(size=4, seed=0), min_len=4
+    ) == 2
+    assert job.op_downsample_tier(
+        "1h", "4h_pool", Pool(size=4, seed=0), min_len=4
+    ) == 0  # resumable
+
+    got = {}
+    for r in job.read_tier("4h_pool").collect():
+        got[(r.conv_id, r.bucket_idx)] = tuple(
+            r[c] for c in METRIC_COLS
+        )
+
+    tier = job.read_tier("1h").orderBy("conv_id", "bucket_ts").toPandas()
+    op = Pool(size=4, seed=0)
+    n_out = 0
+    n_short = 0
+    for cid, g in tier.groupby("conv_id"):
+        if len(g) < 4:  # min_len exclusion (reference Pool raises)
+            n_short += 1
+            assert not any(k[0] == cid for k in got)
+            continue
+        x = g[list(METRIC_COLS)].to_numpy(dtype=float)[None, :, :]
+        out = op.augment(x)[0]
+        for b in range(out.shape[0]):
+            n_out += 1
+            want = tuple(out[b])
+            assert got[(cid, b)] == want, (cid, b)
+    assert len(got) == n_out
+
+    m = job.metrics("4h_pool").toPandas()
+    assert set(m["partition_id"]) == {0, 1}
+    assert (m["points_rolled"] > 0).all()
+    assert m["source_snapshot"].eq("snapOP").all()

@@ -25,7 +25,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tsaug_spark.codec.chunks import compress_tier
@@ -911,3 +911,108 @@ def cascade_update(
 
 
 RollupJob.cascade_update = cascade_update
+
+
+def op_downsample_tier(
+    self,
+    fine: str,
+    out_name: str,
+    op,
+    value_cols: "Sequence[str]" = METRIC_COLS,
+    min_len: int = 1,
+    resume: bool = True,
+    partitions: "Optional[Sequence[int]]" = None,
+) -> int:
+    """Operator-downsampled tier: run a tsaug series operator (Pool /
+    Resize / Convolve / Quantize — the reference's downsampler set) as
+    the fine→coarse transform over each conversation's tier series,
+    under the SAME per-partition checkpoint / lineage / metrics
+    contract as ``cascade_tier``.
+
+    This is the north-star wiring: the continuous-aggregate cascade's
+    downsampler is a pandas-on-Arrow reimplementation of the reference
+    operator, not just an algebraic re-aggregate — e.g. ``Pool('ave',
+    4)`` over the 1h tier produces a mean-pooled 4h tier, and
+    ``Convolve`` a smoothed tier.  Each conversation's series is
+    indexed in ``bucket_ts`` order and fed to the distributed kernel
+    (``plans/pack.py::apply_operator``, subseed mode — zero driver
+    state); the output tier is keyed (conv_id, bucket_idx) in operator
+    index space, with the manifest row carrying the SOURCE time range
+    [lo, watermark] and points-rolled metrics for lineage.  Re-running
+    under a new source snapshot replaces each partition (same
+    late-data semantics as ``cascade_tier``).  Chunk compression is
+    not applied to operator tiers (operator output is not
+    timestamp-gridded; the algebraic tiers remain the compressed
+    store).
+
+    ``min_len`` excludes conversations with fewer fine buckets than
+    the operator can consume (the reference's own Pool/Resize raise on
+    sub-block series — parity-preserved here), e.g. ``min_len=size``
+    for Pool; excluded conversations simply have no rows in the
+    operator tier, the same contract as a HAVING clause.
+    """
+    from tsaug_spark.plans.pack import apply_operator
+
+    value_cols = list(value_cols)
+    fine_df = self.table(f"tier_{fine}").read(self.spark)
+    todo = list(
+        partitions if partitions is not None else range(self.n_partitions)
+    )
+    if resume:
+        done = self.completed_partitions(out_name)
+        todo = [p for p in todo if p not in done]
+
+    w = Window.partitionBy("conv_id").orderBy("bucket_ts")
+    for p in todo:
+        src = fine_df.filter(F.col("partition_id") == p).drop(
+            "partition_id"
+        )
+        cw = Window.partitionBy("conv_id")
+        series = (
+            src.select(
+                "conv_id",
+                (F.row_number().over(w) - 1).alias("bucket_idx"),
+                "bucket_ts",
+                F.count(F.lit(1)).over(cw).alias("_T"),
+                *[F.col(c).cast("double").alias(c) for c in value_cols],
+            )
+            .filter(F.col("_T") >= min_len)
+            .drop("_T")
+            .cache()
+        )
+        out = apply_operator(
+            series.drop("bucket_ts"), op, value_cols, mode="subseed"
+        ).drop("rep_idx").cache()
+        n_rows = out.count()
+        lo, wm = src.agg(
+            F.min("bucket_ts"), F.max("bucket_ts")
+        ).collect()[0]
+        self._replace_partition(
+            f"tier_{out_name}",
+            p,
+            out.withColumn("partition_id", F.lit(p)),
+        )
+        self.manifest.append(
+            self.spark.createDataFrame(
+                [
+                    (
+                        out_name,
+                        p,
+                        self.source_snapshot,
+                        lo,
+                        wm,
+                        int(n_rows * len(value_cols)),
+                        0,
+                        0,
+                        time.time(),
+                    )
+                ],
+                MANIFEST_SCHEMA,
+            )
+        )
+        series.unpersist()
+        out.unpersist()
+    return len(todo)
+
+
+RollupJob.op_downsample_tier = op_downsample_tier
