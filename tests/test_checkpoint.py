@@ -588,3 +588,46 @@ def test_op_downsample_tier_pool_equals_local(
     assert set(m["partition_id"]) == {0, 1}
     assert (m["points_rolled"] > 0).all()
     assert m["source_snapshot"].eq("snapOP").all()
+
+
+def test_op_downsample_tier_all_reference_downsamplers(
+    spark, transcripts, tmp_path
+):
+    """The north-star downsampler set — Resize, Convolve, Quantize
+    (Pool covered above) — each runs as the cascade downsampler and
+    equals the local reference-parity operator per conversation."""
+    import numpy as np
+
+    from tsaug_spark.operators import Convolve, Quantize, Resize
+    from tsaug_spark.sources.checkpoint import METRIC_COLS
+
+    job = RollupJob(spark, str(tmp_path / "opds2"), n_partitions=2,
+                    source_snapshot="snapOP2")
+    job.run(transcripts, "1h")
+    tier = job.read_tier("1h").orderBy("conv_id", "bucket_ts").toPandas()
+
+    cases = [
+        ("r12", Resize(size=12, seed=0), 2),
+        ("hann5", Convolve(window="hann", size=5, seed=0), 1),
+        ("q10", Quantize(n_levels=10, seed=0), 1),
+    ]
+    for name, op, min_len in cases:
+        assert job.op_downsample_tier(
+            "1h", name, op, min_len=min_len
+        ) == 2
+        got = {}
+        for r in job.read_tier(name).collect():
+            got[(r.conv_id, r.bucket_idx)] = tuple(
+                r[c] for c in METRIC_COLS
+            )
+        n_out = 0
+        for cid, g in tier.groupby("conv_id"):
+            if len(g) < min_len:
+                assert not any(k[0] == cid for k in got)
+                continue
+            x = g[list(METRIC_COLS)].to_numpy(dtype=float)[None, :, :]
+            out = op.augment(x)[0]
+            for b in range(out.shape[0]):
+                n_out += 1
+                assert got[(cid, b)] == tuple(out[b]), (name, cid, b)
+        assert len(got) == n_out, name
