@@ -2745,7 +2745,8 @@ def _motif_sql(T: int = 48, m: int = 8) -> str:
         f"st AS (SELECT user_id, ac, i, {fold} AS sx, {fold2} AS sx2 "
         "FROM subs), "
         f"zs AS (SELECT user_id, ac, i, sx / {m} AS mu, "
-        f"sqrt({m} * sx2 - sx * sx) / {m} AS sig FROM st), "
+        f"sqrt(greatest({m} * sx2 - sx * sx, 0.0)) / {m} AS sig "
+        "FROM st), "
         "p AS (SELECT a.user_id, a.i AS i, b.i AS j, "
         f"sqrt({d}) AS dist "
         "FROM zs a JOIN zs b ON a.user_id = b.user_id AND "
@@ -2770,7 +2771,7 @@ def _pattern_sql(T: int = 48, m: int = 8, top: int = 10) -> str:
         psx += v
         psx2 += v * v
     pmu = psx / m
-    psig = sqrt(m * psx2 - psx * psx) / m
+    psig = sqrt(max(0.0, m * psx2 - psx * psx)) / m
     pz = [(v - pmu) / psig if psig else 0.0 for v in pat]
 
     def zw(k):
@@ -2798,7 +2799,8 @@ def _pattern_sql(T: int = 48, m: int = 8, top: int = 10) -> str:
         f"st AS (SELECT user_id, ac, i, {fold} AS sx, {fold2} AS sx2 "
         "FROM subs), "
         f"zs AS (SELECT user_id, ac, i, sx / {m} AS mu, "
-        f"sqrt({m} * sx2 - sx * sx) / {m} AS sig FROM st) "
+        f"sqrt(greatest({m} * sx2 - sx * sx, 0.0)) / {m} AS sig "
+        "FROM st) "
         f"SELECT user_id, CAST(i - 1 AS BIGINT) AS i, sqrt({d}) AS "
         "dist FROM zs "
         # the engine's key is the STRING conv_id, so the tie-break on
@@ -5038,11 +5040,12 @@ def oracle_sql() -> dict[str, str]:
             "ia AS (SELECT user_id, COUNT(*) AS gg, SUM(d) AS sd, "
             "SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS sd2 "
             "FROM g WHERE d IS NOT NULL GROUP BY 1), "
-            "iac AS (SELECT user_id, gg + 1 AS n_events, "
+            "iac AS (SELECT user_id, "
+            "CASE WHEN gg >= 2 THEN "
             "(CAST(gg AS DOUBLE) * CAST(sd2 AS DOUBLE) - "
             "CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) / "
             "NULLIF(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE), 0.0) "
-            "AS cv2 FROM ia WHERE gg >= 2), "
+            "END AS cv2 FROM ia), "
             "bounds AS (SELECT MIN(bucket_s) AS lo, MAX(bucket_s) AS "
             "hi FROM b), "
             "grid AS (SELECT user_id, "
@@ -5055,12 +5058,12 @@ def oracle_sql() -> dict[str, str]:
             "AND cnts.bucket_s = g2.bucket_s), "
             "fa AS (SELECT user_id, COUNT(*) AS n, SUM(c) AS sc, "
             "SUM(c * c) AS sc2 FROM ser GROUP BY 1) "
-            "SELECT i.user_id, CAST(i.n_events AS BIGINT) AS "
+            "SELECT fa.user_id, CAST(fa.sc AS BIGINT) AS "
             "n_events, i.cv2, "
             "(CAST(n AS DOUBLE) * CAST(sc2 AS DOUBLE) - "
             "CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) / "
             "NULLIF(CAST(n AS DOUBLE) * CAST(sc AS DOUBLE), 0.0) AS "
-            "fano FROM iac i JOIN fa ON fa.user_id = i.user_id"
+            "fano FROM fa LEFT JOIN iac i ON i.user_id = fa.user_id"
         ),
         "unigram_surprisal": (
             # same tokenization (lowercase letter runs), vocab counts,

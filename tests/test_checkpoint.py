@@ -631,3 +631,15 @@ def test_op_downsample_tier_all_reference_downsamplers(
                 n_out += 1
                 assert got[(cid, b)] == tuple(out[b]), (name, cid, b)
         assert len(got) == n_out, name
+
+
+def test_op_downsample_tier_rejects_repeats(spark, tmp_path):
+    """Review fix: repeats > 1 would collapse rep_idx into duplicate
+    (conv_id, bucket_idx) keys — refused loudly."""
+    import pytest
+
+    from tsaug_spark.operators import Pool
+
+    job = RollupJob(spark, str(tmp_path / "rep"), n_partitions=1)
+    with pytest.raises(ValueError, match="repeats"):
+        job.op_downsample_tier("1h", "x", Pool(size=4, repeats=2))

@@ -1265,3 +1265,52 @@ def test_transition_latency_hand_chain(spark):
     assert ab.max_delay_us == 2_000_000
     bb = out[("b", "b")]
     assert bb.n == 1 and bb.mean_delay_us == 3.0e6
+
+
+def test_burstiness_small_keys_keep_fano(spark):
+    """Review fix: a key with < 3 events still appears with its
+    well-defined Fano factor; cv2 is NULL (fewer than 2 gaps)."""
+    from tsaug_spark.plans.metrics import burstiness
+
+    rows = [(1, 0, 1.0), (1, 7200, 1.0), (2, 0, 1.0)] + [
+        (3, h * 600, 1.0) for h in range(30)
+    ]
+    out = {r.key: r for r in burstiness(_ev(spark, rows), "1h").collect()}
+    assert out[1].n_events == 2 and out[1].cv2 is None
+    assert out[1].fano is not None
+    assert out[2].n_events == 1 and out[2].cv2 is None
+    assert out[3].cv2 is not None
+
+
+def test_pattern_search_skips_short_series(spark):
+    """Review fix: series shorter than the pattern are excluded
+    instead of crashing element_at or polluting the top-k with
+    NULLs."""
+    from tsaug_spark.plans.metrics import pattern_search
+
+    pat = [1.0, 2.0, 3.0, 4.0]
+    rows = [("long", t, float(t % 5)) for t in range(12)] + [
+        ("short", t, 1.0) for t in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, bucket_idx long, cnt double"
+    )
+    out = pattern_search(df, pat, top=50).collect()
+    assert out and all(r.key == "long" for r in out)
+    assert all(r.dist is not None for r in out)
+
+
+def test_motif_and_pattern_survive_noninteger_values(spark):
+    """Review fix: float-cancellation on near-constant non-integer
+    windows must not raise a math domain error (variance clamped at
+    0)."""
+    from tsaug_spark.plans.metrics import motif_pair, pattern_search
+
+    rows = [("a", t, 0.1) for t in range(20)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, bucket_idx long, cnt double"
+    )
+    m = motif_pair(df, m=4).collect()
+    assert len(m) == 1 and m[0].dist == 0.0  # flat windows z to zeros
+    p = pattern_search(df, [0.1] * 4, top=3).collect()
+    assert len(p) == 3 and all(r.dist == 0.0 for r in p)

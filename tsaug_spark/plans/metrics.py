@@ -707,6 +707,52 @@ def heartbeat_uptime(
     )
 
 
+def _dense_count_series(
+    df: DataFrame,
+    tier: str,
+    key_col: str,
+    ts_col: str,
+    cat: bool = False,
+) -> DataFrame:
+    """Shared dense-series builder: each key's event count per
+    ``tier`` bucket on the COMPLETE global [min, max] grid,
+    zero-filled — the contract autocorr/Mann-Kendall/burstiness/
+    correlation-matrix/seasonal-anomaly all share (one definition, one
+    set of edge-case semantics).
+
+    Output columns: key, lo (the global grid origin), bucket_s,
+    x (int64 count).
+    """
+    sec = TIERS[tier][1]
+    base = df.select(
+        F.col(key_col).alias("key"), _bucket_s(ts_col, tier)
+    )
+    counts = base.groupBy("key", "bucket_s").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bounds = base.agg(
+        F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi")
+    )
+    grid = (
+        base.select("key")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "key",
+            "lo",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(sec))
+            ).alias("bucket_s"),
+        )
+    )
+    return grid.join(counts, ["key", "bucket_s"], "left").select(
+        "key",
+        "lo",
+        "bucket_s",
+        F.coalesce("cnt", F.lit(0).cast("long")).alias("x"),
+    )
+
+
 def autocorr_lag1(
     df: DataFrame,
     tier: str = "1h",
@@ -737,31 +783,9 @@ def autocorr_lag1(
     is keys × buckets rows — bounded by retention (e.g. 30 d of hourly
     buckets = 720/key), not by event volume.
     """
-    sec = TIERS[tier][1]
-    base = df.select(
-        F.col(key_col).alias("key"), _bucket_s(ts_col, tier)
-    )
-    counts = base.groupBy("key", "bucket_s").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    bounds = base.agg(
-        F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi")
-    )
-    grid = (
-        base.select("key")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "key",
-            F.explode(
-                F.sequence(F.col("lo"), F.col("hi"), F.lit(sec))
-            ).alias("bucket_s"),
-        )
-    )
     w = Window.partitionBy("key").orderBy("bucket_s")
     series = (
-        grid.join(counts, ["key", "bucket_s"], "left")
-        .withColumn("x", F.coalesce("cnt", F.lit(0).cast("long")))
+        _dense_count_series(df, tier, key_col, ts_col)
         .withColumn("y", F.lead("x").over(w))
         .filter(F.col("y").isNotNull())
     )
@@ -1456,36 +1480,12 @@ def mann_kendall(
     Output: key, n, s_stat, z (NULL when var_s = 0), sen_slope.
     """
     sec = TIERS[tier][1]
-    base = df.select(
-        F.col(key_col).alias("key"), _bucket_s(ts_col, tier)
-    )
-    counts = base.groupBy("key", "bucket_s").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    bounds = base.agg(
-        F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi")
-    )
-    grid = (
-        base.select("key")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "key",
-            "lo",
-            F.explode(
-                F.sequence(F.col("lo"), F.col("hi"), F.lit(sec))
-            ).alias("bucket_s"),
-        )
-    )
-    series = (
-        grid.join(counts, ["key", "bucket_s"], "left")
-        .select(
-            "key",
-            ((F.col("bucket_s") - F.col("lo")) / F.lit(sec))
-            .cast("long")
-            .alias("idx"),
-            F.coalesce("cnt", F.lit(0).cast("long")).alias("x"),
-        )
+    series = _dense_count_series(df, tier, key_col, ts_col).select(
+        "key",
+        ((F.col("bucket_s") - F.col("lo")) / F.lit(sec))
+        .cast("long")
+        .alias("idx"),
+        "x",
     )
     a, b = series.alias("a"), series.alias("b")
     pairs = a.join(
@@ -1668,8 +1668,10 @@ def burstiness(
         cv2  = (g·Σd² − (Σd)²) / ((Σd)·(Σd))          g = n_events−1
         fano = (n·Σc² − (Σc)²) / (n·Σc)               n = grid size
 
-    so results are raw doubles, no rounding.  NULL when undefined
-    (fewer than 2 gaps, zero mean gap, or zero counts).
+    so results are raw doubles, no rounding.  ``cv2`` is NULL when
+    undefined (fewer than 2 gaps, or zero total gap); the Fano factor
+    is defined for EVERY key with events, so every such key gets a
+    row.
 
     Plan shape: one lag window per key (O(1) state) + two hash
     aggregates, one of them on the bounded dense grid — same
@@ -1677,12 +1679,10 @@ def burstiness(
 
     Output: key, n_events, cv2, fano.
     """
-    sec = TIERS[tier][1]
     base = df.select(
         F.col(key_col).alias("key"),
         _micros(ts_col).alias("t_us"),
         F.col(order_col).alias("o"),
-        _bucket_s(ts_col, tier),
     )
     w = Window.partitionBy("key").orderBy("t_us", "o")
     d = (F.col("t_us") - F.lag("t_us").over(w)).alias("d")
@@ -1698,36 +1698,16 @@ def burstiness(
         F.col("sd").cast("double"),
         F.col("sd2").cast("double"),
     )
-    cv2 = (gd * sd2d - sdd * sdd) / F.nullif(
-        sdd * sdd, F.lit(0.0)
+    cv2 = F.when(
+        F.col("g") >= 2,
+        (gd * sd2d - sdd * sdd) / F.nullif(sdd * sdd, F.lit(0.0)),
     )
-    ia = ia.filter(F.col("g") >= 2).select(
-        "key", (F.col("g") + 1).alias("n_events"), cv2.alias("cv2")
-    )
-    counts = base.groupBy("key", "bucket_s").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    bounds = base.agg(
-        F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi")
-    )
-    grid = (
-        base.select("key")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "key",
-            F.explode(
-                F.sequence(F.col("lo"), F.col("hi"), F.lit(sec))
-            ).alias("bucket_s"),
-        )
-    )
-    series = grid.join(counts, ["key", "bucket_s"], "left").select(
-        "key", F.coalesce("cnt", F.lit(0).cast("long")).alias("c")
-    )
+    ia = ia.select("key", cv2.alias("cv2"))
+    series = _dense_count_series(df, tier, key_col, ts_col)
     fa = series.groupBy("key").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("c").alias("sc"),
-        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+        F.sum("x").alias("sc"),
+        F.sum(F.col("x") * F.col("x")).alias("sc2"),
     )
     nd, scd, sc2d = (
         F.col("n").cast("double"),
@@ -1737,8 +1717,12 @@ def burstiness(
     fano = (nd * sc2d - scd * scd) / F.nullif(
         nd * scd, F.lit(0.0)
     )
-    fa = fa.select("key", fano.alias("fano"))
-    return ia.join(fa, "key")
+    fa = fa.select(
+        "key", F.col("sc").alias("n_events"), fano.alias("fano")
+    )
+    return fa.join(ia, "key", "left").select(
+        "key", "n_events", "cv2", "fano"
+    )
 
 
 def corr_matrix(
@@ -1762,31 +1746,8 @@ def corr_matrix(
 
     Output: cat_a, cat_b, n, corr.
     """
-    sec = TIERS[tier][1]
-    base = df.select(
-        F.col(cat_col).alias("cat"), _bucket_s(ts_col, tier)
-    )
-    counts = base.groupBy("cat", "bucket_s").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    bounds = base.agg(
-        F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi")
-    )
-    grid = (
-        base.select("cat")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "cat",
-            F.explode(
-                F.sequence(F.col("lo"), F.col("hi"), F.lit(sec))
-            ).alias("bucket_s"),
-        )
-    )
-    series = grid.join(counts, ["cat", "bucket_s"], "left").select(
-        "cat",
-        "bucket_s",
-        F.coalesce("cnt", F.lit(0).cast("long")).alias("x"),
+    series = _dense_count_series(df, tier, cat_col, ts_col).select(
+        F.col("key").alias("cat"), "bucket_s", "x"
     )
     a, b = series.alias("a"), series.alias("b")
     pairs = a.join(
@@ -2027,30 +1988,10 @@ def seasonal_anomaly(
     Output: key, bucket_s, cnt, mu, z   (only flagged rows).
     """
     sec = TIERS[tier][1]
-    base = df.select(
-        F.col(key_col).alias("key"), _bucket_s(ts_col, tier)
-    )
-    counts = base.groupBy("key", "bucket_s").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    bounds = base.agg(
-        F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi")
-    )
-    grid = (
-        base.select("key")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "key",
-            F.explode(
-                F.sequence(F.col("lo"), F.col("hi"), F.lit(sec))
-            ).alias("bucket_s"),
-        )
-    )
-    series = grid.join(counts, ["key", "bucket_s"], "left").select(
+    series = _dense_count_series(df, tier, key_col, ts_col).select(
         "key",
         "bucket_s",
-        F.coalesce("cnt", F.lit(0).cast("long")).alias("x"),
+        "x",
         ((F.col("bucket_s") % 86400) / F.lit(sec))
         .cast("int")
         .alias("hod"),
@@ -2142,7 +2083,9 @@ def motif_pair(
                 sx = sx + x[i + k]
                 sx2 = sx2 + x[i + k] * x[i + k]
             mu = sx / mm
-            sigs.append(sqrt(mm * sx2 - sx * sx) / mm)
+            # max(0, .) guards float cancellation on non-integer
+            # windows (mirrored by greatest() in the SQL oracle)
+            sigs.append(sqrt(max(0.0, mm * sx2 - sx * sx)) / mm)
             mus.append(mu)
 
         def z(i, k):
@@ -2215,7 +2158,7 @@ def pattern_search(
         psx = psx + float(v)
         psx2 = psx2 + float(v) * float(v)
     pmu = psx / m
-    psig = _sqrt(m * psx2 - psx * psx) / m
+    psig = _sqrt(max(0.0, m * psx2 - psx * psx)) / m
     pz = [
         0.0 if psig == 0.0 else (float(v) - pmu) / psig
         for v in pattern
@@ -2236,30 +2179,25 @@ def pattern_search(
             F.count(F.lit(1)).alias("T"),
         )
     )
-    win = packed.select(
-        "key",
-        "xs",
-        F.explode(
-            F.sequence(F.lit(0), F.col("T") - F.lit(m))
-        ).alias("i"),
-    ).select("key", "xs", F.col("i").cast("int").alias("i"))
+    win = (
+        packed.filter(F.col("T") >= F.lit(m))  # sub-pattern series
+        .select(
+            "key",
+            "xs",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("T") - F.lit(m)).cast("int"))
+            ).alias("i"),
+        )
+    )
+
+    ks = F.sequence(F.lit(0), F.lit(m - 1))
 
     def elem(k):
         return F.element_at(F.col("xs"), F.col("i") + k + 1)
 
-    sx = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, k: acc + F.element_at(
-            F.col("xs"), F.col("i") + k + 1
-        ),
-    )
+    sx = F.aggregate(ks, F.lit(0.0), lambda acc, k: acc + elem(k))
     sx2 = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, k: acc
-        + F.element_at(F.col("xs"), F.col("i") + k + 1)
-        * F.element_at(F.col("xs"), F.col("i") + k + 1),
+        ks, F.lit(0.0), lambda acc, k: acc + elem(k) * elem(k)
     )
     st = win.select(
         "key", "xs", "i", sx.alias("sx"), sx2.alias("sx2")
@@ -2270,40 +2208,25 @@ def pattern_search(
         (F.col("sx") / F.lit(m)).alias("mu"),
         (
             F.sqrt(
-                F.lit(m) * F.col("sx2") - F.col("sx") * F.col("sx")
+                F.greatest(
+                    F.lit(m) * F.col("sx2")
+                    - F.col("sx") * F.col("sx"),
+                    F.lit(0.0),
+                )
             )
             / F.lit(m)
         ).alias("sig"),
     )
     pz_arr = F.array(*[F.lit(z) for z in pz])
-    dist2 = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, k: acc
-        + (
-            F.when(
-                F.col("sig") == 0.0, F.lit(0.0)
-            ).otherwise(
-                (
-                    F.element_at(F.col("xs"), F.col("i") + k + 1)
-                    - F.col("mu")
-                )
-                / F.col("sig")
-            )
-            - F.element_at(pz_arr, k + 1)
+
+    def zdiff(k):
+        zw = F.when(F.col("sig") == 0.0, F.lit(0.0)).otherwise(
+            (elem(k) - F.col("mu")) / F.col("sig")
         )
-        * (
-            F.when(
-                F.col("sig") == 0.0, F.lit(0.0)
-            ).otherwise(
-                (
-                    F.element_at(F.col("xs"), F.col("i") + k + 1)
-                    - F.col("mu")
-                )
-                / F.col("sig")
-            )
-            - F.element_at(pz_arr, k + 1)
-        ),
+        return zw - F.element_at(pz_arr, k + 1)
+
+    dist2 = F.aggregate(
+        ks, F.lit(0.0), lambda acc, k: acc + zdiff(k) * zdiff(k)
     )
     return (
         st.select("key", "i", F.sqrt(dist2).alias("dist"))

@@ -953,6 +953,13 @@ def op_downsample_tier(
     """
     from tsaug_spark.plans.pack import apply_operator
 
+    if getattr(op, "repeats", 1) != 1:
+        raise ValueError(
+            "op_downsample_tier writes (conv_id, bucket_idx)-keyed "
+            "tier rows; repeats > 1 would collapse the rep_idx axis "
+            "into duplicate keys — run augmentation via apply_pipe "
+            "instead"
+        )
     value_cols = list(value_cols)
     fine_df = self.table(f"tier_{fine}").read(self.spark)
     todo = list(

@@ -88,35 +88,17 @@ def run_stream_join_once(
 ) -> DataFrame:
     """availableNow backfill of the attribution join into an
     APPEND-mode memory sink (stream-stream inner joins emit matched
-    rows, not aggregates); refuses to return a partial sink on
-    timeout."""
-    import os
+    rows, not aggregates); shares the rollup module's backfill runner,
+    including its refuse-partial-sink timeout contract."""
+    from tsaug_spark.streaming.stream_rollup import (
+        _run_availablenow_backfill,
+    )
 
-    schema = spark.read.parquet(source_path).schema
-    if os.path.isdir(source_path):
-        src_dir, glob = source_path, "*"
-    else:
-        src_dir = os.path.dirname(source_path)
-        glob = os.path.basename(source_path)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 4)
-        .option("pathGlobFilter", glob)
-        .parquet(src_dir)
+    return _run_availablenow_backfill(
+        spark,
+        source_path,
+        lambda st: stream_interval_join(st, window_s=window_s),
+        sink_table,
+        "stream-stream attribution join",
+        output_mode="append",
     )
-    q = (
-        stream_interval_join(stream, window_s=window_s)
-        .writeStream.format("memory")
-        .queryName(sink_table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "availableNow stream-stream join backfill did not finish "
-            "in 300s; the memory sink would be partial — refusing to "
-            "return it"
-        )
-    return spark.table(sink_table)

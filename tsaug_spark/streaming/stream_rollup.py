@@ -169,12 +169,19 @@ def stream_m4(
 
 
 def _run_availablenow_backfill(
-    spark, source_path: str, transform, sink_table: str, what: str
+    spark,
+    source_path: str,
+    transform,
+    sink_table: str,
+    what: str,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Shared availableNow file-source backfill runner: schema-sniff
     the parquet source (dir, or single file via its parent + glob),
-    apply ``transform`` to the stream, drain into a complete-mode
-    memory sink, and refuse to return a partial sink on timeout."""
+    apply ``transform`` to the stream, drain into a memory sink
+    (complete mode for aggregates, append for row-emitting operators
+    like stream-stream joins), and refuse to return a partial sink on
+    timeout."""
     import os
 
     schema = spark.read.parquet(source_path).schema
@@ -193,7 +200,7 @@ def _run_availablenow_backfill(
         transform(stream)
         .writeStream.format("memory")
         .queryName(sink_table)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
