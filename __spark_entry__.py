@@ -1211,6 +1211,22 @@ def q_stream_dd_1h(spark, sf):
     )
 
 
+def q_stream_hll_sliding(spark, sf):
+    """Sliding-window streaming HLL registers (2h width, 1h slide —
+    streaming/stream_rollup.py::stream_sliding_hll): every event
+    contributes to the two windows covering it, registers max-merge,
+    so the caught-up sink equals the direct per-window batch build
+    register for register."""
+    from tsaug_spark.streaming.stream_rollup import (
+        run_stream_sliding_hll_once,
+    )
+
+    out = run_stream_sliding_hll_once(spark, f"{sf}/events.parquet")
+    return out.select(
+        F.unix_timestamp("bucket_ts").alias("bucket_s"), "reg", "rho"
+    )
+
+
 def q_stream_hll_1h(spark, sf):
     """Streaming md5-register HLL distinct sketch (watermarked window
     MAX of register ranks) backfilled with availableNow; max-merge is
@@ -2890,6 +2906,7 @@ def _hw_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "stream_hll_sliding",
     "pattern_search",
     "stream_attribution",
     "motif_pair_48",
@@ -3117,6 +3134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix_1h": q_corr_matrix,
         "stream_dd_1h": q_stream_dd_1h,
         "stream_attribution": q_stream_attribution,
+        "stream_hll_sliding": q_stream_hll_sliding,
         "activity_gini": q_activity_gini,
         "type_entropy": q_type_entropy,
         "knn_join": q_knn_join,
@@ -4819,6 +4837,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM events c JOIN events p ON p.user_id = c.user_id "
             "AND c.event_type = 'click' AND p.event_type = 'purchase' "
             "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR"
+        ),
+        "stream_hll_sliding": (
+            # width 2h / slide 1h: an event at t belongs to the two
+            # hourly-aligned window starts {h, h-3600}; registers
+            # max-merge per window, same md5 bit layout
+            "WITH base AS (SELECT CAST(user_id AS VARCHAR) AS item, "
+            "CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS h "
+            "FROM events), "
+            "wins AS (SELECT item, h - k * 3600 AS bucket_s FROM base "
+            "CROSS JOIN (SELECT unnest([0, 1]) AS k)), "
+            "r AS (SELECT bucket_s, "
+            "('0x' || substr(md5(item), 1, 3))::INT AS reg, "
+            "('0x' || substr(md5(item), 4, 13))::BIGINT AS v "
+            "FROM wins) "
+            "SELECT bucket_s, reg, "
+            "MAX(CASE WHEN v = 0 THEN 53 "
+            "ELSE strpos(lpad(bin(v), 52, '0'), '1') END)::INT AS rho "
+            "FROM r GROUP BY 1, 2"
         ),
         "stream_hll_1h": (
             # max-merge is exact: the caught-up streaming sink equals

