@@ -710,6 +710,54 @@ def q_moving_avg(spark, sf):
     )
 
 
+def q_session_duration_p(spark, sf):
+    """Session-duration distribution per user: p50 (rank-selected
+    median, avg of the two mid rows) and p90 (first rank reaching
+    ceil(0.9*m)) over exact integer second durations from the same
+    gap-based sessionization as `sessionize`.  All selections are
+    rank arithmetic over exact integers (the ceil(0.9*m) float is the
+    SAME IEEE expression in both engines), so DuckDB matches raw
+    values."""
+    ev = _events(spark, sf).select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sessions = (
+        ev.withColumn(
+            "new_session",
+            F.when(F.col("t") - F.lag("t").over(w) > 1800, 1)
+            .otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg((F.max("t") - F.min("t")).alias("dur"))
+    )
+    rw = Window.partitionBy("user_id").orderBy("dur", "session_id")
+    cw = Window.partitionBy("user_id")
+    ranked = sessions.select(
+        "user_id",
+        "dur",
+        F.row_number().over(rw).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("m"),
+    )
+    mid_lo = F.expr("(m + 1) div 2")
+    mid_hi = F.expr("(m + 2) div 2")
+    k90 = F.ceil(F.lit(0.9) * F.col("m").cast("double"))
+    return ranked.groupBy("user_id").agg(
+        F.first("m").alias("n_sessions"),
+        F.avg(
+            F.when(
+                (F.col("rn") == mid_lo) | (F.col("rn") == mid_hi),
+                F.col("dur"),
+            )
+        ).alias("p50_dur_s"),
+        F.min(F.when(F.col("rn") >= k90, F.col("dur"))).alias(
+            "p90_dur_s"
+        ),
+    )
+
+
 def q_sessionize(spark, sf):
     """Gap-based sessionization: a >30 min silence starts a session."""
     ev = _events(spark, sf).select(
@@ -2906,6 +2954,7 @@ def _hw_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "session_duration_p",
     "stream_hll_sliding",
     "pattern_search",
     "stream_attribution",
@@ -3135,6 +3184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dd_1h": q_stream_dd_1h,
         "stream_attribution": q_stream_attribution,
         "stream_hll_sliding": q_stream_hll_sliding,
+        "session_duration_p": q_session_duration_p,
         "activity_gini": q_activity_gini,
         "type_entropy": q_type_entropy,
         "knn_join": q_knn_join,
@@ -3920,6 +3970,28 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(AVG(cnt) OVER (PARTITION BY user_id ORDER BY bucket_s "
             "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS smooth_cnt "
             "FROM h"
+        ),
+        "session_duration_p": (
+            "WITH e AS (SELECT user_id, event_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events), "
+            "m AS (SELECT user_id, event_id, t, CASE WHEN t - lag(t) "
+            "OVER (PARTITION BY user_id ORDER BY t, event_id) > 1800 "
+            "THEN 1 ELSE 0 END AS new_session FROM e), "
+            "s AS (SELECT user_id, t, CAST(SUM(new_session) OVER "
+            "(PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS "
+            "session_id FROM m), "
+            "d AS (SELECT user_id, session_id, MAX(t) - MIN(t) AS dur "
+            "FROM s GROUP BY 1, 2), "
+            "r AS (SELECT user_id, dur, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY dur, session_id) AS rn, "
+            "COUNT(*) OVER (PARTITION BY user_id) AS m FROM d) "
+            "SELECT user_id, CAST(MIN(m) AS BIGINT) AS n_sessions, "
+            "AVG(CASE WHEN rn = (m + 1) // 2 OR rn = (m + 2) // 2 "
+            "THEN dur END) AS p50_dur_s, "
+            "CAST(MIN(CASE WHEN rn >= ceil(0.9 * "
+            "CAST(m AS DOUBLE)) THEN dur END) AS BIGINT) AS p90_dur_s "
+            "FROM r GROUP BY 1"
         ),
         "sessionize": (
             "WITH e AS (SELECT user_id, event_id, "

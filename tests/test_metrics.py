@@ -1314,3 +1314,48 @@ def test_motif_and_pattern_survive_noninteger_values(spark):
     assert len(m) == 1 and m[0].dist == 0.0  # flat windows z to zeros
     p = pattern_search(df, [0.1] * 4, top=3).collect()
     assert len(p) == 3 and all(r.dist == 0.0 for r in p)
+
+
+def test_session_duration_percentiles_numpy(spark):
+    """p50/p90 session durations per user at sf0.01 match a pandas
+    re-sessionization with the same rank-selection definitions."""
+    import math
+
+    import numpy as np
+
+    import __spark_entry__ as em
+
+    got = {
+        r.user_id: r
+        for r in em.q_session_duration_p(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .selectExpr(
+            "user_id", "event_id", "CAST(unix_timestamp(ts) AS LONG) t"
+        )
+        .toPandas()
+        .sort_values(["user_id", "t", "event_id"])
+    )
+    for uid, g in ev.groupby("user_id"):
+        t = g.t.to_numpy()
+        new = np.zeros(len(t), dtype=int)
+        new[1:] = (np.diff(t) > 1800).astype(int)
+        sid = new.cumsum()
+        durs = sorted(
+            int(t[sid == s].max() - t[sid == s].min())
+            for s in np.unique(sid)
+        )
+        m = len(durs)
+        p50 = (
+            durs[m // 2]
+            if m % 2
+            else (durs[m // 2 - 1] + durs[m // 2]) / 2
+        )
+        k90 = math.ceil(0.9 * m)
+        r = got[uid]
+        assert r.n_sessions == m
+        assert r.p50_dur_s == p50
+        assert r.p90_dur_s == durs[k90 - 1]
