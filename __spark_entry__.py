@@ -653,6 +653,21 @@ def q_stopword_ratio(spark, sf):
     return stopword_ratio(_docs(spark, sf))
 
 
+def q_multimodal_exact_dup(spark, sf):
+    """Content-hash media dedup
+    (pipeline/multimodal.py::exact_media_dedup): sha256 over payload
+    bytes, min-id survivor — DuckDB replays the digest over the same
+    utf-8 bytes."""
+    from tsaug_spark.pipeline.multimodal import (
+        attach_payloads,
+        exact_media_dedup,
+    )
+
+    return exact_media_dedup(attach_payloads(_docs(spark, sf))).select(
+        "fp", "n_copies", "survivor_id", "total_bytes"
+    )
+
+
 def q_multimodal_bytes(spark, sf):
     from tsaug_spark.pipeline.multimodal import attach_payloads, payload_stats
 
@@ -2954,6 +2969,7 @@ def _hw_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "multimodal_exact_dup",
     "session_duration_p",
     "stream_hll_sliding",
     "pattern_search",
@@ -3185,6 +3201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_attribution": q_stream_attribution,
         "stream_hll_sliding": q_stream_hll_sliding,
         "session_duration_p": q_session_duration_p,
+        "multimodal_exact_dup": q_multimodal_exact_dup,
         "activity_gini": q_activity_gini,
         "type_entropy": q_type_entropy,
         "knn_join": q_knn_join,
@@ -3970,6 +3987,15 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(AVG(cnt) OVER (PARTITION BY user_id ORDER BY bucket_s "
             "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS smooth_cnt "
             "FROM h"
+        ),
+        "multimodal_exact_dup": (
+            # payload = utf-8 bytes of text, so sha256(text) replays
+            # the binary digest; n_bytes = octet length
+            "SELECT sha256(text) AS fp, "
+            "CAST(COUNT(*) AS BIGINT) AS n_copies, "
+            "MIN(doc_id) AS survivor_id, "
+            "CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes "
+            "FROM documents GROUP BY 1"
         ),
         "session_duration_p": (
             "WITH e AS (SELECT user_id, event_id, "

@@ -552,3 +552,29 @@ def test_type_token_ratio_closed_forms(spark):
     assert out[1].ttr == 1.0 and out[1].n_types == 3
     assert out[2].ttr == 0.25 and out[2].n_tokens == 4
     assert 3 not in out
+
+
+def test_exact_media_dedup_collapses_identical_payloads(spark):
+    """Identical payload bytes collapse to one fingerprint with the
+    min-id survivor; distinct payloads stay apart (hashlib parity)."""
+    import hashlib
+
+    from tsaug_spark.pipeline.multimodal import (
+        attach_payloads,
+        exact_media_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "same bytes"), (3, "same bytes"), (9, "other")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.fp: r for r in exact_media_dedup(attach_payloads(docs)).collect()
+    }
+    fp_same = hashlib.sha256(b"same bytes").hexdigest()
+    fp_other = hashlib.sha256(b"other").hexdigest()
+    assert set(out) == {fp_same, fp_other}
+    assert out[fp_same].n_copies == 2
+    assert out[fp_same].survivor_id == 3
+    assert out[fp_same].total_bytes == 2 * len(b"same bytes")
+    assert out[fp_other].n_copies == 1

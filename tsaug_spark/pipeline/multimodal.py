@@ -174,3 +174,31 @@ def sample_frames(
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, schema)
+
+
+def exact_media_dedup(df: DataFrame) -> DataFrame:
+    """Content-hash media dedup: sha256 over the opaque payload bytes
+    — the first-line dedup every media pipeline runs before any
+    perceptual/embedding pass (identical files collapse regardless of
+    filename or metadata).
+
+    One narrow projection + one hash aggregate keyed by the 32-byte
+    digest — the same single-shuffle scale shape as the text
+    ``exact_dedup``; the min-id survivor matches the corpus-curation
+    survivorship convention.
+
+    Output: fp (hex), n_copies, survivor_id, total_bytes.
+    """
+    return (
+        df.select(
+            "doc_id",
+            F.sha2(F.col("payload"), 256).alias("fp"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("survivor_id"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+    )
