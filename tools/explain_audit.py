@@ -693,6 +693,26 @@ def main() -> None:
             execute=True,
         )
 
+    # session-duration percentiles: rank selection windows, all JVM
+    audit(
+        "session_duration_p (rank-selected percentiles)",
+        em.q_session_duration_p(spark, sf),
+        must_have=["Window", "HashAggregate"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
+    # media exact dedup: one digest hash-aggregate, zero Python
+    audit(
+        "multimodal_exact_dup (digest hash aggregate, JVM only)",
+        em.q_multimodal_exact_dup(spark, sf),
+        must_have=["HashAggregate"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")
