@@ -543,6 +543,21 @@ def q_minhash_pairs(spark, sf):
     return lsh_candidate_pairs(sig, n_bands=4)
 
 
+def q_ngram_containment(spark, sf):
+    """Directional shingle containment |A∩B|/|A|
+    (pipeline/dedup.py::ngram_containment_pairs) — the subsumed-
+    document near-dup measure; exact integer intersection / set size,
+    one division."""
+    from tsaug_spark.pipeline.dedup import (
+        ngram_containment_pairs,
+        shingles,
+    )
+
+    return ngram_containment_pairs(
+        shingles(_docs(spark, sf)), threshold=0.3
+    )
+
+
 def q_ngram_jaccard(spark, sf):
     from tsaug_spark.pipeline.dedup import ngram_jaccard_pairs, shingles
 
@@ -2969,6 +2984,7 @@ def _hw_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "ngram_containment",
     "multimodal_exact_dup",
     "session_duration_p",
     "stream_hll_sliding",
@@ -3202,6 +3218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll_sliding": q_stream_hll_sliding,
         "session_duration_p": q_session_duration_p,
         "multimodal_exact_dup": q_multimodal_exact_dup,
+        "ngram_containment": q_ngram_containment,
         "activity_gini": q_activity_gini,
         "type_entropy": q_type_entropy,
         "knn_join": q_knn_join,
@@ -3860,6 +3877,19 @@ def oracle_sql() -> dict[str, str]:
                 f"AND a.doc_id < b.doc_id"
                 for b2 in range(4)
             )
+        ),
+        "ngram_containment": (
+            f"{_SHINGLE_SQL}, ds AS (SELECT DISTINCT doc_id, s FROM "
+            "sh), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds "
+            "GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "COUNT(*) AS inter FROM ds a JOIN ds b ON a.s = b.s AND "
+            "a.doc_id <> b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, ROUND(inter / CAST(na.n AS DOUBLE), "
+            "4) AS containment FROM inter "
+            "JOIN sizes na ON na.doc_id = id_a "
+            "WHERE inter / CAST(na.n AS DOUBLE) >= 0.3"
         ),
         "ngram_jaccard": (
             f"{_SHINGLE_SQL}, ds AS (SELECT DISTINCT doc_id, s FROM sh), "

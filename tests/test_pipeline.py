@@ -578,3 +578,29 @@ def test_exact_media_dedup_collapses_identical_payloads(spark):
     assert out[fp_same].survivor_id == 3
     assert out[fp_same].total_bytes == 2 * len(b"same bytes")
     assert out[fp_other].n_copies == 1
+
+
+def test_ngram_containment_subsumed_document(spark):
+    """A document fully embedded in a larger one: containment of the
+    small side is 1.0 while Jaccard stays low — the asymmetry the
+    measure exists for.  Both directions are emitted."""
+    from tsaug_spark.pipeline.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big)], "doc_id long, text string"
+    )
+    sh = shingles(docs)
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_containment_pairs(sh, threshold=0.0).collect()
+    }
+    assert cont[(1, 2)] == 1.0       # small fully contained in big
+    assert cont[(2, 1)] < 0.25       # big barely contained in small
+    jac = ngram_jaccard_pairs(sh, threshold=0.5).collect()
+    assert jac == []                 # Jaccard misses the subsumption

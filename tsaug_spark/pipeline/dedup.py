@@ -627,3 +627,57 @@ def contamination_flags(
             (overlap >= F.lit(threshold)).alias("contaminated"),
         )
     )
+
+
+def ngram_containment_pairs(
+    sh: DataFrame,
+    threshold: float = 0.8,
+    candidates: "Optional[DataFrame]" = None,
+) -> DataFrame:
+    """Directional shingle CONTAINMENT |A∩B| / |A| for ordered pairs —
+    the near-dup measure for SUBSUMED documents (a quote-heavy page or
+    a doc embedded inside a larger one scores low Jaccard but high
+    containment of the smaller side; Broder 1997 distinguishes exactly
+    these two resemblance measures).
+
+    Same bucketed plan shape as :func:`ngram_jaccard_pairs` (shared
+    shingle equi-join, never all-pairs; ``candidates`` prunes both
+    sides for LSH-then-verify mode), but emits BOTH directions of each
+    intersecting pair since containment is asymmetric.  The score is
+    one division of exact intersection/set-size integers.
+
+    Output: id_a, id_b, containment (of id_a's shingles in id_b).
+    """
+    ds = sh.distinct()
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ds.select(F.col("doc_id").alias("id_a"), "s")
+    b = ds.select(F.col("doc_id").alias("id_b"), "s")
+    if candidates is not None:
+        a = a.join(
+            candidates.select("id_a").distinct(), "id_a", "left_semi"
+        )
+        b = b.join(
+            candidates.select("id_b").distinct(), "id_b", "left_semi"
+        )
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    na = sizes.select(
+        F.col("doc_id").alias("id_a"), F.col("n").alias("na")
+    )
+    return (
+        inter.join(na, "id_a")
+        .withColumn(
+            "containment",
+            F.col("inter") / F.col("na").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a", "id_b", F.round("containment", 4).alias("containment")
+        )
+    )
