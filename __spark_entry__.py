@@ -1411,6 +1411,55 @@ def q_hist_p_cascade_1d(spark, sf):
     )
 
 
+def q_conversion_latency(spark, sf):
+    """Funnel time-to-convert: per user, the exact µs delay from the
+    FIRST signup to the FIRST purchase at-or-after it, plus the global
+    median delay (two-mid-rank selection) over converting users —
+    the duration companion to `funnel_signup_purchase`.  All integer
+    arithmetic plus one rank-selected average; DuckDB matches raw
+    values."""
+    ev = _events(spark, sf)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("s_us"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us"),
+    )
+    conv = (
+        s.join(p, "user_id")
+        .filter(F.col("p_us") >= F.col("s_us"))
+        .groupBy("user_id", "s_us")
+        .agg(F.min("p_us").alias("first_p_us"))
+        .select(
+            "user_id",
+            (F.col("first_p_us") - F.col("s_us")).alias("delay_us"),
+        )
+    )
+    rw = Window.orderBy("delay_us", "user_id")
+    cw = Window.partitionBy()
+    ranked = conv.select(
+        "user_id",
+        "delay_us",
+        F.row_number().over(rw).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("m"),
+    )
+    med = ranked.groupBy().agg(
+        F.avg(
+            F.when(
+                (F.col("rn") == F.expr("(m + 1) div 2"))
+                | (F.col("rn") == F.expr("(m + 2) div 2")),
+                F.col("delay_us"),
+            )
+        ).alias("median_delay_us")
+    )
+    return conv.crossJoin(F.broadcast(med)).select(
+        "user_id", "delay_us", "median_delay_us"
+    )
+
+
 def q_transition_latency(spark, sf):
     """Dwell time per state transition
     (plans/metrics.py::transition_latency): exact integer microsecond
@@ -2984,6 +3033,7 @@ def _hw_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "conversion_latency",
     "ngram_containment",
     "multimodal_exact_dup",
     "session_duration_p",
@@ -3219,6 +3269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_duration_p": q_session_duration_p,
         "multimodal_exact_dup": q_multimodal_exact_dup,
         "ngram_containment": q_ngram_containment,
+        "conversion_latency": q_conversion_latency,
         "activity_gini": q_activity_gini,
         "type_entropy": q_type_entropy,
         "knn_join": q_knn_join,
@@ -5076,6 +5127,23 @@ def oracle_sql() -> dict[str, str]:
         "dtw_cross_48": _dtw_sql(),
         "motif_pair_48": _motif_sql(),
         "pattern_search": _pattern_sql(),
+        "conversion_latency": (
+            "WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS s_us "
+            "FROM events WHERE event_type = 'signup' GROUP BY 1), "
+            "conv AS (SELECT s.user_id, "
+            "MIN(epoch_us(p.ts)) - s.s_us AS delay_us "
+            "FROM s JOIN events p ON p.user_id = s.user_id "
+            "AND p.event_type = 'purchase' "
+            "AND epoch_us(p.ts) >= s.s_us GROUP BY s.user_id, s.s_us), "
+            "r AS (SELECT user_id, delay_us, row_number() OVER "
+            "(ORDER BY delay_us, user_id) AS rn, "
+            "COUNT(*) OVER () AS m FROM conv), "
+            "med AS (SELECT AVG(CASE WHEN rn = (m + 1) // 2 OR "
+            "rn = (m + 2) // 2 THEN delay_us END) AS median_delay_us "
+            "FROM r) "
+            "SELECT user_id, CAST(delay_us AS BIGINT) AS delay_us, "
+            "median_delay_us FROM conv CROSS JOIN med"
+        ),
         "transition_latency": (
             "WITH g AS (SELECT lag(event_type) OVER w AS from_state, "
             "event_type AS to_state, "

@@ -95,3 +95,40 @@ def test_funnel_partitioning_independent(spark):
     assert sorted(map(key, a.collect())) == sorted(
         map(key, b.collect())
     )
+
+
+def test_conversion_latency_hand_fixture(spark, tmp_path):
+    """Hand funnel: per-user delay is first-signup -> first purchase
+    at-or-after it; pre-signup purchases don't count; the global
+    median uses the two-mid-rank rule."""
+    import datetime as dt
+
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    T0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: signup at 10s, purchases at 5s (ignored) and 40s
+        (1, 10, "signup"), (1, 5, "purchase"), (1, 40, "purchase"),
+        # user 2: signup 0s, purchase 100s
+        (2, 0, "signup"), (2, 100, "purchase"),
+        # user 3: signup only -> no row
+        (3, 0, "signup"),
+        # user 4: purchase only -> no row
+        (4, 7, "purchase"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (i, T0 + dt.timedelta(seconds=s), u, t, 1.0, "{}")
+            for i, (u, s, t) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    out = {r.user_id: r for r in em.q_conversion_latency(spark, sf).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].delay_us == 30_000_000
+    assert out[2].delay_us == 100_000_000
+    med = (30_000_000 + 100_000_000) / 2
+    assert all(r.median_delay_us == med for r in out.values())
