@@ -1540,6 +1540,21 @@ def q_type_entropy(spark, sf):
     )
 
 
+def q_rolling_corr_24h(spark, sf):
+    """Rolling 24-bucket Pearson correlation between each user's
+    hourly count and value-sum channels
+    (plans/metrics.py::rolling_corr): cents-integerized channel, exact
+    sliding integer sums, one shared correlation expression — DuckDB
+    matches raw doubles."""
+    from tsaug_spark.plans.metrics import rolling_corr
+
+    return rolling_corr(_events(spark, sf), "1h", window=24).select(
+        F.col("key").cast("long").alias("user_id"),
+        "bucket_s",
+        "corr",
+    )
+
+
 def q_corr_matrix(spark, sf):
     """Pairwise Pearson correlation matrix between event-type hourly
     count series (plans/metrics.py::corr_matrix) — upper triangle,
@@ -3033,6 +3048,7 @@ def _hw_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "rolling_corr_24h",
     "conversion_latency",
     "ngram_containment",
     "multimodal_exact_dup",
@@ -3270,6 +3286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_exact_dup": q_multimodal_exact_dup,
         "ngram_containment": q_ngram_containment,
         "conversion_latency": q_conversion_latency,
+        "rolling_corr_24h": q_rolling_corr_24h,
         "activity_gini": q_activity_gini,
         "type_entropy": q_type_entropy,
         "knn_join": q_knn_join,
@@ -5127,6 +5144,34 @@ def oracle_sql() -> dict[str, str]:
         "dtw_cross_48": _dtw_sql(),
         "motif_pair_48": _motif_sql(),
         "pattern_search": _pattern_sql(),
+        "rolling_corr_24h": (
+            "WITH base AS (SELECT user_id, "
+            "CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS b, value "
+            "FROM events), "
+            "cnts AS (SELECT user_id, b, COUNT(*) AS c, "
+            "CAST(round(SUM(value) * 100) AS BIGINT) AS v FROM base "
+            "GROUP BY 1, 2), "
+            "bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM base), "
+            "grid AS (SELECT user_id, "
+            "unnest(generate_series(lo, hi, 3600)) AS b FROM "
+            "(SELECT DISTINCT user_id FROM base) CROSS JOIN bounds), "
+            "s AS (SELECT g.user_id, g.b, COALESCE(c.c, 0) AS c, "
+            "COALESCE(c.v, 0) AS v FROM grid g LEFT JOIN cnts c "
+            "ON c.user_id = g.user_id AND c.b = g.b), "
+            "st AS (SELECT user_id, b, row_number() OVER wk AS rn, "
+            "COUNT(*) OVER ws AS n, SUM(c) OVER ws AS sc, "
+            "SUM(v) OVER ws AS sv, SUM(c*v) OVER ws AS scv, "
+            "SUM(c*c) OVER ws AS scc, SUM(v*v) OVER ws AS svv "
+            "FROM s WINDOW "
+            "wk AS (PARTITION BY user_id ORDER BY b), "
+            "ws AS (PARTITION BY user_id ORDER BY b ROWS BETWEEN 23 "
+            "PRECEDING AND CURRENT ROW)) "
+            "SELECT user_id, b AS bucket_s, "
+            "CAST(n*scv - sc*sv AS DOUBLE) / "
+            "NULLIF(sqrt(CAST(n*scc - sc*sc AS DOUBLE)) * "
+            "sqrt(CAST(n*svv - sv*sv AS DOUBLE)), 0) AS corr "
+            "FROM st WHERE rn >= 24"
+        ),
         "conversion_latency": (
             "WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS s_us "
             "FROM events WHERE event_type = 'signup' GROUP BY 1), "

@@ -1359,3 +1359,39 @@ def test_session_duration_percentiles_numpy(spark):
         assert r.n_sessions == m
         assert r.p50_dur_s == p50
         assert r.p90_dur_s == durs[k90 - 1]
+
+
+def test_rolling_corr_matches_numpy(spark):
+    """Rolling 24-bucket correlation at sf0.001 equals np.corrcoef on
+    every full window of the zero-filled (count, cents) channels."""
+    import numpy as np
+
+    from tsaug_spark.plans.metrics import rolling_corr
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {
+        (r.key, r.bucket_s): r.corr
+        for r in rolling_corr(ev, "1h", window=24).collect()
+    }
+    pdf = ev.select("user_id", "ts", "value").toPandas()
+    b = (pdf.ts.astype("int64") // 10**9 // 3600) * 3600
+    lo, hi = int(b.min()), int(b.max())
+    T = (hi - lo) // 3600 + 1
+    n_checked = 0
+    for uid, g in pdf.assign(b=b).groupby("user_id"):
+        c = np.zeros(T, dtype=np.int64)
+        v = np.zeros(T, dtype=np.int64)
+        for bb, gg in g.groupby("b"):
+            i = (int(bb) - lo) // 3600
+            c[i] = len(gg)
+            v[i] = int(round(gg.value.sum() * 100))
+        for i in range(23, T):
+            wc, wv = c[i - 23:i + 1], v[i - 23:i + 1]
+            key = (uid, lo + i * 3600)
+            if wc.std() == 0 or wv.std() == 0:
+                assert got[key] is None
+                continue
+            ref = float(np.corrcoef(wc, wv)[0, 1])
+            assert abs(got[key] - ref) < 1e-9, (key, got[key], ref)
+            n_checked += 1
+    assert n_checked > 100

@@ -2271,3 +2271,95 @@ def transition_latency(
         ).alias("mean_delay_us"),
         F.max("d").alias("max_delay_us"),
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    tier: str = "1h",
+    window: int = 24,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Rolling Pearson correlation between a key's event-count and
+    value-sum channels over a sliding ``window`` of dense ``tier``
+    buckets — "is this conversation's turn rate still tracking its
+    value?" as a continuously-updated series (the multivariate rolling
+    statistic TimescaleDB's ``stats_agg`` rolling API exposes).
+
+    Channels per bucket: c = count, v = round(sum(value)*100) — the
+    cents integerization makes v exact despite float bucket sums (the
+    true sum is k/100 and the double error is orders below the 0.5
+    rounding margin).  All five windowed sufficient statistics are
+    then exact integer sliding sums (ROWS BETWEEN window-1 PRECEDING)
+    and the correlation is the ONE shared float expression of
+    ``autocorr_lag1`` — raw doubles both engines, NULL for a
+    zero-variance side.  Only full windows are emitted.
+
+    One shuffle: the five sums and the row counter share the same
+    (key ORDER BY bucket) window frame.
+
+    Output: key, bucket_s, corr.
+    """
+    sec = TIERS[tier][1]
+    base = df.select(
+        F.col(key_col).alias("key"),
+        _bucket_s(ts_col, tier),
+        F.col(value_col).cast("double").alias("val"),
+    )
+    counts = base.groupBy("key", "bucket_s").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("val") * 100).cast("long").alias("v"),
+    )
+    bounds = base.agg(
+        F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi")
+    )
+    grid = (
+        base.select("key")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "key",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(sec))
+            ).alias("bucket_s"),
+        )
+    )
+    series = grid.join(counts, ["key", "bucket_s"], "left").select(
+        "key",
+        "bucket_s",
+        F.coalesce("cnt", F.lit(0).cast("long")).alias("c"),
+        F.coalesce("v", F.lit(0).cast("long")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_s")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    rn = Window.partitionBy("key").orderBy("bucket_s")
+    stats = series.select(
+        "key",
+        "bucket_s",
+        F.row_number().over(rn).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("c").over(w).alias("sc"),
+        F.sum("v").over(w).alias("sv"),
+        F.sum(F.col("c") * F.col("v")).over(w).alias("scv"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("scc"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("svv"),
+    ).filter(F.col("rn") >= window)
+    num = (
+        F.col("n") * F.col("scv") - F.col("sc") * F.col("sv")
+    ).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("scc") - F.col("sc") * F.col("sc"))
+        .cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("svv") - F.col("sv") * F.col("sv"))
+        .cast("double")
+    )
+    return stats.select(
+        "key",
+        "bucket_s",
+        (num / F.nullif(den, F.lit(0.0))).alias("corr"),
+    )
