@@ -1411,6 +1411,21 @@ def q_hist_p_cascade_1d(spark, sf):
     )
 
 
+def q_state_dwell(spark, sf):
+    """Time-in-state per (user, event_type)
+    (plans/metrics.py::state_dwell): LOCF dwell until the next event,
+    exact integer microseconds, one lead window + one matrix-bounded
+    aggregate."""
+    from tsaug_spark.plans.metrics import state_dwell
+
+    return state_dwell(_events(spark, sf)).select(
+        F.col("key").cast("long").alias("user_id"),
+        "state",
+        "n_segments",
+        "dwell_us",
+    )
+
+
 def q_conversion_latency(spark, sf):
     """Funnel time-to-convert: per user, the exact µs delay from the
     FIRST signup to the FIRST purchase at-or-after it, plus the global
@@ -3049,6 +3064,7 @@ def _hw_sql() -> str:
 #: oracle-checked entry.
 _PRIORITY = [
     "rolling_corr_24h",
+    "state_dwell",
     "conversion_latency",
     "ngram_containment",
     "multimodal_exact_dup",
@@ -3287,6 +3303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": q_ngram_containment,
         "conversion_latency": q_conversion_latency,
         "rolling_corr_24h": q_rolling_corr_24h,
+        "state_dwell": q_state_dwell,
         "activity_gini": q_activity_gini,
         "type_entropy": q_type_entropy,
         "knn_join": q_knn_join,
@@ -5144,6 +5161,14 @@ def oracle_sql() -> dict[str, str]:
         "dtw_cross_48": _dtw_sql(),
         "motif_pair_48": _motif_sql(),
         "pattern_search": _pattern_sql(),
+        "state_dwell": (
+            "WITH g AS (SELECT user_id, event_type AS state, "
+            "lead(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) - epoch_us(ts) AS d FROM events) "
+            "SELECT user_id, state, CAST(COUNT(*) AS BIGINT) AS "
+            "n_segments, CAST(SUM(d) AS BIGINT) AS dwell_us FROM g "
+            "WHERE d IS NOT NULL GROUP BY 1, 2"
+        ),
         "rolling_corr_24h": (
             "WITH base AS (SELECT user_id, "
             "CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS b, value "

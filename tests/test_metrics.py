@@ -1395,3 +1395,28 @@ def test_rolling_corr_matches_numpy(spark):
             assert abs(got[key] - ref) < 1e-9, (key, got[key], ref)
             n_checked += 1
     assert n_checked > 100
+
+
+def test_state_dwell_hand_chain(spark):
+    """Hand timeline: dwell is attributed to the state HELD (LOCF),
+    the final segment contributes nothing."""
+    import datetime as _dt
+
+    from tsaug_spark.plans.metrics import state_dwell
+
+    rows = [(1, 0.0, "a"), (1, 2.5, "b"), (1, 3.0, "a"), (1, 10.0, "b")]
+    df = spark.createDataFrame(
+        [
+            (i, _dt.datetime(2024, 1, 1)
+             + _dt.timedelta(seconds=s), u, t)
+            for i, (u, s, t) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {
+        (r.key, r.state): r for r in state_dwell(df).collect()
+    }
+    a = out[(1, "a")]
+    assert a.n_segments == 2 and a.dwell_us == int(2.5e6 + 7.0e6)
+    b = out[(1, "b")]
+    assert b.n_segments == 1 and b.dwell_us == int(0.5e6)

@@ -2363,3 +2363,37 @@ def rolling_corr(
         "bucket_s",
         (num / F.nullif(den, F.lit(0.0))).alias("corr"),
     )
+
+
+def state_dwell(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Time-in-state aggregation: each event's state holds until the
+    key's next event; total dwell per (key, state) — "how long did
+    this conversation sit in each tool" over agent transcripts, the
+    step-interpolated (LOCF) twin of the trapezoidal TWA.
+
+    The final open-ended segment has no successor and contributes
+    zero (reporting time-in-state for unclosed segments is the
+    caller's watermark policy).  One lead window (O(1) state per row)
+    + one hash aggregate bounded by keys × states; dwells are exact
+    integer microseconds.
+
+    Output: key, state, n_segments, dwell_us.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    seg = df.select(
+        F.col(key_col).alias("key"),
+        F.col(state_col).alias("state"),
+        (
+            F.lead(_micros(ts_col)).over(w) - _micros(ts_col)
+        ).alias("d"),
+    ).filter(F.col("d").isNotNull())
+    return seg.groupBy("key", "state").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("d").alias("dwell_us"),
+    )
