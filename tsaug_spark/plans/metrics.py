@@ -2397,3 +2397,89 @@ def state_dwell(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum("d").alias("dwell_us"),
     )
+
+
+def benford_digits(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """First-significant-digit distribution per group vs Benford's law
+    — the classic fabricated-/synthetic-data screen (naturally
+    occurring multi-scale amounts follow log10(1 + 1/d); uniform or
+    manufactured values don't).
+
+    The digit is extracted EXACTLY: values are cents-integerized
+    (exact for 2-decimal amounts) and the first character of the
+    integer's decimal string is the first significant digit — no
+    log10 float boundaries.  Zero values carry no leading digit and
+    are excluded.  Output shares and the per-group chi² statistic
+    (summed over OBSERVED digits; an absent digit at large N is
+    itself a red flag worth a dedicated check) are single float
+    expressions of exact integer counts.
+
+    Output: grp, digit, n, share, benford_share, chi2 (group-level,
+    repeated per digit row for a flat schema).
+    """
+    import math
+
+    cents = F.round(F.col(value_col).cast("double") * 100).cast("long")
+    digits = df.select(
+        F.col(group_col).alias("grp"),
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("d"),
+    ).filter(F.col("d") > 0)
+    counts = digits.groupBy("grp", "d").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("grp")
+    benford = F.element_at(
+        F.array(
+            *[
+                F.lit(math.log10(1.0 + 1.0 / d))
+                for d in range(1, 10)
+            ]
+        ),
+        F.col("d"),
+    )
+    per = counts.select(
+        "grp",
+        "d",
+        "n",
+        F.sum("n").over(tot).alias("tot_n"),
+        benford.alias("p"),
+    ).select(
+        "grp",
+        "d",
+        "n",
+        "tot_n",
+        "p",
+        (
+            (
+                F.col("n").cast("double")
+                - F.col("tot_n").cast("double") * F.col("p")
+            )
+            * (
+                F.col("n").cast("double")
+                - F.col("tot_n").cast("double") * F.col("p")
+            )
+            / (F.col("tot_n").cast("double") * F.col("p"))
+        ).alias("term"),
+    )
+    # chi2 folds the nine digit terms in DIGIT order (sorted fold) so
+    # both engines accumulate identically — bit-exact, not just close
+    chi = per.groupBy("grp").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("d", "term"))),
+            F.lit(0.0),
+            lambda a, s: a + s["term"],
+        ).alias("chi2")
+    )
+    return per.join(chi, "grp").select(
+        "grp",
+        F.col("d").alias("digit"),
+        "n",
+        (F.col("n").cast("double") / F.col("tot_n").cast("double"))
+        .alias("share"),
+        F.col("p").alias("benford_share"),
+        "chi2",
+    )
