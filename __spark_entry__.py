@@ -1411,6 +1411,49 @@ def q_hist_p_cascade_1d(spark, sf):
     )
 
 
+def q_trimmed_mean_1d(spark, sf):
+    """10% two-sided trimmed mean of values per (user, day) — the
+    robust-aggregation companion to the plain rollup (a single fat
+    outlier moves the mean but not the trimmed mean).  Values are
+    cents-integerized so the kept-rank sum is an exact integer; the
+    trim count k = floor(0.1*m) is the same IEEE expression in both
+    engines, and the mean is two divisions of exact integers — raw
+    doubles."""
+    ev = _events(spark, sf).select(
+        "user_id",
+        "event_id",
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+        .cast("long")
+        .alias("day_s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id", "day_s").orderBy(
+        "cents", "event_id"
+    )
+    cw = Window.partitionBy("user_id", "day_s")
+    ranked = ev.select(
+        "user_id",
+        "day_s",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("m"),
+    ).withColumn(
+        "k", F.floor(F.lit(0.1) * F.col("m").cast("double"))
+    )
+    kept = ranked.filter(
+        (F.col("rn") > F.col("k"))
+        & (F.col("rn") <= F.col("m") - F.col("k"))
+    )
+    return kept.groupBy("user_id", "day_s").agg(
+        F.first("m").alias("n"),
+        (
+            F.sum("cents").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(100.0)
+        ).alias("trimmed_mean"),
+    )
+
+
 def q_benford_values(spark, sf):
     """First-digit distribution per event type vs Benford's law
     (plans/metrics.py::benford_digits): exact string-extracted digits
@@ -3121,6 +3164,7 @@ _PRIORITY = [
     "rolling_corr_24h",
     "state_dwell",
     "benford_values",
+    "trimmed_mean_1d",
     "conversion_latency",
     "ngram_containment",
     "multimodal_exact_dup",
@@ -3361,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr_24h": q_rolling_corr_24h,
         "state_dwell": q_state_dwell,
         "benford_values": q_benford_values,
+        "trimmed_mean_1d": q_trimmed_mean_1d,
         "activity_gini": q_activity_gini,
         "type_entropy": q_type_entropy,
         "knn_join": q_knn_join,
@@ -5219,6 +5264,21 @@ def oracle_sql() -> dict[str, str]:
         "motif_pair_48": _motif_sql(),
         "pattern_search": _pattern_sql(),
         "benford_values": _benford_sql(),
+        "trimmed_mean_1d": (
+            "WITH b AS (SELECT user_id, event_id, "
+            "CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day_s, "
+            "CAST(round(value*100) AS BIGINT) AS cents FROM events), "
+            "r AS (SELECT user_id, day_s, cents, row_number() OVER "
+            "(PARTITION BY user_id, day_s ORDER BY cents, event_id) "
+            "AS rn, COUNT(*) OVER (PARTITION BY user_id, day_s) AS m "
+            "FROM b), "
+            "kk AS (SELECT *, CAST(floor(0.1 * CAST(m AS DOUBLE)) AS "
+            "BIGINT) AS k FROM r) "
+            "SELECT user_id, day_s, CAST(MIN(m) AS BIGINT) AS n, "
+            "CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
+            "/ 100.0 AS trimmed_mean FROM kk "
+            "WHERE rn > k AND rn <= m - k GROUP BY 1, 2"
+        ),
         "state_dwell": (
             "WITH g AS (SELECT user_id, event_type AS state, "
             "lead(epoch_us(ts)) OVER (PARTITION BY user_id "

@@ -1447,3 +1447,26 @@ def test_benford_digits_closed_form(spark):
         for d in out
     )
     assert abs(out[1].chi2 - obs) < 1e-9
+
+
+def test_trimmed_mean_resists_outlier(spark):
+    """An injected huge outlier moves the plain mean but not the 10%
+    trimmed mean (closed-form fixture: 10 values, k=1 trims the
+    extremes)."""
+    import __spark_entry__ as em
+
+    vals = [10.0] * 9 + [10000.0]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = _ev(spark, rows)
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="trim_")
+    df.selectExpr(
+        "event_id", "ts", "user_id", "'click' AS event_type",
+        "value", "'{}' AS props"
+    ).write.parquet(f"{d}/events.parquet")
+    out = em.q_trimmed_mean_1d(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n == 10
+    # k=1: drop one 10.0 and the 10000.0 -> mean of eight 10.0s
+    assert r.trimmed_mean == 10.0
