@@ -1454,6 +1454,85 @@ def q_trimmed_mean_1d(spark, sf):
     )
 
 
+def q_theil_sen_daily(spark, sf):
+    """Theil–Sen robust slope of each user's daily spend
+    (plans/stats.py::theil_sen): pairwise slopes of exact cents
+    integers, rank-selected median with (slope, d1, d2) tie-break —
+    the two-mid-rank average is the only float reduction and has a
+    fixed two-term order, so DuckDB matches raw doubles."""
+    from tsaug_spark.plans.stats import theil_sen
+
+    return theil_sen(_events(spark, sf)).select(
+        F.col("key").alias("user_id"),
+        "n_days",
+        "n_pairs",
+        "slope_cents_per_day",
+    )
+
+
+def q_ks_click_error(spark, sf):
+    """Two-sample Kolmogorov–Smirnov distance per user between the
+    click and error value distributions (plans/stats.py::ks_distance):
+    ECDFs from exact cumulative integer counts over the sorted cents
+    axis, one division each, sup of |diff| — distribution-drift screen
+    with bit-identical doubles in DuckDB."""
+    from tsaug_spark.plans.stats import ks_distance
+
+    return ks_distance(_events(spark, sf), "click", "error").select(
+        F.col("key").alias("user_id"), "n_a", "n_b", "ks"
+    )
+
+
+def q_wilson_ctr_1d(spark, sf):
+    """Wilson 95% score interval for the per-(user, day) purchase
+    share among click+purchase trials (plans/stats.py::
+    wilson_interval): exact integer k/n, one shared sqrt expression
+    for the bounds — the small-n-safe proportion CI."""
+    from tsaug_spark.plans.stats import wilson_interval
+
+    return wilson_interval(_events(spark, sf)).select(
+        F.col("key").alias("user_id"),
+        "day",
+        "k",
+        "n",
+        "wilson_lo",
+        "wilson_hi",
+    )
+
+
+def q_peaks_1h(spark, sf):
+    """Strict local maxima with prominence >= 2 on the dense
+    zero-filled hourly count series per event type
+    (plans/stats.py::peak_detect): all-integer lag/lead comparison on
+    the full hour grid, edges excluded."""
+    from tsaug_spark.plans.stats import peak_detect
+
+    return peak_detect(
+        _events(spark, sf), key_col="event_type", min_prominence=2
+    ).select(
+        F.col("key").alias("event_type"),
+        "bucket_s",
+        "cnt",
+        "prev",
+        "nxt",
+        "prominence",
+    )
+
+
+def q_active_streaks(spark, sf):
+    """Longest consecutive-day activity streak per user
+    (plans/stats.py::active_streaks): gaps-and-islands via
+    day - row_number, no self-join, all integers."""
+    from tsaug_spark.plans.stats import active_streaks
+
+    return active_streaks(_events(spark, sf)).select(
+        F.col("key").alias("user_id"),
+        "longest_streak",
+        "n_streaks",
+        "active_days",
+    )
+
+
 def q_benford_values(spark, sf):
     """First-digit distribution per event type vs Benford's law
     (plans/metrics.py::benford_digits): exact string-extracted digits
@@ -3161,6 +3240,11 @@ def _hw_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "theil_sen_daily",
+    "ks_click_error",
+    "wilson_ctr_1d",
+    "peaks_1h",
+    "active_streaks",
     "rolling_corr_24h",
     "state_dwell",
     "benford_values",
@@ -3406,6 +3490,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_dwell": q_state_dwell,
         "benford_values": q_benford_values,
         "trimmed_mean_1d": q_trimmed_mean_1d,
+        "theil_sen_daily": q_theil_sen_daily,
+        "ks_click_error": q_ks_click_error,
+        "wilson_ctr_1d": q_wilson_ctr_1d,
+        "peaks_1h": q_peaks_1h,
+        "active_streaks": q_active_streaks,
         "activity_gini": q_activity_gini,
         "type_entropy": q_type_entropy,
         "knn_join": q_knn_join,
@@ -5278,6 +5367,101 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
             "/ 100.0 AS trimmed_mean FROM kk "
             "WHERE rn > k AND rn <= m - k GROUP BY 1, 2"
+        ),
+        "theil_sen_daily": (
+            "WITH d AS (SELECT user_id, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) "
+            "AS cents FROM events GROUP BY 1, 2), "
+            "p AS (SELECT a.user_id, a.day AS d1, b.day AS d2, "
+            "CAST(b.cents - a.cents AS DOUBLE) / "
+            "CAST(b.day - a.day AS DOUBLE) AS slope "
+            "FROM d a JOIN d b ON a.user_id = b.user_id "
+            "AND a.day < b.day), "
+            "r AS (SELECT user_id, slope, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY slope, d1, d2) AS rn, "
+            "COUNT(*) OVER (PARTITION BY user_id) AS m FROM p), "
+            "med AS (SELECT user_id, CAST(MIN(m) AS BIGINT) AS "
+            "n_pairs, SUM(slope) / COUNT(*) AS slope_cents_per_day "
+            "FROM r WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2 "
+            "GROUP BY 1), "
+            "nd AS (SELECT user_id, COUNT(*) AS n_days FROM d "
+            "GROUP BY 1) "
+            "SELECT nd.user_id, CAST(nd.n_days AS BIGINT) AS n_days, "
+            "med.n_pairs, med.slope_cents_per_day "
+            "FROM nd JOIN med ON med.user_id = nd.user_id"
+        ),
+        "ks_click_error": (
+            "WITH ev AS (SELECT user_id, event_type AS etype, "
+            "CAST(round(value*100) AS BIGINT) AS cents FROM events "
+            "WHERE event_type IN ('click', 'error')), "
+            "pv AS (SELECT user_id, cents, "
+            "SUM(CASE WHEN etype = 'click' THEN 1 ELSE 0 END) AS ca, "
+            "SUM(CASE WHEN etype = 'error' THEN 1 ELSE 0 END) AS cb "
+            "FROM ev GROUP BY 1, 2), "
+            "cum AS (SELECT user_id, "
+            "SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b, "
+            "SUM(ca) OVER ww AS n_a, SUM(cb) OVER ww AS n_b FROM pv "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY cents), "
+            "ww AS (PARTITION BY user_id)) "
+            "SELECT user_id, CAST(MIN(n_a) AS BIGINT) AS n_a, "
+            "CAST(MIN(n_b) AS BIGINT) AS n_b, "
+            "MAX(abs(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE) - "
+            "CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE))) AS ks "
+            "FROM cum WHERE n_a > 0 AND n_b > 0 GROUP BY 1"
+        ),
+        "wilson_ctr_1d": (
+            "WITH a AS (SELECT user_id, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 "
+            "END) AS k, COUNT(*) AS n FROM events "
+            "WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2) "
+            "SELECT user_id, day, CAST(k AS BIGINT) AS k, "
+            "CAST(n AS BIGINT) AS n, "
+            "(CAST(k AS DOUBLE) + 1.96 * 1.96 / 2.0 - 1.96 * "
+            "sqrt(CAST(k AS DOUBLE) * (CAST(n AS DOUBLE) - "
+            "CAST(k AS DOUBLE)) / CAST(n AS DOUBLE) + 1.96 * 1.96 / "
+            "4.0)) / (CAST(n AS DOUBLE) + 1.96 * 1.96) AS wilson_lo, "
+            "(CAST(k AS DOUBLE) + 1.96 * 1.96 / 2.0 + 1.96 * "
+            "sqrt(CAST(k AS DOUBLE) * (CAST(n AS DOUBLE) - "
+            "CAST(k AS DOUBLE)) / CAST(n AS DOUBLE) + 1.96 * 1.96 / "
+            "4.0)) / (CAST(n AS DOUBLE) + 1.96 * 1.96) AS wilson_hi "
+            "FROM a"
+        ),
+        "peaks_1h": (
+            "WITH h AS (SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour, "
+            "COUNT(*) AS cnt FROM events GROUP BY 1, 2), "
+            "bounds AS (SELECT key, MIN(hour) lo, MAX(hour) hi "
+            "FROM h GROUP BY 1), "
+            "grid AS (SELECT key, CAST(unnest(range(lo, hi + 1)) AS "
+            "BIGINT) AS hour FROM bounds), "
+            "dense AS (SELECT g.key, g.hour, "
+            "COALESCE(h.cnt, 0) AS cnt FROM grid g LEFT JOIN h "
+            "ON h.key = g.key AND h.hour = g.hour), "
+            "lagged AS (SELECT key, hour, cnt, "
+            "lag(cnt) OVER w AS prev, lead(cnt) OVER w AS nxt "
+            "FROM dense WINDOW w AS (PARTITION BY key ORDER BY hour)) "
+            "SELECT key AS event_type, hour * 3600 AS bucket_s, "
+            "CAST(cnt AS BIGINT) AS cnt, CAST(prev AS BIGINT) AS "
+            "prev, CAST(nxt AS BIGINT) AS nxt, "
+            "CAST(cnt - greatest(prev, nxt) AS BIGINT) AS prominence "
+            "FROM lagged WHERE prev IS NOT NULL AND nxt IS NOT NULL "
+            "AND cnt > prev AND cnt > nxt "
+            "AND cnt - greatest(prev, nxt) >= 2"
+        ),
+        "active_streaks": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day "
+            "FROM events), "
+            "i AS (SELECT user_id, day, day - row_number() OVER "
+            "(PARTITION BY user_id ORDER BY day) AS island FROM d), "
+            "runs AS (SELECT user_id, island, COUNT(*) AS run_len "
+            "FROM i GROUP BY 1, 2) "
+            "SELECT user_id, CAST(MAX(run_len) AS BIGINT) AS "
+            "longest_streak, CAST(COUNT(*) AS BIGINT) AS n_streaks, "
+            "CAST(SUM(run_len) AS BIGINT) AS active_days "
+            "FROM runs GROUP BY 1"
         ),
         "state_dwell": (
             "WITH g AS (SELECT user_id, event_type AS state, "

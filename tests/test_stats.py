@@ -1,0 +1,170 @@
+"""Hand-fixture tests for the statistical screens in plans/stats.py.
+
+Each test is a closed-form example small enough to verify by hand:
+Theil–Sen against the exact pairwise-slope median, KS against the
+textbook ECDF sup, Wilson against the published formula, peaks and
+streaks against drawn timelines.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from tsaug_spark.plans.stats import (
+    active_streaks,
+    ks_distance,
+    peak_detect,
+    theil_sen,
+    wilson_interval,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ev(spark, rows):
+    """rows: (user_id, day-offset-float, event_type, value)."""
+    data = [
+        (i, T0 + dt.timedelta(days=off), uid, t, float(v))
+        for i, (uid, off, t, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+
+
+def test_theil_sen_exact_median_odd(spark):
+    # daily cents: day0=100, day1=300, day2=400 (values 1, 3, 4)
+    # slopes: (300-100)/1=200, (400-100)/2=150, (400-300)/1=100
+    # median of [100, 150, 200] = 150
+    df = _ev(spark, [(1, 0, "a", 1.0), (1, 1, "a", 3.0), (1, 2, "a", 4.0)])
+    out = theil_sen(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_days == 3 and r.n_pairs == 3
+    assert r.slope_cents_per_day == 150.0
+
+
+def test_theil_sen_even_pairs_two_mid_rank(spark):
+    # 4 days -> 6 pairs; values chosen so sorted slopes are
+    # [0, 100, 100, 200, 300, 600]: days 0..3 cents 100, 100, 400, 700
+    # pairs: (0,1)=0 (1,2)=300 (2,3)=300?? recompute:
+    # (0,1): 0/1=0   (0,2): 300/2=150  (0,3): 600/3=200
+    # (1,2): 300/1=300  (1,3): 600/2=300  (2,3): 300/1=300
+    # sorted [0,150,200,300,300,300] -> mids 200,300 -> 250
+    df = _ev(
+        spark,
+        [(1, 0, "a", 1.0), (1, 1, "a", 1.0), (1, 2, "a", 4.0),
+         (1, 3, "a", 7.0)],
+    )
+    r = theil_sen(df).collect()[0]
+    assert r.n_pairs == 6
+    assert r.slope_cents_per_day == 250.0
+
+
+def test_theil_sen_outlier_day_robust(spark):
+    # linear +100 cents/day with one wild day: the median slope stays
+    # at 100 even though OLS would be dragged far off.
+    rows = [(1, d, "a", float(d + 1)) for d in range(9)]
+    rows[4] = (1, 4, "a", 1000.0)
+    r = theil_sen(_ev(spark, rows)).collect()[0]
+    assert r.slope_cents_per_day == 100.0
+
+
+def test_ks_identical_and_disjoint(spark):
+    # user 1: identical click/error samples -> KS = 0
+    # user 2: click values all below error values -> KS = 1
+    rows = (
+        [(1, 0, "click", v) for v in (1.0, 2.0, 3.0)]
+        + [(1, 0, "error", v) for v in (1.0, 2.0, 3.0)]
+        + [(2, 0, "click", v) for v in (1.0, 2.0)]
+        + [(2, 0, "error", v) for v in (5.0, 6.0)]
+        + [(3, 0, "click", 1.0)]  # no error sample -> dropped
+    )
+    out = {r.key: r for r in ks_distance(
+        _ev(spark, rows), "click", "error").collect()}
+    assert set(out) == {1, 2}
+    assert out[1].ks == 0.0
+    assert out[2].ks == 1.0
+    assert out[2].n_a == 2 and out[2].n_b == 2
+
+
+def test_ks_textbook_half(spark):
+    # a = {1, 2}, b = {2, 3}: at x=1 |1/2 - 0| = .5; x=2 |1 - .5| = .5;
+    # x=3 |1 - 1| = 0 -> KS = 0.5
+    rows = [(1, 0, "click", 1.0), (1, 0, "click", 2.0),
+            (1, 0, "error", 2.0), (1, 0, "error", 3.0)]
+    r = ks_distance(_ev(spark, rows), "click", "error").collect()[0]
+    assert r.ks == 0.5
+
+
+def test_wilson_formula_published_values(spark):
+    # k=3 successes of n=10 with z=1.96: textbook Wilson bounds.
+    rows = [(1, 0, "purchase", 1.0)] * 3 + [(1, 0, "click", 1.0)] * 7
+    rows = [(u, 0.01 * i, t, v) for i, (u, _, t, v) in enumerate(rows)]
+    r = wilson_interval(_ev(spark, rows)).collect()[0]
+    assert (r.k, r.n) == (3, 10)
+    z = 1.96
+    k, n = 3.0, 10.0
+    half = z * math.sqrt(k * (n - k) / n + z * z / 4.0)
+    lo = (k + z * z / 2.0 - half) / (n + z * z)
+    hi = (k + z * z / 2.0 + half) / (n + z * z)
+    assert r.wilson_lo == lo and r.wilson_hi == hi
+    # sanity vs published 95% Wilson CI for 3/10: (0.108, 0.603)
+    assert abs(lo - 0.1078) < 1e-3 and abs(hi - 0.6032) < 1e-3
+    # never leaves [0, 1] even at k=0 or k=n
+    assert 0.0 <= lo < hi <= 1.0
+
+
+def test_wilson_extremes_stay_in_unit_interval(spark):
+    rows = [(1, 0, "purchase", 1.0)] * 5 + [(2, 0, "click", 1.0)] * 5
+    rows = [(u, 0.01 * i, t, v) for i, (u, _, t, v) in enumerate(rows)]
+    out = {r.key: r for r in wilson_interval(_ev(spark, rows)).collect()}
+    assert out[1].k == out[1].n == 5
+    assert out[2].k == 0
+    for r in out.values():
+        assert 0.0 <= r.wilson_lo <= r.wilson_hi <= 1.0
+    assert out[1].wilson_hi == 1.0  # k == n: upper bound is exactly 1
+    assert out[2].wilson_lo == 0.0  # k == 0: lower bound is exactly 0
+
+
+def test_peak_detect_hand_series_and_gap_valley(spark):
+    # hourly counts for one type: h0=1, h1=4, h2=1, h4=5, h5=1
+    # dense grid: [1, 4, 1, 0, 5, 1]; peaks: h1 (4 > 1 and > 1,
+    # prom 3), h4 (5 > 0 and > 1, prom 4).  h3's zero-fill makes h4 a
+    # peak even though hour 3 has no rows.
+    rows = []
+    for h, c in ((0, 1), (1, 4), (2, 1), (4, 5), (5, 1)):
+        rows += [(1, h / 24.0 + i * 1e-4, "click", 1.0)
+                 for i in range(c)]
+    out = peak_detect(
+        _ev(spark, rows), key_col="event_type", min_prominence=2
+    ).collect()
+    got = {(r.key, r.bucket_s): r for r in out}
+    base = int(T0.timestamp())
+    assert set(got) == {("click", base + 3600), ("click", base + 4 * 3600)}
+    assert got[("click", base + 3600)].prominence == 3
+    assert got[("click", base + 4 * 3600)].prominence == 4
+
+
+def test_peak_edges_never_peak(spark):
+    # monotone rise then fall at the last bucket: the final bucket has
+    # no right neighbour, so it is not reported.
+    rows = []
+    for h, c in ((0, 1), (1, 2), (2, 9)):
+        rows += [(1, h / 24.0 + i * 1e-4, "click", 1.0)
+                 for i in range(c)]
+    assert peak_detect(_ev(spark, rows), key_col="event_type").count() == 0
+
+
+def test_active_streaks_islands(spark):
+    # user 1 active days {0,1,2, 5,6, 9} -> streaks 3, 2, 1
+    rows = [(1, d, "a", 1.0) for d in (0, 0.5, 1, 2, 5, 6, 9)]
+    r = active_streaks(_ev(spark, rows)).collect()[0]
+    assert r.longest_streak == 3
+    assert r.n_streaks == 3
+    assert r.active_days == 6

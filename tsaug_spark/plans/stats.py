@@ -1,0 +1,353 @@
+"""Robust / distributional statistics over the event series.
+
+The rollup family (plans/rollup.py) and the gauge transforms
+(plans/metrics.py) cover the algebraic and spacing-sensitive bucket
+aggregates.  This module adds the *statistical screening* layer a
+production telemetry store runs on top of those series — robust trend
+estimation, distribution drift, proportion confidence intervals, peak
+detection, and activity streaks:
+
+* :func:`theil_sen` — Theil–Sen robust slope per key over its daily
+  totals (median of all pairwise slopes; a 29% contamination breakdown
+  point vs 0% for OLS);
+* :func:`ks_distance` — two-sample Kolmogorov–Smirnov statistic per
+  key between the value distributions of two event types (distribution
+  drift / A-B divergence screen);
+* :func:`wilson_interval` — Wilson score 95% confidence interval for a
+  per-(key, day) success proportion (the small-n-safe replacement for
+  the normal-approximation interval);
+* :func:`peak_detect` — strict local maxima with prominence on the
+  dense zero-filled hourly count series per key;
+* :func:`active_streaks` — gaps-and-islands longest consecutive-day
+  activity streak per key.
+
+Determinism contract (shared with every oracled query in the repo):
+inputs are integerized first (cents = round(value*100) as BIGINT, day
+and hour indexes as BIGINT), every aggregate runs on exact integers,
+and each float appears as ONE shared arithmetic expression evaluated
+identically by Spark and DuckDB — medians are rank-selected, never
+engine percentiles.
+
+Scale notes (10^12 turns): each transform is one (key)- or (key,
+bucket)-hash shuffle plus at most one ordered window with O(1)-row
+state.  ``theil_sen`` is the only superlinear one — O(d^2) pairs per
+key where d = number of active DAYS, which is bounded by the retention
+horizon (e.g. 730 for two years), never by event volume; the self-join
+is co-partitioned on the key so no pair ever crosses executors.
+``ks_distance`` is linear in distinct values per key.  No UDFs, no
+driver collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _day_cents(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact per-(key, day) integer totals: the shared integerized base."""
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+            F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+        )
+        .groupBy("key", "day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Theil–Sen slope of each key's daily total, in cents/day.
+
+    Slope = median over all day-pairs (i < j) of
+    (cents_j - cents_i) / (day_j - day_i).  Each pairwise slope is one
+    division of exact BIGINTs (deterministic double); the median is
+    rank-selected with (slope, day_i, day_j) tie-break and averages the
+    two middle ranks for even pair counts — bit-reproducible, never an
+    engine PERCENTILE.
+
+    Scale: daily totals per key are bounded by the retention horizon
+    (d days -> d(d-1)/2 pairs), so the self-join after the (key, day)
+    rollup is a co-partitioned quadratic in DAYS, linear in events.
+    One shuffle for the rollup, one for the key-join (AQE coalesced).
+    """
+    d = _day_cents(df, key_col, ts_col, value_col)
+    a = d.select(
+        "key",
+        F.col("day").alias("d1"),
+        F.col("cents").alias("c1"),
+    )
+    b = d.select(
+        "key",
+        F.col("day").alias("d2"),
+        F.col("cents").alias("c2"),
+    )
+    pairs = (
+        a.join(b, "key")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "key",
+            "d1",
+            "d2",
+            (
+                (F.col("c2") - F.col("c1")).cast("double")
+                / (F.col("d2") - F.col("d1")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("key").orderBy("slope", "d1", "d2")
+    cw = Window.partitionBy("key")
+    ranked = pairs.select(
+        "key",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("m"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("m") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("m") + 2) / 2))
+    )
+    days = d.groupBy("key").agg(F.count(F.lit(1)).alias("n_days"))
+    med = mid.groupBy("key").agg(
+        F.first("m").alias("n_pairs"),
+        (F.sum("slope") / F.count(F.lit(1))).alias("slope_cents_per_day"),
+    )
+    return days.join(med, "key").select(
+        "key", "n_days", "n_pairs", "slope_cents_per_day"
+    )
+
+
+def ks_distance(
+    df: DataFrame,
+    type_a: str,
+    type_b: str,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Two-sample KS statistic per key between two event types' values.
+
+    Values are cents-integerized; per (key, cents) the counts of each
+    sample are cumulated along the sorted value axis, the two ECDFs are
+    each one exact-integer division, and KS = max |F_a - F_b| over the
+    union of observed values (where the step functions change — the
+    sup over all x).  Keys missing either sample are dropped (KS is
+    undefined there).
+
+    Scale: one (key, cents) hash aggregate, one per-key ordered window
+    with O(1) running state, one per-key max — a single shuffle chain
+    partitioned on the key, linear in distinct values.
+    """
+    ev = df.filter(
+        F.col(type_col).isin([type_a, type_b])
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(type_col).alias("etype"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+    )
+    per_val = ev.groupBy("key", "cents").agg(
+        F.sum(
+            F.when(F.col("etype") == type_a, F.lit(1)).otherwise(F.lit(0))
+        ).alias("ca"),
+        F.sum(
+            F.when(F.col("etype") == type_b, F.lit(1)).otherwise(F.lit(0))
+        ).alias("cb"),
+    )
+    w = Window.partitionBy("key").orderBy("cents")
+    cw = Window.partitionBy("key")
+    cum = per_val.select(
+        "key",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(cw).alias("n_a"),
+        F.sum("cb").over(cw).alias("n_b"),
+    )
+    return (
+        cum.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            "key",
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("cum_a").cast("double") / F.col("n_a").cast("double")
+                - F.col("cum_b").cast("double")
+                / F.col("n_b").cast("double")
+            ).alias("d"),
+        )
+        .groupBy("key")
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.max("d").alias("ks"),
+        )
+    )
+
+
+def wilson_interval(
+    df: DataFrame,
+    success_type: str = "purchase",
+    trial_types: tuple[str, ...] = ("click", "purchase"),
+    z: float = 1.96,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Wilson score 95% CI for the per-(key, day) success proportion.
+
+    k = successes, n = trials (both exact BIGINT counts); the bounds
+
+        (k + z^2/2 -+ z * sqrt(k*(n-k)/n + z^2/4)) / (n + z^2)
+
+    are one shared float expression — written identically in the
+    DuckDB oracle so the doubles match bit-for-bit.  Unlike the normal
+    approximation, the Wilson interval never leaves [0, 1] and stays
+    calibrated at n = 1.
+
+    Scale: exactly one (key, day) hash aggregate with map-side partial
+    counts, then a projection.
+    """
+    ev = df.filter(F.col(type_col).isin(list(trial_types))).select(
+        F.col(key_col).alias("key"),
+        F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+        .cast("long")
+        .alias("day"),
+        F.when(F.col(type_col) == success_type, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("succ"),
+    )
+    agg = ev.groupBy("key", "day").agg(
+        F.sum("succ").alias("k"), F.count(F.lit(1)).alias("n")
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    zl = F.lit(z)
+    half = zl * F.sqrt(kd * (nd - kd) / nd + zl * zl / F.lit(4.0))
+    denom = nd + zl * zl
+    return agg.select(
+        "key",
+        "day",
+        "k",
+        "n",
+        ((kd + zl * zl / F.lit(2.0) - half) / denom).alias("wilson_lo"),
+        ((kd + zl * zl / F.lit(2.0) + half) / denom).alias("wilson_hi"),
+    )
+
+
+def peak_detect(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    min_prominence: int = 1,
+) -> DataFrame:
+    """Strict local maxima on the dense zero-filled hourly count series.
+
+    Per key the hourly counts are placed on the full [min, max] hour
+    grid (missing hours count 0 — a gap next to a spike must read as a
+    valley, not be skipped), then a bucket is a peak when its count is
+    strictly greater than both neighbours and its prominence
+    (cnt - max(left, right)) is at least ``min_prominence``.  Grid
+    edges are excluded (no one-sided peaks).  All-integer arithmetic.
+
+    Scale: one (key, hour) count aggregate, one bounded grid explode
+    (``sequence`` over the key's own hour span — retention-bounded),
+    one lag/lead window per key.  Single shuffle chain on the key.
+    """
+    hourly = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 3600)
+            .cast("long")
+            .alias("hour"),
+        )
+        .groupBy("key", "hour")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bounds = hourly.groupBy("key").agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    grid = bounds.select(
+        "key",
+        F.explode(
+            F.sequence(
+                F.col("lo").cast("int"), F.col("hi").cast("int")
+            )
+        ).alias("hour_i"),
+    ).select("key", F.col("hour_i").cast("long").alias("hour"))
+    dense = grid.join(hourly, ["key", "hour"], "left").select(
+        "key", "hour", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    w = Window.partitionBy("key").orderBy("hour")
+    lagged = dense.select(
+        "key",
+        "hour",
+        "cnt",
+        F.lag("cnt").over(w).alias("prev"),
+        F.lead("cnt").over(w).alias("nxt"),
+    )
+    return lagged.filter(
+        F.col("prev").isNotNull()
+        & F.col("nxt").isNotNull()
+        & (F.col("cnt") > F.col("prev"))
+        & (F.col("cnt") > F.col("nxt"))
+        & (
+            F.col("cnt") - F.greatest("prev", "nxt")
+            >= F.lit(min_prominence)
+        )
+    ).select(
+        "key",
+        (F.col("hour") * 3600).alias("bucket_s"),
+        "cnt",
+        "prev",
+        "nxt",
+        (F.col("cnt") - F.greatest("prev", "nxt")).alias("prominence"),
+    )
+
+
+def active_streaks(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Longest consecutive-day activity streak per key (gaps & islands).
+
+    Distinct active days per key; island id = day - row_number (equal
+    within each unbroken run); per key report the longest streak, the
+    number of distinct streaks, and total active days.  All integers.
+
+    Scale: one distinct-(key, day) aggregate, one per-key ordered
+    window (row_number), two hash re-aggregates — the island trick
+    needs no self-join and no iteration.
+    """
+    days = df.select(
+        F.col(key_col).alias("key"),
+        F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    w = Window.partitionBy("key").orderBy("day")
+    islands = days.select(
+        "key",
+        "day",
+        (F.col("day") - F.row_number().over(w)).alias("island"),
+    )
+    runs = islands.groupBy("key", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("key").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("run_len").alias("active_days"),
+    )
