@@ -1454,6 +1454,51 @@ def q_trimmed_mean_1d(spark, sf):
     )
 
 
+def q_allan_var(spark, sf):
+    """Allan variance of the per-bucket mean value at tau = 1h/2h/4h
+    per event type (plans/stats.py::allan_variance): adjacent-bucket
+    squared mean deltas folded in bucket order (sorted fold), one
+    shared /(2M) — the clock-stability statistic."""
+    from tsaug_spark.plans.stats import allan_variance
+
+    return allan_variance(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "tau_s", "m_pairs", "avar"
+    )
+
+
+def q_interval_coverage(spark, sf):
+    """De-overlapped activity coverage per user with a 900 s claim per
+    event (plans/stats.py::interval_coverage): running-max sweep merge
+    of overlapping intervals, all integers."""
+    from tsaug_spark.plans.stats import interval_coverage
+
+    return interval_coverage(_events(spark, sf)).select(
+        F.col("key").alias("user_id"),
+        "covered_s",
+        "n_intervals",
+        "n_events",
+    )
+
+
+def q_tfidf_topk(spark, sf):
+    """Top-3 TF-IDF keywords per document (pipeline/text.py::
+    tfidf_topk): per-type centibit-quantized idf times exact tf, token
+    tie-break — all-integer ranking."""
+    from tsaug_spark.pipeline.text import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf), k=3)
+
+
+def q_edit_near_dup(spark, sf):
+    """Levenshtein-verified near-duplicate pairs over MinHash-LSH
+    candidates (pipeline/dedup.py::edit_near_dup): thresholded
+    O(len*k) edit distance, exact integer dist + one shared division
+    for the normalized distance."""
+    from tsaug_spark.pipeline.dedup import edit_near_dup
+
+    return edit_near_dup(_docs(spark, sf))
+
+
 def q_theil_sen_daily(spark, sf):
     """Theil–Sen robust slope of each user's daily spend
     (plans/stats.py::theil_sen): pairwise slopes of exact cents
@@ -3240,6 +3285,10 @@ def _hw_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "allan_var",
+    "interval_coverage",
+    "tfidf_topk",
+    "edit_near_dup",
     "theil_sen_daily",
     "ks_click_error",
     "wilson_ctr_1d",
@@ -3491,6 +3540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_values": q_benford_values,
         "trimmed_mean_1d": q_trimmed_mean_1d,
         "theil_sen_daily": q_theil_sen_daily,
+        "allan_var": q_allan_var,
+        "interval_coverage": q_interval_coverage,
+        "tfidf_topk": q_tfidf_topk,
+        "edit_near_dup": q_edit_near_dup,
         "ks_click_error": q_ks_click_error,
         "wilson_ctr_1d": q_wilson_ctr_1d,
         "peaks_1h": q_peaks_1h,
@@ -5367,6 +5420,88 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
             "/ 100.0 AS trimmed_mean FROM kk "
             "WHERE rn > k AND rn <= m - k GROUP BY 1, 2"
+        ),
+        "allan_var": " UNION ALL ".join(
+            "SELECT key AS event_type, CAST({sec} AS BIGINT) AS "
+            "tau_s, CAST(COUNT(*) AS BIGINT) AS m_pairs, "
+            "list_reduce(list(term ORDER BY bucket), "
+            "(a_, b_) -> a_ + b_) / (2.0 * CAST(COUNT(*) AS DOUBLE)) "
+            "AS avar FROM ("
+            "SELECT key, bucket, (ybar - py) * (ybar - py) AS term "
+            "FROM (SELECT key, bucket, ybar, lag(bucket) OVER w AS "
+            "pb, lag(ybar) OVER w AS py FROM ("
+            "SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/{sec}) AS BIGINT) AS bucket, "
+            "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / "
+            "CAST(COUNT(*) AS DOUBLE) AS ybar FROM events "
+            "GROUP BY 1, 2) WINDOW w AS "
+            "(PARTITION BY key ORDER BY bucket)) "
+            "WHERE pb = bucket - 1) GROUP BY key".format(sec=sec)
+            for sec in (3600, 7200, 14400)
+        ),
+        "interval_coverage": (
+            "WITH ev AS (SELECT user_id AS key, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS oid, "
+            "CAST(floor(epoch(ts)) AS BIGINT) + 900 AS hi "
+            "FROM events), "
+            "f AS (SELECT key, t, hi, oid, CASE WHEN "
+            "max(hi) OVER wp IS NULL OR t > max(hi) OVER wp "
+            "THEN 1 ELSE 0 END AS ni FROM ev WINDOW wp AS "
+            "(PARTITION BY key ORDER BY t, oid ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND 1 PRECEDING)), "
+            "i AS (SELECT key, t, hi, SUM(ni) OVER "
+            "(PARTITION BY key ORDER BY t, oid ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f), "
+            "pi AS (SELECT key, island, MIN(t) AS lo, MAX(hi) AS hi, "
+            "COUNT(*) AS ne FROM i GROUP BY 1, 2) "
+            "SELECT key AS user_id, CAST(SUM(hi - lo) AS BIGINT) AS "
+            "covered_s, CAST(COUNT(*) AS BIGINT) AS n_intervals, "
+            "CAST(SUM(ne) AS BIGINT) AS n_events FROM pi GROUP BY 1"
+        ),
+        "tfidf_topk": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z]+')) AS "
+            "tok FROM documents), "
+            "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks "
+            "WHERE tok <> '' GROUP BY 1, 2), "
+            "nd AS (SELECT COUNT(*) AS n_docs FROM documents), "
+            "idf AS (SELECT tok, CAST(floor(100.0 * "
+            "(log2(CAST(n_docs AS DOUBLE) + 1.0) - "
+            "log2(CAST(df AS DOUBLE) + 1.0))) AS BIGINT) AS idf_cb "
+            "FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1) "
+            "CROSS JOIN nd), "
+            "sc AS (SELECT tf.doc_id, tf.tok, tf.tf, idf.idf_cb, "
+            "tf.tf * idf.idf_cb AS score_cb FROM tf JOIN idf "
+            "USING (tok)), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score_cb DESC, tok ASC) AS rank FROM sc) "
+            "SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, idf_cb, "
+            "CAST(score_cb AS BIGINT) AS score_cb, "
+            "CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3"
+        ),
+        "edit_near_dup": (
+            f"{_SHINGLE_SQL}, sig AS (SELECT doc_id, "
+            + ", ".join(
+                f"MIN(md5(s || '|{b}')) AS sig{b}" for b in range(4)
+            )
+            + " FROM sh GROUP BY doc_id), "
+            "cand AS ("
+            + " UNION ".join(
+                f"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+                f"FROM sig a JOIN sig b ON a.sig{b2} = b.sig{b2} "
+                f"AND a.doc_id < b.doc_id"
+                for b2 in range(4)
+            )
+            + "), "
+            "p AS (SELECT c.id_a, c.id_b, "
+            "levenshtein(a.text, b.text) AS dist, "
+            "greatest(length(a.text), length(b.text)) AS mlen "
+            "FROM cand c JOIN documents a ON a.doc_id = c.id_a "
+            "JOIN documents b ON b.doc_id = c.id_b) "
+            "SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist, "
+            "CAST(dist AS DOUBLE) / CAST(mlen AS DOUBLE) AS ned "
+            "FROM p WHERE dist <= 64 AND "
+            "CAST(dist AS DOUBLE) / CAST(mlen AS DOUBLE) <= 0.2"
         ),
         "theil_sen_daily": (
             "WITH d AS (SELECT user_id, "

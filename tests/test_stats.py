@@ -168,3 +168,78 @@ def test_active_streaks_islands(spark):
     assert r.longest_streak == 3
     assert r.n_streaks == 3
     assert r.active_days == 6
+
+
+def test_allan_variance_hand_series(spark):
+    # hourly means at hours 0,1,2: values 1.0, 3.0, 2.0 (one event
+    # each).  diffs: +2, -1 -> ssd = 4 + 1 = 5, M=2, avar = 5/4.
+    rows = [(1, 0.0, "a", 1.0), (1, 1 / 24, "a", 3.0),
+            (1, 2 / 24, "a", 2.0)]
+    from tsaug_spark.plans.stats import allan_variance
+    out = {r.tau_s: r for r in allan_variance(
+        _ev(spark, rows), taus=("1h",)).collect()}
+    r = out[3600]
+    assert r.m_pairs == 2
+    # cents: 100, 300, 200 -> diffs 200, -100 -> ssd 50000 -> avar 12500
+    assert r.avar == 12500.0
+
+
+def test_allan_variance_gap_breaks_pair(spark):
+    # hours 0 and 2 only: no adjacent pair -> key absent (no rows).
+    rows = [(1, 0.0, "a", 1.0), (1, 2 / 24, "a", 3.0)]
+    from tsaug_spark.plans.stats import allan_variance
+    assert allan_variance(_ev(spark, rows), taus=("1h",)).count() == 0
+
+
+def test_interval_coverage_merge_touch_disjoint(spark):
+    # ttl=900: events at t=0, 600 (overlap), 900+600=1500 (touches the
+    # merged end 600+900=1500 -> merges), 10000 (disjoint).
+    # island 1: [0, 2400) = 2400 s with 3 events; island 2: [10000,
+    # 10900) = 900 s.
+    from tsaug_spark.plans.stats import interval_coverage
+    rows = [(1, 0 / 86400, "a", 1.0), (1, 600 / 86400, "a", 1.0),
+            (1, 1500 / 86400, "a", 1.0), (1, 10000 / 86400, "a", 1.0)]
+    r = interval_coverage(_ev(spark, rows)).collect()[0]
+    assert r.covered_s == 2400 + 900
+    assert r.n_intervals == 2
+    assert r.n_events == 4
+
+
+def test_tfidf_topk_ranks_rare_tokens(spark):
+    from tsaug_spark.pipeline.text import tfidf_topk
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the dog sat on the log"),
+            (2, "the cat and the dog"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 'the' appears in every doc -> idf_cb = 0 -> never a keyword
+    for rows in by_doc.values():
+        assert all(r.tok != "the" for r in rows if r.score_cb > 0)
+    # doc 0: 'mat' is unique (df=1, idf_cb=100) and outranks the
+    # shared tokens cat/on/sat (df=2, idf_cb=41), which tie on score
+    # and break alphabetically -> 'cat' takes rank 2
+    d0 = sorted(by_doc[0], key=lambda r: r.rank)
+    assert [r.tok for r in d0] == ["mat", "cat"]
+    assert d0[0].idf_cb == 100 and d0[1].idf_cb == 41
+    assert d0[0].rank == 1 and len(d0) == 2
+
+
+def test_edit_near_dup_catches_small_edit_only(spark):
+    from tsaug_spark.pipeline.dedup import edit_near_dup
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    near = base.replace("gamma", "gamme", 1)      # 1 substitution
+    far = "totally different words " * 8
+    docs = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "doc_id long, text string"
+    )
+    out = edit_near_dup(docs).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
+    assert out[0].dist == 1
+    assert out[0].ned == 1.0 / len(base)

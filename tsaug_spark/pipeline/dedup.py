@@ -681,3 +681,78 @@ def ngram_containment_pairs(
             "id_a", "id_b", F.round("containment", 4).alias("containment")
         )
     )
+
+
+def edit_near_dup(
+    docs: DataFrame,
+    max_edits: int = 64,
+    max_ned: float = 0.2,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance-verified near-duplicates: MinHash-LSH candidates
+    re-checked with a BOUNDED Levenshtein distance — the character-
+    level verify for OCR noise / template fills that shingle Jaccard
+    (token-level) under-weights.
+
+    A pair survives when ``lev(a, b) <= max_edits`` AND the normalized
+    distance ``lev / max(len_a, len_b) <= max_ned``.  The Spark side
+    uses the THRESHOLDED ``levenshtein(l, r, threshold)`` form, which
+    abandons a pair in O(len * threshold) instead of O(len_a * len_b)
+    — the property that keeps the verify affordable when LSH emits a
+    long-document candidate; candidates themselves come from the same
+    banded, never-all-pairs bucket join as ``lsh_candidate_pairs``.
+
+    Output: id_a, id_b, dist, ned (exact integer distance, one shared
+    division for ned).
+    """
+    sig = minhash_signatures(
+        shingles(docs, text_col=text_col, id_col=id_col),
+        n_bands=n_bands,
+    )
+    cand = lsh_candidate_pairs(sig, n_bands=n_bands)
+    txt = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("txt")
+    )
+    pairs = (
+        cand.join(
+            txt.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("txt").alias("ta"),
+            ),
+            "id_a",
+        )
+        .join(
+            txt.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("txt").alias("tb"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(
+                F.col("ta"), F.col("tb"), max_edits + 1
+            ).alias("dist"),
+            F.greatest(F.length("ta"), F.length("tb"))
+            .cast("long")
+            .alias("mlen"),
+        )
+    )
+    return (
+        pairs.filter(
+            (F.col("dist") >= 0) & (F.col("dist") <= max_edits)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("dist").cast("long").alias("dist"),
+            (
+                F.col("dist").cast("double")
+                / F.col("mlen").cast("double")
+            ).alias("ned"),
+        )
+        .filter(F.col("ned") <= F.lit(max_ned))
+    )

@@ -3,7 +3,7 @@ document fingerprints.  All Catalyst-native (no Python UDFs)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: ordered (code, marker) rules — first hit wins, fallback 'en'
@@ -284,4 +284,76 @@ def type_token_ratio(
             F.col("n_types").cast("double")
             / F.col("n_tokens").cast("double")
         ).alias("ttr"),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k keywords per document by TF-IDF — the classic keyword /
+    salient-term extractor for corpus triage and index cards.
+
+    Scoring is ALL integer arithmetic: idf is quantized per vocabulary
+    TYPE to centibits (``floor(100 * (log2(N+1) - log2(df+1)))`` —
+    smoothed so corpus-universal tokens score 0, never negative), and
+    the document score is the exact product ``tf * idf_cb``.  Ranking
+    ties break on the token string, so the top-k set is
+    bit-reproducible across engines (the same centibit idiom as
+    :func:`unigram_surprisal`: a 1-ulp log2 disagreement would have to
+    land within ~1e-13 of an integer for a PER-TYPE floor flip).
+
+    Scale: one (doc, token) hash aggregate, one vocab-sized document-
+    frequency aggregate joined back broadcast (shuffle-join + salt the
+    stopword head past ~10M types), one per-doc top-k window.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+            )
+        ).alias("tok"),
+    )
+    tf = toks.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    docfreq = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = docfreq.crossJoin(F.broadcast(n_docs)).select(
+        "tok",
+        F.floor(
+            F.lit(100.0)
+            * (
+                F.log2(F.col("n_docs").cast("double") + F.lit(1.0))
+                - F.log2(F.col("df").cast("double") + F.lit(1.0))
+            )
+        )
+        .cast("long")
+        .alias("idf_cb"),
+    )
+    scored = tf.join(F.broadcast(idf), "tok").select(
+        id_col,
+        "tok",
+        "tf",
+        "idf_cb",
+        (F.col("tf") * F.col("idf_cb")).alias("score_cb"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_cb").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.select(
+            id_col,
+            "tok",
+            "tf",
+            "idf_cb",
+            "score_cb",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
     )

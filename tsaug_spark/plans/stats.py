@@ -316,6 +316,146 @@ def peak_detect(
     )
 
 
+def allan_variance(
+    df: DataFrame,
+    taus: tuple[str, ...] = ("1h", "2h", "4h"),
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Allan variance of the per-bucket mean value at several
+    averaging times — the clock-stability statistic
+    AVAR(tau) = (1/(2M)) * sum_i (ybar_{i+1} - ybar_i)^2 over the M
+    ADJACENT bucket pairs (bucket index differs by exactly 1; a gap
+    breaks the pair, it is never bridged).
+
+    Bucket means are one division of exact integers (cents sum /
+    count); each squared difference is deterministic; the cross-pair
+    sum folds in bucket order (sorted fold) so both engines accumulate
+    bit-identically, and the final /(2M) is one more shared division.
+
+    Scale: per tau one (key, bucket) hash aggregate + one lag window +
+    one per-key fold whose list length is retention-bounded (buckets,
+    not events).  The taus union is a handful of such chains.
+    """
+    tau_s = {"1m": 60, "1h": 3600, "2h": 7200, "4h": 14400,
+             "1d": 86400}
+    out = None
+    for tau in taus:
+        sec = tau_s[tau]
+        b = (
+            df.select(
+                F.col(key_col).alias("key"),
+                F.floor(F.unix_timestamp(F.col(ts_col)) / sec)
+                .cast("long")
+                .alias("bucket"),
+                F.round(F.col(value_col) * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+            .groupBy("key", "bucket")
+            .agg(
+                (
+                    F.sum("cents").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("ybar")
+            )
+        )
+        w = Window.partitionBy("key").orderBy("bucket")
+        d = b.select(
+            "key",
+            "bucket",
+            "ybar",
+            F.lag("bucket").over(w).alias("pb"),
+            F.lag("ybar").over(w).alias("py"),
+        ).filter(F.col("pb") == F.col("bucket") - 1)
+        terms = d.select(
+            "key",
+            "bucket",
+            (
+                (F.col("ybar") - F.col("py"))
+                * (F.col("ybar") - F.col("py"))
+            ).alias("term"),
+        )
+        agg = terms.groupBy("key").agg(
+            F.count(F.lit(1)).alias("m_pairs"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("bucket", "term"))),
+                F.lit(0.0),
+                lambda a, s: a + s["term"],
+            ).alias("ssd"),
+        )
+        res = agg.select(
+            "key",
+            F.lit(sec).cast("long").alias("tau_s"),
+            "m_pairs",
+            (
+                F.col("ssd")
+                / (F.lit(2.0) * F.col("m_pairs").cast("double"))
+            ).alias("avar"),
+        )
+        out = res if out is None else out.unionByName(res)
+    return out
+
+
+def interval_coverage(
+    df: DataFrame,
+    ttl_s: int = 900,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Merged activity coverage per key: every event claims the
+    interval [t, t + ttl_s); overlapping or touching claims merge into
+    islands (classic sweep: an event starts a new island iff its start
+    exceeds the running max end of all earlier events), and per key we
+    report total covered seconds, the merged-interval count, and the
+    raw event count — the de-overlapped "time actually active" that a
+    naive SUM(ttl) over-counts.
+
+    All integer arithmetic; the sweep is one ordered window with O(1)
+    state (running max), one island aggregate, one key aggregate.
+    """
+    ev = df.select(
+        F.col(key_col).alias("key"),
+        F.unix_timestamp(F.col(ts_col)).cast("long").alias("t"),
+        F.col(order_col).alias("oid"),
+    ).withColumn("hi", F.col("t") + F.lit(ttl_s))
+    w = Window.partitionBy("key").orderBy("t", "oid")
+    prev_max = F.max("hi").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.select(
+        "key",
+        "t",
+        "hi",
+        "oid",
+        F.when(
+            prev_max.isNull() | (F.col("t") > prev_max), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "key",
+        "t",
+        "hi",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    per_island = islands.groupBy("key", "island").agg(
+        F.min("t").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_island.groupBy("key").agg(
+        F.sum(F.col("hi") - F.col("lo")).alias("covered_s"),
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
 def active_streaks(
     df: DataFrame,
     key_col: str = "user_id",
