@@ -713,6 +713,53 @@ def main() -> None:
         execute=True,
     )
 
+    # statistical screens (plans/stats.py): key-partitioned windows +
+    # hash aggregates, zero Python, no cartesian blowups.  theil_sen's
+    # self-join must be an equi-join on the key (SortMergeJoin/
+    # ShuffledHashJoin), never a nested-loop product.
+    for nm, q in [
+        ("theil_sen_daily", em.q_theil_sen_daily),
+        ("ks_click_error", em.q_ks_click_error),
+        ("wilson_ctr_1d", em.q_wilson_ctr_1d),
+        ("peaks_1h", em.q_peaks_1h),
+        ("active_streaks", em.q_active_streaks),
+        ("allan_var", em.q_allan_var),
+        ("interval_coverage", em.q_interval_coverage),
+    ]:
+        audit(
+            f"{nm} (stats screen, JVM only)",
+            q(spark, sf),
+            must_have=["HashAggregate"],
+            must_not_have=["CartesianProduct",
+                           "BroadcastNestedLoopJoin",
+                           "BatchEvalPython", "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+
+    # tf-idf keywords: two hash aggregates + one broadcast idf join +
+    # one per-doc top-k window, all JVM
+    audit(
+        "tfidf_topk (broadcast idf join + top-k window)",
+        em.q_tfidf_topk(spark, sf),
+        must_have=["HashAggregate", "BroadcastHashJoin", "Window"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
+    # levenshtein near-dup verify: banded LSH equi-join candidates,
+    # never an all-pairs product
+    audit(
+        "edit_near_dup (LSH candidates + bounded levenshtein)",
+        em.q_edit_near_dup(spark, sf),
+        must_have=["HashAggregate"],
+        must_not_have=["CartesianProduct", "BroadcastNestedLoopJoin",
+                       "BatchEvalPython", "ArrowEvalPython",
+                       "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")
