@@ -1454,6 +1454,50 @@ def q_trimmed_mean_1d(spark, sf):
     )
 
 
+def q_ols_daily(spark, sf):
+    """Classical OLS trend per user over daily cents totals
+    (plans/stats.py::ols_daily): exact integer sufficient statistics
+    with x centered on the first active day, slope one division,
+    R^2 cast to double only at the would-overflow products — the
+    parametric twin of `theil_sen_daily`."""
+    from tsaug_spark.plans.stats import ols_daily
+
+    return ols_daily(_events(spark, sf)).select(
+        F.col("key").alias("user_id"),
+        "n",
+        "slope_cents_per_day",
+        "intercept_cents",
+        "r2",
+    )
+
+
+def q_spectral_diurnal(spark, sf):
+    """Single-bin DFT at the 24 h period per user
+    (plans/stats.py::spectral_diurnal): folded-constant cos/sin
+    tables, sorted-fold sums, one shared amp expression — the
+    circadian-strength spectral screen."""
+    from tsaug_spark.plans.stats import spectral_diurnal
+
+    return spectral_diurnal(_events(spark, sf)).select(
+        F.col("key").alias("user_id"),
+        "n_hours",
+        "span_h",
+        "re",
+        "im",
+        "diurnal_amp",
+    )
+
+
+def q_basket_lift(spark, sf):
+    """Association lift between event types sharing a (user, hour)
+    basket (plans/stats.py::basket_lift): exact integer basket
+    counts, lift = N*c_ab / (c_a*c_b) as one division of exact
+    products."""
+    from tsaug_spark.plans.stats import basket_lift
+
+    return basket_lift(_events(spark, sf))
+
+
 def q_allan_var(spark, sf):
     """Allan variance of the per-bucket mean value at tau = 1h/2h/4h
     per event type (plans/stats.py::allan_variance): adjacent-bucket
@@ -3275,6 +3319,41 @@ def _hw_sql() -> str:
     )
 
 
+def _spectral_diurnal_sql() -> str:
+    """Diurnal DFT-bin oracle: the SAME 24 cos/sin doubles the Spark
+    plan embeds (computed from the same Python expressions, emitted
+    with repr() so DuckDB parses the identical IEEE value), sorted
+    folds, one shared amp expression."""
+    import math
+
+    cos_tab = ", ".join(
+        repr(math.cos(2.0 * math.pi * i / 24.0)) for i in range(24)
+    )
+    sin_tab = ", ".join(
+        repr(math.sin(2.0 * math.pi * i / 24.0)) for i in range(24)
+    )
+    return (
+        "WITH h AS (SELECT user_id AS key, "
+        "CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour, "
+        "COUNT(*) AS cnt FROM events GROUP BY 1, 2), "
+        "t AS (SELECT key, hour, "
+        f"CAST(cnt AS DOUBLE) * ([{cos_tab}])"
+        "[CAST(hour % 24 AS INT) + 1] AS tre, "
+        f"CAST(cnt AS DOUBLE) * ([{sin_tab}])"
+        "[CAST(hour % 24 AS INT) + 1] AS tim FROM h), "
+        "a AS (SELECT key, COUNT(*) AS n_hours, "
+        "MAX(hour) - MIN(hour) + 1 AS span_h, "
+        "list_reduce(list(tre ORDER BY hour), "
+        "(a_, b_) -> a_ + b_) AS re, "
+        "list_reduce(list(tim ORDER BY hour), "
+        "(a_, b_) -> a_ + b_) AS im FROM t GROUP BY 1) "
+        "SELECT key AS user_id, CAST(n_hours AS BIGINT) AS n_hours, "
+        "CAST(span_h AS BIGINT) AS span_h, re, im, "
+        "2.0 * sqrt(re*re + im*im) / CAST(span_h AS DOUBLE) AS "
+        "diurnal_amp FROM a"
+    )
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -3285,6 +3364,9 @@ def _hw_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "ols_daily",
+    "spectral_diurnal",
+    "basket_lift",
     "allan_var",
     "interval_coverage",
     "tfidf_topk",
@@ -3541,6 +3623,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean_1d": q_trimmed_mean_1d,
         "theil_sen_daily": q_theil_sen_daily,
         "allan_var": q_allan_var,
+        "ols_daily": q_ols_daily,
+        "spectral_diurnal": q_spectral_diurnal,
+        "basket_lift": q_basket_lift,
         "interval_coverage": q_interval_coverage,
         "tfidf_topk": q_tfidf_topk,
         "edit_near_dup": q_edit_near_dup,
@@ -5420,6 +5505,50 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
             "/ 100.0 AS trimmed_mean FROM kk "
             "WHERE rn > k AND rn <= m - k GROUP BY 1, 2"
+        ),
+        "ols_daily": (
+            "WITH d AS (SELECT user_id AS key, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) "
+            "AS cents FROM events GROUP BY 1, 2), "
+            "o AS (SELECT key, day - MIN(day) OVER "
+            "(PARTITION BY key) AS x, cents AS y FROM d), "
+            "a AS (SELECT key, COUNT(*) AS n, SUM(x) AS sx, "
+            "SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx, "
+            "SUM(y*y) AS syy FROM o GROUP BY 1) "
+            "SELECT key AS user_id, CAST(n AS BIGINT) AS n, "
+            "CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "CAST(n*sxx - sx*sx AS DOUBLE) AS slope_cents_per_day, "
+            "(CAST(sy AS DOUBLE) - (CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / "
+            "CAST(n AS DOUBLE) AS intercept_cents, "
+            "CASE WHEN n*syy - sy*sy > 0 THEN "
+            "(CAST(n*sxy - sx*sy AS DOUBLE) * "
+            "CAST(n*sxy - sx*sy AS DOUBLE)) / "
+            "(CAST(n*sxx - sx*sx AS DOUBLE) * "
+            "CAST(n*syy - sy*sy AS DOUBLE)) END AS r2 "
+            "FROM a WHERE n >= 2 AND n*sxx - sx*sx > 0"
+        ),
+        "spectral_diurnal": _spectral_diurnal_sql(),
+        "basket_lift": (
+            "WITH items AS (SELECT DISTINCT user_id AS key, "
+            "CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour, "
+            "event_type AS item FROM events), "
+            "nb AS (SELECT COUNT(*) AS n_baskets FROM "
+            "(SELECT DISTINCT key, hour FROM items)), "
+            "ic AS (SELECT item, COUNT(*) AS c FROM items "
+            "GROUP BY 1), "
+            "pc AS (SELECT a.item AS item_a, b.item AS item_b, "
+            "COUNT(*) AS c_ab FROM items a JOIN items b "
+            "ON a.key = b.key AND a.hour = b.hour AND "
+            "a.item < b.item GROUP BY 1, 2) "
+            "SELECT item_a, item_b, CAST(c_ab AS BIGINT) AS c_ab, "
+            "CAST(ca.c AS BIGINT) AS c_a, CAST(cb.c AS BIGINT) AS "
+            "c_b, CAST(nb.n_baskets * c_ab AS DOUBLE) / "
+            "CAST(ca.c * cb.c AS DOUBLE) AS lift, "
+            "CAST(c_ab AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE) AS "
+            "support FROM pc JOIN ic ca ON ca.item = item_a "
+            "JOIN ic cb ON cb.item = item_b CROSS JOIN nb"
         ),
         "allan_var": " UNION ALL ".join(
             "SELECT key AS event_type, CAST({sec} AS BIGINT) AS "

@@ -243,3 +243,78 @@ def test_edit_near_dup_catches_small_edit_only(spark):
     assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
     assert out[0].dist == 1
     assert out[0].ned == 1.0 / len(base)
+
+
+def test_ols_perfect_line(spark):
+    # daily values 1,3,5,7 dollars -> cents 100..700, slope exactly
+    # 200 cents/day, intercept 100, r2 == 1.0
+    from tsaug_spark.plans.stats import ols_daily
+    rows = [(1, d, "a", float(2 * d + 1)) for d in range(4)]
+    r = ols_daily(_ev(spark, rows)).collect()[0]
+    assert r.n == 4
+    assert r.slope_cents_per_day == 200.0
+    assert r.intercept_cents == 100.0
+    assert r.r2 == 1.0
+
+
+def test_ols_constant_series_r2_null(spark):
+    # constant y: dyy = 0 -> slope 0, r2 NULL (undefined, not 1)
+    from tsaug_spark.plans.stats import ols_daily
+    rows = [(1, d, "a", 5.0) for d in range(3)]
+    r = ols_daily(_ev(spark, rows)).collect()[0]
+    assert r.slope_cents_per_day == 0.0
+    assert r.r2 is None
+
+
+def test_ols_single_day_dropped(spark):
+    from tsaug_spark.plans.stats import ols_daily
+    rows = [(1, 0, "a", 5.0), (1, 0.5, "a", 6.0)]  # one distinct day
+    assert ols_daily(_ev(spark, rows)).count() == 0
+
+
+def test_spectral_diurnal_single_phase(spark):
+    # one event at hour 0 of three consecutive days: idx 0 always,
+    # cos=1, sin=0 -> re=3, im=0, span=49, amp=6/49
+    from tsaug_spark.plans.stats import spectral_diurnal
+    rows = [(1, d, "a", 1.0) for d in range(3)]
+    r = spectral_diurnal(_ev(spark, rows)).collect()[0]
+    assert r.n_hours == 3
+    assert r.span_h == 49
+    assert r.re == 3.0 and r.im == 0.0
+    assert r.diurnal_amp == 6.0 / 49.0
+
+
+def test_spectral_diurnal_flat_profile_near_zero(spark):
+    # one event in EVERY hour of two full days: the diurnal bin of a
+    # flat profile is (numerically) zero
+    from tsaug_spark.plans.stats import spectral_diurnal
+    rows = [(1, h / 24.0, "a", 1.0) for h in range(48)]
+    r = spectral_diurnal(_ev(spark, rows)).collect()[0]
+    assert r.span_h == 48
+    assert abs(r.re) < 1e-12 and abs(r.im) < 1e-12
+    assert r.diurnal_amp < 1e-12
+
+
+def test_basket_lift_hand_counts(spark):
+    # baskets (user1,h0)={a,b}, (user1,h1)={a}: N=2, c_a=2, c_b=1,
+    # c_ab=1 -> lift = 2*1/(2*1) = 1.0, support 0.5
+    from tsaug_spark.plans.stats import basket_lift
+    rows = [(1, 0.0, "a", 1.0), (1, 0.0, "b", 1.0),
+            (1, 1 / 24.0, "a", 1.0)]
+    out = basket_lift(_ev(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.item_a, r.item_b) == ("a", "b")
+    assert (r.c_ab, r.c_a, r.c_b) == (1, 2, 1)
+    assert r.lift == 1.0 and r.support == 0.5
+
+
+def test_basket_lift_perfect_cooccurrence(spark):
+    # a and b always together in 2 of 4 baskets: lift = 4*2/(2*2) = 2
+    from tsaug_spark.plans.stats import basket_lift
+    rows = [(1, 0.0, "a", 1.0), (1, 0.0, "b", 1.0),
+            (1, 1 / 24.0, "a", 1.0), (1, 1 / 24.0, "b", 1.0),
+            (2, 0.0, "c", 1.0), (2, 1 / 24.0, "c", 1.0)]
+    out = {(r.item_a, r.item_b): r for r in
+           basket_lift(_ev(spark, rows)).collect()}
+    assert out[("a", "b")].lift == 2.0

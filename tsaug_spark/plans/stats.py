@@ -491,3 +491,214 @@ def active_streaks(
         F.count(F.lit(1)).alias("n_streaks"),
         F.sum("run_len").alias("active_days"),
     )
+
+
+def ols_daily(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Classical least-squares trend per key over its daily totals —
+    slope, intercept and R^2, the parametric companion to
+    :func:`theil_sen` (compare the two to spot outlier-driven trends:
+    a large OLS/Theil–Sen disagreement flags contaminated series).
+
+    x is the day offset from the key's first active day (small exact
+    integers), y the daily cents total; all five sufficient statistics
+    (Sx, Sy, Sxy, Sxx, Syy) are exact BIGINT sums, the slope is one
+    division of exact integers, and R^2 casts the exact integer
+    moments to double only at the final products (which would overflow
+    BIGINT) — every float is one shared expression.  Keys need >= 2
+    distinct days and a non-constant x; a constant-y key gets R^2
+    NULL (0/0 is undefined, not 1).
+
+    Scale: one (key, day) rollup, one key-window for the day offset,
+    one key aggregate — two shuffles on the same key.
+    """
+    d = _day_cents(df, key_col, ts_col, value_col)
+    w = Window.partitionBy("key")
+    o = d.select(
+        "key",
+        (F.col("day") - F.min("day").over(w)).alias("x"),
+        F.col("cents").alias("y"),
+    )
+    agg = o.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).filter(F.col("n") >= 2)
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num.cast("double") / dxx.cast("double")
+    return agg.filter(dxx > 0).select(
+        "key",
+        "n",
+        slope.alias("slope_cents_per_day"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept_cents"),
+        F.when(
+            dyy > 0,
+            (num.cast("double") * num.cast("double"))
+            / (dxx.cast("double") * dyy.cast("double")),
+        ).alias("r2"),
+    )
+
+
+def spectral_diurnal(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Single-bin DFT (Goertzel-style) of the hourly count series at
+    the diurnal frequency (period 24 h) per key — the spectral
+    "how circadian is this key" screen behind seasonality detection.
+
+        re = sum_h cnt_h * cos(2*pi*(h mod 24)/24)
+        im = sum_h cnt_h * sin(2*pi*(h mod 24)/24)
+        amp = 2 * sqrt(re^2 + im^2) / span_h
+
+    Missing hours carry cnt = 0 and contribute exactly 0, so no dense
+    grid is materialized.  The 24 cosine/sine values are computed ONCE
+    in Python and embedded as double literals in BOTH engines (the
+    folded-constants idiom), each product term is deterministic, and
+    the two sums fold in hour order (sorted fold) — bit-identical
+    accumulation.  Over a whole number of 24 h periods this equals the
+    mean-removed DFT bin (the mean's projection on a full period is
+    exactly zero); partial trailing periods are a documented edge.
+
+    Scale: one (key, hour) count aggregate + one per-key sorted fold
+    whose list length is retention-bounded (hours, not events).
+    """
+    import math
+
+    cos_tab = [math.cos(2.0 * math.pi * i / 24.0) for i in range(24)]
+    sin_tab = [math.sin(2.0 * math.pi * i / 24.0) for i in range(24)]
+    hourly = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 3600)
+            .cast("long")
+            .alias("hour"),
+        )
+        .groupBy("key", "hour")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    idx = (F.col("hour") % 24).cast("int")
+    carr = F.array(*[F.lit(c) for c in cos_tab])
+    sarr = F.array(*[F.lit(s) for s in sin_tab])
+    terms = hourly.select(
+        "key",
+        "hour",
+        (F.col("cnt").cast("double") * F.element_at(carr, idx + 1))
+        .alias("tre"),
+        (F.col("cnt").cast("double") * F.element_at(sarr, idx + 1))
+        .alias("tim"),
+    )
+    agg = terms.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        (F.max("hour") - F.min("hour") + 1).alias("span_h"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("hour", "tre"))),
+            F.lit(0.0),
+            lambda a, s: a + s["tre"],
+        ).alias("re"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("hour", "tim"))),
+            F.lit(0.0),
+            lambda a, s: a + s["tim"],
+        ).alias("im"),
+    )
+    return agg.select(
+        "key",
+        "n_hours",
+        "span_h",
+        "re",
+        "im",
+        (
+            F.lit(2.0)
+            * F.sqrt(F.col("re") * F.col("re") + F.col("im") * F.col("im"))
+            / F.col("span_h").cast("double")
+        ).alias("diurnal_amp"),
+    )
+
+
+def basket_lift(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    item_col: str = "event_type",
+) -> DataFrame:
+    """Association lift between event types co-occurring in the same
+    (key, hour) basket — the market-basket screen ("which activities
+    travel together") over the activity stream.
+
+        lift(a, b) = N * c_ab / (c_a * c_b)
+
+    with N = total baskets, c_x = baskets containing x, c_ab = baskets
+    containing both.  Counts are exact; the integer products N*c_ab
+    and c_a*c_b are exact BIGINTs; lift and support are one division
+    each.
+
+    Scale: baskets are distinct (key, hour, item) triples — one
+    distinct aggregate; the pair join is a self-equi-join on the
+    basket id whose per-basket fan-out is bounded by the ITEM
+    VOCABULARY (event types), not by event volume, so the candidate
+    volume is at most |baskets| * |types|^2 with tiny |types|.
+    """
+    items = df.select(
+        F.col(key_col).alias("key"),
+        F.floor(F.unix_timestamp(F.col(ts_col)) / 3600)
+        .cast("long")
+        .alias("hour"),
+        F.col(item_col).alias("item"),
+    ).distinct()
+    # scalar N stays in the plan (1-row broadcast), never a driver action
+    n_baskets = (
+        items.select("key", "hour")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+    item_counts = items.groupBy("item").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a = items.select("key", "hour", F.col("item").alias("item_a"))
+    b = items.select("key", "hour", F.col("item").alias("item_b"))
+    pair_counts = (
+        a.join(b, ["key", "hour"])
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ca = item_counts.select(
+        F.col("item").alias("item_a"), F.col("c").alias("c_a")
+    )
+    cb = item_counts.select(
+        F.col("item").alias("item_b"), F.col("c").alias("c_b")
+    )
+    return (
+        pair_counts.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (
+                (F.col("n_baskets") * F.col("c_ab")).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("lift"),
+            (
+                F.col("c_ab").cast("double")
+                / F.col("n_baskets").cast("double")
+            ).alias("support"),
+        )
+    )
