@@ -1454,6 +1454,51 @@ def q_trimmed_mean_1d(spark, sf):
     )
 
 
+def q_entropy_rate(spark, sf):
+    """Bigram conditional entropy per from-state
+    (plans/stats.py::entropy_rate): per-transition centibit
+    quantization, exact weighted integer sum, one final division."""
+    from tsaug_spark.plans.stats import entropy_rate
+
+    return entropy_rate(_events(spark, sf)).select(
+        F.col("x").alias("from_state"),
+        "n_transitions",
+        "n_next_types",
+        "sum_cb",
+        "h_centibits",
+    )
+
+
+def q_zipf_slope(spark, sf):
+    """Zipf power-law slope per document source
+    (pipeline/text.py::zipf_slope): centibit-quantized log rank/freq,
+    exact integer OLS sufficient statistics."""
+    from tsaug_spark.pipeline.text import zipf_slope
+
+    return zipf_slope(_docs(spark, sf))
+
+
+def q_embed_sq8(spark, sf):
+    """int8 scalar quantization fidelity per vector
+    (pipeline/similarity.py::sq8_quantize): per-dim [min,max] ranges,
+    floor codes, reconstruction MSE / max-abs error via dimension-
+    ordered folds.  The code array is summarized as its exact integer
+    sum (code_sum) for the cross-engine hash."""
+    from tsaug_spark.pipeline.similarity import sq8_quantize
+
+    out = sq8_quantize(_emb(spark, sf))
+    return out.select(
+        "vec_id",
+        F.aggregate(
+            F.col("code"),
+            F.lit(0).cast("long"),
+            lambda a, c: a + c.cast("long"),
+        ).alias("code_sum"),
+        "mse",
+        "max_abs_err",
+    )
+
+
 def q_ols_daily(spark, sf):
     """Classical OLS trend per user over daily cents totals
     (plans/stats.py::ols_daily): exact integer sufficient statistics
@@ -3364,6 +3409,9 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "entropy_rate",
+    "zipf_slope",
+    "embed_sq8",
     "ols_daily",
     "spectral_diurnal",
     "basket_lift",
@@ -3624,6 +3672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_daily": q_theil_sen_daily,
         "allan_var": q_allan_var,
         "ols_daily": q_ols_daily,
+        "entropy_rate": q_entropy_rate,
+        "zipf_slope": q_zipf_slope,
+        "embed_sq8": q_embed_sq8,
         "spectral_diurnal": q_spectral_diurnal,
         "basket_lift": q_basket_lift,
         "interval_coverage": q_interval_coverage,
@@ -5505,6 +5556,73 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
             "/ 100.0 AS trimmed_mean FROM kk "
             "WHERE rn > k AND rn <= m - k GROUP BY 1, 2"
+        ),
+        "entropy_rate": (
+            "WITH seq AS (SELECT lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS x, "
+            "event_type AS y FROM events), "
+            "bi AS (SELECT x, y, COUNT(*) AS c_xy FROM seq "
+            "WHERE x IS NOT NULL GROUP BY 1, 2), "
+            "cx AS (SELECT x, SUM(c_xy) AS c_x FROM bi GROUP BY 1), "
+            "s AS (SELECT bi.x, bi.y, bi.c_xy, cx.c_x, "
+            "CAST(floor(100.0 * (log2(CAST(cx.c_x AS DOUBLE)) - "
+            "log2(CAST(bi.c_xy AS DOUBLE)))) AS BIGINT) AS cb "
+            "FROM bi JOIN cx ON cx.x = bi.x) "
+            "SELECT x AS from_state, CAST(MIN(c_x) AS BIGINT) AS "
+            "n_transitions, CAST(COUNT(*) AS BIGINT) AS "
+            "n_next_types, CAST(SUM(c_xy * cb) AS BIGINT) AS sum_cb, "
+            "CAST(SUM(c_xy * cb) AS DOUBLE) / "
+            "CAST(MIN(c_x) AS DOUBLE) AS h_centibits FROM s "
+            "GROUP BY 1"
+        ),
+        "zipf_slope": (
+            "WITH toks AS (SELECT source AS grp, "
+            "unnest(regexp_extract_all(lower(text), '[a-z]+')) AS "
+            "tok FROM documents), "
+            "freq AS (SELECT grp, tok, COUNT(*) AS c FROM toks "
+            "WHERE tok <> '' GROUP BY 1, 2), "
+            "r AS (SELECT grp, CAST(floor(100.0 * log2(CAST("
+            "row_number() OVER (PARTITION BY grp ORDER BY c DESC, "
+            "tok ASC) AS DOUBLE))) AS BIGINT) AS x, "
+            "CAST(floor(100.0 * log2(CAST(c AS DOUBLE))) AS BIGINT) "
+            "AS y FROM freq), "
+            "a AS (SELECT grp, COUNT(*) AS n, SUM(x) AS sx, "
+            "SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx, "
+            "SUM(y*y) AS syy FROM r GROUP BY 1) "
+            "SELECT grp AS source, CAST(n AS BIGINT) AS n_types, "
+            "CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "CAST(n*sxx - sx*sx AS DOUBLE) AS zipf_slope, "
+            "CASE WHEN n*syy - sy*sy > 0 THEN "
+            "(CAST(n*sxy - sx*sy AS DOUBLE) * "
+            "CAST(n*sxy - sx*sy AS DOUBLE)) / "
+            "(CAST(n*sxx - sx*sx AS DOUBLE) * "
+            "CAST(n*syy - sy*sy AS DOUBLE)) END AS r2 "
+            "FROM a WHERE n >= 2 AND n*sxx - sx*sx > 0"
+        ),
+        "embed_sq8": (
+            "WITH v AS (SELECT vec_id, "
+            "CAST(unnest(embedding) AS DOUBLE) AS x, "
+            "unnest(generate_series(1, len(embedding))) AS ord "
+            "FROM embeddings), "
+            "rng AS (SELECT ord AS dim, MIN(x) AS lo, MAX(x) AS hi "
+            "FROM v GROUP BY 1), "
+            "j AS (SELECT v.vec_id, v.ord, v.x, r.lo, r.hi, "
+            "CASE WHEN r.hi > r.lo THEN "
+            "CAST(floor((v.x - r.lo) * 255.0 / (r.hi - r.lo)) AS "
+            "BIGINT) ELSE 0 END AS code "
+            "FROM v JOIN rng r ON r.dim = v.ord), "
+            "e AS (SELECT vec_id, ord, code, "
+            "(x - (lo + CAST(code AS DOUBLE) * (hi - lo) / 255.0)) "
+            "AS err FROM j), "
+            "a AS (SELECT vec_id, SUM(code) AS code_sum, "
+            "COUNT(*) AS nd, "
+            "list_reduce(list(err * err ORDER BY ord), "
+            "(a_, b_) -> a_ + b_) AS sse, "
+            "list_reduce(list(abs(err) ORDER BY ord), "
+            "(a_, b_) -> greatest(a_, b_)) AS mx FROM e GROUP BY 1) "
+            "SELECT vec_id, CAST(code_sum AS BIGINT) AS code_sum, "
+            "sse / CAST(nd AS DOUBLE) AS mse, mx AS max_abs_err "
+            "FROM a"
         ),
         "ols_daily": (
             "WITH d AS (SELECT user_id AS key, "

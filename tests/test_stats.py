@@ -318,3 +318,94 @@ def test_basket_lift_perfect_cooccurrence(spark):
     out = {(r.item_a, r.item_b): r for r in
            basket_lift(_ev(spark, rows)).collect()}
     assert out[("a", "b")].lift == 2.0
+
+
+def test_entropy_rate_deterministic_vs_uniform(spark):
+    # user 1 alternates a,b,a,b,... -> from 'a' always 'b' (H=0) and
+    # from 'b' always 'a' (H=0).  user 2 goes c->a, c->b equally ->
+    # H(next|c) = 1 bit = 100 centibits.
+    from tsaug_spark.plans.stats import entropy_rate
+    rows = [(1, i * 0.01, "ab"[i % 2], 1.0) for i in range(9)]
+    rows += [(2, 0.00, "c", 1.0), (2, 0.01, "d", 1.0),
+             (2, 0.02, "c", 1.0), (2, 0.03, "e", 1.0)]
+    out = {r.x: r for r in entropy_rate(_ev(spark, rows)).collect()}
+    assert out["a"].h_centibits == 0.0
+    assert out["b"].h_centibits == 0.0
+    assert out["c"].n_transitions == 2 and out["c"].n_next_types == 2
+    assert out["c"].h_centibits == 100.0
+    assert out["d"].h_centibits == 0.0  # d -> c, always
+
+
+def test_entropy_rate_never_crosses_users(spark):
+    # one event per user: no bigram exists at all
+    from tsaug_spark.plans.stats import entropy_rate
+    rows = [(u, 0.0, "a", 1.0) for u in range(5)]
+    assert entropy_rate(_ev(spark, rows)).count() == 0
+
+
+def test_zipf_slope_exact_integer_ols(spark):
+    # one source, token freqs 4/2/1 at ranks 1/2/3:
+    # x = floor(100*log2(rank)) = [0, 100, 158]
+    # y = floor(100*log2(freq)) = [200, 100, 0]
+    from tsaug_spark.pipeline.text import zipf_slope
+    text = " ".join(["aa"] * 4 + ["bb"] * 2 + ["cc"])
+    docs = spark.createDataFrame(
+        [(0, "s1", text)], "doc_id long, source string, text string"
+    )
+    r = zipf_slope(docs).collect()[0]
+    xs, ys = [0, 100, 158], [200, 100, 0]
+    n = 3
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    num, dxx, dyy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    assert r.n_types == 3
+    assert r.zipf_slope == num / dxx
+    assert r.r2 == (num / dxx) * (num / dyy) or abs(
+        r.r2 - (num * num) / (dxx * dyy)) < 1e-15
+    assert -1.4 < r.zipf_slope < -1.1  # near the Zipf exponent
+
+
+def test_zipf_constant_freq_r2_null(spark):
+    # every token once: y constant -> dyy = 0 -> r2 NULL, slope 0
+    from tsaug_spark.pipeline.text import zipf_slope
+    docs = spark.createDataFrame(
+        [(0, "s1", "aa bb cc dd")],
+        "doc_id long, source string, text string",
+    )
+    r = zipf_slope(docs).collect()[0]
+    assert r.zipf_slope == 0.0 and r.r2 is None
+
+
+def test_sq8_quantize_error_bound_and_constant_dim(spark):
+    import numpy as np
+    from tsaug_spark.pipeline.similarity import sq8_quantize
+    rng = np.random.RandomState(7)
+    vecs = rng.uniform(-1, 1, size=(40, 8)).astype("float32")
+    vecs[:, 3] = 0.25  # constant dimension
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = sq8_quantize(emb).collect()
+    assert len(out) == 40
+    # per-dim step bound: max err <= max_d (hi_d - lo_d) / 255
+    steps = (vecs.max(0).astype(float) - vecs.min(0).astype(float)) / 255.0
+    for r in out:
+        assert 0.0 <= r.max_abs_err <= steps.max() + 1e-12
+        assert all(0 <= c <= 255 for c in r.code)
+    # constant dim: every vector's code[3] is 0 (reconstructs exactly)
+    assert all(r.code[3] == 0 for r in out)
+
+
+def test_sq8_codes_order_preserving_per_dim(spark):
+    # scalar quantization must preserve per-dimension order
+    from tsaug_spark.pipeline.similarity import sq8_quantize
+    emb = spark.createDataFrame(
+        [(0, [0.0]), (1, [0.5]), (2, [1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r.code[0] for r in sq8_quantize(emb).collect()}
+    assert out[0] == 0 and out[2] == 255
+    assert out[0] < out[1] < out[2]

@@ -737,6 +737,41 @@ def main() -> None:
             execute=True,
         )
 
+    # batch-3/4 statistical + sequence screens: hash aggregates, no
+    # Python, no data-sized nested-loop joins.  basket_lift and
+    # embed_sq8 intentionally carry a ONE-ROW broadcast cross join
+    # (the scalar N / the 64-row dim-range table), which Spark plans
+    # as a BroadcastNestedLoopJoin over a single row — constant work,
+    # so those two assert only the Python/cartesian bans.
+    for nm, q in [
+        ("ols_daily", em.q_ols_daily),
+        ("spectral_diurnal", em.q_spectral_diurnal),
+        ("entropy_rate", em.q_entropy_rate),
+        ("zipf_slope", em.q_zipf_slope),
+    ]:
+        audit(
+            f"{nm} (stats screen, JVM only)",
+            q(spark, sf),
+            must_have=["HashAggregate"],
+            must_not_have=["CartesianProduct",
+                           "BroadcastNestedLoopJoin",
+                           "BatchEvalPython", "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+    for nm, q in [
+        ("basket_lift", em.q_basket_lift),
+        ("embed_sq8", em.q_embed_sq8),
+    ]:
+        audit(
+            f"{nm} (scalar-broadcast cross join, JVM only)",
+            q(spark, sf),
+            must_have=["HashAggregate"],
+            must_not_have=["CartesianProduct", "BatchEvalPython",
+                           "ArrowEvalPython", "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+
     # tf-idf keywords: two hash aggregates + one broadcast idf join +
     # one per-doc top-k window, all JVM
     audit(

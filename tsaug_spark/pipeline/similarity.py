@@ -234,3 +234,96 @@ def knn_join(
             "id_a", "id_b", "rank", F.round("c", 4).alias("cos")
         )
     )
+
+
+def sq8_quantize(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """int8 scalar quantization of an embedding column with per-
+    DIMENSION [min, max] ranges — the 4x memory compression an ANN
+    index applies before it can hold billions of vectors in RAM
+    (FAISS SQ8 / Lucene scalar quantizer shape).
+
+        code_d  = floor((x_d - min_d) * 255 / (max_d - min_d))
+        recon_d = min_d + code_d * (max_d - min_d) / 255
+
+    Returns one row per vector: the uint8 code array, the exact
+    reconstruction MSE and max-abs error (dims folded in dimension
+    order — deterministic accumulation).  Per-dim ranges come from one
+    dimension-bounded aggregate (posexplode -> groupBy dim: the
+    shuffle carries |dims| groups, not |vectors|), broadcast back.
+    Constant dimensions (max == min) code to 0 and reconstruct to the
+    constant exactly.
+
+    Scale: one narrow pass to build ranges (map-side combine over 64
+    groups), one broadcast join + projection for the codes — no
+    vector ever crosses the wire twice.
+    """
+    dims = emb.select(
+        F.posexplode(F.col(vec_col)).alias("d", "x")
+    ).groupBy("d").agg(
+        F.min(F.col("x").cast("double")).alias("lo"),
+        F.max(F.col("x").cast("double")).alias("hi"),
+    )
+    ranges = F.broadcast(
+        dims.groupBy().agg(
+            F.array_sort(
+                F.collect_list(F.struct("d", "lo", "hi"))
+            ).alias("rng")
+        )
+    )
+    x_d = lambda i: F.element_at(F.col(vec_col), i + 1).cast("double")
+    lo_d = lambda i: F.element_at(F.col("rng"), i + 1)["lo"]
+    hi_d = lambda i: F.element_at(F.col("rng"), i + 1)["hi"]
+    coded = emb.crossJoin(ranges).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "rng",
+        F.transform(
+            F.sequence(F.lit(0), F.size(vec_col) - 1),
+            lambda i: F.when(
+                F.element_at(F.col("rng"), i + 1)["hi"]
+                > F.element_at(F.col("rng"), i + 1)["lo"],
+                F.floor(
+                    (
+                        F.element_at(F.col(vec_col), i + 1).cast("double")
+                        - F.element_at(F.col("rng"), i + 1)["lo"]
+                    )
+                    * F.lit(255.0)
+                    / (
+                        F.element_at(F.col("rng"), i + 1)["hi"]
+                        - F.element_at(F.col("rng"), i + 1)["lo"]
+                    )
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        ).alias("code"),
+    )
+    recon = lambda i: F.element_at(F.col("rng"), i + 1)["lo"] + F.element_at(
+        F.col("code"), i + 1
+    ).cast("double") * (
+        F.element_at(F.col("rng"), i + 1)["hi"]
+        - F.element_at(F.col("rng"), i + 1)["lo"]
+    ) / F.lit(255.0)
+    err = lambda i: (
+        F.element_at(F.col(vec_col), i + 1).cast("double") - recon(i)
+    )
+    idxs = F.sequence(F.lit(0), F.size(vec_col) - 1)
+    return coded.select(
+        id_col,
+        "code",
+        (
+            F.aggregate(
+                idxs, F.lit(0.0), lambda a, i: a + err(i) * err(i)
+            )
+            / F.size(vec_col).cast("double")
+        ).alias("mse"),
+        F.aggregate(
+            idxs,
+            F.lit(0.0),
+            lambda a, i: F.greatest(a, F.abs(err(i))),
+        ).alias("max_abs_err"),
+    )

@@ -357,3 +357,73 @@ def tfidf_topk(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf power-law fit per corpus slice: the OLS slope of
+    log2(frequency) against log2(rank) over the token frequency
+    table.  Natural corpora sit near slope -1; generated/boilerplate
+    slices drift — a one-number corpus-health screen.
+
+    Both logs are quantized per TYPE to exact centibit integers
+    (``floor(100 * log2(.))``) so the OLS sufficient statistics are
+    exact BIGINT sums and the slope / R^2 are shared final-division
+    expressions — same determinism contract as ``tfidf_topk``.
+    Ranks order by (frequency DESC, token ASC), dense ties broken
+    lexicographically.
+
+    Scale: one (slice, token) hash aggregate (vocabulary-bounded), a
+    per-slice rank window over the vocabulary, one slice aggregate.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+            )
+        ).alias("tok"),
+    )
+    freq = toks.groupBy("grp", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("c").desc(), F.col("tok").asc()
+    )
+    ranked = freq.select(
+        "grp",
+        F.row_number().over(w).alias("rank"),
+        "c",
+    ).select(
+        "grp",
+        F.floor(F.lit(100.0) * F.log2(F.col("rank").cast("double")))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.lit(100.0) * F.log2(F.col("c").cast("double")))
+        .cast("long")
+        .alias("y"),
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).filter(F.col("n") >= 2)
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.filter(dxx > 0).select(
+        F.col("grp").alias(group_col),
+        F.col("n").alias("n_types"),
+        (num.cast("double") / dxx.cast("double")).alias("zipf_slope"),
+        F.when(
+            dyy > 0,
+            (num.cast("double") * num.cast("double"))
+            / (dxx.cast("double") * dyy.cast("double")),
+        ).alias("r2"),
+    )

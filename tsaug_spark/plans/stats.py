@@ -702,3 +702,68 @@ def basket_lift(
             ).alias("support"),
         )
     )
+
+
+def entropy_rate(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Conditional (bigram) entropy of the event-type sequence, per
+    FROM-state: how predictable is the next event given the current
+    one — the sequence-predictability counterpart to the unigram
+    ``type_entropy``.
+
+        H(next | cur = x) = sum_y (c_xy / c_x) * log2(c_x / c_xy)
+
+    quantized with the per-TYPE centibit idiom: each transition's
+    ``cb_xy = floor(100 * (log2(c_x) - log2(c_xy)))`` is an exact
+    integer computed once per (x, y) pair, the weighted sum
+    ``sum_y c_xy * cb_xy`` is exact BIGINT arithmetic, and the final
+    rate is one division — bit-reproducible (a 1-ulp log2 skew would
+    need to land within ~1e-13 of an integer, per-PAIR probability
+    ~1e-9).
+
+    Bigrams follow each key's (ts, order_col) order and never cross
+    keys.  Scale: one key-window lag + one (x, y) vocabulary-bounded
+    hash aggregate.
+    """
+    w = Window.partitionBy(F.col(key_col)).orderBy(
+        F.col(ts_col), F.col(order_col)
+    )
+    bi = (
+        df.select(
+            F.lag(F.col(type_col)).over(w).alias("x"),
+            F.col(type_col).alias("y"),
+        )
+        .filter(F.col("x").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    cx = bi.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    scored = bi.join(F.broadcast(cx), "x").select(
+        "x",
+        "y",
+        "c_xy",
+        "c_x",
+        F.floor(
+            F.lit(100.0)
+            * (
+                F.log2(F.col("c_x").cast("double"))
+                - F.log2(F.col("c_xy").cast("double"))
+            )
+        )
+        .cast("long")
+        .alias("cb"),
+    )
+    return scored.groupBy("x").agg(
+        F.first("c_x").alias("n_transitions"),
+        F.count(F.lit(1)).alias("n_next_types"),
+        F.sum(F.col("c_xy") * F.col("cb")).alias("sum_cb"),
+        (
+            F.sum(F.col("c_xy") * F.col("cb")).cast("double")
+            / F.first("c_x").cast("double")
+        ).alias("h_centibits"),
+    )
