@@ -1454,6 +1454,21 @@ def q_trimmed_mean_1d(spark, sf):
     )
 
 
+def q_markov_stationary(spark, sf):
+    """Stationary distribution of the event-type Markov chain after
+    10 power iterations (plans/stats.py::markov_stationary): exact-
+    count transition probabilities, source-index-ordered folds each
+    step — the DuckDB oracle replays the same 10 steps in a recursive
+    CTE carrying the probability vector as a list."""
+    from tsaug_spark.plans.stats import markov_stationary
+
+    return markov_stationary(_events(spark, sf)).select(
+        F.col("state").alias("event_type"),
+        F.col("idx").cast("long").alias("idx"),
+        "pi",
+    )
+
+
 def q_entropy_rate(spark, sf):
     """Bigram conditional entropy per from-state
     (plans/stats.py::entropy_rate): per-transition centibit
@@ -3409,6 +3424,7 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "markov_stationary",
     "entropy_rate",
     "zipf_slope",
     "embed_sq8",
@@ -3673,6 +3689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allan_var": q_allan_var,
         "ols_daily": q_ols_daily,
         "entropy_rate": q_entropy_rate,
+        "markov_stationary": q_markov_stationary,
         "zipf_slope": q_zipf_slope,
         "embed_sq8": q_embed_sq8,
         "spectral_diurnal": q_spectral_diurnal,
@@ -5556,6 +5573,44 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
             "/ 100.0 AS trimmed_mean FROM kk "
             "WHERE rn > k AND rn <= m - k GROUP BY 1, 2"
+        ),
+        "markov_stationary": (
+            "WITH RECURSIVE seq AS (SELECT lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS x, "
+            "event_type AS y FROM events), "
+            "bi AS (SELECT x, y, COUNT(*) AS c_xy FROM seq "
+            "WHERE x IS NOT NULL GROUP BY 1, 2), "
+            "froms AS (SELECT DISTINCT x FROM bi), "
+            "states AS (SELECT x AS state, row_number() OVER "
+            "(ORDER BY x) - 1 AS idx FROM froms), "
+            "kept AS (SELECT bi.* FROM bi JOIN froms f "
+            "ON f.x = bi.y), "
+            "cx AS (SELECT x, SUM(c_xy) AS c_x FROM kept "
+            "GROUP BY 1), "
+            "p AS (SELECT sx.idx AS xi, sy.idx AS yi, "
+            "CAST(k.c_xy AS DOUBLE) / CAST(cx.c_x AS DOUBLE) AS p "
+            "FROM kept k JOIN cx ON cx.x = k.x "
+            "JOIN states sx ON sx.state = k.x "
+            "JOIN states sy ON sy.state = k.y), "
+            "dense AS (SELECT a.idx AS xi, b.idx AS yi, "
+            "COALESCE(p.p, 0.0) AS p FROM states a "
+            "CROSS JOIN states b LEFT JOIN p "
+            "ON p.xi = a.idx AND p.yi = b.idx), "
+            "pm AS (SELECT list(row ORDER BY xi) AS m FROM "
+            "(SELECT xi, list(p ORDER BY yi) AS row FROM dense "
+            "GROUP BY xi)), "
+            "n AS (SELECT COUNT(*) AS s FROM states), "
+            "it AS (SELECT 0 AS k, list_transform(range(s), "
+            "i_ -> 1.0 / CAST(s AS DOUBLE)) AS v FROM n "
+            "UNION ALL SELECT k + 1, list_transform(range(n.s), "
+            "j_ -> list_reduce(list_transform(range(n.s), "
+            "i_ -> it.v[CAST(i_ AS INT) + 1] * "
+            "pm.m[CAST(i_ AS INT) + 1][CAST(j_ AS INT) + 1]), "
+            "(a_, b_) -> a_ + b_)) AS v "
+            "FROM it, pm, n WHERE k < 10) "
+            "SELECT s.state AS event_type, CAST(s.idx AS BIGINT) AS "
+            "idx, it.v[CAST(s.idx AS INT) + 1] AS pi "
+            "FROM it, states s WHERE it.k = 10"
         ),
         "entropy_rate": (
             "WITH seq AS (SELECT lag(event_type) OVER "

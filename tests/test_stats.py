@@ -409,3 +409,51 @@ def test_sq8_codes_order_preserving_per_dim(spark):
     out = {r.vec_id: r.code[0] for r in sq8_quantize(emb).collect()}
     assert out[0] == 0 and out[2] == 255
     assert out[0] < out[1] < out[2]
+
+
+def test_markov_stationary_two_state_alternator(spark):
+    # a,b,a,b,...: P = [[0,1],[1,0]]; from uniform the iterate is a
+    # fixed point -> pi = (0.5, 0.5) exactly at every k.
+    from tsaug_spark.plans.stats import markov_stationary
+    rows = [(1, i * 0.01, "ab"[i % 2], 1.0) for i in range(9)]
+    out = {r.state: r.pi for r in
+           markov_stationary(_ev(spark, rows)).collect()}
+    assert out == {"a": 0.5, "b": 0.5}
+
+
+def test_markov_stationary_matches_ordered_python_fold(spark):
+    # a->a x3, a->b, b->a: P = [[.75,.25],[1,0]].  Replay the exact
+    # fold (source-index ascending, 10 iters, from uniform) in Python
+    # — the engine must match bit-for-bit.
+    from tsaug_spark.plans.stats import markov_stationary
+    seq = "aaaab" * 1  # bigrams: aa,aa,aa,ab -> then b ends
+    seq += "a"         # ba closes the loop: a->a 3, a->b 1, b->a 1
+    rows = [(1, i * 0.01, ch, 1.0) for i, ch in enumerate(seq)]
+    out = {r.state: r.pi for r in
+           markov_stationary(_ev(spark, rows)).collect()}
+    P = [[3 / 4, 1 / 4], [1.0, 0.0]]
+    v = [0.5, 0.5]
+    for _ in range(10):
+        v = [sum_ordered([v[i] * P[i][j] for i in range(2)])
+             for j in range(2)]
+    assert out["a"] == v[0] and out["b"] == v[1]
+    assert abs(out["a"] - 0.8) < 0.01  # analytic stationary (0.8, 0.2)
+
+
+def sum_ordered(terms):
+    acc = 0.0
+    for t in terms:
+        acc += t
+    return acc
+
+
+def test_markov_drops_dead_end_states(spark):
+    # 'z' is only ever a destination (sequence ends there): the chain
+    # restricts to {a, b} and a's row renormalizes over a->b only.
+    from tsaug_spark.plans.stats import markov_stationary
+    rows = [(1, 0.00, "a", 1.0), (1, 0.01, "b", 1.0),
+            (1, 0.02, "a", 1.0), (1, 0.03, "z", 1.0)]
+    out = {r.state: r.pi for r in
+           markov_stationary(_ev(spark, rows)).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"] == 0.5 and out["b"] == 0.5

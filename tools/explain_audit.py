@@ -762,6 +762,7 @@ def main() -> None:
     for nm, q in [
         ("basket_lift", em.q_basket_lift),
         ("embed_sq8", em.q_embed_sq8),
+        ("markov_stationary", em.q_markov_stationary),
     ]:
         audit(
             f"{nm} (scalar-broadcast cross join, JVM only)",

@@ -767,3 +767,100 @@ def entropy_rate(
             / F.first("c_x").cast("double")
         ).alias("h_centibits"),
     )
+
+
+def markov_stationary(
+    df: DataFrame,
+    n_iters: int = 10,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain by
+    POWER ITERATION — ``pi_{k+1} = pi_k P`` for ``n_iters`` steps from
+    the uniform vector — the long-run "where does a session spend its
+    time" summary, and the engine's iterative-algorithm template (the
+    chain is declared once; each step is one more lazy join+aggregate
+    layer, no driver-side state).
+
+    The state space is the set of FROM-states; transitions into
+    states never seen as a source are dropped and the row re-
+    normalized (the restricted chain stays stochastic).  Determinism:
+    each p_xy is one division of exact counts, pi_0 = 1/S is one
+    shared division, and every pi_{k+1}(y) folds its incoming terms
+    in SOURCE-INDEX order (sorted fold) — absent transitions
+    contribute exactly 0.0, so the sparse Spark fold and the dense
+    DuckDB recursive-CTE fold accumulate bit-identically.
+
+    Scale: the transition matrix is vocabulary-bounded (|types|^2
+    rows), so every per-iteration join/aggregate moves a constant-
+    size frame; the only data-sized work is the single bigram count.
+    """
+    w = Window.partitionBy(F.col(key_col)).orderBy(
+        F.col(ts_col), F.col(order_col)
+    )
+    bi = (
+        df.select(
+            F.lag(F.col(type_col)).over(w).alias("x"),
+            F.col(type_col).alias("y"),
+        )
+        .filter(F.col("x").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    froms = bi.select("x").distinct()
+    states = froms.select(
+        F.col("x").alias("state"),
+        (F.row_number().over(Window.orderBy("x")) - 1).alias("idx"),
+    )
+    kept = bi.join(
+        froms.select(F.col("x").alias("y")), "y", "left_semi"
+    )
+    cx = kept.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    p = (
+        kept.join(cx, "x")
+        .join(
+            F.broadcast(states.select(F.col("state").alias("x"),
+                                      F.col("idx").alias("xi"))),
+            "x",
+        )
+        .join(
+            F.broadcast(states.select(F.col("state").alias("y"),
+                                      F.col("idx").alias("yi"))),
+            "y",
+        )
+        .select(
+            "xi",
+            "yi",
+            (
+                F.col("c_xy").cast("double")
+                / F.col("c_x").cast("double")
+            ).alias("p"),
+        )
+    )
+    n = states.agg(F.count(F.lit(1)).alias("s"))
+    v = states.crossJoin(F.broadcast(n)).select(
+        "idx", (F.lit(1.0) / F.col("s").cast("double")).alias("prob")
+    )
+    for _ in range(n_iters):
+        contrib = v.join(p, v["idx"] == p["xi"]).select(
+            "yi", "xi", (F.col("prob") * F.col("p")).alias("term")
+        )
+        nxt = contrib.groupBy("yi").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("xi", "term"))),
+                F.lit(0.0),
+                lambda a, s: a + s["term"],
+            ).alias("prob")
+        )
+        v = (
+            states.select("idx")
+            .join(nxt, states["idx"] == nxt["yi"], "left")
+            .select(
+                "idx", F.coalesce("prob", F.lit(0.0)).alias("prob")
+            )
+        )
+    return states.join(v, "idx").select(
+        "state", "idx", F.col("prob").alias("pi")
+    )
