@@ -1454,6 +1454,24 @@ def q_trimmed_mean_1d(spark, sf):
     )
 
 
+def q_table_profile(spark, sf):
+    """One-pass per-column data-quality profile of the events table
+    (plans/profile.py::profile_events): row/null/distinct counts and
+    exact stringified min/max from one wide hash aggregate."""
+    from tsaug_spark.plans.profile import profile_events
+
+    return profile_events(_events(spark, sf))
+
+
+def q_top_trigrams(spark, sf):
+    """Top-20 event-type trigrams across users
+    (plans/profile.py::top_trigrams): two lags per key, vocabulary-
+    bounded counts, exact lexicographic tie-break."""
+    from tsaug_spark.plans.profile import top_trigrams
+
+    return top_trigrams(_events(spark, sf), k=20)
+
+
 def q_markov_stationary(spark, sf):
     """Stationary distribution of the event-type Markov chain after
     10 power iterations (plans/stats.py::markov_stationary): exact-
@@ -3424,6 +3442,8 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "table_profile",
+    "top_trigrams",
     "markov_stationary",
     "entropy_rate",
     "zipf_slope",
@@ -3690,6 +3710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_daily": q_ols_daily,
         "entropy_rate": q_entropy_rate,
         "markov_stationary": q_markov_stationary,
+        "table_profile": q_table_profile,
+        "top_trigrams": q_top_trigrams,
         "zipf_slope": q_zipf_slope,
         "embed_sq8": q_embed_sq8,
         "spectral_diurnal": q_spectral_diurnal,
@@ -5573,6 +5595,35 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
             "/ 100.0 AS trimmed_mean FROM kk "
             "WHERE rn > k AND rn <= m - k GROUP BY 1, 2"
+        ),
+        "table_profile": " UNION ALL ".join(
+            f"SELECT '{name}' AS col_name, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(SUM(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_null, "
+            f"CAST(COUNT(DISTINCT {expr}) AS BIGINT) AS n_distinct, "
+            f"CAST(MIN({expr}) AS VARCHAR) AS min_s, "
+            f"CAST(MAX({expr}) AS VARCHAR) AS max_s FROM events"
+            for name, expr in [
+                ("event_id", "event_id"),
+                ("ts", "epoch_us(ts)"),
+                ("user_id", "user_id"),
+                ("event_type", "event_type"),
+                ("value_cents", "CAST(round(value*100) AS BIGINT)"),
+                ("props", "props"),
+            ]
+        ),
+        "top_trigrams": (
+            "WITH tri AS (SELECT t1, t2, t3, COUNT(*) AS cnt FROM "
+            "(SELECT lag(event_type, 2) OVER w AS t1, "
+            "lag(event_type, 1) OVER w AS t2, event_type AS t3 "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id)) WHERE t1 IS NOT NULL "
+            "GROUP BY 1, 2, 3) "
+            "SELECT CAST(row_number() OVER (ORDER BY cnt DESC, "
+            "t1 ASC, t2 ASC, t3 ASC) AS BIGINT) AS rank, t1, t2, "
+            "t3, CAST(cnt AS BIGINT) AS cnt FROM tri "
+            "QUALIFY rank <= 20"
         ),
         "markov_stationary": (
             "WITH RECURSIVE seq AS (SELECT lag(event_type) OVER "
