@@ -1454,6 +1454,16 @@ def q_trimmed_mean_1d(spark, sf):
     )
 
 
+def q_lcs_pairs(spark, sf):
+    """LCS length between adjacent users' first-32 event-type
+    sequences (plans/metrics.py::lcs_pairs): all-integer DP in an
+    Arrow kernel; the oracle replays it cell-by-cell in a recursive
+    CTE."""
+    from tsaug_spark.plans.metrics import lcs_pairs
+
+    return lcs_pairs(_events(spark, sf))
+
+
 def q_table_profile(spark, sf):
     """One-pass per-column data-quality profile of the events table
     (plans/profile.py::profile_events): row/null/distinct counts and
@@ -3442,6 +3452,7 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "lcs_pairs",
     "table_profile",
     "top_trigrams",
     "markov_stationary",
@@ -3711,6 +3722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_rate": q_entropy_rate,
         "markov_stationary": q_markov_stationary,
         "table_profile": q_table_profile,
+        "lcs_pairs": q_lcs_pairs,
         "top_trigrams": q_top_trigrams,
         "zipf_slope": q_zipf_slope,
         "embed_sq8": q_embed_sq8,
@@ -5595,6 +5607,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
             "/ 100.0 AS trimmed_mean FROM kk "
             "WHERE rn > k AND rn <= m - k GROUP BY 1, 2"
+        ),
+        "lcs_pairs": (
+            "WITH RECURSIVE r AS (SELECT user_id, event_type, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn FROM events), "
+            "s AS (SELECT user_id, list(event_type ORDER BY rn) AS "
+            "seq, COUNT(*) AS n FROM r WHERE rn <= 32 GROUP BY 1), "
+            "p AS (SELECT a.user_id AS id_a, b.user_id AS id_b, "
+            "a.seq AS sa, b.seq AS sb, a.n AS na, b.n AS nb "
+            "FROM s a JOIN s b ON b.user_id = a.user_id + 1), "
+            "d AS (SELECT id_a, id_b, sa, sb, na, nb, 1 AS i, "
+            "0 AS j, list_transform(range(nb + 1), x_ -> 0) AS "
+            "prev, [0] AS cur FROM p "
+            "UNION ALL SELECT id_a, id_b, sa, sb, na, nb, "
+            "CASE WHEN j < nb THEN i ELSE i + 1 END AS i, "
+            "CASE WHEN j < nb THEN j + 1 ELSE 0 END AS j, "
+            "CASE WHEN j < nb THEN prev ELSE cur END AS prev, "
+            "CASE WHEN j < nb THEN list_append(cur, "
+            "CASE WHEN sa[i] = sb[j + 1] THEN prev[j + 1] + 1 "
+            "ELSE greatest(prev[j + 2], cur[j + 1]) END) "
+            "ELSE [0] END AS cur "
+            "FROM d WHERE NOT (i = na AND j = nb)) "
+            "SELECT id_a, id_b, CAST(na AS BIGINT) AS n_a, "
+            "CAST(nb AS BIGINT) AS n_b, "
+            "CAST(cur[CAST(nb AS INT) + 1] AS BIGINT) AS lcs_len "
+            "FROM d WHERE i = na AND j = nb"
         ),
         "table_profile": " UNION ALL ".join(
             f"SELECT '{name}' AS col_name, "

@@ -75,3 +75,30 @@ def test_top_trigrams_never_cross_users(spark):
     rows = [(0, 0, 1, "a", 1.0, None), (1, 1, 1, "b", 1.0, None),
             (2, 2, 2, "c", 1.0, None), (3, 3, 2, "d", 1.0, None)]
     assert top_trigrams(_events(spark, rows)).count() == 0
+
+
+def test_lcs_pairs_hand_sequences(spark):
+    # user 1: a b c d ; user 2: b a d c -> LCS = 2 ("b d" or "a d" or
+    # "a c"); user 3 identical to user 2 -> LCS = 4
+    from tsaug_spark.plans.metrics import lcs_pairs
+    seq1, seq2, seq3 = ["a", "b", "c", "d"], ["b", "a", "d", "c"], \
+        ["b", "a", "d", "c"]
+    rows = []
+    for u, seq in ((1, seq1), (2, seq2), (3, seq3)):
+        rows += [(u * 100 + i, i, u, t, 1.0, None)
+                 for i, t in enumerate(seq)]
+    out = {(r.id_a, r.id_b): r for r in
+           lcs_pairs(_events(spark, rows)).collect()}
+    assert out[(1, 2)].lcs_len == 2
+    assert out[(2, 3)].lcs_len == 4
+    assert out[(1, 2)].n_a == 4 and out[(1, 2)].n_b == 4
+
+
+def test_lcs_empty_intersection_and_truncation(spark):
+    # disjoint alphabets -> LCS 0; sequences truncate at T
+    from tsaug_spark.plans.metrics import lcs_pairs
+    rows = [(i, i, 1, "a", 1.0, None) for i in range(5)]
+    rows += [(100 + i, i, 2, "b", 1.0, None) for i in range(40)]
+    out = lcs_pairs(_events(spark, rows), T=32).collect()[0]
+    assert out.lcs_len == 0
+    assert out.n_a == 5 and out.n_b == 32  # user 2 truncated to T

@@ -2483,3 +2483,96 @@ def benford_digits(
         F.col("p").alias("benford_share"),
         "chi2",
     )
+
+
+def lcs_pairs(
+    df: DataFrame,
+    T: int = 32,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Longest-common-subsequence length between ADJACENT keys'
+    event-type sequences (key k paired with key k+1) over each key's
+    first ``T`` events — the discrete-symbol sequence-alignment
+    companion to :func:`dtw_distance` (DTW aligns continuous curves;
+    LCS aligns behavioral step sequences, the similarity primitive
+    behind session-clustering and bot-pattern detection).
+
+    Classic O(n_a * n_b) integer DP::
+
+        dp[i][j] = dp[i-1][j-1] + 1              if a_i == b_j
+                   max(dp[i-1][j], dp[i][j-1])   otherwise
+
+    run as an Arrow ``mapInPandas`` kernel over independent pair rows
+    (each row carries both bounded sequences; no grouping state).
+    All-integer arithmetic — the oracle's cell-by-cell recursive CTE
+    replays it exactly.
+
+    Scale: sequences are truncated to T events at the source (the
+    window + filter prune before the pair join), the pairing is an
+    equi-join on key+1, and each pair costs <= T^2 integer ops —
+    embarrassingly parallel, no shuffle after the join.
+    """
+    w = Window.partitionBy(F.col(key_col)).orderBy(
+        F.col(ts_col), F.col(order_col)
+    )
+    r = df.select(
+        F.col(key_col).alias("key"),
+        F.col(type_col).alias("et"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= T)
+    seqs = r.groupBy("key").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "et"))),
+            lambda x: x["et"],
+        ).alias("seq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = seqs.select(
+        F.col("key").alias("id_a"),
+        F.col("seq").alias("sa"),
+        F.col("n").alias("n_a"),
+    )
+    b = seqs.select(
+        (F.col("key") - 1).alias("id_a"),
+        F.col("key").alias("id_b"),
+        F.col("seq").alias("sb"),
+        F.col("n").alias("n_b"),
+    )
+    pairs = a.join(b, "id_a")
+
+    out_schema = (
+        "id_a long, id_b long, n_a long, n_b long, lcs_len long"
+    )
+
+    def _kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            lens = []
+            for sa, sb in zip(pdf["sa"], pdf["sb"]):
+                na, nb = len(sa), len(sb)
+                prev = [0] * (nb + 1)
+                for i in range(1, na + 1):
+                    cur = [0]
+                    ai = sa[i - 1]
+                    for j in range(1, nb + 1):
+                        if ai == sb[j - 1]:
+                            cur.append(prev[j - 1] + 1)
+                        else:
+                            cur.append(max(prev[j], cur[j - 1]))
+                    prev = cur
+                lens.append(prev[nb])
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"],
+                    "id_b": pdf["id_b"],
+                    "n_a": pdf["n_a"],
+                    "n_b": pdf["n_b"],
+                    "lcs_len": lens,
+                }
+            )
+
+    return pairs.mapInPandas(_kernel, out_schema)
