@@ -1454,6 +1454,80 @@ def q_trimmed_mean_1d(spark, sf):
     )
 
 
+def q_mad_per_type(spark, sf):
+    """Median absolute deviation per event type
+    (plans/stats.py::mad_per_type): two rank-selected medians over
+    exact cents / exact half-cent deviations — the robust scale
+    estimator."""
+    from tsaug_spark.plans.stats import mad_per_type
+
+    return mad_per_type(_events(spark, sf)).select(
+        F.col("grp").alias("event_type"),
+        "n",
+        "median_cents",
+        "mad_cents",
+    )
+
+
+def q_runs_test(spark, sf):
+    """Wald–Wolfowitz runs test per user on the value sequence vs the
+    user median (plans/stats.py::runs_test): exact sign runs, one
+    shared z expression."""
+    from tsaug_spark.plans.stats import runs_test
+
+    return runs_test(_events(spark, sf)).select(
+        F.col("key").alias("user_id"), "n1", "n2", "runs", "z"
+    )
+
+
+def q_funnel_7d(spark, sf):
+    """Windowed funnel: per first-signup-day cohort, the share of
+    users purchasing within 7 days of their first signup — exact
+    integer microsecond window, one division."""
+    ev = _events(spark, sf)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+            ).alias("s_us")
+        )
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us"),
+    )
+    conv = (
+        s.join(p, "user_id")
+        .filter(
+            (F.col("p_us") >= F.col("s_us"))
+            & (F.col("p_us") < F.col("s_us") + F.lit(604800000000))
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("conv", F.lit(1))
+    )
+    return (
+        s.join(conv, "user_id", "left")
+        .select(
+            (F.floor(F.col("s_us") / 86400000000) * 86400)
+            .cast("long")
+            .alias("cohort_day_s"),
+            F.coalesce("conv", F.lit(0)).alias("c"),
+        )
+        .groupBy("cohort_day_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.sum("c").alias("n_conv_7d"),
+            (
+                F.sum("c").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("conv_rate"),
+        )
+    )
+
+
 def q_lcs_pairs(spark, sf):
     """LCS length between adjacent users' first-32 event-type
     sequences (plans/metrics.py::lcs_pairs): all-integer DP in an
@@ -3452,6 +3526,9 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "mad_per_type",
+    "runs_test",
+    "funnel_7d",
     "lcs_pairs",
     "table_profile",
     "top_trigrams",
@@ -3723,6 +3800,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_stationary": q_markov_stationary,
         "table_profile": q_table_profile,
         "lcs_pairs": q_lcs_pairs,
+        "mad_per_type": q_mad_per_type,
+        "runs_test": q_runs_test,
+        "funnel_7d": q_funnel_7d,
         "top_trigrams": q_top_trigrams,
         "zipf_slope": q_zipf_slope,
         "embed_sq8": q_embed_sq8,
@@ -5607,6 +5687,80 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
             "/ 100.0 AS trimmed_mean FROM kk "
             "WHERE rn > k AND rn <= m - k GROUP BY 1, 2"
+        ),
+        "mad_per_type": (
+            "WITH ev AS (SELECT event_type AS grp, "
+            "CAST(round(value*100) AS BIGINT) AS cents, event_id AS "
+            "oid FROM events), "
+            "r AS (SELECT grp, cents, oid, row_number() OVER "
+            "(PARTITION BY grp ORDER BY cents, oid) AS rn, "
+            "COUNT(*) OVER (PARTITION BY grp) AS m FROM ev), "
+            "med AS (SELECT grp, CAST(MIN(m) AS BIGINT) AS n, "
+            "CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
+            "AS med_cents FROM r WHERE rn = (m + 1) // 2 OR "
+            "rn = (m + 2) // 2 GROUP BY 1), "
+            "dev AS (SELECT ev.grp, med.n, med.med_cents, "
+            "abs(CAST(ev.cents AS DOUBLE) - med.med_cents) AS dev, "
+            "ev.oid FROM ev JOIN med ON med.grp = ev.grp), "
+            "r2 AS (SELECT grp, n, med_cents, dev, row_number() "
+            "OVER (PARTITION BY grp ORDER BY dev, oid) AS rn, "
+            "COUNT(*) OVER (PARTITION BY grp) AS m FROM dev) "
+            "SELECT grp AS event_type, MIN(n) AS n, "
+            "MIN(med_cents) AS median_cents, "
+            "SUM(dev) / CAST(COUNT(*) AS DOUBLE) AS mad_cents "
+            "FROM r2 WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2 "
+            "GROUP BY 1"
+        ),
+        "runs_test": (
+            "WITH ev AS (SELECT user_id AS key, "
+            "CAST(round(value*100) AS BIGINT) AS cents, ts, "
+            "event_id AS oid FROM events), "
+            "r AS (SELECT key, cents, oid, row_number() OVER "
+            "(PARTITION BY key ORDER BY cents, oid) AS rn, "
+            "COUNT(*) OVER (PARTITION BY key) AS m FROM ev), "
+            "med AS (SELECT key, CAST(SUM(cents) AS DOUBLE) / "
+            "CAST(COUNT(*) AS DOUBLE) AS med FROM r WHERE "
+            "rn = (m + 1) // 2 OR rn = (m + 2) // 2 GROUP BY 1), "
+            "sg AS (SELECT ev.key, ev.ts, ev.oid, "
+            "CASE WHEN CAST(ev.cents AS DOUBLE) > med.med THEN 1 "
+            "ELSE 0 END AS sgn FROM ev JOIN med ON med.key = ev.key "
+            "WHERE CAST(ev.cents AS DOUBLE) <> med.med), "
+            "rr AS (SELECT key, sgn, CASE WHEN lag(sgn) OVER w IS "
+            "NULL OR lag(sgn) OVER w <> sgn THEN 1 ELSE 0 END AS "
+            "new_run FROM sg WINDOW w AS (PARTITION BY key "
+            "ORDER BY ts, oid)), "
+            "a AS (SELECT key, SUM(sgn) AS n1, SUM(1 - sgn) AS n2, "
+            "SUM(new_run) AS r FROM rr GROUP BY 1) "
+            "SELECT key AS user_id, CAST(n1 AS BIGINT) AS n1, "
+            "CAST(n2 AS BIGINT) AS n2, CAST(r AS BIGINT) AS runs, "
+            "(CAST(r AS DOUBLE) - (2.0 * CAST(n1 AS DOUBLE) * "
+            "CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + "
+            "CAST(n2 AS DOUBLE)) + 1.0)) / "
+            "sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * "
+            "(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - "
+            "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) / "
+            "((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * "
+            "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * "
+            "((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0))) "
+            "AS z FROM a WHERE n1 > 0 AND n2 > 0 AND "
+            "2 * n1 * n2 > n1 + n2"
+        ),
+        "funnel_7d": (
+            "WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS s_us "
+            "FROM events WHERE event_type = 'signup' GROUP BY 1), "
+            "conv AS (SELECT DISTINCT s.user_id FROM s JOIN events "
+            "p ON p.user_id = s.user_id AND "
+            "p.event_type = 'purchase' AND epoch_us(p.ts) >= s.s_us "
+            "AND epoch_us(p.ts) < s.s_us + 604800000000) "
+            "SELECT CAST(floor(s.s_us / 86400000000) * 86400 AS "
+            "BIGINT) AS cohort_day_s, "
+            "CAST(COUNT(*) AS BIGINT) AS n_signups, "
+            "CAST(SUM(CASE WHEN conv.user_id IS NULL THEN 0 ELSE 1 "
+            "END) AS BIGINT) AS n_conv_7d, "
+            "CAST(SUM(CASE WHEN conv.user_id IS NULL THEN 0 ELSE 1 "
+            "END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS "
+            "conv_rate FROM s LEFT JOIN conv "
+            "ON conv.user_id = s.user_id GROUP BY 1"
         ),
         "lcs_pairs": (
             "WITH RECURSIVE r AS (SELECT user_id, event_type, "

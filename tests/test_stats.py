@@ -457,3 +457,53 @@ def test_markov_drops_dead_end_states(spark):
            markov_stationary(_ev(spark, rows)).collect()}
     assert set(out) == {"a", "b"}
     assert out["a"] == 0.5 and out["b"] == 0.5
+
+
+def test_mad_per_type_hand_values(spark):
+    # values 1..5 plus outlier 100 for one type: cents 100..500,10000
+    # median = (300+400)/2 = 350; |dev| = 250,150,50,50,150,9650
+    # sorted: 50,50,150,150,250,9650 -> MAD = (150+150)/2 = 150
+    from tsaug_spark.plans.stats import mad_per_type
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 100.0]
+    rows = [(1, 0.01 * i, "a", v) for i, v in enumerate(vals)]
+    r = mad_per_type(_ev(spark, rows)).collect()[0]
+    assert r.n == 6
+    assert r.median_cents == 350.0
+    assert r.mad_cents == 150.0
+
+
+def test_mad_outlier_insensitive(spark):
+    # replacing the outlier by an even wilder one leaves MAD unchanged
+    from tsaug_spark.plans.stats import mad_per_type
+    for big in (100.0, 1e6):
+        vals = [1.0, 2.0, 3.0, 4.0, 5.0, big]
+        rows = [(1, 0.01 * i, "a", v) for i, v in enumerate(vals)]
+        r = mad_per_type(_ev(spark, rows)).collect()[0]
+        assert r.mad_cents == 150.0
+
+
+def test_runs_test_alternating_vs_blocked(spark):
+    # user 1 alternates lo,hi,lo,hi... (max runs); user 2 is
+    # lo*5 then hi*5 (2 runs).  Alternation -> z > 0, blocking -> z<0.
+    from tsaug_spark.plans.stats import runs_test
+    rows = [(1, 0.01 * i, "a", [1.0, 9.0][i % 2]) for i in range(10)]
+    rows += [(2, 0.01 * i, "a", 1.0 if i < 5 else 9.0)
+             for i in range(10)]
+    out = {r.key: r for r in runs_test(_ev(spark, rows)).collect()}
+    assert out[1].n1 == out[1].n2 == 5
+    assert out[1].runs == 10 and out[1].z > 2.0
+    assert out[2].runs == 2 and out[2].z < -2.0
+    # hand z for the blocked case: mu = 2*25/10+1 = 6,
+    # var = 50*(50-10)/(100*9) = 2000/900
+    import math
+    z = (2.0 - 6.0) / math.sqrt(2.0 * 5.0 * 5.0 * (2.0 * 5.0 * 5.0
+        - 10.0) / (10.0 * 10.0 * 9.0))
+    assert abs(out[2].z - z) < 1e-12
+
+
+def test_runs_test_drops_median_ties_and_degenerate(spark):
+    # constant values: every row equals the median -> dropped -> no
+    # output row for that key
+    from tsaug_spark.plans.stats import runs_test
+    rows = [(1, 0.01 * i, "a", 5.0) for i in range(6)]
+    assert runs_test(_ev(spark, rows)).count() == 0

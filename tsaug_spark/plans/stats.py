@@ -864,3 +864,195 @@ def markov_stationary(
     return states.join(v, "idx").select(
         "state", "idx", F.col("prob").alias("pi")
     )
+
+
+def mad_per_type(
+    df: DataFrame,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Median absolute deviation per event type — the robust scale
+    estimator (breakdown point 50%) that pairs with the trimmed mean:
+    sigma_robust ~ 1.4826 * MAD for Gaussian data, immune to the fat
+    tails that wreck a plain stddev.
+
+    Two rank-selected medians (never engine percentiles): the value
+    median over exact cents (two-mid-rank average — exact .0/.5
+    halves), then the median of |cents - median| (deviations are
+    exact .0/.5 doubles, so ordering and the second two-mid-rank
+    average are still exact arithmetic).  Ties break on the order
+    column.
+
+    Scale: two ordered windows partitioned by the type (vocabulary-
+    bounded partitions — for a skewed single-type table switch to the
+    histogram sketch in plans/metrics.py), two hash aggregates.
+    """
+    ev = df.select(
+        F.col(type_col).alias("grp"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+        F.col(order_col).alias("oid"),
+    )
+    w = Window.partitionBy("grp").orderBy("cents", "oid")
+    cw = Window.partitionBy("grp")
+    ranked = ev.select(
+        "grp",
+        "cents",
+        "oid",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("m"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("m") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("m") + 2) / 2))
+        )
+        .groupBy("grp")
+        .agg(
+            F.first("m").alias("n"),
+            (
+                F.sum("cents").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("med_cents"),
+        )
+    )
+    dev = ev.join(F.broadcast(med), "grp").select(
+        "grp",
+        "n",
+        "med_cents",
+        F.abs(F.col("cents").cast("double") - F.col("med_cents"))
+        .alias("dev"),
+        "oid",
+    )
+    w2 = Window.partitionBy("grp").orderBy("dev", "oid")
+    ranked2 = dev.select(
+        "grp",
+        "n",
+        "med_cents",
+        "dev",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("m"),
+    )
+    return (
+        ranked2.filter(
+            (F.col("rn") == F.floor((F.col("m") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("m") + 2) / 2))
+        )
+        .groupBy("grp")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("med_cents").alias("median_cents"),
+            (
+                F.sum("dev") / F.count(F.lit(1)).cast("double")
+            ).alias("mad_cents"),
+        )
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Wald–Wolfowitz runs test per key: is the sign sequence of
+    values-above/below-the-key-median random, or does it cluster
+    (trending / regime-switching series fail it)?
+
+        z = (R - mu) / sigma,  mu = 2 n1 n2 / n + 1,
+        sigma^2 = 2 n1 n2 (2 n1 n2 - n) / (n^2 (n - 1))
+
+    R = observed runs over the (ts, order) sequence with median-equal
+    values dropped (the standard dichotomization).  Counts are exact;
+    the key's median is rank-selected; mu/sigma/z are one shared
+    float expression.  Keys with n1 = 0 or n2 = 0 or n < 2 are
+    dropped (the statistic is undefined).
+
+    Scale: one median window chain + one lag window + one key
+    aggregate, all partitioned by the key.
+    """
+    ev = df.select(
+        F.col(key_col).alias("key"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+        F.col(ts_col).alias("ts"),
+        F.col(order_col).alias("oid"),
+    )
+    w = Window.partitionBy("key").orderBy("cents", "oid")
+    cw = Window.partitionBy("key")
+    ranked = ev.select(
+        "key",
+        "cents",
+        "ts",
+        "oid",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("m"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("m") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("m") + 2) / 2))
+        )
+        .groupBy("key")
+        .agg(
+            (
+                F.sum("cents").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("med")
+        )
+    )
+    signed = (
+        ev.join(med, "key")
+        .filter(F.col("cents").cast("double") != F.col("med"))
+        .select(
+            "key",
+            "ts",
+            "oid",
+            F.when(F.col("cents").cast("double") > F.col("med"), 1)
+            .otherwise(0)
+            .alias("sgn"),
+        )
+    )
+    sw = Window.partitionBy("key").orderBy("ts", "oid")
+    runs = signed.select(
+        "key",
+        "sgn",
+        F.when(
+            F.lag("sgn").over(sw).isNull()
+            | (F.lag("sgn").over(sw) != F.col("sgn")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.groupBy("key").agg(
+        F.sum("sgn").alias("n1"),
+        F.sum(F.lit(1) - F.col("sgn")).alias("n2"),
+        F.sum("new_run").alias("r"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    n = n1 + n2
+    mu = F.lit(2.0) * n1 * n2 / n + F.lit(1.0)
+    var = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - n)
+        / (n * n * (n - F.lit(1.0)))
+    )
+    return agg.filter(
+        (F.col("n1") > 0)
+        & (F.col("n2") > 0)
+        # exact-integer variance guard: sigma^2 > 0 iff 2*n1*n2 > n
+        & (
+            F.lit(2) * F.col("n1") * F.col("n2")
+            > F.col("n1") + F.col("n2")
+        )
+    ).select(
+        "key",
+        "n1",
+        "n2",
+        F.col("r").alias("runs"),
+        ((F.col("r").cast("double") - mu) / F.sqrt(var)).alias("z"),
+    )
