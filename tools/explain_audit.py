@@ -760,6 +760,46 @@ def main() -> None:
             execute=True,
         )
     for nm, q in [
+        ("mad_per_type", em.q_mad_per_type),
+        ("runs_test", em.q_runs_test),
+        ("funnel_7d", em.q_funnel_7d),
+        ("top_trigrams", em.q_top_trigrams),
+    ]:
+        audit(
+            f"{nm} (stats/profile screen, JVM only)",
+            q(spark, sf),
+            must_have=["HashAggregate"],
+            must_not_have=["CartesianProduct",
+                           "BatchEvalPython", "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+
+    # table_profile: string min/max in a zero-grouping-key aggregate
+    # plans as partial+final SortAggregate (sorting a zero-key
+    # aggregate is a partition-local fold — no extra shuffle); the
+    # multi-count-distinct uses the standard Expand strategy
+    audit(
+        "table_profile (one-pass wide aggregate)",
+        em.q_table_profile(spark, sf),
+        must_have=["SortAggregate", "Expand"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
+    # LCS: the ONLY Python stage is the Arrow mapInPandas DP kernel
+    # over independent pair rows; the join is an equi-join
+    audit(
+        "lcs_pairs (Arrow kernel over equi-joined pairs)",
+        em.q_lcs_pairs(spark, sf),
+        must_have=["HashAggregate"],
+        must_not_have=["CartesianProduct", "BroadcastNestedLoopJoin",
+                       "BatchEvalPython"],
+        execute=True,
+    )
+
+    for nm, q in [
         ("basket_lift", em.q_basket_lift),
         ("embed_sq8", em.q_embed_sq8),
         ("markov_stationary", em.q_markov_stationary),
