@@ -1454,6 +1454,22 @@ def q_trimmed_mean_1d(spark, sf):
     )
 
 
+def q_kleinberg_bursts(spark, sf):
+    """Two-state Kleinberg burst automaton per user
+    (plans/stats.py::kleinberg_bursts): micro-nat integer-quantized
+    Poisson costs, exact BIGINT Viterbi with documented tie rules —
+    the oracle replays the forward DP in a recursive CTE."""
+    from tsaug_spark.plans.stats import kleinberg_bursts
+
+    return kleinberg_bursts(_events(spark, sf)).select(
+        F.col("key").alias("user_id"),
+        "T",
+        "total_cnt",
+        "cost",
+        "n_burst",
+    )
+
+
 def q_mad_per_type(spark, sf):
     """Median absolute deviation per event type
     (plans/stats.py::mad_per_type): two rank-selected medians over
@@ -3526,6 +3542,7 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "kleinberg_bursts",
     "mad_per_type",
     "runs_test",
     "funnel_7d",
@@ -3801,6 +3818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "lcs_pairs": q_lcs_pairs,
         "mad_per_type": q_mad_per_type,
+        "kleinberg_bursts": q_kleinberg_bursts,
         "runs_test": q_runs_test,
         "funnel_7d": q_funnel_7d,
         "top_trigrams": q_top_trigrams,
@@ -5687,6 +5705,51 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
             "/ 100.0 AS trimmed_mean FROM kk "
             "WHERE rn > k AND rn <= m - k GROUP BY 1, 2"
+        ),
+        "kleinberg_bursts": (
+            "WITH RECURSIVE h AS (SELECT user_id AS key, "
+            "CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour, "
+            "COUNT(*) AS cnt FROM events GROUP BY 1, 2), "
+            "bounds AS (SELECT key, MIN(hour) AS lo, MAX(hour) AS "
+            "hi FROM h GROUP BY 1), "
+            "grid AS (SELECT key, CAST(unnest(range(lo, hi + 1)) AS "
+            "BIGINT) AS hour FROM bounds), "
+            "dense AS (SELECT g.key, g.hour, COALESCE(h.cnt, 0) AS "
+            "cnt FROM grid g LEFT JOIN h ON h.key = g.key AND "
+            "h.hour = g.hour), "
+            "s AS (SELECT key, cnt, row_number() OVER (PARTITION BY "
+            "key ORDER BY hour) - 1 AS stp FROM dense), "
+            "par AS (SELECT key, COUNT(*) AS T, "
+            "CAST(SUM(cnt) AS BIGINT) AS total, "
+            "CAST(floor(1000000.0 * (CAST(SUM(cnt) AS DOUBLE) / "
+            "CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS e0, "
+            "CAST(floor(1000000.0 * (3.0 * (CAST(SUM(cnt) AS "
+            "DOUBLE) / CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS "
+            "e1, CAST(floor(1000000.0 * ln(CAST(SUM(cnt) AS "
+            "DOUBLE) / CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS l0, "
+            "CAST(floor(1000000.0 * ln(3.0 * (CAST(SUM(cnt) AS "
+            "DOUBLE) / CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS l1 "
+            "FROM s GROUP BY 1), "
+            "it AS (SELECT p.key, p.T, p.total, 0 AS stp, "
+            "p.e0 - s.cnt * p.l0 AS d0, "
+            "1000000 + p.e1 - s.cnt * p.l1 AS d1, "
+            "CAST(0 AS BIGINT) AS b0, CAST(1 AS BIGINT) AS b1 "
+            "FROM par p JOIN s ON s.key = p.key AND s.stp = 0 "
+            "UNION ALL SELECT it.key, it.T, it.total, it.stp + 1, "
+            "(CASE WHEN it.d0 <= it.d1 THEN it.d0 ELSE it.d1 END) "
+            "+ p.e0 - s.cnt * p.l0 AS d0, "
+            "(CASE WHEN it.d0 + 1000000 <= it.d1 THEN it.d0 + "
+            "1000000 ELSE it.d1 END) + p.e1 - s.cnt * p.l1 AS d1, "
+            "CASE WHEN it.d0 <= it.d1 THEN it.b0 ELSE it.b1 END AS "
+            "b0, (CASE WHEN it.d0 + 1000000 <= it.d1 THEN it.b0 "
+            "ELSE it.b1 END) + 1 AS b1 "
+            "FROM it JOIN s ON s.key = it.key AND s.stp = it.stp + 1 "
+            "JOIN par p ON p.key = it.key WHERE it.stp + 1 < it.T) "
+            "SELECT key AS user_id, CAST(T AS BIGINT) AS T, "
+            "total AS total_cnt, "
+            "CAST(CASE WHEN d0 <= d1 THEN d0 ELSE d1 END AS BIGINT) "
+            "AS cost, CAST(CASE WHEN d0 <= d1 THEN b0 ELSE b1 END "
+            "AS BIGINT) AS n_burst FROM it WHERE stp = T - 1"
         ),
         "mad_per_type": (
             "WITH ev AS (SELECT event_type AS grp, "

@@ -507,3 +507,60 @@ def test_runs_test_drops_median_ties_and_degenerate(spark):
     from tsaug_spark.plans.stats import runs_test
     rows = [(1, 0.01 * i, "a", 5.0) for i in range(6)]
     assert runs_test(_ev(spark, rows)).count() == 0
+
+
+def test_kleinberg_flat_series_never_bursts(spark):
+    # one event every hour for 48 h: burst state never pays gamma
+    from tsaug_spark.plans.stats import kleinberg_bursts
+    rows = [(1, h / 24.0, "a", 1.0) for h in range(48)]
+    r = kleinberg_bursts(_ev(spark, rows)).collect()[0]
+    assert r.T == 48 and r.total_cnt == 48
+    assert r.n_burst == 0
+
+
+def test_kleinberg_detects_burst_window(spark):
+    # 1/h for 40 h then 10/h for 8 h: r0=2.5, r1=7.5; the burst hours
+    # are ~6e6 micro-nats cheaper in state 1 (>> gamma), the baseline
+    # hours cheaper in state 0 -> exactly the 8 burst hours flagged
+    from tsaug_spark.plans.stats import kleinberg_bursts
+    rows = [(1, h / 24.0, "a", 1.0) for h in range(40)]
+    for h in range(40, 48):
+        rows += [(1, h / 24.0 + i * 1e-5, "a", 1.0)
+                 for i in range(10)]
+    r = kleinberg_bursts(_ev(spark, rows)).collect()[0]
+    assert r.T == 48 and r.total_cnt == 120
+    assert r.n_burst == 8
+
+
+def test_kleinberg_matches_python_replay(spark):
+    # irregular counts: the engine's integer DP equals a direct
+    # replay with the same quantization and tie rules
+    import math
+    from tsaug_spark.plans.stats import kleinberg_bursts
+    counts = [0, 3, 1, 0, 7, 7, 0, 1, 2, 0, 5]
+    rows = []
+    for h, c in enumerate(counts):
+        rows += [(1, h / 24.0 + i * 1e-5, "a", 1.0) for i in range(c)]
+    # hour grid spans only observed-hour bounds: leading/trailing
+    # zero hours don't exist -> trim them like the engine's grid
+    lo = next(i for i, c in enumerate(counts) if c)
+    hi = len(counts) - 1 - next(
+        i for i, c in enumerate(reversed(counts)) if c)
+    x = counts[lo:hi + 1]
+    T, total = len(x), sum(x)
+    r0 = total / T
+    r1 = 3.0 * r0
+    e0, e1 = math.floor(1e6 * r0), math.floor(1e6 * r1)
+    l0, l1 = (math.floor(1e6 * math.log(r0)),
+              math.floor(1e6 * math.log(r1)))
+    g = 1_000_000
+    d0, d1 = e0 - x[0] * l0, g + e1 - x[0] * l1
+    b0, b1 = 0, 1
+    for t in range(1, T):
+        nd0, nb0 = (d0, b0) if d0 <= d1 else (d1, b1)
+        nd1, nb1 = (d0 + g, b0 + 1) if d0 + g <= d1 else (d1, b1 + 1)
+        d0, d1 = nd0 + e0 - x[t] * l0, nd1 + e1 - x[t] * l1
+        b0, b1 = nb0, nb1
+    cost, nb = (d0, b0) if d0 <= d1 else (d1, b1)
+    r = kleinberg_bursts(_ev(spark, rows)).collect()[0]
+    assert (r.T, r.total_cnt, r.cost, r.n_burst) == (T, total, cost, nb)
