@@ -1454,6 +1454,33 @@ def q_trimmed_mean_1d(spark, sf):
     )
 
 
+def q_emd_click_error(spark, sf):
+    """1-D Wasserstein distance per user between click and error
+    value distributions (plans/stats.py::emd_distance): every CDF-gap
+    term is an exact BIGINT via cross-multiplication, one final
+    division — the L1 drift measure in cents."""
+    from tsaug_spark.plans.stats import emd_distance
+
+    return emd_distance(_events(spark, sf), "click", "error").select(
+        F.col("key").alias("user_id"), "n_a", "n_b", "emd_cents"
+    )
+
+
+def q_type_runs(spark, sf):
+    """Run-length statistics of each user's event-type sequence
+    (plans/stats.py::type_runs): gaps-and-islands on type changes,
+    all integers plus one mean division."""
+    from tsaug_spark.plans.stats import type_runs
+
+    return type_runs(_events(spark, sf)).select(
+        F.col("key").alias("user_id"),
+        "n_events",
+        "n_runs",
+        "longest_run",
+        "mean_run",
+    )
+
+
 def q_kleinberg_bursts(spark, sf):
     """Two-state Kleinberg burst automaton per user
     (plans/stats.py::kleinberg_bursts): micro-nat integer-quantized
@@ -3542,6 +3569,8 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "emd_click_error",
+    "type_runs",
     "kleinberg_bursts",
     "mad_per_type",
     "runs_test",
@@ -3819,6 +3848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcs_pairs": q_lcs_pairs,
         "mad_per_type": q_mad_per_type,
         "kleinberg_bursts": q_kleinberg_bursts,
+        "emd_click_error": q_emd_click_error,
+        "type_runs": q_type_runs,
         "runs_test": q_runs_test,
         "funnel_7d": q_funnel_7d,
         "top_trigrams": q_top_trigrams,
@@ -5705,6 +5736,46 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
             "/ 100.0 AS trimmed_mean FROM kk "
             "WHERE rn > k AND rn <= m - k GROUP BY 1, 2"
+        ),
+        "emd_click_error": (
+            "WITH ev AS (SELECT user_id AS key, event_type AS "
+            "etype, CAST(round(value*100) AS BIGINT) AS cents FROM "
+            "events WHERE event_type IN ('click', 'error')), "
+            "pv AS (SELECT key, cents, "
+            "SUM(CASE WHEN etype = 'click' THEN 1 ELSE 0 END) AS "
+            "ca, SUM(CASE WHEN etype = 'error' THEN 1 ELSE 0 END) "
+            "AS cb FROM ev GROUP BY 1, 2), "
+            "cum AS (SELECT key, cents, SUM(ca) OVER w AS cum_a, "
+            "SUM(cb) OVER w AS cum_b, SUM(ca) OVER ww AS n_a, "
+            "SUM(cb) OVER ww AS n_b, "
+            "lead(cents) OVER w - cents AS gap FROM pv WINDOW "
+            "w AS (PARTITION BY key ORDER BY cents), "
+            "ww AS (PARTITION BY key)), "
+            "t AS (SELECT key, n_a, n_b, "
+            "abs(cum_a * n_b - cum_b * n_a) * gap AS term FROM cum "
+            "WHERE n_a > 0 AND n_b > 0 AND gap IS NOT NULL) "
+            "SELECT key AS user_id, CAST(MIN(n_a) AS BIGINT) AS "
+            "n_a, CAST(MIN(n_b) AS BIGINT) AS n_b, "
+            "CAST(SUM(term) AS DOUBLE) / "
+            "CAST(MIN(n_a) * MIN(n_b) AS DOUBLE) AS emd_cents "
+            "FROM t GROUP BY 1"
+        ),
+        "type_runs": (
+            "WITH f AS (SELECT user_id AS key, CASE WHEN "
+            "lag(event_type) OVER w IS NULL OR lag(event_type) "
+            "OVER w <> event_type THEN 1 ELSE 0 END AS new_run, "
+            "ts, event_id AS oid FROM events WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY ts, event_id)), "
+            "r AS (SELECT key, SUM(new_run) OVER (PARTITION BY key "
+            "ORDER BY ts, oid ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS run_id FROM f), "
+            "runs AS (SELECT key, run_id, COUNT(*) AS len FROM r "
+            "GROUP BY 1, 2) "
+            "SELECT key AS user_id, CAST(SUM(len) AS BIGINT) AS "
+            "n_events, CAST(COUNT(*) AS BIGINT) AS n_runs, "
+            "CAST(MAX(len) AS BIGINT) AS longest_run, "
+            "CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
+            "AS mean_run FROM runs GROUP BY 1"
         ),
         "kleinberg_bursts": (
             "WITH RECURSIVE h AS (SELECT user_id AS key, "

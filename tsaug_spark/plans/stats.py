@@ -1167,3 +1167,133 @@ def kleinberg_bursts(
         )
 
     return dense.groupBy("key").applyInPandas(_kernel, out_schema)
+
+
+def emd_distance(
+    df: DataFrame,
+    type_a: str,
+    type_b: str,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """1-D Wasserstein (earth mover's) distance per key between two
+    event types' value distributions — the L1 companion to
+    :func:`ks_distance` (KS is the sup of the CDF gap; EMD integrates
+    it, so it also sees HOW FAR mass moved, not just whether it did).
+
+        EMD = integral |F_a(x) - F_b(x)| dx
+            = sum_i |cumA_i * n_b - cumB_i * n_a| * gap_i / (n_a*n_b)
+
+    The cross-multiplied form keeps EVERY term an exact BIGINT
+    (cumulative counts x sample sizes x integer cent gaps); the single
+    division at the end is the only float.  Exact, order-free
+    (integer addition commutes), and in natural cents units.
+
+    Scale: identical shape to ks_distance — one (key, cents) hash
+    aggregate, one per-key ordered window, one per-key sum.
+    """
+    ev = df.filter(
+        F.col(type_col).isin([type_a, type_b])
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(type_col).alias("etype"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+    )
+    per_val = ev.groupBy("key", "cents").agg(
+        F.sum(
+            F.when(F.col("etype") == type_a, F.lit(1)).otherwise(F.lit(0))
+        ).alias("ca"),
+        F.sum(
+            F.when(F.col("etype") == type_b, F.lit(1)).otherwise(F.lit(0))
+        ).alias("cb"),
+    )
+    w = Window.partitionBy("key").orderBy("cents")
+    cw = Window.partitionBy("key")
+    cum = per_val.select(
+        "key",
+        "cents",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(cw).alias("n_a"),
+        F.sum("cb").over(cw).alias("n_b"),
+        (F.lead("cents").over(w) - F.col("cents")).alias("gap"),
+    )
+    terms = cum.filter(
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & F.col("gap").isNotNull()
+    ).select(
+        "key",
+        "n_a",
+        "n_b",
+        (
+            F.abs(
+                F.col("cum_a") * F.col("n_b")
+                - F.col("cum_b") * F.col("n_a")
+            )
+            * F.col("gap")
+        ).alias("term"),
+    )
+    return terms.groupBy("key").agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        (
+            F.sum("term").cast("double")
+            / (F.first("n_a") * F.first("n_b")).cast("double")
+        ).alias("emd_cents"),
+    )
+
+
+def type_runs(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Run-length statistics of each key's event-type sequence: how
+    long does the key stay on one activity before switching?  High
+    ``longest_run`` with few runs flags scripted/batch traffic; runs
+    near 1 flag thrashing.  (Also the run-length-encoding size model
+    for a dictionary+RLE codec on the type column.)
+
+    Gaps-and-islands on type CHANGES (new run when the lagged type
+    differs), all integers: n_events, n_runs, longest_run, and
+    mean_run as one exact division.
+
+    Scale: one key-window lag + cumulative sum, two hash aggregates —
+    the standard islands chain, no self-join.
+    """
+    w = Window.partitionBy(F.col(key_col)).orderBy(
+        F.col(ts_col), F.col(order_col)
+    )
+    flagged = df.select(
+        F.col(key_col).alias("key"),
+        F.col(type_col).alias("et"),
+        F.when(
+            F.lag(F.col(type_col)).over(w).isNull()
+            | (F.lag(F.col(type_col)).over(w) != F.col(type_col)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+        F.col(ts_col).alias("ts"),
+        F.col(order_col).alias("oid"),
+    )
+    w2 = Window.partitionBy("key").orderBy("ts", "oid")
+    runs = flagged.select(
+        "key",
+        F.sum("new_run")
+        .over(w2.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_id"),
+    ).groupBy("key", "run_id").agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("key").agg(
+        F.sum("len").alias("n_events"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("len").alias("longest_run"),
+        (
+            F.sum("len").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_run"),
+    )
