@@ -764,6 +764,8 @@ def main() -> None:
         ("runs_test", em.q_runs_test),
         ("funnel_7d", em.q_funnel_7d),
         ("top_trigrams", em.q_top_trigrams),
+        ("emd_click_error", em.q_emd_click_error),
+        ("type_runs", em.q_type_runs),
     ]:
         audit(
             f"{nm} (stats/profile screen, JVM only)",
@@ -794,6 +796,17 @@ def main() -> None:
         "lcs_pairs (Arrow kernel over equi-joined pairs)",
         em.q_lcs_pairs(spark, sf),
         must_have=["HashAggregate"],
+        must_not_have=["CartesianProduct", "BroadcastNestedLoopJoin",
+                       "BatchEvalPython"],
+        execute=True,
+    )
+
+    # Kleinberg Viterbi: grouped Arrow kernel over the dense grid —
+    # FlatMapGroupsInPandas is the intended (and only) Python stage
+    audit(
+        "kleinberg_bursts (grouped Arrow Viterbi kernel)",
+        em.q_kleinberg_bursts(spark, sf),
+        must_have=["FlatMapGroupsInPandas", "HashAggregate"],
         must_not_have=["CartesianProduct", "BroadcastNestedLoopJoin",
                        "BatchEvalPython"],
         execute=True,
