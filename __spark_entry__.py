@@ -1454,6 +1454,20 @@ def q_trimmed_mean_1d(spark, sf):
     )
 
 
+def q_decayed_score(spark, sf):
+    """Exponentially time-decayed activity score per user
+    (plans/stats.py::decayed_score): power-of-two weights accumulated
+    as exact BIGINT shifts, one final 2^-36 multiply."""
+    from tsaug_spark.plans.stats import decayed_score
+
+    return decayed_score(_events(spark, sf)).select(
+        F.col("key").alias("user_id"),
+        "n_events",
+        "scaled_score",
+        "decayed_score",
+    )
+
+
 def q_emd_click_error(spark, sf):
     """1-D Wasserstein distance per user between click and error
     value distributions (plans/stats.py::emd_distance): every CDF-gap
@@ -3569,6 +3583,7 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "decayed_score",
     "emd_click_error",
     "type_runs",
     "kleinberg_bursts",
@@ -3849,6 +3864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_per_type": q_mad_per_type,
         "kleinberg_bursts": q_kleinberg_bursts,
         "emd_click_error": q_emd_click_error,
+        "decayed_score": q_decayed_score,
         "type_runs": q_type_runs,
         "runs_test": q_runs_test,
         "funnel_7d": q_funnel_7d,
@@ -5736,6 +5752,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
             "/ 100.0 AS trimmed_mean FROM kk "
             "WHERE rn > k AND rn <= m - k GROUP BY 1, 2"
+        ),
+        "decayed_score": (
+            "WITH pd AS (SELECT user_id AS key, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "COUNT(*) AS cnt FROM events GROUP BY 1, 2), "
+            "last AS (SELECT MAX(day) AS last_day FROM pd), "
+            "aged AS (SELECT key, cnt, last_day - day AS age "
+            "FROM pd CROSS JOIN last), "
+            "sc AS (SELECT key, cnt, CASE WHEN age <= 36 THEN "
+            "cnt * (CAST(1 AS BIGINT) << CAST(36 - age AS INT)) "
+            "ELSE 0 END AS w FROM aged) "
+            "SELECT key AS user_id, CAST(SUM(cnt) AS BIGINT) AS "
+            "n_events, CAST(SUM(w) AS BIGINT) AS scaled_score, "
+            "CAST(SUM(w) AS DOUBLE) * power(2.0, -36) AS "
+            "decayed_score FROM sc GROUP BY 1"
         ),
         "emd_click_error": (
             "WITH ev AS (SELECT user_id AS key, event_type AS "

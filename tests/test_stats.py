@@ -617,3 +617,27 @@ def test_type_runs_hand_sequence(spark):
     r = type_runs(_ev(spark, rows)).collect()[0]
     assert (r.n_events, r.n_runs, r.longest_run) == (6, 3, 3)
     assert r.mean_run == 2.0
+
+
+def test_decayed_score_exact_powers(spark):
+    # 2 events today, 1 yesterday, 4 forty days ago (clamped to 0):
+    # score = 2*1 + 1*0.5 + 0 = 2.5 exactly
+    from tsaug_spark.plans.stats import decayed_score
+    rows = [(1, 40, "a", 1.0), (1, 40.01, "a", 1.0),
+            (1, 39, "a", 1.0)]
+    rows += [(1, 0, "a", 1.0)] * 4  # age 40 > 36 -> weight 0
+    r = decayed_score(_ev(spark, rows)).collect()[0]
+    assert r.n_events == 7
+    assert r.decayed_score == 2.5
+    assert r.scaled_score == 2 * (1 << 36) + (1 << 35)
+
+
+def test_decayed_score_ranks_fresh_over_bulk(spark):
+    # 1 event today beats 30 events 10 days ago (30 * 2^-10 < 1)
+    from tsaug_spark.plans.stats import decayed_score
+    rows = [(1, 10, "a", 1.0)]
+    rows += [(2, 0, "a", 1.0)] * 30
+    out = {r.key: r.decayed_score for r in
+           decayed_score(_ev(spark, rows)).collect()}
+    assert out[1] > out[2]
+    assert out[2] == 30 * 2.0 ** -10

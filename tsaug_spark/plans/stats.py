@@ -1297,3 +1297,61 @@ def type_runs(
             / F.count(F.lit(1)).cast("double")
         ).alias("mean_run"),
     )
+
+
+def decayed_score(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exponentially time-decayed activity leaderboard: each event is
+    worth ``2^-(age_days)`` at the corpus's last active day, so
+    yesterday counts half of today — the freshness-weighted ranking
+    signal feeds/leaderboards use.
+
+    EXACT arithmetic trick: with a half-life of one day the weights
+    are powers of two, so the per-key score is accumulated as the
+    exact BIGINT ``sum(cnt * 2^(36 - age))`` (every term a shifted
+    count) and converted once at the end by multiplying with the
+    shared literal ``2^-36`` — no float accumulation at all.  Ages
+    beyond 36 days are clamped to weight 0 (< 2^-36 of today's
+    weight); the 36-bit shift budget leaves 2^63/2^36 = 134M daily
+    events per key of headroom under ANSI BIGINT arithmetic.
+
+    Scale: one (key, day) rollup, one global max-day broadcast, one
+    key aggregate.
+    """
+    days = df.select(
+        F.col(key_col).alias("key"),
+        F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+        .cast("long")
+        .alias("day"),
+    )
+    per_day = days.groupBy("key", "day").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    last = per_day.agg(F.max("day").alias("last_day"))
+    aged = per_day.crossJoin(F.broadcast(last)).select(
+        "key",
+        "cnt",
+        (F.col("last_day") - F.col("day")).alias("age"),
+    )
+    scaled = aged.select(
+        "key",
+        "cnt",
+        F.when(
+            F.col("age") <= 36,
+            F.col("cnt")
+            * F.expr("shiftleft(1L, cast(36 - age as int))"),
+        )
+        .otherwise(F.lit(0))
+        .alias("w"),
+    )
+    return scaled.groupBy("key").agg(
+        F.sum("cnt").alias("n_events"),
+        F.sum("w").alias("scaled_score"),
+        (
+            F.sum("w").cast("double")
+            * F.lit(2.0) ** F.lit(-36)
+        ).alias("decayed_score"),
+    )
