@@ -1454,6 +1454,86 @@ def q_trimmed_mean_1d(spark, sf):
     )
 
 
+def q_hybrid_search(spark, sf):
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
+    keyword ranking (pipeline/search.py) and the embedding cosine
+    ranking (query = vector 0, the synthetic doc/vec id alignment).
+    Cosines are rounded to 4 decimals BEFORE ranking (the two
+    engines' dot-product accumulations differ below that), ranks
+    tie-break on id, and the fused score is the two-term sum
+    ``1/(60+r_bm25) + 1/(60+r_vec)`` in fixed order — deterministic.
+    Production note: the vector leg would use the ivf_topk shortlist
+    instead of a full ranking; the full sort here keeps the oracle
+    exact."""
+    from tsaug_spark.pipeline.search import bm25_scores, build_postings
+
+    docs = _docs(spark, sf)
+    bm = bm25_scores(build_postings(docs), ["spark", "join", "vector"])
+    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    bm_r = bm.select(
+        F.col("doc_id").alias("id"),
+        F.row_number().over(wb).alias("bm25_rank"),
+    )
+    e = _emb(spark, sf).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    cos = (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("v"), F.col("qv"))
+                / (
+                    F.sqrt(dot(F.col("v"), F.col("v")))
+                    * F.sqrt(dot(F.col("qv"), F.col("qv")))
+                ),
+                4,
+            ).alias("cos"),
+        )
+    )
+    wv = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    vec_r = cos.select(
+        F.col("vec_id").alias("id"),
+        F.row_number().over(wv).alias("vec_rank"),
+    )
+    fused = bm_r.join(vec_r, "id", "full_outer").select(
+        "id",
+        "bm25_rank",
+        "vec_rank",
+        (
+            F.coalesce(
+                F.lit(1.0)
+                / (F.lit(60.0) + F.col("bm25_rank").cast("double")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0)
+                / (F.lit(60.0) + F.col("vec_rank").cast("double")),
+                F.lit(0.0),
+            )
+        ).alias("rrf"),
+    )
+    wf = Window.orderBy(F.col("rrf").desc(), F.col("id").asc())
+    return fused.select(
+        "id",
+        "bm25_rank",
+        "vec_rank",
+        "rrf",
+        F.row_number().over(wf).alias("hybrid_rank"),
+    ).filter(F.col("hybrid_rank") <= 20)
+
+
 def q_decayed_score(spark, sf):
     """Exponentially time-decayed activity score per user
     (plans/stats.py::decayed_score): power-of-two weights accumulated
@@ -3583,6 +3663,7 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "hybrid_search",
     "decayed_score",
     "emd_click_error",
     "type_runs",
@@ -3865,6 +3946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kleinberg_bursts": q_kleinberg_bursts,
         "emd_click_error": q_emd_click_error,
         "decayed_score": q_decayed_score,
+        "hybrid_search": q_hybrid_search,
         "type_runs": q_type_runs,
         "runs_test": q_runs_test,
         "funnel_7d": q_funnel_7d,
@@ -5752,6 +5834,60 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
             "/ 100.0 AS trimmed_mean FROM kk "
             "WHERE rn > k AND rn <= m - k GROUP BY 1, 2"
+        ),
+        "hybrid_search": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS term FROM documents), "
+            "base AS (SELECT doc_id, term FROM toks "
+            "WHERE term <> ''), "
+            "lens AS (SELECT doc_id, COUNT(*) AS doc_len FROM base "
+            "GROUP BY 1), "
+            "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM base "
+            "GROUP BY 1, 2), "
+            "p AS (SELECT tf.doc_id, tf.term, tf.tf, lens.doc_len "
+            "FROM tf JOIN lens USING (doc_id)), "
+            "stats AS (SELECT COUNT(*) AS n_docs, SUM(doc_len) AS "
+            "sum_len FROM lens), "
+            "m AS (SELECT * FROM p WHERE term IN "
+            "('spark', 'join', 'vector')), "
+            "dfreq AS (SELECT term, COUNT(*) AS df FROM m "
+            "GROUP BY 1), "
+            "sc AS (SELECT m.doc_id, m.term, "
+            "ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / "
+            "(CAST(df AS DOUBLE) + 0.5)) * "
+            "(CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + "
+            "1.2 * (0.25 + 0.75 * (CAST(doc_len AS DOUBLE) / "
+            "(CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))) "
+            "AS s FROM m JOIN dfreq USING (term) CROSS JOIN stats), "
+            "pt AS (SELECT doc_id, "
+            "SUM(CASE WHEN term = 'spark' THEN s END) AS s0, "
+            "SUM(CASE WHEN term = 'join' THEN s END) AS s1, "
+            "SUM(CASE WHEN term = 'vector' THEN s END) AS s2 "
+            "FROM sc GROUP BY 1), "
+            "bm AS (SELECT doc_id, COALESCE(s0, 0.0) + "
+            "COALESCE(s1, 0.0) + COALESCE(s2, 0.0) AS score "
+            "FROM pt), "
+            "bmr AS (SELECT doc_id AS id, row_number() OVER "
+            "(ORDER BY score DESC, doc_id ASC) AS bm25_rank "
+            "FROM bm), "
+            "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM "
+            "embeddings WHERE vec_id = 0), "
+            "cosr AS (SELECT vec_id AS id, row_number() OVER "
+            "(ORDER BY ROUND(list_dot_product(CAST(embedding AS "
+            "DOUBLE[]), qv) / (sqrt(list_dot_product(CAST("
+            "embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) "
+            "* sqrt(list_dot_product(qv, qv))), 4) DESC, "
+            "vec_id ASC) AS vec_rank FROM embeddings, q "
+            "WHERE vec_id <> 0), "
+            "f AS (SELECT COALESCE(bmr.id, cosr.id) AS id, "
+            "bmr.bm25_rank, cosr.vec_rank, "
+            "COALESCE(1.0 / (60.0 + CAST(bm25_rank AS DOUBLE)), "
+            "0.0) + COALESCE(1.0 / (60.0 + CAST(vec_rank AS "
+            "DOUBLE)), 0.0) AS rrf FROM bmr FULL OUTER JOIN cosr "
+            "ON cosr.id = bmr.id) "
+            "SELECT id, bm25_rank, vec_rank, rrf, "
+            "row_number() OVER (ORDER BY rrf DESC, id ASC) AS "
+            "hybrid_rank FROM f QUALIFY hybrid_rank <= 20"
         ),
         "decayed_score": (
             "WITH pd AS (SELECT user_id AS key, "

@@ -154,3 +154,28 @@ def test_sq8_quantized_topk_recall(spark):
         hits += len(t & q)
         total += k
     assert hits / total >= 0.9, hits / total
+
+
+def test_hybrid_search_rrf_fuses_both_rankings(spark):
+    """RRF invariants on the real corpus: exactly 20 fused rows, every
+    doc ranked by BOTH legs outranks (in rrf) the same ranks taken
+    alone, and the top fused doc appears in at least one leg's
+    top-60."""
+    import __spark_entry__ as em
+
+    out = em.q_hybrid_search(spark, "/root/testdata/sf0.01").collect()
+    assert len(out) == 20
+    ranks = [r.hybrid_rank for r in out]
+    assert sorted(ranks) == list(range(1, 21))
+    for r in out:
+        expect = 0.0
+        if r.bm25_rank is not None:
+            expect += 1.0 / (60.0 + r.bm25_rank)
+        if r.vec_rank is not None:
+            expect += 1.0 / (60.0 + r.vec_rank)
+        assert r.rrf == expect
+        assert r.bm25_rank is not None or r.vec_rank is not None
+    # descending rrf with id tie-break
+    by_rank = sorted(out, key=lambda r: r.hybrid_rank)
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert (a.rrf, -a.id) >= (b.rrf, -b.id)
