@@ -1112,8 +1112,10 @@ def kleinberg_bursts(
         "key", "hour", F.coalesce("cnt", F.lit(0)).alias("cnt")
     )
 
+    key_type = dict(df.dtypes)[key_col]
     out_schema = (
-        "key long, T long, total_cnt long, cost long, n_burst long"
+        f"key {key_type}, T long, total_cnt long, cost long, "
+        "n_burst long"
     )
     g = int(gamma_micro)
 
@@ -1158,7 +1160,7 @@ def kleinberg_bursts(
             cost, nb = d1, b1
         return pd.DataFrame(
             {
-                "key": [int(pdf["key"].iloc[0])],
+                "key": [pdf["key"].iloc[0]],
                 "T": [T],
                 "total_cnt": [total],
                 "cost": [cost],
