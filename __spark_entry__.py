@@ -1454,6 +1454,38 @@ def q_trimmed_mean_1d(spark, sf):
     )
 
 
+def q_persistent_hitters(spark, sf):
+    """Keys in the daily top-10 by count on >= 3 distinct days
+    (plans/stats.py::persistent_hitters): per-day ranking with key
+    tie-break, exact integers — persistence mining."""
+    from tsaug_spark.plans.stats import persistent_hitters
+
+    return persistent_hitters(_events(spark, sf)).select(
+        F.col("key").alias("user_id"),
+        "days_in_topk",
+        "best_rank",
+        "events_on_those_days",
+    )
+
+
+def q_hellinger_click_error(spark, sf):
+    """Hellinger distance per user between click and error value
+    histograms (plans/stats.py::hellinger_distance): 32 fixed bins
+    over [0, 640), exact integer bin counts, one shared sqrt term per
+    bin folded in bin order."""
+    from tsaug_spark.plans.stats import hellinger_distance
+
+    return hellinger_distance(
+        _events(spark, sf), "click", "error"
+    ).select(
+        F.col("key").alias("user_id"),
+        "n_a",
+        "n_b",
+        "bhattacharyya",
+        "hellinger",
+    )
+
+
 def q_hybrid_search(spark, sf):
     """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
     keyword ranking (pipeline/search.py) and the embedding cosine
@@ -3663,6 +3695,8 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "persistent_hitters",
+    "hellinger_click_error",
     "hybrid_search",
     "decayed_score",
     "emd_click_error",
@@ -3947,6 +3981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_click_error": q_emd_click_error,
         "decayed_score": q_decayed_score,
         "hybrid_search": q_hybrid_search,
+        "persistent_hitters": q_persistent_hitters,
+        "hellinger_click_error": q_hellinger_click_error,
         "type_runs": q_type_runs,
         "runs_test": q_runs_test,
         "funnel_7d": q_funnel_7d,
@@ -5834,6 +5870,42 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
             "/ 100.0 AS trimmed_mean FROM kk "
             "WHERE rn > k AND rn <= m - k GROUP BY 1, 2"
+        ),
+        "persistent_hitters": (
+            "WITH daily AS (SELECT "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "user_id AS key, COUNT(*) AS cnt FROM events "
+            "GROUP BY 1, 2), "
+            "r AS (SELECT day, key, cnt, row_number() OVER "
+            "(PARTITION BY day ORDER BY cnt DESC, key ASC) AS rnk "
+            "FROM daily QUALIFY rnk <= 10) "
+            "SELECT key AS user_id, CAST(COUNT(*) AS BIGINT) AS "
+            "days_in_topk, CAST(MIN(rnk) AS BIGINT) AS best_rank, "
+            "CAST(SUM(cnt) AS BIGINT) AS events_on_those_days "
+            "FROM r GROUP BY 1 HAVING COUNT(*) >= 3"
+        ),
+        "hellinger_click_error": (
+            "WITH ev AS (SELECT user_id AS key, event_type AS "
+            "etype, least(31, greatest(0, CAST(floor((value - 0.0) "
+            "/ 20.0) AS INT))) AS bin FROM events "
+            "WHERE event_type IN ('click', 'error')), "
+            "pb AS (SELECT key, bin, "
+            "SUM(CASE WHEN etype = 'click' THEN 1 ELSE 0 END) AS "
+            "ca, SUM(CASE WHEN etype = 'error' THEN 1 ELSE 0 END) "
+            "AS cb FROM ev GROUP BY 1, 2), "
+            "t AS (SELECT key, bin, ca, cb, "
+            "SUM(ca) OVER (PARTITION BY key) AS n_a, "
+            "SUM(cb) OVER (PARTITION BY key) AS n_b FROM pb), "
+            "sc AS (SELECT key, bin, n_a, n_b, "
+            "sqrt(CAST(ca * cb AS DOUBLE) / "
+            "CAST(n_a * n_b AS DOUBLE)) AS term FROM t "
+            "WHERE n_a > 0 AND n_b > 0), "
+            "a AS (SELECT key, CAST(MIN(n_a) AS BIGINT) AS n_a, "
+            "CAST(MIN(n_b) AS BIGINT) AS n_b, "
+            "list_reduce(list(term ORDER BY bin), "
+            "(a_, b_) -> a_ + b_) AS bc FROM sc GROUP BY 1) "
+            "SELECT key AS user_id, n_a, n_b, bc AS bhattacharyya, "
+            "sqrt(greatest(0.0, 1.0 - bc)) AS hellinger FROM a"
         ),
         "hybrid_search": (
             "WITH toks AS (SELECT doc_id, "

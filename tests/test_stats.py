@@ -641,3 +641,45 @@ def test_decayed_score_ranks_fresh_over_bulk(spark):
            decayed_score(_ev(spark, rows)).collect()}
     assert out[1] > out[2]
     assert out[2] == 30 * 2.0 ** -10
+
+
+def test_persistent_hitters_requires_min_days(spark):
+    # user 1 tops 3 days; user 2 has one huge day only -> excluded
+    from tsaug_spark.plans.stats import persistent_hitters
+    rows = []
+    for d in range(3):
+        rows += [(1, d + i * 1e-4, "a", 1.0) for i in range(5)]
+    rows += [(2, 0 + i * 1e-4, "a", 1.0) for i in range(50)]
+    out = persistent_hitters(
+        _ev(spark, rows), top_k=2, min_days=3).collect()
+    assert [r.key for r in out] == [1]
+    r = out[0]
+    assert r.days_in_topk == 3
+    assert r.best_rank in (1, 2)  # rank 2 on the day user 2 spikes
+    assert r.events_on_those_days == 15
+
+
+def test_hellinger_identical_zero_disjoint_one(spark):
+    from tsaug_spark.plans.stats import hellinger_distance
+    # user 1: identical histograms -> H = 0, BC = 1
+    rows = [(1, 0.01 * i, "click", v)
+            for i, v in enumerate((5.0, 25.0, 45.0))]
+    rows += [(1, 1 + 0.01 * i, "error", v)
+             for i, v in enumerate((5.0, 25.0, 45.0))]
+    # user 2: disjoint bins -> BC = 0, H = 1
+    rows += [(2, 0.01, "click", 5.0), (2, 0.02, "error", 105.0)]
+    out = {r.key: r for r in hellinger_distance(
+        _ev(spark, rows), "click", "error").collect()}
+    assert out[1].bhattacharyya == 1.0 and out[1].hellinger == 0.0
+    assert out[2].bhattacharyya == 0.0 and out[2].hellinger == 1.0
+
+
+def test_hellinger_clamps_out_of_range_values(spark):
+    # values beyond [0, 640) land in the edge bins, never dropped
+    from tsaug_spark.plans.stats import hellinger_distance
+    rows = [(1, 0.01, "click", -50.0), (1, 0.02, "error", -49.0),
+            (1, 0.03, "click", 9999.0), (1, 0.04, "error", 9999.0)]
+    r = hellinger_distance(_ev(spark, rows), "click",
+                           "error").collect()[0]
+    assert r.n_a == 2 and r.n_b == 2
+    assert r.bhattacharyya == 1.0  # same two edge bins, same shares

@@ -1357,3 +1357,138 @@ def decayed_score(
             * F.lit(2.0) ** F.lit(-36)
         ).alias("decayed_score"),
     )
+
+
+def persistent_hitters(
+    df: DataFrame,
+    top_k: int = 10,
+    min_days: int = 3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Persistence mining: keys that appear in the DAILY top-``top_k``
+    by event count on at least ``min_days`` distinct days — the
+    "reliably heavy" cut that one-shot heavy-hitter lists miss (a
+    single viral day makes the global top-k; showing up every day
+    does not).
+
+    Exact integer counts; the per-day ranking tie-breaks on the key,
+    so membership is deterministic.  Output per surviving key: days
+    in the top-k, best (lowest) rank, total events on those days.
+
+    Scale: one (day, key) count aggregate, one per-day top-k window
+    (partitioned by day — never a global sort), one key aggregate.
+    """
+    daily = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("day", "key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("cnt").desc(), F.col("key").asc()
+    )
+    ranked = daily.select(
+        "day", "key", "cnt", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= top_k)
+    return (
+        ranked.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("days_in_topk"),
+            F.min("rnk").alias("best_rank"),
+            F.sum("cnt").alias("events_on_those_days"),
+        )
+        .filter(F.col("days_in_topk") >= min_days)
+    )
+
+
+def hellinger_distance(
+    df: DataFrame,
+    type_a: str,
+    type_b: str,
+    n_bins: int = 32,
+    lo: float = 0.0,
+    hi: float = 640.0,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hellinger distance per key between two event types' value
+    HISTOGRAMS (fixed bins over [lo, hi), clamped edges) — the
+    bounded-[0,1] divergence that, unlike KS/EMD, is symmetric in
+    probability space and robust to support mismatch.
+
+        H^2 = 1 - sum_b sqrt(p_b * q_b)
+
+    Bin counts are exact integers; each term is ONE shared expression
+    ``sqrt((ca*cb)/(na*nb))`` (the product ratio computed as exact
+    integers cast once), folded in bin order (sorted fold) so both
+    engines accumulate bit-identically; the final ``sqrt(1 - bc)`` is
+    shared too (clamped at 0 for rounding).
+
+    Scale: one (key, bin) hash aggregate over a BOUNDED bin set, one
+    per-key fold.
+    """
+    width = (hi - lo) / n_bins
+    ev = df.filter(
+        F.col(type_col).isin([type_a, type_b])
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(type_col).alias("etype"),
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+                .cast("int"),
+            ),
+        ).alias("bin"),
+    )
+    per_bin = ev.groupBy("key", "bin").agg(
+        F.sum(
+            F.when(F.col("etype") == type_a, F.lit(1)).otherwise(F.lit(0))
+        ).alias("ca"),
+        F.sum(
+            F.when(F.col("etype") == type_b, F.lit(1)).otherwise(F.lit(0))
+        ).alias("cb"),
+    )
+    cw = Window.partitionBy("key")
+    terms = per_bin.select(
+        "key",
+        "bin",
+        F.sum("ca").over(cw).alias("n_a"),
+        F.sum("cb").over(cw).alias("n_b"),
+        "ca",
+        "cb",
+    ).filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    scored = terms.select(
+        "key",
+        "bin",
+        "n_a",
+        "n_b",
+        F.sqrt(
+            (F.col("ca") * F.col("cb")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("term"),
+    )
+    agg = scored.groupBy("key").agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bin", "term"))),
+            F.lit(0.0),
+            lambda a, s: a + s["term"],
+        ).alias("bc"),
+    )
+    return agg.select(
+        "key",
+        "n_a",
+        "n_b",
+        F.col("bc").alias("bhattacharyya"),
+        F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - F.col("bc")))
+        .alias("hellinger"),
+    )
