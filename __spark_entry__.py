@@ -1454,6 +1454,22 @@ def q_trimmed_mean_1d(spark, sf):
     )
 
 
+def q_quantile_drift(spark, sf):
+    """Week-over-week median drift per event type
+    (plans/stats.py::quantile_drift): rank-selected weekly medians
+    over exact cents, lag delta, observed-week gaps reported."""
+    from tsaug_spark.plans.stats import quantile_drift
+
+    return quantile_drift(_events(spark, sf)).select(
+        F.col("grp").alias("event_type"),
+        "week",
+        "n",
+        "med_cents",
+        "delta_cents",
+        "weeks_gap",
+    )
+
+
 def q_persistent_hitters(spark, sf):
     """Keys in the daily top-10 by count on >= 3 distinct days
     (plans/stats.py::persistent_hitters): per-day ranking with key
@@ -3695,6 +3711,7 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "quantile_drift",
     "persistent_hitters",
     "hellinger_click_error",
     "hybrid_search",
@@ -3982,6 +3999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_score": q_decayed_score,
         "hybrid_search": q_hybrid_search,
         "persistent_hitters": q_persistent_hitters,
+        "quantile_drift": q_quantile_drift,
         "hellinger_click_error": q_hellinger_click_error,
         "type_runs": q_type_runs,
         "runs_test": q_runs_test,
@@ -5870,6 +5888,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
             "/ 100.0 AS trimmed_mean FROM kk "
             "WHERE rn > k AND rn <= m - k GROUP BY 1, 2"
+        ),
+        "quantile_drift": (
+            "WITH ev AS (SELECT event_type AS grp, "
+            "CAST(floor(epoch(ts)/604800) AS BIGINT) AS week, "
+            "CAST(round(value*100) AS BIGINT) AS cents, "
+            "event_id AS oid FROM events), "
+            "r AS (SELECT grp, week, cents, row_number() OVER "
+            "(PARTITION BY grp, week ORDER BY cents, oid) AS rn, "
+            "COUNT(*) OVER (PARTITION BY grp, week) AS m FROM ev), "
+            "med AS (SELECT grp, week, CAST(MIN(m) AS BIGINT) AS "
+            "n, CAST(SUM(cents) AS DOUBLE) / "
+            "CAST(COUNT(*) AS DOUBLE) AS med_cents FROM r "
+            "WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2 "
+            "GROUP BY 1, 2) "
+            "SELECT grp AS event_type, week, n, med_cents, "
+            "med_cents - lag(med_cents) OVER w AS delta_cents, "
+            "week - lag(week) OVER w AS weeks_gap FROM med "
+            "WINDOW w AS (PARTITION BY grp ORDER BY week)"
         ),
         "persistent_hitters": (
             "WITH daily AS (SELECT "

@@ -683,3 +683,21 @@ def test_hellinger_clamps_out_of_range_values(spark):
                            "error").collect()[0]
     assert r.n_a == 2 and r.n_b == 2
     assert r.bhattacharyya == 1.0  # same two edge bins, same shares
+
+
+def test_quantile_drift_weekly_medians_and_delta(spark):
+    # type 'a': week0 values 1,2,3 (med 200c); week1 values 5,7
+    # (med 600c) -> delta +400c, gap 1.  Week2 empty, week3 values 9
+    # -> delta spans to week1 with gap 2.
+    from tsaug_spark.plans.stats import quantile_drift
+    rows = [(1, d, "a", v) for d, v in
+            ((0, 1.0), (1, 2.0), (2, 3.0))]
+    rows += [(1, 7, "a", 5.0), (1, 8, "a", 7.0)]
+    rows += [(1, 21, "a", 9.0)]
+    out = sorted(quantile_drift(_ev(spark, rows)).collect(),
+                 key=lambda r: r.week)
+    assert [r.n for r in out] == [3, 2, 1]
+    assert out[0].med_cents == 200.0 and out[0].delta_cents is None
+    assert out[1].med_cents == 600.0 and out[1].delta_cents == 400.0
+    assert out[1].weeks_gap == 1
+    assert out[2].med_cents == 900.0 and out[2].weeks_gap == 2

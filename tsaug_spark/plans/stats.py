@@ -1492,3 +1492,68 @@ def hellinger_distance(
         F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - F.col("bc")))
         .alias("hellinger"),
     )
+
+
+def quantile_drift(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Week-over-week median drift per event type — the monitoring
+    series a data-quality dashboard alerts on: each (type, ISO-epoch
+    week) gets its rank-selected median value, then a lag window
+    yields the delta from the previous observed week.
+
+    Medians are two-mid-rank over exact cents (tie-break on the order
+    column); the delta is a subtraction of two such exact .0/.5
+    doubles — deterministic.  Weeks with no events are skipped (the
+    delta spans to the previous OBSERVED week; the gap length is
+    reported so consumers can treat long gaps differently).
+
+    Scale: one (type, week) ordered-window median chain (vocabulary x
+    weeks partitions), one per-type lag window.
+    """
+    ev = df.select(
+        F.col(type_col).alias("grp"),
+        F.floor(F.unix_timestamp(F.col(ts_col)) / 604800)
+        .cast("long")
+        .alias("week"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+        F.col(order_col).alias("oid"),
+    )
+    w = Window.partitionBy("grp", "week").orderBy("cents", "oid")
+    cw = Window.partitionBy("grp", "week")
+    ranked = ev.select(
+        "grp",
+        "week",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("m"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("m") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("m") + 2) / 2))
+        )
+        .groupBy("grp", "week")
+        .agg(
+            F.first("m").alias("n"),
+            (
+                F.sum("cents").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("med_cents"),
+        )
+    )
+    lw = Window.partitionBy("grp").orderBy("week")
+    return med.select(
+        "grp",
+        "week",
+        "n",
+        "med_cents",
+        (F.col("med_cents") - F.lag("med_cents").over(lw)).alias(
+            "delta_cents"
+        ),
+        (F.col("week") - F.lag("week").over(lw)).alias("weeks_gap"),
+    )
