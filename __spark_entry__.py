@@ -1484,6 +1484,15 @@ def q_persistent_hitters(spark, sf):
     )
 
 
+def q_slo_burn(spark, sf):
+    """Multi-window error-budget burn-rate paging flags
+    (plans/metrics.py::slo_burn): hourly exact error/total counts,
+    6h RANGE-window sums, page = fast AND slow burn over threshold."""
+    from tsaug_spark.plans.metrics import slo_burn
+
+    return slo_burn(_events(spark, sf))
+
+
 def q_hellinger_click_error(spark, sf):
     """Hellinger distance per user between click and error value
     histograms (plans/stats.py::hellinger_distance): 32 fixed bins
@@ -3711,6 +3720,7 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "slo_burn",
     "quantile_drift",
     "persistent_hitters",
     "hellinger_click_error",
@@ -3999,6 +4009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_score": q_decayed_score,
         "hybrid_search": q_hybrid_search,
         "persistent_hitters": q_persistent_hitters,
+        "slo_burn": q_slo_burn,
         "quantile_drift": q_quantile_drift,
         "hellinger_click_error": q_hellinger_click_error,
         "type_runs": q_type_runs,
@@ -5906,6 +5917,30 @@ def oracle_sql() -> dict[str, str]:
             "med_cents - lag(med_cents) OVER w AS delta_cents, "
             "week - lag(week) OVER w AS weeks_gap FROM med "
             "WINDOW w AS (PARTITION BY grp ORDER BY week)"
+        ),
+        "slo_burn": (
+            "WITH hourly AS (SELECT "
+            "CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour, "
+            "COUNT(*) AS tot_1h, "
+            "SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
+            "AS err_1h FROM events GROUP BY 1), "
+            "win AS (SELECT hour * 3600 AS bucket_s, tot_1h, err_1h, "
+            "SUM(tot_1h) OVER w6 AS tot_6h, "
+            "SUM(err_1h) OVER w6 AS err_6h FROM hourly "
+            "WINDOW w6 AS (ORDER BY hour RANGE BETWEEN 5 PRECEDING "
+            "AND CURRENT ROW)) "
+            "SELECT bucket_s, CAST(tot_1h AS BIGINT) AS tot_1h, "
+            "CAST(err_1h AS BIGINT) AS err_1h, "
+            "CAST(tot_6h AS BIGINT) AS tot_6h, "
+            "CAST(err_6h AS BIGINT) AS err_6h, "
+            "CAST(err_1h AS DOUBLE) / CAST(tot_1h AS DOUBLE) / 0.25 "
+            "AS burn_1h, "
+            "CAST(err_6h AS DOUBLE) / CAST(tot_6h AS DOUBLE) / 0.25 "
+            "AS burn_6h, "
+            "(CAST(err_1h AS DOUBLE) / CAST(tot_1h AS DOUBLE) / 0.25 "
+            "> 1.1) AND "
+            "(CAST(err_6h AS DOUBLE) / CAST(tot_6h AS DOUBLE) / 0.25 "
+            "> 1.02) AS page FROM win"
         ),
         "persistent_hitters": (
             "WITH daily AS (SELECT "

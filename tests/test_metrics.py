@@ -1470,3 +1470,37 @@ def test_trimmed_mean_resists_outlier(spark):
     assert r.n == 10
     # k=1: drop one 10.0 and the 10000.0 -> mean of eight 10.0s
     assert r.trimmed_mean == 10.0
+
+
+def test_slo_burn_multiwindow_page(spark):
+    import datetime as dt
+
+    # h0: 1/4 errors (burn 1.0, no page); h1: 4/10 (fast 1.6, slow
+    # 5/14*4=1.43 -> page); h2: 0/10 (no page); h8: 2/5 (fast 1.6,
+    # slow window [h3..h8] holds ONLY h8 -> 1.6 -> page; checks the
+    # sparse RANGE window skips hours outside the 6h span).
+    from tsaug_spark.plans.metrics import slo_burn
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for hour, tot, err in ((0, 4, 1), (1, 10, 4), (2, 10, 0),
+                           (8, 5, 2)):
+        for i in range(tot):
+            rows.append(
+                (len(rows), t0 + dt.timedelta(hours=hour, seconds=i),
+                 1, "error" if i < err else "click", 1.0)
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    out = {r.tot_1h and r.bucket_s: r for r in slo_burn(df).collect()}
+    base = int(t0.timestamp())
+    assert [out[base + h * 3600].page for h in (0, 1, 2, 8)] == [
+        False, True, False, True]
+    r1 = out[base + 3600]
+    assert (r1.tot_6h, r1.err_6h) == (14, 5)
+    assert r1.burn_1h == 1.6 and abs(r1.burn_6h - 5 / 14 * 4) < 1e-12
+    r8 = out[base + 8 * 3600]
+    assert (r8.tot_6h, r8.err_6h) == (5, 2)  # gap hours excluded

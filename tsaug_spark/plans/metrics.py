@@ -2576,3 +2576,81 @@ def lcs_pairs(
             )
 
     return pairs.mapInPandas(_kernel, out_schema)
+
+
+def slo_burn(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    error_type: str = "error",
+    slo: float = 0.75,
+    fast_threshold: float = 1.1,
+    slow_threshold: float = 1.02,
+) -> DataFrame:
+    """Multi-window error-budget burn-rate alerts — the SRE-workbook
+    paging rule: page only when BOTH a fast window (1 h) and a slow
+    window (6 h) burn the error budget faster than their thresholds,
+    so a brief spike (fast-only) or a long slow leak (slow-only)
+    doesn't page by itself.
+
+    Burn rate is ``error_share / (1 - slo)``; with a 1 h fast window
+    and a 6 h trailing slow window the classic thresholds scale with
+    the budget.  Error/total counts per hour are exact BIGINTs; the
+    6 h counts are RANGE-window integer sums over the hour index
+    (hours with zero events contribute zero to both numerator and
+    denominator, so the sparse form equals the dense form); each burn
+    rate is ONE float division over exact integers, so the flags
+    replay bit-identically in the oracle.
+
+    Scale: one hour-grain hash aggregate over raw events (map-side
+    partial, output rows = hours in retention), then one ordered
+    window over that tiny hourly series.  The expensive pass is the
+    first aggregate, which is exactly the 1h rollup tier the cascade
+    already maintains — in production this reads the tier, not raw.
+    """
+    budget = 1.0 - slo
+    hourly = df.select(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / 3600)
+        .cast("long")
+        .alias("hour"),
+        (F.col(type_col) == error_type).cast("long").alias("is_err"),
+    ).groupBy("hour").agg(
+        F.count(F.lit(1)).alias("tot_1h"),
+        F.sum("is_err").alias("err_1h"),
+    )
+    w6 = (
+        Window.orderBy("hour").rangeBetween(-5, 0)
+    )
+    burn_f = (
+        F.col("err_1h").cast("double")
+        / F.col("tot_1h").cast("double")
+        / F.lit(budget)
+    )
+    burn_s = (
+        F.col("err_6h").cast("double")
+        / F.col("tot_6h").cast("double")
+        / F.lit(budget)
+    )
+    return (
+        hourly.select(
+            (F.col("hour") * 3600).alias("bucket_s"),
+            "hour",
+            "tot_1h",
+            "err_1h",
+            F.sum("tot_1h").over(w6).alias("tot_6h"),
+            F.sum("err_1h").over(w6).alias("err_6h"),
+        )
+        .select(
+            "bucket_s",
+            "tot_1h",
+            "err_1h",
+            "tot_6h",
+            "err_6h",
+            burn_f.alias("burn_1h"),
+            burn_s.alias("burn_6h"),
+            (
+                (burn_f > F.lit(fast_threshold))
+                & (burn_s > F.lit(slow_threshold))
+            ).alias("page"),
+        )
+    )
