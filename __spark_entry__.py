@@ -1484,6 +1484,15 @@ def q_persistent_hitters(spark, sf):
     )
 
 
+def q_heaps_law(spark, sf):
+    """Heaps'-law vocabulary-growth exponent per source
+    (pipeline/text.py::heaps_law): first-doc type charging, exact
+    cumulative curves, centibit-quantized OLS — zipf_slope's twin."""
+    from tsaug_spark.pipeline.text import heaps_law
+
+    return heaps_law(_docs(spark, sf))
+
+
 def q_slo_burn(spark, sf):
     """Multi-window error-budget burn-rate paging flags
     (plans/metrics.py::slo_burn): hourly exact error/total counts,
@@ -3720,6 +3729,7 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "heaps_law",
     "slo_burn",
     "quantile_drift",
     "persistent_hitters",
@@ -4010,6 +4020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "persistent_hitters": q_persistent_hitters,
         "slo_burn": q_slo_burn,
+        "heaps_law": q_heaps_law,
         "quantile_drift": q_quantile_drift,
         "hellinger_click_error": q_hellinger_click_error,
         "type_runs": q_type_runs,
@@ -5917,6 +5928,41 @@ def oracle_sql() -> dict[str, str]:
             "med_cents - lag(med_cents) OVER w AS delta_cents, "
             "week - lag(week) OVER w AS weeks_gap FROM med "
             "WINDOW w AS (PARTITION BY grp ORDER BY week)"
+        ),
+        "heaps_law": (
+            "WITH toks AS (SELECT source AS grp, doc_id AS doc, "
+            "unnest(regexp_extract_all(lower(text), '[a-z]+')) AS "
+            "tok FROM documents), "
+            "tk AS (SELECT * FROM toks WHERE tok <> ''), "
+            "nt AS (SELECT grp, doc, COUNT(*) AS new_types FROM "
+            "(SELECT grp, tok, MIN(doc) AS doc FROM tk GROUP BY 1, 2) "
+            "GROUP BY 1, 2), "
+            "dtok AS (SELECT grp, doc, COUNT(*) AS n_toks FROM tk "
+            "GROUP BY 1, 2), "
+            "cum AS (SELECT d.grp, d.doc, "
+            "SUM(d.n_toks) OVER w AS cum_toks, "
+            "SUM(COALESCE(nt.new_types, 0)) OVER w AS cum_types "
+            "FROM dtok d LEFT JOIN nt ON d.grp = nt.grp AND "
+            "d.doc = nt.doc WINDOW w AS (PARTITION BY d.grp "
+            "ORDER BY d.doc ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW)), "
+            "pts AS (SELECT grp, CAST(floor(100.0 * log2(CAST("
+            "cum_toks AS DOUBLE))) AS BIGINT) AS x, "
+            "CAST(floor(100.0 * log2(CAST(cum_types AS DOUBLE))) "
+            "AS BIGINT) AS y FROM cum "
+            "WHERE cum_toks >= 1 AND cum_types >= 1), "
+            "a AS (SELECT grp, COUNT(*) AS n, SUM(x) AS sx, "
+            "SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx, "
+            "SUM(y*y) AS syy FROM pts GROUP BY 1) "
+            "SELECT grp AS source, CAST(n AS BIGINT) AS n_docs, "
+            "CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "CAST(n*sxx - sx*sx AS DOUBLE) AS heaps_beta, "
+            "CASE WHEN n*syy - sy*sy > 0 THEN "
+            "(CAST(n*sxy - sx*sy AS DOUBLE) * "
+            "CAST(n*sxy - sx*sy AS DOUBLE)) / "
+            "(CAST(n*sxx - sx*sx AS DOUBLE) * "
+            "CAST(n*syy - sy*sy AS DOUBLE)) END AS r2 "
+            "FROM a WHERE n >= 2 AND n*sxx - sx*sx > 0"
         ),
         "slo_burn": (
             "WITH hourly AS (SELECT "

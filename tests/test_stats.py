@@ -701,3 +701,42 @@ def test_quantile_drift_weekly_medians_and_delta(spark):
     assert out[1].med_cents == 600.0 and out[1].delta_cents == 400.0
     assert out[1].weeks_gap == 1
     assert out[2].med_cents == 900.0 and out[2].weeks_gap == 2
+
+
+def test_heaps_law_exact_cumulative_ols(spark):
+    # doc0 "a b c": cum (3 toks, 3 types); doc1 "a b d d": cum (7,4);
+    # doc2 "a a a": cum (10,4).
+    # x = floor(100*log2([3,7,10])) = [158, 280, 332]
+    # y = floor(100*log2([3,4,4]))  = [158, 200, 200]
+    from tsaug_spark.pipeline.text import heaps_law
+    docs = spark.createDataFrame(
+        [(0, "s1", "a b c"), (1, "s1", "a b d d"), (2, "s1", "a a a")],
+        "doc_id long, source string, text string",
+    )
+    r = heaps_law(docs).collect()[0]
+    xs, ys = [158, 280, 332], [158, 200, 200]
+    n, sx, sy = 3, sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    num, dxx, dyy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    assert r.n_docs == 3
+    assert r.heaps_beta == num / dxx
+    assert abs(r.r2 - (num * num) / (dxx * dyy)) < 1e-15
+    assert 0.0 < r.heaps_beta < 1.0
+
+
+def test_heaps_law_templated_corpus_flattens(spark):
+    # identical docs mint no new types after doc 0 -> beta near 0;
+    # all-fresh docs keep slope 1.
+    from tsaug_spark.pipeline.text import heaps_law
+    same = [(i, "dup", "lorem ipsum dolor") for i in range(8)]
+    fresh = [(i, "fresh",
+              f"{'x' * (i + 1)}a {'x' * (i + 1)}b {'x' * (i + 1)}c")
+             for i in range(8)]
+    out = {r.source: r for r in
+           heaps_law(spark.createDataFrame(
+               same + fresh,
+               "doc_id long, source string, text string")).collect()}
+    assert out["dup"].heaps_beta < 0.2
+    assert out["fresh"].heaps_beta > 0.9

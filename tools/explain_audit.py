@@ -816,6 +816,8 @@ def main() -> None:
         ("basket_lift", em.q_basket_lift),
         ("embed_sq8", em.q_embed_sq8),
         ("markov_stationary", em.q_markov_stationary),
+        ("hybrid_search", em.q_hybrid_search),
+        ("decayed_score", em.q_decayed_score),
     ]:
         audit(
             f"{nm} (scalar-broadcast cross join, JVM only)",
@@ -848,6 +850,26 @@ def main() -> None:
                        "FlatMapGroupsInPandas"],
         execute=True,
     )
+
+    # batch-5 screens (stats + retrieval): pure-JVM window/aggregate
+    # pipelines — no Python stages, no data-sized nested-loop joins
+    for nm, q in [
+        ("slo_burn", em.q_slo_burn),
+        ("quantile_drift", em.q_quantile_drift),
+        ("persistent_hitters", em.q_persistent_hitters),
+        ("hellinger_click_error", em.q_hellinger_click_error),
+        ("heaps_law", em.q_heaps_law),
+    ]:
+        audit(
+            f"{nm} (stats/retrieval screen, JVM only)",
+            q(spark, sf),
+            must_have=["HashAggregate"],
+            must_not_have=["CartesianProduct",
+                           "BroadcastNestedLoopJoin",
+                           "BatchEvalPython", "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
 
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")

@@ -427,3 +427,99 @@ def zipf_slope(
             / (dxx.cast("double") * dyy.cast("double")),
         ).alias("r2"),
     )
+
+
+def heaps_law(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit per corpus slice: the OLS
+    slope of log2(distinct types seen) against log2(tokens seen),
+    accumulated doc-by-doc in ``id_col`` order.  Natural text grows
+    vocabulary as V = K * n^beta with beta ~ 0.4-0.6; templated or
+    looping corpora flatten (beta -> 0) while random-ish noise keeps
+    minting types (beta -> 1) — the growth-curve complement to the
+    frequency-table screen in :func:`zipf_slope`.
+
+    Each token type is charged to the FIRST doc that introduces it
+    (min doc id per (slice, token) — one vocabulary-bounded hash
+    aggregate), so the per-doc new-type counts and token counts are
+    exact BIGINTs; the cumulative curve is two integer window sums
+    over doc order; both logs are quantized per DOC to exact centibit
+    integers so the OLS sufficient statistics are exact BIGINT sums
+    and slope / R^2 are shared final-division expressions (the
+    ``zipf_slope`` determinism contract).
+
+    Scale: tokenize once (narrow), one (slice, token) aggregate
+    bounded by vocabulary, one (slice, doc) aggregate, then windows
+    over docs-per-slice rows.  The per-slice cumulative window is
+    docs-bounded, not token-bounded; at extreme corpus sizes the
+    curve would be sampled at log-spaced doc ranks before the fit.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+            )
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    new_types = (
+        toks.groupBy("grp", "tok")
+        .agg(F.min("doc").alias("doc"))
+        .groupBy("grp", "doc")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    doc_tokens = toks.groupBy("grp", "doc").agg(
+        F.count(F.lit(1)).alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("doc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = doc_tokens.join(new_types, ["grp", "doc"], "left").select(
+        "grp",
+        "doc",
+        F.sum("n_toks").over(w).alias("cum_toks"),
+        F.sum(F.coalesce(F.col("new_types"), F.lit(0)))
+        .over(w)
+        .alias("cum_types"),
+    )
+    pts = cum.filter(
+        (F.col("cum_toks") >= 1) & (F.col("cum_types") >= 1)
+    ).select(
+        "grp",
+        F.floor(F.lit(100.0) * F.log2(F.col("cum_toks").cast("double")))
+        .cast("long")
+        .alias("x"),
+        F.floor(
+            F.lit(100.0) * F.log2(F.col("cum_types").cast("double"))
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    agg = pts.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).filter(F.col("n") >= 2)
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.filter(dxx > 0).select(
+        F.col("grp").alias(group_col),
+        F.col("n").alias("n_docs"),
+        (num.cast("double") / dxx.cast("double")).alias("heaps_beta"),
+        F.when(
+            dyy > 0,
+            (num.cast("double") * num.cast("double"))
+            / (dxx.cast("double") * dyy.cast("double")),
+        ).alias("r2"),
+    )
