@@ -1493,6 +1493,37 @@ def q_heaps_law(spark, sf):
     return heaps_law(_docs(spark, sf))
 
 
+def q_chi2_type_hour(spark, sf):
+    """Chi-squared independence of event type vs hour-of-day plus
+    Cramer's V (plans/stats.py::chi2_independence): zero-cell-free
+    identity, pico-quantized division-only cell terms, exact BIGINT
+    accumulation."""
+    from tsaug_spark.plans.stats import chi2_independence
+
+    return chi2_independence(_events(spark, sf))
+
+
+def q_spearman_pairs(spark, sf):
+    """Spearman rank correlation between every event-type pair's
+    daily totals (plans/stats.py::spearman_pairs): doubled average
+    ranks as exact BIGINTs, Pearson on ranks with one shared final
+    expression."""
+    from tsaug_spark.plans.stats import spearman_pairs
+
+    return spearman_pairs(_events(spark, sf))
+
+
+def q_jsd_click_error(spark, sf):
+    """Jensen-Shannon divergence per user between click and error
+    value histograms (plans/stats.py::js_divergence): exact integer
+    log arguments, micro-bit quantized terms, BIGINT accumulation."""
+    from tsaug_spark.plans.stats import js_divergence
+
+    return js_divergence(_events(spark, sf), "click", "error").select(
+        F.col("key").alias("user_id"), "n_a", "n_b", "jsd_bits"
+    )
+
+
 def q_slo_burn(spark, sf):
     """Multi-window error-budget burn-rate paging flags
     (plans/metrics.py::slo_burn): hourly exact error/total counts,
@@ -3729,6 +3760,9 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "chi2_type_hour",
+    "spearman_pairs",
+    "jsd_click_error",
     "heaps_law",
     "slo_burn",
     "quantile_drift",
@@ -4021,6 +4055,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "persistent_hitters": q_persistent_hitters,
         "slo_burn": q_slo_burn,
         "heaps_law": q_heaps_law,
+        "chi2_type_hour": q_chi2_type_hour,
+        "spearman_pairs": q_spearman_pairs,
+        "jsd_click_error": q_jsd_click_error,
         "quantile_drift": q_quantile_drift,
         "hellinger_click_error": q_hellinger_click_error,
         "type_runs": q_type_runs,
@@ -5928,6 +5965,82 @@ def oracle_sql() -> dict[str, str]:
             "med_cents - lag(med_cents) OVER w AS delta_cents, "
             "week - lag(week) OVER w AS weeks_gap FROM med "
             "WINDOW w AS (PARTITION BY grp ORDER BY week)"
+        ),
+        "chi2_type_hour": (
+            "WITH cells AS (SELECT event_type AS etype, "
+            "CAST(hour(ts) AS BIGINT) AS hr, COUNT(*) AS o FROM events "
+            "GROUP BY 1, 2), "
+            "t AS (SELECT o, SUM(o) OVER (PARTITION BY etype) AS rt, "
+            "SUM(o) OVER (PARTITION BY hr) AS ct, SUM(o) OVER () AS n, "
+            "(SELECT COUNT(DISTINCT event_type) FROM events) AS r_levels, "
+            "(SELECT COUNT(DISTINCT hour(ts)) FROM events) AS c_levels "
+            "FROM cells), "
+            "p AS (SELECT n, r_levels, c_levels, CAST(floor(1e12 * ("
+            "CAST(o*o AS DOUBLE) / (CAST(rt AS DOUBLE) * "
+            "CAST(ct AS DOUBLE)))) AS BIGINT) AS pico FROM t), "
+            "a AS (SELECT n, r_levels, c_levels, SUM(pico) AS s FROM p "
+            "GROUP BY 1, 2, 3) "
+            "SELECT CAST(n AS BIGINT) AS n_events, "
+            "CAST(r_levels AS INT) AS r_levels, "
+            "CAST(c_levels AS INT) AS c_levels, "
+            "CAST((r_levels - 1) * (c_levels - 1) AS BIGINT) AS dof, "
+            "CAST(n AS DOUBLE) * CAST(s AS DOUBLE) / 1e12 "
+            "- CAST(n AS DOUBLE) AS chi2, "
+            "sqrt(greatest(0.0, CAST(n AS DOUBLE) * CAST(s AS DOUBLE) "
+            "/ 1e12 - CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) * "
+            "CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE))) "
+            "AS cramers_v FROM a"
+        ),
+        "spearman_pairs": (
+            "WITH d AS (SELECT event_type AS etype, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "SUM(CAST(round(value*100) AS BIGINT)) AS cents FROM events "
+            "GROUP BY 1, 2), "
+            "j AS (SELECT a.etype AS ta, b.etype AS tb, a.cents AS ca, "
+            "b.cents AS cb FROM d a JOIN d b USING (day) "
+            "WHERE a.etype < b.etype), "
+            "r AS (SELECT ta, tb, "
+            "2*rank() OVER (PARTITION BY ta, tb ORDER BY ca) "
+            "+ COUNT(*) OVER (PARTITION BY ta, tb, ca) - 1 AS rx, "
+            "2*rank() OVER (PARTITION BY ta, tb ORDER BY cb) "
+            "+ COUNT(*) OVER (PARTITION BY ta, tb, cb) - 1 AS ry "
+            "FROM j), "
+            "a AS (SELECT ta, tb, COUNT(*) AS n, SUM(rx) AS sx, "
+            "SUM(ry) AS sy, SUM(rx*ry) AS sxy, SUM(rx*rx) AS sxx, "
+            "SUM(ry*ry) AS syy FROM r GROUP BY 1, 2) "
+            "SELECT ta AS type_a, tb AS type_b, "
+            "CAST(n AS BIGINT) AS n_days, "
+            "CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * "
+            "CAST(n*syy - sy*sy AS DOUBLE)) AS spearman_rho "
+            "FROM a WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0"
+        ),
+        "jsd_click_error": (
+            "WITH ev AS (SELECT user_id AS key, event_type AS etype, "
+            "least(31, greatest(0, CAST(floor((value - 0.0) / 20.0) "
+            "AS INT))) AS bin FROM events "
+            "WHERE event_type IN ('click', 'error')), "
+            "pb AS (SELECT key, bin, "
+            "SUM(CASE WHEN etype = 'click' THEN 1 ELSE 0 END) AS ca, "
+            "SUM(CASE WHEN etype = 'error' THEN 1 ELSE 0 END) AS cb "
+            "FROM ev GROUP BY 1, 2), "
+            "t AS (SELECT key, ca, cb, "
+            "SUM(ca) OVER (PARTITION BY key) AS na, "
+            "SUM(cb) OVER (PARTITION BY key) AS nb FROM pb), "
+            "sc AS (SELECT key, na, nb, "
+            "CASE WHEN ca > 0 THEN CAST(floor(1e6 * "
+            "(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) * "
+            "log2(CAST(2*ca*nb AS DOUBLE) / "
+            "CAST(ca*nb + cb*na AS DOUBLE))) AS BIGINT) ELSE 0 END "
+            "+ CASE WHEN cb > 0 THEN CAST(floor(1e6 * "
+            "(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) * "
+            "log2(CAST(2*cb*na AS DOUBLE) / "
+            "CAST(ca*nb + cb*na AS DOUBLE))) AS BIGINT) ELSE 0 END "
+            "AS micro FROM t WHERE na > 0 AND nb > 0) "
+            "SELECT key AS user_id, CAST(MIN(na) AS BIGINT) AS n_a, "
+            "CAST(MIN(nb) AS BIGINT) AS n_b, "
+            "CAST(SUM(micro) AS DOUBLE) / 2e6 AS jsd_bits "
+            "FROM sc GROUP BY 1"
         ),
         "heaps_law": (
             "WITH toks AS (SELECT source AS grp, doc_id AS doc, "

@@ -740,3 +740,84 @@ def test_heaps_law_templated_corpus_flattens(spark):
                "doc_id long, source string, text string")).collect()}
     assert out["dup"].heaps_beta < 0.2
     assert out["fresh"].heaps_beta > 0.9
+
+
+def test_chi2_independence_hand_contingency(spark):
+    # A: 3@h0 1@h1; B: 1@h0 3@h1 -> e=2 everywhere, chi2 = 4*(1/2) = 2
+    from datetime import datetime
+    from tsaug_spark.plans.stats import chi2_independence
+    rows = (
+        [(datetime(2024, 1, 1, 0, 5), "A")] * 3
+        + [(datetime(2024, 1, 1, 1, 5), "A")]
+        + [(datetime(2024, 1, 1, 0, 5), "B")]
+        + [(datetime(2024, 1, 1, 1, 5), "B")] * 3
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    r = chi2_independence(df).collect()[0]
+    assert r.n_events == 8 and r.r_levels == 2 and r.c_levels == 2
+    assert r.dof == 1
+    assert abs(r.chi2 - 2.0) < 1e-9
+    assert abs(r.cramers_v - 0.5) < 1e-9
+
+
+def test_chi2_independence_zero_when_independent(spark):
+    # perfectly proportional rows -> chi2 == 0
+    from datetime import datetime
+    from tsaug_spark.plans.stats import chi2_independence
+    rows = []
+    for h, mult in [(0, 1), (1, 2)]:
+        rows += [(datetime(2024, 1, 1, h, 0), "A")] * (2 * mult)
+        rows += [(datetime(2024, 1, 1, h, 0), "B")] * (3 * mult)
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    r = chi2_independence(df).collect()[0]
+    assert abs(r.chi2) < 1e-9 and abs(r.cramers_v) < 1e-9
+
+
+def test_spearman_pairs_monotone_and_reversed(spark):
+    from datetime import datetime, timedelta
+    from tsaug_spark.plans.stats import spearman_pairs
+    base = datetime(2024, 1, 1)
+    rows = []
+    for d, (va, vb, vc) in enumerate([(1, 10, 30), (2, 20, 20), (3, 30, 10)]):
+        t = base + timedelta(days=d)
+        rows += [(t, "A", float(va)), (t, "B", float(vb)), (t, "C", float(vc))]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = {(r.type_a, r.type_b): r for r in spearman_pairs(df).collect()}
+    assert abs(out[("A", "B")].spearman_rho - 1.0) < 1e-12
+    assert abs(out[("A", "C")].spearman_rho + 1.0) < 1e-12
+    assert abs(out[("B", "C")].spearman_rho + 1.0) < 1e-12
+    assert out[("A", "B")].n_days == 3
+
+
+def test_spearman_pairs_tied_ranks_average(spark):
+    # x cents (100,100,200), y (500,700,600): avg-rank Pearson == 0
+    from datetime import datetime, timedelta
+    from tsaug_spark.plans.stats import spearman_pairs
+    base = datetime(2024, 1, 1)
+    rows = []
+    for d, (vx, vy) in enumerate([(1.0, 5.0), (1.0, 7.0), (2.0, 6.0)]):
+        t = base + timedelta(days=d)
+        rows += [(t, "x", vx), (t, "y", vy)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    r = spearman_pairs(df).collect()[0]
+    assert abs(r.spearman_rho) < 1e-12
+
+
+def test_js_divergence_identical_zero_disjoint_one(spark):
+    from datetime import datetime
+    from tsaug_spark.plans.stats import js_divergence
+    t = datetime(2024, 1, 1)
+    rows = (
+        # key 1: disjoint bins -> JSD = 1 bit exactly
+        [(t, 1, "click", 5.0)] * 4 + [(t, 1, "error", 25.0)] * 2
+        # key 2: identical histograms -> JSD = 0
+        + [(t, 2, "click", 5.0), (t, 2, "click", 25.0),
+           (t, 2, "error", 5.0), (t, 2, "error", 25.0)]
+    )
+    df = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r.key: r for r in js_divergence(df, "click", "error").collect()}
+    assert abs(out[1].jsd_bits - 1.0) < 1e-6
+    assert out[1].n_a == 4 and out[1].n_b == 2
+    assert abs(out[2].jsd_bits) < 1e-6

@@ -859,6 +859,9 @@ def main() -> None:
         ("persistent_hitters", em.q_persistent_hitters),
         ("hellinger_click_error", em.q_hellinger_click_error),
         ("heaps_law", em.q_heaps_law),
+        ("spearman_pairs", em.q_spearman_pairs),
+        ("jsd_click_error", em.q_jsd_click_error),
+        ("chi2_type_hour", em.q_chi2_type_hour),
     ]:
         audit(
             f"{nm} (stats/retrieval screen, JVM only)",

@@ -1557,3 +1557,262 @@ def quantile_drift(
         ),
         (F.col("week") - F.lag("week").over(lw)).alias("weeks_gap"),
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Chi-squared test of independence between event type and
+    hour-of-day (is the traffic mix time-invariant?), plus Cramer's V
+    effect size — the screen that separates "statistically detectable
+    at N=10^12 but irrelevant" from real composition drift.
+
+    Uses the zero-cell-free identity  chi2 = N * sum_cells o^2/(rt*ct)
+    - N  (absent cells contribute exactly 0 to the sum), so no
+    contingency grid is materialized.  o, rt, ct, N are exact BIGINTs;
+    each cell term ``o^2 / (rt*ct)`` is division-only double arithmetic
+    (IEEE-deterministic, no libm), quantized to pico-units
+    (floor(1e12 * term)) and summed as BIGINT so both engines
+    accumulate bit-identically; chi2 and V are shared final
+    expressions.
+
+    Scale: one (type, hour) hash aggregate to a vocabulary x 24 cell
+    table; everything after runs on that bounded table.  (At 10^12
+    rows the BIGINT o^2 would overflow past ~3e9 per cell; the cell
+    counts would first be down-scaled by a common factor — the
+    statistic is scale-covariant.)
+    """
+    cells = df.select(
+        F.col(type_col).alias("etype"),
+        F.hour(F.col(ts_col)).cast("long").alias("hr"),
+    ).groupBy("etype", "hr").agg(F.count(F.lit(1)).alias("o"))
+    wr = Window.partitionBy("etype")
+    wc = Window.partitionBy("hr")
+    wn = Window.partitionBy()
+    t = cells.select(
+        "etype",
+        "hr",
+        "o",
+        F.sum("o").over(wr).alias("rt"),
+        F.sum("o").over(wc).alias("ct"),
+        F.sum("o").over(wn).alias("n"),
+        F.size(F.collect_set("etype").over(wn)).alias("r_levels"),
+        F.size(F.collect_set("hr").over(wn)).alias("c_levels"),
+    ).select(
+        "n",
+        "r_levels",
+        "c_levels",
+        F.floor(
+            F.lit(1e12)
+            * (
+                (F.col("o") * F.col("o")).cast("double")
+                / (F.col("rt").cast("double") * F.col("ct").cast("double"))
+            )
+        ).cast("long").alias("pico"),
+    )
+    agg = t.groupBy("n", "r_levels", "c_levels").agg(
+        F.sum("pico").alias("s")
+    )
+    chi2 = (
+        F.col("n").cast("double") * F.col("s").cast("double") / F.lit(1e12)
+        - F.col("n").cast("double")
+    )
+    dof = (F.col("r_levels") - 1) * (F.col("c_levels") - 1)
+    mindim = F.least(F.col("r_levels") - 1, F.col("c_levels") - 1)
+    return agg.select(
+        F.col("n").alias("n_events"),
+        "r_levels",
+        "c_levels",
+        dof.cast("long").alias("dof"),
+        chi2.alias("chi2"),
+        F.sqrt(
+            F.greatest(F.lit(0.0), chi2)
+            / (F.col("n").cast("double") * mindim.cast("double"))
+        ).alias("cramers_v"),
+    )
+
+
+def spearman_pairs(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Spearman rank correlation between every pair of event types'
+    daily value totals — the monotone-association screen that survives
+    outliers and nonlinear couplings Pearson misses (do error volumes
+    track click volumes day over day?).
+
+    Pairing is on common active days (inner join of the two daily
+    series).  Ranks are tie-aware DOUBLED average ranks — for a value
+    with min rank m in a group of t ties, avg rank = m + (t-1)/2, so
+    2*avg = 2m + t - 1 is an exact BIGINT — and rho is Pearson on the
+    doubled ranks (scale-invariant), with every sufficient statistic
+    an exact BIGINT sum and ONE shared final slope/sqrt expression.
+
+    Scale: one (type, day) hash aggregate (vocabulary x horizon rows),
+    one day-keyed self-join bounded by vocabulary^2 x horizon, windows
+    partitioned per pair.  Event volume only touches the first
+    aggregate.
+    """
+    d = df.select(
+        F.col(type_col).alias("etype"),
+        F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+        .cast("long")
+        .alias("day"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+    ).groupBy("etype", "day").agg(F.sum("cents").alias("cents"))
+    a = d.select(
+        F.col("etype").alias("ta"),
+        "day",
+        F.col("cents").alias("ca"),
+    )
+    b = d.select(
+        F.col("etype").alias("tb"),
+        "day",
+        F.col("cents").alias("cb"),
+    )
+    j = a.join(b, "day").filter(F.col("ta") < F.col("tb"))
+    wa = Window.partitionBy("ta", "tb").orderBy("ca")
+    wat = Window.partitionBy("ta", "tb", "ca")
+    wb = Window.partitionBy("ta", "tb").orderBy("cb")
+    wbt = Window.partitionBy("ta", "tb", "cb")
+    ranked = j.select(
+        "ta",
+        "tb",
+        (
+            F.lit(2) * F.rank().over(wa)
+            + F.count(F.lit(1)).over(wat)
+            - F.lit(1)
+        ).alias("rx"),
+        (
+            F.lit(2) * F.rank().over(wb)
+            + F.count(F.lit(1)).over(wbt)
+            - F.lit(1)
+        ).alias("ry"),
+    )
+    agg = ranked.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.filter((dxx > 0) & (dyy > 0)).select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("n").alias("n_days"),
+        (
+            num.cast("double")
+            / F.sqrt(dxx.cast("double") * dyy.cast("double"))
+        ).alias("spearman_rho"),
+    )
+
+
+def js_divergence(
+    df: DataFrame,
+    type_a: str,
+    type_b: str,
+    n_bins: int = 32,
+    lo: float = 0.0,
+    hi: float = 640.0,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Jensen-Shannon divergence (bits) per key between two event
+    types' value histograms — the smoothed, symmetric, always-finite
+    KL relative that completes the drift toolkit next to Hellinger
+    (geometric), KS (sup-norm), and EMD (transport):
+
+        JSD = 0.5 * sum_b [ p_b log2(2 p_b / (p_b+q_b))
+                          + q_b log2(2 q_b / (p_b+q_b)) ]
+
+    Bin counts are exact integers and every log argument is an exact
+    integer RATIO (2*ca*nb / (ca*nb + cb*na)), so the only
+    engine-variant operation is log2 itself; each bin term is
+    quantized to micro-bits (floor(1e6 * term), BIGINT sum) which
+    makes a cross-engine last-ULP log2 difference flip a term with
+    probability ~1e-10 — the centibit idiom at 10^4 finer grain.
+    Absent bins contribute exactly 0 (0*log term), so only observed
+    bins are summed.
+
+    Scale: one (key, bin) hash aggregate over a BOUNDED bin set, one
+    per-key sum.
+    """
+    width = (hi - lo) / n_bins
+    ev = df.filter(
+        F.col(type_col).isin([type_a, type_b])
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(type_col).alias("etype"),
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+                .cast("int"),
+            ),
+        ).alias("bin"),
+    )
+    per_bin = ev.groupBy("key", "bin").agg(
+        F.sum(
+            F.when(F.col("etype") == type_a, F.lit(1)).otherwise(F.lit(0))
+        ).alias("ca"),
+        F.sum(
+            F.when(F.col("etype") == type_b, F.lit(1)).otherwise(F.lit(0))
+        ).alias("cb"),
+    )
+    cw = Window.partitionBy("key")
+    t = per_bin.select(
+        "key",
+        "ca",
+        "cb",
+        F.sum("ca").over(cw).alias("na"),
+        F.sum("cb").over(cw).alias("nb"),
+    ).filter((F.col("na") > 0) & (F.col("nb") > 0))
+    mix = (
+        F.col("ca") * F.col("nb") + F.col("cb") * F.col("na")
+    ).cast("double")
+    term_a = F.when(
+        F.col("ca") > 0,
+        F.floor(
+            F.lit(1e6)
+            * (F.col("ca").cast("double") / F.col("na").cast("double"))
+            * F.log2(
+                (F.lit(2) * F.col("ca") * F.col("nb")).cast("double") / mix
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    term_b = F.when(
+        F.col("cb") > 0,
+        F.floor(
+            F.lit(1e6)
+            * (F.col("cb").cast("double") / F.col("nb").cast("double"))
+            * F.log2(
+                (F.lit(2) * F.col("cb") * F.col("na")).cast("double") / mix
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    agg = t.select(
+        "key",
+        "na",
+        "nb",
+        (term_a + term_b).alias("micro"),
+    ).groupBy("key").agg(
+        F.first("na").alias("n_a"),
+        F.first("nb").alias("n_b"),
+        F.sum("micro").alias("micro"),
+    )
+    return agg.select(
+        "key",
+        "n_a",
+        "n_b",
+        (F.col("micro").cast("double") / F.lit(2e6)).alias("jsd_bits"),
+    )
