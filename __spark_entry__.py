@@ -1493,6 +1493,38 @@ def q_heaps_law(spark, sf):
     return heaps_law(_docs(spark, sf))
 
 
+def q_bloom_prune_join(spark, sf):
+    """Bloom-pruned fact-to-dim join (plans/bloom.py): lineitem rows
+    are pre-filtered by a 2^15-bit Bloom filter built from the
+    date-sliced orders keys (pure projection, no shuffle), then the
+    exact join + monthly revenue rollup runs on the survivors.
+    Results are identical to the unpruned join — the oracle IS the
+    plain join."""
+    from tsaug_spark.plans.bloom import bloom_pruned_join
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .filter(F.col("o_orderdate") >= F.lit("2000-07-01"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    j = bloom_pruned_join(li, orders, "l_orderkey", "o_orderkey")
+    return (
+        j.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
 def q_chi2_type_hour(spark, sf):
     """Chi-squared independence of event type vs hour-of-day plus
     Cramer's V (plans/stats.py::chi2_independence): zero-cell-free
@@ -3760,6 +3792,7 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "bloom_prune_join",
     "chi2_type_hour",
     "spearman_pairs",
     "jsd_click_error",
@@ -4058,6 +4091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_type_hour": q_chi2_type_hour,
         "spearman_pairs": q_spearman_pairs,
         "jsd_click_error": q_jsd_click_error,
+        "bloom_prune_join": q_bloom_prune_join,
         "quantile_drift": q_quantile_drift,
         "hellinger_click_error": q_hellinger_click_error,
         "type_runs": q_type_runs,
@@ -5965,6 +5999,13 @@ def oracle_sql() -> dict[str, str]:
             "med_cents - lag(med_cents) OVER w AS delta_cents, "
             "week - lag(week) OVER w AS weeks_gap FROM med "
             "WINDOW w AS (PARTITION BY grp ORDER BY week)"
+        ),
+        "bloom_prune_join": (
+            "SELECT strftime(o_orderdate, '%Y-%m') AS order_month, "
+            "COUNT(*) AS n_items, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderdate >= TIMESTAMP '2000-07-01' GROUP BY 1"
         ),
         "chi2_type_hour": (
             "WITH cells AS (SELECT event_type AS etype, "

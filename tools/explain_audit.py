@@ -874,6 +874,22 @@ def main() -> None:
             execute=True,
         )
 
+    # bloom-pruned join: literal-array probe (no shuffle before the
+    # fact filter), then one exact join + rollup
+    for nm, q in [
+        ("bloom_prune_join", em.q_bloom_prune_join),
+    ]:
+        audit(
+            f"{nm} (literal-array bloom probe + exact join)",
+            q(spark, sf),
+            must_have=["HashAggregate", "Join", "PushedFilters"],
+            must_not_have=["CartesianProduct",
+                           "BroadcastNestedLoopJoin",
+                           "BatchEvalPython", "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")
