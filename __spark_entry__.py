@@ -1493,6 +1493,16 @@ def q_heaps_law(spark, sf):
     return heaps_law(_docs(spark, sf))
 
 
+def q_mmr_rerank(spark, sf):
+    """Maximal-Marginal-Relevance diversity reranking of the top-24
+    cosine matches for query vector 0 (pipeline/search.py::mmr_rerank):
+    integer ten-thousandth scores, BIGINT greedy, recursive-CTE oracle
+    carrying the selected list and running max-sim vector."""
+    from tsaug_spark.pipeline.search import mmr_rerank
+
+    return mmr_rerank(_emb(spark, sf))
+
+
 def q_bloom_prune_join(spark, sf):
     """Bloom-pruned fact-to-dim join (plans/bloom.py): lineitem rows
     are pre-filtered by a 2^15-bit Bloom filter built from the
@@ -3792,6 +3802,7 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "mmr_rerank",
     "bloom_prune_join",
     "chi2_type_hour",
     "spearman_pairs",
@@ -4092,6 +4103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_pairs": q_spearman_pairs,
         "jsd_click_error": q_jsd_click_error,
         "bloom_prune_join": q_bloom_prune_join,
+        "mmr_rerank": q_mmr_rerank,
         "quantile_drift": q_quantile_drift,
         "hellinger_click_error": q_hellinger_click_error,
         "type_runs": q_type_runs,
@@ -5999,6 +6011,52 @@ def oracle_sql() -> dict[str, str]:
             "med_cents - lag(med_cents) OVER w AS delta_cents, "
             "week - lag(week) OVER w AS weeks_gap FROM med "
             "WINDOW w AS (PARTITION BY grp ORDER BY week)"
+        ),
+        "mmr_rerank": (
+            "WITH RECURSIVE "
+            "e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "q AS (SELECT v AS qv FROM e WHERE id = 0), "
+            "rel AS (SELECT id, v, CAST(round(10000 * ("
+            "list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * "
+            "sqrt(list_dot_product(qv, qv))))) AS BIGINT) AS rel4 "
+            "FROM e, q WHERE id <> 0), "
+            "cand AS (SELECT id, v, rel4, row_number() OVER ("
+            "ORDER BY rel4 DESC, id) AS idx FROM rel QUALIFY idx <= 24), "
+            "pr AS (SELECT a.idx AS i, b.idx AS j, CAST(round(10000 * ("
+            "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
+            " * sqrt(list_dot_product(b.v, b.v))))) AS BIGINT) AS sim4 "
+            "FROM cand a CROSS JOIN cand b), "
+            "sm AS (SELECT list(srow ORDER BY i) AS m FROM (SELECT i, "
+            "list(sim4 ORDER BY j) AS srow FROM pr GROUP BY i)), "
+            "rl AS (SELECT list(rel4 ORDER BY idx) AS r FROM cand), "
+            "nn AS (SELECT COUNT(*) AS nc FROM cand), "
+            "it AS (SELECT 0 AS rnk, CAST(0 AS BIGINT) AS best, "
+            "CAST(-1 AS BIGINT) AS pick, CAST([] AS BIGINT[]) AS sel, "
+            "CAST([] AS BIGINT[]) AS ssc, "
+            "list_transform(range(nc), x_ -> CAST(0 AS BIGINT)) AS ms "
+            "FROM nn "
+            "UNION ALL SELECT rnk + 1, "
+            "list_max(list_transform(list_filter(range(nn.nc), "
+            "k_ -> NOT list_contains(it.sel, k_)), "
+            "k2_ -> 7*rl.r[CAST(k2_ AS INT)+1] "
+            "- 3*it.ms[CAST(k2_ AS INT)+1])) AS best_n, "
+            "list_min(list_filter(range(nn.nc), "
+            "i_ -> NOT list_contains(it.sel, i_) AND "
+            "7*rl.r[CAST(i_ AS INT)+1] - 3*it.ms[CAST(i_ AS INT)+1] "
+            "= best_n)) AS pick_n, "
+            "list_append(it.sel, pick_n) AS sel_n, "
+            "list_append(it.ssc, best_n) AS ssc_n, "
+            "list_transform(range(nn.nc), i_ -> greatest("
+            "it.ms[CAST(i_ AS INT)+1], "
+            "sm.m[CAST(pick_n AS INT)+1][CAST(i_ AS INT)+1])) AS ms_n "
+            "FROM it, sm, rl, nn WHERE rnk < 10) "
+            "SELECT u.ord AS sel_rank, cand.id AS vec_id, "
+            "CAST(cand.rel4 AS DOUBLE) / 1e4 AS rel, "
+            "CAST(u.sc AS DOUBLE) / 1e5 AS mmr "
+            "FROM (SELECT unnest(sel) AS p0, unnest(ssc) AS sc, "
+            "generate_subscripts(sel, 1) AS ord FROM it WHERE rnk = 10) u "
+            "JOIN cand ON cand.idx = u.p0 + 1"
         ),
         "bloom_prune_join": (
             "SELECT strftime(o_orderdate, '%Y-%m') AS order_month, "

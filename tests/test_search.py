@@ -179,3 +179,43 @@ def test_hybrid_search_rrf_fuses_both_rankings(spark):
     by_rank = sorted(out, key=lambda r: r.hybrid_rank)
     for a, b in zip(by_rank, by_rank[1:]):
         assert (a.rrf, -a.id) >= (b.rrf, -b.id)
+
+
+def _unit(deg):
+    import math
+    return [float(math.cos(math.radians(deg))),
+            float(math.sin(math.radians(deg)))]
+
+
+def test_mmr_rerank_prefers_diversity_over_near_dup(spark):
+    # q at 0deg; cand 1 at 18deg (rel .9511), cand 2 at 19deg (rel
+    # .9455, sim to 1 = cos 1deg = .9998), cand 3 at -32deg (rel .8480,
+    # sim to 1 = cos 50deg = .6428).  Greedy: 1, then 3 (0.40076 beats
+    # 2's 0.36191), then 2.
+    from tsaug_spark.pipeline.search import mmr_rerank
+    emb = spark.createDataFrame(
+        [(0, _unit(0)), (1, _unit(18)), (2, _unit(19)), (3, _unit(-32))],
+        "vec_id long, embedding array<float>",
+    )
+    out = mmr_rerank(emb, n_candidates=3, k=3).collect()
+    order = [r.vec_id for r in sorted(out, key=lambda r: r.sel_rank)]
+    assert order == [1, 3, 2]
+    first = [r for r in out if r.sel_rank == 1][0]
+    assert abs(first.rel - 0.9511) < 5e-4
+    assert abs(first.mmr - 0.7 * first.rel) < 1e-9
+
+
+def test_mmr_rerank_tie_breaks_toward_lower_id_and_penalizes_dup(spark):
+    # two byte-identical candidates: the lower id is picked first; the
+    # clone's MMR collapses to 0.7*rel - 0.3*1.0
+    from tsaug_spark.pipeline.search import mmr_rerank
+    emb = spark.createDataFrame(
+        [(0, _unit(0)), (5, _unit(10)), (6, _unit(10)), (7, _unit(-20))],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.sel_rank: r for r in
+           mmr_rerank(emb, n_candidates=3, k=3).collect()}
+    assert out[1].vec_id == 5
+    assert out[2].vec_id == 7  # diverse candidate beats the clone
+    assert out[3].vec_id == 6
+    assert abs(out[3].mmr - (0.7 * out[3].rel - 0.3)) < 1e-9

@@ -874,6 +874,16 @@ def main() -> None:
             execute=True,
         )
 
+    # mmr: bounded candidate set -> one single-group Arrow kernel; the
+    # only joins are broadcast (pair fan-out + reattach), no Cartesian
+    audit(
+        "mmr_rerank (bounded-candidate greedy kernel)",
+        em.q_mmr_rerank(spark, sf),
+        must_have=["FlatMapGroupsInPandas", "BroadcastExchange"],
+        must_not_have=["CartesianProduct", "BatchEvalPython"],
+        execute=True,
+    )
+
     # bloom-pruned join: literal-array probe (no shuffle before the
     # fact filter), then one exact join + rollup
     for nm, q in [
