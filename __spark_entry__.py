@@ -1493,6 +1493,25 @@ def q_heaps_law(spark, sf):
     return heaps_law(_docs(spark, sf))
 
 
+def q_page_hinkley(spark, sf):
+    """Page-Hinkley sequential drift detection per event type over the
+    dense hourly count series (plans/stats.py::page_hinkley): exact
+    integer floor-division recursion — no floats, no libm — with full
+    restart on alarm; the oracle replays every step in a recursive
+    CTE."""
+    from tsaug_spark.plans.stats import page_hinkley
+
+    return page_hinkley(_events(spark, sf)).select(
+        F.col("key").alias("event_type"),
+        "T",
+        "total_cnt",
+        "n_inc",
+        "n_dec",
+        "excess_inc",
+        "excess_dec",
+    )
+
+
 def q_mmr_rerank(spark, sf):
     """Maximal-Marginal-Relevance diversity reranking of the top-24
     cosine matches for query vector 0 (pipeline/search.py::mmr_rerank):
@@ -3802,6 +3821,7 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "page_hinkley",
     "mmr_rerank",
     "bloom_prune_join",
     "chi2_type_hour",
@@ -4104,6 +4124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsd_click_error": q_jsd_click_error,
         "bloom_prune_join": q_bloom_prune_join,
         "mmr_rerank": q_mmr_rerank,
+        "page_hinkley": q_page_hinkley,
         "quantile_drift": q_quantile_drift,
         "hellinger_click_error": q_hellinger_click_error,
         "type_runs": q_type_runs,
@@ -6012,6 +6033,7 @@ def oracle_sql() -> dict[str, str]:
             "week - lag(week) OVER w AS weeks_gap FROM med "
             "WINDOW w AS (PARTITION BY grp ORDER BY week)"
         ),
+        "page_hinkley": 'WITH RECURSIVE h AS (SELECT event_type AS key, CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour, COUNT(*) AS cnt FROM events GROUP BY 1, 2), bounds AS (SELECT key, MIN(hour) AS lo, MAX(hour) AS hi FROM h GROUP BY 1), grid AS (SELECT key, CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS hour FROM bounds), dense AS (SELECT g.key, g.hour, COALESCE(h.cnt, 0) AS cnt FROM grid g LEFT JOIN h ON h.key = g.key AND h.hour = g.hour), s AS (SELECT key, cnt, row_number() OVER (PARTITION BY key ORDER BY hour) - 1 AS stp FROM dense), par AS (SELECT key, COUNT(*) AS T, CAST(SUM(cnt) AS BIGINT) AS total FROM s GROUP BY 1), it AS ( SELECT key, 0 AS stp, CAST(0 AS BIGINT) AS tl, CAST(0 AS BIGINT) AS sm, CAST(0 AS BIGINT) AS u, CAST(0 AS BIGINT) AS mu, CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS mv, CAST(0 AS BIGINT) AS ninc, CAST(0 AS BIGINT) AS ndec, CAST(0 AS BIGINT) AS exi, CAST(0 AS BIGINT) AS exd FROM par UNION ALL SELECT kk, stp2, CASE WHEN ainc OR adec THEN 0 ELSE tl2 END, CASE WHEN ainc OR adec THEN 0 ELSE sm2 END, CASE WHEN ainc OR adec THEN 0 ELSE un END, CASE WHEN ainc OR adec THEN 0 ELSE mun END, CASE WHEN ainc OR adec THEN 0 ELSE vn END, CASE WHEN ainc OR adec THEN 0 ELSE mvn END, ninc2 + CASE WHEN ainc THEN 1 ELSE 0 END, ndec2 + CASE WHEN adec THEN 1 ELSE 0 END, CASE WHEN ainc OR adec THEN 0 ELSE un - mun END, CASE WHEN ainc OR adec THEN 0 ELSE mvn - vn END FROM ( SELECT kk, stp2, tl2, sm2, un, mun, vn, mvn, ninc2, ndec2, (un - mun > 2000000) AS ainc, (NOT (un - mun > 2000000)) AND (mvn - vn > 2000000) AS adec FROM ( SELECT kk, stp2, tl2, sm2, ninc2, ndec2, u2 + d - 500000 AS un, least(mu2, u2 + d - 500000) AS mun, v2 + d + 500000 AS vn, greatest(mv2, v2 + d + 500000) AS mvn FROM ( SELECT it.key AS kk, it.stp + 1 AS stp2, it.tl + 1 AS tl2, it.sm + s.cnt AS sm2, it.u AS u2, it.mu AS mu2, it.v AS v2, it.mv AS mv2, it.ninc AS ninc2, it.ndec AS ndec2, (1000000 * ((it.tl + 1) * s.cnt - (it.sm + s.cnt))) // (it.tl + 1) - CASE WHEN (1000000 * ((it.tl + 1) * s.cnt - (it.sm + s.cnt))) % (it.tl + 1) <> 0 AND (1000000 * ((it.tl + 1) * s.cnt - (it.sm + s.cnt))) < 0 THEN 1 ELSE 0 END AS d FROM it JOIN s ON s.key = it.key AND s.stp = it.stp JOIN par p ON p.key = it.key WHERE it.stp < p.T ) z ) y ) w ) SELECT it.key AS event_type, CAST(p.T AS BIGINT) AS T, p.total AS total_cnt, it.ninc AS n_inc, it.ndec AS n_dec, it.exi AS excess_inc, it.exd AS excess_dec FROM it JOIN par p ON p.key = it.key WHERE it.stp = p.T',
         "mmr_rerank": (
             "WITH RECURSIVE "
             "e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v "

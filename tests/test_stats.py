@@ -821,3 +821,61 @@ def test_js_divergence_identical_zero_disjoint_one(spark):
     assert abs(out[1].jsd_bits - 1.0) < 1e-6
     assert out[1].n_a == 4 and out[1].n_b == 2
     assert abs(out[2].jsd_bits) < 1e-6
+
+
+def _ph_events(spark, counts, etype="click"):
+    from datetime import datetime, timedelta
+    base = datetime(2024, 1, 1)
+    rows = []
+    for h, c in enumerate(counts):
+        rows += [(base + timedelta(hours=h, minutes=1), etype)] * c
+    return spark.createDataFrame(rows, "ts timestamp, event_type string")
+
+
+def test_page_hinkley_detects_level_jump_up(spark):
+    from tsaug_spark.plans.stats import page_hinkley
+    counts = [2] * 24 + [10] * 12
+    r = page_hinkley(_ph_events(spark, counts)).collect()[0]
+    assert r.T == 36 and r.total_cnt == 2 * 24 + 10 * 12
+    assert r.n_inc >= 1 and r.n_dec == 0
+
+
+def test_page_hinkley_detects_level_drop(spark):
+    from tsaug_spark.plans.stats import page_hinkley
+    counts = [10] * 24 + [1] * 12
+    r = page_hinkley(_ph_events(spark, counts)).collect()[0]
+    assert r.n_dec >= 1
+
+
+def test_page_hinkley_quiet_on_constant_series(spark):
+    from tsaug_spark.plans.stats import page_hinkley
+    r = page_hinkley(_ph_events(spark, [5] * 48)).collect()[0]
+    # constant series: x_t == mean_t exactly, both statistics decay
+    assert r.n_inc == 0 and r.n_dec == 0
+    assert r.excess_inc == 0 and r.excess_dec == 0
+
+
+def test_page_hinkley_matches_integer_replay(spark):
+    # independent pure-Python floor-division replay on a bumpy series
+    from tsaug_spark.plans.stats import page_hinkley
+    counts = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3] * 3
+    r = page_hinkley(_ph_events(spark, counts)).collect()[0]
+    Q, DQ, LQ = 1_000_000, 500_000, 2_000_000
+    s = tl = u = mu = v = mv = 0
+    ninc = ndec = 0
+    for x in counts:
+        tl += 1
+        s += x
+        d = (Q * (tl * x - s)) // tl
+        u += d - DQ
+        mu = min(mu, u)
+        v += d + DQ
+        mv = max(mv, v)
+        if u - mu > LQ:
+            ninc += 1
+            s = tl = u = mu = v = mv = 0
+        elif mv - v > LQ:
+            ndec += 1
+            s = tl = u = mu = v = mv = 0
+    assert (r.n_inc, r.n_dec) == (ninc, ndec)
+    assert (r.excess_inc, r.excess_dec) == (u - mu, mv - v)

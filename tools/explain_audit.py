@@ -874,6 +874,15 @@ def main() -> None:
             execute=True,
         )
 
+    # page-hinkley: dense grid + one grouped integer-recursion kernel
+    audit(
+        "page_hinkley (grouped integer-recursion kernel)",
+        em.q_page_hinkley(spark, sf),
+        must_have=["FlatMapGroupsInPandas"],
+        must_not_have=["CartesianProduct", "BatchEvalPython"],
+        execute=True,
+    )
+
     # mmr: bounded candidate set -> one single-group Arrow kernel; the
     # only joins are broadcast (pair fan-out + reattach), no Cartesian
     audit(

@@ -1816,3 +1816,104 @@ def js_divergence(
         "n_b",
         (F.col("micro").cast("double") / F.lit(2e6)).alias("jsd_bits"),
     )
+
+
+def page_hinkley(
+    df: DataFrame,
+    delta_micro: int = 500_000,
+    lambda_micro: int = 2_000_000,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Page-Hinkley sequential changepoint detection (Page 1954,
+    Hinkley 1971) on the dense hourly count series per key — the
+    streaming-drift monitor that fires ONLINE, cumulating evidence
+    step by step, where CUSUM here scans offline for the single best
+    split.  Both directions are tracked:
+
+        U_t = U_{t-1} + (x_t - mean_t - delta),  alarm if U_t - min U > lambda
+        V_t = V_{t-1} + (x_t - mean_t + delta),  alarm if max V - V_t > lambda
+
+    with mean_t the RUNNING mean since the last alarm; on alarm the
+    statistic fully restarts (classic reset semantics), so ``n_inc`` /
+    ``n_dec`` count distinct detected shifts.
+
+    Exactness: counts are integers, so ``x_t - mean_t`` is the exact
+    rational (t*x_t - S_t)/t; it is quantized per step by ONE integer
+    FLOOR division into micro-units (no floats, no libm anywhere —
+    stronger than the kleinberg idiom, which needs two quantized logs)
+    and the whole recursion, minima and thresholds included, runs in
+    BIGINT.  Python's ``//`` floors; the oracle corrects DuckDB's
+    truncating ``//`` with an explicit negative-remainder step so both
+    replays are bit-identical.
+
+    Scale: dense grid explode is retention-bounded; the recursion is a
+    grouped Arrow kernel, O(T) integer ops per key, parallel across
+    keys.
+    """
+    hourly = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 3600)
+            .cast("long")
+            .alias("hour"),
+        )
+        .groupBy("key", "hour")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bounds = hourly.groupBy("key").agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    grid = bounds.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("lo").cast("int"), F.col("hi").cast("int"))
+        ).alias("hour_i"),
+    ).select("key", F.col("hour_i").cast("long").alias("hour"))
+    dense = grid.join(hourly, ["key", "hour"], "left").select(
+        "key", "hour", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+
+    key_type = dict(df.dtypes)[key_col]
+    out_schema = (
+        f"key {key_type}, T long, total_cnt long, n_inc long, "
+        "n_dec long, excess_inc long, excess_dec long"
+    )
+    q = 1_000_000
+    dq = int(delta_micro)
+    lq = int(lambda_micro)
+
+    def _kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        xs = pdf["cnt"].astype(int).tolist()
+        s = tl = u = mu = v = mv = 0
+        ninc = ndec = 0
+        for x in xs:
+            tl += 1
+            s += x
+            d = (q * (tl * x - s)) // tl  # exact integer floor
+            u += d - dq
+            mu = min(mu, u)
+            v += d + dq
+            mv = max(mv, v)
+            if u - mu > lq:
+                ninc += 1
+                s = tl = u = mu = v = mv = 0
+            elif mv - v > lq:
+                ndec += 1
+                s = tl = u = mu = v = mv = 0
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "T": [len(xs)],
+                "total_cnt": [int(pdf["cnt"].sum())],
+                "n_inc": [ninc],
+                "n_dec": [ndec],
+                "excess_inc": [u - mu],
+                "excess_dec": [mv - v],
+            }
+        )
+
+    return dense.groupBy("key").applyInPandas(_kernel, out_schema)
