@@ -1493,6 +1493,17 @@ def q_heaps_law(spark, sf):
     return heaps_law(_docs(spark, sf))
 
 
+def q_kruskal_types(spark, sf):
+    """Kruskal-Wallis H across event types' value distributions
+    (plans/stats.py::kruskal_types): joint ranks derived from the
+    bounded distinct-cents domain (no row sort), doubled average
+    ranks as exact BIGINTs, tie-corrected H as one shared
+    expression."""
+    from tsaug_spark.plans.stats import kruskal_types
+
+    return kruskal_types(_events(spark, sf))
+
+
 def q_page_hinkley(spark, sf):
     """Page-Hinkley sequential drift detection per event type over the
     dense hourly count series (plans/stats.py::page_hinkley): exact
@@ -3821,6 +3832,7 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "kruskal_types",
     "page_hinkley",
     "mmr_rerank",
     "bloom_prune_join",
@@ -4125,6 +4137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune_join": q_bloom_prune_join,
         "mmr_rerank": q_mmr_rerank,
         "page_hinkley": q_page_hinkley,
+        "kruskal_types": q_kruskal_types,
         "quantile_drift": q_quantile_drift,
         "hellinger_click_error": q_hellinger_click_error,
         "type_runs": q_type_runs,
@@ -6032,6 +6045,46 @@ def oracle_sql() -> dict[str, str]:
             "med_cents - lag(med_cents) OVER w AS delta_cents, "
             "week - lag(week) OVER w AS weeks_gap FROM med "
             "WINDOW w AS (PARTITION BY grp ORDER BY week)"
+        ),
+        "kruskal_types": (
+            "WITH ev AS (SELECT event_type AS etype, "
+            "CAST(round(value*100) AS BIGINT) AS cents FROM events), "
+            "cc AS (SELECT cents, COUNT(*) AS cnt_c FROM ev GROUP BY 1), "
+            "r AS (SELECT cents, cnt_c, 2*(SUM(cnt_c) OVER ("
+            "ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) - cnt_c) + cnt_c + 1 AS d2 FROM cc), "
+            "tc AS (SELECT etype, cents, COUNT(*) AS cnt_tc FROM ev "
+            "GROUP BY 1, 2), "
+            "pt AS (SELECT etype, SUM(cnt_tc) AS n_j, "
+            "SUM(cnt_tc*d2) AS dj FROM tc JOIN r USING (cents) "
+            "GROUP BY 1), "
+            "a AS (SELECT CAST(SUM(n_j) AS BIGINT) AS n, "
+            "COUNT(*) AS k, list_reduce(list("
+            "CAST(dj AS DOUBLE) * CAST(dj AS DOUBLE) / "
+            "(4.0 * CAST(n_j AS DOUBLE)) ORDER BY etype), "
+            "(a_, b_) -> a_ + b_) AS s FROM pt), "
+            "t AS (SELECT CAST(SUM(cnt_c*cnt_c*cnt_c - cnt_c) "
+            "AS BIGINT) AS tie_sum FROM cc) "
+            "SELECT n AS n_events, CAST(k AS BIGINT) AS k_types, "
+            "CAST(k - 1 AS BIGINT) AS dof, "
+            "CASE WHEN 1.0 - CAST(tie_sum AS DOUBLE) / "
+            "(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE) "
+            "- CAST(n AS DOUBLE)) > 0 THEN "
+            "(12.0 * s / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) "
+            "- 3.0 * (CAST(n AS DOUBLE) + 1.0)) / "
+            "(1.0 - CAST(tie_sum AS DOUBLE) / "
+            "(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE) "
+            "- CAST(n AS DOUBLE))) END AS h_stat, "
+            "CASE WHEN 1.0 - CAST(tie_sum AS DOUBLE) / "
+            "(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE) "
+            "- CAST(n AS DOUBLE)) > 0 AND n > k THEN "
+            "((12.0 * s / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) "
+            "- 3.0 * (CAST(n AS DOUBLE) + 1.0)) / "
+            "(1.0 - CAST(tie_sum AS DOUBLE) / "
+            "(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE) "
+            "- CAST(n AS DOUBLE))) - CAST(k AS DOUBLE) + 1.0) / "
+            "(CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) END AS epsilon_sq "
+            "FROM a, t"
         ),
         "page_hinkley": 'WITH RECURSIVE h AS (SELECT event_type AS key, CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour, COUNT(*) AS cnt FROM events GROUP BY 1, 2), bounds AS (SELECT key, MIN(hour) AS lo, MAX(hour) AS hi FROM h GROUP BY 1), grid AS (SELECT key, CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS hour FROM bounds), dense AS (SELECT g.key, g.hour, COALESCE(h.cnt, 0) AS cnt FROM grid g LEFT JOIN h ON h.key = g.key AND h.hour = g.hour), s AS (SELECT key, cnt, row_number() OVER (PARTITION BY key ORDER BY hour) - 1 AS stp FROM dense), par AS (SELECT key, COUNT(*) AS T, CAST(SUM(cnt) AS BIGINT) AS total FROM s GROUP BY 1), it AS ( SELECT key, 0 AS stp, CAST(0 AS BIGINT) AS tl, CAST(0 AS BIGINT) AS sm, CAST(0 AS BIGINT) AS u, CAST(0 AS BIGINT) AS mu, CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS mv, CAST(0 AS BIGINT) AS ninc, CAST(0 AS BIGINT) AS ndec, CAST(0 AS BIGINT) AS exi, CAST(0 AS BIGINT) AS exd FROM par UNION ALL SELECT kk, stp2, CASE WHEN ainc OR adec THEN 0 ELSE tl2 END, CASE WHEN ainc OR adec THEN 0 ELSE sm2 END, CASE WHEN ainc OR adec THEN 0 ELSE un END, CASE WHEN ainc OR adec THEN 0 ELSE mun END, CASE WHEN ainc OR adec THEN 0 ELSE vn END, CASE WHEN ainc OR adec THEN 0 ELSE mvn END, ninc2 + CASE WHEN ainc THEN 1 ELSE 0 END, ndec2 + CASE WHEN adec THEN 1 ELSE 0 END, CASE WHEN ainc OR adec THEN 0 ELSE un - mun END, CASE WHEN ainc OR adec THEN 0 ELSE mvn - vn END FROM ( SELECT kk, stp2, tl2, sm2, un, mun, vn, mvn, ninc2, ndec2, (un - mun > 2000000) AS ainc, (NOT (un - mun > 2000000)) AND (mvn - vn > 2000000) AS adec FROM ( SELECT kk, stp2, tl2, sm2, ninc2, ndec2, u2 + d - 500000 AS un, least(mu2, u2 + d - 500000) AS mun, v2 + d + 500000 AS vn, greatest(mv2, v2 + d + 500000) AS mvn FROM ( SELECT it.key AS kk, it.stp + 1 AS stp2, it.tl + 1 AS tl2, it.sm + s.cnt AS sm2, it.u AS u2, it.mu AS mu2, it.v AS v2, it.mv AS mv2, it.ninc AS ninc2, it.ndec AS ndec2, (1000000 * ((it.tl + 1) * s.cnt - (it.sm + s.cnt))) // (it.tl + 1) - CASE WHEN (1000000 * ((it.tl + 1) * s.cnt - (it.sm + s.cnt))) % (it.tl + 1) <> 0 AND (1000000 * ((it.tl + 1) * s.cnt - (it.sm + s.cnt))) < 0 THEN 1 ELSE 0 END AS d FROM it JOIN s ON s.key = it.key AND s.stp = it.stp JOIN par p ON p.key = it.key WHERE it.stp < p.T ) z ) y ) w ) SELECT it.key AS event_type, CAST(p.T AS BIGINT) AS T, p.total AS total_cnt, it.ninc AS n_inc, it.ndec AS n_dec, it.exi AS excess_inc, it.exd AS excess_dec FROM it JOIN par p ON p.key = it.key WHERE it.stp = p.T',
         "mmr_rerank": (

@@ -879,3 +879,68 @@ def test_page_hinkley_matches_integer_replay(spark):
             s = tl = u = mu = v = mv = 0
     assert (r.n_inc, r.n_dec) == (ninc, ndec)
     assert (r.excess_inc, r.excess_dec) == (u - mu, mv - v)
+
+
+def test_kruskal_two_groups_no_ties(spark):
+    # A={1,2}, B={3,4}: ranks 1..4, H = 12/20*(4.5+24.5) - 15 = 2.4
+    from datetime import datetime
+    from tsaug_spark.plans.stats import kruskal_types
+    t = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("A", 0.01), ("A", 0.02), ("B", 0.03), ("B", 0.04)],
+        "event_type string, value double",
+    )
+    r = kruskal_types(df).collect()[0]
+    assert r.n_events == 4 and r.k_types == 2 and r.dof == 1
+    assert abs(r.h_stat - 2.4) < 1e-12
+
+
+def test_kruskal_identical_groups_zero(spark):
+    # same multiset in both groups -> rank sums equal -> H == 0
+    from tsaug_spark.plans.stats import kruskal_types
+    rows = [("A", v) for v in (0.1, 0.2, 0.3)] + [
+        ("B", v) for v in (0.1, 0.2, 0.3)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    r = kruskal_types(df).collect()[0]
+    assert abs(r.h_stat) < 1e-12
+
+
+def test_kruskal_all_tied_is_null(spark):
+    # every value identical -> tie correction 0 -> undefined H
+    from tsaug_spark.plans.stats import kruskal_types
+    rows = [("A", 0.5)] * 3 + [("B", 0.5)] * 3
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    r = kruskal_types(df).collect()[0]
+    assert r.h_stat is None and r.epsilon_sq is None
+
+
+def test_kruskal_matches_scipy_formula_with_ties(spark):
+    # independent computation of the tie-corrected H on a mixed sample
+    from tsaug_spark.plans.stats import kruskal_types
+    a = [1.0, 2.0, 2.0, 3.0]
+    b = [2.0, 4.0, 5.0]
+    c = [5.0, 6.0]
+    rows = (
+        [("A", v) for v in a] + [("B", v) for v in b] + [("C", v) for v in c]
+    )
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    r = kruskal_types(df).collect()[0]
+    # reference: average ranks over the pooled sample
+    pooled = sorted(a + b + c)
+    import collections
+    first = {}
+    cnt = collections.Counter(pooled)
+    pos = 1
+    avg_rank = {}
+    for v in sorted(cnt):
+        avg_rank[v] = pos + (cnt[v] - 1) / 2
+        pos += cnt[v]
+    n = len(pooled)
+    s = sum(
+        sum(avg_rank[v] for v in grp) ** 2 / len(grp)
+        for grp in (a, b, c)
+    )
+    h_raw = 12.0 * s / (n * (n + 1)) - 3 * (n + 1)
+    corr = 1.0 - sum(t**3 - t for t in cnt.values()) / (n**3 - n)
+    assert abs(r.h_stat - h_raw / corr) < 1e-9

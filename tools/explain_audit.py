@@ -818,6 +818,7 @@ def main() -> None:
         ("markov_stationary", em.q_markov_stationary),
         ("hybrid_search", em.q_hybrid_search),
         ("decayed_score", em.q_decayed_score),
+        ("kruskal_types", em.q_kruskal_types),
     ]:
         audit(
             f"{nm} (scalar-broadcast cross join, JVM only)",

@@ -1917,3 +1917,107 @@ def page_hinkley(
         )
 
     return dense.groupBy("key").applyInPandas(_kernel, out_schema)
+
+
+def kruskal_types(
+    df: DataFrame,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Kruskal-Wallis H test: do the event types draw their values
+    from the same distribution?  The rank-based one-way ANOVA that
+    needs no normality assumption — the k-sample completion of the
+    two-sample KS screen.
+
+    Scale trick: ranks are NEVER computed by sorting the rows.  Values
+    are integer cents, so the joint ranking collapses to the BOUNDED
+    distinct-cents domain: one hash aggregate to (cents, count), one
+    ordered window over distinct cents for cumulative counts, and the
+    tie-aware DOUBLED average rank of every row with value c is the
+    exact BIGINT  D(c) = 2*cum_before(c) + cnt(c) + 1.  Per-type rank
+    sums join (type, cents) counts against that table — event volume
+    only ever touches hash aggregates.
+
+    The per-type term (D_j/2)^2 / n_j is one shared double expression
+    folded in type order (sorted fold); tie correction
+    C = 1 - sum(t^3 - t)/(N^3 - N) uses an exact BIGINT tie sum; the
+    final H = (12*S/(N(N+1)) - 3(N+1)) / C is a shared expression.
+    (At 10^12 rows D_j^2 and N^3 move to double products — noted, the
+    expressions already compute them as casts.)
+
+    Output: one row — n_events, k_types, dof, h_stat, and the
+    epsilon-squared effect size (H - k + 1)/(N - k).
+    """
+    ev = df.select(
+        F.col(type_col).alias("etype"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+    )
+    cc = ev.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt_c"))
+    wo = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranks = cc.select(
+        "cents",
+        "cnt_c",
+        (
+            F.lit(2) * (F.sum("cnt_c").over(wo) - F.col("cnt_c"))
+            + F.col("cnt_c")
+            + F.lit(1)
+        ).alias("d2"),
+    )
+    tc = ev.groupBy("etype", "cents").agg(
+        F.count(F.lit(1)).alias("cnt_tc")
+    )
+    per_type = (
+        tc.join(ranks, "cents")
+        .groupBy("etype")
+        .agg(
+            F.sum("cnt_tc").alias("n_j"),
+            F.sum(F.col("cnt_tc") * F.col("d2")).alias("dj"),
+        )
+    )
+    ties = cc.agg(
+        F.sum(
+            F.col("cnt_c") * F.col("cnt_c") * F.col("cnt_c")
+            - F.col("cnt_c")
+        ).alias("tie_sum")
+    )
+    agg = per_type.select(
+        "etype",
+        "n_j",
+        "dj",
+        (
+            F.col("dj").cast("double")
+            * F.col("dj").cast("double")
+            / (F.lit(4.0) * F.col("n_j").cast("double"))
+        ).alias("term"),
+    ).agg(
+        F.sum("n_j").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("etype", "term"))),
+            F.lit(0.0),
+            lambda a, s: a + s["term"],
+        ).alias("s"),
+    )
+    j = agg.crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    h_raw = (
+        F.lit(12.0) * F.col("s") / (nd * (nd + F.lit(1.0)))
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("tie_sum").cast("double") / (
+        nd * nd * nd - nd
+    )
+    h = F.when(corr > 0, h_raw / corr)
+    return j.select(
+        F.col("n").alias("n_events"),
+        F.col("k").alias("k_types"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+        h.alias("h_stat"),
+        F.when(
+            (corr > 0) & (F.col("n") > F.col("k")),
+            (h_raw / corr - F.col("k").cast("double") + F.lit(1.0))
+            / (nd - F.col("k").cast("double")),
+        ).alias("epsilon_sq"),
+    )
