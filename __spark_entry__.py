@@ -1493,6 +1493,19 @@ def q_heaps_law(spark, sf):
     return heaps_law(_docs(spark, sf))
 
 
+def q_pacf_24(spark, sf):
+    """Partial autocorrelation (lags 1-24) of each event type's dense
+    hourly count series via integer-quantized Levinson-Durbin
+    (plans/stats.py::pacf_profile): exact BIGINT autocovariances,
+    division-only double r_k quantization, all-BIGINT recursion
+    replayed step-for-step in a recursive CTE."""
+    from tsaug_spark.plans.stats import pacf_profile
+
+    return pacf_profile(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "lag", "pacf_micro", "pacf"
+    )
+
+
 def q_kruskal_types(spark, sf):
     """Kruskal-Wallis H across event types' value distributions
     (plans/stats.py::kruskal_types): joint ranks derived from the
@@ -3832,6 +3845,7 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "pacf_24",
     "kruskal_types",
     "page_hinkley",
     "mmr_rerank",
@@ -4138,6 +4152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "page_hinkley": q_page_hinkley,
         "kruskal_types": q_kruskal_types,
+        "pacf_24": q_pacf_24,
         "quantile_drift": q_quantile_drift,
         "hellinger_click_error": q_hellinger_click_error,
         "type_runs": q_type_runs,
@@ -6046,6 +6061,7 @@ def oracle_sql() -> dict[str, str]:
             "week - lag(week) OVER w AS weeks_gap FROM med "
             "WINDOW w AS (PARTITION BY grp ORDER BY week)"
         ),
+        "pacf_24": 'WITH RECURSIVE h AS (SELECT event_type AS key, CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour, COUNT(*) AS cnt FROM events GROUP BY 1, 2), bounds AS (SELECT key, MIN(hour) AS lo, MAX(hour) AS hi FROM h GROUP BY 1), grid AS (SELECT key, CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS hour FROM bounds), dense AS (SELECT g.key, g.hour, COALESCE(h.cnt, 0) AS cnt FROM grid g LEFT JOIN h ON h.key = g.key AND h.hour = g.hour), par AS (SELECT key, COUNT(*) AS T, CAST(SUM(cnt) AS BIGINT) AS S FROM dense GROUP BY 1), yy AS (SELECT d.key, d.hour, p.T * d.cnt - p.S AS y FROM dense d JOIN par p ON p.key = d.key), kk AS (SELECT CAST(unnest(range(0, 25)) AS BIGINT) AS k), ck AS (SELECT a.key, kk.k, CAST(SUM(a.y * b.y) AS BIGINT) AS c FROM yy a CROSS JOIN kk JOIN yy b ON b.key = a.key AND b.hour = a.hour + kk.k GROUP BY 1, 2), c0 AS (SELECT key, c AS c0 FROM ck WHERE k = 0), rv AS (SELECT ck.key, list(CAST(floor(1000000.0 * (CAST(c AS DOUBLE) / CAST(c0 AS DOUBLE))) AS BIGINT) ORDER BY k) AS r FROM ck JOIN c0 USING (key) WHERE c0 > 0 GROUP BY ck.key), it AS ( SELECT key, 1 AS m, [r[2]] AS phi, r[2] AS pk FROM rv WHERE len(r) >= 2 UNION ALL SELECT kq, m2, phi_n, pk_n FROM ( SELECT kq, m2, m0, phi0, rr, num, den, (1000000*num)//den - CASE WHEN (1000000*num) % den <> 0 AND (1000000*num) < 0 THEN 1 ELSE 0 END AS pk_n, list_append(list_transform(range(m0), j_ -> phi0[CAST(j_ AS INT)+1] - ((pk_n * phi0[CAST(m0 - j_ AS INT)])//1000000 - CASE WHEN (pk_n * phi0[CAST(m0 - j_ AS INT)]) % 1000000 <> 0 AND (pk_n * phi0[CAST(m0 - j_ AS INT)]) < 0 THEN 1 ELSE 0 END)), pk_n) AS phi_n FROM ( SELECT kq, m2, m0, phi0, rr, rr[CAST(m0 AS INT)+2] - (conv//1000000 - CASE WHEN conv % 1000000 <> 0 AND conv < 0 THEN 1 ELSE 0 END) AS num, 1000000 - (deni//1000000 - CASE WHEN deni % 1000000 <> 0 AND deni < 0 THEN 1 ELSE 0 END) AS den FROM ( SELECT it.key AS kq, it.m + 1 AS m2, it.m AS m0, it.phi AS phi0, rv.r AS rr, list_reduce(list_transform(range(it.m), j_ -> it.phi[CAST(j_ AS INT)+1] * rv.r[CAST(it.m - j_ AS INT) + 1]), (a_, b_) -> a_ + b_) AS conv, list_reduce(list_transform(range(it.m), j_ -> it.phi[CAST(j_ AS INT)+1] * rv.r[CAST(j_ AS INT) + 2]), (a_, b_) -> a_ + b_) AS deni FROM it JOIN rv ON rv.key = it.key WHERE it.m < 24 AND len(rv.r) >= it.m + 2 ) z1 ) z2 WHERE den > 0 ) z3 ) SELECT key AS event_type, CAST(m AS BIGINT) AS lag, pk AS pacf_micro, CAST(pk AS DOUBLE) / 1000000.0 AS pacf FROM it',
         "kruskal_types": (
             "WITH ev AS (SELECT event_type AS etype, "
             "CAST(round(value*100) AS BIGINT) AS cents FROM events), "

@@ -944,3 +944,55 @@ def test_kruskal_matches_scipy_formula_with_ties(spark):
     h_raw = 12.0 * s / (n * (n + 1)) - 3 * (n + 1)
     corr = 1.0 - sum(t**3 - t for t in cnt.values()) / (n**3 - n)
     assert abs(r.h_stat - h_raw / corr) < 1e-9
+
+
+def test_pacf_ar1_signature(spark):
+    # AR(1)-like deterministic series: x_t alternates slowly upward --
+    # use a seeded random walk folded to ints; PACF lag-1 dominates and
+    # lag>=2 is near zero for a true AR(1)
+    from tsaug_spark.plans.stats import pacf_profile
+    import random
+    rng = random.Random(7)
+    counts, prev = [], 20
+    for _ in range(240):
+        prev = max(0, int(round(0.8 * prev + 4 + rng.gauss(0, 2))))
+        counts.append(prev)
+    df = _ph_events(spark, counts)
+    out = {r.lag: r.pacf for r in pacf_profile(df, max_lag=6).collect()}
+    assert out[1] > 0.5                       # strong direct lag-1
+    assert all(abs(out[k]) < 0.35 for k in range(2, 7))
+    assert abs(out[2]) < out[1]
+
+
+def test_pacf_matches_float_levinson_durbin(spark):
+    # quantized recursion stays within 1e-3 of the float recursion
+    from tsaug_spark.plans.stats import pacf_profile
+    counts = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3, 2, 3,
+              8, 4, 6, 2, 6, 4, 3, 3, 8, 3, 2, 7, 9, 5] * 4
+    out = {r.lag: r.pacf
+           for r in pacf_profile(_ph_events(spark, counts),
+                                 max_lag=8).collect()}
+    import numpy as np
+    x = np.asarray(counts, float)
+    xm = x - x.mean()
+    n = len(x)
+    c = [float(np.sum(xm[: n - kk] * xm[kk:])) for kk in range(9)]
+    r = [ci / c[0] for ci in c]
+    phi, ref = [], {}
+    for m in range(1, 9):
+        if m == 1:
+            pk = r[1]
+        else:
+            num = r[m] - sum(phi[j] * r[m - 1 - j] for j in range(m - 1))
+            den = 1 - sum(phi[j] * r[j + 1] for j in range(m - 1))
+            pk = num / den
+        phi = [phi[j] - pk * phi[m - 2 - j] for j in range(m - 1)] + [pk]
+        ref[m] = pk
+    for m in range(1, 9):
+        assert abs(out[m] - ref[m]) < 1e-3, (m, out[m], ref[m])
+
+
+def test_pacf_constant_series_emits_nothing(spark):
+    # zero variance -> c0 == 0 -> no rows (degenerate input)
+    from tsaug_spark.plans.stats import pacf_profile
+    assert pacf_profile(_ph_events(spark, [5] * 50)).count() == 0

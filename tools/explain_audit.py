@@ -875,14 +875,19 @@ def main() -> None:
             execute=True,
         )
 
-    # page-hinkley: dense grid + one grouped integer-recursion kernel
-    audit(
-        "page_hinkley (grouped integer-recursion kernel)",
-        em.q_page_hinkley(spark, sf),
-        must_have=["FlatMapGroupsInPandas"],
-        must_not_have=["CartesianProduct", "BatchEvalPython"],
-        execute=True,
-    )
+    # page-hinkley / pacf: dense grid + one grouped integer-recursion
+    # kernel over aggregated rows
+    for nm, q in [
+        ("page_hinkley", em.q_page_hinkley),
+        ("pacf_24", em.q_pacf_24),
+    ]:
+        audit(
+            f"{nm} (grouped integer-recursion kernel)",
+            q(spark, sf),
+            must_have=["FlatMapGroupsInPandas"],
+            must_not_have=["CartesianProduct", "BatchEvalPython"],
+            execute=True,
+        )
 
     # mmr: bounded candidate set -> one single-group Arrow kernel; the
     # only joins are broadcast (pair fan-out + reattach), no Cartesian
