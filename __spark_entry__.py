@@ -1493,6 +1493,76 @@ def q_heaps_law(spark, sf):
     return heaps_law(_docs(spark, sf))
 
 
+def q_tpch_q3(spark, sf):
+    """TPC-H Q3 shape — top-10 open BUILDING-segment orders by
+    discounted revenue: two broadcast dim joins (customer filter
+    pushed to the scan), per-order partial+final hash aggregate, one
+    bounded top-k window."""
+    cust = (
+        spark.read.parquet(f"{sf}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = spark.read.parquet(f"{sf}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("2000-01-01")
+    )
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit("2000-01-01")
+    )
+    j = li.join(
+        F.broadcast(orders.join(F.broadcast(cust),
+                                orders.o_custkey == cust.c_custkey)),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))),
+            2,
+        ).alias("revenue")
+    )
+    wt = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+    return agg.select(
+        "l_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        "revenue",
+        F.row_number().over(wt).alias("rank"),
+    ).filter(F.col("rank") <= 10)
+
+
+def q_dau_overlap(spark, sf):
+    """Day-over-day active-user overlap and Jaccard stickiness
+    (plans/cohorts.py::dau_overlap): exact distinct-pair integers,
+    co-partitioned (user, day) self-join."""
+    from tsaug_spark.plans.cohorts import dau_overlap
+
+    return dau_overlap(_events(spark, sf))
+
+
+def q_value_deciles(spark, sf):
+    """Rank-selected decile boundaries per event type
+    (plans/stats.py::value_deciles): exact integer index arithmetic,
+    cents + order-column tie-break — never an engine percentile."""
+    from tsaug_spark.plans.stats import value_deciles
+
+    return value_deciles(_events(spark, sf)).select(
+        F.col("etype").alias("event_type"),
+        "decile",
+        "n",
+        "boundary_cents",
+        "boundary",
+    )
+
+
+def q_top_paths(spark, sf):
+    """Top-10 session-opening event-type paths (plans/metrics.py::
+    top_paths): islands sessionize, sorted-struct path build, bounded
+    path-count aggregate, deterministic top-k."""
+    from tsaug_spark.plans.metrics import top_paths
+
+    return top_paths(_events(spark, sf))
+
+
 def q_pacf_24(spark, sf):
     """Partial autocorrelation (lags 1-24) of each event type's dense
     hourly count series via integer-quantized Levinson-Durbin
@@ -3845,6 +3915,10 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "tpch_q3",
+    "dau_overlap",
+    "value_deciles",
+    "top_paths",
     "pacf_24",
     "kruskal_types",
     "page_hinkley",
@@ -4153,6 +4227,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_hinkley": q_page_hinkley,
         "kruskal_types": q_kruskal_types,
         "pacf_24": q_pacf_24,
+        "tpch_q3": q_tpch_q3,
+        "dau_overlap": q_dau_overlap,
+        "value_deciles": q_value_deciles,
+        "top_paths": q_top_paths,
         "quantile_drift": q_quantile_drift,
         "hellinger_click_error": q_hellinger_click_error,
         "type_runs": q_type_runs,
@@ -6060,6 +6138,74 @@ def oracle_sql() -> dict[str, str]:
             "med_cents - lag(med_cents) OVER w AS delta_cents, "
             "week - lag(week) OVER w AS weeks_gap FROM med "
             "WINDOW w AS (PARTITION BY grp ORDER BY week)"
+        ),
+        "tpch_q3": (
+            "SELECT l_orderkey, o_orderdate, o_orderpriority, revenue, "
+            "CAST(rank AS INT) AS rank FROM ("
+            "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "row_number() OVER (ORDER BY "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) DESC, "
+            "l_orderkey ASC) AS rank "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '2000-01-01' "
+            "AND l_shipdate > TIMESTAMP '2000-01-01' "
+            "GROUP BY 1, 2, 3) WHERE rank <= 10"
+        ),
+        "dau_overlap": (
+            "WITH du AS (SELECT DISTINCT user_id AS u, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day FROM events), "
+            "pd AS (SELECT day, COUNT(*) AS actives FROM du GROUP BY 1), "
+            "inter AS (SELECT a.day, COUNT(*) AS both FROM du a "
+            "JOIN du b ON b.u = a.u AND b.day = a.day + 1 GROUP BY 1) "
+            "SELECT p1.day, p1.actives AS actives_d, "
+            "p2.actives AS actives_next, "
+            "COALESCE(i.both, 0) AS both, "
+            "CAST(COALESCE(i.both, 0) AS DOUBLE) / "
+            "CAST(p1.actives + p2.actives - COALESCE(i.both, 0) "
+            "AS DOUBLE) AS jaccard "
+            "FROM pd p1 JOIN pd p2 ON p2.day = p1.day + 1 "
+            "LEFT JOIN inter i ON i.day = p1.day"
+        ),
+        "value_deciles": (
+            "WITH ev AS (SELECT event_type AS etype, "
+            "CAST(round(value*100) AS BIGINT) AS cents, event_id AS oid "
+            "FROM events), "
+            "r AS (SELECT etype, cents, row_number() OVER ("
+            "PARTITION BY etype ORDER BY cents, oid) AS rn, "
+            "COUNT(*) OVER (PARTITION BY etype) AS n FROM ev), "
+            "idx AS (SELECT etype, MAX(n) AS n, "
+            "CAST(unnest(range(1, 10)) AS BIGINT) AS decile FROM r "
+            "GROUP BY etype), "
+            "ix AS (SELECT etype, n, decile, "
+            "CAST(floor(CAST(decile * n + 9 AS DOUBLE) / 10.0) "
+            "AS BIGINT) AS rn FROM idx) "
+            "SELECT r.etype AS event_type, ix.decile, "
+            "CAST(ix.n AS BIGINT) AS n, r.cents AS boundary_cents, "
+            "CAST(r.cents AS DOUBLE) / 100.0 AS boundary "
+            "FROM r JOIN ix ON ix.etype = r.etype AND ix.rn = r.rn"
+        ),
+        "top_paths": (
+            "WITH f AS (SELECT user_id AS key, event_type AS etype, "
+            "ts, event_id AS oid, CASE WHEN lag(ts) OVER w IS NULL OR "
+            "epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END "
+            "AS new_s FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT key, etype, ts, oid, SUM(new_s) OVER ("
+            "PARTITION BY key ORDER BY ts, oid ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS sid FROM f), "
+            "pre AS (SELECT key, sid, etype, row_number() OVER ("
+            "PARTITION BY key, sid ORDER BY ts, oid) AS rn FROM s "
+            "QUALIFY rn <= 5), "
+            "paths AS (SELECT key, sid, string_agg(etype, '>' "
+            "ORDER BY rn) AS path FROM pre GROUP BY 1, 2), "
+            "c AS (SELECT path, COUNT(*) AS sessions FROM paths "
+            "GROUP BY 1) "
+            "SELECT path, sessions, CAST(row_number() OVER ("
+            "ORDER BY sessions DESC, path ASC) AS INT) AS rank FROM c "
+            "QUALIFY rank <= 10"
         ),
         "pacf_24": 'WITH RECURSIVE h AS (SELECT event_type AS key, CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour, COUNT(*) AS cnt FROM events GROUP BY 1, 2), bounds AS (SELECT key, MIN(hour) AS lo, MAX(hour) AS hi FROM h GROUP BY 1), grid AS (SELECT key, CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS hour FROM bounds), dense AS (SELECT g.key, g.hour, COALESCE(h.cnt, 0) AS cnt FROM grid g LEFT JOIN h ON h.key = g.key AND h.hour = g.hour), par AS (SELECT key, COUNT(*) AS T, CAST(SUM(cnt) AS BIGINT) AS S FROM dense GROUP BY 1), yy AS (SELECT d.key, d.hour, p.T * d.cnt - p.S AS y FROM dense d JOIN par p ON p.key = d.key), kk AS (SELECT CAST(unnest(range(0, 25)) AS BIGINT) AS k), ck AS (SELECT a.key, kk.k, CAST(SUM(a.y * b.y) AS BIGINT) AS c FROM yy a CROSS JOIN kk JOIN yy b ON b.key = a.key AND b.hour = a.hour + kk.k GROUP BY 1, 2), c0 AS (SELECT key, c AS c0 FROM ck WHERE k = 0), rv AS (SELECT ck.key, list(CAST(floor(1000000.0 * (CAST(c AS DOUBLE) / CAST(c0 AS DOUBLE))) AS BIGINT) ORDER BY k) AS r FROM ck JOIN c0 USING (key) WHERE c0 > 0 GROUP BY ck.key), it AS ( SELECT key, 1 AS m, [r[2]] AS phi, r[2] AS pk FROM rv WHERE len(r) >= 2 UNION ALL SELECT kq, m2, phi_n, pk_n FROM ( SELECT kq, m2, m0, phi0, rr, num, den, (1000000*num)//den - CASE WHEN (1000000*num) % den <> 0 AND (1000000*num) < 0 THEN 1 ELSE 0 END AS pk_n, list_append(list_transform(range(m0), j_ -> phi0[CAST(j_ AS INT)+1] - ((pk_n * phi0[CAST(m0 - j_ AS INT)])//1000000 - CASE WHEN (pk_n * phi0[CAST(m0 - j_ AS INT)]) % 1000000 <> 0 AND (pk_n * phi0[CAST(m0 - j_ AS INT)]) < 0 THEN 1 ELSE 0 END)), pk_n) AS phi_n FROM ( SELECT kq, m2, m0, phi0, rr, rr[CAST(m0 AS INT)+2] - (conv//1000000 - CASE WHEN conv % 1000000 <> 0 AND conv < 0 THEN 1 ELSE 0 END) AS num, 1000000 - (deni//1000000 - CASE WHEN deni % 1000000 <> 0 AND deni < 0 THEN 1 ELSE 0 END) AS den FROM ( SELECT it.key AS kq, it.m + 1 AS m2, it.m AS m0, it.phi AS phi0, rv.r AS rr, list_reduce(list_transform(range(it.m), j_ -> it.phi[CAST(j_ AS INT)+1] * rv.r[CAST(it.m - j_ AS INT) + 1]), (a_, b_) -> a_ + b_) AS conv, list_reduce(list_transform(range(it.m), j_ -> it.phi[CAST(j_ AS INT)+1] * rv.r[CAST(j_ AS INT) + 2]), (a_, b_) -> a_ + b_) AS deni FROM it JOIN rv ON rv.key = it.key WHERE it.m < 24 AND len(rv.r) >= it.m + 2 ) z1 ) z2 WHERE den > 0 ) z3 ) SELECT key AS event_type, CAST(m AS BIGINT) AS lag, pk AS pacf_micro, CAST(pk AS DOUBLE) / 1000000.0 AS pacf FROM it',
         "kruskal_types": (

@@ -132,3 +132,26 @@ def test_conversion_latency_hand_fixture(spark, tmp_path):
     assert out[2].delay_us == 100_000_000
     med = (30_000_000 + 100_000_000) / 2
     assert all(r.median_delay_us == med for r in out.values())
+
+
+def test_dau_overlap_hand_fixture(spark):
+    from datetime import datetime, timedelta
+    from tsaug_spark.plans.cohorts import dau_overlap
+    base = datetime(2024, 1, 1, 12)
+    rows = [(base, u) for u in (1, 2, 3)] + [
+        (base + timedelta(days=1), u) for u in (2, 3, 4, 5)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    r = dau_overlap(df).collect()[0]
+    assert (r.actives_d, r.actives_next, r.both) == (3, 4, 2)
+    assert abs(r.jaccard - 2 / 5) < 1e-12
+
+
+def test_dau_overlap_disjoint_days(spark):
+    from datetime import datetime, timedelta
+    from tsaug_spark.plans.cohorts import dau_overlap
+    base = datetime(2024, 1, 1, 12)
+    rows = [(base, 1), (base + timedelta(days=1), 2)]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    r = dau_overlap(df).collect()[0]
+    assert r.both == 0 and r.jaccard == 0.0

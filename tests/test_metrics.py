@@ -1504,3 +1504,38 @@ def test_slo_burn_multiwindow_page(spark):
     assert r1.burn_1h == 1.6 and abs(r1.burn_6h - 5 / 14 * 4) < 1e-12
     r8 = out[base + 8 * 3600]
     assert (r8.tot_6h, r8.err_6h) == (5, 2)  # gap hours excluded
+
+
+def test_top_paths_sessionizes_and_orders(spark):
+    from datetime import datetime, timedelta
+    from tsaug_spark.plans.metrics import top_paths
+    b = datetime(2024, 1, 1, 12)
+    rows = []
+    eid = 0
+    # user 1: session "a>b", then 40 min gap, session "a>b"
+    for t0 in (b, b + timedelta(minutes=45)):
+        for i, et in enumerate(("a", "b")):
+            rows.append((eid, 1, t0 + timedelta(seconds=i), et)); eid += 1
+    # user 2: one session "c"
+    rows.append((eid, 2, b, "c")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r.rank: r for r in top_paths(df).collect()}
+    assert out[1].path == "a>b" and out[1].sessions == 2
+    assert out[2].path == "c" and out[2].sessions == 1
+
+
+def test_top_paths_prefix_truncation(spark):
+    from datetime import datetime, timedelta
+    from tsaug_spark.plans.metrics import top_paths
+    b = datetime(2024, 1, 1)
+    rows = [
+        (i, 1, b + timedelta(seconds=i), t)
+        for i, t in enumerate("abcdefg")
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = top_paths(df, prefix_len=3).collect()
+    assert out[0].path == "a>b>c"

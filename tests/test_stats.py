@@ -996,3 +996,30 @@ def test_pacf_constant_series_emits_nothing(spark):
     # zero variance -> c0 == 0 -> no rows (degenerate input)
     from tsaug_spark.plans.stats import pacf_profile
     assert pacf_profile(_ph_events(spark, [5] * 50)).count() == 0
+
+
+def test_value_deciles_exact_rank_selection(spark):
+    # cents 1..20 in one type: boundary_i = value at rank 2i
+    from tsaug_spark.plans.stats import value_deciles
+    rows = [(i, "A", i / 100.0) for i in range(1, 21)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    out = {r.decile: r for r in value_deciles(df).collect()}
+    assert len(out) == 9
+    for i in range(1, 10):
+        assert out[i].boundary_cents == 2 * i
+        assert out[i].n == 20
+
+
+def test_value_deciles_tie_break_on_order_col(spark):
+    # all-equal values: every boundary is that value, ranks resolved
+    # by event_id without nondeterminism
+    from tsaug_spark.plans.stats import value_deciles
+    rows = [(i, "A", 0.42) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    out = value_deciles(df).collect()
+    assert len(out) == 9
+    assert all(r.boundary_cents == 42 for r in out)

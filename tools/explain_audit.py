@@ -899,6 +899,34 @@ def main() -> None:
         execute=True,
     )
 
+    # tpch q3 shape: both dims broadcast, segment filter pushed down
+    audit(
+        "tpch_q3 (broadcast dims + pushdown + bounded top-k)",
+        em.q_tpch_q3(spark, sf),
+        must_have=["BroadcastHashJoin", "HashAggregate",
+                   "EqualTo(c_mktsegment,BUILDING)"],
+        must_not_have=["CartesianProduct", "SortMergeJoin",
+                       "BatchEvalPython"],
+        execute=True,
+    )
+
+    # sequence/cohort screens: windows + hash aggregates, JVM only
+    for nm, q in [
+        ("dau_overlap", em.q_dau_overlap),
+        ("value_deciles", em.q_value_deciles),
+        ("top_paths", em.q_top_paths),
+    ]:
+        audit(
+            f"{nm} (stats/retrieval screen, JVM only)",
+            q(spark, sf),
+            must_have=["HashAggregate"],
+            must_not_have=["CartesianProduct",
+                           "BroadcastNestedLoopJoin",
+                           "BatchEvalPython", "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+
     # bloom-pruned join: literal-array probe (no shuffle before the
     # fact filter), then one exact join + rollup
     for nm, q in [

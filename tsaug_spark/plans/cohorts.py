@@ -145,3 +145,67 @@ def funnel(
             / F.nullif(F.col("users"), F.lit(0)).cast("double")
         ).alias("avg_hours_from_start"),
     )
+
+
+def dau_overlap(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-over-day active-user overlap: for each consecutive day
+    pair, how many users were active BOTH days, and the Jaccard
+    stickiness of the two active sets — the day-N retention pulse a
+    growth dashboard tracks between full cohort reports.
+
+    All integers (distinct (user, day) pairs, equi-joined on day+1);
+    Jaccard is one shared final division.
+
+    Scale: the distinct pass is one (user, day) hash aggregate; the
+    self-join keys on user AND day, so it is co-partitioned and
+    linear, never a cross of the day's actives.
+    """
+    du = df.select(
+        F.col(key_col).alias("u"),
+        F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    per_day = du.groupBy("day").agg(F.count(F.lit(1)).alias("actives"))
+    inter = (
+        du.alias("a")
+        .join(
+            du.select(
+                F.col("u").alias("u_b"),
+                (F.col("day") - 1).alias("day"),
+            ).alias("b"),
+            (F.col("a.u") == F.col("u_b"))
+            & (F.col("a.day") == F.col("b.day")),
+        )
+        .groupBy("a.day")
+        .agg(F.count(F.lit(1)).alias("both"))
+    )
+    n1 = per_day.select(
+        F.col("day"), F.col("actives").alias("actives_d")
+    )
+    n2 = per_day.select(
+        (F.col("day") - 1).alias("day"),
+        F.col("actives").alias("actives_next"),
+    )
+    return (
+        n1.join(n2, "day")
+        .join(inter, "day", "left")
+        .select(
+            "day",
+            "actives_d",
+            "actives_next",
+            F.coalesce("both", F.lit(0)).alias("both"),
+            (
+                F.coalesce("both", F.lit(0)).cast("double")
+                / (
+                    F.col("actives_d")
+                    + F.col("actives_next")
+                    - F.coalesce("both", F.lit(0))
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )

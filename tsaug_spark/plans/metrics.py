@@ -2654,3 +2654,83 @@ def slo_burn(
             ).alias("page"),
         )
     )
+
+
+def top_paths(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    prefix_len: int = 5,
+    top_k: int = 10,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Top-k session-opening paths: sessionize each key's event stream
+    on an inactivity gap, take the first ``prefix_len`` event types of
+    every session in time order, and count sessions per path string —
+    the "how do journeys start" report behind funnel design.
+
+    Determinism: session boundaries are exact integer second
+    comparisons; the path is built by sorting (rank, type) structs and
+    joining — never a collect_list ordering assumption; top-k ranks on
+    (sessions DESC, path ASC).
+
+    Scale: one key-window sessionize (islands), one (key, session)
+    aggregate whose payload is a <= prefix_len struct array, one
+    bounded path-count aggregate (path vocabulary, not session count),
+    one global top-k over that bounded table.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    flagged = df.select(
+        F.col(key_col).alias("key"),
+        F.col(type_col).alias("etype"),
+        F.col(ts_col).alias("ts"),
+        F.col(order_col).alias("oid"),
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (
+                F.unix_timestamp(F.col(ts_col))
+                - F.unix_timestamp(F.lag(ts_col).over(w))
+                > gap_seconds
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    w2 = Window.partitionBy("key").orderBy("ts", "oid")
+    sess = flagged.select(
+        "key",
+        "etype",
+        "ts",
+        "oid",
+        F.sum("new_s")
+        .over(w2.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    w3 = Window.partitionBy("key", "sid").orderBy("ts", "oid")
+    prefix = sess.select(
+        "key",
+        "sid",
+        "etype",
+        F.row_number().over(w3).alias("rn"),
+    ).filter(F.col("rn") <= prefix_len)
+    paths = prefix.groupBy("key", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "etype"))),
+                lambda s: s["etype"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("sessions")
+    )
+    wt = Window.orderBy(F.col("sessions").desc(), F.col("path").asc())
+    return counts.select(
+        "path",
+        "sessions",
+        F.row_number().over(wt).alias("rank"),
+    ).filter(F.col("rank") <= top_k)

@@ -2154,3 +2154,61 @@ def pacf_profile(
         )
 
     return ck.groupBy("key").applyInPandas(_kernel, out_schema)
+
+
+def value_deciles(
+    df: DataFrame,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Rank-selected decile boundaries of each event type's value
+    distribution — the equi-depth histogram edges a monitoring UI
+    draws, and the bin plan an equi-depth partitioner would use.
+
+    Boundary i (i = 1..9) is the value at joint rank ceil(i*n/10)
+    (exact integer index arithmetic, (i*n + 9) DIV 10), selected with
+    the repo's deterministic convention: exact cents, ties broken on
+    the order column — never an engine percentile.
+
+    Scale: one ordered window per type (same cost class as the other
+    rank-selected medians); the 9 index rows join back on (type,
+    rank), a broadcast-scale dimension.
+    """
+    ev = df.select(
+        F.col(type_col).alias("etype"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+        F.col(order_col).alias("oid"),
+    )
+    w = Window.partitionBy("etype").orderBy("cents", "oid")
+    cw = Window.partitionBy("etype")
+    ranked = ev.select(
+        "etype",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    idx = (
+        ranked.groupBy("etype")
+        .agg(F.max("n").alias("n"))
+        .select(
+            "etype",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("decile"),
+        )
+        .select(
+            "etype",
+            "n",
+            "decile",
+            F.floor(
+                (F.col("decile") * F.col("n") + F.lit(9)) / F.lit(10)
+            ).cast("long").alias("rn"),
+        )
+    )
+    return ranked.join(F.broadcast(idx), ["etype", "rn"]).select(
+        "etype",
+        F.col("decile").cast("long").alias("decile"),
+        idx["n"].alias("n"),
+        F.col("cents").alias("boundary_cents"),
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("boundary"),
+    )
