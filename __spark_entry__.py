@@ -1493,6 +1493,18 @@ def q_heaps_law(spark, sf):
     return heaps_law(_docs(spark, sf))
 
 
+def q_triangle_copurchase(spark, sf):
+    """Exact triangle count + clustering coefficient of the niche-part
+    co-purchase graph (plans/graph.py): hot-part cap bounds the
+    bipartite projection, degree-ordered wedge join generates each
+    triangle exactly once at its lowest-order apex."""
+    from tsaug_spark.plans.graph import copurchase_edges, triangle_count
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    return triangle_count(copurchase_edges(li, orders, max_buyers=20))
+
+
 def q_tpch_q3(spark, sf):
     """TPC-H Q3 shape — top-10 open BUILDING-segment orders by
     discounted revenue: two broadcast dim joins (customer filter
@@ -3915,6 +3927,7 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "triangle_copurchase",
     "tpch_q3",
     "dau_overlap",
     "value_deciles",
@@ -4228,6 +4241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal_types": q_kruskal_types,
         "pacf_24": q_pacf_24,
         "tpch_q3": q_tpch_q3,
+        "triangle_copurchase": q_triangle_copurchase,
         "dau_overlap": q_dau_overlap,
         "value_deciles": q_value_deciles,
         "top_paths": q_top_paths,
@@ -6138,6 +6152,29 @@ def oracle_sql() -> dict[str, str]:
             "med_cents - lag(med_cents) OVER w AS delta_cents, "
             "week - lag(week) OVER w AS weeks_gap FROM med "
             "WINDOW w AS (PARTITION BY grp ORDER BY week)"
+        ),
+        "triangle_copurchase": (
+            "WITH bp AS (SELECT DISTINCT l_partkey AS part, "
+            "o_custkey AS cust FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey), "
+            "sz AS (SELECT part FROM bp GROUP BY part "
+            "HAVING COUNT(*) <= 20), "
+            "k AS (SELECT bp.part, bp.cust FROM bp JOIN sz USING (part)), "
+            "e AS (SELECT DISTINCT a.cust AS u, b.cust AS v FROM k a "
+            "JOIN k b USING (part) WHERE a.cust < b.cust), "
+            "deg AS (SELECT n, COUNT(*) AS deg FROM ("
+            "SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1), "
+            "tri AS (SELECT COUNT(*) AS t FROM e e1 "
+            "JOIN e e2 ON e2.u = e1.v "
+            "JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), "
+            "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+            "CAST(SUM(deg)/2 AS BIGINT) AS n_edges, "
+            "CAST(SUM(deg*(deg-1))/2 AS BIGINT) AS n_wedges FROM deg) "
+            "SELECT n_nodes, n_edges, n_wedges, "
+            "CAST(t AS BIGINT) AS n_triangles, "
+            "CASE WHEN n_wedges > 0 THEN 3.0 * CAST(t AS DOUBLE) / "
+            "CAST(n_wedges AS DOUBLE) ELSE 0.0 END AS clustering_coeff "
+            "FROM st, tri"
         ),
         "tpch_q3": (
             "SELECT l_orderkey, o_orderdate, o_orderpriority, revenue, "

@@ -899,6 +899,17 @@ def main() -> None:
         execute=True,
     )
 
+    # triangle counting: equi-joins only — the degree orientation must
+    # never degrade to a cross product
+    audit(
+        "triangle_copurchase (degree-ordered wedge join)",
+        em.q_triangle_copurchase(spark, sf),
+        must_have=["HashAggregate", "Join"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
     # tpch q3 shape: both dims broadcast, segment filter pushed down
     audit(
         "tpch_q3 (broadcast dims + pushdown + bounded top-k)",
