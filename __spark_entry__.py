@@ -1493,6 +1493,17 @@ def q_heaps_law(spark, sf):
     return heaps_law(_docs(spark, sf))
 
 
+def q_weighted_sample(spark, sf):
+    """Deterministic Efraimidis-Spirakis weighted sample (top-16 per
+    source, weight = n_chars) — pipeline/sampling.py::weighted_sample:
+    md5-seeded draws, ln(u)/w keys, repartition/resize-stable."""
+    from tsaug_spark.pipeline.sampling import weighted_sample
+
+    return weighted_sample(
+        _docs(spark, sf), "n_chars", k=16, stratum_col="source"
+    )
+
+
 def q_triangle_copurchase(spark, sf):
     """Exact triangle count + clustering coefficient of the niche-part
     co-purchase graph (plans/graph.py): hot-part cap bounds the
@@ -3927,6 +3938,7 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "weighted_sample",
     "triangle_copurchase",
     "tpch_q3",
     "dau_overlap",
@@ -4242,6 +4254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pacf_24": q_pacf_24,
         "tpch_q3": q_tpch_q3,
         "triangle_copurchase": q_triangle_copurchase,
+        "weighted_sample": q_weighted_sample,
         "dau_overlap": q_dau_overlap,
         "value_deciles": q_value_deciles,
         "top_paths": q_top_paths,
@@ -6152,6 +6165,19 @@ def oracle_sql() -> dict[str, str]:
             "med_cents - lag(med_cents) OVER w AS delta_cents, "
             "week - lag(week) OVER w AS weeks_gap FROM med "
             "WINDOW w AS (PARTITION BY grp ORDER BY week)"
+        ),
+        "weighted_sample": (
+            "WITH b AS (SELECT source AS stratum, doc_id AS id, "
+            "n_chars AS weight, "
+            "ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws1'), "
+            "1, 15))::BIGINT + 0.5) / 1152921504606846976.0) / "
+            "CAST(n_chars AS DOUBLE) AS skey "
+            "FROM documents WHERE n_chars > 0), "
+            "r AS (SELECT stratum, id, weight, row_number() OVER ("
+            "PARTITION BY stratum ORDER BY skey DESC, id ASC) AS rank "
+            "FROM b) "
+            "SELECT stratum, id, weight, CAST(rank AS INT) AS rank "
+            "FROM r WHERE rank <= 16"
         ),
         "triangle_copurchase": (
             "WITH bp AS (SELECT DISTINCT l_partkey AS part, "

@@ -164,3 +164,67 @@ def test_bucket_matches_duckdb():
 
     got = int(hashlib.md5(b"42").hexdigest()[:8], 16) % 10000
     assert got == want
+
+
+def test_weighted_sample_deterministic_and_repartition_stable(spark):
+    from tsaug_spark.pipeline.sampling import weighted_sample
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(
+        (r.stratum, r.id, r.rank)
+        for r in weighted_sample(docs, "n_chars", k=8,
+                                 stratum_col="source").collect()
+    )
+    b = sorted(
+        (r.stratum, r.id, r.rank)
+        for r in weighted_sample(
+            docs.repartition(13), "n_chars", k=8, stratum_col="source"
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_weighted_sample_matches_python_aes(spark):
+    # independent A-ES replay with the same md5 draws
+    import hashlib
+    import math
+
+    from tsaug_spark.pipeline.sampling import weighted_sample
+    rows = [(i, 10.0 * (1 + i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [
+        (r.rank, r.id)
+        for r in sorted(
+            weighted_sample(df, "w", k=10).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    keys = []
+    for i, w in rows:
+        h = int(hashlib.md5(f"{i}:ws1".encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / float(1 << 60)
+        keys.append((math.log(u) / w, -i))
+    want = [
+        (rank + 1, -negid)
+        for rank, (_, negid) in enumerate(
+            sorted(keys, reverse=True)[:10]
+        )
+    ]
+    assert got == want
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    # one row with overwhelming weight is (almost surely) sampled:
+    # ln(u)/w -> ~0 for huge w regardless of u
+    from tsaug_spark.pipeline.sampling import weighted_sample
+    rows = [(i, 1.0) for i in range(100)] + [(999, 1e9)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    ids = {r.id for r in weighted_sample(df, "w", k=5).collect()}
+    assert 999 in ids
+
+
+def test_weighted_sample_skips_nonpositive_weights(spark):
+    from tsaug_spark.pipeline.sampling import weighted_sample
+    rows = [(1, 0.0), (2, -3.0), (3, 5.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample(df, "w", k=5).collect()
+    assert {r.id for r in out} == {3}

@@ -910,6 +910,18 @@ def main() -> None:
         execute=True,
     )
 
+    # weighted sample: narrow projection + per-stratum top-k window,
+    # no aggregate, no join, no Python
+    audit(
+        "weighted_sample (projection + top-k window only)",
+        em.q_weighted_sample(spark, sf),
+        must_have=["Window"],
+        must_not_have=["CartesianProduct", "BroadcastNestedLoopJoin",
+                       "BatchEvalPython", "ArrowEvalPython",
+                       "FlatMapGroupsInPandas", "Join"],
+        execute=True,
+    )
+
     # tpch q3 shape: both dims broadcast, segment filter pushed down
     audit(
         "tpch_q3 (broadcast dims + pushdown + bounded top-k)",

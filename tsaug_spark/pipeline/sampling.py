@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: bucket resolution: 32 hash bits folded mod 1e4 gives 0.01% split
@@ -138,3 +138,63 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int = 64,
+    stratum_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "ws1",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement —
+    Efraimidis-Spirakis (2006) A-ES: each row draws u in (0, 1) from
+    its id hash and keeps key = ln(u) / w; the k LARGEST keys are an
+    exact weighted sample without replacement.  Deterministic under
+    repartitioning, cluster resize, and incremental ingest (the same
+    contract as :func:`hash_split` — the draw depends only on id and
+    salt), so the curation sample a dashboard audited yesterday is the
+    same sample tomorrow.
+
+    u = (h + 0.5) / 2^60 with h the first 60 bits of md5(id || ':' ||
+    salt) — strictly inside (0, 1), no log(0).  The only float ops are
+    one parse, one division, one ln, one divide-by-weight, identical
+    expressions in both engines; ranking tie-breaks on id.
+
+    Scale: one narrow projection + one per-stratum top-k window — the
+    same cost as any top-k; no shuffle beyond the stratum partition.
+    """
+    strat = (
+        F.col(stratum_col) if stratum_col else F.lit("all")
+    ).alias("stratum")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"),
+                           F.lit(":" + salt))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    base = df.filter(F.col(weight_col) > 0).select(
+        strat,
+        F.col(id_col).alias("id"),
+        F.col(weight_col).alias("weight"),
+        key.alias("skey"),
+    )
+    w = Window.partitionBy("stratum").orderBy(
+        F.col("skey").desc(), F.col("id").asc()
+    )
+    return (
+        base.select(
+            "stratum",
+            "id",
+            "weight",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )
