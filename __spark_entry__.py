@@ -1493,6 +1493,16 @@ def q_heaps_law(spark, sf):
     return heaps_law(_docs(spark, sf))
 
 
+def q_season_strength(spark, sf):
+    """Trend/seasonal strength (tsfeatures) per user from the
+    classical decomposition (plans/metrics.py::season_strength):
+    milli-quantized components, exact BIGINT variances, shared ratio
+    expressions."""
+    from tsaug_spark.plans.metrics import season_strength
+
+    return season_strength(_events(spark, sf))
+
+
 def q_weighted_sample(spark, sf):
     """Deterministic Efraimidis-Spirakis weighted sample (top-16 per
     source, weight = n_chars) — pipeline/sampling.py::weighted_sample:
@@ -3938,6 +3948,7 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "season_strength",
     "weighted_sample",
     "triangle_copurchase",
     "tpch_q3",
@@ -4255,6 +4266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "triangle_copurchase": q_triangle_copurchase,
         "weighted_sample": q_weighted_sample,
+        "season_strength": q_season_strength,
         "dau_overlap": q_dau_overlap,
         "value_deciles": q_value_deciles,
         "top_paths": q_top_paths,
@@ -4710,7 +4722,7 @@ def _knn_join_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     hourly = _HOURLY_SQL
-    return {
+    d = {
         "rollup_1m": (
             "SELECT user_id, CAST(floor(epoch(ts)/60)*60 AS BIGINT) AS "
             "bucket_s, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value, "
@@ -7463,6 +7475,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM seg GROUP BY 1, 2"
         ),
     }
+
+    d["season_strength"] = (
+        "WITH dec AS (" + d["seasonal_decompose_24h"] + "), "
+        "t AS (SELECT user_id AS key, "
+        "CAST(floor(1000.0 * resid) AS BIGINT) AS rm, "
+        "CAST(floor(1000.0 * (trend + resid)) AS BIGINT) AS dtm, "
+        "CAST(floor(1000.0 * (seasonal + resid)) AS BIGINT) AS dsm "
+        "FROM dec WHERE resid IS NOT NULL), "
+        "a AS (SELECT key, COUNT(*) AS n, SUM(rm) AS sr, "
+        "SUM(rm*rm) AS srr, SUM(dtm) AS st, SUM(dtm*dtm) AS stt, "
+        "SUM(dsm) AS ss, SUM(dsm*dsm) AS sss FROM t GROUP BY 1) "
+        "SELECT key, CAST(n AS BIGINT) AS n, "
+        "CASE WHEN n*stt - st*st > 0 THEN greatest(0.0, 1.0 - "
+        "CAST(n*srr - sr*sr AS DOUBLE) / "
+        "CAST(n*stt - st*st AS DOUBLE)) END AS trend_strength, "
+        "CASE WHEN n*sss - ss*ss > 0 THEN greatest(0.0, 1.0 - "
+        "CAST(n*srr - sr*sr AS DOUBLE) / "
+        "CAST(n*sss - ss*ss AS DOUBLE)) END AS seasonal_strength "
+        "FROM a"
+    )
+    return d
 
 
 if __name__ == "__main__":

@@ -1539,3 +1539,39 @@ def test_top_paths_prefix_truncation(spark):
     )
     out = top_paths(df, prefix_len=3).collect()
     assert out[0].path == "a>b>c"
+
+
+def test_season_strength_periodic_series(spark):
+    # exact 24h-periodic counts, 6 days: resid ~ 0 -> seasonal
+    # strength ~ 1; flat trend -> trend variance degenerate or tiny
+    from datetime import datetime, timedelta
+    from tsaug_spark.plans.metrics import season_strength
+    b = datetime(2024, 1, 1)
+    rows = []
+    for d in range(6):
+        for h in range(24):
+            c = 1 + (h % 12)
+            rows += [(1, b + timedelta(days=d, hours=h))] * c
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    r = season_strength(df).collect()[0]
+    assert r.seasonal_strength is not None
+    assert r.seasonal_strength > 0.95
+    assert r.trend_strength is None or r.trend_strength < 0.6
+
+
+def test_season_strength_trending_series(spark):
+    # exactly linear counts: the centered MA reproduces the series on
+    # interior rows, so resid == 0 and seasonal == 0 -> trend strength
+    # 1, seasonal variance degenerate (NULL)
+    from datetime import datetime, timedelta
+    from tsaug_spark.plans.metrics import season_strength
+    b = datetime(2024, 1, 1)
+    rows = []
+    for d in range(6):
+        for h in range(24):
+            c = 2 + d * 24 + h
+            rows += [(1, b + timedelta(days=d, hours=h))] * c
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    r = season_strength(df).collect()[0]
+    assert r.trend_strength is not None and r.trend_strength > 0.99
+    assert r.seasonal_strength is None

@@ -819,6 +819,7 @@ def main() -> None:
         ("hybrid_search", em.q_hybrid_search),
         ("decayed_score", em.q_decayed_score),
         ("kruskal_types", em.q_kruskal_types),
+        ("season_strength", em.q_season_strength),
     ]:
         audit(
             f"{nm} (scalar-broadcast cross join, JVM only)",

@@ -2734,3 +2734,73 @@ def top_paths(
         "sessions",
         F.row_number().over(wt).alias("rank"),
     ).filter(F.col("rank") <= top_k)
+
+
+def season_strength(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trend and seasonal STRENGTH (Hyndman tsfeatures / STL features)
+    of each key's hourly series, from the classical decomposition:
+
+        F_trend    = max(0, 1 - Var(resid) / Var(trend + resid))
+        F_seasonal = max(0, 1 - Var(resid) / Var(seasonal + resid))
+
+    — the two numbers a forecasting triage uses to route series
+    (strongly seasonal -> seasonal model, strong trend -> drift term,
+    neither -> mean reverter).
+
+    Determinism: the decomposition components are single divisions of
+    exact integers (see :func:`seasonal_decompose`), so both engines
+    hold bit-identical doubles; each component is floor-quantized to
+    milli-units and the three variances are exact BIGINT
+    ``n*sum(x^2) - sum(x)^2`` forms; the strength ratios are shared
+    final expressions.
+
+    Scale: everything seasonal_decompose costs, plus one per-key hash
+    aggregate.
+    """
+    dec = seasonal_decompose(df, key_col=key_col, ts_col=ts_col).filter(
+        F.col("resid").isNotNull()
+    )
+    t = dec.select(
+        "key",
+        F.floor(F.lit(1000.0) * F.col("resid")).cast("long").alias("rm"),
+        F.floor(F.lit(1000.0) * (F.col("trend") + F.col("resid")))
+        .cast("long")
+        .alias("dtm"),
+        F.floor(F.lit(1000.0) * (F.col("seasonal") + F.col("resid")))
+        .cast("long")
+        .alias("dsm"),
+    )
+    a = t.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rm").alias("sr"),
+        F.sum(F.col("rm") * F.col("rm")).alias("srr"),
+        F.sum("dtm").alias("st"),
+        F.sum(F.col("dtm") * F.col("dtm")).alias("stt"),
+        F.sum("dsm").alias("ss"),
+        F.sum(F.col("dsm") * F.col("dsm")).alias("sss"),
+    )
+    vr = F.col("n") * F.col("srr") - F.col("sr") * F.col("sr")
+    vdt = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    vds = F.col("n") * F.col("sss") - F.col("ss") * F.col("ss")
+    return a.select(
+        "key",
+        "n",
+        F.when(
+            vdt > 0,
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0) - vr.cast("double") / vdt.cast("double"),
+            ),
+        ).alias("trend_strength"),
+        F.when(
+            vds > 0,
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0) - vr.cast("double") / vds.cast("double"),
+            ),
+        ).alias("seasonal_strength"),
+    )
