@@ -1493,6 +1493,21 @@ def q_heaps_law(spark, sf):
     return heaps_law(_docs(spark, sf))
 
 
+def q_mase_backtest(spark, sf):
+    """Seasonal-naive forecast backtest scored by MASE per event type
+    (plans/metrics.py::mase_backtest): exact BIGINT absolute-error
+    sums, shared final ratio."""
+    from tsaug_spark.plans.metrics import mase_backtest
+
+    return mase_backtest(_events(spark, sf)).select(
+        F.col("key").alias("event_type"),
+        "n_train",
+        "n_hold",
+        "mae_forecast",
+        "mase",
+    )
+
+
 def q_season_strength(spark, sf):
     """Trend/seasonal strength (tsfeatures) per user from the
     classical decomposition (plans/metrics.py::season_strength):
@@ -3948,6 +3963,7 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "mase_backtest",
     "season_strength",
     "weighted_sample",
     "triangle_copurchase",
@@ -4267,6 +4283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_copurchase": q_triangle_copurchase,
         "weighted_sample": q_weighted_sample,
         "season_strength": q_season_strength,
+        "mase_backtest": q_mase_backtest,
         "dau_overlap": q_dau_overlap,
         "value_deciles": q_value_deciles,
         "top_paths": q_top_paths,
@@ -6177,6 +6194,41 @@ def oracle_sql() -> dict[str, str]:
             "med_cents - lag(med_cents) OVER w AS delta_cents, "
             "week - lag(week) OVER w AS weeks_gap FROM med "
             "WINDOW w AS (PARTITION BY grp ORDER BY week)"
+        ),
+        "mase_backtest": (
+            "WITH h AS (SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour, "
+            "COUNT(*) AS cnt FROM events GROUP BY 1, 2), "
+            "bounds AS (SELECT key, MIN(hour) AS lo, MAX(hour) AS hi "
+            "FROM h GROUP BY 1), "
+            "grid AS (SELECT key, hi, "
+            "CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS hour "
+            "FROM bounds), "
+            "dense AS (SELECT g.key, g.hi, g.hour, "
+            "COALESCE(h.cnt, 0) AS cnt FROM grid g LEFT JOIN h "
+            "ON h.key = g.key AND h.hour = g.hour), "
+            "lg AS (SELECT key, hi, hour, cnt, "
+            "lag(cnt, 24) OVER w AS season_lag, "
+            "lag(cnt, 1) OVER w AS prev FROM dense "
+            "WINDOW w AS (PARTITION BY key ORDER BY hour)), "
+            "a AS (SELECT key, "
+            "SUM(CASE WHEN hour > hi - 24 AND season_lag IS NOT NULL "
+            "THEN abs(cnt - season_lag) END) AS err_f, "
+            "SUM(CASE WHEN hour > hi - 24 AND season_lag IS NOT NULL "
+            "THEN 1 END) AS n_hold, "
+            "SUM(CASE WHEN hour <= hi - 24 AND prev IS NOT NULL "
+            "THEN abs(cnt - prev) END) AS err_naive, "
+            "SUM(CASE WHEN hour <= hi - 24 AND prev IS NOT NULL "
+            "THEN 1 END) AS n_train FROM lg GROUP BY 1) "
+            "SELECT key AS event_type, "
+            "CAST(n_train AS BIGINT) AS n_train, "
+            "CAST(n_hold AS BIGINT) AS n_hold, "
+            "CAST(err_f AS DOUBLE) / CAST(n_hold AS DOUBLE) "
+            "AS mae_forecast, "
+            "CASE WHEN err_naive > 0 THEN "
+            "(CAST(err_f AS DOUBLE) / CAST(n_hold AS DOUBLE)) / "
+            "(CAST(err_naive AS DOUBLE) / CAST(n_train AS DOUBLE)) END "
+            "AS mase FROM a WHERE n_hold > 0 AND n_train > 0"
         ),
         "weighted_sample": (
             "WITH b AS (SELECT source AS stratum, doc_id AS id, "

@@ -1575,3 +1575,34 @@ def test_season_strength_trending_series(spark):
     r = season_strength(df).collect()[0]
     assert r.trend_strength is not None and r.trend_strength > 0.99
     assert r.seasonal_strength is None
+
+
+def test_mase_perfect_seasonal_forecast(spark):
+    # exactly 24h-periodic series: seasonal-naive holdout error == 0
+    from datetime import datetime, timedelta
+    from tsaug_spark.plans.metrics import mase_backtest
+    b = datetime(2024, 1, 1)
+    rows = []
+    for d in range(5):
+        for h in range(24):
+            rows += [("A", b + timedelta(days=d, hours=h))] * (1 + h % 3)
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    r = mase_backtest(df).collect()[0]
+    assert r.mae_forecast == 0.0 and r.mase == 0.0
+    assert r.n_hold == 24
+
+
+def test_mase_null_when_training_naive_is_perfect(spark):
+    # constant training series (err_naive == 0) with a deviating
+    # holdout -> mase undefined (NULL), mae_forecast exact
+    from datetime import datetime, timedelta
+    from tsaug_spark.plans.metrics import mase_backtest
+    b = datetime(2024, 1, 1)
+    rows = []
+    for t in range(96):
+        c = 2 if t < 72 else 3   # holdout deviates from its season lag
+        rows += [("A", b + timedelta(hours=t))] * c
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    r = mase_backtest(df).collect()[0]
+    assert r.mase is None
+    assert abs(r.mae_forecast - 1.0) < 1e-12

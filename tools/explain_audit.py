@@ -939,6 +939,7 @@ def main() -> None:
         ("dau_overlap", em.q_dau_overlap),
         ("value_deciles", em.q_value_deciles),
         ("top_paths", em.q_top_paths),
+        ("mase_backtest", em.q_mase_backtest),
     ]:
         audit(
             f"{nm} (stats/retrieval screen, JVM only)",

@@ -2804,3 +2804,92 @@ def season_strength(
             ),
         ).alias("seasonal_strength"),
     )
+
+
+def mase_backtest(
+    df: DataFrame,
+    season: int = 24,
+    holdout: int = 24,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Seasonal-naive forecast backtest scored by MASE (Hyndman &
+    Koehler 2006) per key: the last ``holdout`` hours are predicted by
+    the value one season earlier, and the mean absolute error is
+    scaled by the in-sample one-step naive MAE — the scale-free
+    yardstick every forecasting bakeoff starts from (MASE < 1 beats
+    the naive forecaster).
+
+    All error sums are exact BIGINT (|integer - integer|); the two
+    means and their ratio are shared final expressions.
+
+    Scale: one dense-grid window pass per key (lag(season) + lag(1)),
+    two bounded aggregates.
+    """
+    hourly = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 3600)
+            .cast("long")
+            .alias("hour"),
+        )
+        .groupBy("key", "hour")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bounds = hourly.groupBy("key").agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    grid = bounds.select(
+        "key",
+        F.col("hi"),
+        F.explode(
+            F.sequence(F.col("lo").cast("int"), F.col("hi").cast("int"))
+        ).alias("hour_i"),
+    ).select("key", "hi", F.col("hour_i").cast("long").alias("hour"))
+    dense = grid.join(hourly, ["key", "hour"], "left").select(
+        "key", "hi", "hour", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    w = Window.partitionBy("key").orderBy("hour")
+    lagged = dense.select(
+        "key",
+        "hi",
+        "hour",
+        "cnt",
+        F.lag("cnt", season).over(w).alias("season_lag"),
+        F.lag("cnt", 1).over(w).alias("prev"),
+    )
+    is_hold = F.col("hour") > F.col("hi") - F.lit(holdout)
+    agg = lagged.groupBy("key").agg(
+        F.sum(
+            F.when(
+                is_hold & F.col("season_lag").isNotNull(),
+                F.abs(F.col("cnt") - F.col("season_lag")),
+            )
+        ).alias("err_f"),
+        F.sum(
+            F.when(is_hold & F.col("season_lag").isNotNull(), F.lit(1))
+        ).alias("n_hold"),
+        F.sum(
+            F.when(
+                (~is_hold) & F.col("prev").isNotNull(),
+                F.abs(F.col("cnt") - F.col("prev")),
+            )
+        ).alias("err_naive"),
+        F.sum(
+            F.when((~is_hold) & F.col("prev").isNotNull(), F.lit(1))
+        ).alias("n_train"),
+    )
+    mae_f = F.col("err_f").cast("double") / F.col("n_hold").cast("double")
+    mae_n = (
+        F.col("err_naive").cast("double")
+        / F.col("n_train").cast("double")
+    )
+    return agg.filter(
+        (F.col("n_hold") > 0) & (F.col("n_train") > 0)
+    ).select(
+        "key",
+        F.col("n_train").cast("long").alias("n_train"),
+        F.col("n_hold").cast("long").alias("n_hold"),
+        mae_f.alias("mae_forecast"),
+        F.when(F.col("err_naive") > 0, mae_f / mae_n).alias("mase"),
+    )
