@@ -1493,6 +1493,15 @@ def q_heaps_law(spark, sf):
     return heaps_law(_docs(spark, sf))
 
 
+def q_rake_keywords(spark, sf):
+    """RAKE keyphrase extraction over the corpus
+    (pipeline/text.py::rake_keywords): stopword-bounded candidate
+    runs, exact BIGINT degree/frequency, sorted-fold phrase scores."""
+    from tsaug_spark.pipeline.text import rake_keywords
+
+    return rake_keywords(_docs(spark, sf))
+
+
 def q_mase_backtest(spark, sf):
     """Seasonal-naive forecast backtest scored by MASE per event type
     (plans/metrics.py::mase_backtest): exact BIGINT absolute-error
@@ -3963,6 +3972,7 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "rake_keywords",
     "mase_backtest",
     "season_strength",
     "weighted_sample",
@@ -4284,6 +4294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "season_strength": q_season_strength,
         "mase_backtest": q_mase_backtest,
+        "rake_keywords": q_rake_keywords,
         "dau_overlap": q_dau_overlap,
         "value_deciles": q_value_deciles,
         "top_paths": q_top_paths,
@@ -6194,6 +6205,41 @@ def oracle_sql() -> dict[str, str]:
             "med_cents - lag(med_cents) OVER w AS delta_cents, "
             "week - lag(week) OVER w AS weeks_gap FROM med "
             "WINDOW w AS (PARTITION BY grp ORDER BY week)"
+        ),
+        "rake_keywords": (
+            "WITH words AS (SELECT doc_id AS doc, "
+            "unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w, "
+            "generate_subscripts(regexp_split_to_array(lower(text), "
+            "'[^a-z]+'), 1) AS pos FROM documents), "
+            "fl AS (SELECT doc, pos, w, (w = '' OR w IN ('the', 'a', "
+            "'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it', 'for', "
+            "'on', 'with', 'as', 'was', 'at', 'by', 'that', 'this')) "
+            "AS is_stop FROM words), "
+            "runs AS (SELECT doc, pos, w, is_stop, "
+            "SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER ("
+            "PARTITION BY doc ORDER BY pos ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS phrase_id FROM fl), "
+            "r2 AS (SELECT doc, pos, w, phrase_id FROM runs "
+            "WHERE NOT is_stop), "
+            "ph AS (SELECT doc, phrase_id, string_agg(w, ' ' "
+            "ORDER BY pos) AS phrase, COUNT(*) AS plen FROM r2 "
+            "GROUP BY 1, 2 HAVING COUNT(*) <= 4), "
+            "occ AS (SELECT r2.w, ph.plen FROM r2 JOIN ph "
+            "ON ph.doc = r2.doc AND ph.phrase_id = r2.phrase_id), "
+            "ws AS (SELECT w, CAST(SUM(plen) AS DOUBLE) / "
+            "CAST(COUNT(*) AS DOUBLE) AS wscore FROM occ GROUP BY 1), "
+            "sc AS (SELECT ph.phrase, "
+            "CAST(COUNT(*) / MAX(ph.plen) AS BIGINT) AS occurrences, "
+            "CAST(MAX(ph.plen) AS BIGINT) AS n_words, "
+            "list_reduce(list(ws.wscore ORDER BY r2.doc, r2.phrase_id, "
+            "r2.pos), (a_, b_) -> a_ + b_) / "
+            "CAST(COUNT(*) / MAX(ph.plen) AS DOUBLE) AS score "
+            "FROM r2 JOIN ph ON ph.doc = r2.doc "
+            "AND ph.phrase_id = r2.phrase_id "
+            "JOIN ws ON ws.w = r2.w GROUP BY 1) "
+            "SELECT phrase, n_words, occurrences, score, "
+            "CAST(row_number() OVER (ORDER BY score DESC, phrase ASC) "
+            "AS INT) AS rank FROM sc QUALIFY rank <= 15"
         ),
         "mase_backtest": (
             "WITH h AS (SELECT event_type AS key, "

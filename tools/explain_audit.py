@@ -940,6 +940,7 @@ def main() -> None:
         ("value_deciles", em.q_value_deciles),
         ("top_paths", em.q_top_paths),
         ("mase_backtest", em.q_mase_backtest),
+        ("rake_keywords", em.q_rake_keywords),
     ]:
         audit(
             f"{nm} (stats/retrieval screen, JVM only)",

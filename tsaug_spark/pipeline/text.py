@@ -523,3 +523,101 @@ def heaps_law(
             / (dxx.cast("double") * dyy.cast("double")),
         ).alias("r2"),
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    top_k: int = 15,
+    max_words: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free word runs, each word
+    scores degree/frequency over all candidates (degree = summed
+    length of the phrases it appears in), and a phrase scores the sum
+    of its word scores — the classic unsupervised keyphrase baseline
+    that, unlike TF-IDF, surfaces multi-word terms.  Runs longer than
+    ``max_words`` are discarded (the standard candidate cap — unbounded
+    stopword-free runs are boilerplate, not keyphrases).
+
+    Determinism: word degree/frequency are exact BIGINTs, each word
+    score is one shared division, and the per-phrase sum folds in word
+    order (sorted fold) — identical accumulation in both engines.
+    Ranking is (score DESC, phrase ASC).
+
+    Scale: tokenize once (posexplode, narrow), phrase islands from one
+    per-doc window, then every aggregate is keyed on the bounded word
+    / phrase vocabulary — document volume only touches the first two
+    passes.
+    """
+    words = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), r"[^a-z]+")
+        ).alias("pos", "w"),
+    )
+    stops = F.array(*[F.lit(w) for w in STOPWORDS])
+    flagged = words.withColumn(
+        "is_stop",
+        (F.col("w") == "") | F.array_contains(stops, F.col("w")),
+    )
+    wnd = Window.partitionBy("doc").orderBy("pos")
+    runs = flagged.select(
+        "doc",
+        "pos",
+        "w",
+        "is_stop",
+        F.sum(F.when(F.col("is_stop"), 1).otherwise(0))
+        .over(wnd.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("phrase_id"),
+    ).filter(~F.col("is_stop"))
+    ph = runs.groupBy("doc", "phrase_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    ).filter(F.col("plen") <= max_words)  # standard RAKE candidate cap
+    occ = runs.join(ph, ["doc", "phrase_id"]).select("w", "plen")
+    ws = occ.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    ).select(
+        "w",
+        (F.col("deg").cast("double") / F.col("freq").cast("double"))
+        .alias("wscore"),
+    )
+    scored = (
+        runs.join(ph, ["doc", "phrase_id"])
+        .join(ws, "w")
+        .groupBy("phrase")
+        .agg(
+            (
+                F.count(F.lit(1)) / F.max("plen")
+            ).cast("long").alias("occurrences"),
+            F.max("plen").alias("n_words"),
+            (
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc", "phrase_id",
+                                                "pos", "wscore"))
+                    ),
+                    F.lit(0.0),
+                    lambda a, s: a + s["wscore"],
+                )
+                / (F.count(F.lit(1)) / F.max("plen")).cast("double")
+            ).alias("score"),
+        )
+    )
+    wt = Window.orderBy(F.col("score").desc(), F.col("phrase").asc())
+    return scored.select(
+        "phrase",
+        "n_words",
+        "occurrences",
+        "score",
+        F.row_number().over(wt).alias("rank"),
+    ).filter(F.col("rank") <= top_k)
