@@ -6948,7 +6948,10 @@ def oracle_sql() -> dict[str, str]:
             "JOIN states sx ON sx.state = k.x "
             "JOIN states sy ON sy.state = k.y), "
             "dense AS (SELECT a.idx AS xi, b.idx AS yi, "
-            "COALESCE(p.p, 0.0) AS p FROM states a "
+            "COALESCE(p.p, CASE WHEN a.idx IN "
+            "(SELECT DISTINCT xi FROM p) THEN 0.0 ELSE "
+            "1.0 / CAST((SELECT COUNT(*) FROM states) AS DOUBLE) END) "
+            "AS p FROM states a "
             "CROSS JOIN states b LEFT JOIN p "
             "ON p.xi = a.idx AND p.yi = b.idx), "
             "pm AS (SELECT list(row ORDER BY xi) AS m FROM "

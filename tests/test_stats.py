@@ -1023,3 +1023,22 @@ def test_value_deciles_tie_break_on_order_col(spark):
     out = value_deciles(df).collect()
     assert len(out) == 9
     assert all(r.boundary_cents == 42 for r in out)
+
+
+def test_markov_stationary_dangling_state_redistributes(spark):
+    # a -> b -> c: c is never a source, so b's only kept transition
+    # vanishes -> b is dangling and redistributes uniformly.
+    # P = [[0, 1], [1/2, 1/2]] -> pi = (1/3, 2/3)
+    from datetime import datetime, timedelta
+    from tsaug_spark.plans.stats import markov_stationary
+    b = datetime(2024, 1, 1)
+    rows = [(i, 1, b + timedelta(seconds=i), t)
+            for i, t in enumerate("abc")]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r.state: r.pi for r in markov_stationary(df).collect()}
+    assert set(out) == {"a", "b"}
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    assert abs(out["a"] - 1 / 3) < 1e-3
+    assert abs(out["b"] - 2 / 3) < 1e-3

@@ -786,7 +786,10 @@ def markov_stationary(
 
     The state space is the set of FROM-states; transitions into
     states never seen as a source are dropped and the row re-
-    normalized (the restricted chain stays stochastic).  Determinism:
+    normalized; a source whose kept row would be EMPTY (all its
+    targets are non-sources) is a dangling state and redistributes
+    uniformly, the PageRank convention — the restricted chain stays
+    stochastic and pi always sums to 1.  Determinism:
     each p_xy is one division of exact counts, pi_0 = 1/S is one
     shared division, and every pi_{k+1}(y) folds its incoming terms
     in SOURCE-INDEX order (sorted fold) — absent transitions
@@ -840,6 +843,28 @@ def markov_stationary(
         )
     )
     n = states.agg(F.count(F.lit(1)).alias("s"))
+    # dangling sources (every kept outgoing transition was dropped)
+    # redistribute uniformly — the PageRank convention — so the chain
+    # stays stochastic and pi remains a distribution
+    dang = (
+        froms.join(cx.select("x"), "x", "left_anti")
+        .join(
+            F.broadcast(states.select(F.col("state").alias("x"),
+                                      F.col("idx").alias("xi"))),
+            "x",
+        )
+        .select("xi")
+    )
+    p_dang = (
+        dang.crossJoin(F.broadcast(states.select(F.col("idx").alias("yi"))))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "xi",
+            "yi",
+            (F.lit(1.0) / F.col("s").cast("double")).alias("p"),
+        )
+    )
+    p = p.unionByName(p_dang)
     v = states.crossJoin(F.broadcast(n)).select(
         "idx", (F.lit(1.0) / F.col("s").cast("double")).alias("prob")
     )
