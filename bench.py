@@ -236,6 +236,18 @@ def run_queries(spark, sf_dir: str) -> dict:
     timed(
         "asof_nearest", lambda: em.q_asof_nearest(spark, sf_dir).count()
     )
+    timed("pacf_24", lambda: em.q_pacf_24(spark, sf_dir).count())
+    timed(
+        "bloom_prune_join",
+        lambda: em.q_bloom_prune_join(spark, sf_dir).count(),
+    )
+    timed(
+        "triangle_copurchase",
+        lambda: em.q_triangle_copurchase(spark, sf_dir).count(),
+    )
+    timed(
+        "page_hinkley", lambda: em.q_page_hinkley(spark, sf_dir).count()
+    )
 
     tier = spark.table("bench_tier_1m").select(
         "conv_id",
