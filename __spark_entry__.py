@@ -1493,6 +1493,16 @@ def q_heaps_law(spark, sf):
     return heaps_law(_docs(spark, sf))
 
 
+def q_bitmap_distinct_1d(spark, sf):
+    """Exact daily distinct users via bitmap aggregation
+    (plans/sketches.py::bitmap_distinct): bit_or-merged 64-bit words
+    keyed by id DIV 64 — mergeable partial state bounded by id-space,
+    never raw-id shuffles; result == COUNT(DISTINCT)."""
+    from tsaug_spark.plans.sketches import bitmap_distinct
+
+    return bitmap_distinct(_events(spark, sf))
+
+
 def q_rake_keywords(spark, sf):
     """RAKE keyphrase extraction over the corpus
     (pipeline/text.py::rake_keywords): stopword-bounded candidate
@@ -3972,6 +3982,7 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "bitmap_distinct_1d",
     "rake_keywords",
     "mase_backtest",
     "season_strength",
@@ -4295,6 +4306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "season_strength": q_season_strength,
         "mase_backtest": q_mase_backtest,
         "rake_keywords": q_rake_keywords,
+        "bitmap_distinct_1d": q_bitmap_distinct_1d,
         "dau_overlap": q_dau_overlap,
         "value_deciles": q_value_deciles,
         "top_paths": q_top_paths,
@@ -6205,6 +6217,11 @@ def oracle_sql() -> dict[str, str]:
             "med_cents - lag(med_cents) OVER w AS delta_cents, "
             "week - lag(week) OVER w AS weeks_gap FROM med "
             "WINDOW w AS (PARTITION BY grp ORDER BY week)"
+        ),
+        "bitmap_distinct_1d": (
+            "SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS "
+            "bucket_s, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS "
+            "n_distinct FROM events GROUP BY 1"
         ),
         "rake_keywords": (
             "WITH words AS (SELECT doc_id AS doc, "

@@ -509,3 +509,54 @@ def test_stream_sliding_hll_covers_two_windows(spark):
         assert abs(ests[ws] - exact) / max(exact, 1) <= 0.05, (
             ws, ests[ws], exact,
         )
+
+
+def test_bitmap_distinct_equals_count_distinct(spark):
+    from pyspark.sql import functions as F
+    from tsaug_spark.plans.sketches import bitmap_distinct
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {r.bucket_s: r.n_distinct
+           for r in bitmap_distinct(ev, "1h").collect()}
+    want = {
+        r.bucket_s: r.nd
+        for r in ev.select(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long").alias("bucket_s"),
+            "user_id",
+        ).groupBy("bucket_s").agg(
+            F.countDistinct("user_id").alias("nd")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_bitmap_distinct_words_merge_across_scopes(spark):
+    # bit_or partials are mergeable: daily words OR'd together give the
+    # exact global distinct — the continuous-aggregate contract
+    from pyspark.sql import functions as F
+    from tsaug_spark.plans.sketches import bitmap_distinct
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    secs = 86400
+    base = ev.select(
+        (F.floor(F.unix_timestamp("ts") / secs) * secs)
+        .cast("long").alias("bucket_s"),
+        F.col("user_id").alias("id"),
+    )
+    words = (
+        base.select(
+            "bucket_s",
+            (F.col("id") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 64 AS INT))")
+            .alias("bit"),
+        )
+        .groupBy("bucket_s", "word_idx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    merged = (
+        words.groupBy("word_idx")
+        .agg(F.expr("bit_or(word)").alias("word"))
+        .agg(F.sum(F.bit_count("word")).cast("long").alias("nd"))
+        .collect()[0]
+        .nd
+    )
+    assert merged == ev.select("user_id").distinct().count()

@@ -941,6 +941,7 @@ def main() -> None:
         ("top_paths", em.q_top_paths),
         ("mase_backtest", em.q_mase_backtest),
         ("rake_keywords", em.q_rake_keywords),
+        ("bitmap_distinct_1d", em.q_bitmap_distinct_1d),
     ]:
         audit(
             f"{nm} (stats/retrieval screen, JVM only)",
