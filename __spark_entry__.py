@@ -1493,6 +1493,48 @@ def q_heaps_law(spark, sf):
     return heaps_law(_docs(spark, sf))
 
 
+def q_dormant_buyers(spark, sf):
+    """Anti-join retention probe: users active in the trailing 3 days
+    of the table who made NO purchase in that window — left_anti
+    against the broadcast purchaser set (the NOT IN shape, null-free
+    keys, never a full-set NOT IN materialization)."""
+    ev = _events(spark, sf)
+    mx = ev.agg(F.max("ts").alias("m"))
+    recent = ev.crossJoin(F.broadcast(mx)).filter(
+        F.col("ts") >= F.expr("m - INTERVAL 3 DAYS")
+    )
+    act = recent.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    pur = (
+        recent.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    return act.join(F.broadcast(pur), "user_id", "left_anti")
+
+
+def q_json_struct_agg(spark, sf):
+    """Schema-on-read JSON aggregation: from_json(props, 'k INT')
+    parses once into a typed struct column (vs json_props'
+    path-extraction), then exact integer aggregates per type with a
+    shared avg division."""
+    ev = _events(spark, sf)
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.col("p.k")).alias("n_parsed"),
+        F.sum(F.col("p.k").cast("long")).alias("sum_k"),
+        (
+            F.sum(F.col("p.k").cast("long")).cast("double")
+            / F.count(F.col("p.k")).cast("double")
+        ).alias("avg_k"),
+    )
+
+
 def q_bitmap_distinct_1d(spark, sf):
     """Exact daily distinct users via bitmap aggregation
     (plans/sketches.py::bitmap_distinct): bit_or-merged 64-bit words
@@ -3982,6 +4024,8 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "dormant_buyers",
+    "json_struct_agg",
     "bitmap_distinct_1d",
     "rake_keywords",
     "mase_backtest",
@@ -4307,6 +4351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mase_backtest": q_mase_backtest,
         "rake_keywords": q_rake_keywords,
         "bitmap_distinct_1d": q_bitmap_distinct_1d,
+        "dormant_buyers": q_dormant_buyers,
+        "json_struct_agg": q_json_struct_agg,
         "dau_overlap": q_dau_overlap,
         "value_deciles": q_value_deciles,
         "top_paths": q_top_paths,
@@ -6217,6 +6263,28 @@ def oracle_sql() -> dict[str, str]:
             "med_cents - lag(med_cents) OVER w AS delta_cents, "
             "week - lag(week) OVER w AS weeks_gap FROM med "
             "WINDOW w AS (PARTITION BY grp ORDER BY week)"
+        ),
+        "dormant_buyers": (
+            "WITH mx AS (SELECT MAX(ts) AS m FROM events), "
+            "recent AS (SELECT e.* FROM events e, mx "
+            "WHERE e.ts >= m - INTERVAL 3 DAY), "
+            "act AS (SELECT user_id, COUNT(*) AS n_events FROM recent "
+            "GROUP BY 1), "
+            "pur AS (SELECT DISTINCT user_id FROM recent "
+            "WHERE event_type = 'purchase') "
+            "SELECT user_id, n_events FROM act "
+            "WHERE user_id NOT IN (SELECT user_id FROM pur)"
+        ),
+        "json_struct_agg": (
+            "SELECT event_type, COUNT(*) AS n, "
+            "COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) "
+            "AS n_parsed, "
+            "CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) "
+            "AS BIGINT) AS sum_k, "
+            "CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) "
+            "AS DOUBLE) / CAST(COUNT(CAST(json_extract(props, '$.k') "
+            "AS BIGINT)) AS DOUBLE) AS avg_k "
+            "FROM events GROUP BY 1"
         ),
         "bitmap_distinct_1d": (
             "SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS "

@@ -820,6 +820,7 @@ def main() -> None:
         ("decayed_score", em.q_decayed_score),
         ("kruskal_types", em.q_kruskal_types),
         ("season_strength", em.q_season_strength),
+        ("dormant_buyers", em.q_dormant_buyers),
     ]:
         audit(
             f"{nm} (scalar-broadcast cross join, JVM only)",
@@ -942,6 +943,7 @@ def main() -> None:
         ("mase_backtest", em.q_mase_backtest),
         ("rake_keywords", em.q_rake_keywords),
         ("bitmap_distinct_1d", em.q_bitmap_distinct_1d),
+        ("json_struct_agg", em.q_json_struct_agg),
     ]:
         audit(
             f"{nm} (stats/retrieval screen, JVM only)",
