@@ -1493,6 +1493,23 @@ def q_heaps_law(spark, sf):
     return heaps_law(_docs(spark, sf))
 
 
+def q_stream_bitmap_1h(spark, sf):
+    """Streaming exact-distinct bitmap (streaming/stream_rollup.py::
+    stream_bitmap_words): watermarked-window bit_or word state
+    (bounded by id-space/64, monotone under late data), availableNow
+    backfill; the caught-up counts equal COUNT(DISTINCT) exactly."""
+    from tsaug_spark.streaming.stream_rollup import (
+        run_stream_bitmap_once,
+    )
+
+    out = run_stream_bitmap_once(spark, f"{sf}/events.parquet")
+    return out.groupBy(
+        F.unix_timestamp("bucket_ts").alias("bucket_s")
+    ).agg(
+        F.sum(F.bit_count("word")).cast("long").alias("n_distinct")
+    )
+
+
 def q_dormant_buyers(spark, sf):
     """Anti-join retention probe: users active in the trailing 3 days
     of the table who made NO purchase in that window — left_anti
@@ -4024,6 +4041,7 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "stream_bitmap_1h",
     "dormant_buyers",
     "json_struct_agg",
     "bitmap_distinct_1d",
@@ -4353,6 +4371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitmap_distinct_1d": q_bitmap_distinct_1d,
         "dormant_buyers": q_dormant_buyers,
         "json_struct_agg": q_json_struct_agg,
+        "stream_bitmap_1h": q_stream_bitmap_1h,
         "dau_overlap": q_dau_overlap,
         "value_deciles": q_value_deciles,
         "top_paths": q_top_paths,
@@ -6263,6 +6282,11 @@ def oracle_sql() -> dict[str, str]:
             "med_cents - lag(med_cents) OVER w AS delta_cents, "
             "week - lag(week) OVER w AS weeks_gap FROM med "
             "WINDOW w AS (PARTITION BY grp ORDER BY week)"
+        ),
+        "stream_bitmap_1h": (
+            "SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS "
+            "bucket_s, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS "
+            "n_distinct FROM events GROUP BY 1"
         ),
         "dormant_buyers": (
             "WITH mx AS (SELECT MAX(ts) AS m FROM events), "

@@ -560,3 +560,57 @@ def test_bitmap_distinct_words_merge_across_scopes(spark):
         .nd
     )
     assert merged == ev.select("user_id").distinct().count()
+
+
+def test_stream_bitmap_equals_batch_words_and_exact(spark):
+    """Streaming==batch for the exact-distinct bitmap: the
+    availableNow-backfilled bit_or word state equals the batch word
+    build word for word, and the counts equal COUNT(DISTINCT)."""
+    from tsaug_spark.streaming.stream_rollup import (
+        run_stream_bitmap_once,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch_words = (
+        ev.select(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long").alias("bucket_s"),
+            (F.col("user_id") / 64).cast("long").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                "CAST(user_id % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("bucket_s", "word_idx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    streamed = run_stream_bitmap_once(
+        spark, f"{SF_DIR}/events.parquet",
+        sink_table="t_stream_bitmap",
+    ).select(
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        "word_idx",
+        "word",
+    )
+    as_map = lambda df: {  # noqa: E731
+        (r.bucket_s, r.word_idx): r.word for r in df.collect()
+    }
+    assert as_map(streamed) == as_map(batch_words)
+    counts = {
+        r.bucket_s: r.nd
+        for r in streamed.groupBy("bucket_s")
+        .agg(F.sum(F.bit_count("word")).cast("long").alias("nd"))
+        .collect()
+    }
+    exact = {
+        r.bucket_s: r.nd
+        for r in ev.select(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long").alias("bucket_s"),
+            "user_id",
+        )
+        .groupBy("bucket_s")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    assert counts == exact

@@ -481,3 +481,57 @@ def run_stream_sliding_hll_once(
         spark, source_path, lambda st: stream_sliding_hll(st),
         sink_table, "sliding HLL registers",
     )
+
+
+def stream_bitmap_words(
+    stream_df: DataFrame,
+    tier: str = "1h",
+    watermark: str = "10 minutes",
+    item_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming EXACT-distinct bitmap: the watermarked-window twin of
+    plans.sketches.bitmap_distinct's word build.
+
+    Words merge with bit_or — idempotent and monotone (a late row
+    inside the watermark can only SET bits), so Structured Streaming
+    maintains each (window, word_idx) cell incrementally and the
+    caught-up sink equals the batch word build word for word; state
+    per window is bounded by occupied id-space / 64, never by event
+    volume, and raw ids never enter state.
+
+    Output: bucket_ts, word_idx, word (sum bit_count downstream for
+    the exact distinct count).
+    """
+    duration = TIERS[tier][0]
+    stream_df = stream_df.withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    )
+    keyed = stream_df.withWatermark(ts_col, watermark).select(
+        F.col(ts_col),
+        (F.col(item_col) / 64).cast("long").alias("word_idx"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({item_col} % 64 AS INT))"
+        ).alias("bit"),
+    )
+    return (
+        keyed.groupBy(F.window(ts_col, duration).alias("w"), "word_idx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+        .select(F.col("w.start").alias("bucket_ts"), "word_idx", "word")
+    )
+
+
+def run_stream_bitmap_once(
+    spark,
+    source_path: str,
+    tier: str = "1h",
+    sink_table: str = "stream_bitmap_out",
+) -> DataFrame:
+    """availableNow-trigger backfill of the streaming distinct bitmap;
+    bit_or is exact and monotone, so the caught-up sink counts equal
+    COUNT(DISTINCT) per bucket exactly."""
+    return _run_availablenow_backfill(
+        spark, source_path,
+        lambda st: stream_bitmap_words(st, tier),
+        sink_table, "distinct bitmap",
+    )
