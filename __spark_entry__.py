@@ -1493,6 +1493,16 @@ def q_heaps_law(spark, sf):
     return heaps_law(_docs(spark, sf))
 
 
+def q_session_survival(spark, sf):
+    """Kaplan-Meier survival of session duration with table-edge
+    censoring (plans/cohorts.py::session_survival): exact integer
+    risk/event counts, shared per-step factors, sorted-fold cumulative
+    product."""
+    from tsaug_spark.plans.cohorts import session_survival
+
+    return session_survival(_events(spark, sf))
+
+
 def q_stream_bitmap_1h(spark, sf):
     """Streaming exact-distinct bitmap (streaming/stream_rollup.py::
     stream_bitmap_words): watermarked-window bit_or word state
@@ -4041,6 +4051,7 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "session_survival",
     "stream_bitmap_1h",
     "dormant_buyers",
     "json_struct_agg",
@@ -4372,6 +4383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dormant_buyers": q_dormant_buyers,
         "json_struct_agg": q_json_struct_agg,
         "stream_bitmap_1h": q_stream_bitmap_1h,
+        "session_survival": q_session_survival,
         "dau_overlap": q_dau_overlap,
         "value_deciles": q_value_deciles,
         "top_paths": q_top_paths,
@@ -6282,6 +6294,36 @@ def oracle_sql() -> dict[str, str]:
             "med_cents - lag(med_cents) OVER w AS delta_cents, "
             "week - lag(week) OVER w AS weeks_gap FROM med "
             "WINDOW w AS (PARTITION BY grp ORDER BY week)"
+        ),
+        "session_survival": (
+            "WITH f AS (SELECT user_id AS key, ts, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id AS oid, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            "CAST(floor(epoch(ts)) AS BIGINT) - "
+            "CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 "
+            "THEN 1 ELSE 0 END AS new_s FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT key, tsec, SUM(new_s) OVER (PARTITION BY key "
+            "ORDER BY ts, oid ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS sid FROM f), "
+            "sess AS (SELECT key, sid, MIN(tsec) AS start_s, "
+            "MAX(tsec) AS end_s FROM s GROUP BY 1, 2), "
+            "mx AS (SELECT MAX(end_s) AS max_s FROM sess), "
+            "life AS (SELECT (end_s - start_s) // 60 AS t, "
+            "end_s <= max_s - 1800 AS ended FROM sess, mx), "
+            "bt AS (SELECT t, SUM(CASE WHEN ended THEN 1 ELSE 0 END) "
+            "AS d, COUNT(*) AS ended_here FROM life GROUP BY 1), "
+            "risk AS (SELECT t, d, SUM(ended_here) OVER (ORDER BY t "
+            "DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS n_risk FROM bt), "
+            "evt AS (SELECT t, d, n_risk, 1.0 - CAST(d AS DOUBLE) / "
+            "CAST(n_risk AS DOUBLE) AS factor FROM risk WHERE d > 0) "
+            "SELECT e.t AS duration, CAST(e.n_risk AS BIGINT) AS n_risk, "
+            "CAST(e.d AS BIGINT) AS n_events, "
+            "list_reduce(list(f2.factor ORDER BY f2.t), "
+            "(a_, b_) -> a_ * b_) AS survival "
+            "FROM evt e JOIN evt f2 ON f2.t <= e.t "
+            "GROUP BY 1, 2, 3"
         ),
         "stream_bitmap_1h": (
             "SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS "

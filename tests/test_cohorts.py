@@ -155,3 +155,59 @@ def test_dau_overlap_disjoint_days(spark):
     df = spark.createDataFrame(rows, "ts timestamp, user_id long")
     r = dau_overlap(df).collect()[0]
     assert r.both == 0 and r.jaccard == 0.0
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    # durations: ended {1, 1, 2}, censored {3}
+    # t=1: n=4, d=2 -> S=0.5 ; t=2: n=2, d=1 -> S=0.25
+    from tsaug_spark.plans.cohorts import kaplan_meier
+    life = spark.createDataFrame(
+        [(1, True), (1, True), (2, True), (3, False)],
+        "t long, ended boolean",
+    )
+    out = {r.duration: r for r in kaplan_meier(life).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_risk == 4 and out[1].n_events == 2
+    assert abs(out[1].survival - 0.5) < 1e-12
+    assert out[2].n_risk == 2 and out[2].n_events == 1
+    assert abs(out[2].survival - 0.25) < 1e-12
+
+
+def test_kaplan_meier_censoring_changes_curve(spark):
+    # all-ended vs half-censored at the same durations: censored
+    # subjects leave the risk set without an event, raising S
+    from tsaug_spark.plans.cohorts import kaplan_meier
+    ended = spark.createDataFrame(
+        [(1, True), (2, True), (2, True), (3, True)],
+        "t long, ended boolean",
+    )
+    cens = spark.createDataFrame(
+        [(1, True), (2, False), (2, True), (3, True)],
+        "t long, ended boolean",
+    )
+    s_ended = {r.duration: r.survival for r in kaplan_meier(ended).collect()}
+    s_cens = {r.duration: r.survival for r in kaplan_meier(cens).collect()}
+    # ended: S(2) = 3/4 * 1/3 = 1/4 ; censored: S(2) = 3/4 * 2/3 = 1/2
+    assert abs(s_ended[2] - 0.25) < 1e-12
+    assert abs(s_cens[2] - 0.5) < 1e-12
+
+
+def test_session_survival_censors_table_edge(spark):
+    # one long-running session touching the table end must be censored
+    # (no event row at its duration), one clearly-ended session is not
+    from datetime import datetime, timedelta
+    from tsaug_spark.plans.cohorts import session_survival
+    b = datetime(2024, 1, 1)
+    rows = []
+    # user 1: 10-min session ending long before the table end
+    rows += [(0, 1, b), (1, 1, b + timedelta(minutes=10))]
+    # user 2: 20-min session whose last event IS the table max
+    rows += [(2, 2, b + timedelta(hours=3)),
+             (3, 2, b + timedelta(hours=3, minutes=20))]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    out = {r.duration: r for r in session_survival(df).collect()}
+    assert 10 in out            # ended session contributes an event
+    assert 20 not in out        # censored session makes no step
+    assert out[10].n_risk == 2  # but it was at risk

@@ -821,6 +821,7 @@ def main() -> None:
         ("kruskal_types", em.q_kruskal_types),
         ("season_strength", em.q_season_strength),
         ("dormant_buyers", em.q_dormant_buyers),
+        ("session_survival", em.q_session_survival),
     ]:
         audit(
             f"{nm} (scalar-broadcast cross join, JVM only)",

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DAY_S = 86400
@@ -209,3 +209,126 @@ def dau_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def kaplan_meier(
+    life: DataFrame,
+    t_col: str = "t",
+    event_col: str = "ended",
+) -> DataFrame:
+    """Kaplan-Meier survival estimator over a right-censored duration
+    table: one row per subject with its duration ``t_col`` (integer)
+    and ``event_col`` TRUE when the endpoint was OBSERVED (FALSE =
+    censored — the subject was still alive when observation stopped;
+    naive curves that ignore censoring bias the endpoint rate upward).
+
+        S(t) = prod_{t' <= t, d_{t'} > 0} (1 - d_{t'} / n_{t'})
+
+    with d = observed endpoints at duration t', n = at-risk set
+    (duration >= t').  All counts are exact BIGINTs; each factor is
+    ONE shared division, and the cumulative product folds factors in
+    duration order per output row (sorted fold over the bounded set of
+    event times) — identical accumulation in both engines.
+
+    Scale: everything runs on the duration-axis-bounded table (one
+    row per distinct duration): a suffix-sum window for the risk set
+    and a bounded factor self-join for the product — subject volume
+    only touches the first aggregate.
+    """
+    by_t = life.groupBy(F.col(t_col).alias("t")).agg(
+        F.sum(F.when(F.col(event_col), 1).otherwise(0)).alias("d"),
+        F.count(F.lit(1)).alias("ended_here"),
+    )
+    wr = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = by_t.select(
+        "t", "d", F.sum("ended_here").over(wr).alias("n_risk")
+    )
+    ev_t = risk.filter(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n_risk",
+        (
+            F.lit(1.0)
+            - F.col("d").cast("double") / F.col("n_risk").cast("double")
+        ).alias("factor"),
+    )
+    f2 = ev_t.select(F.col("t").alias("t2"), F.col("factor").alias("f2"))
+    return (
+        ev_t.join(f2, F.col("t2") <= F.col("t"))
+        .groupBy("t", "d", "n_risk")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("t2", "f2"))),
+                F.lit(1.0),
+                lambda a, st: a * st["f2"],
+            ).alias("survival")
+        )
+        .select(
+            F.col("t").alias("duration"),
+            F.col("n_risk"),
+            F.col("d").cast("long").alias("n_events"),
+            "survival",
+        )
+    )
+
+
+def session_survival(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Kaplan-Meier survival of SESSION duration (minutes): how long
+    do sessions live, with the table-edge bias handled properly — a
+    session whose last event falls within the inactivity gap of the
+    table's end may still be ongoing, so it enters the estimator as
+    CENSORED rather than ended.
+
+    Sessionization is the repo's standard islands chain (exact
+    integer-second gap comparisons); durations are integer minutes.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    flagged = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(order_col).alias("oid"),
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (
+                F.unix_timestamp(F.col(ts_col))
+                - F.unix_timestamp(F.lag(ts_col).over(w))
+                > gap_seconds
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    w2 = Window.partitionBy("key").orderBy("ts", "oid")
+    sess = (
+        flagged.select(
+            "key",
+            "ts",
+            F.sum("new_s")
+            .over(w2.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("sid"),
+        )
+        .groupBy("key", "sid")
+        .agg(
+            F.min(F.unix_timestamp("ts")).alias("start_s"),
+            F.max(F.unix_timestamp("ts")).alias("end_s"),
+        )
+    )
+    mx = sess.agg(F.max("end_s").alias("max_s"))
+    life = sess.crossJoin(F.broadcast(mx)).select(
+        F.floor((F.col("end_s") - F.col("start_s")) / 60)
+        .cast("long")
+        .alias("t"),
+        (F.col("end_s") <= F.col("max_s") - F.lit(gap_seconds)).alias(
+            "ended"
+        ),
+    )
+    return kaplan_meier(life)
