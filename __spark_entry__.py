@@ -1493,6 +1493,16 @@ def q_heaps_law(spark, sf):
     return heaps_law(_docs(spark, sf))
 
 
+def q_logrank_click(spark, sf):
+    """Log-rank (Mantel-Cox) test: do sessions opening with a click
+    survive differently? (plans/cohorts.py::logrank_sessions) —
+    censoring-aware two-sample curve comparison, exact BIGINT
+    risk/event counts, sorted-fold O-E and variance sums."""
+    from tsaug_spark.plans.cohorts import logrank_sessions
+
+    return logrank_sessions(_events(spark, sf))
+
+
 def q_session_survival(spark, sf):
     """Kaplan-Meier survival of session duration with table-edge
     censoring (plans/cohorts.py::session_survival): exact integer
@@ -4051,6 +4061,7 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "logrank_click",
     "session_survival",
     "stream_bitmap_1h",
     "dormant_buyers",
@@ -4384,6 +4395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_struct_agg": q_json_struct_agg,
         "stream_bitmap_1h": q_stream_bitmap_1h,
         "session_survival": q_session_survival,
+        "logrank_click": q_logrank_click,
         "dau_overlap": q_dau_overlap,
         "value_deciles": q_value_deciles,
         "top_paths": q_top_paths,
@@ -6294,6 +6306,53 @@ def oracle_sql() -> dict[str, str]:
             "med_cents - lag(med_cents) OVER w AS delta_cents, "
             "week - lag(week) OVER w AS weeks_gap FROM med "
             "WINDOW w AS (PARTITION BY grp ORDER BY week)"
+        ),
+        "logrank_click": (
+            "WITH f AS (SELECT user_id AS key, ts, event_type AS etype, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id AS oid, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            "CAST(floor(epoch(ts)) AS BIGINT) - "
+            "CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 "
+            "THEN 1 ELSE 0 END AS new_s FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT key, ts, etype, tsec, oid, SUM(new_s) OVER ("
+            "PARTITION BY key ORDER BY ts, oid ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS sid FROM f), "
+            "fe AS (SELECT key, sid, etype AS first_type FROM ("
+            "SELECT key, sid, etype, row_number() OVER (PARTITION BY "
+            "key, sid ORDER BY ts, oid) AS rn FROM s) WHERE rn = 1), "
+            "sess AS (SELECT s.key, s.sid, MIN(tsec) AS start_s, "
+            "MAX(tsec) AS end_s FROM s GROUP BY 1, 2), "
+            "mx AS (SELECT MAX(end_s) AS max_s FROM sess), "
+            "life AS (SELECT (end_s - start_s) // 60 AS t, "
+            "end_s <= max_s - 1800 AS ended, "
+            "first_type = 'click' AS g1 FROM sess "
+            "JOIN fe ON fe.key = sess.key AND fe.sid = sess.sid, mx), "
+            "bt AS (SELECT t, SUM(CASE WHEN ended THEN 1 ELSE 0 END) "
+            "AS d, SUM(CASE WHEN ended AND g1 THEN 1 ELSE 0 END) AS d1, "
+            "COUNT(*) AS here, SUM(CASE WHEN g1 THEN 1 ELSE 0 END) "
+            "AS here1 FROM life GROUP BY 1), "
+            "risk AS (SELECT t, d, d1, SUM(here) OVER (ORDER BY t DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n, "
+            "SUM(here1) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS n1 FROM bt "
+            "QUALIFY d > 0), "
+            "terms AS (SELECT t, d1, "
+            "CAST(d1 AS DOUBLE) - CAST(d AS DOUBLE) * "
+            "CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE) AS oe, "
+            "CASE WHEN n > 1 THEN CAST(d AS DOUBLE) * "
+            "(CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) * "
+            "(1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) * "
+            "CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE) "
+            "ELSE 0.0 END AS v FROM risk), "
+            "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_times, "
+            "CAST(SUM(d1) AS BIGINT) AS o1, "
+            "list_reduce(list(oe ORDER BY t), (a_, b_) -> a_ + b_) AS z, "
+            "list_reduce(list(v ORDER BY t), (a_, b_) -> a_ + b_) "
+            "AS var FROM terms) "
+            "SELECT n_times, o1, z, var, "
+            "CASE WHEN var > 0 THEN z * z / var END AS chi2_logrank "
+            "FROM a"
         ),
         "session_survival": (
             "WITH f AS (SELECT user_id AS key, ts, "

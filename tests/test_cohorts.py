@@ -211,3 +211,45 @@ def test_session_survival_censors_table_edge(spark):
     assert 10 in out            # ended session contributes an event
     assert 20 not in out        # censored session makes no step
     assert out[10].n_risk == 2  # but it was at risk
+
+
+def _lr_events(spark, sessions):
+    # sessions: list of (user, start_min, dur_min, first_type)
+    from datetime import datetime, timedelta
+    b = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u, start, dur, ft in sessions:
+        t0 = b + timedelta(minutes=start)
+        rows.append((eid, u, t0, ft)); eid += 1
+        if dur > 0:
+            rows.append((eid, u, t0 + timedelta(minutes=dur), "view"))
+            eid += 1
+    # a far-future closer so no fixture session is edge-censored
+    rows.append((eid, 999, b + timedelta(days=10), "view"))
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+
+
+def test_logrank_identical_groups_is_zero(spark):
+    from tsaug_spark.plans.cohorts import logrank_sessions
+    sessions = []
+    for i, dur in enumerate((1, 5, 9)):
+        sessions.append((10 + i, i * 100, dur, "click"))
+        sessions.append((20 + i, i * 100, dur, "error"))
+    r = logrank_sessions(_lr_events(spark, sessions)).collect()[0]
+    assert abs(r.z) < 1e-12
+    assert abs(r.chi2_logrank) < 1e-12
+
+
+def test_logrank_detects_longer_click_sessions(spark):
+    from tsaug_spark.plans.cohorts import logrank_sessions
+    sessions = []
+    for i in range(6):
+        sessions.append((10 + i, i * 100, 20, "click"))  # long
+        sessions.append((20 + i, i * 100, 1, "error"))   # short
+    r = logrank_sessions(_lr_events(spark, sessions)).collect()[0]
+    assert r.chi2_logrank > 3.84  # p < 0.05 at 1 dof
+    # clicks die LATE: at early event times fewer click deaths than
+    # expected under the pooled hazard -> O1 - E1 sums negative
+    assert r.z < 0

@@ -822,6 +822,7 @@ def main() -> None:
         ("season_strength", em.q_season_strength),
         ("dormant_buyers", em.q_dormant_buyers),
         ("session_survival", em.q_session_survival),
+        ("logrank_click", em.q_logrank_click),
     ]:
         audit(
             f"{nm} (scalar-broadcast cross join, JVM only)",

@@ -332,3 +332,136 @@ def session_survival(
         ),
     )
     return kaplan_meier(life)
+
+
+def logrank_sessions(
+    df: DataFrame,
+    split_type: str = "click",
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Log-rank test (Mantel-Cox) between two session-survival curves:
+    do sessions that OPEN with ``split_type`` live longer than the
+    rest?  The standard censoring-aware two-sample comparison — a
+    t-test on durations would be biased by the table-edge censoring
+    that :func:`session_survival` handles.
+
+    At each event time t (pooled): O1 = events in group 1, E1 =
+    d * n1 / n, V = d*(n1/n)*(1-n1/n)*(n-d)/(n-1); the statistic is
+    (sum(O1-E1))^2 / sum(V) ~ chi2(1).  Counts are exact BIGINTs from
+    two suffix-sum windows over the bounded duration axis; E1 and V
+    are shared per-time expressions folded in duration order (sorted
+    fold), and the final ratio is one shared division.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    flagged = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(order_col).alias("oid"),
+        F.col(type_col).alias("etype"),
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (
+                F.unix_timestamp(F.col(ts_col))
+                - F.unix_timestamp(F.lag(ts_col).over(w))
+                > gap_seconds
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    w2 = Window.partitionBy("key").orderBy("ts", "oid")
+    sess = (
+        flagged.select(
+            "key",
+            "ts",
+            "etype",
+            "oid",
+            F.sum("new_s")
+            .over(w2.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("sid"),
+        )
+        .groupBy("key", "sid")
+        .agg(
+            F.min(F.unix_timestamp("ts")).alias("start_s"),
+            F.max(F.unix_timestamp("ts")).alias("end_s"),
+            F.min(F.struct("ts", "oid", "etype")).alias("first_ev"),
+        )
+    )
+    mx = sess.agg(F.max("end_s").alias("max_s"))
+    life = sess.crossJoin(F.broadcast(mx)).select(
+        F.floor((F.col("end_s") - F.col("start_s")) / 60)
+        .cast("long")
+        .alias("t"),
+        (F.col("end_s") <= F.col("max_s") - F.lit(gap_seconds)).alias(
+            "ended"
+        ),
+        (F.col("first_ev.etype") == split_type).alias("g1"),
+    )
+    by_t = life.groupBy("t").agg(
+        F.sum(F.when(F.col("ended"), 1).otherwise(0)).alias("d"),
+        F.sum(
+            F.when(F.col("ended") & F.col("g1"), 1).otherwise(0)
+        ).alias("d1"),
+        F.count(F.lit(1)).alias("here"),
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).alias("here1"),
+    )
+    wr = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = by_t.select(
+        "t",
+        "d",
+        "d1",
+        F.sum("here").over(wr).alias("n"),
+        F.sum("here1").over(wr).alias("n1"),
+    ).filter(F.col("d") > 0)
+    nd = F.col("n").cast("double")
+    terms = risk.select(
+        "t",
+        "d",
+        "d1",
+        "n",
+        "n1",
+        (
+            F.col("d1").cast("double")
+            - F.col("d").cast("double") * F.col("n1").cast("double") / nd
+        ).alias("oe"),
+        F.when(
+            F.col("n") > 1,
+            F.col("d").cast("double")
+            * (F.col("n1").cast("double") / nd)
+            * (F.lit(1.0) - F.col("n1").cast("double") / nd)
+            * (F.col("n") - F.col("d")).cast("double")
+            / (F.col("n") - 1).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("v"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_times"),
+        F.sum("d1").alias("o1"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("t", "oe"))),
+            F.lit(0.0),
+            lambda a, st: a + st["oe"],
+        ).alias("z"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("t", "v"))),
+            F.lit(0.0),
+            lambda a, st: a + st["v"],
+        ).alias("var"),
+    )
+    return agg.select(
+        F.col("n_times").cast("long").alias("n_times"),
+        F.col("o1").cast("long").alias("o1"),
+        "z",
+        "var",
+        F.when(
+            F.col("var") > 0, F.col("z") * F.col("z") / F.col("var")
+        ).alias("chi2_logrank"),
+    )
