@@ -1493,6 +1493,36 @@ def q_heaps_law(spark, sf):
     return heaps_law(_docs(spark, sf))
 
 
+def q_auc_clicks_purchase(spark, sf):
+    """Tie-aware AUC of daily click count predicting a purchase day
+    (plans/stats.py::rank_auc): ranks from the bounded distinct-score
+    domain, doubled-rank BIGINT sufficient statistics, one shared
+    final division."""
+    from tsaug_spark.plans.stats import rank_auc
+
+    ud = (
+        _events(spark, sf)
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 86400)
+            .cast("long")
+            .alias("day"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .alias("is_click"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("is_buy"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum("is_click").alias("clicks"),
+            F.max("is_buy").alias("bought"),
+        )
+    )
+    return rank_auc(ud, "clicks", "bought")
+
+
 def q_logrank_click(spark, sf):
     """Log-rank (Mantel-Cox) test: do sessions opening with a click
     survive differently? (plans/cohorts.py::logrank_sessions) —
@@ -4061,6 +4091,7 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "auc_clicks_purchase",
     "logrank_click",
     "session_survival",
     "stream_bitmap_1h",
@@ -4396,6 +4427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_bitmap_1h": q_stream_bitmap_1h,
         "session_survival": q_session_survival,
         "logrank_click": q_logrank_click,
+        "auc_clicks_purchase": q_auc_clicks_purchase,
         "dau_overlap": q_dau_overlap,
         "value_deciles": q_value_deciles,
         "top_paths": q_top_paths,
@@ -6306,6 +6338,25 @@ def oracle_sql() -> dict[str, str]:
             "med_cents - lag(med_cents) OVER w AS delta_cents, "
             "week - lag(week) OVER w AS weeks_gap FROM med "
             "WINDOW w AS (PARTITION BY grp ORDER BY week)"
+        ),
+        "auc_clicks_purchase": (
+            "WITH ud AS (SELECT user_id, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+            "AS s, MAX(CASE WHEN event_type = 'purchase' THEN 1 "
+            "ELSE 0 END) AS y FROM events GROUP BY 1, 2), "
+            "ps AS (SELECT s, SUM(y) AS pos, SUM(1 - y) AS neg "
+            "FROM ud GROUP BY 1), "
+            "r AS (SELECT s, pos, neg, 2*(SUM(pos + neg) OVER ("
+            "ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT "
+            "ROW) - (pos + neg)) + (pos + neg) + 1 AS d2 FROM ps), "
+            "a AS (SELECT SUM(pos) AS n_pos, SUM(neg) AS n_neg, "
+            "SUM(pos * d2) AS d_pos FROM r) "
+            "SELECT CAST(n_pos AS BIGINT) AS n_pos, "
+            "CAST(n_neg AS BIGINT) AS n_neg, "
+            "CAST(d_pos - n_pos * (n_pos + 1) AS DOUBLE) / "
+            "(2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) "
+            "AS auc FROM a WHERE n_pos > 0 AND n_neg > 0"
         ),
         "logrank_click": (
             "WITH f AS (SELECT user_id AS key, ts, event_type AS etype, "

@@ -1042,3 +1042,41 @@ def test_markov_stationary_dangling_state_redistributes(spark):
     assert abs(sum(out.values()) - 1.0) < 1e-9
     assert abs(out["a"] - 1 / 3) < 1e-3
     assert abs(out["b"] - 2 / 3) < 1e-3
+
+
+def test_rank_auc_separable_and_tied(spark):
+    from tsaug_spark.plans.stats import rank_auc
+    perfect = spark.createDataFrame(
+        [(3, 1), (4, 1), (1, 0), (2, 0)], "s long, y int"
+    )
+    assert rank_auc(perfect, "s", "y").collect()[0].auc == 1.0
+    coin = spark.createDataFrame([(1, 1), (1, 0)], "s long, y int")
+    assert rank_auc(coin, "s", "y").collect()[0].auc == 0.5
+
+
+def test_rank_auc_hand_value_with_ties(spark):
+    # pos {2, 1}, neg {1, 0}: pairs 2>1, 2>0, 1=1 (0.5), 1>0 -> 3.5/4
+    from tsaug_spark.plans.stats import rank_auc
+    df = spark.createDataFrame(
+        [(2, 1), (1, 1), (1, 0), (0, 0)], "s long, y int"
+    )
+    r = rank_auc(df, "s", "y").collect()[0]
+    assert abs(r.auc - 0.875) < 1e-12
+    assert (r.n_pos, r.n_neg) == (2, 2)
+
+
+def test_rank_auc_matches_sklearn_formula(spark):
+    # brute-force pairwise comparison reference on a random fixture
+    import random
+    from tsaug_spark.plans.stats import rank_auc
+    rng = random.Random(3)
+    rows = [(rng.randint(0, 8), rng.randint(0, 1)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "s long, y int")
+    got = rank_auc(df, "s", "y").collect()[0].auc
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p in pos for n in neg
+    )
+    assert abs(got - wins / (len(pos) * len(neg))) < 1e-12

@@ -946,6 +946,7 @@ def main() -> None:
         ("rake_keywords", em.q_rake_keywords),
         ("bitmap_distinct_1d", em.q_bitmap_distinct_1d),
         ("json_struct_agg", em.q_json_struct_agg),
+        ("auc_clicks_purchase", em.q_auc_clicks_purchase),
     ]:
         audit(
             f"{nm} (stats/retrieval screen, JVM only)",

@@ -2237,3 +2237,67 @@ def value_deciles(
         F.col("cents").alias("boundary_cents"),
         (F.col("cents").cast("double") / F.lit(100.0)).alias("boundary"),
     )
+
+
+def rank_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact tie-aware AUC (= Mann-Whitney U / (n_pos * n_neg)) of an
+    integer score against a binary label, distributed without a
+    global row sort: ranks collapse to the BOUNDED distinct-score
+    domain (one hash aggregate to (score, pos_cnt, neg_cnt), one
+    ordered window over distinct scores), and the tie-averaged rank
+    sum uses DOUBLED ranks so every sufficient statistic is an exact
+    BIGINT:
+
+        AUC = (D_pos - n_pos * (n_pos + 1)) / (2 * n_pos * n_neg)
+
+    with D_pos the doubled rank sum of positives — ties get the 0.5
+    credit automatically.  One shared final division; the row-sort-
+    free construction is the same trick as :func:`kruskal_types`.
+    """
+    sc = df.select(
+        F.col(score_col).cast("long").alias("s"),
+        F.when(F.col(label_col).cast("int") > 0, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    per_s = sc.groupBy("s").agg(
+        F.sum("y").alias("pos"),
+        F.sum(F.lit(1) - F.col("y")).alias("neg"),
+    )
+    wo = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_s.select(
+        "s",
+        "pos",
+        "neg",
+        (
+            F.lit(2)
+            * (
+                F.sum(F.col("pos") + F.col("neg")).over(wo)
+                - (F.col("pos") + F.col("neg"))
+            )
+            + (F.col("pos") + F.col("neg"))
+            + F.lit(1)
+        ).alias("d2"),
+    )
+    agg = ranked.agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.sum(F.col("pos") * F.col("d2")).alias("d_pos"),
+    )
+    return agg.filter(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    ).select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        (
+            (
+                F.col("d_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+            ).cast("double")
+            / (F.lit(2.0) * F.col("n_pos").cast("double")
+               * F.col("n_neg").cast("double"))
+        ).alias("auc"),
+    )
