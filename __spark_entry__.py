@@ -1493,6 +1493,46 @@ def q_heaps_law(spark, sf):
     return heaps_law(_docs(spark, sf))
 
 
+def q_calibration_clicks(spark, sf):
+    """Reliability table of daily click count vs purchase-day rate
+    (plans/stats.py::calibration_curve): exact integer counts on the
+    bounded score domain, shared rate/lift divisions — AUC's
+    level-calibration companion."""
+    from tsaug_spark.plans.stats import calibration_curve
+
+    ud = (
+        _events(spark, sf)
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 86400)
+            .cast("long")
+            .alias("day"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .alias("is_click"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("is_buy"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum("is_click").alias("clicks"),
+            F.max("is_buy").alias("bought"),
+        )
+    )
+    return calibration_curve(ud, "clicks", "bought")
+
+
+def q_psi_weekly(spark, sf):
+    """Week-over-week Population Stability Index of the value
+    histogram (plans/stats.py::psi_weekly): exact integer ratios,
+    micro-quantized ln terms, finite-PSI common-bin convention with
+    one-sided bins reported separately."""
+    from tsaug_spark.plans.stats import psi_weekly
+
+    return psi_weekly(_events(spark, sf))
+
+
 def q_auc_clicks_purchase(spark, sf):
     """Tie-aware AUC of daily click count predicting a purchase day
     (plans/stats.py::rank_auc): ranks from the bounded distinct-score
@@ -4091,6 +4131,8 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "calibration_clicks",
+    "psi_weekly",
     "auc_clicks_purchase",
     "logrank_click",
     "session_survival",
@@ -4428,6 +4470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_survival": q_session_survival,
         "logrank_click": q_logrank_click,
         "auc_clicks_purchase": q_auc_clicks_purchase,
+        "calibration_clicks": q_calibration_clicks,
+        "psi_weekly": q_psi_weekly,
         "dau_overlap": q_dau_overlap,
         "value_deciles": q_value_deciles,
         "top_paths": q_top_paths,
@@ -6338,6 +6382,54 @@ def oracle_sql() -> dict[str, str]:
             "med_cents - lag(med_cents) OVER w AS delta_cents, "
             "week - lag(week) OVER w AS weeks_gap FROM med "
             "WINDOW w AS (PARTITION BY grp ORDER BY week)"
+        ),
+        "calibration_clicks": (
+            "WITH ud AS (SELECT user_id, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+            "AS s, MAX(CASE WHEN event_type = 'purchase' THEN 1 "
+            "ELSE 0 END) AS y FROM events GROUP BY 1, 2), "
+            "ps AS (SELECT CAST(s AS BIGINT) AS score, COUNT(*) AS n, "
+            "SUM(y) AS pos FROM ud GROUP BY 1), "
+            "t AS (SELECT SUM(pos) AS tp, SUM(n) AS tn FROM ps) "
+            "SELECT score, CAST(n AS BIGINT) AS n, "
+            "CAST(pos AS BIGINT) AS pos, "
+            "CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate, "
+            "(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) / "
+            "(CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)) AS lift "
+            "FROM ps, t"
+        ),
+        "psi_weekly": (
+            "WITH b AS (SELECT CAST(floor(epoch(ts)/604800) AS BIGINT) "
+            "AS week, least(31, greatest(0, CAST(floor((value - 0.0) "
+            "/ 20.0) AS INT))) AS bin, COUNT(*) AS c FROM events "
+            "GROUP BY 1, 2), "
+            "cur AS (SELECT week, bin, c AS ca, SUM(c) OVER ("
+            "PARTITION BY week) AS na FROM b), "
+            "prev AS (SELECT week + 1 AS week, bin, ca AS cb, "
+            "na AS nb FROM cur), "
+            "j AS (SELECT COALESCE(cur.week, prev.week) AS week, "
+            "cur.ca, cur.na, prev.cb, prev.nb, "
+            "(cur.ca IS NOT NULL AND prev.cb IS NOT NULL) AS is_b "
+            "FROM cur FULL OUTER JOIN prev ON prev.week = cur.week "
+            "AND prev.bin = cur.bin), "
+            "t AS (SELECT week, is_b, na, nb, CASE WHEN is_b THEN "
+            "CAST(floor(1000000.0 * (CAST(ca*nb - cb*na AS DOUBLE) / "
+            "CAST(na*nb AS DOUBLE)) * ln(CAST(ca*nb AS DOUBLE) / "
+            "CAST(cb*na AS DOUBLE))) AS BIGINT) ELSE 0 END AS micro "
+            "FROM j), "
+            "a AS (SELECT week, SUM(micro) AS micro, "
+            "SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS n_common_bins, "
+            "SUM(CASE WHEN is_b THEN 0 ELSE 1 END) AS n_oneside_bins, "
+            "MAX(CASE WHEN is_b THEN na END) AS n_cur, "
+            "MAX(CASE WHEN is_b THEN nb END) AS n_prev "
+            "FROM t GROUP BY 1) "
+            "SELECT week, CAST(n_cur AS BIGINT) AS n_cur, "
+            "CAST(n_prev AS BIGINT) AS n_prev, "
+            "CAST(n_common_bins AS BIGINT) AS n_common_bins, "
+            "CAST(n_oneside_bins AS BIGINT) AS n_oneside_bins, "
+            "CAST(micro AS DOUBLE) / 1000000.0 AS psi "
+            "FROM a WHERE n_common_bins > 0"
         ),
         "auc_clicks_purchase": (
             "WITH ud AS (SELECT user_id, "

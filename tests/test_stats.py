@@ -1080,3 +1080,34 @@ def test_rank_auc_matches_sklearn_formula(spark):
         for p in pos for n in neg
     )
     assert abs(got - wins / (len(pos) * len(neg))) < 1e-12
+
+
+def test_calibration_curve_rates_and_lift(spark):
+    from tsaug_spark.plans.stats import calibration_curve
+    # score 1: 1/2 positive; score 2: 1/1; base rate 2/3
+    df = spark.createDataFrame(
+        [(1, 1), (1, 0), (2, 1)], "s long, y int"
+    )
+    out = {r.score: r for r in calibration_curve(df, "s", "y").collect()}
+    assert out[1].rate == 0.5 and out[2].rate == 1.0
+    assert abs(out[1].lift - 0.5 / (2 / 3)) < 1e-12
+    assert abs(out[2].lift - 1.0 / (2 / 3)) < 1e-12
+
+
+def test_psi_identical_weeks_zero_and_shift_positive(spark):
+    from datetime import datetime, timedelta
+    from tsaug_spark.plans.stats import psi_weekly
+    b = datetime(2024, 1, 1)
+    rows = []
+    # weeks 0 and 1 identical histograms -> PSI ~ 0; week 2 shifted
+    for wk, vals in ((0, [5.0] * 8 + [25.0] * 2),
+                     (1, [5.0] * 8 + [25.0] * 2),
+                     (2, [5.0] * 2 + [25.0] * 8)):
+        for i, v in enumerate(vals):
+            rows.append((b + timedelta(weeks=wk, hours=i), v))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r.week: r for r in psi_weekly(df).collect()}
+    weeks = sorted(out)
+    assert abs(out[weeks[0]].psi) < 1e-5          # identical
+    assert out[weeks[1]].psi > 0.5                # hard shift
+    assert out[weeks[0]].n_common_bins == 2

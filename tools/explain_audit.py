@@ -820,6 +820,7 @@ def main() -> None:
         ("decayed_score", em.q_decayed_score),
         ("kruskal_types", em.q_kruskal_types),
         ("season_strength", em.q_season_strength),
+        ("calibration_clicks", em.q_calibration_clicks),
         ("dormant_buyers", em.q_dormant_buyers),
         ("session_survival", em.q_session_survival),
         ("logrank_click", em.q_logrank_click),
@@ -947,6 +948,7 @@ def main() -> None:
         ("bitmap_distinct_1d", em.q_bitmap_distinct_1d),
         ("json_struct_agg", em.q_json_struct_agg),
         ("auc_clicks_purchase", em.q_auc_clicks_purchase),
+        ("psi_weekly", em.q_psi_weekly),
     ]:
         audit(
             f"{nm} (stats/retrieval screen, JVM only)",

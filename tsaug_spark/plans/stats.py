@@ -2301,3 +2301,134 @@ def rank_auc(
                * F.col("n_neg").cast("double"))
         ).alias("auc"),
     )
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Reliability table for an integer score vs a binary label: the
+    observed positive rate at each score value — AUC's companion
+    (:func:`rank_auc` measures ranking power; this measures whether
+    the score's LEVELS mean what they say).
+
+    Pure exact-integer aggregation over the bounded score domain with
+    one shared rate division per row, plus each bucket's lift over the
+    global base rate (one more shared expression).
+    """
+    sc = df.select(
+        F.col(score_col).cast("long").alias("s"),
+        F.when(F.col(label_col).cast("int") > 0, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    per_s = sc.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    cw = Window.partitionBy()
+    return per_s.select(
+        F.col("s").alias("score"),
+        "n",
+        "pos",
+        (F.col("pos").cast("double") / F.col("n").cast("double")).alias(
+            "rate"
+        ),
+        (
+            (F.col("pos").cast("double") / F.col("n").cast("double"))
+            / (
+                F.sum("pos").over(cw).cast("double")
+                / F.sum("n").over(cw).cast("double")
+            )
+        ).alias("lift"),
+    )
+
+
+def psi_weekly(
+    df: DataFrame,
+    n_bins: int = 32,
+    lo: float = 0.0,
+    hi: float = 640.0,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Population Stability Index between each week's value histogram
+    and the PREVIOUS week's — the ML-monitoring drift score (rule of
+    thumb: < 0.1 stable, 0.1-0.25 drifting, > 0.25 act):
+
+        PSI = sum_b (p_b - q_b) * ln(p_b / q_b)
+
+    Only bins populated in BOTH weeks contribute (the standard
+    finite-PSI convention; a bin appearing or vanishing outright is
+    reported via ``n_oneside_bins`` instead of an infinite term).
+
+    Exactness: bin counts are integers, p/q is the exact integer ratio
+    (ca*nb)/(cb*na), (p - q) is the exact rational (ca*nb - cb*na) /
+    (na*nb), and each term is floor-quantized to micro-units before an
+    exact BIGINT sum (ln is the only libm call — the JSD idiom).
+
+    Scale: one (week, bin) hash aggregate over a bounded bin set, one
+    week-lag join on the bounded (week, bin) table.
+    """
+    width = (hi - lo) / n_bins
+    binned = df.select(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / 604800)
+        .cast("long")
+        .alias("week"),
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+                .cast("int"),
+            ),
+        ).alias("bin"),
+    ).groupBy("week", "bin").agg(F.count(F.lit(1)).alias("c"))
+    cw = Window.partitionBy("week")
+    cur = binned.select(
+        "week",
+        "bin",
+        F.col("c").alias("ca"),
+        F.sum("c").over(cw).alias("na"),
+    )
+    prev = cur.select(
+        (F.col("week") + 1).alias("week"),
+        F.col("bin"),
+        F.col("ca").alias("cb"),
+        F.col("na").alias("nb"),
+    )
+    j = cur.join(prev, ["week", "bin"], "full_outer").filter(
+        F.col("week").isNotNull()
+    )
+    both = F.col("ca").isNotNull() & F.col("cb").isNotNull()
+    term = F.when(
+        both,
+        F.floor(
+            F.lit(1e6)
+            * (
+                (
+                    F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")
+                ).cast("double")
+                / (F.col("na") * F.col("nb")).cast("double")
+            )
+            * F.log(
+                (F.col("ca") * F.col("nb")).cast("double")
+                / (F.col("cb") * F.col("na")).cast("double")
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    agg = j.groupBy("week").agg(
+        F.sum(term).alias("micro"),
+        F.sum(F.when(both, 1).otherwise(0)).alias("n_common_bins"),
+        F.sum(F.when(~both, 1).otherwise(0)).alias("n_oneside_bins"),
+        F.max(F.when(both, F.col("na"))).alias("n_cur"),
+        F.max(F.when(both, F.col("nb"))).alias("n_prev"),
+    )
+    return agg.filter(F.col("n_common_bins") > 0).select(
+        "week",
+        F.col("n_cur").alias("n_cur"),
+        F.col("n_prev").alias("n_prev"),
+        F.col("n_common_bins").cast("long").alias("n_common_bins"),
+        F.col("n_oneside_bins").cast("long").alias("n_oneside_bins"),
+        (F.col("micro").cast("double") / F.lit(1e6)).alias("psi"),
+    )
