@@ -1573,6 +1573,16 @@ def q_logrank_click(spark, sf):
     return logrank_sessions(_events(spark, sf))
 
 
+def q_hazard_sessions(spark, sf):
+    """Nelson-Aalen cumulative hazard of session duration
+    (plans/cohorts.py::nelson_aalen over session_lifetimes): exact
+    integer risk/event counts, sorted-fold hazard sum, Fleming-
+    Harrington exp(-H) survival alongside."""
+    from tsaug_spark.plans.cohorts import nelson_aalen, session_lifetimes
+
+    return nelson_aalen(session_lifetimes(_events(spark, sf)))
+
+
 def q_session_survival(spark, sf):
     """Kaplan-Meier survival of session duration with table-edge
     censoring (plans/cohorts.py::session_survival): exact integer
@@ -4131,6 +4141,7 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "hazard_sessions",
     "calibration_clicks",
     "psi_weekly",
     "auc_clicks_purchase",
@@ -4468,6 +4479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_struct_agg": q_json_struct_agg,
         "stream_bitmap_1h": q_stream_bitmap_1h,
         "session_survival": q_session_survival,
+        "hazard_sessions": q_hazard_sessions,
         "logrank_click": q_logrank_click,
         "auc_clicks_purchase": q_auc_clicks_purchase,
         "calibration_clicks": q_calibration_clicks,
@@ -7930,6 +7942,31 @@ def oracle_sql() -> dict[str, str]:
         ),
     }
 
+    d["hazard_sessions"] = (
+        d["session_survival"]
+        .replace(
+            "evt AS (SELECT t, d, n_risk, 1.0 - CAST(d AS DOUBLE) / "
+            "CAST(n_risk AS DOUBLE) AS factor FROM risk WHERE d > 0) ",
+            "evt AS (SELECT t, d, n_risk, CAST(d AS DOUBLE) / "
+            "CAST(n_risk AS DOUBLE) AS inc FROM risk WHERE d > 0) ",
+        )
+        .replace(
+            "SELECT e.t AS duration, CAST(e.n_risk AS BIGINT) AS n_risk, "
+            "CAST(e.d AS BIGINT) AS n_events, "
+            "list_reduce(list(f2.factor ORDER BY f2.t), "
+            "(a_, b_) -> a_ * b_) AS survival "
+            "FROM evt e JOIN evt f2 ON f2.t <= e.t "
+            "GROUP BY 1, 2, 3",
+            "SELECT duration, n_risk, n_events, cum_hazard, "
+            "exp(-cum_hazard) AS fh_survival FROM ("
+            "SELECT e.t AS duration, CAST(e.n_risk AS BIGINT) AS n_risk, "
+            "CAST(e.d AS BIGINT) AS n_events, "
+            "list_reduce(list(f2.inc ORDER BY f2.t), "
+            "(a_, b_) -> a_ + b_) AS cum_hazard "
+            "FROM evt e JOIN evt f2 ON f2.t <= e.t "
+            "GROUP BY 1, 2, 3)",
+        )
+    )
     d["season_strength"] = (
         "WITH dec AS (" + d["seasonal_decompose_24h"] + "), "
         "t AS (SELECT user_id AS key, "

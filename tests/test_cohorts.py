@@ -253,3 +253,21 @@ def test_logrank_detects_longer_click_sessions(spark):
     # clicks die LATE: at early event times fewer click deaths than
     # expected under the pooled hazard -> O1 - E1 sums negative
     assert r.z < 0
+
+
+def test_nelson_aalen_textbook_curve(spark):
+    # ended {1,1,2}, censored {3}: H(1)=2/4, H(2)=1/2+1/2=1
+    from math import exp
+    from tsaug_spark.plans.cohorts import nelson_aalen
+    life = spark.createDataFrame(
+        [(1, True), (1, True), (2, True), (3, False)],
+        "t long, ended boolean",
+    )
+    out = {r.duration: r for r in nelson_aalen(life).collect()}
+    assert abs(out[1].cum_hazard - 0.5) < 1e-12
+    assert abs(out[2].cum_hazard - 1.0) < 1e-12
+    assert abs(out[2].fh_survival - exp(-1.0)) < 1e-12
+    # FH survival always >= the KM step product at the same times
+    from tsaug_spark.plans.cohorts import kaplan_meier
+    km = {r.duration: r.survival for r in kaplan_meier(life).collect()}
+    assert all(out[t].fh_survival >= km[t] - 1e-12 for t in out)

@@ -823,6 +823,7 @@ def main() -> None:
         ("calibration_clicks", em.q_calibration_clicks),
         ("dormant_buyers", em.q_dormant_buyers),
         ("session_survival", em.q_session_survival),
+        ("hazard_sessions", em.q_hazard_sessions),
         ("logrank_click", em.q_logrank_click),
     ]:
         audit(

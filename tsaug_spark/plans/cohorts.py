@@ -274,22 +274,19 @@ def kaplan_meier(
     )
 
 
-def session_survival(
+def session_lifetimes(
     df: DataFrame,
     gap_seconds: int = 1800,
     key_col: str = "user_id",
     ts_col: str = "ts",
     order_col: str = "event_id",
 ) -> DataFrame:
-    """Kaplan-Meier survival of SESSION duration (minutes): how long
-    do sessions live, with the table-edge bias handled properly — a
-    session whose last event falls within the inactivity gap of the
-    table's end may still be ongoing, so it enters the estimator as
-    CENSORED rather than ended.
-
-    Sessionization is the repo's standard islands chain (exact
-    integer-second gap comparisons); durations are integer minutes.
-    """
+    """Right-censored session-duration table (t minutes, ended flag):
+    the shared input of :func:`kaplan_meier` / :func:`nelson_aalen` —
+    a session whose last event falls within the inactivity gap of the
+    table's end may still be ongoing, so it is CENSORED rather than
+    ended.  Sessionization is the repo's standard islands chain (exact
+    integer-second gap comparisons)."""
     w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
     flagged = df.select(
         F.col(key_col).alias("key"),
@@ -323,7 +320,7 @@ def session_survival(
         )
     )
     mx = sess.agg(F.max("end_s").alias("max_s"))
-    life = sess.crossJoin(F.broadcast(mx)).select(
+    return sess.crossJoin(F.broadcast(mx)).select(
         F.floor((F.col("end_s") - F.col("start_s")) / 60)
         .cast("long")
         .alias("t"),
@@ -331,7 +328,20 @@ def session_survival(
             "ended"
         ),
     )
-    return kaplan_meier(life)
+
+
+def session_survival(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Kaplan-Meier survival of session duration (minutes) with
+    table-edge censoring — see :func:`session_lifetimes`."""
+    return kaplan_meier(
+        session_lifetimes(df, gap_seconds, key_col, ts_col, order_col)
+    )
 
 
 def logrank_sessions(
@@ -464,4 +474,62 @@ def logrank_sessions(
         F.when(
             F.col("var") > 0, F.col("z") * F.col("z") / F.col("var")
         ).alias("chi2_logrank"),
+    )
+
+
+def nelson_aalen(
+    life: DataFrame,
+    t_col: str = "t",
+    event_col: str = "ended",
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over a right-censored duration
+    table — Kaplan-Meier's additive sibling:
+
+        H(t) = sum_{t' <= t, d_{t'} > 0} d_{t'} / n_{t'}
+
+    preferred when hazard INCREMENTS are the object of interest (the
+    per-step d/n is the hazard itself) and for small risk sets where
+    the product form is unstable.  Also reported: the Fleming-
+    Harrington survival exp(-H) next to what KM would give.
+
+    Same exactness contract as :func:`kaplan_meier`: BIGINT counts
+    from a suffix-sum window over the bounded duration axis, one
+    shared division per step, cumulative sum via a bounded self-join
+    folded in duration order.
+    """
+    by_t = life.groupBy(F.col(t_col).alias("t")).agg(
+        F.sum(F.when(F.col(event_col), 1).otherwise(0)).alias("d"),
+        F.count(F.lit(1)).alias("ended_here"),
+    )
+    wr = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = by_t.select(
+        "t", "d", F.sum("ended_here").over(wr).alias("n_risk")
+    )
+    ev_t = risk.filter(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n_risk",
+        (F.col("d").cast("double") / F.col("n_risk").cast("double"))
+        .alias("inc"),
+    )
+    f2 = ev_t.select(F.col("t").alias("t2"), F.col("inc").alias("i2"))
+    return (
+        ev_t.join(f2, F.col("t2") <= F.col("t"))
+        .groupBy("t", "d", "n_risk")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("t2", "i2"))),
+                F.lit(0.0),
+                lambda a, st: a + st["i2"],
+            ).alias("cum_hazard")
+        )
+        .select(
+            F.col("t").alias("duration"),
+            F.col("n_risk"),
+            F.col("d").cast("long").alias("n_events"),
+            "cum_hazard",
+            F.exp(-F.col("cum_hazard")).alias("fh_survival"),
+        )
     )
