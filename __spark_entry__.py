@@ -1719,6 +1719,37 @@ def q_triangle_copurchase(spark, sf):
     return triangle_count(copurchase_edges(li, orders, max_buyers=20))
 
 
+def q_pagerank_copurchase(spark, sf):
+    """Fixed-iteration (15) PageRank over the capped co-purchase
+    graph (plans/graph.py::pagerank) — ENTIRELY int64 arithmetic
+    (ranks in 1e-12 units, contributions (pr*85) div (100*deg)), so
+    the result is bit-exact and fold-order-free; the oracle replays
+    the identical integer recurrence in a DuckDB recursive CTE."""
+    from tsaug_spark.plans.graph import copurchase_edges, pagerank
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    return pagerank(
+        copurchase_edges(li, orders, max_buyers=20), n_iters=15
+    )
+
+
+def q_bfs_copurchase(spark, sf):
+    """Min hop distance from the nation-0 customer seed set over the
+    capped co-purchase graph, capped at 3 hops (plans/graph.py::
+    bfs_hops) — level-synchronous integer min-propagation; oracle is
+    a DuckDB UNION-dedup recursive frontier expansion."""
+    from tsaug_spark.plans.graph import bfs_hops, copurchase_edges
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    seeds = cust.filter(F.col("c_nationkey") == 0).select("c_custkey")
+    return bfs_hops(
+        copurchase_edges(li, orders, max_buyers=20), seeds, max_hops=3
+    )
+
+
 def q_tpch_q3(spark, sf):
     """TPC-H Q3 shape — top-10 open BUILDING-segment orders by
     discounted revenue: two broadcast dim joins (customer filter
@@ -4156,6 +4187,8 @@ _PRIORITY = [
     "season_strength",
     "weighted_sample",
     "triangle_copurchase",
+    "pagerank_copurchase",
+    "bfs_copurchase",
     "tpch_q3",
     "dau_overlap",
     "value_deciles",
@@ -4470,6 +4503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pacf_24": q_pacf_24,
         "tpch_q3": q_tpch_q3,
         "triangle_copurchase": q_triangle_copurchase,
+        "pagerank_copurchase": q_pagerank_copurchase,
+        "bfs_copurchase": q_bfs_copurchase,
         "weighted_sample": q_weighted_sample,
         "season_strength": q_season_strength,
         "mase_backtest": q_mase_backtest,
@@ -6676,6 +6711,51 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n_wedges > 0 THEN 3.0 * CAST(t AS DOUBLE) / "
             "CAST(n_wedges AS DOUBLE) ELSE 0.0 END AS clustering_coeff "
             "FROM st, tri"
+        ),
+        "pagerank_copurchase": (
+            "WITH RECURSIVE bp AS (SELECT DISTINCT l_partkey AS part, "
+            "o_custkey AS cust FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey), "
+            "sz AS (SELECT part FROM bp GROUP BY part "
+            "HAVING COUNT(*) <= 20), "
+            "k AS (SELECT bp.part, bp.cust FROM bp JOIN sz USING (part)), "
+            "e AS (SELECT DISTINCT a.cust AS u, b.cust AS v FROM k a "
+            "JOIN k b USING (part) WHERE a.cust < b.cust), "
+            "de AS (SELECT u AS src, v AS dst FROM e "
+            "UNION ALL SELECT v, u FROM e), "
+            "deg AS (SELECT src, COUNT(*) AS deg FROM de GROUP BY 1), "
+            "n AS (SELECT COUNT(*) AS nn FROM deg), "
+            "it AS (SELECT 0 AS k, d.src AS node, d.deg AS deg, "
+            "CAST(1000000000000 // n.nn AS BIGINT) AS pr FROM deg d, n "
+            "UNION ALL SELECT it.k + 1, de.dst, MIN(d2.deg), "
+            "CAST((1000000000000 * 15) // (100 * MIN(n.nn)) "
+            "+ SUM((it.pr * 85) // (100 * it.deg)) AS BIGINT) "
+            "FROM it JOIN de ON de.src = it.node "
+            "JOIN deg d2 ON d2.src = de.dst CROSS JOIN n "
+            "WHERE it.k < 15 GROUP BY de.dst, it.k) "
+            "SELECT node, CAST(deg AS BIGINT) AS degree, "
+            "pr AS pr_micro, CAST(pr AS DOUBLE) / 1e12 AS pr "
+            "FROM it WHERE k = 15"
+        ),
+        "bfs_copurchase": (
+            "WITH RECURSIVE bp AS (SELECT DISTINCT l_partkey AS part, "
+            "o_custkey AS cust FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey), "
+            "sz AS (SELECT part FROM bp GROUP BY part "
+            "HAVING COUNT(*) <= 20), "
+            "k AS (SELECT bp.part, bp.cust FROM bp JOIN sz USING (part)), "
+            "e AS (SELECT DISTINCT a.cust AS u, b.cust AS v FROM k a "
+            "JOIN k b USING (part) WHERE a.cust < b.cust), "
+            "de AS (SELECT u AS src, v AS dst FROM e "
+            "UNION ALL SELECT v, u FROM e), "
+            "seeds AS (SELECT DISTINCT c_custkey AS node FROM customer "
+            "WHERE c_nationkey = 0), "
+            "b AS (SELECT node, 0 AS dist FROM seeds "
+            "UNION "
+            "SELECT de.dst, b.dist + 1 FROM b "
+            "JOIN de ON de.src = b.node WHERE b.dist < 3) "
+            "SELECT node, CAST(MIN(dist) AS INT) AS dist "
+            "FROM b GROUP BY 1"
         ),
         "tpch_q3": (
             "SELECT l_orderkey, o_orderdate, o_orderpriority, revenue, "

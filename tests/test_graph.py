@@ -70,3 +70,79 @@ def test_copurchase_hot_part_cap(spark):
     edges = copurchase_edges(li, orders, max_buyers=3)
     got = {(r.u, r.v) for r in edges.collect()}
     assert got == {(1000, 1001), (1000, 1002), (1001, 1002)}
+
+
+def test_pagerank_tiny_exact(spark):
+    # integer PageRank is fully deterministic: replay the recurrence
+    # in plain Python and demand bit-equality
+    pairs = [(1, 2), (2, 3), (3, 4), (1, 3), (5, 6)]
+    from tsaug_spark.plans.graph import pagerank
+
+    got = {
+        r.node: (r.degree, r.pr_micro)
+        for r in pagerank(_edges(spark, pairs), n_iters=15).collect()
+    }
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    nn = len(adj)
+    scale = 10**12
+    pr = {x: scale // nn for x in adj}
+    base = (scale * 15) // (100 * nn)
+    for _ in range(15):
+        pr = {
+            x: base
+            + sum((pr[y] * 85) // (100 * len(adj[y])) for y in adj[x])
+            for x in adj
+        }
+    assert got == {x: (len(adj[x]), pr[x]) for x in adj}
+
+
+def test_pagerank_mass_approximately_conserved(spark):
+    from tsaug_spark.plans.graph import pagerank
+
+    pairs = list(combinations(range(8), 2))[:20]
+    rows = pagerank(_edges(spark, pairs), n_iters=10).collect()
+    total = sum(r.pr_micro for r in rows)
+    # integer truncation leaks < n_nodes * (100 + n_edges) units/iter;
+    # conservatively: within 0.1% of full mass
+    assert 0.999 * 10**12 <= total <= 10**12
+
+
+def test_bfs_hops_chain_and_cap(spark):
+    from tsaug_spark.plans.graph import bfs_hops
+
+    chain = [(i, i + 1) for i in range(10)]
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r.node: r.dist
+        for r in bfs_hops(_edges(spark, chain), seeds, max_hops=4).collect()
+    }
+    # exact distances up to the cap; nodes beyond 4 hops absent
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_bfs_hops_multi_seed_min(spark):
+    from tsaug_spark.plans.graph import bfs_hops
+
+    chain = [(i, i + 1) for i in range(10)]
+    seeds = spark.createDataFrame([(0,), (10,)], "node long")
+    got = {
+        r.node: r.dist
+        for r in bfs_hops(_edges(spark, chain), seeds, max_hops=5).collect()
+    }
+    assert got == {i: min(i, 10 - i) for i in range(11)}
+
+
+def test_bfs_seed_not_in_graph_kept_at_zero(spark):
+    from tsaug_spark.plans.graph import bfs_hops
+
+    seeds = spark.createDataFrame([(99,)], "node long")
+    got = {
+        r.node: r.dist
+        for r in bfs_hops(
+            _edges(spark, [(0, 1)]), seeds, max_hops=2
+        ).collect()
+    }
+    assert got == {99: 0}

@@ -420,6 +420,19 @@ def test_dedup_clusters_long_chain_converges(spark):
     assert len(out) == n + 1
 
 
+def test_dedup_clusters_pointer_jump_log_rounds(spark):
+    """Pointer jumping makes chains converge in O(log n) rounds: a
+    60-hop chain fits in 8 rounds (plain min-propagation needs 60)."""
+    from tsaug_spark.pipeline.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": range(60), "id_b": range(1, 61)})
+    )
+    out = dedup_clusters(pairs, max_iters=8).toPandas()
+    assert (out["component"] == 0).all()
+    assert len(out) == 61
+
+
 def test_dedup_clusters_nonconvergence_raises(spark):
     """ADVICE r2: falling through max_iters must not silently return
     partial labels — the 30-hop chain cannot converge in 3 rounds."""

@@ -134,3 +134,131 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             / F.col("n_wedges").cast("double"),
         ).otherwise(F.lit(0.0)).alias("clustering_coeff"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 15,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected simple graph given
+    as distinct (u < v) BIGINT edges — ENTIRELY in int64 arithmetic so
+    the result is bit-exact and summation-order-free.
+
+    Every rank is an integer in units of ``1/scale``:
+    ``pr_0 = scale div N``; each step every node sends
+    ``(pr * damping_pct) div (100 * deg)`` to each neighbour and the
+    new rank is ``(scale * (100 - damping_pct)) div (100 * N)`` plus
+    the integer sum of incoming contributions.  Integer division of
+    non-negative int64s truncates identically in Spark (`div`) and
+    any ANSI engine (`//`), and integer addition commutes — so unlike
+    a floating PageRank there is NO fold-order sensitivity anywhere,
+    and the oracle can use a plain GROUP BY SUM in a recursive CTE.
+    ``pr * damping_pct <= scale * 100`` stays far below 2^63.
+
+    Undirected degree >= 1 for every node by construction, so the
+    dangling-mass term of directed PageRank vanishes.  Ranks leak the
+    truncation remainders (sum(pr) < scale) — the standard price of
+    integer PageRank; relative order (the thing PageRank is for) is
+    unaffected at scale = 1e12.
+
+    Scale design: the iteration is declared lazily — each step is one
+    join against the (node-sized) rank frame plus one hash aggregate,
+    the minimal shuffle structure PageRank admits; the rank frame is
+    ``localCheckpoint``-ed every 5 rounds to keep the physical plan
+    shallow on wide clusters.
+    """
+    dir_e = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).localCheckpoint(eager=False)
+    deg = dir_e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_df = deg.agg(F.count(F.lit(1)).alias("nn"))
+    v = (
+        deg.crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("src").alias("node"),
+            "deg",
+            F.expr(f"CAST({scale} AS BIGINT) div nn").alias("pr"),
+            "nn",
+        )
+    )
+    base = F.expr(
+        f"CAST({scale} AS BIGINT) * {100 - damping_pct} div (100 * nn)"
+    )
+    for i in range(n_iters):
+        contrib = v.join(dir_e, v["node"] == dir_e["src"]).select(
+            "dst",
+            F.expr(f"(pr * {damping_pct}) div (100 * deg)").alias("c"),
+        )
+        nxt = contrib.groupBy("dst").agg(F.sum("c").alias("in_sum"))
+        prev = v.select("node", "deg", "nn")
+        v = prev.join(
+            nxt, prev["node"] == nxt["dst"], "left"
+        ).select(
+            prev["node"],
+            "deg",
+            (base + F.coalesce("in_sum", F.lit(0))).alias("pr"),
+            "nn",
+        )
+        if (i + 1) % 5 == 0 and i + 1 < n_iters:
+            v = v.localCheckpoint(eager=False)
+    return v.select(
+        "node",
+        F.col("deg").alias("degree"),
+        F.col("pr").alias("pr_micro"),
+        (F.col("pr").cast("double") / F.lit(float(scale))).alias("pr"),
+    )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Minimum hop distance from a SEED SET over an undirected simple
+    graph of distinct (u < v) BIGINT edges, capped at ``max_hops`` —
+    the bounded-frontier BFS every "distance to nearest labelled
+    example" feature needs.  Nodes farther than the cap (or
+    unreachable) are absent from the result: the cap is the contract,
+    not a truncation.
+
+    Level-synchronous min-label propagation: round k relaxes
+    ``dist(v) = min(dist(v), min_nbr dist(u) + 1)``; after round k
+    every node within k hops holds its exact distance (plain BFS
+    invariant), so exactly ``max_hops`` rounds are needed — no
+    convergence check, no unbounded loop.  All-integer arithmetic:
+    bit-exact, fold-order-free.
+
+    Scale: each round is one node-sized equi-join + hash aggregate
+    (the same shape as one PageRank step); seeds of any size are fine
+    because distance-0 labels are just rows.  ``seeds`` must be a
+    one-column frame of node ids (extra nodes not in the graph are
+    kept at distance 0 — harmless and cheap to pre-filter if unwanted).
+    """
+    dir_e = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).localCheckpoint(eager=False)
+    seed_col = seeds.columns[0]
+    dist = seeds.select(
+        F.col(seed_col).alias("node"), F.lit(0).cast("int").alias("dist")
+    ).distinct()
+    for _ in range(max_hops):
+        relaxed = (
+            dist.join(dir_e, dist["node"] == dir_e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + 1).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist
