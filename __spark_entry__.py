@@ -1652,6 +1652,36 @@ def q_json_struct_agg(spark, sf):
     )
 
 
+def q_kmv_cascade_1d(spark, sf):
+    """Daily distinct-user estimates via the KMV/theta order-
+    statistics sketch, built HOURLY and merged to daily
+    (plans/sketches.py::kmv_partial/kmv_merge/kmv_estimate).  The
+    oracle replays a DIRECT daily build, so a green hash proves the
+    cascade merge equals the sketch built at the coarse tier; the
+    estimator itself is one double division of exact integers."""
+    from tsaug_spark.plans.sketches import (
+        kmv_estimate, kmv_merge, kmv_partial,
+    )
+
+    return kmv_estimate(
+        kmv_merge(kmv_partial(_events(spark, sf), "1h"), "1d")
+    )
+
+
+def q_kmv_overlap_click_purchase(spark, sf):
+    """Daily click-user x purchase-user overlap via theta-sketch
+    INTERSECTION (plans/sketches.py::kmv_intersect) — the estimator
+    HLL structurally cannot provide; every retained hash, the theta
+    threshold, and the single final division are replayed exactly in
+    DuckDB."""
+    from tsaug_spark.plans.sketches import kmv_intersect, kmv_partial
+
+    ev = _events(spark, sf)
+    a = kmv_partial(ev.filter(F.col("event_type") == "click"), "1d")
+    b = kmv_partial(ev.filter(F.col("event_type") == "purchase"), "1d")
+    return kmv_intersect(a, b)
+
+
 def q_bitmap_distinct_1d(spark, sf):
     """Exact daily distinct users via bitmap aggregation
     (plans/sketches.py::bitmap_distinct): bit_or-merged 64-bit words
@@ -4182,6 +4212,8 @@ _PRIORITY = [
     "dormant_buyers",
     "json_struct_agg",
     "bitmap_distinct_1d",
+    "kmv_cascade_1d",
+    "kmv_overlap_click_purchase",
     "rake_keywords",
     "mase_backtest",
     "season_strength",
@@ -4510,6 +4542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mase_backtest": q_mase_backtest,
         "rake_keywords": q_rake_keywords,
         "bitmap_distinct_1d": q_bitmap_distinct_1d,
+        "kmv_cascade_1d": q_kmv_cascade_1d,
+        "kmv_overlap_click_purchase": q_kmv_overlap_click_purchase,
         "dormant_buyers": q_dormant_buyers,
         "json_struct_agg": q_json_struct_agg,
         "stream_bitmap_1h": q_stream_bitmap_1h,
@@ -6605,6 +6639,55 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS "
             "bucket_s, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS "
             "n_distinct FROM events GROUP BY 1"
+        ),
+        "kmv_cascade_1d": (
+            "WITH h AS (SELECT DISTINCT "
+            "CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket_s, "
+            "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), "
+            "1, 15)) AS BIGINT) AS hv FROM events), "
+            "r AS (SELECT bucket_s, hv, row_number() OVER ("
+            "PARTITION BY bucket_s ORDER BY hv) AS rn FROM h) "
+            "SELECT bucket_s, CAST(COUNT(*) AS INT) AS n_kept, "
+            "MAX(hv) AS theta_hv, "
+            "CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE) "
+            "ELSE (63.0 * 1152921504606846976.0) / "
+            "CAST(MAX(hv) AS DOUBLE) END AS est_distinct "
+            "FROM r WHERE rn <= 64 GROUP BY 1"
+        ),
+        "kmv_overlap_click_purchase": (
+            "WITH h AS (SELECT DISTINCT "
+            "CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket_s, "
+            "event_type, "
+            "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), "
+            "1, 15)) AS BIGINT) AS hv FROM events "
+            "WHERE event_type IN ('click', 'purchase')), "
+            "ra AS (SELECT bucket_s, hv, row_number() OVER ("
+            "PARTITION BY bucket_s ORDER BY hv) AS rn FROM h "
+            "WHERE event_type = 'click'), "
+            "sa AS (SELECT bucket_s, hv FROM ra WHERE rn <= 64), "
+            "ta AS (SELECT bucket_s, CASE WHEN COUNT(*) < 64 THEN "
+            "1152921504606846976 ELSE MAX(hv) END AS theta_a "
+            "FROM sa GROUP BY 1), "
+            "rb AS (SELECT bucket_s, hv, row_number() OVER ("
+            "PARTITION BY bucket_s ORDER BY hv) AS rn FROM h "
+            "WHERE event_type = 'purchase'), "
+            "sb AS (SELECT bucket_s, hv FROM rb WHERE rn <= 64), "
+            "tb AS (SELECT bucket_s, CASE WHEN COUNT(*) < 64 THEN "
+            "1152921504606846976 ELSE MAX(hv) END AS theta_b "
+            "FROM sb GROUP BY 1), "
+            "th AS (SELECT ta.bucket_s, LEAST(theta_a, theta_b) AS "
+            "theta_hv FROM ta JOIN tb USING (bucket_s)), "
+            "cm AS (SELECT sa.bucket_s, COUNT(*) AS n_common "
+            "FROM sa JOIN sb ON sb.bucket_s = sa.bucket_s "
+            "AND sb.hv = sa.hv "
+            "JOIN th ON th.bucket_s = sa.bucket_s "
+            "WHERE sa.hv < th.theta_hv GROUP BY 1) "
+            "SELECT th.bucket_s, CAST(COALESCE(cm.n_common, 0) AS "
+            "BIGINT) AS n_common, th.theta_hv, "
+            "CAST(COALESCE(cm.n_common, 0) AS DOUBLE) * "
+            "1152921504606846976.0 / CAST(th.theta_hv AS DOUBLE) AS "
+            "est_common "
+            "FROM th LEFT JOIN cm ON cm.bucket_s = th.bucket_s"
         ),
         "rake_keywords": (
             "WITH words AS (SELECT doc_id AS doc, "

@@ -614,3 +614,119 @@ def test_stream_bitmap_equals_batch_words_and_exact(spark):
         .collect()
     }
     assert counts == exact
+
+
+def test_kmv_merge_equals_direct_build(spark):
+    """The cascade property: hourly KMV sketches merged to daily are
+    EXACTLY the sketch built directly at the daily tier."""
+    from tsaug_spark.plans.sketches import kmv_merge, kmv_partial
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    direct = {
+        (r.bucket_s, r.rn): r.hv
+        for r in kmv_partial(ev, "1d").collect()
+    }
+    cascaded = {
+        (r.bucket_s, r.rn): r.hv
+        for r in kmv_merge(kmv_partial(ev, "1h"), "1d").collect()
+    }
+    assert direct == cascaded and len(direct) > 0
+
+
+def test_kmv_unsaturated_is_exact_and_saturated_close(spark):
+    from tsaug_spark.plans.sketches import kmv_estimate, kmv_partial
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    est = {
+        r.bucket_s: (r.n_kept, r.est_distinct)
+        for r in kmv_estimate(kmv_partial(ev, "1d", k=256), k=256)
+        .collect()
+    }
+    exact = {
+        r.bucket_s: r.n
+        for r in ev.select(
+            (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+            .cast("long")
+            .alias("bucket_s"),
+            "user_id",
+        )
+        .groupBy("bucket_s")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for b, n in exact.items():
+        n_kept, e = est[b]
+        if n < 256:
+            assert n_kept == n and e == float(n)
+        else:
+            # KMV relative error ~ 1/sqrt(k-1) ~ 6.3%; allow 3 sigma
+            assert abs(e - n) / n < 0.19, (b, e, n)
+
+
+def test_kmv_intersect_estimates_true_overlap(spark):
+    """Theta intersection of click vs purchase users tracks the exact
+    daily overlap (loose bound: intersection estimates compound both
+    sketches' error)."""
+    from tsaug_spark.plans.sketches import kmv_intersect, kmv_partial
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    a = kmv_partial(
+        ev.filter(F.col("event_type") == "click"), "1d", k=512
+    )
+    b = kmv_partial(
+        ev.filter(F.col("event_type") == "purchase"), "1d", k=512
+    )
+    est = {
+        r.bucket_s: r.est_common
+        for r in kmv_intersect(a, b, k=512).collect()
+    }
+    day = (
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+        .cast("long")
+        .alias("bucket_s")
+    )
+    ca = ev.filter(F.col("event_type") == "click").select(
+        day, "user_id"
+    ).distinct()
+    cb = ev.filter(F.col("event_type") == "purchase").select(
+        day, "user_id"
+    ).distinct()
+    exact = {
+        r.bucket_s: r.n
+        for r in ca.join(cb, ["bucket_s", "user_id"])
+        .groupBy("bucket_s")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(exact) <= set(est)
+    for bkt, n in exact.items():
+        if n >= 50:
+            assert abs(est[bkt] - n) / n < 0.5, (bkt, est[bkt], n)
+
+
+def test_kmv_intersect_unsaturated_sides_exact(spark):
+    """Two unsaturated sketches ARE their sets: theta = full space and
+    the estimate is the exact overlap count."""
+    import pandas as pd
+    from tsaug_spark.plans.sketches import kmv_intersect, kmv_partial
+
+    rows = pd.DataFrame(
+        {
+            "ts": pd.Timestamp("2024-01-01 00:00:00"),
+            "user_id": list(range(20)),
+            "side": ["a"] * 20,
+        }
+    )
+    rows_b = pd.DataFrame(
+        {
+            "ts": pd.Timestamp("2024-01-01 00:00:00"),
+            "user_id": list(range(10, 30)),
+            "side": ["b"] * 20,
+        }
+    )
+    df = spark.createDataFrame(pd.concat([rows, rows_b]))
+    a = kmv_partial(df.filter(F.col("side") == "a"), "1d")
+    b = kmv_partial(df.filter(F.col("side") == "b"), "1d")
+    r = kmv_intersect(a, b).collect()[0]
+    assert r.n_common == 10
+    assert r.est_common == 10.0

@@ -916,6 +916,22 @@ def main() -> None:
         execute=True,
     )
 
+    # integer pagerank / bounded BFS: equi-joins + hash aggregates
+    # only — the iteration must stay JVM-side and never degrade to a
+    # cross product or a Python kernel
+    for nm, q in [
+        ("pagerank_copurchase", em.q_pagerank_copurchase),
+        ("bfs_copurchase", em.q_bfs_copurchase),
+    ]:
+        audit(
+            f"{nm} (iterative equi-join + hash agg, JVM only)",
+            q(spark, sf),
+            must_have=["HashAggregate", "Join"],
+            must_not_have=["CartesianProduct", "BatchEvalPython",
+                           "ArrowEvalPython", "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+
     # weighted sample: narrow projection + per-stratum top-k window,
     # no aggregate, no join, no Python
     audit(
@@ -947,6 +963,9 @@ def main() -> None:
         ("mase_backtest", em.q_mase_backtest),
         ("rake_keywords", em.q_rake_keywords),
         ("bitmap_distinct_1d", em.q_bitmap_distinct_1d),
+        ("kmv_cascade_1d", em.q_kmv_cascade_1d),
+        ("kmv_overlap_click_purchase",
+         em.q_kmv_overlap_click_purchase),
         ("json_struct_agg", em.q_json_struct_agg),
         ("auc_clicks_purchase", em.q_auc_clicks_purchase),
         ("psi_weekly", em.q_psi_weekly),

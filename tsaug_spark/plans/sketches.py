@@ -37,7 +37,7 @@ parsed base-16, mod ``width`` — replayed verbatim in DuckDB as
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tsaug_spark.plans.rollup import TIERS, bucket_epoch_s
@@ -456,5 +456,156 @@ def bitmap_distinct(
         words.groupBy("bucket_s")
         .agg(
             F.sum(F.bit_count("word")).cast("long").alias("n_distinct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch — order-statistics distinct counting
+# ---------------------------------------------------------------------------
+
+KMV_SPACE = 1 << 60  # md5 15-hex-char prefix: hashes uniform in [0, 2^60)
+
+
+def kmv_hash(item: F.Column) -> F.Column:
+    """60-bit uniform hash: first 15 hex chars of md5, base-16 — the
+    engine-independent idiom (non-negative, fits int64, replayed in
+    DuckDB as ``('0x' || substr(md5(x), 1, 15))::BIGINT``)."""
+    return F.conv(
+        F.substring(F.md5(item.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_partial(
+    df: DataFrame,
+    tier: str = "1d",
+    item_col: str = "user_id",
+    ts_col: str = "ts",
+    k: int = 64,
+) -> DataFrame:
+    """KMV (theta) sketch per time bucket: the ``k`` smallest DISTINCT
+    60-bit item hashes, long format ``(bucket_s, rn, hv)`` — the
+    order-statistics distinct sketch (Bar-Yossef et al. 2002; the
+    DataSketches theta family).  Complements the HLL entries with the
+    one thing HLL cannot do: set INTERSECTION estimates
+    (``kmv_intersect``), because the retained hashes form a uniform
+    sample of the hash space below a known theta.
+
+    Scale shape: a salted two-phase prune — phase 1 takes the ``k``
+    smallest distinct hashes per (bucket, ``hv % 64`` salt) with a
+    ``dense_rank`` window (64-way parallel, duplicate-safe: dense_rank
+    keeps all copies of the k smallest distinct values), so at most
+    ``64 * k`` candidate rows per bucket survive to the global phase —
+    raw cardinality never reaches the final per-bucket sort.  Phase 2
+    dedups and re-ranks the bounded candidates.  Merging sketches to a
+    coarser tier is union + re-rank (``kmv_merge``) — the sketch is
+    mergeable by construction.
+    """
+    base = df.select(
+        bucket_epoch_s(ts_col, tier),
+        kmv_hash(F.col(item_col)).alias("hv"),
+    )
+    local_w = Window.partitionBy(
+        "bucket_s", F.col("hv") % 64
+    ).orderBy("hv")
+    cand = (
+        base.withColumn("dr", F.dense_rank().over(local_w))
+        .filter(F.col("dr") <= k)
+        .select("bucket_s", "hv")
+        .distinct()
+    )
+    global_w = Window.partitionBy("bucket_s").orderBy("hv")
+    return (
+        cand.withColumn("rn", F.row_number().over(global_w))
+        .filter(F.col("rn") <= k)
+        .select("bucket_s", F.col("rn").cast("int").alias("rn"), "hv")
+    )
+
+
+def kmv_merge(partial: DataFrame, to_tier: str, k: int = 64) -> DataFrame:
+    """Union KMV sketches to a coarser tier: pool the retained hashes,
+    dedup, keep the ``k`` smallest per coarse bucket.  Exactly the
+    sketch that would have been built directly at the coarse tier —
+    the same every-partial-is-a-candidate property as the TWA/M4
+    boundary samples in the cascade."""
+    sec = TIERS[to_tier][1]
+    coarse = (
+        F.floor(F.col("bucket_s") / F.lit(sec)).cast("long") * F.lit(sec)
+    ).alias("bucket_s")
+    pooled = partial.select(coarse, "hv").distinct()
+    w = Window.partitionBy("bucket_s").orderBy("hv")
+    return (
+        pooled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("bucket_s", F.col("rn").cast("int").alias("rn"), "hv")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct estimate per bucket: ``(bucket_s, n_kept, theta_hv,
+    est_distinct)``.
+
+    Unsaturated sketch (fewer than ``k`` distinct hashes): the count
+    is EXACT.  Saturated: the classic unbiased KMV estimator
+    ``(k-1) / normalized kth hash`` — here one double division of
+    exact integers (``(k-1) * 2^60`` is an exact double: k-1 fits the
+    mantissa), so the estimate is bit-identical under any execution
+    order."""
+    num = float(k - 1) * float(KMV_SPACE)
+    return sketch.groupBy("bucket_s").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.max("hv").alias("theta_hv"),
+        F.when(
+            F.count(F.lit(1)) < k,
+            F.count(F.lit(1)).cast("double"),
+        )
+        .otherwise(F.lit(num) / F.max("hv").cast("double"))
+        .alias("est_distinct"),
+    )
+
+
+def kmv_intersect(
+    a: DataFrame, b: DataFrame, k: int = 64
+) -> DataFrame:
+    """Theta-sketch intersection estimate per bucket — the estimator
+    HLL structurally cannot provide.
+
+    theta = min(theta_a, theta_b), where an UNSATURATED side's theta
+    is the full hash space (its sketch is its exact set).  Hashes
+    common to both sketches and below theta are a uniform sample of
+    the intersection at sampling rate theta / 2^60, so
+    ``est = n_common * 2^60 / theta``; all inputs to the final
+    division are exact integers.  Columns: ``(bucket_s, n_common,
+    theta_hv, est_common)``."""
+
+    def _theta(s: DataFrame, side: str) -> DataFrame:
+        return s.groupBy("bucket_s").agg(
+            F.when(F.count(F.lit(1)) < k, F.lit(KMV_SPACE))
+            .otherwise(F.max("hv"))
+            .alias(f"theta_{side}")
+        )
+    thetas = _theta(a, "a").join(_theta(b, "b"), "bucket_s").select(
+        "bucket_s",
+        F.least("theta_a", "theta_b").alias("theta_hv"),
+    )
+    common = (
+        a.select("bucket_s", "hv")
+        .join(b.select("bucket_s", "hv"), ["bucket_s", "hv"])
+        .join(thetas, "bucket_s")
+        .filter(F.col("hv") < F.col("theta_hv"))
+        .groupBy("bucket_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        thetas.join(common, "bucket_s", "left")
+        .select(
+            "bucket_s",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            "theta_hv",
+            (
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                * F.lit(float(KMV_SPACE))
+                / F.col("theta_hv").cast("double")
+            ).alias("est_common"),
         )
     )
