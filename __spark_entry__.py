@@ -1749,6 +1749,18 @@ def q_triangle_copurchase(spark, sf):
     return triangle_count(copurchase_edges(li, orders, max_buyers=20))
 
 
+def q_textrank_keywords(spark, sf):
+    """Corpus keywords by TextRank (pipeline/text.py::
+    textrank_keywords): integer PageRank over the window-2 word
+    co-occurrence graph of the stopword-filtered token stream;
+    deterministic (pr_micro DESC, word ASC) top-30.  Oracle replays
+    tokenization, the graph, and the integer recurrence in one
+    DuckDB recursive CTE."""
+    from tsaug_spark.pipeline.text import textrank_keywords
+
+    return textrank_keywords(_docs(spark, sf), top_k=30, n_iters=10)
+
+
 def q_pagerank_copurchase(spark, sf):
     """Fixed-iteration (15) PageRank over the capped co-purchase
     graph (plans/graph.py::pagerank) — ENTIRELY int64 arithmetic
@@ -4221,6 +4233,7 @@ _PRIORITY = [
     "triangle_copurchase",
     "pagerank_copurchase",
     "bfs_copurchase",
+    "textrank_keywords",
     "tpch_q3",
     "dau_overlap",
     "value_deciles",
@@ -4537,6 +4550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_copurchase": q_triangle_copurchase,
         "pagerank_copurchase": q_pagerank_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
+        "textrank_keywords": q_textrank_keywords,
         "weighted_sample": q_weighted_sample,
         "season_strength": q_season_strength,
         "mase_backtest": q_mase_backtest,
@@ -6819,6 +6833,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node, CAST(deg AS BIGINT) AS degree, "
             "pr AS pr_micro, CAST(pr AS DOUBLE) / 1e12 AS pr "
             "FROM it WHERE k = 15"
+        ),
+        "textrank_keywords": (
+            "WITH RECURSIVE words AS (SELECT doc_id AS doc, "
+            "unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w, "
+            "generate_subscripts(regexp_split_to_array(lower(text), "
+            "'[^a-z]+'), 1) AS pos FROM documents), "
+            "fl AS (SELECT doc, pos, w FROM words WHERE w <> '' "
+            "AND length(w) >= 3 AND w NOT IN ('the', 'a', 'an', 'and', "
+            "'or', 'of', 'to', 'in', 'is', 'it', 'for', 'on', 'with', "
+            "'as', 'was', 'at', 'by', 'that', 'this')), "
+            "s AS (SELECT doc, w, row_number() OVER (PARTITION BY doc "
+            "ORDER BY pos) AS rn FROM fl), "
+            "pe AS (SELECT LEAST(a.w, b.w) AS u, GREATEST(a.w, b.w) "
+            "AS v FROM s a JOIN s b ON b.doc = a.doc "
+            "AND b.rn = a.rn + 1 WHERE a.w <> b.w), "
+            "e AS (SELECT DISTINCT u, v FROM pe), "
+            "de AS (SELECT u AS src, v AS dst FROM e "
+            "UNION ALL SELECT v, u FROM e), "
+            "deg AS (SELECT src, COUNT(*) AS deg FROM de GROUP BY 1), "
+            "n AS (SELECT COUNT(*) AS nn FROM deg), "
+            "it AS (SELECT 0 AS k, d.src AS node, d.deg AS deg, "
+            "CAST(1000000000000 // n.nn AS BIGINT) AS pr FROM deg d, n "
+            "UNION ALL SELECT it.k + 1, de.dst, MIN(d2.deg), "
+            "CAST((1000000000000 * 15) // (100 * MIN(n.nn)) "
+            "+ SUM((it.pr * 85) // (100 * it.deg)) AS BIGINT) "
+            "FROM it JOIN de ON de.src = it.node "
+            "JOIN deg d2 ON d2.src = de.dst CROSS JOIN n "
+            "WHERE it.k < 10 GROUP BY de.dst, it.k) "
+            "SELECT node AS word, CAST(deg AS BIGINT) AS degree, "
+            "pr AS pr_micro, CAST(row_number() OVER (ORDER BY pr DESC, "
+            "node ASC) AS INT) AS rank FROM it WHERE k = 10 "
+            "QUALIFY rank <= 30"
         ),
         "bfs_copurchase": (
             "WITH RECURSIVE bp AS (SELECT DISTINCT l_partkey AS part, "

@@ -922,6 +922,7 @@ def main() -> None:
     for nm, q in [
         ("pagerank_copurchase", em.q_pagerank_copurchase),
         ("bfs_copurchase", em.q_bfs_copurchase),
+        ("textrank_keywords", em.q_textrank_keywords),
     ]:
         audit(
             f"{nm} (iterative equi-join + hash agg, JVM only)",

@@ -621,3 +621,59 @@ def rake_keywords(
         "score",
         F.row_number().over(wt).alias("rank"),
     ).filter(F.col("rank") <= top_k)
+
+
+def textrank_keywords(
+    df: DataFrame,
+    top_k: int = 30,
+    n_iters: int = 10,
+    min_len: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): corpus-
+    level keywords are the highest-PageRank nodes of the word
+    co-occurrence graph — an edge links words ADJACENT in the
+    stopword-filtered token sequence of any document (window 2, the
+    paper's default).  Complements RAKE (frequency/degree heuristics,
+    multi-word phrases) with the graph-centrality view: a word ranks
+    high for being a hub of many distinct contexts, not for raw count.
+
+    Built on the INTEGER PageRank (plans/graph.py::pagerank), so every
+    rank is an exact int64 in 1e-12 units and the (pr DESC, word ASC)
+    ordering is fully deterministic — no floating tie hazards.
+
+    Scale: tokenize + one lag window per doc (narrow, document-
+    volume-sized), then everything downstream is keyed on the bounded
+    word vocabulary — the same vocabulary-bounded iteration contract
+    as markov_stationary.  The final top-k window is over the vocab,
+    not the corpus.
+    """
+    from tsaug_spark.plans.graph import pagerank
+
+    words = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), r"[^a-z]+")
+        ).alias("pos", "w"),
+    )
+    kept = words.filter(
+        (F.col("w") != "")
+        & (F.length("w") >= min_len)
+        & (~F.col("w").isin(*STOPWORDS))
+    )
+    w_seq = Window.partitionBy("doc").orderBy("pos")
+    adj = kept.withColumn("pw", F.lag("w").over(w_seq)).filter(
+        F.col("pw").isNotNull() & (F.col("pw") != F.col("w"))
+    )
+    edges = adj.select(
+        F.least("pw", "w").alias("u"),
+        F.greatest("pw", "w").alias("v"),
+    ).distinct()
+    pr = pagerank(edges, n_iters=n_iters)
+    rw = Window.orderBy(F.col("pr_micro").desc(), F.col("word").asc())
+    return (
+        pr.select(F.col("node").alias("word"), "degree", "pr_micro")
+        .withColumn("rank", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rank") <= top_k)
+    )
