@@ -592,8 +592,15 @@ def q_simhash16(spark, sf):
 def q_dedup_clusters(spark, sf):
     """Near-dup survivorship: connected components over the exact
     SimHash pair graph — every doc in a transitively-connected dup
-    group labelled with the group's min doc id.  Oracle: DuckDB
-    WITH RECURSIVE reachability over the same pair SQL."""
+    group labelled with the group's min doc id.  Oracle: the pair
+    graph from the BRUTE-FORCE O(N^2) simhash join (independent of
+    the engine's banded LSH), then 96 rounds of min-label propagation
+    in a DuckDB recursive CTE (a materialized self-loop edge list, so
+    min covers self+neighbours) — plain propagation, no pointer
+    jumping, so the two engines converge by different algorithms; 96
+    bounds the component diameter with >1.5x margin over the largest
+    observed (the earlier reachability-closure oracle was identical
+    in output but Sum(component^2)-sized — ~200 s at sf0.1 vs 3 s)."""
     from tsaug_spark.pipeline.dedup import dedup_clusters, simhash_pairs
 
     pairs = simhash_pairs(
@@ -1747,6 +1754,32 @@ def q_triangle_copurchase(spark, sf):
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf}/orders.parquet")
     return triangle_count(copurchase_edges(li, orders, max_buyers=20))
+
+
+def q_fk_orphans(spark, sf):
+    """Referential-integrity audit (plans/profile.py::fk_orphans):
+    orphan counts + rates for the five FK edges of the star schema —
+    one LEFT ANTI join + count per edge, dims broadcast.  NULL FKs
+    count as orphans; oracle uses NULL-safe LEFT JOIN counting."""
+    from tsaug_spark.plans.profile import fk_orphans
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    supp = spark.read.parquet(f"{sf}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    return fk_orphans(
+        [
+            ("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+            ("lineitem->part", li, "l_partkey", part, "p_partkey"),
+            ("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+            ("customer->nation", cust, "c_nationkey", nation,
+             "n_nationkey"),
+            ("supplier->nation", supp, "s_nationkey", nation,
+             "n_nationkey"),
+        ]
+    )
 
 
 def q_textrank_keywords(spark, sf):
@@ -4234,6 +4267,7 @@ _PRIORITY = [
     "pagerank_copurchase",
     "bfs_copurchase",
     "textrank_keywords",
+    "fk_orphans",
     "tpch_q3",
     "dau_overlap",
     "value_deciles",
@@ -4551,6 +4585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_copurchase": q_pagerank_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
         "textrank_keywords": q_textrank_keywords,
+        "fk_orphans": q_fk_orphans,
         "weighted_sample": q_weighted_sample,
         "season_strength": q_season_strength,
         "mase_backtest": q_mase_backtest,
@@ -5763,11 +5798,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3), "
             "e AS (SELECT id_a AS src, id_b AS dst FROM p "
             "UNION SELECT id_b, id_a FROM p), "
-            "walk(doc_id, lab) AS ("
-            "SELECT DISTINCT src, src FROM e "
-            "UNION SELECT e.dst, w.lab FROM walk w "
-            "JOIN e ON e.src = w.doc_id) "
-            "SELECT doc_id, MIN(lab) AS component FROM walk GROUP BY 1"
+            "e2 AS MATERIALIZED (SELECT src, dst FROM e "
+            "UNION SELECT src, src FROM e), "
+            "it AS (SELECT DISTINCT 0 AS k, src AS doc_id, src AS lab "
+            "FROM e2 "
+            "UNION ALL SELECT it.k + 1, e2.dst, MIN(it.lab) FROM it "
+            "JOIN e2 ON e2.src = it.doc_id WHERE it.k < 96 "
+            "GROUP BY e2.dst, it.k) "
+            "SELECT doc_id, lab AS component FROM it WHERE k = 96"
         ),
         "ivf_topk": (
             "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM "
@@ -6833,6 +6871,44 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node, CAST(deg AS BIGINT) AS degree, "
             "pr AS pr_micro, CAST(pr AS DOUBLE) / 1e12 AS pr "
             "FROM it WHERE k = 15"
+        ),
+        "fk_orphans": (
+            "WITH e1 AS (SELECT COUNT(*) AS n_child, SUM(CASE WHEN "
+            "p.k IS NULL THEN 1 ELSE 0 END) AS n_orphans FROM lineitem "
+            "c LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) "
+            "p ON p.k = c.l_orderkey), "
+            "e2 AS (SELECT COUNT(*) AS n_child, SUM(CASE WHEN "
+            "p.k IS NULL THEN 1 ELSE 0 END) AS n_orphans FROM lineitem "
+            "c LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) "
+            "p ON p.k = c.l_partkey), "
+            "e3 AS (SELECT COUNT(*) AS n_child, SUM(CASE WHEN "
+            "p.k IS NULL THEN 1 ELSE 0 END) AS n_orphans FROM orders "
+            "c LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) "
+            "p ON p.k = c.o_custkey), "
+            "e4 AS (SELECT COUNT(*) AS n_child, SUM(CASE WHEN "
+            "p.k IS NULL THEN 1 ELSE 0 END) AS n_orphans FROM customer "
+            "c LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) "
+            "p ON p.k = c.c_nationkey), "
+            "e5 AS (SELECT COUNT(*) AS n_child, SUM(CASE WHEN "
+            "p.k IS NULL THEN 1 ELSE 0 END) AS n_orphans FROM supplier "
+            "c LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) "
+            "p ON p.k = c.s_nationkey) "
+            "SELECT 'lineitem->orders' AS fk_name, CAST(n_child AS "
+            "BIGINT) AS n_child, CAST(n_orphans AS BIGINT) AS "
+            "n_orphans, CAST(n_orphans AS DOUBLE) / CAST(n_child AS "
+            "DOUBLE) AS orphan_rate FROM e1 "
+            "UNION ALL SELECT 'lineitem->part', CAST(n_child AS "
+            "BIGINT), CAST(n_orphans AS BIGINT), CAST(n_orphans AS "
+            "DOUBLE) / CAST(n_child AS DOUBLE) FROM e2 "
+            "UNION ALL SELECT 'orders->customer', CAST(n_child AS "
+            "BIGINT), CAST(n_orphans AS BIGINT), CAST(n_orphans AS "
+            "DOUBLE) / CAST(n_child AS DOUBLE) FROM e3 "
+            "UNION ALL SELECT 'customer->nation', CAST(n_child AS "
+            "BIGINT), CAST(n_orphans AS BIGINT), CAST(n_orphans AS "
+            "DOUBLE) / CAST(n_child AS DOUBLE) FROM e4 "
+            "UNION ALL SELECT 'supplier->nation', CAST(n_child AS "
+            "BIGINT), CAST(n_orphans AS BIGINT), CAST(n_orphans AS "
+            "DOUBLE) / CAST(n_child AS DOUBLE) FROM e5"
         ),
         "textrank_keywords": (
             "WITH RECURSIVE words AS (SELECT doc_id AS doc, "

@@ -118,3 +118,46 @@ def top_trigrams(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def fk_orphans(
+    pairs: "list[tuple[str, DataFrame, str, DataFrame, str]]",
+) -> DataFrame:
+    """Referential-integrity audit over a list of foreign-key edges:
+    for each ``(fk_name, child_df, child_col, parent_df, parent_col)``
+    report ``(fk_name, n_child, n_orphans, orphan_rate)`` — the gate
+    every curation pipeline runs before joins silently drop (or
+    fabricate) training rows.  NULL child keys count as orphans (a
+    NULL FK can never join).
+
+    Shape per edge: one LEFT ANTI join child->parent on the key plus
+    one count — Catalyst broadcasts the parent side when it is small
+    (the dimension chain here) and falls back to a shuffled hash join
+    for fact-to-fact edges; either way the audit is two scans per
+    edge, no row data moved beyond the key column.  All counts exact
+    BIGINTs; the rate is one double division.
+    """
+    outs = []
+    for fk_name, child, child_col, parent, parent_col in pairs:
+        keys = child.select(F.col(child_col).alias("k"))
+        parents = parent.select(F.col(parent_col).alias("k")).distinct()
+        n_child = keys.agg(F.count(F.lit(1)).alias("n_child"))
+        orphans = (
+            keys.join(parents, "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        outs.append(
+            n_child.crossJoin(orphans).select(
+                F.lit(fk_name).alias("fk_name"),
+                F.col("n_child").cast("long").alias("n_child"),
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+                (
+                    F.col("n_orphans").cast("double")
+                    / F.col("n_child").cast("double")
+                ).alias("orphan_rate"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
