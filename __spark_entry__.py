@@ -1600,6 +1600,22 @@ def q_session_survival(spark, sf):
     return session_survival(_events(spark, sf))
 
 
+def q_stream_kmv_1d(spark, sf):
+    """Streaming KMV/theta sketch (streaming/stateful.py::kmv_stream):
+    applyInPandasWithState keeps the k smallest distinct md5 hashes
+    per day (bounded state, order-free set union), availableNow
+    backfill, caught-up min-per-rank view fed to kmv_estimate — the
+    oracle is the DIRECT batch SQL build, so a green hash proves
+    streaming == batch == SQL."""
+    from tsaug_spark.plans.sketches import kmv_estimate
+    from tsaug_spark.streaming.stateful import run_stream_kmv_once
+
+    sketch = run_stream_kmv_once(
+        spark, f"{sf}/events.parquet", sink_table="stream_kmv_q"
+    )
+    return kmv_estimate(sketch)
+
+
 def q_stream_bitmap_1h(spark, sf):
     """Streaming exact-distinct bitmap (streaming/stream_rollup.py::
     stream_bitmap_words): watermarked-window bit_or word state
@@ -4259,6 +4275,7 @@ _PRIORITY = [
     "bitmap_distinct_1d",
     "kmv_cascade_1d",
     "kmv_overlap_click_purchase",
+    "stream_kmv_1d",
     "rake_keywords",
     "mase_backtest",
     "season_strength",
@@ -4593,6 +4610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitmap_distinct_1d": q_bitmap_distinct_1d,
         "kmv_cascade_1d": q_kmv_cascade_1d,
         "kmv_overlap_click_purchase": q_kmv_overlap_click_purchase,
+        "stream_kmv_1d": q_stream_kmv_1d,
         "dormant_buyers": q_dormant_buyers,
         "json_struct_agg": q_json_struct_agg,
         "stream_bitmap_1h": q_stream_bitmap_1h,
@@ -6693,6 +6711,22 @@ def oracle_sql() -> dict[str, str]:
             "n_distinct FROM events GROUP BY 1"
         ),
         "kmv_cascade_1d": (
+            "WITH h AS (SELECT DISTINCT "
+            "CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket_s, "
+            "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), "
+            "1, 15)) AS BIGINT) AS hv FROM events), "
+            "r AS (SELECT bucket_s, hv, row_number() OVER ("
+            "PARTITION BY bucket_s ORDER BY hv) AS rn FROM h) "
+            "SELECT bucket_s, CAST(COUNT(*) AS INT) AS n_kept, "
+            "MAX(hv) AS theta_hv, "
+            "CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE) "
+            "ELSE (63.0 * 1152921504606846976.0) / "
+            "CAST(MAX(hv) AS DOUBLE) END AS est_distinct "
+            "FROM r WHERE rn <= 64 GROUP BY 1"
+        ),
+        "stream_kmv_1d": (
+            # identical to kmv_cascade_1d: the streaming sketch must
+            # equal the direct batch SQL build exactly
             "WITH h AS (SELECT DISTINCT "
             "CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket_s, "
             "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), "

@@ -440,3 +440,32 @@ def test_stream_interval_join_equals_batch(spark):
     }
     assert got == ref and len(got) > 0
     assert all(0 <= d <= 3600 * 10**6 for *_x, d in got)
+
+
+def test_stream_kmv_matches_batch_across_micro_batches(spark, tmp_path):
+    """Streaming KMV over 6 source files (2 micro-batches at
+    maxFilesPerTrigger=4): the caught-up min-per-rank view must equal
+    the batch kmv_partial sketch bit for bit — the per-bucket k-array
+    state merges across micro-batches in any arrival order."""
+    from tsaug_spark.plans.sketches import kmv_partial
+    from tsaug_spark.streaming.stateful import run_stream_kmv_once
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = str(tmp_path / "ev_kmv_files")
+    ev.repartition(6).write.parquet(src)
+
+    streamed = (
+        run_stream_kmv_once(spark, src, sink_table="t_stream_kmv")
+        .orderBy("bucket_s", "rn")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    batch = (
+        kmv_partial(ev, "1d")
+        .orderBy("bucket_s", "rn")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        streamed, batch[streamed.columns.tolist()], check_dtype=False
+    )

@@ -202,3 +202,122 @@ def sessionize_native(
             ).alias("duration_s"),
         )
     )
+
+
+KMV_OUT_DDL = "bucket_s long, rn int, hv long"
+KMV_STATE_DDL = "hvs array<long>"
+
+
+def _kmv_fn(k: int):
+    def fn(key, pdfs, state: GroupState):
+        parts = [p["hv"].to_numpy("int64") for p in pdfs if len(p)]
+        if not parts:
+            return
+        new = np.unique(np.concatenate(parts))
+        if state.exists:
+            (old,) = state.get
+            merged = np.unique(
+                np.concatenate([np.asarray(old, dtype="int64"), new])
+            )
+        else:
+            merged = new
+        merged = merged[:k]  # np.unique sorts: k smallest distinct
+        state.update((merged.tolist(),))
+        yield pd.DataFrame(
+            {
+                "bucket_s": np.int64(key[0]),
+                "rn": np.arange(1, len(merged) + 1, dtype="int32"),
+                "hv": merged,
+            }
+        )
+
+    return fn
+
+
+def kmv_stream(
+    events: DataFrame,
+    tier_seconds: int = 86400,
+    item_col: str = "user_id",
+    k: int = 64,
+) -> DataFrame:
+    """Streaming KMV/theta sketch: the ``applyInPandasWithState`` twin
+    of ``plans.sketches.kmv_partial``.
+
+    Per-bucket state is the sorted array of the ``k`` smallest
+    DISTINCT 60-bit md5 hashes seen so far (bounded: ``k`` int64s per
+    bucket, raw ids never enter state); each micro-batch merges its
+    batch-local distinct hashes into the array (one ``np.unique`` —
+    the vectorized sorted-merge) and emits the full current sketch.
+    Because inserting hashes can only LOWER the value at any rank, the
+    per-(bucket, rn) emission sequence is monotone decreasing and the
+    caught-up view is ``min(hv)`` per (bucket, rn) — equal to the
+    batch sketch EXACTLY, in any arrival order (set union is
+    order-free, unlike the sessionizer's in-order contract)."""
+    from pyspark.sql import functions as F
+
+    from tsaug_spark.plans.sketches import kmv_hash
+
+    keyed = events.select(
+        (
+            F.floor(F.unix_timestamp(F.col("ts")) / tier_seconds)
+            * tier_seconds
+        )
+        .cast("long")
+        .alias("bucket_s"),
+        kmv_hash(F.col(item_col)).alias("hv"),
+    )
+    return keyed.groupBy("bucket_s").applyInPandasWithState(
+        _kmv_fn(k),
+        KMV_OUT_DDL,
+        KMV_STATE_DDL,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_kmv_once(
+    spark,
+    source_path: str,
+    tier_seconds: int = 86400,
+    k: int = 64,
+    sink_table: str = "stream_kmv_out",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """availableNow backfill of the streaming KMV sketch; returns the
+    caught-up sketch (min per rank — see ``kmv_stream``), which equals
+    ``kmv_partial`` built in batch, bit for bit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(source_path).schema
+    if os.path.isdir(source_path):
+        src_dir, glob = source_path, "*"
+    else:
+        src_dir = os.path.dirname(source_path)
+        glob = os.path.basename(source_path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", glob)
+        .parquet(src_dir)
+    )
+    q = (
+        kmv_stream(stream, tier_seconds=tier_seconds, k=k)
+        .writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "availableNow KMV backfill did not finish in 300s; the "
+            "memory sink would be partial — refusing to return it"
+        )
+    return (
+        spark.table(sink_table)
+        .groupBy("bucket_s", "rn")
+        .agg(F.min("hv").alias("hv"))
+    )
