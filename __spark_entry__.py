@@ -1772,6 +1772,17 @@ def q_triangle_copurchase(spark, sf):
     return triangle_count(copurchase_edges(li, orders, max_buyers=20))
 
 
+def q_breakpoint_daily(spark, sf):
+    """Optimal two-segment OLS structural break per event type
+    (plans/stats.py::breakpoint_daily): BIGINT prefix-sum segment
+    statistics over the bounded day axis, bit-identical SSE expression
+    trees in both engines, (sse ASC, b ASC) argmin — the retrospective
+    complement to CUSUM / Page-Hinkley."""
+    from tsaug_spark.plans.stats import breakpoint_daily
+
+    return breakpoint_daily(_events(spark, sf))
+
+
 def q_fk_orphans(spark, sf):
     """Referential-integrity audit (plans/profile.py::fk_orphans):
     orphan counts + rates for the five FK edges of the star schema —
@@ -4285,6 +4296,7 @@ _PRIORITY = [
     "bfs_copurchase",
     "textrank_keywords",
     "fk_orphans",
+    "breakpoint_daily",
     "tpch_q3",
     "dau_overlap",
     "value_deciles",
@@ -4603,6 +4615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_copurchase": q_bfs_copurchase,
         "textrank_keywords": q_textrank_keywords,
         "fk_orphans": q_fk_orphans,
+        "breakpoint_daily": q_breakpoint_daily,
         "weighted_sample": q_weighted_sample,
         "season_strength": q_season_strength,
         "mase_backtest": q_mase_backtest,
@@ -6905,6 +6918,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node, CAST(deg AS BIGINT) AS degree, "
             "pr AS pr_micro, CAST(pr AS DOUBLE) / 1e12 AS pr "
             "FROM it WHERE k = 15"
+        ),
+        "breakpoint_daily": (
+            "WITH d AS (SELECT event_type AS typ, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "COUNT(*) AS y FROM events GROUP BY 1, 2), "
+            "x AS (SELECT typ, day, y, row_number() OVER ("
+            "PARTITION BY typ ORDER BY day) - 1 AS x, "
+            "COUNT(*) OVER (PARTITION BY typ) AS n FROM d), "
+            "p AS (SELECT typ, day, x, n, "
+            "SUM(y) OVER w AS sy, SUM(x*y) OVER w AS sxy, "
+            "SUM(x*x) OVER w AS sxx, SUM(y*y) OVER w AS syy, "
+            "SUM(x) OVER w AS sx, "
+            "SUM(y) OVER wa AS ty, SUM(x*y) OVER wa AS txy, "
+            "SUM(x*x) OVER wa AS txx, SUM(y*y) OVER wa AS tyy, "
+            "SUM(x) OVER wa AS tx FROM x "
+            "WINDOW w AS (PARTITION BY typ ORDER BY day "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+            "wa AS (PARTITION BY typ)), "
+            "c AS (SELECT typ, n, x + 1 AS b, day AS last_left_day, "
+            "(CAST((x+1)*syy - sy*sy AS DOUBLE) / "
+            "CAST(x+1 AS DOUBLE) "
+            "- (CAST((x+1)*sxy - sx*sy AS DOUBLE) * "
+            "CAST((x+1)*sxy - sx*sy AS DOUBLE)) / "
+            "CAST((x+1)*((x+1)*sxx - sx*sx) AS DOUBLE)) "
+            "+ (CAST((n-x-1)*(tyy-syy) - (ty-sy)*(ty-sy) AS DOUBLE) / "
+            "CAST(n-x-1 AS DOUBLE) "
+            "- (CAST((n-x-1)*(txy-sxy) - (tx-sx)*(ty-sy) AS DOUBLE) * "
+            "CAST((n-x-1)*(txy-sxy) - (tx-sx)*(ty-sy) AS DOUBLE)) / "
+            "CAST((n-x-1)*((n-x-1)*(txx-sxx) - (tx-sx)*(tx-sx)) "
+            "AS DOUBLE)) AS sse_total "
+            "FROM p WHERE x + 1 >= 2 AND n - x - 1 >= 2) "
+            "SELECT typ AS event_type, CAST(n AS BIGINT) AS n_days, "
+            "CAST(b AS BIGINT) AS break_idx, last_left_day, sse_total "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY typ "
+            "ORDER BY sse_total ASC, b ASC) AS rk FROM c) "
+            "WHERE rk = 1"
         ),
         "fk_orphans": (
             "WITH e1 AS (SELECT COUNT(*) AS n_child, SUM(CASE WHEN "

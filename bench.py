@@ -248,6 +248,14 @@ def run_queries(spark, sf_dir: str) -> dict:
     timed(
         "page_hinkley", lambda: em.q_page_hinkley(spark, sf_dir).count()
     )
+    timed(
+        "kmv_cascade_1d",
+        lambda: em.q_kmv_cascade_1d(spark, sf_dir).count(),
+    )
+    timed(
+        "pagerank_copurchase",
+        lambda: em.q_pagerank_copurchase(spark, sf_dir).count(),
+    )
 
     tier = spark.table("bench_tier_1m").select(
         "conv_id",

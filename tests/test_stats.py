@@ -1111,3 +1111,42 @@ def test_psi_identical_weeks_zero_and_shift_positive(spark):
     assert abs(out[weeks[0]].psi) < 1e-5          # identical
     assert out[weeks[1]].psi > 0.5                # hard shift
     assert out[weeks[0]].n_common_bins == 2
+
+
+def test_breakpoint_daily_finds_planted_break(spark):
+    """A series that is flat for 10 days then ramps steeply must break
+    at the regime change; verify the argmin against a brute-force
+    two-segment OLS replay in numpy."""
+    import numpy as np
+    import pandas as pd
+    from tsaug_spark.plans.stats import breakpoint_daily
+
+    # flat regime then a QUADRATIC ramp: piecewise-linear data would
+    # tie at SSE 0 for two adjacent splits (engine tie-breaks to the
+    # smaller b); curvature makes the argmin unique
+    counts = [100] * 10 + [100 + 10 * i * i for i in range(1, 11)]
+    rows = []
+    for d, c in enumerate(counts):
+        base = dt.datetime(2024, 3, 1) + dt.timedelta(days=d)
+        rows.extend(
+            {"event_type": "planted", "ts": base} for _ in range(c)
+        )
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    r = breakpoint_daily(df).collect()[0]
+
+    y = np.array(counts, dtype=float)
+    x = np.arange(len(y), dtype=float)
+
+    def sse(xs, ys):
+        A = np.vstack([xs, np.ones_like(xs)]).T
+        res = ys - A @ np.linalg.lstsq(A, ys, rcond=None)[0]
+        return float(res @ res)
+
+    best = min(
+        range(2, len(y) - 1),
+        key=lambda b: (sse(x[:b], y[:b]) + sse(x[b:], y[b:]), b),
+    )
+    assert r.break_idx == best
+    assert r.n_days == 20
+    want = sse(x[:best], y[:best]) + sse(x[best:], y[best:])
+    assert abs(r.sse_total - want) < 1e-6 * max(1.0, want)

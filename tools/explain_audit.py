@@ -970,6 +970,7 @@ def main() -> None:
         ("json_struct_agg", em.q_json_struct_agg),
         ("auc_clicks_purchase", em.q_auc_clicks_purchase),
         ("psi_weekly", em.q_psi_weekly),
+        ("breakpoint_daily", em.q_breakpoint_daily),
     ]:
         audit(
             f"{nm} (stats/retrieval screen, JVM only)",

@@ -2432,3 +2432,110 @@ def psi_weekly(
         F.col("n_oneside_bins").cast("long").alias("n_oneside_bins"),
         (F.col("micro").cast("double") / F.lit(1e6)).alias("psi"),
     )
+
+
+def breakpoint_daily(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Optimal single structural break per event type: the breakpoint
+    ``b`` that minimizes the total SSE of TWO independent OLS lines
+    fitted to the daily-count series split at ``b`` — the classic
+    two-segment piecewise-linear changepoint (Bai-Perron with m=1),
+    complementing the sequential detectors (CUSUM, Page-Hinkley) with
+    the retrospective globally-optimal break.
+
+    Determinism contract: daily counts are exact BIGINTs; every
+    candidate split's segment statistics come from BIGINT prefix sums
+    (one ordered window over the bounded day axis), each segment SSE
+    is ``(n*Syy - Sy^2)/n - (n*Sxy - Sx*Sy)^2 / (n*(n*Sxx - Sx^2))``
+    — two divisions of exact int64s and one subtraction, the same
+    expression tree in both engines, so left+right SSE is bit-
+    identical and the (sse ASC, b ASC) argmin needs no tolerance.
+    Segments must span >= 2 days (distinct x, so Sxx_c > 0).
+
+    Scale: the data-sized work is ONE hash aggregate to daily counts;
+    everything after runs on the vocabulary-bounded (type, day) grid —
+    candidate splits are the grid rows themselves, evaluated from
+    prefix sums in a single projection (no per-candidate scan).
+    """
+    daily = (
+        df.select(
+            F.col(type_col).alias("typ"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("typ", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    wo = Window.partitionBy("typ").orderBy("day")
+    wall = Window.partitionBy("typ")
+    xd = daily.select(
+        "typ",
+        "day",
+        "y",
+        (F.row_number().over(wo) - 1).alias("x"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    pre = xd.select(
+        "typ",
+        "day",
+        "x",
+        "n",
+        F.sum("y").over(wo).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(wo).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(wo).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(wo).alias("syy"),
+        F.sum("x").over(wo).alias("sx"),
+        F.sum("y").over(wall).alias("ty"),
+        F.sum(F.col("x") * F.col("y")).over(wall).alias("txy"),
+        F.sum(F.col("x") * F.col("x")).over(wall).alias("txx"),
+        F.sum(F.col("y") * F.col("y")).over(wall).alias("tyy"),
+        F.sum("x").over(wall).alias("tx"),
+    )
+
+    def _sse(n, sx, sy, sxx, syy, sxy):
+        nc = n.cast("double")
+        syy_c = (n * syy - sy * sy).cast("double") / nc
+        num = (n * sxy - sx * sy).cast("double")
+        den = (n * (n * sxx - sx * sx)).cast("double")
+        return syy_c - (num * num) / den
+
+    # candidate split AFTER row x: left = rows [0..x], right = rest;
+    # both segments need >= 2 points
+    nl = F.col("x") + 1
+    nr = F.col("n") - nl
+    cand = pre.filter((nl >= 2) & (nr >= 2)).select(
+        "typ",
+        "n",
+        (F.col("x") + 1).alias("b"),
+        F.col("day").alias("last_left_day"),
+        (
+            _sse(nl, F.col("sx"), F.col("sy"), F.col("sxx"),
+                 F.col("syy"), F.col("sxy"))
+            + _sse(
+                nr,
+                F.col("tx") - F.col("sx"),
+                F.col("ty") - F.col("sy"),
+                F.col("txx") - F.col("sxx"),
+                F.col("tyy") - F.col("syy"),
+                F.col("txy") - F.col("sxy"),
+            )
+        ).alias("sse_total"),
+    )
+    wr = Window.partitionBy("typ").orderBy(
+        F.col("sse_total").asc(), F.col("b").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("typ").alias("event_type"),
+            F.col("n").cast("long").alias("n_days"),
+            F.col("b").cast("long").alias("break_idx"),
+            "last_left_day",
+            "sse_total",
+        )
+    )
