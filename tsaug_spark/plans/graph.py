@@ -247,7 +247,7 @@ def bfs_hops(
     dist = seeds.select(
         F.col(seed_col).alias("node"), F.lit(0).cast("int").alias("dist")
     ).distinct()
-    for _ in range(max_hops):
+    for h in range(max_hops):
         relaxed = (
             dist.join(dir_e, dist["node"] == dir_e["src"])
             .select(
@@ -259,6 +259,7 @@ def bfs_hops(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
         )
+        if h + 1 < max_hops:
+            dist = dist.localCheckpoint(eager=False)
     return dist
