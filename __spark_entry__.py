@@ -1783,6 +1783,48 @@ def q_breakpoint_daily(spark, sf):
     return breakpoint_daily(_events(spark, sf))
 
 
+def q_pettitt_changepoint(spark, sf):
+    """Pettitt rank-based changepoint per event type
+    (plans/stats.py::pettitt): U_t from exact integer sign sums via
+    the antisymmetry identity U_t = prefix-sum of row-vs-all V_i, one
+    bounded day-grid self-join — the nonparametric complement to
+    breakpoint_daily's OLS split."""
+    from tsaug_spark.plans.stats import pettitt
+
+    return pettitt(_events(spark, sf))
+
+
+def q_sprt_clicks(spark, sf):
+    """Wald SPRT per event type (plans/stats.py::sprt): Bernoulli
+    LLR steps pre-quantized to two integer pico-unit constants, exact
+    BIGINT prefix sum over the (ts, event_id) total order, first
+    bound crossing = integer comparison."""
+    from tsaug_spark.plans.stats import sprt
+
+    return sprt(_events(spark, sf))
+
+
+def q_cuped_adjust(spark, sf):
+    """CUPED variance-reduced A/B readout
+    (plans/metrics.py::cuped): md5-bucket deterministic arms, exact
+    BIGINT pre/post count sums, theta and adjusted means as single
+    shared float expressions of integer sums."""
+    from tsaug_spark.plans.metrics import cuped
+
+    return cuped(_events(spark, sf))
+
+
+def q_croston_demand(spark, sf):
+    """Croston intermittent-demand forecast per part
+    (plans/metrics.py::croston): integer micro-unit floor-division
+    EWMA recursion over demand occurrences (page_hinkley idiom),
+    replayed step-for-step by a fixed-K recursive CTE."""
+    from tsaug_spark.plans.metrics import croston
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return croston(li.filter(F.col("l_partkey") <= 200))
+
+
 def q_fk_orphans(spark, sf):
     """Referential-integrity audit (plans/profile.py::fk_orphans):
     orphan counts + rates for the five FK edges of the star schema —
@@ -4297,6 +4339,10 @@ _PRIORITY = [
     "textrank_keywords",
     "fk_orphans",
     "breakpoint_daily",
+    "pettitt_changepoint",
+    "sprt_clicks",
+    "cuped_adjust",
+    "croston_demand",
     "tpch_q3",
     "dau_overlap",
     "value_deciles",
@@ -4616,6 +4662,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,
         "fk_orphans": q_fk_orphans,
         "breakpoint_daily": q_breakpoint_daily,
+        "pettitt_changepoint": q_pettitt_changepoint,
+        "sprt_clicks": q_sprt_clicks,
+        "cuped_adjust": q_cuped_adjust,
+        "croston_demand": q_croston_demand,
         "weighted_sample": q_weighted_sample,
         "season_strength": q_season_strength,
         "mase_backtest": q_mase_backtest,
@@ -6954,6 +7004,118 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT *, row_number() OVER (PARTITION BY typ "
             "ORDER BY sse_total ASC, b ASC) AS rk FROM c) "
             "WHERE rk = 1"
+        ),
+        "pettitt_changepoint": (
+            "WITH d AS (SELECT event_type AS typ, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "COUNT(*) AS y FROM events GROUP BY 1, 2), "
+            "v AS (SELECT a.typ, a.day, "
+            "SUM(CAST(sign(a.y - b.y) AS BIGINT)) AS v, "
+            "COUNT(*) AS n FROM d a JOIN d b ON b.typ = a.typ "
+            "GROUP BY a.typ, a.day), "
+            "u AS (SELECT typ, day, n, "
+            "SUM(v) OVER (PARTITION BY typ ORDER BY day) AS u_t, "
+            "row_number() OVER (PARTITION BY typ ORDER BY day) AS t "
+            "FROM v) "
+            "SELECT typ AS event_type, CAST(n AS BIGINT) AS n_days, "
+            "day AS break_day, CAST(abs(u_t) AS BIGINT) AS k_stat, "
+            "2.0 * exp((-6.0 * u_t * u_t) / "
+            "CAST(n*n*n + n*n AS DOUBLE)) AS p_approx "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY typ "
+            "ORDER BY abs(u_t) DESC, day ASC) AS rk FROM u "
+            "WHERE t < n) WHERE rk = 1"
+        ),
+        "sprt_clicks": (
+            "WITH s AS (SELECT event_type AS typ, "
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY ts, event_id) AS rn, "
+            "SUM(CASE WHEN value >= 40.0 THEN 223143551314 "
+            "ELSE -182321556794 END) OVER (PARTITION BY event_type "
+            "ORDER BY ts, event_id) AS llr FROM events), "
+            "dec AS (SELECT typ, "
+            "CASE WHEN llr >= 2944438979166 THEN 'reject_h0' "
+            "ELSE 'accept_h0' END AS decision, "
+            "CAST(rn AS BIGINT) AS n_at_decision, "
+            "CAST(llr AS BIGINT) AS llr_pico "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY typ "
+            "ORDER BY rn) AS k FROM s "
+            "WHERE llr >= 2944438979166 OR llr <= -2944438979166) "
+            "WHERE k = 1), "
+            "undec AS (SELECT typ, 'continue' AS decision, "
+            "CAST(rn AS BIGINT) AS n_at_decision, "
+            "CAST(llr AS BIGINT) AS llr_pico "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY typ "
+            "ORDER BY rn DESC) AS k FROM s) "
+            "WHERE k = 1 AND typ NOT IN (SELECT typ FROM dec)) "
+            "SELECT typ AS event_type, decision, n_at_decision, "
+            "llr_pico FROM dec "
+            "UNION ALL SELECT typ, decision, n_at_decision, llr_pico "
+            "FROM undec"
+        ),
+        "cuped_adjust": (
+            "WITH b AS (SELECT user_id AS u, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events), "
+            "lo AS (SELECT MIN(s) AS lo FROM b), "
+            "pu AS (SELECT u, CAST(SUM(CASE WHEN "
+            "floor((s - lo)/86400) < 15 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS x, CAST(SUM(CASE WHEN floor((s - lo)/86400) < 15 "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS y "
+            "FROM b, lo GROUP BY 1), "
+            "arms AS (SELECT u, x, y, CASE WHEN "
+            "('0x' || substr(md5(CAST(u AS VARCHAR) || 'exp1'), 1, 8))"
+            "::BIGINT % 2 = 0 THEN 'control' ELSE 'treatment' END "
+            "AS arm FROM pu), "
+            "pool AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS "
+            "sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy "
+            "FROM arms), "
+            "th AS (SELECT "
+            "CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "CAST(n*sxx - sx*sx AS DOUBLE) AS theta, "
+            "CAST(n*sxy - sx*sy AS DOUBLE) * "
+            "CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "(CAST(n*sxx - sx*sx AS DOUBLE) * "
+            "CAST(n*syy - sy*sy AS DOUBLE)) AS rho2, "
+            "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x_pool "
+            "FROM pool) "
+            "SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users, "
+            "CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
+            "AS mean_y, "
+            "CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
+            "- theta * (CAST(SUM(x) AS DOUBLE) / "
+            "CAST(COUNT(*) AS DOUBLE) - mean_x_pool) AS mean_y_cuped, "
+            "theta, rho2 FROM arms, th "
+            "GROUP BY arm, theta, rho2, mean_x_pool"
+        ),
+        "croston_demand": (
+            "WITH RECURSIVE d AS (SELECT l_partkey AS key, "
+            "CAST(floor(epoch(l_shipdate)/86400) AS BIGINT) AS day, "
+            "CAST(round(SUM(l_quantity)) AS BIGINT) AS qty "
+            "FROM lineitem WHERE l_partkey <= 200 GROUP BY 1, 2), "
+            "r AS (SELECT key, qty, row_number() OVER (PARTITION BY "
+            "key ORDER BY day) AS rn, COALESCE(day - lag(day) OVER ("
+            "PARTITION BY key ORDER BY day), 1) AS gap FROM d), "
+            "c AS (SELECT * FROM r WHERE rn <= 24), "
+            "e AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_obs "
+            "FROM c GROUP BY 1 HAVING COUNT(*) >= 4), "
+            "it AS (SELECT c.key, e.n_obs, CAST(1 AS BIGINT) AS t, "
+            "CAST(c.qty * 1000000 AS BIGINT) AS z, "
+            "CAST(1000000 AS BIGINT) AS p "
+            "FROM c JOIN e ON e.key = c.key WHERE c.rn = 1 "
+            "UNION ALL "
+            "SELECT key, n_obs, t2, "
+            "z2 + (nz // 8 - CASE WHEN nz % 8 <> 0 AND nz < 0 "
+            "THEN 1 ELSE 0 END), "
+            "p2 + (np // 8 - CASE WHEN np % 8 <> 0 AND np < 0 "
+            "THEN 1 ELSE 0 END) "
+            "FROM (SELECT it.key, it.n_obs, it.t + 1 AS t2, "
+            "it.z AS z2, it.p AS p2, "
+            "c.qty * 1000000 - it.z AS nz, "
+            "c.gap * 1000000 - it.p AS np "
+            "FROM it JOIN c ON c.key = it.key AND c.rn = it.t + 1 "
+            "WHERE it.t < it.n_obs) x) "
+            "SELECT key, n_obs, z AS z_micro, p AS p_micro, "
+            "CAST(z AS DOUBLE) / CAST(p AS DOUBLE) AS forecast "
+            "FROM it WHERE t = n_obs"
         ),
         "fk_orphans": (
             "WITH e1 AS (SELECT COUNT(*) AS n_child, SUM(CASE WHEN "

@@ -2539,3 +2539,170 @@ def breakpoint_daily(
             "sse_total",
         )
     )
+
+
+def pettitt(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Pettitt rank-based changepoint test per event type (Pettitt
+    1979): the nonparametric complement to :func:`breakpoint_daily` —
+    it needs no linear model and is immune to outliers, flagging the
+    day where the daily-count distribution most plausibly shifts.
+
+        U_t = sum_{i<=t} sum_{j>t} sgn(x_i - x_j)
+        K   = max_t |U_t|,   p ~= 2*exp(-6K^2 / (n^3 + n^2))
+
+    Exactness: counts are BIGINTs so every ``sgn`` is an exact -1/0/+1;
+    by antisymmetry ``sum_{i<=t} sum_{j<=t} sgn = 0``, hence
+    ``U_t = sum_{i<=t} V_i`` where ``V_i = sum_{j=1..n} sgn(x_i-x_j)``
+    — one within-type day-by-day self-join plus one ordered prefix
+    sum, ALL in integers; the approximate p-value is the single shared
+    float expression (one exp of a division of exact BIGINTs).
+    Ties in ``|U_t|`` break to the earliest day.
+
+    Scale: the data-sized work is one hash aggregate to daily counts;
+    the self-join is O(d^2) per type where d is bounded by the
+    retention horizon (theil_sen's documented bound), co-partitioned
+    on the type key — no pair crosses executors.
+    """
+    daily = (
+        df.select(
+            F.col(type_col).alias("typ"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("typ", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    v = (
+        a.join(b, F.col("a.typ") == F.col("b.typ"))
+        .groupBy(F.col("a.typ").alias("typ"), F.col("a.day").alias("day"))
+        .agg(
+            F.sum(
+                F.signum(F.col("a.y") - F.col("b.y")).cast("long")
+            ).alias("v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    w = Window.partitionBy("typ").orderBy("day")
+    u = v.select(
+        "typ",
+        "day",
+        "n",
+        F.sum("v").over(w).alias("u_t"),
+        F.row_number().over(w).alias("t"),
+    ).filter(F.col("t") < F.col("n"))
+    rk = Window.partitionBy("typ").orderBy(
+        F.abs(F.col("u_t")).desc(), F.col("day").asc()
+    )
+    return (
+        u.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("typ").alias("event_type"),
+            F.col("n").cast("long").alias("n_days"),
+            F.col("day").alias("break_day"),
+            F.abs(F.col("u_t")).cast("long").alias("k_stat"),
+            (
+                F.lit(2.0)
+                * F.exp(
+                    (F.lit(-6.0) * F.col("u_t") * F.col("u_t"))
+                    / (
+                        F.col("n") * F.col("n") * F.col("n")
+                        + F.col("n") * F.col("n")
+                    ).cast("double")
+                )
+            ).alias("p_approx"),
+        )
+    )
+
+
+# SPRT log-likelihood-ratio increments, quantized to integer PICO
+# units (1e12) so the cumulative statistic is an exact BIGINT sum.
+# H0: p = 0.4 vs H1: p = 0.5 on the Bernoulli outcome value >= 40.0;
+# alpha = beta = 0.05.  Derivations (round(ln(x) * 1e12)):
+#   success:  ln(0.5/0.4)  = ln(1.25) -> 223143551314
+#   failure:  ln(0.5/0.6)  = ln(5/6)  -> -182321556794
+#   bounds:   ln(0.95/0.05) = ln(19)  -> +/- 2944438979166
+SPRT_SUCC_PICO = 223143551314
+SPRT_FAIL_PICO = -182321556794
+SPRT_BOUND_PICO = 2944438979166
+
+
+def sprt(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    threshold: float = 40.0,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test per event type: walk
+    the event stream in time order and STOP at the first crossing of
+    the log-likelihood-ratio bounds — the minimal-expected-sample
+    test, and the sequential complement to the fixed-horizon screens
+    (wilson_interval, chi2).  Success = ``value >= threshold``;
+    H0: p=0.4 vs H1: p=0.5 at alpha = beta = 0.05.
+
+    Exactness: a Bernoulli LLR step takes only TWO values, so both are
+    pre-quantized module constants in pico units (SPRT_SUCC_PICO /
+    SPRT_FAIL_PICO) and the cumulative LLR is an exact BIGINT prefix
+    sum over the (ts, event_id) total order — the first bound crossing
+    is an integer comparison, no tolerance anywhere.
+
+    Scale: one hash partition per type, one ordered window with O(1)
+    state, one min-rank select — no iteration, no driver state.
+
+    Output: event_type, decision ('accept_h0' | 'reject_h0' |
+    'continue'), n_at_decision, llr_pico.
+    """
+    base = df.select(
+        F.col(type_col).alias("typ"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+        F.when(F.col(value_col) >= F.lit(threshold), F.lit(SPRT_SUCC_PICO))
+        .otherwise(F.lit(SPRT_FAIL_PICO))
+        .alias("step"),
+    )
+    w = Window.partitionBy("typ").orderBy("ts", "eid")
+    cum = base.select(
+        "typ",
+        F.row_number().over(w).alias("rn"),
+        F.sum("step").over(w).alias("llr"),
+    )
+    crossed = cum.filter(
+        (F.col("llr") >= F.lit(SPRT_BOUND_PICO))
+        | (F.col("llr") <= F.lit(-SPRT_BOUND_PICO))
+    )
+    first = Window.partitionBy("typ").orderBy("rn")
+    decided = (
+        crossed.withColumn("k", F.row_number().over(first))
+        .filter(F.col("k") == 1)
+        .select(
+            "typ",
+            F.when(F.col("llr") >= SPRT_BOUND_PICO, F.lit("reject_h0"))
+            .otherwise(F.lit("accept_h0"))
+            .alias("decision"),
+            F.col("rn").cast("long").alias("n_at_decision"),
+            F.col("llr").alias("llr_pico"),
+        )
+    )
+    last = Window.partitionBy("typ").orderBy(F.col("rn").desc())
+    undecided = (
+        cum.withColumn("k", F.row_number().over(last))
+        .filter(F.col("k") == 1)
+        .join(decided.select("typ"), "typ", "left_anti")
+        .select(
+            "typ",
+            F.lit("continue").alias("decision"),
+            F.col("rn").cast("long").alias("n_at_decision"),
+            F.col("llr").alias("llr_pico"),
+        )
+    )
+    return decided.unionByName(undecided).withColumnsRenamed(
+        {"typ": "event_type"}
+    )
