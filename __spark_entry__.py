@@ -1804,6 +1804,55 @@ def q_sprt_clicks(spark, sf):
     return sprt(_events(spark, sf))
 
 
+def q_zorder_layout(spark, sf):
+    """Z-order vs time file-layout audit
+    (pipeline/shards.py::zorder_layout): Morton-interleaved
+    (user_id, hour) codes tiled into 16 files, per-file zone-map
+    extents on both dimensions — the lakehouse OPTIMIZE ZORDER
+    clustering step, bit algebra replayed verbatim in the oracle."""
+    from tsaug_spark.pipeline.shards import zorder_layout
+
+    return zorder_layout(_events(spark, sf))
+
+
+def q_pivot_type_day(spark, sf):
+    """Wide daily activity matrix via the DataFrame pivot API — one
+    column per event type (explicit value list, so the plan is a
+    single hash aggregate with no distinct-values pre-scan; the
+    oracle is the equivalent conditional aggregation)."""
+    ev = _events(spark, sf)
+    types = ["click", "error", "purchase", "signup", "view"]
+    p = (
+        ev.groupBy(
+            F.floor(F.unix_timestamp("ts") / DAY)
+            .cast("long")
+            .alias("day")
+        )
+        .pivot("event_type", types)
+        .count()
+    )
+    return p.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+            for t in types
+        ],
+    )
+
+
+def q_link_jaccard(spark, sf):
+    """Neighborhood-Jaccard link prediction over the capped
+    co-purchase graph (plans/graph.py::link_jaccard): wedge-join
+    candidates, LEFT ANTI existing-edge removal, exact integer
+    common/degree counts, one shared division, (jaccard DESC, a, b)
+    top-k."""
+    from tsaug_spark.plans.graph import copurchase_edges, link_jaccard
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    return link_jaccard(copurchase_edges(li, orders, max_buyers=20))
+
+
 def q_cuped_adjust(spark, sf):
     """CUPED variance-reduced A/B readout
     (plans/metrics.py::cuped): md5-bucket deterministic arms, exact
@@ -4343,6 +4392,9 @@ _PRIORITY = [
     "sprt_clicks",
     "cuped_adjust",
     "croston_demand",
+    "link_jaccard",
+    "pivot_type_day",
+    "zorder_layout",
     "tpch_q3",
     "dau_overlap",
     "value_deciles",
@@ -4666,6 +4718,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sprt_clicks": q_sprt_clicks,
         "cuped_adjust": q_cuped_adjust,
         "croston_demand": q_croston_demand,
+        "link_jaccard": q_link_jaccard,
+        "pivot_type_day": q_pivot_type_day,
+        "zorder_layout": q_zorder_layout,
         "weighted_sample": q_weighted_sample,
         "season_strength": q_season_strength,
         "mase_backtest": q_mase_backtest,
@@ -5134,6 +5189,15 @@ def _knn_join_sql() -> str:
         "SELECT id_a, id_b, CAST(rank AS INT) AS rank, "
         "ROUND(c, 4) AS cos FROM r WHERE rank <= 3"
     )
+
+
+# Morton z-code as SQL bit algebra — the same 32 interleave terms the
+# Spark side builds (pipeline/shards.py::zorder_layout, bits=16).
+_ZORDER_SQL = " + ".join(
+    f"(((u >> {i}) & 1) << {2 * i + 1}) + "
+    f"(((hr >> {i}) & 1) << {2 * i})"
+    for i in range(16)
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7051,6 +7115,74 @@ def oracle_sql() -> dict[str, str]:
             "llr_pico FROM dec "
             "UNION ALL SELECT typ, decision, n_at_decision, llr_pico "
             "FROM undec"
+        ),
+        "zorder_layout": (
+            "WITH lo AS (SELECT CAST(floor(floor(MIN(epoch(ts)))/3600)"
+            " AS BIGINT) AS lo_hr FROM events), "
+            "base AS (SELECT event_id AS tb, "
+            "(user_id & 65535) AS u, "
+            "((CAST(floor(epoch(ts)/3600) AS BIGINT) - lo_hr) "
+            "& 65535) AS hr FROM events, lo), "
+            "coded AS (SELECT tb, u, hr, " + _ZORDER_SQL + " AS z "
+            "FROM base), "
+            "t1 AS (SELECT u, hr, ntile(16) OVER (ORDER BY z, tb) "
+            "AS file_id FROM coded), "
+            "t2 AS (SELECT u, hr, ntile(16) OVER (ORDER BY hr, tb) "
+            "AS file_id FROM coded) "
+            "SELECT 'zorder' AS layout, CAST(file_id AS BIGINT) AS "
+            "file_id, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "MIN(u) AS id_min, MAX(u) AS id_max, MIN(hr) AS hr_min, "
+            "MAX(hr) AS hr_max FROM t1 GROUP BY 2 "
+            "UNION ALL "
+            "SELECT 'time', CAST(file_id AS BIGINT), "
+            "CAST(COUNT(*) AS BIGINT), MIN(u), MAX(u), MIN(hr), "
+            "MAX(hr) FROM t2 GROUP BY 2"
+        ),
+        "pivot_type_day": (
+            "SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS click, "
+            "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS error, "
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE "
+            "0 END) AS BIGINT) AS purchase, "
+            "CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS signup, "
+            "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS view "
+            "FROM events GROUP BY 1"
+        ),
+        "link_jaccard": (
+            "WITH bp AS (SELECT DISTINCT l_partkey AS part, "
+            "o_custkey AS cust FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey), "
+            "sz AS (SELECT part FROM bp GROUP BY part "
+            "HAVING COUNT(*) <= 20), "
+            "k AS (SELECT bp.part, bp.cust FROM bp JOIN sz "
+            "USING (part)), "
+            "e AS (SELECT DISTINCT a.cust AS u, b.cust AS v "
+            "FROM k a JOIN k b USING (part) WHERE a.cust < b.cust), "
+            "adj AS (SELECT u AS node, v AS nbr FROM e "
+            "UNION ALL SELECT v, u FROM e), "
+            "deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg "
+            "FROM adj GROUP BY 1), "
+            "cand AS (SELECT x.node AS a, y.node AS b, "
+            "CAST(COUNT(*) AS BIGINT) AS com "
+            "FROM adj x JOIN adj y ON y.nbr = x.nbr "
+            "AND x.node < y.node GROUP BY 1, 2 "
+            "HAVING COUNT(*) >= 2), "
+            "nonedge AS (SELECT c.a, c.b, c.com FROM cand c "
+            "LEFT JOIN e ON e.u = c.a AND e.v = c.b "
+            "WHERE e.u IS NULL), "
+            "scored AS (SELECT n.a, n.b, n.com AS common, "
+            "da.deg AS deg_a, db.deg AS deg_b, "
+            "CAST(n.com AS DOUBLE) / "
+            "CAST(da.deg + db.deg - n.com AS DOUBLE) AS jaccard "
+            "FROM nonedge n JOIN deg da ON da.node = n.a "
+            "JOIN deg db ON db.node = n.b) "
+            "SELECT a, b, common, deg_a, deg_b, jaccard FROM "
+            "(SELECT *, row_number() OVER (ORDER BY jaccard DESC, "
+            "a ASC, b ASC) AS rk FROM scored) WHERE rk <= 100"
         ),
         "cuped_adjust": (
             "WITH b AS (SELECT user_id AS u, "

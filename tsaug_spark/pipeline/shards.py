@@ -82,3 +82,89 @@ def shard_manifest(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("shard_tokens"),
     )
+
+
+def zorder_layout(
+    df: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    n_files: int = 16,
+    bits: int = 16,
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Z-order (Morton-curve) file-layout audit: interleave the bits
+    of the entity id and the hour index and tile the curve into
+    ``n_files`` equal files, reporting each file's min/max extent on
+    BOTH dimensions — the zone-map footprint a reader would prune
+    against.  This is the clustering step behind `OPTIMIZE ZORDER BY`
+    in lakehouse engines: a time-ordered layout answers time-range
+    scans but every file spans ALL users; the Morton layout bounds
+    both extents, so point/range predicates on either dimension prune
+    most files.  Both layouts are emitted for side-by-side audit.
+
+    Exactness: the Morton code is pure integer bit algebra
+    (sum of ((x >> i) & 1) << (2i+/-1) terms); file assignment is
+    ntile over the total order (z, tiebreak) — deterministic in any
+    engine; extents are integer MIN/MAX.
+
+    Scale: the audit's global ntile is a demo-scale convenience — the
+    production write path is ``df.repartitionByRange(n_files, z)``
+    followed by a partitioned write, which samples range bounds
+    instead of globally sorting through one task.  The hour index is
+    rebased to the corpus minimum (one broadcast scalar) so ``bits``
+    covers the actual extent.
+
+    Output: layout ('zorder' | 'time'), file_id, n_rows, id_min,
+    id_max, hr_min, hr_max.
+    """
+    mask = (1 << bits) - 1
+    lo = df.select(
+        F.floor(F.min(F.unix_timestamp(F.col(ts_col))) / 3600)
+        .cast("long")
+        .alias("lo_hr")
+    )
+    base = df.crossJoin(F.broadcast(lo)).select(
+        F.col(order_tiebreak).alias("tb"),
+        (F.col(id_col).cast("long").bitwiseAND(F.lit(mask))).alias("u"),
+        (
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 3600).cast("long")
+            - F.col("lo_hr")
+        ).bitwiseAND(F.lit(mask)).alias("hr"),
+    )
+    z = None
+    for i in range(bits):
+        ta = F.shiftleft(
+            F.shiftright(F.col("u"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        tt = F.shiftleft(
+            F.shiftright(F.col("hr"), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        z = ta + tt if z is None else z + ta + tt
+    coded = base.withColumn("z", z.cast("long"))
+
+    def _tiled(order_cols, name):
+        w = Window.orderBy(*order_cols)
+        return (
+            coded.withColumn("file_id", F.ntile(int(n_files)).over(w))
+            .groupBy("file_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min("u").alias("id_min"),
+                F.max("u").alias("id_max"),
+                F.min("hr").alias("hr_min"),
+                F.max("hr").alias("hr_max"),
+            )
+            .select(
+                F.lit(name).alias("layout"),
+                F.col("file_id").cast("long").alias("file_id"),
+                "n_rows",
+                "id_min",
+                "id_max",
+                "hr_min",
+                "hr_max",
+            )
+        )
+
+    return _tiled([F.col("z"), F.col("tb")], "zorder").unionByName(
+        _tiled([F.col("hr"), F.col("tb")], "time")
+    )
