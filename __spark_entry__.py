@@ -1804,6 +1804,55 @@ def q_sprt_clicks(spark, sf):
     return sprt(_events(spark, sf))
 
 
+def q_count_sketch_1d(spark, sf):
+    """Signed CountSketch daily user-frequency estimates
+    (plans/sketches.py::count_sketch_partial/count_sketch_estimate):
+    HOURLY sketches cms_merge-d to daily (linear => cascade == direct,
+    which the direct-build oracle proves), median-of-5-rows estimator
+    as an exact rank selection, probed on each day's top-10 true-count
+    users and reported beside the exact count."""
+    from tsaug_spark.plans.sketches import (
+        cms_merge, count_sketch_estimate, count_sketch_partial,
+    )
+
+    ev = _events(spark, sf)
+    daily = cms_merge(count_sketch_partial(ev, "1h"), "1d")
+    true = (
+        ev.groupBy(
+            (F.floor(F.unix_timestamp("ts") / DAY) * DAY)
+            .cast("long")
+            .alias("bucket_s"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    wt = Window.partitionBy("bucket_s").orderBy(
+        F.col("true_cnt").desc(), F.col("user_id").asc()
+    )
+    top = (
+        true.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= 10)
+        .drop("rk")
+    )
+    est = count_sketch_estimate(
+        daily, top.select(F.col("user_id").alias("item"))
+    )
+    return (
+        top.join(
+            est,
+            (est["item"] == top["user_id"].cast("string"))
+            & (est["bucket_s"] == top["bucket_s"]),
+        )
+        .select(
+            top["bucket_s"],
+            "user_id",
+            F.col("true_cnt").cast("long").alias("true_cnt"),
+            F.col("est").alias("est_cnt"),
+            (F.col("est") - F.col("true_cnt")).cast("long").alias("err"),
+        )
+    )
+
+
 def q_zorder_layout(spark, sf):
     """Z-order vs time file-layout audit
     (pipeline/shards.py::zorder_layout): Morton-interleaved
@@ -4395,6 +4444,7 @@ _PRIORITY = [
     "link_jaccard",
     "pivot_type_day",
     "zorder_layout",
+    "count_sketch_1d",
     "tpch_q3",
     "dau_overlap",
     "value_deciles",
@@ -4721,6 +4771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_jaccard": q_link_jaccard,
         "pivot_type_day": q_pivot_type_day,
         "zorder_layout": q_zorder_layout,
+        "count_sketch_1d": q_count_sketch_1d,
         "weighted_sample": q_weighted_sample,
         "season_strength": q_season_strength,
         "mase_backtest": q_mase_backtest,
@@ -7115,6 +7166,53 @@ def oracle_sql() -> dict[str, str]:
             "llr_pico FROM dec "
             "UNION ALL SELECT typ, decision, n_at_decision, llr_pico "
             "FROM undec"
+        ),
+        "count_sketch_1d": (
+            # DIRECT daily signed sketch: a green hash proves the
+            # hourly-cascaded Spark build equals the direct build
+            # (linearity) AND the median estimator replay.
+            "WITH base AS (SELECT CAST(user_id AS VARCHAR) AS item, "
+            "user_id, CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) "
+            "AS bucket_s FROM events), "
+            "rs AS (SELECT unnest([0, 1, 2, 3, 4]) AS r), "
+            "sk AS (SELECT bucket_s, r, "
+            "('0x' || substr(md5(item || ':' || CAST(r AS VARCHAR)), "
+            "1, 8))::BIGINT % 256 AS slot, "
+            "CAST(SUM((('0x' || substr(md5(item || '#' || "
+            "CAST(r AS VARCHAR)), 1, 8))::BIGINT % 2) * 2 - 1) "
+            "AS BIGINT) AS cnt "
+            "FROM base CROSS JOIN rs GROUP BY 1, 2, 3), "
+            "tc AS (SELECT bucket_s, user_id, "
+            "CAST(COUNT(*) AS BIGINT) AS true_cnt "
+            "FROM base GROUP BY 1, 2), "
+            "top AS (SELECT bucket_s, user_id, true_cnt FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY bucket_s "
+            "ORDER BY true_cnt DESC, user_id ASC) AS rk FROM tc) "
+            "WHERE rk <= 10), "
+            "pr AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS item "
+            "FROM top), "
+            "prh AS (SELECT item, r, "
+            "('0x' || substr(md5(item || ':' || CAST(r AS VARCHAR)), "
+            "1, 8))::BIGINT % 256 AS slot, "
+            "(('0x' || substr(md5(item || '#' || CAST(r AS VARCHAR)), "
+            "1, 8))::BIGINT % 2) * 2 - 1 AS sgn "
+            "FROM pr CROSS JOIN rs), "
+            "bk AS (SELECT DISTINCT bucket_s FROM sk), "
+            "g AS (SELECT bk.bucket_s, prh.item, prh.r, prh.slot, "
+            "prh.sgn FROM bk CROSS JOIN prh), "
+            "perr AS (SELECT g.item, g.bucket_s, g.r, "
+            "g.sgn * COALESCE(sk.cnt, 0) AS est_r FROM g "
+            "LEFT JOIN sk ON sk.bucket_s = g.bucket_s "
+            "AND sk.r = g.r AND sk.slot = g.slot), "
+            "med AS (SELECT item, bucket_s, CAST(est_r AS BIGINT) "
+            "AS est FROM (SELECT *, row_number() OVER (PARTITION BY "
+            "item, bucket_s ORDER BY est_r, r) AS rk FROM perr) "
+            "WHERE rk = 3) "
+            "SELECT t.bucket_s, t.user_id, t.true_cnt, "
+            "m.est AS est_cnt, CAST(m.est - t.true_cnt AS BIGINT) "
+            "AS err FROM top t JOIN med m ON "
+            "m.item = CAST(t.user_id AS VARCHAR) "
+            "AND m.bucket_s = t.bucket_s"
         ),
         "zorder_layout": (
             "WITH lo AS (SELECT CAST(floor(floor(MIN(epoch(ts)))/3600)"

@@ -146,3 +146,29 @@ def test_bfs_seed_not_in_graph_kept_at_zero(spark):
         ).collect()
     }
     assert got == {99: 0}
+
+
+def test_link_jaccard_square_graph(spark):
+    """4-cycle 1-2-3-4-1: the two diagonals are the only candidates
+    with >= 2 common neighbors; both score jaccard 1.0."""
+    from tsaug_spark.plans.graph import link_jaccard
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+    got = {
+        (r.a, r.b): r for r in link_jaccard(e).collect()
+    }
+    assert set(got) == {(1, 3), (2, 4)}
+    for r in got.values():
+        assert r.common == 2
+        assert r.deg_a == 2 and r.deg_b == 2
+        assert r.jaccard == 1.0
+
+
+def test_link_jaccard_excludes_existing_edges(spark):
+    """In K4 every pair is already an edge -> no predictions."""
+    from tsaug_spark.plans.graph import link_jaccard
+
+    e = _edges(
+        spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    )
+    assert link_jaccard(e).count() == 0

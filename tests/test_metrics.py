@@ -1606,3 +1606,67 @@ def test_mase_null_when_training_naive_is_perfect(spark):
     r = mase_backtest(df).collect()[0]
     assert r.mase is None
     assert abs(r.mae_forecast - 1.0) < 1e-12
+
+
+def test_cuped_perfect_covariate_equalizes_arms(spark):
+    """With post = 2 * pre exactly, theta = 2, rho2 = 1, and both
+    arms' adjusted means collapse to 2 * pooled pre mean."""
+    from tsaug_spark.plans.metrics import cuped
+
+    rows = []
+    eid = 0
+    for u in range(20):
+        for _ in range(u + 1):  # pre: day 0
+            rows.append((eid, T0, u)); eid += 1
+        for _ in range(2 * (u + 1)):  # post: day 20
+            rows.append((eid, T0 + dt.timedelta(days=20), u)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+    out = cuped(ev).collect()
+    assert len(out) == 2
+    pooled_x = sum(u + 1 for u in range(20)) / 20.0
+    for r in out:
+        assert abs(r.theta - 2.0) < 1e-12
+        assert abs(r.rho2 - 1.0) < 1e-12
+        assert abs(r.mean_y_cuped - 2.0 * pooled_x) < 1e-9
+
+
+def test_croston_matches_independent_replay(spark):
+    """Engine recursion == a from-scratch integer replay in the test,
+    including the floor division on a negative step and the
+    multi-row-per-day quantity sum."""
+    from tsaug_spark.plans.metrics import croston
+
+    demands = [(0, [3.0, 5.0]), (2, [16.0]), (5, [4.0]), (9, [10.0])]
+    rows = []
+    for day, qs in demands:
+        for qv in qs:
+            rows.append(
+                (1, T0 + dt.timedelta(days=day), qv)
+            )
+    li = spark.createDataFrame(
+        rows, "l_partkey long, l_shipdate timestamp, l_quantity double"
+    )
+    (r,) = croston(li).collect()
+
+    days = [d for d, _ in demands]
+    qty = [int(sum(qs)) for _, qs in demands]
+    z, p = qty[0] * 1_000_000, 1_000_000
+    for t in range(1, len(qty)):
+        z += (qty[t] * 1_000_000 - z) // 8
+        p += ((days[t] - days[t - 1]) * 1_000_000 - p) // 8
+    assert r.n_obs == 4
+    assert r.z_micro == z
+    assert r.p_micro == p
+    assert r.forecast == float(z) / float(p)
+
+
+def test_croston_min_obs_filter(spark):
+    from tsaug_spark.plans.metrics import croston
+
+    li = spark.createDataFrame(
+        [(7, T0 + dt.timedelta(days=d), 5.0) for d in range(3)],
+        "l_partkey long, l_shipdate timestamp, l_quantity double",
+    )
+    assert croston(li).count() == 0  # 3 demand days < min_obs=4

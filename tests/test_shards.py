@@ -128,3 +128,32 @@ def test_property_lossless_and_bounded(spark, toks, budget):
     seq = [r.shard_id for r in out]
     assert seq == sorted(seq)
     assert shard_ids[0] == 0
+
+
+def test_zorder_layout_bounds_both_extents(spark):
+    """16 users x 16 hours, one row each: Morton tiling into 16 files
+    yields 4x4 blocks (both extents <= 3 in every file), while the
+    time layout spans the full user range in every file."""
+    import datetime as _dt
+
+    from tsaug_spark.pipeline.shards import zorder_layout
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        (u * 16 + h, t0 + _dt.timedelta(hours=h), u)
+        for u in range(16)
+        for h in range(16)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+    out = zorder_layout(ev)
+    z = [r for r in out.collect() if r.layout == "zorder"]
+    t = [r for r in out.collect() if r.layout == "time"]
+    assert len(z) == 16 and len(t) == 16
+    assert all(r.n_rows == 16 for r in z)
+    for r in z:
+        assert r.id_max - r.id_min <= 3
+        assert r.hr_max - r.hr_min <= 3
+    for r in t:
+        assert r.id_min == 0 and r.id_max == 15

@@ -730,3 +730,69 @@ def test_kmv_intersect_unsaturated_sides_exact(spark):
     r = kmv_intersect(a, b).collect()[0]
     assert r.n_common == 10
     assert r.est_common == 10.0
+
+
+def _cs_md5_int(s):
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_count_sketch_cascade_equals_direct(spark):
+    """Linearity: hourly CountSketch counters summed to daily equal
+    the direct daily build cell for cell, signs included."""
+    from tsaug_spark.plans.sketches import cms_merge, count_sketch_partial
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    cascaded = cms_merge(count_sketch_partial(ev, "1h"), "1d")
+    direct = count_sketch_partial(ev, "1d")
+    a = {(r.bucket_s, r.r, r.slot): r.cnt for r in cascaded.collect()}
+    b = {(r.bucket_s, r.r, r.slot): r.cnt for r in direct.collect()}
+    assert a == b
+
+
+def test_count_sketch_estimate_matches_python_replay(spark):
+    """Estimates equal a from-scratch hashlib replay of the same
+    md5-derived slots/signs and the same rank-3-of-5 median."""
+    import datetime as _dt
+
+    from tsaug_spark.plans.sketches import (
+        count_sketch_estimate,
+        count_sketch_partial,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+    counts = {u: 3 * u + 1 for u in range(12)}
+    rows = []
+    eid = 0
+    for u, n in counts.items():
+        for _ in range(n):
+            rows.append((eid, t0, u)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+    sk = count_sketch_partial(ev, "1d")
+    probes = spark.createDataFrame(
+        [(u,) for u in counts], "item long"
+    )
+    got = {
+        int(r.item): r.est
+        for r in count_sketch_estimate(sk, probes).collect()
+    }
+
+    counters = {}
+    for u, n in counts.items():
+        for r in range(5):
+            slot = _cs_md5_int(f"{u}:{r}") % 256
+            sgn = (_cs_md5_int(f"{u}#{r}") % 2) * 2 - 1
+            counters[(r, slot)] = counters.get((r, slot), 0) + sgn * n
+    want = {}
+    for u in counts:
+        ests = []
+        for r in range(5):
+            slot = _cs_md5_int(f"{u}:{r}") % 256
+            sgn = (_cs_md5_int(f"{u}#{r}") % 2) * 2 - 1
+            ests.append((sgn * counters.get((r, slot), 0), r))
+        ests.sort()
+        want[u] = ests[2][0]
+    assert got == want

@@ -1150,3 +1150,65 @@ def test_breakpoint_daily_finds_planted_break(spark):
     assert r.n_days == 20
     want = sse(x[:best], y[:best]) + sse(x[best:], y[best:])
     assert abs(r.sse_total - want) < 1e-6 * max(1.0, want)
+
+
+def test_pettitt_planted_shift(spark):
+    """Counts 2/day for 10 days then 10/day for 10 days: the max
+    |U_t| lands on the last pre-shift day with the brute-force
+    statistic value."""
+    from tsaug_spark.plans.stats import pettitt
+
+    rows = []
+    for d in range(20):
+        for k in range(2 if d < 10 else 10):
+            rows.append((1, d + k / 100.0, "a", 1.0))
+    out = pettitt(_ev(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    x = [2] * 10 + [10] * 10
+    n = len(x)
+    us = [
+        abs(
+            sum(
+                (x[i] > x[j]) - (x[i] < x[j])
+                for i in range(t)
+                for j in range(t, n)
+            )
+        )
+        for t in range(1, n)
+    ]
+    k_expected = max(us)
+    t_star = us.index(k_expected)  # 0-based day offset of the break
+    day0 = int(
+        T0.replace(tzinfo=dt.timezone.utc).timestamp()
+    ) // 86400
+    assert r.n_days == n
+    assert r.k_stat == k_expected
+    assert r.break_day == day0 + t_star
+    assert 0.0 < r.p_approx < 0.05  # a 5x shift is decisive
+
+
+def test_sprt_decides_at_exact_minimal_n(spark):
+    """All-success stream rejects H0 at n = ceil(bound/succ) = 14;
+    all-failure stream accepts at n = ceil(bound/|fail|) = 17 —
+    integer arithmetic makes the crossing index exact."""
+    from tsaug_spark.plans.stats import sprt
+
+    rows = [(1, i / 100.0, "hi", 100.0) for i in range(25)]
+    rows += [(1, i / 100.0, "lo", 0.0) for i in range(25)]
+    out = {r.event_type: r for r in sprt(_ev(spark, rows)).collect()}
+    assert out["hi"].decision == "reject_h0"
+    assert out["hi"].n_at_decision == 14
+    assert out["hi"].llr_pico == 14 * 223143551314
+    assert out["lo"].decision == "accept_h0"
+    assert out["lo"].n_at_decision == 17
+    assert out["lo"].llr_pico == 17 * -182321556794
+
+
+def test_sprt_short_stream_continues(spark):
+    from tsaug_spark.plans.stats import sprt
+
+    rows = [(1, i / 100.0, "a", 100.0) for i in range(5)]
+    (r,) = sprt(_ev(spark, rows)).collect()
+    assert r.decision == "continue"
+    assert r.n_at_decision == 5

@@ -609,3 +609,105 @@ def kmv_intersect(
             ).alias("est_common"),
         )
     )
+
+
+def cs_sign(item: F.Column, r: F.Column) -> F.Column:
+    """CountSketch's +/-1 sign for ``item`` in row ``r``: parity of an
+    md5 prefix drawn with a '#' separator so it is independent of the
+    ':'-separated slot hash (:func:`_slot`) — both replay verbatim in
+    any engine with md5."""
+    return (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", item, r)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+        * 2
+        - 1
+    ).cast("long")
+
+
+def count_sketch_partial(
+    df: DataFrame,
+    tier: str = "1h",
+    item_col: str = "user_id",
+    depth: int = 5,
+    width: int = 256,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CountSketch per time bucket (Charikar-Chen-Farach-Colton 2002):
+    ``(bucket_s, r, slot, cnt)`` where ``cnt`` is the SIGNED counter
+    sum — the unbiased cousin of count-min (:func:`cms_partial`):
+    collisions cancel in expectation instead of always inflating, and
+    the median-of-rows estimator is two-sided.  Linear like CMS, so
+    :func:`cms_merge` merges it and cascade == direct exactly.
+    """
+    item = F.col(item_col).cast("string")
+    rs = F.explode(
+        F.array(*[F.lit(r) for r in range(depth)])
+    ).alias("r")
+    return (
+        df.select(item.alias("item"), bucket_epoch_s(ts_col, tier))
+        .select("item", "bucket_s", rs)
+        .select(
+            "bucket_s",
+            "r",
+            _slot(F.col("item"), F.col("r"), width).alias("slot"),
+            cs_sign(F.col("item"), F.col("r")).alias("sgn"),
+        )
+        .groupBy("bucket_s", "r", "slot")
+        .agg(F.sum("sgn").cast("long").alias("cnt"))
+    )
+
+
+def count_sketch_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    depth: int = 5,
+    width: int = 256,
+    item_col: str = "item",
+) -> DataFrame:
+    """Point-query estimates ``(item, bucket_s, est)`` from a
+    CountSketch: ``est = median_r(sign_r(item) * C[r, slot_r(item)])``
+    — with odd ``depth`` the median is the rank-(depth//2 + 1) element
+    under the total order (value, r), an exact integer selection both
+    engines replay identically (no averaging, no tolerance).  Absent
+    cells read 0 via the left join, as in :func:`cms_query`.
+    """
+    item = F.col(item_col).cast("string")
+    rs = F.explode(
+        F.array(*[F.lit(r) for r in range(depth)])
+    ).alias("r")
+    probe = (
+        probes.select(item.alias("item"))
+        .distinct()
+        .select("item", rs)
+        .select(
+            "item",
+            "r",
+            _slot(F.col("item"), F.col("r"), width).alias("slot"),
+            cs_sign(F.col("item"), F.col("r")).alias("sgn"),
+        )
+    )
+    buckets = sketch.select("bucket_s").distinct()
+    grid = buckets.crossJoin(F.broadcast(probe))
+    per_r = grid.join(sketch, ["bucket_s", "r", "slot"], "left").select(
+        "item",
+        "bucket_s",
+        "r",
+        (
+            F.col("sgn")
+            * F.coalesce(F.col("cnt"), F.lit(0).cast("long"))
+        ).alias("est_r"),
+    )
+    w = Window.partitionBy("item", "bucket_s").orderBy("est_r", "r")
+    return (
+        per_r.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == F.lit(depth // 2 + 1))
+        .select("item", "bucket_s", F.col("est_r").cast("long").alias("est"))
+    )
