@@ -983,6 +983,66 @@ def main() -> None:
             execute=True,
         )
 
+    # round-3f batch: sequential stats / pivot / sketch — all JVM,
+    # no cartesian joins, no Python eval in the plan
+    for nm, q in [
+        ("pettitt_changepoint", em.q_pettitt_changepoint),
+        ("pivot_type_day", em.q_pivot_type_day),
+        ("link_jaccard", em.q_link_jaccard),
+    ]:
+        audit(
+            f"{nm} (r3f batch, JVM only)",
+            q(spark, sf),
+            must_have=["HashAggregate"],
+            must_not_have=["CartesianProduct",
+                           "BroadcastNestedLoopJoin",
+                           "BatchEvalPython", "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+
+    # sprt is pure ordered-window prefix sums — no aggregate at all
+    audit(
+        "sprt_clicks (window-only, JVM only)",
+        em.q_sprt_clicks(spark, sf),
+        must_have=["Window"],
+        must_not_have=["CartesianProduct", "BroadcastNestedLoopJoin",
+                       "BatchEvalPython", "ArrowEvalPython",
+                       "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
+    # these three deliberately broadcast a 1-row scalar (cuped's
+    # pooled stats / zorder's corpus-min hour) or a bounded probe
+    # grid (count_sketch's buckets x probes) — the BNLJ against a
+    # broadcast side of O(1) rows IS the intended plan; cartesian
+    # products and Python eval stay banned
+    for nm, q in [
+        ("cuped_adjust", em.q_cuped_adjust),
+        ("count_sketch_1d", em.q_count_sketch_1d),
+        ("zorder_layout", em.q_zorder_layout),
+    ]:
+        audit(
+            f"{nm} (broadcast scalar/probe grid, JVM only)",
+            q(spark, sf),
+            must_have=["HashAggregate", "BroadcastNestedLoopJoin"],
+            must_not_have=["CartesianProduct", "BatchEvalPython",
+                           "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+
+    # croston: the ONLY Python in the plan is the grouped Arrow
+    # kernel itself (one hash partition per key, no row-wise UDF)
+    audit(
+        "croston_demand (single grouped Arrow kernel)",
+        em.q_croston_demand(spark, sf),
+        must_have=["FlatMapGroupsInPandas", "HashAggregate"],
+        must_not_have=["CartesianProduct", "BroadcastNestedLoopJoin",
+                       "BatchEvalPython"],
+        execute=True,
+    )
+
     # bloom-pruned join: literal-array probe (no shuffle before the
     # fact filter), then one exact join + rollup
     for nm, q in [
