@@ -1705,6 +1705,22 @@ def q_kmv_overlap_click_purchase(spark, sf):
     return kmv_intersect(a, b)
 
 
+def q_kmv_anotb_click_purchase(spark, sf):
+    """Daily click-users-who-did-NOT-purchase via theta-sketch
+    A-NOT-B (plans/sketches.py::kmv_anotb) — the set-difference
+    estimator completing the KMV algebra; every retained hash, the
+    theta threshold, the LEFT ANTI membership test, and the single
+    final division are replayed exactly in DuckDB."""
+    from tsaug_spark.plans.sketches import kmv_anotb, kmv_partial
+
+    ev = _events(spark, sf)
+    a = kmv_partial(ev.filter(F.col("event_type") == "click"), "1d")
+    b = kmv_partial(
+        ev.filter(F.col("event_type") == "purchase"), "1d"
+    )
+    return kmv_anotb(a, b)
+
+
 def q_bitmap_distinct_1d(spark, sf):
     """Exact daily distinct users via bitmap aggregation
     (plans/sketches.py::bitmap_distinct): bit_or-merged 64-bit words
@@ -1804,6 +1820,29 @@ def q_sprt_clicks(spark, sf):
     return sprt(_events(spark, sf))
 
 
+def q_stream_count_sketch_1h(spark, sf):
+    """Streaming CountSketch (watermarked window agg of SIGNED
+    counter sums) backfilled with availableNow
+    (streaming/stream_rollup.py::stream_count_sketch); sums are
+    order-free, so the caught-up sink equals the batch
+    count_sketch_partial — and the DuckDB direct hourly build — cell
+    for cell, signs included.  Per-window state bounded at
+    depth*width cells."""
+    from tsaug_spark.streaming.stream_rollup import (
+        run_stream_count_sketch_once,
+    )
+
+    out = run_stream_count_sketch_once(
+        spark, f"{sf}/events.parquet", tier="1h"
+    )
+    return out.select(
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        "r",
+        "slot",
+        "cnt",
+    )
+
+
 def q_count_sketch_1d(spark, sf):
     """Signed CountSketch daily user-frequency estimates
     (plans/sketches.py::count_sketch_partial/count_sketch_estimate):
@@ -1850,6 +1889,20 @@ def q_count_sketch_1d(spark, sf):
             F.col("est").alias("est_cnt"),
             (F.col("est") - F.col("true_cnt")).cast("long").alias("err"),
         )
+    )
+
+
+def q_unpivot_type_day(spark, sf):
+    """Melt the pivoted daily matrix back to long form with the
+    DataFrame unpivot API — the round trip proves pivot/unpivot are
+    inverse; zero cells survive as explicit rows (the oracle builds
+    the same dense day x type grid)."""
+    wide = q_pivot_type_day(spark, sf)
+    return wide.unpivot(
+        ["day"],
+        ["click", "error", "purchase", "signup", "view"],
+        "event_type",
+        "n",
     )
 
 
@@ -4445,6 +4498,9 @@ _PRIORITY = [
     "pivot_type_day",
     "zorder_layout",
     "count_sketch_1d",
+    "stream_count_sketch_1h",
+    "kmv_anotb_click_purchase",
+    "unpivot_type_day",
     "tpch_q3",
     "dau_overlap",
     "value_deciles",
@@ -4772,6 +4828,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_type_day": q_pivot_type_day,
         "zorder_layout": q_zorder_layout,
         "count_sketch_1d": q_count_sketch_1d,
+        "stream_count_sketch_1h": q_stream_count_sketch_1h,
+        "kmv_anotb_click_purchase": q_kmv_anotb_click_purchase,
+        "unpivot_type_day": q_unpivot_type_day,
         "weighted_sample": q_weighted_sample,
         "season_strength": q_season_strength,
         "mase_backtest": q_mase_backtest,
@@ -7166,6 +7225,67 @@ def oracle_sql() -> dict[str, str]:
             "llr_pico FROM dec "
             "UNION ALL SELECT typ, decision, n_at_decision, llr_pico "
             "FROM undec"
+        ),
+        "unpivot_type_day": (
+            "WITH d AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT)"
+            " AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events GROUP BY 1, 2), "
+            "days AS (SELECT DISTINCT day FROM d), "
+            "t AS (SELECT unnest(['click', 'error', 'purchase', "
+            "'signup', 'view']) AS event_type) "
+            "SELECT days.day, t.event_type, "
+            "CAST(COALESCE(d.n, 0) AS BIGINT) AS n "
+            "FROM days CROSS JOIN t LEFT JOIN d "
+            "ON d.day = days.day AND d.event_type = t.event_type"
+        ),
+        "kmv_anotb_click_purchase": (
+            "WITH h AS (SELECT DISTINCT "
+            "CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS "
+            "bucket_s, event_type, CAST(concat('0x', "
+            "substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+            "AS hv FROM events WHERE event_type IN "
+            "('click', 'purchase')), "
+            "ra AS (SELECT bucket_s, hv, row_number() OVER ("
+            "PARTITION BY bucket_s ORDER BY hv) AS rn FROM h "
+            "WHERE event_type = 'click'), "
+            "sa AS (SELECT bucket_s, hv FROM ra WHERE rn <= 64), "
+            "ta AS (SELECT bucket_s, CASE WHEN COUNT(*) < 64 THEN "
+            "1152921504606846976 ELSE MAX(hv) END AS theta_a "
+            "FROM sa GROUP BY 1), "
+            "rb AS (SELECT bucket_s, hv, row_number() OVER ("
+            "PARTITION BY bucket_s ORDER BY hv) AS rn FROM h "
+            "WHERE event_type = 'purchase'), "
+            "sb AS (SELECT bucket_s, hv FROM rb WHERE rn <= 64), "
+            "tb AS (SELECT bucket_s, CASE WHEN COUNT(*) < 64 THEN "
+            "1152921504606846976 ELSE MAX(hv) END AS theta_b "
+            "FROM sb GROUP BY 1), "
+            "th AS (SELECT ta.bucket_s, LEAST(theta_a, theta_b) AS "
+            "theta_hv FROM ta JOIN tb USING (bucket_s)), "
+            "ao AS (SELECT sa.bucket_s, COUNT(*) AS n_a_only "
+            "FROM sa JOIN th ON th.bucket_s = sa.bucket_s "
+            "LEFT JOIN sb ON sb.bucket_s = sa.bucket_s "
+            "AND sb.hv = sa.hv "
+            "WHERE sa.hv < th.theta_hv AND sb.hv IS NULL "
+            "GROUP BY 1) "
+            "SELECT th.bucket_s, CAST(COALESCE(ao.n_a_only, 0) AS "
+            "BIGINT) AS n_a_only, th.theta_hv, "
+            "CAST(COALESCE(ao.n_a_only, 0) AS DOUBLE) * "
+            "1152921504606846976.0 / CAST(th.theta_hv AS DOUBLE) AS "
+            "est_diff FROM th LEFT JOIN ao "
+            "ON ao.bucket_s = th.bucket_s"
+        ),
+        "stream_count_sketch_1h": (
+            "WITH base AS (SELECT CAST(user_id AS VARCHAR) AS item, "
+            "CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s "
+            "FROM events), "
+            "rs AS (SELECT unnest([0, 1, 2, 3, 4]) AS r) "
+            "SELECT bucket_s, r, "
+            "('0x' || substr(md5(item || ':' || CAST(r AS VARCHAR)), "
+            "1, 8))::BIGINT % 256 AS slot, "
+            "CAST(SUM((('0x' || substr(md5(item || '#' || "
+            "CAST(r AS VARCHAR)), 1, 8))::BIGINT % 2) * 2 - 1) "
+            "AS BIGINT) AS cnt "
+            "FROM base CROSS JOIN rs GROUP BY 1, 2, 3"
         ),
         "count_sketch_1d": (
             # DIRECT daily signed sketch: a green hash proves the

@@ -796,3 +796,35 @@ def test_count_sketch_estimate_matches_python_replay(spark):
         ests.sort()
         want[u] = ests[2][0]
     assert got == want
+
+
+def test_kmv_set_algebra_identity(spark):
+    """For the same (A, B) sketches: A's retained hashes below theta
+    split EXACTLY into common + a-only, so n_common + n_a_only equals
+    the below-theta count and est_common + est_diff share the same
+    denominator."""
+    from pyspark.sql import functions as F
+    from tsaug_spark.plans.sketches import (
+        kmv_anotb,
+        kmv_intersect,
+        kmv_partial,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    a = kmv_partial(ev.filter(F.col("event_type") == "click"), "1d")
+    b = kmv_partial(
+        ev.filter(F.col("event_type") == "purchase"), "1d"
+    )
+    inter = {
+        r.bucket_s: r for r in kmv_intersect(a, b).collect()
+    }
+    diff = {r.bucket_s: r for r in kmv_anotb(a, b).collect()}
+    assert set(inter) == set(diff)
+    a_rows = a.collect()
+    for bkt in inter:
+        theta = inter[bkt].theta_hv
+        assert diff[bkt].theta_hv == theta
+        below = sum(
+            1 for r in a_rows if r.bucket_s == bkt and r.hv < theta
+        )
+        assert inter[bkt].n_common + diff[bkt].n_a_only == below

@@ -988,7 +988,9 @@ def main() -> None:
     for nm, q in [
         ("pettitt_changepoint", em.q_pettitt_changepoint),
         ("pivot_type_day", em.q_pivot_type_day),
+        ("unpivot_type_day", em.q_unpivot_type_day),
         ("link_jaccard", em.q_link_jaccard),
+        ("kmv_anotb_click_purchase", em.q_kmv_anotb_click_purchase),
     ]:
         audit(
             f"{nm} (r3f batch, JVM only)",

@@ -611,6 +611,56 @@ def kmv_intersect(
     )
 
 
+def kmv_anotb(
+    a: DataFrame, b: DataFrame, k: int = 64
+) -> DataFrame:
+    """Theta-sketch A-NOT-B estimate per bucket (the DataSketches
+    set-difference operation), completing the KMV set algebra
+    (:func:`kmv_estimate` union/cardinality, :func:`kmv_intersect`).
+
+    theta = min(theta_a, theta_b) as in intersection; A's retained
+    hashes below theta are a uniform theta/2^60-rate sample of A, and
+    membership in B is decidable from B's sketch for every hash below
+    theta (B's sketch IS B's hash sample below theta_b >= theta), so
+    ``est = n_a_only * 2^60 / theta`` with one LEFT ANTI join and one
+    exact-integer division.  Columns: ``(bucket_s, n_a_only,
+    theta_hv, est_diff)``."""
+
+    def _theta(s: DataFrame, side: str) -> DataFrame:
+        return s.groupBy("bucket_s").agg(
+            F.when(F.count(F.lit(1)) < k, F.lit(KMV_SPACE))
+            .otherwise(F.max("hv"))
+            .alias(f"theta_{side}")
+        )
+
+    thetas = _theta(a, "a").join(_theta(b, "b"), "bucket_s").select(
+        "bucket_s",
+        F.least("theta_a", "theta_b").alias("theta_hv"),
+    )
+    only = (
+        a.select("bucket_s", "hv")
+        .join(thetas, "bucket_s")
+        .filter(F.col("hv") < F.col("theta_hv"))
+        .join(b.select("bucket_s", "hv"), ["bucket_s", "hv"],
+              "left_anti")
+        .groupBy("bucket_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_a_only"))
+    )
+    return (
+        thetas.join(only, "bucket_s", "left")
+        .select(
+            "bucket_s",
+            F.coalesce("n_a_only", F.lit(0)).alias("n_a_only"),
+            "theta_hv",
+            (
+                F.coalesce("n_a_only", F.lit(0)).cast("double")
+                * F.lit(float(KMV_SPACE))
+                / F.col("theta_hv").cast("double")
+            ).alias("est_diff"),
+        )
+    )
+
+
 def cs_sign(item: F.Column, r: F.Column) -> F.Column:
     """CountSketch's +/-1 sign for ``item`` in row ``r``: parity of an
     md5 prefix drawn with a '#' separator so it is independent of the

@@ -535,3 +535,74 @@ def run_stream_bitmap_once(
         lambda st: stream_bitmap_words(st, tier),
         sink_table, "distinct bitmap",
     )
+
+
+def stream_count_sketch(
+    stream_df: DataFrame,
+    tier: str = "1h",
+    watermark: str = "10 minutes",
+    item_col: str = "user_id",
+    depth: int = 5,
+    width: int = 256,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming CountSketch: the watermarked-window twin of
+    plans.sketches.count_sketch_partial.
+
+    Signed counters are still plain sums, so the incremental window
+    state stays CONSTANT at <= depth * width cells and — like the CMS
+    twin — the caught-up sink equals the batch build cell for cell in
+    ANY arrival order (sums are order-free).  The signed variant is
+    what the unbiased median estimator needs
+    (plans.sketches.count_sketch_estimate).
+
+    Output: bucket_ts, r, slot, cnt (signed).
+    """
+    from tsaug_spark.plans.sketches import _slot, cs_sign
+
+    duration = TIERS[tier][0]
+    stream_df = stream_df.withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    )
+    rs = F.explode(
+        F.array(*[F.lit(r) for r in range(depth)])
+    ).alias("r")
+    keyed = (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col),
+            F.col(item_col).cast("string").alias("item"),
+        )
+        .select(F.col(ts_col), "item", rs)
+        .select(
+            F.col(ts_col),
+            "r",
+            _slot(F.col("item"), F.col("r"), width).alias("slot"),
+            cs_sign(F.col("item"), F.col("r")).alias("sgn"),
+        )
+    )
+    return (
+        keyed.groupBy(
+            F.window(ts_col, duration).alias("w"), "r", "slot"
+        )
+        .agg(F.sum("sgn").cast("long").alias("cnt"))
+        .select(
+            F.col("w.start").alias("bucket_ts"), "r", "slot", "cnt"
+        )
+    )
+
+
+def run_stream_count_sketch_once(
+    spark,
+    source_path: str,
+    tier: str = "1h",
+    sink_table: str = "stream_count_sketch_out",
+) -> DataFrame:
+    """availableNow-trigger backfill of the streaming CountSketch;
+    signed counters are exact sums, so the caught-up sink equals
+    plans.sketches.count_sketch_partial cell for cell."""
+    return _run_availablenow_backfill(
+        spark, source_path,
+        lambda st: stream_count_sketch(st, tier),
+        sink_table, "CountSketch",
+    )
