@@ -1955,6 +1955,18 @@ def q_link_jaccard(spark, sf):
     return link_jaccard(copurchase_edges(li, orders, max_buyers=20))
 
 
+def q_kcore_copurchase(spark, sf):
+    """3-core of the capped co-purchase graph
+    (plans/graph.py::kcore): windowed-degree peeling on the doubled
+    edge representation, fixed-24-round fixpoint, replayed round for
+    round by a recursive CTE with the same windowed-count rule."""
+    from tsaug_spark.plans.graph import copurchase_edges, kcore
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    return kcore(copurchase_edges(li, orders, max_buyers=20), k=3)
+
+
 def q_cuped_adjust(spark, sf):
     """CUPED variance-reduced A/B readout
     (plans/metrics.py::cuped): md5-bucket deterministic arms, exact
@@ -4501,6 +4513,7 @@ _PRIORITY = [
     "stream_count_sketch_1h",
     "kmv_anotb_click_purchase",
     "unpivot_type_day",
+    "kcore_copurchase",
     "tpch_q3",
     "dau_overlap",
     "value_deciles",
@@ -4831,6 +4844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_count_sketch_1h": q_stream_count_sketch_1h,
         "kmv_anotb_click_purchase": q_kmv_anotb_click_purchase,
         "unpivot_type_day": q_unpivot_type_day,
+        "kcore_copurchase": q_kcore_copurchase,
         "weighted_sample": q_weighted_sample,
         "season_strength": q_season_strength,
         "mase_backtest": q_mase_backtest,
@@ -7225,6 +7239,28 @@ def oracle_sql() -> dict[str, str]:
             "llr_pico FROM dec "
             "UNION ALL SELECT typ, decision, n_at_decision, llr_pico "
             "FROM undec"
+        ),
+        "kcore_copurchase": (
+            "WITH RECURSIVE bp AS (SELECT DISTINCT l_partkey AS part, "
+            "o_custkey AS cust FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey), "
+            "sz AS (SELECT part FROM bp GROUP BY part "
+            "HAVING COUNT(*) <= 20), "
+            "kk AS (SELECT bp.part, bp.cust FROM bp JOIN sz "
+            "USING (part)), "
+            "eu AS (SELECT DISTINCT a.cust AS u, b.cust AS v "
+            "FROM kk a JOIN kk b USING (part) WHERE a.cust < b.cust), "
+            "e0 AS (SELECT u AS src, v AS dst FROM eu "
+            "UNION ALL SELECT v, u FROM eu), "
+            "it AS (SELECT 0 AS t, src, dst FROM e0 "
+            "UNION ALL "
+            "SELECT t + 1, src, dst FROM ("
+            "SELECT t, src, dst, "
+            "COUNT(*) OVER (PARTITION BY t, src) AS ds, "
+            "COUNT(*) OVER (PARTITION BY t, dst) AS dd "
+            "FROM it WHERE t < 24) z WHERE ds >= 3 AND dd >= 3) "
+            "SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg "
+            "FROM it WHERE t = 24 GROUP BY 1"
         ),
         "unpivot_type_day": (
             "WITH d AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT)"

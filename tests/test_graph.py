@@ -172,3 +172,18 @@ def test_link_jaccard_excludes_existing_edges(spark):
         spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
     )
     assert link_jaccard(e).count() == 0
+
+
+def test_kcore_peeling_cascades(spark):
+    """Triangle-fan fixture: the 2-core keeps {1,2,3,4} with degrees
+    (3,2,3,2); the 3-core is EMPTY because removing the pendant and
+    node 2 drops everyone below 3 — the cascade a plain degree
+    filter misses (nodes 1,3,4 all start at degree 3)."""
+    from tsaug_spark.plans.graph import kcore
+
+    e = _edges(
+        spark, [(1, 2), (2, 3), (1, 3), (3, 4), (1, 4), (4, 5)]
+    )
+    two = {(r.node, r.core_deg) for r in kcore(e, k=2).collect()}
+    assert two == {(1, 3), (2, 2), (3, 3), (4, 2)}
+    assert kcore(e, k=3).count() == 0

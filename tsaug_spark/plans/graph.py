@@ -336,3 +336,59 @@ def link_jaccard(
         .filter(F.col("rk") <= F.lit(int(top_k)))
         .drop("rk")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 24,
+) -> DataFrame:
+    """k-core extraction (Seidman 1983): iteratively peel nodes of
+    degree < k until the maximal subgraph where EVERY node keeps >= k
+    neighbors remains — the standard dense-cohort screen (spam rings,
+    power-buyer cliques) that a single degree filter cannot express
+    because removals cascade.
+
+    Representation: the undirected edge set doubled into both
+    orientations, so a node's degree is both its out-degree AND its
+    in-degree — one windowed count per side decides an edge's
+    survival, and the whole peel round is TWO window shuffles with no
+    self-join.  The oracle replays every round with the identical
+    windowed-count rule inside a recursive CTE (fixed ``rounds``
+    iterations; a converged state is a fixpoint, so extra rounds are
+    no-ops and the round-``rounds`` state is THE k-core whenever
+    peeling converges within the cap).
+
+    Exactness: pure integer degree counts and comparisons — no
+    floats anywhere.  Peeling any node strictly decreases the edge
+    count, so ``rounds`` >= the peel depth (bounded by node count;
+    for the capped co-purchase graph 24 is ample) guarantees the
+    fixpoint.
+
+    Scale: per round O(E) rows through two hash-partition windows;
+    lineage truncated per round with a lazy localCheckpoint exactly
+    like :func:`bfs_hops`.  The max_buyers cap upstream bounds both
+    the edge count and the peel depth.
+
+    Output: node, core_deg (degree inside the k-core).
+    """
+    e = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    ws = Window.partitionBy("u")
+    wd = Window.partitionBy("v")
+    for i in range(rounds):
+        e = (
+            e.withColumn("ds", F.count(F.lit(1)).over(ws))
+            .withColumn("dd", F.count(F.lit(1)).over(wd))
+            .filter(
+                (F.col("ds") >= F.lit(int(k)))
+                & (F.col("dd") >= F.lit(int(k)))
+            )
+            .select("u", "v")
+        )
+        if i + 1 < rounds:
+            e = e.localCheckpoint(eager=False)
+    return e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_deg")
+    )
