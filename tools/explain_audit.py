@@ -991,6 +991,7 @@ def main() -> None:
         ("unpivot_type_day", em.q_unpivot_type_day),
         ("link_jaccard", em.q_link_jaccard),
         ("kmv_anotb_click_purchase", em.q_kmv_anotb_click_purchase),
+        ("kcore_copurchase", em.q_kcore_copurchase),
     ]:
         audit(
             f"{nm} (r3f batch, JVM only)",
