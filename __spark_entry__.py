@@ -1967,6 +1967,61 @@ def q_kcore_copurchase(spark, sf):
     return kcore(copurchase_edges(li, orders, max_buyers=20), k=3)
 
 
+def q_hampel_1h(spark, sf):
+    """Hampel robust outlier filter over the hourly count series
+    (plans/stats.py::hampel): centered 7-point rolling window, exact
+    lower-median + MAD by sorted-array selection, pure-int64 decision
+    |x-med|*10000 > 44478*MAD (k = 3 * 1.4826) — zero float math."""
+    from tsaug_spark.plans.stats import hampel
+
+    return hampel(_events(spark, sf))
+
+
+def q_fdr_bh_types(spark, sf):
+    """Benjamini-Hochberg FDR correction over the per-type Pettitt
+    changepoint p-values (plans/stats.py::fdr_bh): rank the m
+    p-values, reject ranks <= max{i : p_i*m*100 <= i*5} — one window
+    pass on the vocabulary-bounded test family."""
+    from tsaug_spark.plans.stats import fdr_bh
+
+    return fdr_bh(_events(spark, sf))
+
+
+def q_eigencentrality_copurchase(spark, sf):
+    """Eigenvector centrality of the capped co-purchase graph
+    (plans/graph.py::eigencentrality): 8-round integer power method,
+    renormalized each round by the exact max via
+    (s * 1e6) div max_s — bit-exact, fold-order-free; the oracle
+    replays the recurrence in a recursive CTE with a window max."""
+    from tsaug_spark.plans.graph import copurchase_edges, eigencentrality
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    return eigencentrality(
+        copurchase_edges(li, orders, max_buyers=20), n_iters=8
+    )
+
+
+def q_ratio_ci_delta(spark, sf):
+    """Delta-method CI for the per-arm purchases/clicks ratio metric
+    (plans/metrics.py::ratio_ci_delta): md5-bucket arms, exact int64
+    user-level sums, variance (Sxx - 2R*Sxy + R^2*Syy)/(n*ybar^2) and
+    the z-band as shared float expression trees."""
+    from tsaug_spark.plans.metrics import ratio_ci_delta
+
+    return ratio_ci_delta(_events(spark, sf))
+
+
+def q_rfm_segments(spark, sf):
+    """RFM (recency/frequency/monetary) quintile segmentation of
+    purchasing users (plans/cohorts.py::rfm_segments): exact integer
+    day/count/cent metrics, ntile over fully-tie-broken orderings, and
+    the n_tiles^3 segment grid with per-segment totals."""
+    from tsaug_spark.plans.cohorts import rfm_segments
+
+    return rfm_segments(_events(spark, sf))
+
+
 def q_cuped_adjust(spark, sf):
     """CUPED variance-reduced A/B readout
     (plans/metrics.py::cuped): md5-bucket deterministic arms, exact
@@ -4514,6 +4569,11 @@ _PRIORITY = [
     "kmv_anotb_click_purchase",
     "unpivot_type_day",
     "kcore_copurchase",
+    "hampel_1h",
+    "fdr_bh_types",
+    "eigencentrality_copurchase",
+    "ratio_ci_delta",
+    "rfm_segments",
     "tpch_q3",
     "dau_overlap",
     "value_deciles",
@@ -4845,6 +4905,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_anotb_click_purchase": q_kmv_anotb_click_purchase,
         "unpivot_type_day": q_unpivot_type_day,
         "kcore_copurchase": q_kcore_copurchase,
+        "hampel_1h": q_hampel_1h,
+        "fdr_bh_types": q_fdr_bh_types,
+        "eigencentrality_copurchase": q_eigencentrality_copurchase,
+        "ratio_ci_delta": q_ratio_ci_delta,
+        "rfm_segments": q_rfm_segments,
         "weighted_sample": q_weighted_sample,
         "season_strength": q_season_strength,
         "mase_backtest": q_mase_backtest,
@@ -7192,6 +7257,134 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT *, row_number() OVER (PARTITION BY typ "
             "ORDER BY sse_total ASC, b ASC) AS rk FROM c) "
             "WHERE rk = 1"
+        ),
+        "hampel_1h": (
+            "WITH h AS (SELECT event_type AS typ, "
+            "CAST(floor(epoch(ts)/3600) AS BIGINT) AS hr, "
+            "COUNT(*) AS y FROM events GROUP BY 1, 2), "
+            "w AS (SELECT typ, hr, y, "
+            "list_sort(list(y) OVER (PARTITION BY typ ORDER BY hr "
+            "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS win "
+            "FROM h), "
+            "m AS (SELECT typ, hr, y, win, "
+            "win[(len(win)+1)//2] AS med FROM w), "
+            "d AS (SELECT typ, hr, y, med, "
+            "list_sort(list_transform(win, v -> abs(v - med)))"
+            "[(len(win)+1)//2] AS mad, "
+            "CAST(len(win) AS BIGINT) AS n_win FROM m) "
+            "SELECT typ AS event_type, hr, y, med, mad, n_win, "
+            "abs(y - med) * 10000 > 44478 * mad AS is_outlier, "
+            "CASE WHEN abs(y - med) * 10000 > 44478 * mad "
+            "THEN med ELSE y END AS filtered FROM d"
+        ),
+        "fdr_bh_types": (
+            "WITH d AS (SELECT event_type AS typ, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "COUNT(*) AS y FROM events GROUP BY 1, 2), "
+            "v AS (SELECT a.typ, a.day, "
+            "SUM(CAST(sign(a.y - b.y) AS BIGINT)) AS v, "
+            "COUNT(*) AS n FROM d a JOIN d b ON b.typ = a.typ "
+            "GROUP BY a.typ, a.day), "
+            "u AS (SELECT typ, day, n, "
+            "SUM(v) OVER (PARTITION BY typ ORDER BY day) AS u_t, "
+            "row_number() OVER (PARTITION BY typ ORDER BY day) AS t "
+            "FROM v), "
+            "pt AS (SELECT typ, day AS break_day, "
+            "2.0 * exp((-6.0 * u_t * u_t) / "
+            "CAST(n*n*n + n*n AS DOUBLE)) AS p "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY typ "
+            "ORDER BY abs(u_t) DESC, day ASC) AS rk FROM u "
+            "WHERE t < n) WHERE rk = 1), "
+            "r AS (SELECT typ, break_day, p, "
+            "row_number() OVER (ORDER BY p ASC, typ ASC) AS i, "
+            "COUNT(*) OVER () AS m FROM pt), "
+            "hh AS (SELECT *, CASE WHEN p * (m * 100) <= "
+            "CAST(i * 5 AS DOUBLE) THEN i ELSE 0 END AS hit FROM r) "
+            "SELECT typ AS event_type, break_day, p, "
+            "CAST(i AS BIGINT) AS p_rank, CAST(m AS BIGINT) AS "
+            "m_tests, i <= MAX(hit) OVER () AS rejected FROM hh"
+        ),
+        "eigencentrality_copurchase": (
+            "WITH RECURSIVE bp AS (SELECT DISTINCT l_partkey AS "
+            "part, o_custkey AS cust FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey), "
+            "sz AS (SELECT part FROM bp GROUP BY part "
+            "HAVING COUNT(*) <= 20), "
+            "kk AS (SELECT bp.part, bp.cust FROM bp JOIN sz "
+            "USING (part)), "
+            "e AS (SELECT DISTINCT a.cust AS u, b.cust AS v FROM "
+            "kk a JOIN kk b USING (part) WHERE a.cust < b.cust), "
+            "de AS (SELECT u AS src, v AS dst FROM e "
+            "UNION ALL SELECT v, u FROM e), "
+            "deg AS (SELECT src, COUNT(*) AS deg FROM de GROUP BY 1), "
+            "it AS (SELECT 0 AS k, src AS node, deg, "
+            "CAST(1000000 AS BIGINT) AS x FROM deg "
+            "UNION ALL "
+            "SELECT k + 1, node, deg, "
+            "(s * 1000000) // MAX(s) OVER () FROM "
+            "(SELECT it.k AS k, de.dst AS node, MIN(d2.deg) AS deg, "
+            "SUM(it.x) AS s FROM it JOIN de ON de.src = it.node "
+            "JOIN deg d2 ON d2.src = de.dst "
+            "WHERE it.k < 8 GROUP BY it.k, de.dst) t) "
+            "SELECT node, CAST(deg AS BIGINT) AS degree, "
+            "x AS score_micro, CAST(x AS DOUBLE) / 1e6 AS score "
+            "FROM it WHERE k = 8"
+        ),
+        "ratio_ci_delta": (
+            "WITH pu AS (SELECT user_id AS u, "
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS x, "
+            "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS y "
+            "FROM events GROUP BY 1), "
+            "f AS (SELECT *, CASE WHEN "
+            "('0x' || substr(md5(CAST(u AS VARCHAR) || 'exp1'), 1, 8))"
+            "::BIGINT % 2 = 0 THEN 'control' ELSE 'treatment' END "
+            "AS arm FROM pu WHERE y > 0), "
+            "s AS (SELECT arm, COUNT(*) AS n, SUM(x) AS sx, "
+            "SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy, "
+            "SUM(y*y) AS syy FROM f GROUP BY 1), "
+            "c AS (SELECT arm, n, sx, sy, "
+            "CAST(n AS DOUBLE) AS nf, "
+            "CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r, "
+            "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar, "
+            "CAST(n*sxx - sx*sx AS DOUBLE) AS cxx, "
+            "CAST(n*sxy - sx*sy AS DOUBLE) AS cxy, "
+            "CAST(n*syy - sy*sy AS DOUBLE) AS cyy FROM s), "
+            "v AS (SELECT arm, n, sx, sy, nf, r, ybar, "
+            "(cxx - 2.0 * r * cxy + r * r * cyy) / (nf * nf) "
+            "AS var_u FROM c), "
+            "z AS (SELECT *, sqrt(var_u / (nf * ybar * ybar)) AS se "
+            "FROM v) "
+            "SELECT arm, CAST(n AS BIGINT) AS n_users, "
+            "CAST(sx AS BIGINT) AS numer, CAST(sy AS BIGINT) AS "
+            "denom, r AS ratio, se, "
+            "r - (CAST(196 AS DOUBLE) / 100.0) * se AS ci_lo, "
+            "r + (CAST(196 AS DOUBLE) / 100.0) * se AS ci_hi FROM z"
+        ),
+        "rfm_segments": (
+            "WITH mx AS (SELECT MAX(CAST(floor(epoch(ts)/86400) AS "
+            "BIGINT)) AS mxd FROM events), "
+            "p AS (SELECT user_id AS u, "
+            "mxd - CAST(floor(epoch(ts)/86400) AS BIGINT) AS "
+            "days_since, CAST(round(value * 100.0, 0) AS BIGINT) AS "
+            "cents FROM events, mx WHERE event_type = 'purchase'), "
+            "pu AS (SELECT u, MIN(days_since) AS recency_d, "
+            "COUNT(*) AS freq, SUM(cents) AS monetary_c "
+            "FROM p GROUP BY 1), "
+            "sc AS (SELECT u, monetary_c, "
+            "6 - ntile(5) OVER (ORDER BY recency_d ASC, u ASC) AS "
+            "r_score, "
+            "ntile(5) OVER (ORDER BY freq ASC, u ASC) AS f_score, "
+            "ntile(5) OVER (ORDER BY monetary_c ASC, u ASC) AS "
+            "m_score FROM pu) "
+            "SELECT CAST(r_score AS BIGINT) AS r_score, "
+            "CAST(f_score AS BIGINT) AS f_score, "
+            "CAST(m_score AS BIGINT) AS m_score, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users, "
+            "CAST(SUM(monetary_c) AS BIGINT) AS segment_cents, "
+            "CAST(MIN(u) AS BIGINT) AS example_user "
+            "FROM sc GROUP BY 1, 2, 3"
         ),
         "pettitt_changepoint": (
             "WITH d AS (SELECT event_type AS typ, "

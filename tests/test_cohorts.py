@@ -271,3 +271,33 @@ def test_nelson_aalen_textbook_curve(spark):
     from tsaug_spark.plans.cohorts import kaplan_meier
     km = {r.duration: r.survival for r in kaplan_meier(life).collect()}
     assert all(out[t].fh_survival >= km[t] - 1e-12 for t in out)
+
+
+def test_rfm_segments_monotone_grid(spark):
+    """10 users with strictly increasing recency/frequency/monetary:
+    quintiles pair off users exactly, every segment is (k,k,k) with 2
+    users, and the (5,5,5) champions carry the right cents."""
+    from tsaug_spark.plans.cohorts import rfm_segments
+
+    rows = []
+    for u in range(10):
+        # user u: u+1 purchases on day u, 10.00 each
+        rows += [(u, u * DAY, "purchase", 10.0)] * (u + 1)
+    rows.append((99, 9 * DAY, "click", 0.0))  # pins mxd at day 9
+    df = spark.createDataFrame(
+        [
+            (i, T0 + dt.timedelta(seconds=s), u, t, v)
+            for i, (u, s, t, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    out = rfm_segments(df).collect()
+    seg = {(r.r_score, r.f_score, r.m_score): r for r in out}
+    assert set(seg) == {(k, k, k) for k in range(1, 6)}
+    for k in range(1, 6):
+        r = seg[(k, k, k)]
+        lo_u = 2 * (k - 1)  # users pair off: (0,1)->1 ... (8,9)->5
+        assert r.n_users == 2
+        assert r.example_user == lo_u
+        assert r.segment_cents == ((lo_u + 1) + (lo_u + 2)) * 1000

@@ -187,3 +187,42 @@ def test_kcore_peeling_cascades(spark):
     two = {(r.node, r.core_deg) for r in kcore(e, k=2).collect()}
     assert two == {(1, 3), (2, 2), (3, 3), (4, 2)}
     assert kcore(e, k=3).count() == 0
+
+
+def test_eigencentrality_exact_integer_replay(spark):
+    """Triangle {0,1,2} + pendant 3 on node 2: Spark must equal a
+    straight Python replay of the integer recurrence, and the
+    triangle core must outrank the pendant."""
+    from tsaug_spark.plans.graph import eigencentrality
+
+    pairs = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    nbrs = {0: [1, 2], 1: [0, 2], 2: [0, 1, 3], 3: [2]}
+    x = {n: 10**6 for n in nbrs}
+    for _ in range(8):
+        s = {n: sum(x[m] for m in nbrs[n]) for n in nbrs}
+        mx = max(s.values())
+        x = {n: (s[n] * 10**6) // mx for n in nbrs}
+    out = {
+        r.node: r
+        for r in eigencentrality(
+            _edges(spark, pairs), n_iters=8
+        ).collect()
+    }
+    assert len(out) == 4
+    for n in nbrs:
+        assert out[n].score_micro == x[n], (n, out[n].score_micro, x)
+        assert out[n].degree == len(nbrs[n])
+        assert out[n].score == x[n] / 1e6
+    assert out[2].score_micro == 10**6  # hub pinned at the max
+    assert out[3].score_micro < out[0].score_micro
+
+
+def test_eigencentrality_regular_graph_uniform(spark):
+    """On a cycle (2-regular) every node is equivalent: all scores
+    stay pinned at exactly 1e6 through every round."""
+    from tsaug_spark.plans.graph import eigencentrality
+
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    out = eigencentrality(_edges(spark, cyc), n_iters=8).collect()
+    assert len(out) == 6
+    assert {r.score_micro for r in out} == {10**6}

@@ -1670,3 +1670,83 @@ def test_croston_min_obs_filter(spark):
         "l_partkey long, l_shipdate timestamp, l_quantity double",
     )
     assert croston(li).count() == 0  # 3 demand days < min_obs=4
+
+
+def test_ratio_ci_delta_matches_python_replay(spark):
+    """Deterministic md5 arms + exact integer sums: replay the whole
+    delta-method pipeline in Python (same bucket rule, same formula)
+    and require exact integer equality and 1e-12 float agreement."""
+    import hashlib
+
+    from tsaug_spark.plans.metrics import ratio_ci_delta
+
+    # user u: u purchases and (u % 3 + 1) clicks
+    rows = []
+    for u in range(1, 13):
+        rows += [(u, 60 * k, "purchase") for k in range(u)]
+        rows += [(u, 7 + 60 * k, "click") for k in range(u % 3 + 1)]
+    df = spark.createDataFrame(
+        [
+            (i, T0 + dt.timedelta(seconds=s), u, t, 1.0)
+            for i, (u, s, t) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    out = {r.arm: r for r in ratio_ci_delta(df).collect()}
+
+    def arm(u):
+        h = hashlib.md5(f"{u}exp1".encode()).hexdigest()[:8]
+        return "control" if int(h, 16) % 2 == 0 else "treatment"
+
+    agg = {}
+    for u in range(1, 13):
+        x, y = u, u % 3 + 1
+        a = agg.setdefault(arm(u), [0, 0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += x
+        a[2] += y
+        a[3] += x * x
+        a[4] += x * y
+        a[5] += y * y
+    assert set(out) == set(agg)
+    for name, (n, sx, sy, sxx, sxy, syy) in agg.items():
+        r = out[name]
+        assert (r.n_users, r.numer, r.denom) == (n, sx, sy)
+        ratio = sx / sy
+        ybar = sy / n
+        cxx, cxy, cyy = (
+            n * sxx - sx * sx,
+            n * sxy - sx * sy,
+            n * syy - sy * sy,
+        )
+        var_u = (cxx - 2.0 * ratio * cxy + ratio * ratio * cyy) / (
+            n * n
+        )
+        se = (var_u / (n * ybar * ybar)) ** 0.5
+        assert abs(r.ratio - ratio) < 1e-12
+        assert abs(r.se - se) < 1e-12
+        assert abs(r.ci_lo - (ratio - 1.96 * se)) < 1e-12
+        assert abs(r.ci_hi - (ratio + 1.96 * se)) < 1e-12
+
+
+def test_ratio_ci_delta_zero_variance_collapses_band(spark):
+    """Every user identical (x=2, y=1): the user-level quadratic form
+    is exactly 0, so se = 0 and the CI collapses onto the ratio."""
+    from tsaug_spark.plans.metrics import ratio_ci_delta
+
+    rows = []
+    for u in range(1, 9):
+        rows += [(u, 0, "purchase"), (u, 5, "purchase"), (u, 9, "click")]
+    df = spark.createDataFrame(
+        [
+            (i, T0 + dt.timedelta(seconds=s), u, t, 1.0)
+            for i, (u, s, t) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    for r in ratio_ci_delta(df).collect():
+        assert r.ratio == 2.0
+        assert r.se == 0.0
+        assert r.ci_lo == 2.0 and r.ci_hi == 2.0

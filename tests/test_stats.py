@@ -1212,3 +1212,83 @@ def test_sprt_short_stream_continues(spark):
     (r,) = sprt(_ev(spark, rows)).collect()
     assert r.decision == "continue"
     assert r.n_at_decision == 5
+
+
+def test_hampel_flags_spike_and_zero_mad(spark):
+    """Counts 2 everywhere except a 20-spike at hour 4: the spike's
+    window has med=2, MAD=0, so |20-2|*10000 > 0 flags it and the
+    filtered value snaps to the median; flat neighbours (dev 0) are
+    NOT flagged under the strict > comparison."""
+    from tsaug_spark.plans.stats import hampel
+
+    rows = []
+    for h in range(9):
+        n = 20 if h == 4 else 2
+        rows += [(1, h / 24.0, "a", 1.0)] * n
+    out = {r.hr: r for r in hampel(_ev(spark, rows)).collect()}
+    h0 = int(T0.replace(tzinfo=dt.timezone.utc).timestamp()) // 3600
+    spike = out[h0 + 4]
+    assert (spike.med, spike.mad, spike.n_win) == (2, 0, 7)
+    assert spike.is_outlier and spike.filtered == 2
+    flat = out[h0 + 3]
+    assert (flat.med, flat.mad) == (2, 0)
+    assert not flat.is_outlier and flat.filtered == 2
+    edge = out[h0]  # shrunken leading window: hours 0..3
+    assert edge.n_win == 4 and not edge.is_outlier
+
+
+def test_hampel_exact_median_and_mad(spark):
+    """Arithmetic ramp 1,3,5,7,9,11,13: center window is the full
+    ramp, lower-median 7, deviations {0,2,2,4,4,6,6} -> MAD 4."""
+    from tsaug_spark.plans.stats import hampel
+
+    rows = []
+    for h in range(7):
+        rows += [(1, h / 24.0, "a", 1.0)] * (2 * h + 1)
+    out = {r.hr: r for r in hampel(_ev(spark, rows)).collect()}
+    h0 = int(T0.replace(tzinfo=dt.timezone.utc).timestamp()) // 3600
+    mid = out[h0 + 3]
+    assert (mid.y, mid.med, mid.mad, mid.n_win) == (7, 7, 4, 7)
+    assert not mid.is_outlier
+
+
+def test_fdr_bh_rejects_only_the_shifted_series(spark):
+    """Three series: one decisive level shift (Pettitt p ~ 0.0016 <
+    alpha/m), two constant (U_t = 0 -> p = 2.0).  BH at q=0.05 keeps
+    exactly the shifted one."""
+    from tsaug_spark.plans.stats import fdr_bh
+
+    rows = []
+    rows += [(1, d, "shift", 1.0) for d in range(10) for _ in range(2)]
+    rows += [
+        (1, d, "shift", 1.0) for d in range(10, 20) for _ in range(10)
+    ]
+    for t in ("flat_a", "flat_b"):
+        rows += [(1, d, t, 1.0) for d in range(20) for _ in range(3)]
+    out = {r.event_type: r for r in fdr_bh(_ev(spark, rows)).collect()}
+    assert out["shift"].rejected and out["shift"].p_rank == 1
+    assert out["shift"].m_tests == 3
+    assert out["shift"].p < 0.05 / 3
+    assert not out["flat_a"].rejected and not out["flat_b"].rejected
+    assert out["flat_a"].p == 2.0  # U_t = 0 everywhere
+
+
+def test_fdr_bh_step_up_includes_borderline_rank(spark):
+    """BH is step-UP: with p = (p1 tiny, p2 middling) and m = 2, a p2
+    <= 2*alpha/2 = alpha is rejected even though p2 > alpha/2 — the
+    property a plain Bonferroni-style walk gets wrong."""
+    from tsaug_spark.plans.stats import fdr_bh
+
+    rows = []
+    # decisive shift: p ~ 1.6e-3
+    rows += [(1, d, "big", 1.0) for d in range(10) for _ in range(2)]
+    rows += [
+        (1, d, "big", 1.0) for d in range(10, 20) for _ in range(10)
+    ]
+    # milder shift on fewer days: alpha/2 < p <= alpha
+    rows += [(1, d, "mid", 1.0) for d in range(6) for _ in range(2)]
+    rows += [(1, d, "mid", 1.0) for d in range(6, 12) for _ in range(7)]
+    out = {r.event_type: r for r in fdr_bh(_ev(spark, rows)).collect()}
+    p_mid = out["mid"].p
+    assert 0.05 / 2 < p_mid <= 0.05, p_mid  # fixture sits in the gap
+    assert out["mid"].rejected  # step-up: i=2, threshold 2*q/m = q

@@ -1035,6 +1035,43 @@ def main() -> None:
             execute=True,
         )
 
+    # round-3g batch, JVM-only side: hampel's sorted-array windows,
+    # BH's two global windows over the test family, ratio-CI's two
+    # hash aggregates — no cartesian, no Python eval
+    for nm, q in [
+        ("hampel_1h", em.q_hampel_1h),
+        ("fdr_bh_types", em.q_fdr_bh_types),
+        ("ratio_ci_delta", em.q_ratio_ci_delta),
+    ]:
+        audit(
+            f"{nm} (r3g batch, JVM only)",
+            q(spark, sf),
+            must_have=["HashAggregate"],
+            must_not_have=["CartesianProduct",
+                           "BroadcastNestedLoopJoin",
+                           "BatchEvalPython", "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+
+    # round-3g batch, broadcast-scalar side: eigencentrality
+    # renormalizes by a broadcast 1-row max each round; rfm anchors
+    # recency on a broadcast 1-row global max day — the BNLJ against
+    # an O(1) side is the intended plan, as in the cuped group above
+    for nm, q in [
+        ("eigencentrality_copurchase", em.q_eigencentrality_copurchase),
+        ("rfm_segments", em.q_rfm_segments),
+    ]:
+        audit(
+            f"{nm} (r3g batch, broadcast scalar, JVM only)",
+            q(spark, sf),
+            must_have=["HashAggregate", "BroadcastNestedLoopJoin"],
+            must_not_have=["CartesianProduct", "BatchEvalPython",
+                           "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+
     # croston: the ONLY Python in the plan is the grouped Arrow
     # kernel itself (one hash partition per key, no row-wise UDF)
     audit(

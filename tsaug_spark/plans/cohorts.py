@@ -533,3 +533,93 @@ def nelson_aalen(
             F.exp(-F.col("cum_hazard")).alias("fh_survival"),
         )
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    purchase_type: str = "purchase",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """Recency-Frequency-Monetary segmentation (Hughes 1994): score
+    every purchasing user 1..n on each axis by quantile, then report
+    the segment grid — the customer-base health matrix ("champions" =
+    555, "at risk" = low R high FM) that every growth team asks the
+    event store for.
+
+    Determinism: recency is exact integer days from the GLOBAL max
+    event day (not wall clock — replays identically); frequency is a
+    BIGINT count; monetary is exact integer cents (value * 100 rounded
+    once).  Scores use ``ntile`` over a FULLY-TIED-BROKEN ordering
+    (metric, then user_id) — ntile's bucket boundaries are a pure
+    function of row count and rank in both engines, so with a total
+    order the assignment is bit-identical.  Recency orders ASCENDING
+    on days-since (freshest first = highest score band inverted to
+    n_tiles+1-tile so 5 always means "best").
+
+    Scale: one user-grain hash aggregate over purchases, three
+    window passes on the user frame (user-count-sized, NOT
+    event-sized), one segment-grain aggregate; output bounded by
+    n_tiles^3 rows.  The unpartitioned ntile windows serialize on one
+    task — fine to ~10^8 purchasing users; past that the production
+    swap is percentile_approx cut-points (boundary-tie fuzz traded
+    for full parallelism), which this oracle-exact variant documents
+    against.
+    """
+    mx = df.select(
+        F.max(
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+        ).alias("mxd")
+    )
+    per_user = (
+        df.filter(F.col(type_col) == purchase_type)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col(user_col).alias("u"),
+            (
+                F.col("mxd")
+                - F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            ).cast("long").alias("days_since"),
+            F.round(F.col(value_col) * 100.0, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("u")
+        .agg(
+            F.min("days_since").alias("recency_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("cents").alias("monetary_c"),
+        )
+    )
+    nt = int(n_tiles)
+    r_w = Window.orderBy(F.col("recency_d").asc(), F.col("u").asc())
+    f_w = Window.orderBy(F.col("freq").asc(), F.col("u").asc())
+    m_w = Window.orderBy(F.col("monetary_c").asc(), F.col("u").asc())
+    scored = per_user.select(
+        "u",
+        "recency_d",
+        "freq",
+        "monetary_c",
+        (F.lit(nt + 1) - F.ntile(nt).over(r_w)).alias("r_score"),
+        F.ntile(nt).over(f_w).alias("f_score"),
+        F.ntile(nt).over(m_w).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("monetary_c").alias("segment_cents"),
+            F.min("u").alias("example_user"),
+        )
+        .select(
+            F.col("r_score").cast("long").alias("r_score"),
+            F.col("f_score").cast("long").alias("f_score"),
+            F.col("m_score").cast("long").alias("m_score"),
+            "n_users",
+            "segment_cents",
+            "example_user",
+        )
+    )

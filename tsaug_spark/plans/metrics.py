@@ -3112,3 +3112,99 @@ def croston(
         )
 
     return base.groupBy("key").applyInPandas(_kernel, out_schema)
+
+
+def ratio_ci_delta(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    num_type: str = "purchase",
+    den_type: str = "click",
+    salt: str = "exp1",
+    z_x100: int = 196,
+) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric per
+    experiment arm (Deng et al. 2017, "Trustworthy Analysis of Online
+    A/B Tests"): the per-arm conversion ratio R = sum(x_u)/sum(y_u)
+    is a ratio of user-level sums, so its variance is NOT the binomial
+    one — the randomization unit (user) differs from the analysis unit
+    (event), and the Taylor/delta expansion
+
+        Var(R) ~= ( Sxx - 2R*Sxy + R^2*Syy ) / (n * ybar^2)
+
+    (S** = sample covariances of the user-level numerators/denominators)
+    is the standard correction every experimentation platform ships.
+
+    Arms are the repo's deterministic md5 buckets (same idiom as
+    :func:`cuped`).  x_u (purchases) and y_u (clicks) are exact
+    BIGINTs; n, Sx, Sy, Sxx, Sxy, Syy are exact int64 sums, and R, the
+    variance, and the z*se band are single shared float expression
+    trees of those integers — identical in both engines.  The n*Sab -
+    Sa*Sb factors are cast to double BEFORE multiplying (the cuped
+    overflow rule).
+
+    Scale: one user-grain hash aggregate, one arm-grain hash
+    aggregate; 2-row output.
+    """
+    from tsaug_spark.pipeline.sampling import hash_bucket
+
+    per_user = (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.when(F.col(type_col) == num_type, 1)
+            .otherwise(0)
+            .alias("xi"),
+            F.when(F.col(type_col) == den_type, 1)
+            .otherwise(0)
+            .alias("yi"),
+        )
+        .groupBy("u")
+        .agg(
+            F.sum("xi").cast("long").alias("x"),
+            F.sum("yi").cast("long").alias("y"),
+        )
+        .filter(F.col("y") > 0)
+        .withColumn(
+            "arm",
+            F.when(
+                hash_bucket("u", salt=salt, n_buckets=2) == 0,
+                F.lit("control"),
+            ).otherwise(F.lit("treatment")),
+        )
+    )
+    sums = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nf = F.col("n").cast("double")
+    r = F.col("sx").cast("double") / F.col("sy").cast("double")
+    ybar = F.col("sy").cast("double") / nf
+    cxx = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+    )
+    cxy = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+    )
+    cyy = (
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+    )
+    var_u = (cxx - F.lit(2.0) * r * cxy + r * r * cyy) / (nf * nf)
+    se = F.sqrt(var_u / (nf * ybar * ybar))
+    z = F.lit(int(z_x100)).cast("double") / F.lit(100.0)
+    return sums.select(
+        "arm",
+        F.col("n").cast("long").alias("n_users"),
+        F.col("sx").cast("long").alias("numer"),
+        F.col("sy").cast("long").alias("denom"),
+        r.alias("ratio"),
+        se.alias("se"),
+        (r - z * se).alias("ci_lo"),
+        (r + z * se).alias("ci_hi"),
+    )

@@ -2706,3 +2706,152 @@ def sprt(
     return decided.unionByName(undecided).withColumnsRenamed(
         {"typ": "event_type"}
     )
+
+
+def hampel(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    half_window: int = 3,
+    k_x10000: int = 44478,
+) -> DataFrame:
+    """Hampel identifier over the hourly count series per event type:
+    the robust outlier filter (rolling median +/- k * MAD) that survives
+    the level shifts and fat tails that wreck a rolling z-score — the
+    standard pre-cleaning step before fitting anything to an ops
+    series (reference analogue: tsaug's AddNoise/Dropout corruptions
+    are exactly what this filter is built to undo,
+    /root/reference/src/tsaug/_augmenter/add_noise.py:1).
+
+    Exactness: hourly counts are BIGINTs.  The centered window of
+    2*half_window+1 counts is materialized as a sorted array; the
+    median is the LOWER middle element (exact integer selection, no
+    interpolation), MAD is the same selection over |x_i - med|, and
+    the decision  |x - med| * 10000 > k_x10000 * MAD  (k = 3 * 1.4826
+    by default) is a pure int64 comparison — zero float arithmetic, so
+    both engines agree bit-exactly everywhere including the shrunken
+    edge windows.
+
+    Scale: one hash aggregate to the (type, hour) grain, then a
+    7-element rolling array per row of a BOUNDED frame (types x
+    retention hours) — the collect_list window runs on the rolled-up
+    series, never on raw events.  Output grain = input grain, ready to
+    feed the gap-fill / rollup cascade in place of the raw series.
+    """
+    hourly = (
+        df.select(
+            F.col(type_col).alias("typ"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 3600)
+            .cast("long")
+            .alias("hr"),
+        )
+        .groupBy("typ", "hr")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = (
+        Window.partitionBy("typ")
+        .orderBy("hr")
+        .rowsBetween(-half_window, half_window)
+    )
+    arr = F.array_sort(F.collect_list("y").over(w))
+    with_med = hourly.select(
+        "typ",
+        "hr",
+        "y",
+        arr.alias("win"),
+        F.element_at(
+            arr, F.floor((F.size(arr) + 1) / 2).cast("int")
+        ).alias("med"),
+    )
+    dev = F.array_sort(
+        F.transform("win", lambda v: F.abs(v - F.col("med")))
+    )
+    scored = with_med.select(
+        "typ",
+        "hr",
+        "y",
+        "med",
+        F.element_at(
+            dev, F.floor((F.size(dev) + 1) / 2).cast("int")
+        ).alias("mad"),
+        F.size("win").cast("long").alias("n_win"),
+    ).select(
+        "typ",
+        "hr",
+        "y",
+        "med",
+        "mad",
+        "n_win",
+        (
+            F.abs(F.col("y") - F.col("med")) * F.lit(10000)
+            > F.lit(int(k_x10000)) * F.col("mad")
+        ).alias("is_outlier"),
+    )
+    return scored.select(
+        F.col("typ").alias("event_type"),
+        "hr",
+        "y",
+        "med",
+        "mad",
+        "n_win",
+        "is_outlier",
+        F.when(F.col("is_outlier"), F.col("med"))
+        .otherwise(F.col("y"))
+        .alias("filtered"),
+    )
+
+
+def fdr_bh(
+    df: DataFrame,
+    alpha_num: int = 5,
+    alpha_den: int = 100,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the per-type Pettitt
+    changepoint p-values (Benjamini & Hochberg 1995): with hundreds of
+    event types, "which series REALLY shifted?" needs multiple-testing
+    correction or ~5% of stable series get flagged every run.
+
+    Procedure: sort the m per-type p-values ascending; reject
+    H0 for every rank i <= i* where i* = max{ i : p_(i) <= i*alpha/m }.
+
+    Determinism: the p-values come from :func:`pettitt`, whose p_approx
+    is a single shared exp() expression of exact BIGINTs (already
+    oracle-proven bit-equal); the BH comparison multiplies p by the
+    exact integers m*alpha_den and compares against i*alpha_num — the
+    float products are the same two-operand expressions in both
+    engines, and rank ties break on the type name.
+
+    Scale: runs entirely on the m-row (one per type) Pettitt output —
+    a single global-window pass over a vocabulary-bounded frame.
+    """
+    p = pettitt(df).select(
+        "event_type",
+        F.col("p_approx").alias("p"),
+        F.col("break_day"),
+    )
+    wr = Window.orderBy(F.col("p").asc(), F.col("event_type").asc())
+    wall = Window.partitionBy()
+    ranked = p.select(
+        "event_type",
+        "break_day",
+        "p",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    ).select(
+        "*",
+        F.when(
+            F.col("p") * (F.col("m") * F.lit(int(alpha_den)))
+            <= (F.col("i") * F.lit(int(alpha_num))).cast("double"),
+            F.col("i"),
+        )
+        .otherwise(F.lit(0))
+        .alias("hit"),
+    )
+    return ranked.select(
+        "event_type",
+        "break_day",
+        "p",
+        F.col("i").cast("long").alias("p_rank"),
+        F.col("m").cast("long").alias("m_tests"),
+        (F.col("i") <= F.max("hit").over(wall)).alias("rejected"),
+    )
