@@ -2022,6 +2022,69 @@ def q_rfm_segments(spark, sf):
     return rfm_segments(_events(spark, sf))
 
 
+def q_clustering_copurchase(spark, sf):
+    """Per-node local clustering coefficient of the capped co-purchase
+    graph (plans/graph.py::local_clustering): degree-ordered wedge
+    join enumerates each triangle once, a 3-way explode credits the
+    corners, and lcc = 2t/(deg*(deg-1)) is the single shared float."""
+    from tsaug_spark.plans.graph import copurchase_edges, local_clustering
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    return local_clustering(copurchase_edges(li, orders, max_buyers=20))
+
+
+def q_kendall_daily(spark, sf):
+    """Kendall tau-b between every event-type pair's daily value
+    totals (plans/stats.py::kendall_pairs): pairwise concordance
+    counts over the rolled-up day frame, all-integer until the one
+    final (nc-nd)/sqrt((n0-n1)(n0-n2)) expression."""
+    from tsaug_spark.plans.stats import kendall_pairs
+
+    return kendall_pairs(_events(spark, sf))
+
+
+def q_absorbing_conversion(spark, sf):
+    """P(hit purchase before session end | current state) by 12-round
+    integer value iteration on the event-type chain with absorbing
+    purchase/END states (plans/stats.py::absorbing_conversion) —
+    v' = (base + sum c*v) div c_x, fold-order-free, oracle replays the
+    identical recurrence in a recursive CTE."""
+    from tsaug_spark.plans.stats import absorbing_conversion
+
+    return absorbing_conversion(_events(spark, sf))
+
+
+def q_cmh_click_purchase(spark, sf):
+    """Cochran-Mantel-Haenszel common odds ratio across day strata for
+    the md5-bucketed arms (plans/metrics.py::cmh_odds): per-stratum
+    2x2s in exact integers, fixed-point (a*d*1e6) div n terms, one
+    final float ratio."""
+    from tsaug_spark.plans.metrics import cmh_odds
+
+    return cmh_odds(_events(spark, sf))
+
+
+def q_did_purchase(spark, sf):
+    """Difference-in-differences purchase lift around the integer
+    midpoint day (plans/metrics.py::did_estimate): four exact
+    (arm, period) cells, one float division each, fixed-shape DiD
+    contrast."""
+    from tsaug_spark.plans.metrics import did_estimate
+
+    return did_estimate(_events(spark, sf))
+
+
+def q_attribution_touch(spark, sf):
+    """First/last/linear/U-shaped multi-touch attribution credits per
+    touch type in integer micro-units
+    (plans/metrics.py::attribution_models): per-conversion lookback
+    paths, row_number positions, fold-order-free credit sums."""
+    from tsaug_spark.plans.metrics import attribution_models
+
+    return attribution_models(_events(spark, sf))
+
+
 def q_cuped_adjust(spark, sf):
     """CUPED variance-reduced A/B readout
     (plans/metrics.py::cuped): md5-bucket deterministic arms, exact
@@ -4574,6 +4637,12 @@ _PRIORITY = [
     "eigencentrality_copurchase",
     "ratio_ci_delta",
     "rfm_segments",
+    "clustering_copurchase",
+    "kendall_daily",
+    "absorbing_conversion",
+    "cmh_click_purchase",
+    "did_purchase",
+    "attribution_touch",
     "tpch_q3",
     "dau_overlap",
     "value_deciles",
@@ -4910,6 +4979,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigencentrality_copurchase": q_eigencentrality_copurchase,
         "ratio_ci_delta": q_ratio_ci_delta,
         "rfm_segments": q_rfm_segments,
+        "clustering_copurchase": q_clustering_copurchase,
+        "kendall_daily": q_kendall_daily,
+        "absorbing_conversion": q_absorbing_conversion,
+        "cmh_click_purchase": q_cmh_click_purchase,
+        "did_purchase": q_did_purchase,
+        "attribution_touch": q_attribution_touch,
         "weighted_sample": q_weighted_sample,
         "season_strength": q_season_strength,
         "mase_backtest": q_mase_backtest,
@@ -7385,6 +7460,191 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(monetary_c) AS BIGINT) AS segment_cents, "
             "CAST(MIN(u) AS BIGINT) AS example_user "
             "FROM sc GROUP BY 1, 2, 3"
+        ),
+        "clustering_copurchase": (
+            "WITH bp AS (SELECT DISTINCT l_partkey AS part, "
+            "o_custkey AS cust FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey), "
+            "sz AS (SELECT part FROM bp GROUP BY part "
+            "HAVING COUNT(*) <= 20), "
+            "k AS (SELECT bp.part, bp.cust FROM bp JOIN sz USING (part)), "
+            "e AS (SELECT DISTINCT a.cust AS u, b.cust AS v FROM k a "
+            "JOIN k b USING (part) WHERE a.cust < b.cust), "
+            "deg AS (SELECT n, COUNT(*) AS deg FROM ("
+            "SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1), "
+            "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1 "
+            "JOIN e e2 ON e2.u = e1.v "
+            "JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), "
+            "tn AS (SELECT unnest([a, b, c]) AS n FROM tri), "
+            "ct AS (SELECT n, COUNT(*) AS t FROM tn GROUP BY 1) "
+            "SELECT deg.n AS node, CAST(deg AS BIGINT) AS degree, "
+            "CAST(COALESCE(ct.t, 0) AS BIGINT) AS tri_count, "
+            "CASE WHEN deg >= 2 THEN 2.0 * "
+            "CAST(COALESCE(ct.t, 0) AS DOUBLE) / "
+            "CAST(deg * (deg - 1) AS DOUBLE) ELSE 0.0 END AS lcc "
+            "FROM deg LEFT JOIN ct USING (n)"
+        ),
+        "kendall_daily": (
+            "WITH d AS (SELECT event_type AS etype, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "SUM(CAST(round(value * 100, 0) AS BIGINT)) AS cents "
+            "FROM events GROUP BY 1, 2), "
+            "j AS (SELECT a.etype AS ta, b.etype AS tb, a.day, "
+            "a.cents AS ca, b.cents AS cb FROM d a JOIN d b "
+            "USING (day) WHERE a.etype < b.etype), "
+            "p AS (SELECT p1.ta, p1.tb, "
+            "sign(p1.ca - p2.ca) AS dx, sign(p1.cb - p2.cb) AS dy "
+            "FROM j p1 JOIN j p2 ON p1.ta = p2.ta AND p1.tb = p2.tb "
+            "AND p1.day < p2.day), "
+            "ct AS (SELECT ta, tb, COUNT(*) AS n0, "
+            "SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS nc, "
+            "SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS nd, "
+            "SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS n1, "
+            "SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS n2 "
+            "FROM p GROUP BY 1, 2) "
+            "SELECT ta AS type_a, tb AS type_b, "
+            "CAST(n0 AS BIGINT) AS n_pairs, "
+            "CAST(nc AS BIGINT) AS concordant, "
+            "CAST(nd AS BIGINT) AS discordant, "
+            "CAST(n1 AS BIGINT) AS x_tied, CAST(n2 AS BIGINT) AS y_tied, "
+            "CAST(nc - nd AS DOUBLE) / "
+            "sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE)) AS tau_b "
+            "FROM ct WHERE (n0 - n1) * (n0 - n2) > 0"
+        ),
+        "absorbing_conversion": (
+            "WITH RECURSIVE bi AS (SELECT event_type AS x, "
+            "COALESCE(lead(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id), '__END__') AS y FROM events), "
+            "c AS (SELECT x, y, COUNT(*) AS c_xy FROM bi "
+            "WHERE x <> 'purchase' GROUP BY 1, 2), "
+            "src AS (SELECT DISTINCT x FROM c), "
+            "bse AS (SELECT x, SUM(CASE WHEN y = 'purchase' "
+            "THEN c_xy ELSE 0 END) * 1000000 AS b, "
+            "SUM(c_xy) AS c_x FROM c GROUP BY 1), "
+            "c2 AS (SELECT c.x, c.y, c.c_xy FROM c "
+            "JOIN src s ON s.x = c.y "
+            "UNION ALL SELECT x, x, CAST(0 AS BIGINT) FROM src), "
+            "it AS (SELECT 0 AS k, x, CAST(0 AS BIGINT) AS v FROM src "
+            "UNION ALL SELECT it.k + 1, t.x, "
+            "(MIN(bse.b) + SUM(t.c_xy * it.v)) // MIN(bse.c_x) "
+            "FROM it JOIN c2 t ON t.y = it.x "
+            "JOIN bse ON bse.x = t.x "
+            "WHERE it.k < 12 GROUP BY it.k, t.x) "
+            "SELECT x AS event_type, CAST(c_x AS BIGINT) AS n_out, "
+            "v AS p_micro, CAST(v AS DOUBLE) / 1e6 AS p_convert "
+            "FROM it JOIN bse USING (x) WHERE k = 12"
+        ),
+        "cmh_click_purchase": (
+            "WITH ud AS (SELECT user_id AS u, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+            "AS exposed, "
+            "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+            "AS converted FROM events "
+            "WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2), "
+            "f AS (SELECT *, CASE WHEN "
+            "('0x' || substr(md5(CAST(u AS VARCHAR) || 'exp1'), 1, 8))"
+            "::BIGINT % 2 = 1 THEN 1 ELSE 0 END AS treated "
+            "FROM ud WHERE exposed = 1), "
+            "cells AS (SELECT day, SUM(treated * converted) AS a, "
+            "SUM(treated * (1 - converted)) AS b, "
+            "SUM((1 - treated) * converted) AS c, "
+            "SUM((1 - treated) * (1 - converted)) AS d, "
+            "COUNT(*) AS n FROM f GROUP BY 1), "
+            "s AS (SELECT COUNT(*) AS n_strata, SUM(a) AS sa, "
+            "SUM(b) AS sb, SUM(c) AS sc_, SUM(d) AS sd, "
+            "SUM((a * d * 1000000) // n) AS num_micro, "
+            "SUM((b * c * 1000000) // n) AS den_micro FROM cells) "
+            "SELECT CAST(n_strata AS BIGINT) AS n_strata, "
+            "CAST(sa AS BIGINT) AS treated_conv, "
+            "CAST(sb AS BIGINT) AS treated_nonconv, "
+            "CAST(sc_ AS BIGINT) AS control_conv, "
+            "CAST(sd AS BIGINT) AS control_nonconv, "
+            "CAST(num_micro AS BIGINT) AS num_micro, "
+            "CAST(den_micro AS BIGINT) AS den_micro, "
+            "CASE WHEN den_micro > 0 THEN CAST(num_micro AS DOUBLE) / "
+            "CAST(den_micro AS DOUBLE) ELSE 0.0 END AS or_mh FROM s"
+        ),
+        "did_purchase": (
+            "WITH sp AS (SELECT (MIN(CAST(floor(epoch(ts)/86400) AS "
+            "BIGINT)) + MAX(CAST(floor(epoch(ts)/86400) AS BIGINT)) "
+            "+ 1) // 2 AS split_day FROM events), "
+            "up AS (SELECT user_id AS u, "
+            "CASE WHEN CAST(floor(epoch(ts)/86400) AS BIGINT) >= "
+            "sp.split_day THEN 1 ELSE 0 END AS post, "
+            "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+            "AS x, MIN(sp.split_day) AS split_day "
+            "FROM events, sp GROUP BY 1, 2), "
+            "f AS (SELECT *, CASE WHEN "
+            "('0x' || substr(md5(CAST(u AS VARCHAR) || 'exp1'), 1, 8))"
+            "::BIGINT % 2 = 1 THEN 1 ELSE 0 END AS treated FROM up), "
+            "cells AS (SELECT treated, post, COUNT(*) AS n, "
+            "SUM(x) AS sx, MIN(split_day) AS split_day FROM f "
+            "GROUP BY 1, 2), "
+            "w AS (SELECT MIN(split_day) AS split_day, "
+            "SUM(CASE WHEN treated = 1 AND post = 0 THEN n ELSE 0 END) "
+            "AS n_tpre, "
+            "SUM(CASE WHEN treated = 1 AND post = 0 THEN sx ELSE 0 END) "
+            "AS sx_tpre, "
+            "SUM(CASE WHEN treated = 1 AND post = 1 THEN n ELSE 0 END) "
+            "AS n_tpost, "
+            "SUM(CASE WHEN treated = 1 AND post = 1 THEN sx ELSE 0 END) "
+            "AS sx_tpost, "
+            "SUM(CASE WHEN treated = 0 AND post = 0 THEN n ELSE 0 END) "
+            "AS n_cpre, "
+            "SUM(CASE WHEN treated = 0 AND post = 0 THEN sx ELSE 0 END) "
+            "AS sx_cpre, "
+            "SUM(CASE WHEN treated = 0 AND post = 1 THEN n ELSE 0 END) "
+            "AS n_cpost, "
+            "SUM(CASE WHEN treated = 0 AND post = 1 THEN sx ELSE 0 END) "
+            "AS sx_cpost FROM cells) "
+            "SELECT CAST(split_day AS BIGINT) AS split_day, "
+            "CAST(n_tpre AS BIGINT) AS n_tpre, "
+            "CAST(sx_tpre AS BIGINT) AS sx_tpre, "
+            "CAST(n_tpost AS BIGINT) AS n_tpost, "
+            "CAST(sx_tpost AS BIGINT) AS sx_tpost, "
+            "CAST(n_cpre AS BIGINT) AS n_cpre, "
+            "CAST(sx_cpre AS BIGINT) AS sx_cpre, "
+            "CAST(n_cpost AS BIGINT) AS n_cpost, "
+            "CAST(sx_cpost AS BIGINT) AS sx_cpost, "
+            "CAST(sx_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE) "
+            "AS mean_t_pre, "
+            "CAST(sx_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE) "
+            "AS mean_t_post, "
+            "CAST(sx_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE) "
+            "AS mean_c_pre, "
+            "CAST(sx_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE) "
+            "AS mean_c_post, "
+            "(CAST(sx_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE) - "
+            "CAST(sx_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE)) - "
+            "(CAST(sx_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE) - "
+            "CAST(sx_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE)) AS did "
+            "FROM w"
+        ),
+        "attribution_touch": (
+            "WITH t AS (SELECT user_id AS u, ts AS tts, "
+            "event_id AS tid, event_type AS touch FROM events "
+            "WHERE event_type IN ('click', 'view')), "
+            "c AS (SELECT user_id AS u, ts AS cts, event_id AS cid "
+            "FROM events WHERE event_type = 'purchase'), "
+            "p AS (SELECT touch, "
+            "row_number() OVER (PARTITION BY cid ORDER BY tts, tid) "
+            "AS r, COUNT(*) OVER (PARTITION BY cid) AS len "
+            "FROM t JOIN c USING (u) "
+            "WHERE (tts < cts OR (tts = cts AND tid < cid)) "
+            "AND CAST(floor(epoch(tts)) AS BIGINT) >= "
+            "CAST(floor(epoch(cts)) AS BIGINT) - 86400) "
+            "SELECT touch, CAST(COUNT(*) AS BIGINT) AS n_touches, "
+            "CAST(SUM(CASE WHEN r = 1 THEN 1000000 ELSE 0 END) "
+            "AS BIGINT) AS first_micro, "
+            "CAST(SUM(CASE WHEN r = len THEN 1000000 ELSE 0 END) "
+            "AS BIGINT) AS last_micro, "
+            "CAST(SUM(1000000 // len) AS BIGINT) AS linear_micro, "
+            "CAST(SUM(CASE WHEN len = 1 THEN 1000000 "
+            "WHEN len = 2 THEN 500000 "
+            "WHEN r = 1 OR r = len THEN 400000 "
+            "ELSE 200000 // (len - 2) END) AS BIGINT) AS ushape_micro "
+            "FROM p GROUP BY 1"
         ),
         "pettitt_changepoint": (
             "WITH d AS (SELECT event_type AS typ, "

@@ -226,3 +226,34 @@ def test_eigencentrality_regular_graph_uniform(spark):
     out = eigencentrality(_edges(spark, cyc), n_iters=8).collect()
     assert len(out) == 6
     assert {r.score_micro for r in out} == {10**6}
+
+
+def test_local_clustering_triangle_pendant(spark):
+    """Triangle {0,1,2} + pendant 3 on 2: corners 0,1 have lcc 1.0,
+    the hub 2 has 1/3 (one closed of three wedges), the pendant 0.0."""
+    from tsaug_spark.plans.graph import local_clustering
+
+    out = {
+        r.node: r
+        for r in local_clustering(
+            _edges(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+        ).collect()
+    }
+    assert {(n, out[n].degree, out[n].tri_count) for n in out} == {
+        (0, 2, 1),
+        (1, 2, 1),
+        (2, 3, 1),
+        (3, 1, 0),
+    }
+    assert out[0].lcc == 1.0 and out[1].lcc == 1.0
+    assert abs(out[2].lcc - 1.0 / 3.0) < 1e-15
+    assert out[3].lcc == 0.0
+
+
+def test_local_clustering_k4_all_one(spark):
+    """K4: every node sits in 3 triangles over C(3,2)=3 wedges."""
+    from tsaug_spark.plans.graph import local_clustering
+
+    e = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    for r in local_clustering(_edges(spark, e)).collect():
+        assert (r.degree, r.tri_count, r.lcc) == (3, 3, 1.0)

@@ -1750,3 +1750,173 @@ def test_ratio_ci_delta_zero_variance_collapses_band(spark):
         assert r.ratio == 2.0
         assert r.se == 0.0
         assert r.ci_lo == 2.0 and r.ci_hi == 2.0
+
+
+def _md5_treated(u, salt="exp1"):
+    import hashlib
+
+    h = hashlib.md5(f"{u}{salt}".encode()).hexdigest()[:8]
+    return int(h, 16) % 2
+
+
+def _evt(spark, rows):
+    """rows: (user_id, day-offset-float, event_type, value)."""
+    data = [
+        (i, T0 + dt.timedelta(days=off), uid, t, float(v))
+        for i, (uid, off, t, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+
+
+def test_cmh_odds_matches_python_replay(spark):
+    """Two day strata with hand-built (user, day) exposure/conversion
+    cells: replay the md5 arms and the fixed-point terms exactly."""
+    from tsaug_spark.plans.metrics import cmh_odds
+
+    # day 0: users 1..6 click, odd users purchase too
+    # day 1: users 1..4 click, users 1,2 purchase
+    rows = []
+    for u in range(1, 7):
+        rows.append((u, 0.1, "click", 1.0))
+        if u % 2 == 1:
+            rows.append((u, 0.2, "purchase", 1.0))
+    for u in range(1, 5):
+        rows.append((u, 1.1, "click", 1.0))
+        if u <= 2:
+            rows.append((u, 1.2, "purchase", 1.0))
+    (r,) = cmh_odds(_evt(spark, rows)).collect()
+
+    cells = {}
+    for u, day, conv in (
+        [(u, 0, u % 2) for u in range(1, 7)]
+        + [(u, 1, 1 if u <= 2 else 0) for u in range(1, 5)]
+    ):
+        a, b, c, d = cells.setdefault(day, [0, 0, 0, 0])
+        i = (1 - _md5_treated(u)) * 2 + (1 - conv)
+        cells[day][i] += 1
+    num = den = sa = sb = sc = sd = 0
+    for a, b, c, d in cells.values():
+        n = a + b + c + d
+        num += (a * d * 10**6) // n
+        den += (b * c * 10**6) // n
+        sa, sb, sc, sd = sa + a, sb + b, sc + c, sd + d
+    assert r.n_strata == 2
+    assert (r.treated_conv, r.treated_nonconv) == (sa, sb)
+    assert (r.control_conv, r.control_nonconv) == (sc, sd)
+    assert (r.num_micro, r.den_micro) == (num, den)
+    assert r.or_mh == num / den
+
+
+def test_cmh_simpson_reversal_guard(spark):
+    """Both strata inside have OR 1 (treatment does nothing), but the
+    marginal table is confounded by volume; CMH must report ~1."""
+    from tsaug_spark.plans.metrics import cmh_odds
+
+    # pick users by arm so each stratum is balanced by construction
+    treats = [u for u in range(1, 60) if _md5_treated(u)][:8]
+    ctrls = [u for u in range(1, 60) if not _md5_treated(u)][:8]
+    rows = []
+    # day 0 (high conv): 4T+4C click, half of each convert
+    for i in range(4):
+        for arm_users in (treats, ctrls):
+            u = arm_users[i]
+            rows.append((u, 0.1, "click", 1.0))
+            if i < 2:
+                rows.append((u, 0.2, "purchase", 1.0))
+    # day 1 (low conv): other 4T+4C click, 1 of each converts
+    for i in range(4, 8):
+        for arm_users in (treats, ctrls):
+            u = arm_users[i]
+            rows.append((u, 1.1, "click", 1.0))
+            if i == 4:
+                rows.append((u, 1.2, "purchase", 1.0))
+    (r,) = cmh_odds(_evt(spark, rows)).collect()
+    assert r.or_mh == 1.0  # a*d == b*c in every stratum
+
+
+def test_did_estimate_matches_python_replay(spark):
+    """Days 0..9 split at 5; per-user purchase counts replayed with
+    the md5 arms; DiD equals the four-cell contrast exactly."""
+    from tsaug_spark.plans.metrics import did_estimate
+
+    rows = []
+    purchases = {}
+    for u in range(1, 9):
+        for d in range(10):
+            rows.append((u, d + 0.1, "view", 1.0))
+            k = (u + d) % 3
+            for _ in range(k):
+                rows.append((u, d + 0.2, "purchase", 1.0))
+            key = (u, 1 if d >= 5 else 0)
+            purchases[key] = purchases.get(key, 0) + k
+    (r,) = did_estimate(_evt(spark, rows)).collect()
+    day0 = int(
+        (T0 - dt.datetime(1970, 1, 1)).total_seconds() // 86400
+    )
+    assert r.split_day == ((day0 + day0 + 9) + 1) // 2
+    cells = {}
+    for (u, post), x in purchases.items():
+        n, sx = cells.setdefault((_md5_treated(u), post), [0, 0])
+        cells[(_md5_treated(u), post)] = [n + 1, sx + x]
+    m = {
+        k: cells[k][1] / cells[k][0]
+        for k in cells
+    }
+    assert (r.n_tpre, r.sx_tpre) == tuple(cells[(1, 0)])
+    assert (r.n_cpost, r.sx_cpost) == tuple(cells[(0, 1)])
+    want = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    assert abs(r.did - want) < 1e-15
+
+
+def test_attribution_models_single_path(spark):
+    """view -> click -> view -> purchase inside the window, plus one
+    stale view outside it: L=3, all four models hand-checked."""
+    from tsaug_spark.plans.metrics import attribution_models
+
+    rows = [
+        (1, 0.0, "view", 1.0),     # 3 days before: outside window
+        (1, 3.00, "view", 1.0),
+        (1, 3.01, "click", 1.0),
+        (1, 3.02, "view", 1.0),
+        (1, 3.03, "purchase", 1.0),
+        (1, 3.04, "click", 1.0),   # after the purchase: no credit
+    ]
+    out = {
+        r.touch: r
+        for r in attribution_models(_evt(spark, rows)).collect()
+    }
+    v, c = out["view"], out["click"]
+    assert (v.n_touches, c.n_touches) == (2, 1)
+    assert (v.first_micro, v.last_micro) == (10**6, 10**6)
+    assert (c.first_micro, c.last_micro) == (0, 0)
+    assert v.linear_micro == 2 * (10**6 // 3)
+    assert c.linear_micro == 10**6 // 3
+    assert v.ushape_micro == 800000 and c.ushape_micro == 200000
+
+
+def test_attribution_models_short_paths(spark):
+    """L=1 gives the lone touch everything; L=2 splits u-shape
+    50/50; ties on ts break on event_id (touch before conversion)."""
+    from tsaug_spark.plans.metrics import attribution_models
+
+    rows = [
+        (1, 1.0, "click", 1.0),
+        (1, 1.5, "purchase", 1.0),      # L=1 path: click
+        (2, 2.0, "view", 1.0),
+        (2, 2.1, "click", 1.0),
+        (2, 2.2, "purchase", 1.0),      # L=2 path: view, click
+    ]
+    out = {
+        r.touch: r
+        for r in attribution_models(_evt(spark, rows)).collect()
+    }
+    v, c = out["view"], out["click"]
+    assert (c.first_micro, c.last_micro) == (10**6, 2 * 10**6)
+    assert (v.first_micro, v.last_micro) == (10**6, 0)
+    assert c.ushape_micro == 10**6 + 500000
+    assert v.ushape_micro == 500000
+    assert c.linear_micro == 10**6 + 500000

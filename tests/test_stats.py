@@ -1292,3 +1292,87 @@ def test_fdr_bh_step_up_includes_borderline_rank(spark):
     p_mid = out["mid"].p
     assert 0.05 / 2 < p_mid <= 0.05, p_mid  # fixture sits in the gap
     assert out["mid"].rejected  # step-up: i=2, threshold 2*q/m = q
+
+
+def test_kendall_pairs_hand_counted(spark):
+    """x = 1,2,3,4 (no ties) vs y = 1,3,2,2: of the 6 day pairs 3 are
+    concordant, 2 discordant, 1 y-tied -> tau_b = 1/sqrt(30)."""
+    from tsaug_spark.plans.stats import kendall_pairs
+
+    rows = []
+    for d, (xa, yb) in enumerate(zip([1, 2, 3, 4], [1, 3, 2, 2])):
+        rows.append((1, d, "a", xa))
+        rows.append((1, d, "b", yb))
+    (r,) = kendall_pairs(_ev(spark, rows)).collect()
+    assert (r.type_a, r.type_b) == ("a", "b")
+    assert (r.n_pairs, r.concordant, r.discordant) == (6, 3, 2)
+    assert (r.x_tied, r.y_tied) == (0, 1)
+    assert abs(r.tau_b - 1.0 / 30.0 ** 0.5) < 1e-15
+
+
+def test_kendall_pairs_perfect_and_inverse(spark):
+    """Strictly co-monotone pair -> tau_b = 1; anti-monotone -> -1."""
+    from tsaug_spark.plans.stats import kendall_pairs
+
+    rows = []
+    for d in range(5):
+        rows.append((1, d, "up1", d + 1))
+        rows.append((1, d, "up2", 2 * d + 7))
+        rows.append((1, d, "dn", 50 - d))
+    out = {
+        (r.type_a, r.type_b): r.tau_b
+        for r in kendall_pairs(_ev(spark, rows)).collect()
+    }
+    assert out[("up1", "up2")] == 1.0
+    assert out[("dn", "up1")] == -1.0 and out[("dn", "up2")] == -1.0
+
+
+def test_absorbing_conversion_matches_python_replay(spark):
+    """Two-state chain replayed in exact integer arithmetic: A loops,
+    converts, or dies; B only feeds A.  Spark must equal the literal
+    recurrence v' = (base + sum c*v) // c_x after every round."""
+    from tsaug_spark.plans.stats import absorbing_conversion
+
+    # user 1: A A purchase;  user 2: A (ends);  user 3: B A purchase
+    rows = [
+        (1, 0.00, "A", 1.0),
+        (1, 0.01, "A", 1.0),
+        (1, 0.02, "purchase", 1.0),
+        (2, 0.00, "A", 1.0),
+        (3, 0.00, "B", 1.0),
+        (3, 0.01, "A", 1.0),
+        (3, 0.02, "purchase", 1.0),
+    ]
+    # bigrams (x != purchase): A->A 1, A->purchase 2, A->END 1, B->A 1
+    va, vb = 0, 0
+    for _ in range(6):
+        va, vb = (2 * 10**6 + 1 * va) // 4, (1 * va) // 1
+    out = {
+        r.event_type: r
+        for r in absorbing_conversion(
+            _ev(spark, rows), n_iters=6
+        ).collect()
+    }
+    assert out["A"].n_out == 4 and out["B"].n_out == 1
+    assert out["A"].p_micro == va
+    assert out["B"].p_micro == vb
+    assert out["A"].p_convert == va / 1e6
+
+
+def test_absorbing_conversion_pure_states(spark):
+    """A state that always converts next -> 1e6 after round 1; a
+    state that always dies -> 0 forever."""
+    from tsaug_spark.plans.stats import absorbing_conversion
+
+    rows = []
+    for u in range(3):
+        rows += [(10 + u, 0.0, "win", 1.0),
+                 (10 + u, 0.01, "purchase", 1.0)]
+        rows += [(20 + u, 0.0, "lose", 1.0)]
+    out = {
+        r.event_type: r.p_micro
+        for r in absorbing_conversion(
+            _ev(spark, rows), n_iters=3
+        ).collect()
+    }
+    assert out == {"win": 10**6, "lose": 0}

@@ -1072,6 +1072,40 @@ def main() -> None:
             execute=True,
         )
 
+    # round-3h batch, JVM-only side: clustering's wedge equi-joins,
+    # kendall's bounded day self-join, absorbing-conversion's
+    # vocabulary-sized iteration joins, CMH's pure aggregate chain,
+    # attribution's per-user equi-join + per-conversion window
+    for nm, q in [
+        ("clustering_copurchase", em.q_clustering_copurchase),
+        ("kendall_daily", em.q_kendall_daily),
+        ("absorbing_conversion", em.q_absorbing_conversion),
+        ("cmh_click_purchase", em.q_cmh_click_purchase),
+        ("attribution_touch", em.q_attribution_touch),
+    ]:
+        audit(
+            f"{nm} (r3h batch, JVM only)",
+            q(spark, sf),
+            must_have=["HashAggregate"],
+            must_not_have=["CartesianProduct",
+                           "BroadcastNestedLoopJoin",
+                           "BatchEvalPython", "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+
+    # did_purchase anchors the period split on a broadcast 1-row
+    # global (min+max) day — the BNLJ against an O(1) side is the
+    # intended plan, as in the cuped/rfm groups above
+    audit(
+        "did_purchase (r3h batch, broadcast scalar, JVM only)",
+        em.q_did_purchase(spark, sf),
+        must_have=["HashAggregate", "BroadcastNestedLoopJoin"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
     # croston: the ONLY Python in the plan is the grouped Arrow
     # kernel itself (one hash partition per key, no row-wise UDF)
     audit(

@@ -459,3 +459,80 @@ def eigencentrality(
         F.col("x").alias("score_micro"),
         (F.col("x").cast("double") / F.lit(float(scale))).alias("score"),
     )
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient — "how clique-like is
+    each customer's co-purchase neighbourhood" — over an undirected
+    simple graph of distinct (u < v) BIGINT edges (Watts & Strogatz
+    1998; the per-node refinement of :func:`triangle_count`'s global
+    coefficient).
+
+    Triangles are enumerated ONCE each with the same degree-ordered
+    wedge join as :func:`triangle_count` (okey = deg * 2^23 + id, so
+    apex out-degree is O(sqrt(E)) and no hot node fans out by its raw
+    degree), then each confirmed triangle credits all three of its
+    corners via one 3-way explode.  tri_count and degree are exact
+    BIGINTs; the only float is the single shared division
+    ``2 * t / (deg * (deg - 1))`` (0.0 for degree-1 nodes) — the
+    triangle SET is orientation-invariant, so the DuckDB oracle may
+    enumerate with the simpler id-ordered join and still agree
+    exactly.
+
+    Scale: degree frame + oriented edges + wedge join (bounded by
+    orientation) + one explode (3 rows per triangle) + one hash
+    aggregate at node grain.
+    """
+    nodes = edges.select(F.col("u").alias("n")).union(
+        edges.select(F.col("v").alias("n"))
+    )
+    deg = nodes.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    okey = (F.col("deg") * F.lit(1 << 23) + F.col("n")).alias("okey")
+    dk = deg.select("n", "deg", okey)
+    e = (
+        edges.join(dk.select(F.col("n").alias("u"),
+                             F.col("okey").alias("ku")), "u")
+        .join(dk.select(F.col("n").alias("v"),
+                        F.col("okey").alias("kv")), "v")
+        .select(
+            F.when(F.col("ku") < F.col("kv"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("a"),
+            F.when(F.col("ku") < F.col("kv"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("b"),
+            F.when(F.col("ku") < F.col("kv"), F.col("kv"))
+            .otherwise(F.col("ku"))
+            .alias("kb"),
+        )
+    )
+    w1 = e.select("a", F.col("b").alias("x"), F.col("kb").alias("kx"))
+    w2 = e.select(
+        F.col("a").alias("a2"),
+        F.col("b").alias("y"),
+        F.col("kb").alias("ky"),
+    )
+    wedges = w1.join(w2, F.col("a") == F.col("a2")).filter(
+        F.col("kx") < F.col("ky")
+    )
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).select(
+        F.explode(F.array("a", "x", "y")).alias("n")
+    )
+    per_node = tri.groupBy("n").agg(F.count(F.lit(1)).alias("t"))
+    out = deg.join(per_node, "n", "left").select(
+        F.col("n").alias("node"),
+        F.col("deg").cast("long").alias("degree"),
+        F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("tri_count"),
+    )
+    return out.select(
+        "node",
+        "degree",
+        "tri_count",
+        F.when(
+            F.col("degree") >= 2,
+            F.lit(2.0)
+            * F.col("tri_count").cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("lcc"),
+    )

@@ -3208,3 +3208,316 @@ def ratio_ci_delta(
         (r - z * se).alias("ci_lo"),
         (r + z * se).alias("ci_hi"),
     )
+
+
+def cmh_odds(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    exposure_type: str = "click",
+    outcome_type: str = "purchase",
+    salt: str = "exp1",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel common odds ratio across day strata
+    (Mantel & Haenszel 1959): does treatment lift the click->purchase
+    conversion odds CONSISTENTLY once the day-of-launch mix is
+    stratified out?  The unstratified ("marginal") odds ratio is
+    Simpson's-paradox bait when arms ramp unevenly across days — CMH
+    is the standard fix every experimentation platform reports.
+
+    Unit: a (user, day) cell with >= 1 exposure event that day;
+    success = >= 1 outcome event the same day; arm = the repo's
+    deterministic md5 bucket of the user.  Per stratum i the 2x2 is
+    (a=treated successes, b=treated failures, c=control successes,
+    d=control failures), n_i the stratum total, and
+
+        OR_mh = Sum_i (a_i d_i / n_i)  /  Sum_i (b_i c_i / n_i)
+
+    computed in FIXED POINT: each term is the exact int64
+    ``(a*d*scale) div n`` so the sums commute and both engines agree
+    bit-exactly; the single float is the final ratio.  Bound: a*d <=
+    (n/2)^2, so n_i < ~3e6 per stratum keeps a*d*scale < 2^63 — at
+    larger per-day volume, stratify finer (day x region) or drop
+    scale, which only coarsens the quantization identically in both
+    engines.
+
+    Scale plan: one (user, day) hash aggregate absorbs event volume,
+    one (day, arm) aggregate to the 2x2s, one scalar fold — no joins.
+    """
+    from tsaug_spark.pipeline.sampling import hash_bucket
+
+    ud = (
+        df.filter(F.col(type_col).isin([exposure_type, outcome_type]))
+        .select(
+            F.col(user_col).alias("u"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+            (F.col(type_col) == exposure_type)
+            .cast("long")
+            .alias("is_exp"),
+            (F.col(type_col) == outcome_type)
+            .cast("long")
+            .alias("is_out"),
+        )
+        .groupBy("u", "day")
+        .agg(
+            F.max("is_exp").alias("exposed"),
+            F.max("is_out").alias("converted"),
+        )
+        .filter(F.col("exposed") == 1)
+        .withColumn(
+            "treated",
+            (hash_bucket("u", salt=salt, n_buckets=2) == 1).cast(
+                "long"
+            ),
+        )
+    )
+    cells = ud.groupBy("day").agg(
+        F.sum(
+            F.col("treated") * F.col("converted")
+        ).alias("a"),
+        F.sum(
+            F.col("treated") * (F.lit(1) - F.col("converted"))
+        ).alias("b"),
+        F.sum(
+            (F.lit(1) - F.col("treated")) * F.col("converted")
+        ).alias("c"),
+        F.sum(
+            (F.lit(1) - F.col("treated"))
+            * (F.lit(1) - F.col("converted"))
+        ).alias("d"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    agg = cells.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum("c").alias("sc_"),
+        F.sum("d").alias("sd"),
+        F.sum(F.expr(f"(a * d * {int(scale)}) div n")).alias(
+            "num_micro"
+        ),
+        F.sum(F.expr(f"(b * c * {int(scale)}) div n")).alias(
+            "den_micro"
+        ),
+    )
+    return agg.select(
+        F.col("n_strata").cast("long").alias("n_strata"),
+        F.col("sa").cast("long").alias("treated_conv"),
+        F.col("sb").cast("long").alias("treated_nonconv"),
+        F.col("sc_").cast("long").alias("control_conv"),
+        F.col("sd").cast("long").alias("control_nonconv"),
+        F.col("num_micro").cast("long").alias("num_micro"),
+        F.col("den_micro").cast("long").alias("den_micro"),
+        F.when(
+            F.col("den_micro") > 0,
+            F.col("num_micro").cast("double")
+            / F.col("den_micro").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("or_mh"),
+    )
+
+
+def did_estimate(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    outcome_type: str = "purchase",
+    salt: str = "exp1",
+) -> DataFrame:
+    """Difference-in-differences point estimate (Card & Krueger 1994
+    canon): split the horizon at its integer midpoint day, compute the
+    mean outcome count per ACTIVE user in each (arm, period) cell, and
+    report
+
+        DiD = (treat_post - treat_pre) - (ctrl_post - ctrl_pre)
+
+    — the parallel-trends-adjusted lift that survives a level
+    difference between arms that existed before the launch.
+
+    Determinism: the split day is the exact integer
+    ``(min_day + max_day + 1) div 2`` broadcast from a 1-row global
+    aggregate; activity counts and outcome counts are exact BIGINTs
+    per (user, period); each cell mean is ONE float division and the
+    DiD is a fixed-shape tree of those four leaves, identical in both
+    engines.
+
+    Scale: one scalar aggregate (broadcast), one (user, period) hash
+    aggregate, one 4-row cell aggregate, one pivot of 4 rows.
+    """
+    from tsaug_spark.pipeline.sampling import hash_bucket
+
+    dayc = F.floor(F.unix_timestamp(F.col(ts_col)) / 86400).cast(
+        "long"
+    )
+    span = df.agg(
+        F.min(dayc).alias("mnd"), F.max(dayc).alias("mxd")
+    ).select(F.expr("(mnd + mxd + 1) div 2").alias("split_day"))
+    up = (
+        df.crossJoin(F.broadcast(span))
+        .select(
+            F.col(user_col).alias("u"),
+            (dayc >= F.col("split_day")).cast("long").alias("post"),
+            (F.col(type_col) == outcome_type)
+            .cast("long")
+            .alias("is_out"),
+            "split_day",
+        )
+        .groupBy("u", "post")
+        .agg(
+            F.sum("is_out").alias("x"),
+            F.min("split_day").alias("split_day"),
+        )
+        .withColumn(
+            "treated",
+            (hash_bucket("u", salt=salt, n_buckets=2) == 1).cast(
+                "long"
+            ),
+        )
+    )
+    cells = up.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.min("split_day").alias("split_day"),
+    )
+    wide = cells.agg(
+        F.min("split_day").alias("split_day"),
+        *[
+            F.sum(
+                F.when(
+                    (F.col("treated") == t) & (F.col("post") == p),
+                    F.col(c),
+                ).otherwise(F.lit(0))
+            ).alias(f"{c}_{'t' if t else 'c'}{'post' if p else 'pre'}")
+            for t in (1, 0)
+            for p in (1, 0)
+            for c in ("n", "sx")
+        ],
+    )
+    def mean(tag: str):
+        return F.col(f"sx_{tag}").cast("double") / F.col(
+            f"n_{tag}"
+        ).cast("double")
+
+    did = (mean("tpost") - mean("tpre")) - (
+        mean("cpost") - mean("cpre")
+    )
+    return wide.select(
+        F.col("split_day").cast("long").alias("split_day"),
+        *[
+            F.col(f"{c}_{tag}").cast("long").alias(f"{c}_{tag}")
+            for tag in ("tpre", "tpost", "cpre", "cpost")
+            for c in ("n", "sx")
+        ],
+        mean("tpre").alias("mean_t_pre"),
+        mean("tpost").alias("mean_t_post"),
+        mean("cpre").alias("mean_c_pre"),
+        mean("cpost").alias("mean_c_post"),
+        did.alias("did"),
+    )
+
+
+def attribution_models(
+    df: DataFrame,
+    touch_types: tuple = ("click", "view"),
+    conv_type: str = "purchase",
+    window_s: int = 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Multi-touch attribution under four standard credit models at
+    once — first-touch, last-touch, linear, U-shaped (40/20/40) — per
+    touch event type: the marketing-analytics workhorse that decides
+    budget, computed over the lookback window before each conversion.
+
+    Per conversion, its path is every touch event of the same user
+    within ``window_s`` seconds strictly before it (ties broken on
+    ``order_col``); positions come from row_number over (ts, order)
+    within the path.  Credits are INTEGERS in 1/scale units so sums
+    are fold-order-free and both engines agree exactly:
+
+        first:  scale to position 1
+        last:   scale to position L
+        linear: scale div L to every touch (remainder discarded —
+                documented, identical in both engines)
+        ushape: L=1 -> scale; L=2 -> scale/2 each; else 40% ends,
+                (20% div (L-2)) middles
+
+    Scale plan: the touch-to-conversion pairing is a per-user
+    interval join — production buckets it by (user, day) exactly like
+    plans/range_join.py so each conversion probes only its own and
+    the preceding bucket; path length is bounded by the lookback
+    window.  One window pass per conversion path, one vocabulary-
+    grain aggregate.
+    """
+    t = df.filter(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("tts"),
+        F.col(order_col).alias("tid"),
+        F.col(type_col).alias("touch"),
+    )
+    c = df.filter(F.col(type_col) == conv_type).select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("cts"),
+        F.col(order_col).alias("cid"),
+    )
+    paired = t.join(c, "u").filter(
+        (
+            (F.col("tts") < F.col("cts"))
+            | (
+                (F.col("tts") == F.col("cts"))
+                & (F.col("tid") < F.col("cid"))
+            )
+        )
+        & (
+            F.unix_timestamp("tts")
+            >= F.unix_timestamp("cts") - F.lit(int(window_s))
+        )
+    )
+    wp = Window.partitionBy("cid").orderBy("tts", "tid")
+    wl = Window.partitionBy("cid")
+    pos = paired.select(
+        "touch",
+        F.row_number().over(wp).alias("r"),
+        F.count(F.lit(1)).over(wl).alias("len"),
+    )
+    sc = int(scale)
+    first_c = F.when(F.col("r") == 1, F.lit(sc)).otherwise(F.lit(0))
+    last_c = F.when(F.col("r") == F.col("len"), F.lit(sc)).otherwise(
+        F.lit(0)
+    )
+    linear_c = F.expr(f"{sc} div len")
+    ushape_c = (
+        F.when(F.col("len") == 1, F.lit(sc))
+        .when(F.col("len") == 2, F.lit(sc // 2))
+        .otherwise(
+            F.when(
+                (F.col("r") == 1) | (F.col("r") == F.col("len")),
+                F.lit(sc * 4 // 10),
+            ).otherwise(F.expr(f"{sc * 2 // 10} div (len - 2)"))
+        )
+    )
+    return (
+        pos.groupBy("touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum(first_c).alias("first_micro"),
+            F.sum(last_c).alias("last_micro"),
+            F.sum(linear_c).alias("linear_micro"),
+            F.sum(ushape_c).alias("ushape_micro"),
+        )
+        .select(
+            "touch",
+            F.col("n_touches").cast("long").alias("n_touches"),
+            F.col("first_micro").cast("long").alias("first_micro"),
+            F.col("last_micro").cast("long").alias("last_micro"),
+            F.col("linear_micro").cast("long").alias("linear_micro"),
+            F.col("ushape_micro").cast("long").alias("ushape_micro"),
+        )
+    )

@@ -2855,3 +2855,189 @@ def fdr_bh(
         F.col("m").cast("long").alias("m_tests"),
         (F.col("i") <= F.max("hit").over(wall)).alias("rejected"),
     )
+
+
+def kendall_pairs(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Kendall's tau-b between every pair of event types' daily value
+    totals — the concordance-counting rank correlation whose pairwise
+    definition is EXACT integer arithmetic end to end (Kendall 1938;
+    tau-b tie correction per Agresti), completing the association
+    toolkit next to :func:`spearman_pairs` (average ranks) and the
+    Pearson rolling correlations.
+
+    Pairing is on common active days; every unordered day pair
+    (d_i < d_j) is classified by the sign pair of (x_i - x_j,
+    y_i - y_j): concordant, discordant, x-tied, y-tied.  With
+    n0 = D*(D-1)/2, n1 = #x-tied pairs, n2 = #y-tied pairs (both
+    INCLUDING jointly-tied pairs, matching the Sum t_k*(t_k-1)/2
+    group form exactly),
+
+        tau_b = (nc - nd) / sqrt((n0 - n1) * (n0 - n2))
+
+    — one shared float division/sqrt of exact BIGINTs, so both
+    engines agree to the last bit.
+
+    Scale: one (type, day) hash aggregate absorbs event volume; the
+    day self-join is vocabulary^2 x horizon^2 over the ROLLED-UP
+    frame (types x days), never the raw events — bounded by the
+    retention horizon, the same contract as the Pettitt U-statistic.
+    """
+    d = df.select(
+        F.col(type_col).alias("etype"),
+        F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+        .cast("long")
+        .alias("day"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+    ).groupBy("etype", "day").agg(F.sum("cents").alias("cents"))
+    a = d.select(
+        F.col("etype").alias("ta"), "day", F.col("cents").alias("ca")
+    )
+    b = d.select(
+        F.col("etype").alias("tb"), "day", F.col("cents").alias("cb")
+    )
+    j = a.join(b, "day").filter(F.col("ta") < F.col("tb"))
+    p1 = j.select(
+        "ta", "tb", F.col("day").alias("d1"),
+        F.col("ca").alias("x1"), F.col("cb").alias("y1"),
+    )
+    p2 = j.select(
+        "ta", "tb", F.col("day").alias("d2"),
+        F.col("ca").alias("x2"), F.col("cb").alias("y2"),
+    )
+    pairs = p1.join(p2, ["ta", "tb"]).filter(F.col("d1") < F.col("d2"))
+    dx = F.signum((F.col("x1") - F.col("x2")).cast("double"))
+    dy = F.signum((F.col("y1") - F.col("y2")).cast("double"))
+    cls = pairs.select(
+        "ta",
+        "tb",
+        (dx * dy > 0).cast("long").alias("is_c"),
+        (dx * dy < 0).cast("long").alias("is_d"),
+        (dx == 0).cast("long").alias("is_tx"),
+        (dy == 0).cast("long").alias("is_ty"),
+    )
+    counts = cls.groupBy("ta", "tb").agg(
+        F.sum("is_c").alias("nc"),
+        F.sum("is_d").alias("nd"),
+        F.sum("is_tx").alias("n1"),
+        F.sum("is_ty").alias("n2"),
+        F.count(F.lit(1)).alias("n0"),
+    )
+    denom = (
+        (F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n2"))
+    ).cast("double")
+    return counts.filter(denom > 0).select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("n0").cast("long").alias("n_pairs"),
+        F.col("nc").cast("long").alias("concordant"),
+        F.col("nd").cast("long").alias("discordant"),
+        F.col("n1").cast("long").alias("x_tied"),
+        F.col("n2").cast("long").alias("y_tied"),
+        (
+            (F.col("nc") - F.col("nd")).cast("double") / F.sqrt(denom)
+        ).alias("tau_b"),
+    )
+
+
+def absorbing_conversion(
+    df: DataFrame,
+    target: str = "purchase",
+    n_iters: int = 12,
+    scale: int = 10**6,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """P(the chain hits ``target`` before the session ends | current
+    event type) by bounded VALUE ITERATION on the empirical event-type
+    Markov chain with two absorbing states — ``target`` (value 1) and
+    the terminal END pseudo-state appended after each user's last
+    event (value 0).  This is the "how close is each state to
+    converting" complement of :func:`markov_stationary`'s long-run
+    occupancy.
+
+    Determinism: probabilities are integers in units of 1/scale.
+    With c_xy the exact bigram counts (rows FROM ``target`` excluded —
+    it absorbs) and base_x = scale * c_{x,target}:
+
+        v_{k+1}(x) = (base_x + Sum_y c_xy * v_k(y)) div c_x
+
+    summed over SOURCE states y only — transitions to END or to
+    never-a-source states contribute exactly 0 (they dead-end), and
+    the int64 product sum is fold-order-free, so the oracle replays
+    the identical recurrence with a plain GROUP BY SUM in a recursive
+    CTE.  A zero-count self-loop is unioned under every source so a
+    state whose targets are all absorbing still survives the inner
+    join each round.  Bounds: v <= scale, so each product <=
+    c_xy * scale and the sum <= c_x * scale ~ 1e6 * events — far
+    below 2^63 for any vocabulary-bounded chain.
+
+    Scale: the transition frame is vocabulary-bounded (|types|^2
+    rows); each of the ``n_iters`` rounds joins and aggregates that
+    constant-size frame.  Only the bigram count touches event volume.
+    """
+    w = Window.partitionBy(F.col(key_col)).orderBy(
+        F.col(ts_col), F.col(order_col)
+    )
+    bi = (
+        df.select(
+            F.col(type_col).alias("x"),
+            F.lead(F.col(type_col), 1, "__END__").over(w).alias("y"),
+        )
+        .filter(F.col("x") != target)
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    src = bi.select("x").distinct()
+    bse = bi.groupBy("x").agg(
+        (
+            F.sum(
+                F.when(F.col("y") == target, F.col("c_xy")).otherwise(
+                    F.lit(0)
+                )
+            )
+            * F.lit(int(scale))
+        ).alias("b"),
+        F.sum("c_xy").alias("c_x"),
+    )
+    c2 = (
+        bi.join(
+            src.select(F.col("x").alias("y")), "y", "left_semi"
+        ).select("x", "y", "c_xy")
+        .unionByName(
+            src.select(
+                "x",
+                F.col("x").alias("y"),
+                F.lit(0).cast("long").alias("c_xy"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    v = src.select("x", F.lit(0).cast("long").alias("v"))
+    for i in range(n_iters):
+        vy = v.select(F.col("x").alias("y"), F.col("v").alias("vy"))
+        s = (
+            c2.join(vy, "y")
+            .groupBy("x")
+            .agg(F.sum(F.col("c_xy") * F.col("vy")).alias("s"))
+        )
+        v = s.join(bse, "x").select(
+            "x",
+            F.expr("(b + s) div c_x").alias("v"),
+        )
+        if (i + 1) % 4 == 0 and i + 1 < n_iters:
+            v = v.localCheckpoint(eager=False)
+    return v.join(bse, "x").select(
+        F.col("x").alias("event_type"),
+        F.col("c_x").cast("long").alias("n_out"),
+        F.col("v").cast("long").alias("p_micro"),
+        (F.col("v").cast("double") / F.lit(float(scale))).alias(
+            "p_convert"
+        ),
+    )
