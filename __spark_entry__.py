@@ -2085,6 +2085,113 @@ def q_attribution_touch(spark, sf):
     return attribution_models(_events(spark, sf))
 
 
+def q_tpch_q5(spark, sf):
+    """TPC-H Q5 shape — local-supplier revenue per ASIA nation for
+    1996: region->nation broadcast down the supplier AND customer
+    sides, the c_nationkey = s_nationkey locality predicate applied
+    after the fact joins, revenue as exact integer cents (one rounded
+    product per lineitem, fold-order-free BIGINT sum)."""
+    region = spark.read.parquet(f"{sf}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    asia_nations = nation.join(
+        F.broadcast(region),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    supplier = spark.read.parquet(f"{sf}/supplier.parquet").join(
+        F.broadcast(asia_nations),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    customer = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = spark.read.parquet(f"{sf}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(
+            F.col("l_extendedprice")
+            * (F.lit(1) - F.col("l_discount"))
+            * F.lit(100),
+            0,
+        )
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    j = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum("rev_cents").alias("revenue_cents"))
+        .select(
+            "n_name",
+            F.col("revenue_cents").cast("long").alias("revenue_cents"),
+            (F.col("revenue_cents").cast("double") / F.lit(100.0)).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+def q_ar2_hourly(spark, sf):
+    """Yule-Walker AR(2) fit + one-step forecast per event type's
+    hourly count series (plans/stats.py::ar2_forecast): exact BIGINT
+    autocovariance numerators g0/g1/g2, shared closed-form phi trees."""
+    from tsaug_spark.plans.stats import ar2_forecast
+
+    return ar2_forecast(_events(spark, sf))
+
+
+def q_isotonic_clicks(spark, sf):
+    """Isotonic calibration of the daily-click-count score against
+    same-day purchase (plans/stats.py::isotonic_rate): minimax
+    closed form over the bounded score grid — the PAVA fit without
+    the sequential sweep."""
+    from tsaug_spark.plans.stats import isotonic_rate
+
+    ud = (
+        _events(spark, sf)
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 86400)
+            .cast("long")
+            .alias("day"),
+            "event_type",
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("int")).alias(
+                "clicks"
+            ),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "purchased"
+            ),
+        )
+        .filter(F.col("clicks") > 0)
+    )
+    return isotonic_rate(ud, "clicks", "purchased")
+
+
+def q_bigram_nll(spark, sf):
+    """Add-one bigram LM surprisal per document in integer centibits
+    (pipeline/text.py::bigram_nll): corpus bigram counts, per-type
+    quantized cb, exact per-doc integer sums."""
+    from tsaug_spark.pipeline.text import bigram_nll
+
+    return bigram_nll(_docs(spark, sf))
+
+
 def q_cuped_adjust(spark, sf):
     """CUPED variance-reduced A/B readout
     (plans/metrics.py::cuped): md5-bucket deterministic arms, exact
@@ -4643,6 +4750,10 @@ _PRIORITY = [
     "cmh_click_purchase",
     "did_purchase",
     "attribution_touch",
+    "tpch_q5",
+    "ar2_hourly",
+    "isotonic_clicks",
+    "bigram_nll",
     "tpch_q3",
     "dau_overlap",
     "value_deciles",
@@ -4985,6 +5096,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cmh_click_purchase": q_cmh_click_purchase,
         "did_purchase": q_did_purchase,
         "attribution_touch": q_attribution_touch,
+        "tpch_q5": q_tpch_q5,
+        "ar2_hourly": q_ar2_hourly,
+        "isotonic_clicks": q_isotonic_clicks,
+        "bigram_nll": q_bigram_nll,
         "weighted_sample": q_weighted_sample,
         "season_strength": q_season_strength,
         "mase_backtest": q_mase_backtest,
@@ -7645,6 +7760,107 @@ def oracle_sql() -> dict[str, str]:
             "WHEN r = 1 OR r = len THEN 400000 "
             "ELSE 200000 // (len - 2) END) AS BIGINT) AS ushape_micro "
             "FROM p GROUP BY 1"
+        ),
+        "tpch_q5": (
+            "SELECT n_name, CAST(SUM(rev_cents) AS BIGINT) AS "
+            "revenue_cents, CAST(SUM(rev_cents) AS DOUBLE) / 100.0 "
+            "AS revenue FROM ("
+            "SELECT n_name, CAST(round(l_extendedprice * "
+            "(1 - l_discount) * 100, 0) AS BIGINT) AS rev_cents "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' "
+            "AND c_nationkey = s_nationkey "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01') "
+            "GROUP BY n_name"
+        ),
+        "ar2_hourly": (
+            "WITH h AS (SELECT event_type AS typ, "
+            "CAST(floor(epoch(ts)/3600) AS BIGINT) AS hr, "
+            "COUNT(*) AS y FROM events GROUP BY 1, 2), "
+            "t AS (SELECT typ, COUNT(*) AS n, SUM(y) AS m "
+            "FROM h GROUP BY 1), "
+            "z AS (SELECT h.typ, hr, y, n, m, n * y - m AS z, "
+            "lag(n * y - m, 1) OVER (PARTITION BY h.typ ORDER BY hr) "
+            "AS z1, "
+            "lag(n * y - m, 2) OVER (PARTITION BY h.typ ORDER BY hr) "
+            "AS z2, "
+            "row_number() OVER (PARTITION BY h.typ ORDER BY hr DESC) "
+            "AS rlast FROM h JOIN t ON t.typ = h.typ), "
+            "a AS (SELECT typ, MIN(n) AS n, MIN(m) AS m, "
+            "SUM(z * z) AS g0, SUM(z * z1) AS g1, SUM(z * z2) AS g2, "
+            "MAX(CASE WHEN rlast = 1 THEN y END) AS y_n, "
+            "MAX(CASE WHEN rlast = 2 THEN y END) AS y_n1 "
+            "FROM z GROUP BY 1), "
+            "f AS (SELECT *, CAST(g0 AS DOUBLE) AS g0d, "
+            "CAST(g1 AS DOUBLE) AS g1d, CAST(g2 AS DOUBLE) AS g2d, "
+            "CAST(m AS DOUBLE) / CAST(n AS DOUBLE) AS ybar FROM a "
+            "WHERE n >= 5 AND g0*g0 - g1*g1 > 0) "
+            "SELECT typ AS event_type, CAST(n AS BIGINT) AS n_hours, "
+            "CAST(g0 AS BIGINT) AS g0, CAST(g1 AS BIGINT) AS g1, "
+            "CAST(g2 AS BIGINT) AS g2, "
+            "(g1d * (g0d - g2d)) / (g0d * g0d - g1d * g1d) AS phi1, "
+            "(g0d * g2d - g1d * g1d) / (g0d * g0d - g1d * g1d) "
+            "AS phi2, ybar AS y_mean, "
+            "ybar + ((g1d * (g0d - g2d)) / (g0d * g0d - g1d * g1d)) "
+            "* (CAST(y_n AS DOUBLE) - ybar) "
+            "+ ((g0d * g2d - g1d * g1d) / (g0d * g0d - g1d * g1d)) "
+            "* (CAST(y_n1 AS DOUBLE) - ybar) AS forecast FROM f"
+        ),
+        "isotonic_clicks": (
+            "WITH ud AS (SELECT user_id, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+            "AS s, "
+            "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+            "AS y FROM events GROUP BY 1, 2), "
+            "per_s AS (SELECT s, COUNT(*) AS n, SUM(y) AS pos "
+            "FROM ud WHERE s > 0 GROUP BY 1), "
+            "b AS (SELECT s, n, pos, "
+            "row_number() OVER (ORDER BY s) AS i, "
+            "SUM(n) OVER (ORDER BY s) AS pn, "
+            "SUM(pos) OVER (ORDER BY s) AS pp FROM per_s), "
+            "grid AS (SELECT j.i AS j, k.i AS k, "
+            "CAST(k.pp - (j.pp - j.pos) AS DOUBLE) / "
+            "CAST(k.pn - (j.pn - j.n) AS DOUBLE) AS avg_jk "
+            "FROM b j JOIN b k ON j.i <= k.i), "
+            "m AS (SELECT j, k AS i, "
+            "MIN(avg_jk) OVER (PARTITION BY j ORDER BY k DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS min_k FROM grid), "
+            "iso AS (SELECT i, MAX(min_k) AS iso_rate FROM m "
+            "GROUP BY 1) "
+            "SELECT CAST(b.s AS BIGINT) AS score, CAST(b.n AS BIGINT) AS n, "
+            "CAST(b.pos AS BIGINT) AS pos, "
+            "CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE) AS raw_rate, "
+            "iso.iso_rate FROM b JOIN iso USING (i)"
+        ),
+        "bigram_nll": (
+            "WITH l AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "bg AS (SELECT doc_id, p[1] AS x, p[2] AS y "
+            "FROM (SELECT doc_id, unnest(list_zip(ws, ws[2:])) AS p "
+            "FROM l) WHERE p[2] IS NOT NULL "
+            "AND p[1] <> '' AND p[2] <> ''), "
+            "c AS (SELECT x, y, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2), "
+            "cx AS (SELECT x, SUM(c_xy) AS c_x FROM c GROUP BY 1), "
+            "vv AS (SELECT COUNT(DISTINCT w) AS v FROM "
+            "(SELECT unnest(ws) AS w FROM l) WHERE w <> ''), "
+            "cb AS (SELECT c.x, c.y, "
+            "CAST(floor(100 * (log2(c_x + v) - log2(c_xy + 1))) "
+            "AS BIGINT) AS cb FROM c JOIN cx USING (x), vv), "
+            "d AS (SELECT doc_id, x, y, COUNT(*) AS d_xy FROM bg "
+            "GROUP BY 1, 2, 3) "
+            "SELECT doc_id, CAST(SUM(d_xy) AS BIGINT) AS n_bigrams, "
+            "CAST(SUM(d_xy * cb) AS BIGINT) AS sum_cb, "
+            "CAST(SUM(d_xy * cb) AS DOUBLE) / "
+            "CAST(SUM(d_xy) AS DOUBLE) AS avg_cb "
+            "FROM d JOIN cb USING (x, y) GROUP BY 1"
         ),
         "pettitt_changepoint": (
             "WITH d AS (SELECT event_type AS typ, "

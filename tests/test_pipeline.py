@@ -617,3 +617,55 @@ def test_ngram_containment_subsumed_document(spark):
     assert cont[(2, 1)] < 0.25       # big barely contained in small
     jac = ngram_jaccard_pairs(sh, threshold=0.5).collect()
     assert jac == []                 # Jaccard misses the subsumption
+
+
+# ---- bigram LM NLL (pipeline/text.py) ----
+
+
+def test_bigram_nll_closed_form(spark):
+    """Hand corpus replayed literally in Python: corpus bigram and
+    context counts, V, per-type floor(100*(log2(cx+V)-log2(cxy+1))),
+    exact per-doc integer sums."""
+    import math
+
+    from tsaug_spark.pipeline.text import bigram_nll
+
+    texts = {1: "a b a b", 2: "a b c", 3: "c"}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    cxy, cx, vocab, doc_bg = {}, {}, set(), {}
+    for d, t in texts.items():
+        ws = t.split(" ")
+        vocab |= set(ws)
+        for x, y in zip(ws, ws[1:]):
+            cxy[(x, y)] = cxy.get((x, y), 0) + 1
+            cx[x] = cx.get(x, 0) + 1
+            doc_bg.setdefault(d, []).append((x, y))
+    V = len(vocab)
+    cb = {
+        k: math.floor(
+            100 * (math.log2(cx[k[0]] + V) - math.log2(v + 1))
+        )
+        for k, v in cxy.items()
+    }
+    out = {r.doc_id: r for r in bigram_nll(docs).collect()}
+    assert 3 not in out  # one word, no bigram
+    for d in (1, 2):
+        want = sum(cb[p] for p in doc_bg[d])
+        assert out[d].n_bigrams == len(doc_bg[d])
+        assert out[d].sum_cb == want
+        assert out[d].avg_cb == want / len(doc_bg[d])
+
+
+def test_bigram_nll_shuffled_text_scores_higher(spark):
+    """Two docs with identical unigrams: the one whose transitions
+    match the corpus scores strictly lower than the shuffled one."""
+    from tsaug_spark.pipeline.text import bigram_nll
+
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((100, "the cat sat on the mat"))
+    rows.append((101, "mat the on sat cat the"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.avg_cb for r in bigram_nll(docs).collect()}
+    assert out[100] < out[101]

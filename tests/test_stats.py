@@ -1376,3 +1376,97 @@ def test_absorbing_conversion_pure_states(spark):
         ).collect()
     }
     assert out == {"win": 10**6, "lose": 0}
+
+
+def test_ar2_forecast_matches_python_replay(spark):
+    """Hourly counts 3,1,4,1,5,9,2,6 for one type: replay g0/g1/g2,
+    the Yule-Walker ratios and the forecast exactly."""
+    from tsaug_spark.plans.stats import ar2_forecast
+
+    ys = [3, 1, 4, 1, 5, 9, 2, 6]
+    rows = []
+    for h, y in enumerate(ys):
+        rows += [(1, h / 24.0, "a", 1.0)] * y
+    (r,) = ar2_forecast(_ev(spark, rows)).collect()
+    n, m = len(ys), sum(ys)
+    z = [n * y - m for y in ys]
+    g0 = sum(v * v for v in z)
+    g1 = sum(a * b for a, b in zip(z[1:], z))
+    g2 = sum(a * b for a, b in zip(z[2:], z))
+    assert (r.n_hours, r.g0, r.g1, r.g2) == (n, g0, g1, g2)
+    den = float(g0) * g0 - float(g1) * g1
+    phi1 = (g1 * (float(g0) - g2)) / den
+    phi2 = (float(g0) * g2 - float(g1) * g1) / den
+    ybar = m / n
+    want = ybar + phi1 * (ys[-1] - ybar) + phi2 * (ys[-2] - ybar)
+    assert abs(r.phi1 - phi1) < 1e-12
+    assert abs(r.phi2 - phi2) < 1e-12
+    assert abs(r.forecast - want) < 1e-9
+
+
+def test_ar2_forecast_pure_ar1_series(spark):
+    """A strict 2-cycle (alternating 2,8) has lag-1 anticorrelation:
+    phi1 < 0 and the forecast swings back toward the opposite pole."""
+    from tsaug_spark.plans.stats import ar2_forecast
+
+    rows = []
+    for h in range(10):
+        rows += [(1, h / 24.0, "a", 1.0)] * (2 if h % 2 == 0 else 8)
+    (r,) = ar2_forecast(_ev(spark, rows)).collect()
+    assert r.phi1 < 0
+    # last two obs: y_n = 8 (h=9), y_n1 = 2 (h=8); the alternating
+    # fit swings the next value back below the mean
+    assert r.forecast < r.y_mean
+
+
+def test_isotonic_rate_pava_pooling(spark):
+    """Scores 1,2,3 with rates 0.5, 0.0, 1.0: PAVA pools the first
+    two blocks to 1/4 and leaves the third at 1.0; a monotone input
+    is returned unchanged."""
+    from tsaug_spark.plans.stats import isotonic_rate
+
+    # score 1: 2 obs 1 pos; score 2: 2 obs 0 pos; score 3: 1 obs 1 pos
+    rows = [(1, 1, 1), (1, 1, 0), (2, 2, 0), (2, 2, 0), (3, 3, 1)]
+    df = spark.createDataFrame(rows, "k int, s long, y int")
+    out = {r.score: r for r in isotonic_rate(df, "s", "y").collect()}
+    assert out[1].iso_rate == 0.25 and out[2].iso_rate == 0.25
+    assert out[3].iso_rate == 1.0
+    assert out[1].raw_rate == 0.5 and out[2].raw_rate == 0.0
+
+    mono = [(1, 1, 0), (1, 1, 0), (2, 2, 1), (2, 2, 0), (3, 3, 1)]
+    df2 = spark.createDataFrame(mono, "k int, s long, y int")
+    for r in isotonic_rate(df2, "s", "y").collect():
+        assert r.iso_rate == r.raw_rate
+
+
+def test_isotonic_rate_is_monotone_on_data(spark):
+    """On the real sf0.001 click-score frame the fit is monotone
+    non-decreasing and stays within [0, 1]."""
+    from pyspark.sql import functions as F
+
+    from tsaug_spark.plans.stats import isotonic_rate
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ud = (
+        ev.groupBy(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 86400).alias("day"),
+        )
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("int")).alias(
+                "clicks"
+            ),
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("purchased"),
+        )
+        .filter(F.col("clicks") > 0)
+    )
+    out = sorted(
+        isotonic_rate(ud, "clicks", "purchased").collect(),
+        key=lambda r: r.score,
+    )
+    assert len(out) >= 2
+    for lo, hi in zip(out, out[1:]):
+        assert hi.iso_rate >= lo.iso_rate - 1e-15
+    assert all(0.0 <= r.iso_rate <= 1.0 for r in out)

@@ -1106,6 +1106,44 @@ def main() -> None:
         execute=True,
     )
 
+    # round-3i batch: q5's dim chain must broadcast; ar2 is pure
+    # window+aggregate
+    audit(
+        "tpch_q5 (broadcast dim chain, JVM only)",
+        em.q_tpch_q5(spark, sf),
+        must_have=["BroadcastHashJoin", "HashAggregate"],
+        must_not_have=["CartesianProduct", "BroadcastNestedLoopJoin",
+                       "BatchEvalPython", "ArrowEvalPython",
+                       "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+    audit(
+        "ar2_hourly (r3i batch, JVM only)",
+        em.q_ar2_hourly(spark, sf),
+        must_have=["HashAggregate"],
+        must_not_have=["CartesianProduct", "BroadcastNestedLoopJoin",
+                       "BatchEvalPython", "ArrowEvalPython",
+                       "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
+    # isotonic's j<=k segment grid on the BOUNDED score domain and
+    # bigram_nll's broadcast 1-row vocabulary scalar are intended
+    # nested-loop sides (O(B^2) grid / O(1) scalar, never data-sized)
+    for nm, q in [
+        ("isotonic_clicks", em.q_isotonic_clicks),
+        ("bigram_nll", em.q_bigram_nll),
+    ]:
+        audit(
+            f"{nm} (r3i batch, bounded BNLJ, JVM only)",
+            q(spark, sf),
+            must_have=["HashAggregate", "BroadcastNestedLoopJoin"],
+            must_not_have=["CartesianProduct", "BatchEvalPython",
+                           "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+
     # croston: the ONLY Python in the plan is the grouped Arrow
     # kernel itself (one hash partition per key, no row-wise UDF)
     audit(

@@ -677,3 +677,95 @@ def textrank_keywords(
         .withColumn("rank", F.row_number().over(rw).cast("int"))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def bigram_nll(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Add-one-smoothed bigram language-model score per document —
+    the next step up from :func:`unigram_surprisal` in the
+    CCNet/KenLM-style quality-filter ladder: word salad with plausible
+    unigrams but impossible transitions (shuffled text, boilerplate
+    stitching) scores high here and is invisible there.
+
+    Per bigram TYPE the smoothed surprisal in integer centibits is
+
+        cb(x, y) = floor(100 * (log2(c_x + V) - log2(c_xy + 1)))
+
+    with c_xy the corpus bigram count, c_x = Sum_y c_xy its context
+    total, V the corpus vocabulary size.  Quantizing per TYPE (the
+    unigram_surprisal idiom) makes each document's score an exact
+    integer sum of (doc bigram count x cb) — a last-ULP log2
+    disagreement is a vocab^2-scale, not token-scale, event.
+
+    Bigrams are adjacent space-split words, formed by zipping the
+    word array against its own tail (NULL-padded, so the pairing is
+    structural and identical in any engine — no window, no
+    re-pairing around empty tokens, which are filtered as pairs).
+
+    Scale: the corpus bigram table is vocabulary^2-bounded and built
+    by one hash aggregate with map-side combine; the doc-grain join
+    ships doc bigram COUNTS (not tokens).  Output: doc_id, n_bigrams,
+    sum_cb, avg_cb; documents with no bigram are not emitted.
+    """
+    ws = F.split(F.col(text_col), " ")
+    zipped = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.arrays_zip(
+                ws.alias("x"),
+                F.slice(ws, 2, F.size(ws)).alias("y"),
+            )
+        ).alias("p"),
+    )
+    bg = zipped.select(
+        "doc_id", F.col("p.x").alias("x"), F.col("p.y").alias("y")
+    ).filter(
+        F.col("y").isNotNull() & (F.col("x") != "") & (F.col("y") != "")
+    )
+    c = bg.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    cx = c.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    vv = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    cb = (
+        c.join(cx, "x")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "x",
+            "y",
+            F.floor(
+                F.lit(100)
+                * (
+                    F.log2(F.col("c_x") + F.col("v"))
+                    - F.log2(F.col("c_xy") + F.lit(1))
+                )
+            )
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    d = bg.groupBy("doc_id", "x", "y").agg(
+        F.count(F.lit(1)).alias("d_xy")
+    )
+    return (
+        d.join(cb, ["x", "y"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("d_xy").cast("long").alias("n_bigrams"),
+            F.sum(F.col("d_xy") * F.col("cb"))
+            .cast("long")
+            .alias("sum_cb"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_cb",
+            (
+                F.col("sum_cb").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("avg_cb"),
+        )
+    )

@@ -3041,3 +3041,183 @@ def absorbing_conversion(
             "p_convert"
         ),
     )
+
+
+def ar2_forecast(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    min_obs: int = 5,
+) -> DataFrame:
+    """AR(2) fit by Yule-Walker over each type's hourly count series,
+    plus the one-step-ahead forecast — the minimal autoregressive
+    model whose closed form needs no iteration (Box & Jenkins ch. 3):
+
+        phi1 = g1 (g0 - g2) / (g0^2 - g1^2)
+        phi2 = (g0 g2 - g1^2) / (g0^2 - g1^2)
+        yhat = ybar + phi1 (y_n - ybar) + phi2 (y_{n-1} - ybar)
+
+    Exactness: with m = sum(y) and n the series length, the lag-k
+    autocovariance NUMERATORS are computed as exact BIGINTs
+    g_k = Sum_t (n*y_t - m)(n*y_{t+k} - m) — every common scale
+    cancels in the phi ratios, so the only floats are the fixed-shape
+    trees above over three exact integers (g0^2 can exceed int64, so
+    the SQUARES are taken in double — same two-operand products both
+    engines).  The series is the type's observed hourly sequence in
+    hour order (row-adjacent lags, the standard gap-skipping ACF
+    convention used by :func:`autocorr` here).
+
+    Scale: one (type, hour) hash aggregate absorbs event volume; lags
+    are two window passes over the rolled-up, horizon-bounded frame;
+    the fit is a per-type 1-row aggregate.
+    """
+    hourly = (
+        df.select(
+            F.col(type_col).alias("typ"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 3600)
+            .cast("long")
+            .alias("hr"),
+        )
+        .groupBy("typ", "hr")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    tot = hourly.groupBy("typ").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("m")
+    )
+    w = Window.partitionBy("typ").orderBy("hr")
+    wlast = Window.partitionBy("typ").orderBy(F.col("hr").desc())
+    z = (
+        hourly.join(tot, "typ")
+        .select(
+            "typ",
+            "hr",
+            "y",
+            "n",
+            "m",
+            (F.col("n") * F.col("y") - F.col("m")).alias("z"),
+        )
+        .select(
+            "*",
+            F.lag("z", 1).over(w).alias("z1"),
+            F.lag("z", 2).over(w).alias("z2"),
+            F.row_number().over(wlast).alias("rlast"),
+        )
+    )
+    agg = z.groupBy("typ").agg(
+        F.min("n").alias("n"),
+        F.min("m").alias("m"),
+        F.sum(F.col("z") * F.col("z")).alias("g0"),
+        F.sum(F.col("z") * F.col("z1")).alias("g1"),
+        F.sum(F.col("z") * F.col("z2")).alias("g2"),
+        F.max(F.when(F.col("rlast") == 1, F.col("y"))).alias("y_n"),
+        F.max(F.when(F.col("rlast") == 2, F.col("y"))).alias("y_n1"),
+    ).filter(F.col("n") >= int(min_obs))
+    g0 = F.col("g0").cast("double")
+    g1 = F.col("g1").cast("double")
+    g2 = F.col("g2").cast("double")
+    den = g0 * g0 - g1 * g1
+    phi1 = (g1 * (g0 - g2)) / den
+    phi2 = (g0 * g2 - g1 * g1) / den
+    ybar = F.col("m").cast("double") / F.col("n").cast("double")
+    yhat = (
+        ybar
+        + phi1 * (F.col("y_n").cast("double") - ybar)
+        + phi2 * (F.col("y_n1").cast("double") - ybar)
+    )
+    return agg.filter(den > 0).select(
+        F.col("typ").alias("event_type"),
+        F.col("n").cast("long").alias("n_hours"),
+        F.col("g0").cast("long").alias("g0"),
+        F.col("g1").cast("long").alias("g1"),
+        F.col("g2").cast("long").alias("g2"),
+        phi1.alias("phi1"),
+        phi2.alias("phi2"),
+        ybar.alias("y_mean"),
+        yhat.alias("forecast"),
+    )
+
+
+def isotonic_rate(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression of a binary
+    label's rate on an integer score — the PAV-fitted calibrator
+    (Barlow et al. 1972; Zadrozny & Elkan 2002) that
+    :func:`calibration_curve` diagnoses the need for, computed via
+    the MINIMAX closed form instead of the sequential
+    pool-adjacent-violators sweep:
+
+        iso(i) = max_{j <= i} min_{k >= i} pos(j..k) / n(j..k)
+
+    which equals the PAVA solution exactly and is pure relational
+    algebra: prefix sums over the BOUNDED score domain, one
+    (j, k)-grid of weighted segment averages (each ONE float division
+    of exact BIGINT prefix differences), a right-running min per j,
+    and a max per i — min/max of floats are selections, not folds,
+    so both engines agree bit-exactly.
+
+    Scale: event volume hits only the first (score) hash aggregate;
+    the B^2 segment grid lives on the bounded score domain (B distinct
+    scores), the standard calibration regime of B <= a few hundred.
+    """
+    sc = df.select(
+        F.col(score_col).cast("long").alias("s"),
+        F.when(F.col(label_col).cast("int") > 0, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    per_s = sc.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    wi = Window.orderBy("s")
+    wp = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    b = per_s.select(
+        "s",
+        "n",
+        "pos",
+        F.row_number().over(wi).alias("i"),
+        F.sum("n").over(wp).alias("pn"),
+        F.sum("pos").over(wp).alias("pp"),
+    )
+    j = b.select(
+        F.col("i").alias("j"),
+        (F.col("pn") - F.col("n")).alias("pn_j0"),
+        (F.col("pp") - F.col("pos")).alias("pp_j0"),
+    )
+    k = b.select(
+        F.col("i").alias("k"),
+        F.col("pn").alias("pn_k"),
+        F.col("pp").alias("pp_k"),
+    )
+    grid = j.join(k, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("pp_k") - F.col("pp_j0")).cast("double")
+            / (F.col("pn_k") - F.col("pn_j0")).cast("double")
+        ).alias("avg_jk"),
+    )
+    wmin = (
+        Window.partitionBy("j")
+        .orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = grid.select(
+        "j",
+        F.col("k").alias("i"),
+        F.min("avg_jk").over(wmin).alias("min_k"),
+    )
+    iso = m.groupBy("i").agg(F.max("min_k").alias("iso_rate"))
+    return b.join(iso, "i").select(
+        F.col("s").alias("score"),
+        F.col("n").cast("long").alias("n"),
+        F.col("pos").cast("long").alias("pos"),
+        (F.col("pos").cast("double") / F.col("n").cast("double")).alias(
+            "raw_rate"
+        ),
+        F.col("iso_rate"),
+    )
