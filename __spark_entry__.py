@@ -2192,6 +2192,100 @@ def q_bigram_nll(spark, sf):
     return bigram_nll(_docs(spark, sf))
 
 
+def q_tpch_q10(spark, sf):
+    """TPC-H Q10 shape — top-20 customers by returned-item revenue in
+    a quarter: returnflag filter pushed to the lineitem scan, nation
+    broadcast, revenue in exact integer cents, bounded top-k window."""
+    nation = spark.read.parquet(f"{sf}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    cust = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    orders = spark.read.parquet(f"{sf}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    ).select(
+        "l_orderkey",
+        F.round(
+            F.col("l_extendedprice")
+            * (F.lit(1) - F.col("l_discount"))
+            * F.lit(100),
+            0,
+        )
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    j = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(nation),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum("rev_cents").alias("revenue_cents")
+    )
+    wt = Window.orderBy(
+        F.col("revenue_cents").desc(), F.col("c_custkey").asc()
+    )
+    return agg.select(
+        "c_custkey",
+        "c_name",
+        "n_name",
+        F.col("revenue_cents").cast("long").alias("revenue_cents"),
+        F.row_number().over(wt).cast("long").alias("rank"),
+    ).filter(F.col("rank") <= 20)
+
+
+def q_moments_values(spark, sf):
+    """Skewness and excess kurtosis per event type from exact BIGINT
+    power sums (plans/stats.py::moments): one hash aggregate, shared
+    raw-to-central float trees."""
+    from tsaug_spark.plans.stats import moments
+
+    return moments(_events(spark, sf))
+
+
+def q_wilcoxon_prepost(spark, sf):
+    """Wilcoxon signed-rank test of per-user purchase counts before
+    vs after the midpoint day (plans/stats.py::wilcoxon_prepost):
+    doubled tie-aware ranks, exact integer W2+/Sum r2/Sum r2^2, one
+    shared z tree."""
+    from tsaug_spark.plans.stats import wilcoxon_prepost
+
+    return wilcoxon_prepost(_events(spark, sf))
+
+
+def q_label_centroids(spark, sf):
+    """Per-label embedding centroids at (label, dim) grain
+    (pipeline/similarity.py::label_centroids): micro-unit quantized
+    components, exact BIGINT per-dimension sums, one shared division."""
+    from tsaug_spark.pipeline.similarity import label_centroids
+
+    return label_centroids(_emb(spark, sf))
+
+
+def q_stream_gapfill_1h(spark, sf):
+    """Streaming LOCF gap-fill (streaming/stateful.py::gapfill_stream):
+    per-user state carries the open hourly bucket; skipped grid
+    buckets emit the last observation forward, so the caught-up
+    max-per-bucket view equals the batch complete_grid + fill_locf
+    cascade stage row for row."""
+    from tsaug_spark.streaming.stateful import run_stream_gapfill_once
+
+    return run_stream_gapfill_once(
+        spark, f"{sf}/events.parquet", sink_table="stream_gapfill_q"
+    )
+
+
 def q_cuped_adjust(spark, sf):
     """CUPED variance-reduced A/B readout
     (plans/metrics.py::cuped): md5-bucket deterministic arms, exact
@@ -4754,6 +4848,11 @@ _PRIORITY = [
     "ar2_hourly",
     "isotonic_clicks",
     "bigram_nll",
+    "tpch_q10",
+    "moments_values",
+    "wilcoxon_prepost",
+    "label_centroids",
+    "stream_gapfill_1h",
     "tpch_q3",
     "dau_overlap",
     "value_deciles",
@@ -5100,6 +5199,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ar2_hourly": q_ar2_hourly,
         "isotonic_clicks": q_isotonic_clicks,
         "bigram_nll": q_bigram_nll,
+        "tpch_q10": q_tpch_q10,
+        "moments_values": q_moments_values,
+        "wilcoxon_prepost": q_wilcoxon_prepost,
+        "label_centroids": q_label_centroids,
+        "stream_gapfill_1h": q_stream_gapfill_1h,
         "weighted_sample": q_weighted_sample,
         "season_strength": q_season_strength,
         "mase_backtest": q_mase_backtest,
@@ -7861,6 +7965,99 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(d_xy * cb) AS DOUBLE) / "
             "CAST(SUM(d_xy) AS DOUBLE) AS avg_cb "
             "FROM d JOIN cb USING (x, y) GROUP BY 1"
+        ),
+        "tpch_q10": (
+            "SELECT c_custkey, c_name, n_name, revenue_cents, "
+            "CAST(rank AS BIGINT) AS rank FROM ("
+            "SELECT c_custkey, c_name, n_name, "
+            "CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents, "
+            "row_number() OVER (ORDER BY "
+            "CAST(SUM(rev_cents) AS BIGINT) DESC, c_custkey ASC) "
+            "AS rank FROM ("
+            "SELECT c_custkey, c_name, n_name, "
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) "
+            "AS BIGINT) AS rev_cents FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-04-01') "
+            "GROUP BY 1, 2, 3) WHERE rank <= 20"
+        ),
+        "moments_values": (
+            "WITH a AS (SELECT event_type AS etype, COUNT(*) AS n, "
+            "SUM(u) AS s1, SUM(u*u) AS s2, SUM(u*u*u) AS s3, "
+            "SUM(u*u*u*u) AS s4 FROM (SELECT event_type, "
+            "CAST(round(value, 0) AS BIGINT) AS u FROM events) "
+            "GROUP BY 1), "
+            "f AS (SELECT *, CAST(n AS DOUBLE) AS nf, "
+            "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean, "
+            "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2, "
+            "CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3, "
+            "CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4 FROM a), "
+            "g AS (SELECT *, r2 - mean * mean AS m2, "
+            "r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3, "
+            "r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2 "
+            "- 3.0 * mean * mean * mean * mean AS m4 FROM f) "
+            "SELECT etype AS event_type, CAST(n AS BIGINT) AS n, "
+            "CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2, "
+            "CAST(s3 AS BIGINT) AS s3, CAST(s4 AS BIGINT) AS s4, "
+            "mean AS mean_u, m2, m3 / sqrt(m2 * m2 * m2) AS skewness, "
+            "m4 / (m2 * m2) - 3.0 AS ex_kurtosis FROM g WHERE m2 > 0"
+        ),
+        "wilcoxon_prepost": (
+            "WITH sp AS (SELECT (MIN(CAST(floor(epoch(ts)/86400) AS "
+            "BIGINT)) + MAX(CAST(floor(epoch(ts)/86400) AS BIGINT)) "
+            "+ 1) // 2 AS split_day FROM events), "
+            "d AS (SELECT user_id AS u, SUM(CASE "
+            "WHEN event_type = 'purchase' AND "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) >= sp.split_day "
+            "THEN 1 WHEN event_type = 'purchase' AND "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) < sp.split_day "
+            "THEN -1 ELSE 0 END) AS d "
+            "FROM events, sp GROUP BY 1 HAVING d <> 0), "
+            "r AS (SELECT u, d, 2 * rank() OVER (ORDER BY abs(d)) "
+            "+ COUNT(*) OVER (PARTITION BY abs(d)) - 1 AS r2 FROM d), "
+            "a AS (SELECT COUNT(*) AS n_users, "
+            "SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS w2_plus, "
+            "SUM(r2) AS sum_r2, SUM(r2 * r2) AS sum_r2sq FROM r) "
+            "SELECT CAST(n_users AS BIGINT) AS n_users, "
+            "CAST(w2_plus AS BIGINT) AS w2_plus, "
+            "CAST(sum_r2 AS BIGINT) AS sum_r2, "
+            "CAST(sum_r2sq AS BIGINT) AS sum_r2sq, "
+            "(CAST(w2_plus AS DOUBLE) - CAST(sum_r2 AS DOUBLE) / 2.0) "
+            "/ sqrt(CAST(sum_r2sq AS DOUBLE) / 4.0) AS z, "
+            "abs((CAST(w2_plus AS DOUBLE) - CAST(sum_r2 AS DOUBLE) "
+            "/ 2.0) / sqrt(CAST(sum_r2sq AS DOUBLE) / 4.0)) > 1.96 "
+            "AS significant FROM a"
+        ),
+        "label_centroids": (
+            "WITH e AS (SELECT label, unnest(range(len(embedding))) "
+            "AS dim, CAST(round(CAST(unnest(embedding) AS DOUBLE) "
+            "* 1000000, 0) AS BIGINT) AS q FROM embeddings) "
+            "SELECT CAST(label AS BIGINT) AS label, "
+            "CAST(dim AS BIGINT) AS dim, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(q) AS BIGINT) AS sum_micro, "
+            "CAST(SUM(q) AS DOUBLE) / "
+            "(CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS centroid "
+            "FROM e GROUP BY 1, 2"
+        ),
+        "stream_gapfill_1h": (
+            f"WITH b AS ({_HOURLY_SQL}), "
+            "bounds AS (SELECT user_id, MIN(bucket_s) lo, "
+            "MAX(bucket_s) hi FROM b GROUP BY 1), "
+            "grid AS (SELECT user_id, CAST(unnest(range(lo, hi + 3600, "
+            "3600)) AS BIGINT) AS bucket_s FROM bounds), "
+            "j AS (SELECT g.user_id, g.bucket_s, b.cnt, "
+            "b.cnt IS NULL AS is_gap FROM grid g LEFT "
+            "JOIN b ON g.user_id = b.user_id AND g.bucket_s = b.bucket_s) "
+            "SELECT user_id, bucket_s, "
+            "CAST(last_value(cnt IGNORE NULLS) OVER "
+            "(PARTITION BY user_id ORDER BY bucket_s ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt, "
+            "is_gap FROM j"
         ),
         "pettitt_changepoint": (
             "WITH d AS (SELECT event_type AS typ, "

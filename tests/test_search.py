@@ -219,3 +219,53 @@ def test_mmr_rerank_tie_breaks_toward_lower_id_and_penalizes_dup(spark):
     assert out[2].vec_id == 7  # diverse candidate beats the clone
     assert out[3].vec_id == 6
     assert abs(out[3].mmr - (0.7 * out[3].rel - 0.3)) < 1e-9
+
+
+def test_label_centroids_exact(spark):
+    """Two labels, two 2-d vectors each: micro sums and centroids are
+    the literal quantized means."""
+    from tsaug_spark.pipeline.similarity import label_centroids
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0], 0),
+            (2, [3.0, 4.0], 0),
+            (3, [0.5, 0.25], 1),
+            (4, [0.5, 0.75], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        (r.label, r.dim): r for r in label_centroids(emb).collect()
+    }
+    assert out[(0, 0)].sum_micro == 4_000_000
+    assert out[(0, 0)].centroid == 2.0
+    assert out[(0, 1)].sum_micro == 2_000_000
+    assert out[(0, 1)].centroid == 1.0
+    assert out[(1, 0)].sum_micro == 1_000_000
+    assert out[(1, 1)].sum_micro == 1_000_000
+    assert all(r.n == 2 for r in out.values())
+
+
+def test_label_centroids_separate_real_labels(spark):
+    """On the sf0.001 embeddings the per-label centroids exist for
+    every (label, dim) cell and each label's centroid differs from
+    the global mean somewhere (labels are real clusters)."""
+    from pyspark.sql import functions as F
+
+    from tsaug_spark.pipeline.similarity import label_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n_lab, dim = emb.select(
+        F.countDistinct("label"),
+        F.max(F.size("embedding")),
+    ).first()
+    out = label_centroids(emb)
+    assert out.count() == n_lab * dim
+    spread = (
+        out.groupBy("dim")
+        .agg((F.max("centroid") - F.min("centroid")).alias("sp"))
+        .agg(F.max("sp"))
+        .first()[0]
+    )
+    assert spread > 0.0

@@ -469,3 +469,113 @@ def test_stream_kmv_matches_batch_across_micro_batches(spark, tmp_path):
     pd.testing.assert_frame_equal(
         streamed, batch[streamed.columns.tolist()], check_dtype=False
     )
+
+
+def test_stream_gapfill_hand_fixture(spark, tmp_path):
+    """User with hourly counts at buckets h0(2 events), h0+3(1): the
+    two skipped hours must appear as is_gap rows carrying cnt=2, split
+    across micro-batches so the fill crosses a state boundary."""
+    import datetime as dt
+
+    from tsaug_spark.streaming.stateful import run_stream_gapfill_once
+
+    t0 = dt.datetime(2024, 1, 1)
+    h0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    batch1 = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": [t0, t0 + dt.timedelta(minutes=30)],
+            "user_id": [7, 7],
+            "event_type": ["click", "click"],
+            "value": [1.0, 1.0],
+        }
+    )
+    batch2 = pd.DataFrame(
+        {
+            "event_id": [3],
+            "ts": [t0 + dt.timedelta(hours=3, minutes=10)],
+            "user_id": [7],
+            "event_type": ["click"],
+            "value": [1.0],
+        }
+    )
+    src = tmp_path / "gf_src"
+    src.mkdir()
+    for i, b in enumerate((batch1, batch2)):
+        f = str(src / f"p{i}.parquet")
+        b.to_parquet(f, engine="pyarrow", coerce_timestamps="us")
+        os.utime(f, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    out = {
+        r.bucket_s: r
+        for r in run_stream_gapfill_once(
+            spark, str(src), sink_table="gf_hand",
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    assert set(out) == {h0, h0 + 3600, h0 + 7200, h0 + 10800}
+    assert (out[h0].cnt, out[h0].is_gap) == (2, False)
+    assert (out[h0 + 3600].cnt, out[h0 + 3600].is_gap) == (2, True)
+    assert (out[h0 + 7200].cnt, out[h0 + 7200].is_gap) == (2, True)
+    assert (out[h0 + 10800].cnt, out[h0 + 10800].is_gap) == (1, False)
+
+
+def test_stream_gapfill_matches_batch_locf(spark, tmp_path):
+    """Three time-ordered micro-batches over the sf0.001 events: the
+    caught-up view equals the batch complete_grid + fill_locf stage
+    (including the is_gap flags) row for row."""
+    from tsaug_spark.plans.gapfill import complete_grid, fill_locf
+    from tsaug_spark.plans.rollup import rollup_events
+    from tsaug_spark.streaming.stateful import run_stream_gapfill_once
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    lo, hi = ev.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).collect()[0]
+    src = tmp_path / "gf_split"
+    src.mkdir()
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    parts = [
+        ev.filter(F.unix_timestamp("ts") <= cut1),
+        ev.filter(
+            (F.unix_timestamp("ts") > cut1)
+            & (F.unix_timestamp("ts") <= cut2)
+        ),
+        ev.filter(F.unix_timestamp("ts") > cut2),
+    ]
+    for i, part in enumerate(parts):
+        f = str(src / f"part{i}.parquet")
+        part.toPandas().to_parquet(
+            f, engine="pyarrow", coerce_timestamps="us"
+        )
+        os.utime(f, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    got = (
+        run_stream_gapfill_once(
+            spark, str(src), sink_table="gf_batchtwin",
+            max_files_per_trigger=1,
+        )
+        .orderBy("user_id", "bucket_s")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    hourly = rollup_events(ev, "1h").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.timestamp_seconds("bucket_s").alias("bucket_ts"),
+        "cnt",
+    )
+    want = (
+        fill_locf(complete_grid(hourly, "1h"), ["cnt"])
+        .select(
+            F.col("conv_id").cast("long").alias("user_id"),
+            F.unix_timestamp("bucket_ts").alias("bucket_s"),
+            "cnt",
+            "is_gap",
+        )
+        .orderBy("user_id", "bucket_s")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )

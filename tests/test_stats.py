@@ -1470,3 +1470,81 @@ def test_isotonic_rate_is_monotone_on_data(spark):
     for lo, hi in zip(out, out[1:]):
         assert hi.iso_rate >= lo.iso_rate - 1e-15
     assert all(0.0 <= r.iso_rate <= 1.0 for r in out)
+
+
+def test_moments_matches_python_replay(spark):
+    """Values 1,2,2,3,10 for one type: exact power sums and the
+    raw-to-central identities replayed literally."""
+    from tsaug_spark.plans.stats import moments
+
+    vals = [1, 2, 2, 3, 10]
+    rows = [(1, i / 24.0, "a", v) for i, v in enumerate(vals)]
+    (r,) = moments(_ev(spark, rows)).collect()
+    n = len(vals)
+    s = [sum(v**k for v in vals) for k in range(5)]
+    assert (r.n, r.s1, r.s2, r.s3, r.s4) == (n, s[1], s[2], s[3], s[4])
+    mean = s[1] / n
+    m2 = s[2] / n - mean**2
+    m3 = s[3] / n - 3 * mean * (s[2] / n) + 2 * mean**3
+    m4 = (
+        s[4] / n
+        - 4 * mean * (s[3] / n)
+        + 6 * mean**2 * (s[2] / n)
+        - 3 * mean**4
+    )
+    assert abs(r.skewness - m3 / m2**1.5) < 1e-12
+    assert abs(r.ex_kurtosis - (m4 / m2**2 - 3)) < 1e-12
+    assert r.skewness > 0  # the 10 drags the right tail
+
+
+def test_moments_symmetric_zero_skew(spark):
+    """A symmetric distribution has skewness exactly 0 (the integer
+    sums make the float tree's numerator exactly cancel)."""
+    from tsaug_spark.plans.stats import moments
+
+    vals = [1, 2, 3, 4, 5, 1, 2, 3, 4, 5]
+    rows = [(1, i / 24.0, "a", v) for i, v in enumerate(vals)]
+    (r,) = moments(_ev(spark, rows)).collect()
+    assert r.skewness == 0.0
+
+
+def test_wilcoxon_prepost_matches_python_replay(spark):
+    """Hand-built pre/post purchase counts; replay the doubled-rank
+    statistic exactly, including a |d| tie."""
+    from tsaug_spark.plans.stats import wilcoxon_prepost
+
+    # horizon days 0..9 -> split at day 5
+    pre_post = {1: (0, 3), 2: (2, 1), 3: (1, 4), 4: (2, 2), 5: (0, 1)}
+    rows = []
+    for u, (pre, post) in pre_post.items():
+        rows += [(u, 0.5, "purchase", 1.0)] * pre
+        rows += [(u, 8.5, "purchase", 1.0)] * post
+        rows += [(u, 0.1, "view", 1.0), (u, 9.1, "view", 1.0)]
+    (r,) = wilcoxon_prepost(_ev(spark, rows)).collect()
+    ds = [post - pre for pre, post in pre_post.values() if post != pre]
+    # d: 3, -1, 3, 1 -> |d| sorted: 1,1,3,3; doubled avg ranks:
+    # |1| -> 2*1+2-1 = 3; |3| -> 2*3+2-1 = 7
+    assert r.n_users == 4
+    assert r.w2_plus == 3 + 7 + 7  # d=+1 (rank2 3), d=+3 twice
+    assert r.sum_r2 == 3 + 3 + 7 + 7
+    assert r.sum_r2sq == 9 + 9 + 49 + 49
+    z = (r.w2_plus - r.sum_r2 / 2.0) / (r.sum_r2sq / 4.0) ** 0.5
+    assert r.z == z
+    assert len(ds) == 4
+
+
+def test_wilcoxon_prepost_null_when_balanced(spark):
+    """Perfectly mirrored shifts: W2+ equals its expectation and
+    z == 0 (not significant)."""
+    from tsaug_spark.plans.stats import wilcoxon_prepost
+
+    rows = []
+    # users 1,2: +2 after; users 3,4: -2 after
+    for u in (1, 2):
+        rows += [(u, 8.5, "purchase", 1.0)] * 2
+        rows += [(u, 0.1, "view", 1.0), (u, 9.1, "view", 1.0)]
+    for u in (3, 4):
+        rows += [(u, 0.5, "purchase", 1.0)] * 2
+        rows += [(u, 0.1, "view", 1.0), (u, 9.1, "view", 1.0)]
+    (r,) = wilcoxon_prepost(_ev(spark, rows)).collect()
+    assert r.z == 0.0 and not r.significant

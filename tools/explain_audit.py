@@ -1144,6 +1144,42 @@ def main() -> None:
             execute=True,
         )
 
+    # round-3j batch: q10's dim broadcast + pushed returnflag filter;
+    # moments/centroids are single-aggregate pipelines
+    audit(
+        "tpch_q10 (broadcast dim, JVM only)",
+        em.q_tpch_q10(spark, sf),
+        must_have=["BroadcastHashJoin", "HashAggregate",
+                   "PushedFilters"],
+        must_not_have=["CartesianProduct", "BroadcastNestedLoopJoin",
+                       "BatchEvalPython", "ArrowEvalPython",
+                       "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+    for nm, q in [
+        ("moments_values", em.q_moments_values),
+        ("label_centroids", em.q_label_centroids),
+    ]:
+        audit(
+            f"{nm} (r3j batch, JVM only)",
+            q(spark, sf),
+            must_have=["HashAggregate"],
+            must_not_have=["CartesianProduct",
+                           "BroadcastNestedLoopJoin",
+                           "BatchEvalPython", "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+    # wilcoxon anchors the pre/post split on a broadcast 1-row scalar
+    audit(
+        "wilcoxon_prepost (r3j batch, broadcast scalar, JVM only)",
+        em.q_wilcoxon_prepost(spark, sf),
+        must_have=["HashAggregate", "BroadcastNestedLoopJoin"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
     # croston: the ONLY Python in the plan is the grouped Arrow
     # kernel itself (one hash partition per key, no row-wise UDF)
     audit(

@@ -327,3 +327,54 @@ def sq8_quantize(
             lambda a, i: F.greatest(a, F.abs(err(i))),
         ).alias("max_abs_err"),
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-label centroid of an embedding column at (label, dim)
+    grain — the class-prototype table behind nearest-centroid
+    classification, drift monitoring, and IVF seeding.
+
+    Determinism: each float32 component is quantized ONCE to integer
+    micro-units (round(v * scale)); per-dimension sums are then exact
+    BIGINT folds (order-free — float summation across a shuffle is
+    not), and the centroid is one shared float division sum/(n*scale).
+    Quantization error is 5e-7 per component, far below float32's own
+    resolution for unit-scale embeddings.
+
+    Scale: posexplode is a narrow map (rows x dims, no shuffle of the
+    vectors themselves); one (label, dim) hash aggregate with map-side
+    combine ships labels x dims rows, not vectors.
+    """
+    exploded = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("v").cast("double") * F.lit(int(scale)), 0)
+        .cast("long")
+        .alias("q"),
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("sum_micro"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("dim").cast("long").alias("dim"),
+            F.col("n").cast("long").alias("n"),
+            F.col("sum_micro").cast("long").alias("sum_micro"),
+            (
+                F.col("sum_micro").cast("double")
+                / (F.col("n").cast("double") * F.lit(float(scale)))
+            ).alias("centroid"),
+        )
+    )

@@ -3221,3 +3221,160 @@ def isotonic_rate(
         ),
         F.col("iso_rate"),
     )
+
+
+def moments(
+    df: DataFrame,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Skewness and excess kurtosis per event type from EXACT integer
+    power sums — the shape diagnostics (is the value distribution
+    heavy-tailed? lopsided?) behind every "can I use a z-score here"
+    decision, computed without a second pass or float accumulation.
+
+    Values are quantized once to integer units (round(value)); s1..s4
+    are exact BIGINT sums of its powers, and the central moments come
+    from the standard raw-to-central identities evaluated as ONE
+    fixed-shape float tree over (n, s1..s4):
+
+        m2 = s2/n - mean^2
+        m3 = s3/n - 3 mean s2/n + 2 mean^3
+        m4 = s4/n - 4 mean s3/n + 6 mean^2 s2/n - 3 mean^4
+        skew = m3 / m2^1.5,   ex_kurt = m4 / m2^2 - 3
+
+    Bound: unit^4 * n < 2^63 — with values <= ~2000 units that holds
+    to ~5e8 rows per type; beyond that, pre-aggregate counts per
+    distinct unit (the domain is bounded) and weight the powers.
+
+    Scale: one hash aggregate, map-side combined; 5-integer state per
+    type.
+    """
+    u = F.round(F.col(value_col), 0).cast("long")
+    agg = (
+        df.select(F.col(type_col).alias("etype"), u.alias("u"))
+        .groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("u").alias("s1"),
+            F.sum(F.col("u") * F.col("u")).alias("s2"),
+            F.sum(F.col("u") * F.col("u") * F.col("u")).alias("s3"),
+            F.sum(
+                F.col("u") * F.col("u") * F.col("u") * F.col("u")
+            ).alias("s4"),
+        )
+    )
+    nf = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nf
+    r2 = F.col("s2").cast("double") / nf
+    r3 = F.col("s3").cast("double") / nf
+    r4 = F.col("s4").cast("double") / nf
+    m2 = r2 - mean * mean
+    m3 = r3 - F.lit(3.0) * mean * r2 + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        r4
+        - F.lit(4.0) * mean * r3
+        + F.lit(6.0) * mean * mean * r2
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    return agg.filter(m2 > 0).select(
+        F.col("etype").alias("event_type"),
+        F.col("n").cast("long").alias("n"),
+        F.col("s1").cast("long").alias("s1"),
+        F.col("s2").cast("long").alias("s2"),
+        F.col("s3").cast("long").alias("s3"),
+        F.col("s4").cast("long").alias("s4"),
+        mean.alias("mean_u"),
+        m2.alias("m2"),
+        (m3 / F.sqrt(m2 * m2 * m2)).alias("skewness"),
+        (m4 / (m2 * m2) - F.lit(3.0)).alias("ex_kurtosis"),
+    )
+
+
+def wilcoxon_prepost(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    outcome_type: str = "purchase",
+) -> DataFrame:
+    """Wilcoxon signed-rank test of per-user outcome counts before vs
+    after the horizon's integer midpoint day — the nonparametric
+    paired test (Wilcoxon 1945) that asks "did the TYPICAL user shift"
+    where a paired t-test would be dragged by whales.
+
+    Exactness: differences d_u = post - pre are exact BIGINTs; zeros
+    drop (the standard convention); |d| gets the tie-aware DOUBLED
+    average rank 2m + t - 1 (the :func:`spearman_pairs` idiom — an
+    exact BIGINT), and the statistic uses the exact identities
+
+        W2+ = Sum_{d>0} r2_u,   E[W2+] = Sum r2 / 2,
+        Var(W2+) = Sum r2^2 / 4
+
+    (the conditional-signs variance, which absorbs tie corrections
+    automatically), so z = (W2+ - Sum r2/2) / sqrt(Sum r2^2 / 4) is
+    one fixed float tree over three exact integers.
+
+    Scale: one (user, period) hash aggregate absorbs event volume;
+    ranking is one window over the user-grain frame.  Output is one
+    row: n_users, the integer sufficient statistics, z, and the
+    |z| > 1.96 flag.
+    """
+    dayc = F.floor(F.unix_timestamp(F.col(ts_col)) / 86400).cast(
+        "long"
+    )
+    span = df.agg(
+        F.min(dayc).alias("mnd"), F.max(dayc).alias("mxd")
+    ).select(F.expr("(mnd + mxd + 1) div 2").alias("split_day"))
+    d = (
+        df.crossJoin(F.broadcast(span))
+        .select(
+            F.col(user_col).alias("u"),
+            F.when(
+                (F.col(type_col) == outcome_type)
+                & (dayc >= F.col("split_day")),
+                1,
+            )
+            .when(
+                (F.col(type_col) == outcome_type)
+                & (dayc < F.col("split_day")),
+                -1,
+            )
+            .otherwise(0)
+            .alias("signed"),
+        )
+        .groupBy("u")
+        .agg(F.sum("signed").alias("d"))
+        .filter(F.col("d") != 0)
+    )
+    wr = Window.orderBy(F.abs(F.col("d")))
+    wt = Window.partitionBy(F.abs(F.col("d")))
+    ranked = d.select(
+        "u",
+        "d",
+        (
+            F.lit(2) * F.rank().over(wr)
+            + F.count(F.lit(1)).over(wt)
+            - F.lit(1)
+        ).alias("r2"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("d") > 0, F.col("r2")).otherwise(0)).alias(
+            "w2_plus"
+        ),
+        F.sum("r2").alias("sum_r2"),
+        F.sum(F.col("r2") * F.col("r2")).alias("sum_r2sq"),
+    )
+    z = (
+        F.col("w2_plus").cast("double")
+        - F.col("sum_r2").cast("double") / F.lit(2.0)
+    ) / F.sqrt(F.col("sum_r2sq").cast("double") / F.lit(4.0))
+    return agg.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("w2_plus").cast("long").alias("w2_plus"),
+        F.col("sum_r2").cast("long").alias("sum_r2"),
+        F.col("sum_r2sq").cast("long").alias("sum_r2sq"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(1.96)).alias("significant"),
+    )

@@ -321,3 +321,132 @@ def run_stream_kmv_once(
         .groupBy("bucket_s", "rn")
         .agg(F.min("hv").alias("hv"))
     )
+
+
+GAPFILL_OUT_DDL = "user_id long, bucket_s long, cnt long, is_gap boolean"
+GAPFILL_STATE_DDL = "cur_b long, cur_c long"
+
+
+def _gapfill_fn(bucket_seconds: int):
+    def fn(key, pdfs, state: GroupState):
+        batches = [p for p in pdfs if len(p)]
+        if not batches:
+            return
+        rows = pd.concat(batches, ignore_index=True)
+        t = (
+            rows["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+            // 1_000_000_000
+        )
+        buckets = (t // bucket_seconds) * bucket_seconds
+        ubs, counts = np.unique(buckets, return_counts=True)
+
+        if state.exists:
+            cur_b, cur_c = (int(v) for v in state.get)
+            if int(ubs[0]) < cur_b:
+                raise ValueError(
+                    "stream_gapfill: event older than the open bucket "
+                    f"({int(ubs[0])} < {cur_b}) — arrival-order "
+                    "contract violated (see module docstring)"
+                )
+        else:
+            cur_b, cur_c = int(ubs[0]), 0
+        out = []
+        uid = int(key[0])
+        for b, c in zip(ubs, counts):
+            b, c = int(b), int(c)
+            if b == cur_b:
+                cur_c += c
+                continue
+            out.append((uid, cur_b, cur_c, False))
+            for g in range(cur_b + bucket_seconds, b, bucket_seconds):
+                out.append((uid, g, cur_c, True))
+            cur_b, cur_c = b, c
+        out.append((uid, cur_b, cur_c, False))
+        state.update((cur_b, cur_c))
+        yield pd.DataFrame(
+            out, columns=["user_id", "bucket_s", "cnt", "is_gap"]
+        )
+
+    return fn
+
+
+def gapfill_stream(
+    events: DataFrame, bucket_seconds: int = 3600
+) -> DataFrame:
+    """Streaming LOCF gap-fill — the stateful twin of the batch
+    ``complete_grid`` + ``fill_locf`` cascade stage (plans/gapfill.py):
+    per-key state carries the OPEN bucket's (start, running count);
+    when a later bucket first appears, the open bucket finalizes and
+    every skipped grid bucket between them is emitted carrying the
+    last observation forward (``is_gap = true``), exactly the batch
+    ``last_value IGNORE NULLS`` semantics over the per-user min..max
+    grid.
+
+    Arrival-order contract: identical to the sessionizer above —
+    nondecreasing event time per key ACROSS micro-batches (violations
+    raise rather than silently rewriting emitted history); any order
+    within a micro-batch.  The open bucket re-emits its growing count
+    each touching batch, so the caught-up view is max-per-(key,
+    bucket), monotone like the session snapshots.
+
+    State: one fixed-width row per key.  Production eviction:
+    EventTimeTimeout at (open bucket + allowed lateness), flushing the
+    final row on timeout.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _gapfill_fn(bucket_seconds),
+        outputStructType=GAPFILL_OUT_DDL,
+        stateStructType=GAPFILL_STATE_DDL,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_gapfill_once(
+    spark,
+    source_path: str,
+    bucket_seconds: int = 3600,
+    sink_table: str = "stream_gapfill_out",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """availableNow backfill of the stateful gap-filler; returns the
+    caught-up per-(user, bucket) view (counts grow monotonically, so
+    max == latest; gap rows are emitted exactly once)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(source_path).schema
+    if os.path.isdir(source_path):
+        src_dir, glob = source_path, "*"
+    else:
+        src_dir = os.path.dirname(source_path)
+        glob = os.path.basename(source_path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", glob)
+        .parquet(src_dir)
+    )
+    q = (
+        gapfill_stream(stream, bucket_seconds=bucket_seconds)
+        .writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "availableNow gapfill backfill did not finish in 300s; "
+            "the memory sink would be partial — refusing to return it"
+        )
+    return (
+        spark.table(sink_table)
+        .groupBy("user_id", "bucket_s")
+        .agg(
+            F.max("cnt").alias("cnt"),
+            F.max("is_gap").alias("is_gap"),
+        )
+    )
