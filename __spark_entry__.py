@@ -2286,6 +2286,50 @@ def q_stream_gapfill_1h(spark, sf):
     )
 
 
+def q_overdispersion_daily(spark, sf):
+    """Index-of-dispersion (Poisson-ness) test per type's daily counts
+    (plans/stats.py::overdispersion): exact BIGINT sums, one shared
+    D = (n*S2 - S1^2)/((n-1)*S1) tree and the two-sigma flag."""
+    from tsaug_spark.plans.stats import overdispersion
+
+    return overdispersion(_events(spark, sf))
+
+
+def q_granger_click_purchase(spark, sf):
+    """Lag-1 Granger test of clicks driving purchases
+    (plans/stats.py::granger_daily): exact integer Gram sums, Cramer
+    closed-form OLS, shared SSE/F trees."""
+    from tsaug_spark.plans.stats import granger_daily
+
+    return granger_daily(_events(spark, sf))
+
+
+def q_rate_ratio_purchase(spark, sf):
+    """Two-period Poisson rate-ratio z-test around the midpoint day
+    (plans/metrics.py::rate_ratio_test): exact integer exposures and
+    counts, one conditional-binomial float tree."""
+    from tsaug_spark.plans.metrics import rate_ratio_test
+
+    return rate_ratio_test(_events(spark, sf))
+
+
+def q_stream_gapfill_interp_1h(spark, sf):
+    """Streaming linear-interpolation gap-fill
+    (streaming/stateful.py::gapfill_interp_stream): two-phase
+    emission (closed brackets final, open-bucket brackets re-emitted
+    with a seq stamp), argmax-seq caught-up view equals the batch
+    complete_grid + fill_interpolate stage bit for bit."""
+    from tsaug_spark.streaming.stateful import (
+        run_stream_gapfill_interp_once,
+    )
+
+    return run_stream_gapfill_interp_once(
+        spark,
+        f"{sf}/events.parquet",
+        sink_table="stream_gapfill_interp_q",
+    )
+
+
 def q_cuped_adjust(spark, sf):
     """CUPED variance-reduced A/B readout
     (plans/metrics.py::cuped): md5-bucket deterministic arms, exact
@@ -4853,6 +4897,10 @@ _PRIORITY = [
     "wilcoxon_prepost",
     "label_centroids",
     "stream_gapfill_1h",
+    "overdispersion_daily",
+    "granger_click_purchase",
+    "rate_ratio_purchase",
+    "stream_gapfill_interp_1h",
     "tpch_q3",
     "dau_overlap",
     "value_deciles",
@@ -5204,6 +5252,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilcoxon_prepost": q_wilcoxon_prepost,
         "label_centroids": q_label_centroids,
         "stream_gapfill_1h": q_stream_gapfill_1h,
+        "overdispersion_daily": q_overdispersion_daily,
+        "granger_click_purchase": q_granger_click_purchase,
+        "rate_ratio_purchase": q_rate_ratio_purchase,
+        "stream_gapfill_interp_1h": q_stream_gapfill_interp_1h,
         "weighted_sample": q_weighted_sample,
         "season_strength": q_season_strength,
         "mase_backtest": q_mase_backtest,
@@ -8058,6 +8110,121 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY bucket_s ROWS BETWEEN "
             "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt, "
             "is_gap FROM j"
+        ),
+        "overdispersion_daily": (
+            "WITH d AS (SELECT event_type AS typ, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "COUNT(*) AS y FROM events GROUP BY 1, 2), "
+            "a AS (SELECT typ, COUNT(*) AS n, SUM(y) AS s1, "
+            "SUM(y*y) AS s2 FROM d GROUP BY 1), "
+            "f AS (SELECT *, CAST(n*s2 - s1*s1 AS DOUBLE) / "
+            "CAST((n - 1) * s1 AS DOUBLE) AS disp FROM a "
+            "WHERE n >= 3) "
+            "SELECT typ AS event_type, CAST(n AS BIGINT) AS n_days, "
+            "CAST(s1 AS BIGINT) AS sum_y, CAST(s2 AS BIGINT) AS "
+            "sum_y2, disp AS dispersion, "
+            "CAST(n - 1 AS DOUBLE) * disp AS chi2_stat, "
+            "disp > 1.0 + 2.0 * sqrt(2.0 / CAST(n - 1 AS DOUBLE)) "
+            "AS overdispersed FROM f"
+        ),
+        "granger_click_purchase": (
+            "WITH d AS (SELECT event_type AS typ, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "COUNT(*) AS c FROM events "
+            "WHERE event_type IN ('purchase', 'click') GROUP BY 1, 2), "
+            "bt AS (SELECT y.day, y.c AS yv, x.c AS xv FROM "
+            "(SELECT day, c FROM d WHERE typ = 'purchase') y JOIN "
+            "(SELECT day, c FROM d WHERE typ = 'click') x "
+            "USING (day)), "
+            "lg AS (SELECT yv AS yt, "
+            "lag(yv, 1) OVER (ORDER BY day) AS a, "
+            "lag(xv, 1) OVER (ORDER BY day) AS b FROM bt), "
+            "g AS (SELECT COUNT(*) AS n, SUM(yt) AS sy, SUM(a) AS sa, "
+            "SUM(b) AS sb, SUM(yt*yt) AS syy, SUM(a*a) AS saa, "
+            "SUM(b*b) AS sbb, SUM(a*b) AS sab, SUM(a*yt) AS say, "
+            "SUM(b*yt) AS sby FROM lg WHERE a IS NOT NULL), "
+            "c AS (SELECT n, "
+            "CAST(n*syy - sy*sy AS DOUBLE) AS cyy, "
+            "CAST(n*saa - sa*sa AS DOUBLE) AS caa, "
+            "CAST(n*sbb - sb*sb AS DOUBLE) AS cbb, "
+            "CAST(n*sab - sa*sb AS DOUBLE) AS cab, "
+            "CAST(n*say - sa*sy AS DOUBLE) AS cay, "
+            "CAST(n*sby - sb*sy AS DOUBLE) AS cby FROM g), "
+            "s AS (SELECT n, cyy, cay, cby, caa, "
+            "caa*cbb - cab*cab AS det, "
+            "(cay*cbb - cby*cab) / (caa*cbb - cab*cab) AS bcoef, "
+            "(cby*caa - cay*cab) / (caa*cbb - cab*cab) AS ccoef "
+            "FROM c), "
+            "e AS (SELECT *, cyy - bcoef*cay - ccoef*cby AS sse_f, "
+            "cyy - (cay/caa)*cay AS sse_r FROM s) "
+            "SELECT CAST(n AS BIGINT) AS n_days, "
+            "bcoef AS coef_target_lag, ccoef AS coef_driver_lag, "
+            "sse_f AS sse_full, sse_r AS sse_restricted, "
+            "(sse_r - sse_f) / (sse_f / (CAST(n AS DOUBLE) - 3.0)) "
+            "AS f_stat, "
+            "(sse_r - sse_f) / (sse_f / (CAST(n AS DOUBLE) - 3.0)) "
+            "> CAST(384 AS DOUBLE) / 100.0 AS granger_significant "
+            "FROM e WHERE det > 0 AND n > 3 AND sse_f > 0"
+        ),
+        "rate_ratio_purchase": (
+            "WITH sp AS (SELECT MIN(CAST(floor(epoch(ts)/86400) AS "
+            "BIGINT)) AS mnd, MAX(CAST(floor(epoch(ts)/86400) AS "
+            "BIGINT)) AS mxd, "
+            "(MIN(CAST(floor(epoch(ts)/86400) AS BIGINT)) + "
+            "MAX(CAST(floor(epoch(ts)/86400) AS BIGINT)) + 1) // 2 "
+            "AS split_day FROM events), "
+            "c AS (SELECT SUM(CASE WHEN "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) < sp.split_day "
+            "THEN 1 ELSE 0 END) AS x1, "
+            "SUM(CASE WHEN CAST(floor(epoch(ts)/86400) AS BIGINT) >= "
+            "sp.split_day THEN 1 ELSE 0 END) AS x2, "
+            "MIN(mnd) AS mnd, MIN(mxd) AS mxd, "
+            "MIN(split_day) AS split_day FROM events, sp "
+            "WHERE event_type = 'purchase'), "
+            "f AS (SELECT x1, x2, "
+            "CAST(split_day - mnd AS BIGINT) AS n1, "
+            "CAST(mxd - split_day + 1 AS BIGINT) AS n2 FROM c), "
+            "g AS (SELECT *, CAST(x1 + x2 AS DOUBLE) AS nn, "
+            "CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS p0 "
+            "FROM f) "
+            "SELECT CAST(x1 AS BIGINT) AS pre_events, "
+            "CAST(x2 AS BIGINT) AS post_events, "
+            "n1 AS pre_days, n2 AS post_days, "
+            "(CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / "
+            "(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS rate_ratio, "
+            "(CAST(x2 AS DOUBLE) - nn * p0) / "
+            "sqrt(nn * p0 * (1.0 - p0)) AS z, "
+            "abs((CAST(x2 AS DOUBLE) - nn * p0) / "
+            "sqrt(nn * p0 * (1.0 - p0))) > 1.96 AS significant FROM g"
+        ),
+        "stream_gapfill_interp_1h": (
+            f"WITH b AS ({_HOURLY_SQL}), "
+            "bounds AS (SELECT user_id, MIN(bucket_s) lo, "
+            "MAX(bucket_s) hi FROM b GROUP BY 1), "
+            "grid AS (SELECT user_id, CAST(unnest(range(lo, hi + 3600, "
+            "3600)) AS BIGINT) AS bucket_s FROM bounds), "
+            "j AS (SELECT g.user_id, g.bucket_s, b.cnt, "
+            "b.cnt IS NULL AS is_gap FROM grid g LEFT "
+            "JOIN b ON g.user_id = b.user_id AND g.bucket_s = b.bucket_s), "
+            "w AS (SELECT user_id, bucket_s, cnt, is_gap, "
+            "last_value(CAST(cnt AS DOUBLE) IGNORE NULLS) OVER back "
+            "AS pv, "
+            "first_value(CAST(cnt AS DOUBLE) IGNORE NULLS) OVER fwd "
+            "AS nv, "
+            "last_value(CASE WHEN cnt IS NOT NULL THEN bucket_s END "
+            "IGNORE NULLS) OVER back AS pt, "
+            "first_value(CASE WHEN cnt IS NOT NULL THEN bucket_s END "
+            "IGNORE NULLS) OVER fwd AS nt FROM j "
+            "WINDOW back AS (PARTITION BY user_id ORDER BY bucket_s "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+            "fwd AS (PARTITION BY user_id ORDER BY bucket_s "
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) "
+            "SELECT user_id, bucket_s, "
+            "CASE WHEN cnt IS NOT NULL THEN CAST(cnt AS DOUBLE) "
+            "ELSE pv * (1 - CAST(bucket_s - pt AS DOUBLE) / "
+            "CAST(nt - pt AS DOUBLE)) "
+            "+ nv * (CAST(bucket_s - pt AS DOUBLE) / "
+            "CAST(nt - pt AS DOUBLE)) END AS val, is_gap FROM w"
         ),
         "pettitt_changepoint": (
             "WITH d AS (SELECT event_type AS typ, "

@@ -1920,3 +1920,36 @@ def test_attribution_models_short_paths(spark):
     assert c.ushape_micro == 10**6 + 500000
     assert v.ushape_micro == 500000
     assert c.linear_micro == 10**6 + 500000
+
+
+def test_rate_ratio_replay(spark):
+    """Days 0..9 (split 5): 4 purchases before, 12 after; exposures
+    5/5 days; replay RR and the conditional-binomial z exactly."""
+    from tsaug_spark.plans.metrics import rate_ratio_test
+
+    rows = []
+    for d in range(10):
+        rows.append((1, d + 0.1, "view", 1.0))
+    for _ in range(4):
+        rows.append((2, 1.5, "purchase", 1.0))
+    for _ in range(12):
+        rows.append((2, 7.5, "purchase", 1.0))
+    (r,) = rate_ratio_test(_evt(spark, rows)).collect()
+    assert (r.pre_events, r.post_events) == (4, 12)
+    assert (r.pre_days, r.post_days) == (5, 5)
+    assert r.rate_ratio == (12 / 5) / (4 / 5)
+    nn, p0 = 16.0, 0.5
+    z = (12.0 - nn * p0) / (nn * p0 * (1 - p0)) ** 0.5
+    assert r.z == z
+    assert r.significant == (abs(z) > 1.96)
+
+
+def test_rate_ratio_balanced_is_null(spark):
+    """Equal counts over equal exposures: RR = 1, z = 0."""
+    from tsaug_spark.plans.metrics import rate_ratio_test
+
+    rows = [(1, 0.1, "view", 1.0), (1, 9.9, "view", 1.0)]
+    for d in (1.5, 7.5):
+        rows += [(2, d, "purchase", 1.0)] * 6
+    (r,) = rate_ratio_test(_evt(spark, rows)).collect()
+    assert r.rate_ratio == 1.0 and r.z == 0.0 and not r.significant

@@ -579,3 +579,126 @@ def test_stream_gapfill_matches_batch_locf(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got[want.columns.tolist()], want, check_dtype=False
     )
+
+
+def test_stream_gapfill_interp_two_phase(spark, tmp_path):
+    """Counts 4 at h0, gap at h0+1/h0+2, then bucket h0+3 whose count
+    arrives over TWO later batches (1 then +2 more): provisional gap
+    values from the middle batch must be overwritten by the final
+    (higher-seq) blends once the right bracket's count is complete."""
+    import datetime as dt
+
+    from tsaug_spark.streaming.stateful import (
+        run_stream_gapfill_interp_once,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    h0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+
+    def mk(eids, offsets_min):
+        return pd.DataFrame(
+            {
+                "event_id": eids,
+                "ts": [
+                    t0 + dt.timedelta(minutes=m) for m in offsets_min
+                ],
+                "user_id": [7] * len(eids),
+                "event_type": ["click"] * len(eids),
+                "value": [1.0] * len(eids),
+            }
+        )
+
+    batches = [
+        mk([1, 2, 3, 4], [0, 10, 20, 30]),        # h0: 4 events
+        mk([5], [180 + 5]),                        # h0+3: 1 event
+        mk([6, 7], [180 + 20, 180 + 40]),          # h0+3: +2 events
+    ]
+    src = tmp_path / "gfi_src"
+    src.mkdir()
+    for i, b in enumerate(batches):
+        f = str(src / f"p{i}.parquet")
+        b.to_parquet(f, engine="pyarrow", coerce_timestamps="us")
+        os.utime(f, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    out = {
+        r.bucket_s: r
+        for r in run_stream_gapfill_interp_once(
+            spark, str(src), sink_table="gfi_hand",
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    assert set(out) == {h0, h0 + 3600, h0 + 7200, h0 + 10800}
+    assert (out[h0].val, out[h0].is_gap) == (4.0, False)
+    assert (out[h0 + 10800].val, out[h0 + 10800].is_gap) == (3.0, False)
+    # final blends: pv=4, nv=3 over a 3-step gap
+    f1 = (h0 + 3600 - h0) / (h0 + 10800 - h0)
+    f2 = (h0 + 7200 - h0) / (h0 + 10800 - h0)
+    assert out[h0 + 3600].val == 4.0 * (1.0 - f1) + 3.0 * f1
+    assert out[h0 + 7200].val == 4.0 * (1.0 - f2) + 3.0 * f2
+    assert out[h0 + 3600].is_gap and out[h0 + 7200].is_gap
+
+
+def test_stream_gapfill_interp_matches_batch(spark, tmp_path):
+    """Three time-ordered micro-batches over sf0.001: the caught-up
+    argmax-seq view equals the batch complete_grid + fill_interpolate
+    stage on the count channel bit for bit."""
+    from tsaug_spark.plans.gapfill import (
+        complete_grid,
+        fill_interpolate,
+    )
+    from tsaug_spark.plans.rollup import rollup_events
+    from tsaug_spark.streaming.stateful import (
+        run_stream_gapfill_interp_once,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    lo, hi = ev.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).collect()[0]
+    src = tmp_path / "gfi_split"
+    src.mkdir()
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    parts = [
+        ev.filter(F.unix_timestamp("ts") <= cut1),
+        ev.filter(
+            (F.unix_timestamp("ts") > cut1)
+            & (F.unix_timestamp("ts") <= cut2)
+        ),
+        ev.filter(F.unix_timestamp("ts") > cut2),
+    ]
+    for i, part in enumerate(parts):
+        f = str(src / f"part{i}.parquet")
+        part.toPandas().to_parquet(
+            f, engine="pyarrow", coerce_timestamps="us"
+        )
+        os.utime(f, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    got = (
+        run_stream_gapfill_interp_once(
+            spark, str(src), sink_table="gfi_batchtwin",
+            max_files_per_trigger=1,
+        )
+        .orderBy("user_id", "bucket_s")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    hourly = rollup_events(ev, "1h").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.timestamp_seconds("bucket_s").alias("bucket_ts"),
+        F.col("cnt").cast("double").alias("val"),
+    )
+    want = (
+        fill_interpolate(complete_grid(hourly, "1h"), ["val"])
+        .select(
+            F.col("conv_id").cast("long").alias("user_id"),
+            F.unix_timestamp("bucket_ts").alias("bucket_s"),
+            "val",
+            "is_gap",
+        )
+        .orderBy("user_id", "bucket_s")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )

@@ -1180,6 +1180,31 @@ def main() -> None:
         execute=True,
     )
 
+    # round-3k batch: dispersion/granger are aggregate+window chains;
+    # rate-ratio anchors on the broadcast 1-row span scalar
+    for nm, q in [
+        ("overdispersion_daily", em.q_overdispersion_daily),
+        ("granger_click_purchase", em.q_granger_click_purchase),
+    ]:
+        audit(
+            f"{nm} (r3k batch, JVM only)",
+            q(spark, sf),
+            must_have=["HashAggregate"],
+            must_not_have=["CartesianProduct",
+                           "BroadcastNestedLoopJoin",
+                           "BatchEvalPython", "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+    audit(
+        "rate_ratio_purchase (r3k batch, broadcast scalar, JVM only)",
+        em.q_rate_ratio_purchase(spark, sf),
+        must_have=["HashAggregate", "BroadcastNestedLoopJoin"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
     # croston: the ONLY Python in the plan is the grouped Arrow
     # kernel itself (one hash partition per key, no row-wise UDF)
     audit(

@@ -3521,3 +3521,71 @@ def attribution_models(
             F.col("ushape_micro").cast("long").alias("ushape_micro"),
         )
     )
+
+
+def rate_ratio_test(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    outcome_type: str = "purchase",
+) -> DataFrame:
+    """Two-period Poisson rate-ratio test around the horizon's integer
+    midpoint day — "did the purchase RATE change after the launch?"
+    by the exact-conditional construction (Przyborowski & Wilenski
+    1940): given N = x1 + x2 total events, x2 ~ Binomial(N, p0) under
+    H0 with p0 = n2/(n1+n2) the post-period's share of exposure days,
+    so
+
+        z = (x2 - N*p0) / sqrt(N * p0 * (1 - p0))
+
+    Everything left of the float tree is an exact BIGINT: the split
+    day, the day-count exposures n1/n2, and the two event counts.  p0
+    and z are fixed-shape expressions of those integers.
+
+    Scale: one scalar span aggregate (broadcast), one filtered count
+    aggregate; 1-row output.
+    """
+    dayc = F.floor(F.unix_timestamp(F.col(ts_col)) / 86400).cast(
+        "long"
+    )
+    span = df.agg(
+        F.min(dayc).alias("mnd"), F.max(dayc).alias("mxd")
+    ).select(
+        "mnd",
+        "mxd",
+        F.expr("(mnd + mxd + 1) div 2").alias("split_day"),
+    )
+    counts = (
+        df.filter(F.col(type_col) == outcome_type)
+        .crossJoin(F.broadcast(span))
+        .agg(
+            F.sum(
+                (dayc < F.col("split_day")).cast("long")
+            ).alias("x1"),
+            F.sum(
+                (dayc >= F.col("split_day")).cast("long")
+            ).alias("x2"),
+            F.min("mnd").alias("mnd"),
+            F.min("mxd").alias("mxd"),
+            F.min("split_day").alias("split_day"),
+        )
+    )
+    n1 = (F.col("split_day") - F.col("mnd")).cast("long")
+    n2 = (F.col("mxd") - F.col("split_day") + 1).cast("long")
+    nn = (F.col("x1") + F.col("x2")).cast("double")
+    p0 = n2.cast("double") / (n1 + n2).cast("double")
+    z = (F.col("x2").cast("double") - nn * p0) / F.sqrt(
+        nn * p0 * (F.lit(1.0) - p0)
+    )
+    rr = (
+        F.col("x2").cast("double") / n2.cast("double")
+    ) / (F.col("x1").cast("double") / n1.cast("double"))
+    return counts.select(
+        F.col("x1").cast("long").alias("pre_events"),
+        F.col("x2").cast("long").alias("post_events"),
+        n1.alias("pre_days"),
+        n2.alias("post_days"),
+        rr.alias("rate_ratio"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(1.96)).alias("significant"),
+    )

@@ -3378,3 +3378,153 @@ def wilcoxon_prepost(
         z.alias("z"),
         (F.abs(z) > F.lit(1.96)).alias("significant"),
     )
+
+
+def overdispersion(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    min_days: int = 3,
+) -> DataFrame:
+    """Index-of-dispersion test per event type's daily counts — the
+    "is this really Poisson?" gate (Fisher 1950) that decides whether
+    a plain rate alert threshold is valid or the series is bursty and
+    needs a negative-binomial / robust treatment.
+
+        D = s^2 / ybar = (n*S2 - S1^2) / ((n - 1) * S1)
+
+    with S1, S2 exact BIGINT sums of the daily counts and their
+    squares — ONE float expression over three exact integers.  Under
+    H0 (Poisson), (n-1)*D ~ chi2(n-1); the normal-approx flag uses
+    the standard two-sigma band  D > 1 + 2*sqrt(2/(n-1)).
+
+    Scale: one (type, day) hash aggregate absorbs event volume, one
+    per-type fold over the horizon-bounded day frame.
+    """
+    daily = (
+        df.select(
+            F.col(type_col).alias("typ"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("typ", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    agg = daily.groupBy("typ").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).alias("s2"),
+    ).filter(F.col("n") >= int(min_days))
+    disp = (
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+        .cast("double")
+        / (
+            (F.col("n") - 1) * F.col("s1")
+        ).cast("double")
+    )
+    thresh = F.lit(1.0) + F.lit(2.0) * F.sqrt(
+        F.lit(2.0) / (F.col("n") - 1).cast("double")
+    )
+    return agg.select(
+        F.col("typ").alias("event_type"),
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s1").cast("long").alias("sum_y"),
+        F.col("s2").cast("long").alias("sum_y2"),
+        disp.alias("dispersion"),
+        ((F.col("n") - 1).cast("double") * disp).alias("chi2_stat"),
+        (disp > thresh).alias("overdispersed"),
+    )
+
+
+def granger_daily(
+    df: DataFrame,
+    target_type: str = "purchase",
+    driver_type: str = "click",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    f_crit_x100: int = 384,
+) -> DataFrame:
+    """Lag-1 Granger causality test: do yesterday's DRIVER counts
+    improve today's TARGET forecast beyond the target's own history
+    (Granger 1969)?  Fits y_t = a + b*y_{t-1} + c*x_{t-1} and the
+    restricted y_t = a + b*y_{t-1} by closed-form OLS and reports
+
+        F = (SSE_r - SSE_f) / (SSE_f / (n - 3))
+
+    Exactness: the Gram sums (n, SY, SA, SB, SYY, SAA, SBB, SAB, SAY,
+    SBY over y_t, y_{t-1}, x_{t-1}) are exact BIGINTs; the centered
+    cross-products c** = n*S** - S*S* are exact int64 (counts up to
+    ~1e6/day x 3-year horizons stay under 2^63 — beyond that, cast
+    the leaves first); the normal-equation solution (Cramer), both
+    SSEs and F are one fixed-shape float tree, identical in both
+    engines.  Adjacency is row-adjacent on the common-day inner join,
+    the gap-skipping convention shared with :func:`ar2_forecast`.
+
+    Scale: one (type, day) hash aggregate, one day-keyed inner join of
+    two horizon-bounded series, one window lag pass, one 1-row fold.
+    """
+    daily = (
+        df.filter(F.col(type_col).isin([target_type, driver_type]))
+        .select(
+            F.col(type_col).alias("typ"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("typ", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    y = daily.filter(F.col("typ") == target_type).select(
+        "day", F.col("c").alias("yv")
+    )
+    x = daily.filter(F.col("typ") == driver_type).select(
+        "day", F.col("c").alias("xv")
+    )
+    both = y.join(x, "day")
+    w = Window.orderBy("day")
+    lagged = both.select(
+        F.col("yv").alias("yt"),
+        F.lag("yv", 1).over(w).alias("a"),
+        F.lag("xv", 1).over(w).alias("b"),
+    ).filter(F.col("a").isNotNull())
+    g = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("yt").alias("sy"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("yt") * F.col("yt")).alias("syy"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("a") * F.col("yt")).alias("say"),
+        F.sum(F.col("b") * F.col("yt")).alias("sby"),
+    )
+    n = F.col("n")
+    cyy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    caa = (n * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    cbb = (n * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    cab = (n * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    cay = (n * F.col("say") - F.col("sa") * F.col("sy")).cast("double")
+    cby = (n * F.col("sby") - F.col("sb") * F.col("sy")).cast("double")
+    det = caa * cbb - cab * cab
+    bcoef = (cay * cbb - cby * cab) / det
+    ccoef = (cby * caa - cay * cab) / det
+    sse_f = cyy - bcoef * cay - ccoef * cby
+    sse_r = cyy - (cay / caa) * cay
+    fstat = (sse_r - sse_f) / (
+        sse_f / (n.cast("double") - F.lit(3.0))
+    )
+    crit = F.lit(int(f_crit_x100)).cast("double") / F.lit(100.0)
+    # a PERFECT full fit (sse_f == 0) has no finite F — and ANSI mode
+    # makes the division an error, not an inf — so it is filtered out
+    # like the det-singular case (document: trivially "significant")
+    return g.filter((det > 0) & (n > 3) & (sse_f > 0)).select(
+        n.cast("long").alias("n_days"),
+        bcoef.alias("coef_target_lag"),
+        ccoef.alias("coef_driver_lag"),
+        sse_f.alias("sse_full"),
+        sse_r.alias("sse_restricted"),
+        fstat.alias("f_stat"),
+        (fstat > crit).alias("granger_significant"),
+    )

@@ -450,3 +450,156 @@ def run_stream_gapfill_once(
             F.max("is_gap").alias("is_gap"),
         )
     )
+
+
+INTERP_OUT_DDL = (
+    "user_id long, bucket_s long, val double, is_gap boolean, seq long"
+)
+INTERP_STATE_DDL = (
+    "prev_b long, prev_c long, cur_b long, cur_c long, seq long"
+)
+
+
+def _gapfill_interp_fn(bucket_seconds: int):
+    def fn(key, pdfs, state: GroupState):
+        batches = [p for p in pdfs if len(p)]
+        if not batches:
+            return
+        rows = pd.concat(batches, ignore_index=True)
+        t = (
+            rows["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+            // 1_000_000_000
+        )
+        buckets = (t // bucket_seconds) * bucket_seconds
+        ubs, counts = np.unique(buckets, return_counts=True)
+
+        if state.exists:
+            prev_b, prev_c, cur_b, cur_c, seq = (
+                int(v) for v in state.get
+            )
+            if int(ubs[0]) < cur_b:
+                raise ValueError(
+                    "stream_gapfill_interp: event older than the open "
+                    f"bucket ({int(ubs[0])} < {cur_b}) — arrival-order "
+                    "contract violated (see module docstring)"
+                )
+        else:
+            prev_b, prev_c = -1, 0
+            cur_b, cur_c, seq = int(ubs[0]), 0, 0
+        seq += 1
+        uid = int(key[0])
+        out = []
+
+        def gaps(pb, pc, nb, nc):
+            # the batch fill_interpolate blend, shape for shape:
+            # frac = (t - pt)/(nt - pt);  v = pv*(1-frac) + nv*frac
+            pv, nv = float(pc), float(nc)
+            for g in range(pb + bucket_seconds, nb, bucket_seconds):
+                frac = (g - pb) / (nb - pb)
+                out.append(
+                    (uid, g, pv * (1.0 - frac) + nv * frac, True, seq)
+                )
+
+        for b, c in zip(ubs, counts):
+            b, c = int(b), int(c)
+            if b == cur_b:
+                cur_c += c
+                continue
+            # cur closes: its count is final, and so is the bracket
+            # of every gap between the previously closed bucket and it
+            out.append((uid, cur_b, float(cur_c), False, seq))
+            if prev_b >= 0:
+                gaps(prev_b, prev_c, cur_b, cur_c)
+            prev_b, prev_c = cur_b, cur_c
+            cur_b, cur_c = b, c
+        # provisional tail: the open bucket and the gaps bracketed by
+        # its RUNNING count — re-emitted (higher seq) until it closes
+        if prev_b >= 0:
+            gaps(prev_b, prev_c, cur_b, cur_c)
+        out.append((uid, cur_b, float(cur_c), False, seq))
+        state.update((prev_b, prev_c, cur_b, cur_c, seq))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "bucket_s", "val", "is_gap", "seq"],
+        )
+
+    return fn
+
+
+def gapfill_interp_stream(
+    events: DataFrame, bucket_seconds: int = 3600
+) -> DataFrame:
+    """Streaming LINEAR-INTERPOLATION gap-fill — the stateful twin of
+    ``complete_grid`` + ``fill_interpolate`` on the hourly count
+    channel.  Unlike LOCF, an interpolated gap needs its RIGHT
+    bracket's final value, so emission is two-phase: gaps whose both
+    brackets have closed emit once with final values; gaps bracketed
+    by the open bucket re-emit with its running count every touching
+    micro-batch.  A per-key ``seq`` counter stamps every row so the
+    caught-up view is argmax-seq per (key, bucket) — interpolated
+    values are NOT monotone, so a max-per-bucket view (the LOCF twin's
+    trick) would be wrong here.
+
+    Same arrival-order contract as the sessionizer/LOCF twins; same
+    fixed-width one-row state.  The blend is computed shape-for-shape
+    as the batch operator (``pv*(1-frac) + nv*frac`` in float64), so
+    the caught-up view equals the batch stage bit for bit.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _gapfill_interp_fn(bucket_seconds),
+        outputStructType=INTERP_OUT_DDL,
+        stateStructType=INTERP_STATE_DDL,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_gapfill_interp_once(
+    spark,
+    source_path: str,
+    bucket_seconds: int = 3600,
+    sink_table: str = "stream_gapfill_interp_out",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """availableNow backfill of the interpolating gap-filler; returns
+    the caught-up argmax-seq view per (user, bucket)."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(source_path).schema
+    if os.path.isdir(source_path):
+        src_dir, glob = source_path, "*"
+    else:
+        src_dir = os.path.dirname(source_path)
+        glob = os.path.basename(source_path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", glob)
+        .parquet(src_dir)
+    )
+    q = (
+        gapfill_interp_stream(stream, bucket_seconds=bucket_seconds)
+        .writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "availableNow interp backfill did not finish in 300s; "
+            "the memory sink would be partial — refusing to return it"
+        )
+    w = Window.partitionBy("user_id", "bucket_s").orderBy(
+        F.col("seq").desc()
+    )
+    return (
+        spark.table(sink_table)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "bucket_s", "val", "is_gap")
+    )
