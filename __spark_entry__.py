@@ -2330,6 +2330,34 @@ def q_stream_gapfill_interp_1h(spark, sf):
     )
 
 
+def q_pmi_collocations(spark, sf):
+    """Top-50 PMI collocations over the corpus bigrams
+    (pipeline/text.py::pmi_collocations): integer-ratio log2 argument
+    quantized to centibits per type, fully tie-broken ranking."""
+    from tsaug_spark.pipeline.text import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf))
+
+
+def q_centroid_assign(spark, sf):
+    """Nearest-centroid confusion counts over the embeddings table
+    (pipeline/similarity.py::centroid_assign): exact integer distance
+    numerators against the micro-quantized label centroids, selection
+    argmin, (actual, predicted, n) grain."""
+    from tsaug_spark.pipeline.similarity import centroid_assign
+
+    return centroid_assign(_emb(spark, sf))
+
+
+def q_holm_types(spark, sf):
+    """Holm step-down FWER correction over the per-type Pettitt
+    p-values (plans/stats.py::holm_bonferroni): running-AND prefix of
+    the per-rank pass flags via a window MIN."""
+    from tsaug_spark.plans.stats import holm_bonferroni
+
+    return holm_bonferroni(_events(spark, sf))
+
+
 def q_cuped_adjust(spark, sf):
     """CUPED variance-reduced A/B readout
     (plans/metrics.py::cuped): md5-bucket deterministic arms, exact
@@ -4901,6 +4929,9 @@ _PRIORITY = [
     "granger_click_purchase",
     "rate_ratio_purchase",
     "stream_gapfill_interp_1h",
+    "pmi_collocations",
+    "centroid_assign",
+    "holm_types",
     "tpch_q3",
     "dau_overlap",
     "value_deciles",
@@ -5256,6 +5287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "granger_click_purchase": q_granger_click_purchase,
         "rate_ratio_purchase": q_rate_ratio_purchase,
         "stream_gapfill_interp_1h": q_stream_gapfill_interp_1h,
+        "pmi_collocations": q_pmi_collocations,
+        "centroid_assign": q_centroid_assign,
+        "holm_types": q_holm_types,
         "weighted_sample": q_weighted_sample,
         "season_strength": q_season_strength,
         "mase_backtest": q_mase_backtest,
@@ -8225,6 +8259,77 @@ def oracle_sql() -> dict[str, str]:
             "CAST(nt - pt AS DOUBLE)) "
             "+ nv * (CAST(bucket_s - pt AS DOUBLE) / "
             "CAST(nt - pt AS DOUBLE)) END AS val, is_gap FROM w"
+        ),
+        "pmi_collocations": (
+            "WITH l AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "bg AS (SELECT p[1] AS x, p[2] AS y "
+            "FROM (SELECT unnest(list_zip(ws, ws[2:])) AS p "
+            "FROM l) WHERE p[2] IS NOT NULL "
+            "AND p[1] <> '' AND p[2] <> ''), "
+            "c AS (SELECT x, y, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2), "
+            "cx AS (SELECT x, SUM(c_xy) AS c_x FROM c GROUP BY 1), "
+            "cy AS (SELECT y, SUM(c_xy) AS c_y FROM c GROUP BY 1), "
+            "tt AS (SELECT SUM(c_xy) AS t FROM c), "
+            "s AS (SELECT c.x, c.y, c_xy, c_x, c_y, "
+            "CAST(floor(100 * (log2(c_xy * t) - log2(c_x * c_y))) "
+            "AS BIGINT) AS pmi_cb FROM c JOIN cx USING (x) "
+            "JOIN cy USING (y), tt WHERE c_xy >= 5), "
+            "r AS (SELECT *, row_number() OVER (ORDER BY pmi_cb DESC, "
+            "x ASC, y ASC) AS rank FROM s) "
+            "SELECT x, y, CAST(c_xy AS BIGINT) AS c_xy, "
+            "CAST(c_x AS BIGINT) AS c_x, CAST(c_y AS BIGINT) AS c_y, "
+            "pmi_cb, CAST(rank AS BIGINT) AS rank FROM r "
+            "WHERE rank <= 50"
+        ),
+        "centroid_assign": (
+            "WITH e AS (SELECT vec_id AS vid, "
+            "CAST(label AS BIGINT) AS actual, "
+            "unnest(range(len(embedding))) AS dim, "
+            "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, "
+            "0) AS BIGINT) AS q FROM embeddings), "
+            "c AS (SELECT actual AS clabel, dim, COUNT(*) AS cn, "
+            "SUM(q) AS sum_micro FROM e GROUP BY 1, 2), "
+            "pp AS (SELECT vid, actual, clabel, cn, "
+            "SUM((cn*q - sum_micro) * (cn*q - sum_micro)) AS num "
+            "FROM e JOIN c USING (dim) GROUP BY 1, 2, 3, 4), "
+            "d AS (SELECT vid, actual, clabel, "
+            "CAST(num AS DOUBLE) / (CAST(cn*cn AS DOUBLE) * "
+            "1000000000000.0) AS d2 FROM pp), "
+            "a AS (SELECT vid, actual, clabel AS predicted, "
+            "row_number() OVER (PARTITION BY vid ORDER BY d2 ASC, "
+            "clabel ASC) AS rn FROM d) "
+            "SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM a WHERE rn = 1 GROUP BY 1, 2"
+        ),
+        "holm_types": (
+            "WITH d AS (SELECT event_type AS typ, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "COUNT(*) AS y FROM events GROUP BY 1, 2), "
+            "v AS (SELECT a.typ, a.day, "
+            "SUM(CAST(sign(a.y - b.y) AS BIGINT)) AS v, "
+            "COUNT(*) AS n FROM d a JOIN d b ON b.typ = a.typ "
+            "GROUP BY a.typ, a.day), "
+            "u AS (SELECT typ, day, n, "
+            "SUM(v) OVER (PARTITION BY typ ORDER BY day) AS u_t, "
+            "row_number() OVER (PARTITION BY typ ORDER BY day) AS t "
+            "FROM v), "
+            "pt AS (SELECT typ, day AS break_day, "
+            "2.0 * exp((-6.0 * u_t * u_t) / "
+            "CAST(n*n*n + n*n AS DOUBLE)) AS p "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY typ "
+            "ORDER BY abs(u_t) DESC, day ASC) AS rk FROM u "
+            "WHERE t < n) WHERE rk = 1), "
+            "r AS (SELECT typ, break_day, p, "
+            "row_number() OVER (ORDER BY p ASC, typ ASC) AS i, "
+            "COUNT(*) OVER () AS m FROM pt), "
+            "hh AS (SELECT *, CASE WHEN p * ((m - i + 1) * 100) <= "
+            "CAST(5 AS DOUBLE) THEN 1 ELSE 0 END AS passed FROM r) "
+            "SELECT typ AS event_type, break_day, p, "
+            "CAST(i AS BIGINT) AS p_rank, CAST(m AS BIGINT) AS "
+            "m_tests, MIN(passed) OVER (ORDER BY p ASC, typ ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 "
+            "AS rejected FROM hh"
         ),
         "pettitt_changepoint": (
             "WITH d AS (SELECT event_type AS typ, "

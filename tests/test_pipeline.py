@@ -669,3 +669,81 @@ def test_bigram_nll_shuffled_text_scores_higher(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r.avg_cb for r in bigram_nll(docs).collect()}
     assert out[100] < out[101]
+
+
+# ---- PMI collocations (pipeline/text.py) ----
+
+
+def test_pmi_collocations_hand_corpus(spark):
+    """'new york' occurs 6x and only together; filler bigrams share
+    common words: the exclusive pair must rank 1 with the exact
+    centibit score."""
+    import math
+
+    from tsaug_spark.pipeline.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york " * 6),
+            (2, "the cat the dog the cat the dog the cat"),
+            (3, "the cat the dog the cat the dog the cat"),
+        ],
+        "doc_id long, text string",
+    )
+    out = pmi_collocations(docs, min_count=3, top_k=10).collect()
+    # both exclusive orientations ("new york" 6x, the wrap-around
+    # "york new" 5x) outrank every shared-word filler pair
+    assert {(r.x, r.y) for r in out[:2]} == {
+        ("new", "york"),
+        ("york", "new"),
+    }
+    (top,) = [r for r in out if (r.x, r.y) == ("new", "york")]
+    assert top.rank <= 2
+    # replay: c_xy=6 ... trailing space makes 'york'->'new' bigrams too
+    cxy = {r0: {} for r0 in ()}
+    # recompute corpus bigrams in python
+    texts = [
+        "new york " * 6,
+        "the cat the dog the cat the dog the cat",
+        "the cat the dog the cat the dog the cat",
+    ]
+    from collections import Counter
+
+    bg = Counter()
+    for t in texts:
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            if a and b:
+                bg[(a, b)] += 1
+    cx = Counter()
+    cy = Counter()
+    for (a, b), c in bg.items():
+        cx[a] += c
+        cy[b] += c
+    tt = sum(bg.values())
+    want = math.floor(
+        100
+        * (
+            math.log2(bg[("new", "york")] * tt)
+            - math.log2(cx["new"] * cy["york"])
+        )
+    )
+    assert top.pmi_cb == want
+    assert top.c_xy == bg[("new", "york")]
+
+
+def test_pmi_collocations_min_count_floor(spark):
+    """A once-seen pair between rare words would top raw PMI; the
+    count floor must exclude it."""
+    from tsaug_spark.pipeline.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aardvark zyzzyva"),
+            (2, "the cat " * 10),
+        ],
+        "doc_id long, text string",
+    )
+    out = pmi_collocations(docs, min_count=3, top_k=10).collect()
+    assert all((r.x, r.y) != ("aardvark", "zyzzyva") for r in out)
+    assert any((r.x, r.y) == ("the", "cat") for r in out)

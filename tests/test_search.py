@@ -269,3 +269,68 @@ def test_label_centroids_separate_real_labels(spark):
         .first()[0]
     )
     assert spread > 0.0
+
+
+def test_centroid_assign_separable(spark):
+    """Two tight clusters: every vector lands on its own label's
+    centroid -> diagonal confusion."""
+    from tsaug_spark.pipeline.similarity import centroid_assign
+
+    rows = []
+    for i in range(4):
+        rows.append((i, [1.0 + i * 0.01, 0.0], 0))
+        rows.append((10 + i, [0.0, 1.0 + i * 0.01], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        (r.actual, r.predicted): r.n
+        for r in centroid_assign(emb).collect()
+    }
+    assert out == {(0, 0): 4, (1, 1): 4}
+
+
+def test_centroid_assign_pulls_outlier_across(spark):
+    """A label-0 vector sitting on label 1's centroid must be
+    predicted 1 (off-diagonal cell)."""
+    from tsaug_spark.pipeline.similarity import centroid_assign
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),
+        (3, [0.0, 1.0], 0),  # the defector
+        (10, [0.0, 1.0], 1),
+        (11, [0.0, 1.0], 1),
+        (12, [0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        (r.actual, r.predicted): r.n
+        for r in centroid_assign(emb).collect()
+    }
+    assert out[(0, 1)] == 1 and out[(0, 0)] == 2 and out[(1, 1)] == 3
+
+
+def test_centroid_assign_counts_match_total(spark):
+    """On sf0.001 every vector is assigned exactly once and most mass
+    is on the diagonal (labels are real clusters)."""
+    from pyspark.sql import functions as F
+
+    from tsaug_spark.pipeline.similarity import centroid_assign
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    out = centroid_assign(emb)
+    total = out.agg(F.sum("n")).first()[0]
+    assert total == emb.count()
+    diag = (
+        out.filter(F.col("actual") == F.col("predicted"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    # well above the 10-label chance rate (the synthetic clusters
+    # overlap, so demand signal, not separability)
+    assert diag / total > 0.2

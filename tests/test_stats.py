@@ -1635,3 +1635,48 @@ def test_granger_daily_independent_not_significant(spark):
         rows += [(1, d, "purchase", 1.0)] * purch[d]
     (r,) = granger_daily(_ev(spark, rows)).collect()
     assert not r.granger_significant
+
+
+def test_holm_step_down_stops_at_first_failure(spark):
+    """Three p-values (tiny, mid in (alpha/2, alpha], huge): Holm's
+    threshold at rank 2 is alpha/2, so mid FAILS and only the tiny
+    one is rejected — where BH's step-up at the same mid can differ."""
+    from tsaug_spark.plans.stats import holm_bonferroni
+
+    rows = []
+    rows += [(1, d, "big", 1.0) for d in range(10) for _ in range(2)]
+    rows += [
+        (1, d, "big", 1.0) for d in range(10, 20) for _ in range(10)
+    ]
+    rows += [(1, d, "mid", 1.0) for d in range(6) for _ in range(2)]
+    rows += [(1, d, "mid", 1.0) for d in range(6, 12) for _ in range(7)]
+    for t in ("flat_a",):
+        rows += [(1, d, t, 1.0) for d in range(20) for _ in range(3)]
+    out = {
+        r.event_type: r
+        for r in holm_bonferroni(_ev(spark, rows)).collect()
+    }
+    assert out["big"].rejected and out["big"].p_rank == 1
+    p_mid = out["mid"].p
+    assert 0.05 / 2 < p_mid <= 0.05  # fails its rank-2 Holm threshold
+    assert not out["mid"].rejected
+    assert not out["flat_a"].rejected  # p = 2.0, and after the stop
+
+
+def test_holm_rejects_full_prefix(spark):
+    """Two decisive shifts out of three: both tiny p-values pass
+    their step-down thresholds and both reject."""
+    from tsaug_spark.plans.stats import holm_bonferroni
+
+    rows = []
+    for t in ("s1", "s2"):
+        rows += [(1, d, t, 1.0) for d in range(10) for _ in range(2)]
+        rows += [
+            (1, d, t, 1.0) for d in range(10, 20) for _ in range(10)
+        ]
+    rows += [(1, d, "flat", 1.0) for d in range(20) for _ in range(3)]
+    out = {
+        r.event_type: r.rejected
+        for r in holm_bonferroni(_ev(spark, rows)).collect()
+    }
+    assert out == {"s1": True, "s2": True, "flat": False}

@@ -1205,6 +1205,34 @@ def main() -> None:
         execute=True,
     )
 
+    # round-3l batch: centroid-assign broadcasts the label-centroid
+    # table; holm is the fdr window chain with a step-down prefix
+    for nm, q in [
+        ("centroid_assign", em.q_centroid_assign),
+        ("holm_types", em.q_holm_types),
+    ]:
+        audit(
+            f"{nm} (r3l batch, JVM only)",
+            q(spark, sf),
+            must_have=["HashAggregate", "BroadcastHashJoin"],
+            must_not_have=["CartesianProduct",
+                           "BroadcastNestedLoopJoin",
+                           "BatchEvalPython", "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+    # pmi's 1-row total-bigram scalar is the intended broadcast
+    # nested-loop side
+    audit(
+        "pmi_collocations (r3l batch, broadcast scalar, JVM only)",
+        em.q_pmi_collocations(spark, sf),
+        must_have=["HashAggregate", "BroadcastHashJoin",
+                   "BroadcastNestedLoopJoin"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
     # croston: the ONLY Python in the plan is the grouped Arrow
     # kernel itself (one hash partition per key, no row-wise UDF)
     audit(

@@ -378,3 +378,103 @@ def label_centroids(
             ).alias("centroid"),
         )
     )
+
+
+def centroid_assign(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Nearest-centroid classification audit: assign every vector to
+    its closest :func:`label_centroids` prototype and report the
+    confusion counts (actual label, predicted label, n) — the
+    one-pass "are these labels even separable" check run before
+    anything fancier, and the assignment kernel IVF uses.
+
+    Determinism: with q the micro-quantized components and (n_l,
+    sum_l) the exact per-label integer centroid stats, the squared
+    distance to label l is
+
+        d2_l = Sum_dim (n_l * q - sum_l)^2 / (n_l^2 * scale^2)
+
+    whose NUMERATOR is an exact int64 sum (n*q ~ 1e6-scale micro
+    units squared, x dims — far under 2^63 for <=1e3-dim unit
+    vectors); the division is one shared float op and argmin is a
+    SELECTION over the label-bounded candidate set with (d2, label)
+    tie-breaks — order-free in both engines.
+
+    Scale: vectors x labels x dims narrow join against the broadcast
+    centroid table — the standard nearest-centroid cost, no
+    all-pairs; one (vec, label) aggregate, one argmin window over L
+    candidates per vector, one confusion-grain aggregate.
+    """
+    cent = label_centroids(
+        emb, id_col=id_col, vec_col=vec_col,
+        label_col=label_col, scale=scale,
+    ).select(
+        F.col("label").alias("clabel"),
+        "dim",
+        F.col("n").alias("cn"),
+        "sum_micro",
+    )
+    exploded = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).cast("long").alias("actual"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    ).select(
+        "vid",
+        "actual",
+        "dim",
+        F.round(F.col("v").cast("double") * F.lit(int(scale)), 0)
+        .cast("long")
+        .alias("q"),
+    )
+    per_pair = (
+        exploded.join(F.broadcast(cent), "dim")
+        .select(
+            "vid",
+            "actual",
+            "clabel",
+            "cn",
+            (
+                (F.col("cn") * F.col("q") - F.col("sum_micro"))
+                * (F.col("cn") * F.col("q") - F.col("sum_micro"))
+            ).alias("sq"),
+        )
+        .groupBy("vid", "actual", "clabel", "cn")
+        .agg(F.sum("sq").alias("num"))
+        .select(
+            "vid",
+            "actual",
+            "clabel",
+            (
+                F.col("num").cast("double")
+                / (
+                    (F.col("cn") * F.col("cn")).cast("double")
+                    * F.lit(float(scale) * float(scale))
+                )
+            ).alias("d2"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vid").orderBy(
+        F.col("d2").asc(), F.col("clabel").asc()
+    )
+    assigned = per_pair.select(
+        "vid",
+        "actual",
+        F.col("clabel").alias("predicted"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return (
+        assigned.groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "actual",
+            "predicted",
+            F.col("n").cast("long").alias("n"),
+        )
+    )

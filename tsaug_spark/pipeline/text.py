@@ -769,3 +769,87 @@ def bigram_nll(
             ).alias("avg_cb"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information (Church &
+    Hanks 1990) — the "which word pairs are a UNIT" extractor behind
+    phrase detection and tokenizer-merge candidates:
+
+        PMI(x, y) = log2( c_xy * T / (c_x * c_y) )
+
+    with c_xy the corpus bigram count, c_x / c_y unigram occurrence
+    counts as bigram left/right totals, T the total bigram count.
+
+    Determinism: the log2 argument is an exact integer RATIO and the
+    score is quantized per TYPE to integer centibits (the
+    :func:`unigram_surprisal` idiom); ordering and the top-k cut use
+    (pmi_cb DESC, x, y) — fully tie-broken, so ranks are identical in
+    both engines.  The ``min_count`` floor kills the
+    singleton-pair PMI explosion (a pair seen once between two rare
+    words maxes the score), the standard practice.
+
+    Scale: same vocabulary^2-bounded bigram aggregate as
+    :func:`bigram_nll`; ranking is one window over the filtered
+    candidate set.
+    """
+    ws = F.split(F.col(text_col), " ")
+    zipped = df.select(
+        F.explode(
+            F.arrays_zip(
+                ws.alias("x"),
+                F.slice(ws, 2, F.size(ws)).alias("y"),
+            )
+        ).alias("p")
+    )
+    bg = zipped.select(
+        F.col("p.x").alias("x"), F.col("p.y").alias("y")
+    ).filter(
+        F.col("y").isNotNull() & (F.col("x") != "") & (F.col("y") != "")
+    )
+    c = bg.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    cx = c.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    cy = c.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
+    tt = c.agg(F.sum("c_xy").alias("t"))
+    scored = (
+        c.filter(F.col("c_xy") >= int(min_count))
+        .join(cx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.floor(
+                F.lit(100)
+                * (
+                    F.log2(F.col("c_xy") * F.col("t"))
+                    - F.log2(F.col("c_x") * F.col("c_y"))
+                )
+            )
+            .cast("long")
+            .alias("pmi_cb"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("pmi_cb").desc(), F.col("x").asc(), F.col("y").asc()
+    )
+    return (
+        scored.select(
+            "x",
+            "y",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.col("c_x").cast("long").alias("c_x"),
+            F.col("c_y").cast("long").alias("c_y"),
+            "pmi_cb",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= int(top_k))
+    )

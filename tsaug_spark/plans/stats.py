@@ -3528,3 +3528,60 @@ def granger_daily(
         fstat.alias("f_stat"),
         (fstat > crit).alias("granger_significant"),
     )
+
+
+def holm_bonferroni(
+    df: DataFrame,
+    alpha_num: int = 5,
+    alpha_den: int = 100,
+) -> DataFrame:
+    """Holm step-DOWN FWER control over the per-type Pettitt p-values
+    (Holm 1979) — the family-wise companion to :func:`fdr_bh`'s FDR
+    control: reject while p_(i) <= alpha / (m - i + 1), stop at the
+    first failure.  Holm controls the stricter criterion (ANY false
+    rejection) and is what "we alert on-call on this" families want.
+
+    Determinism: the step-down prefix is  i <= min{ i : p_i * (m - i
+    + 1) * alpha_den > i... } — implemented as a running-AND via a
+    window MIN over the per-rank pass/fail flag: rejected(i) = every
+    rank <= i passed p_(j) * (m - j + 1) * alpha_den <= alpha_num
+    (one shared float product per rank, rank ties broken on the type
+    name, exactly the :func:`fdr_bh` idiom).
+
+    Scale: runs on the m-row Pettitt output; one global window pass.
+    """
+    p = pettitt(df).select(
+        "event_type",
+        F.col("p_approx").alias("p"),
+        F.col("break_day"),
+    )
+    wr = Window.orderBy(F.col("p").asc(), F.col("event_type").asc())
+    wall = Window.partitionBy()
+    wpre = Window.orderBy(
+        F.col("p").asc(), F.col("event_type").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = p.select(
+        "event_type",
+        "break_day",
+        "p",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    ).select(
+        "*",
+        F.when(
+            F.col("p")
+            * ((F.col("m") - F.col("i") + 1) * F.lit(int(alpha_den)))
+            <= F.lit(int(alpha_num)).cast("double"),
+            1,
+        )
+        .otherwise(0)
+        .alias("passed"),
+    )
+    return ranked.select(
+        "event_type",
+        "break_day",
+        "p",
+        F.col("i").cast("long").alias("p_rank"),
+        F.col("m").cast("long").alias("m_tests"),
+        (F.min("passed").over(wpre) == 1).alias("rejected"),
+    )
