@@ -2358,6 +2358,68 @@ def q_holm_types(spark, sf):
     return holm_bonferroni(_events(spark, sf))
 
 
+def q_tpch_q18(spark, sf):
+    """TPC-H Q18 shape — large-volume orders: the HAVING-filtered
+    per-order quantity aggregate pre-shrinks the key set, orders and
+    customer join only the survivors (the aggregate side broadcasts),
+    top-100 by quantity; quantities are exact integer units."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey",
+        F.round(F.col("l_quantity"), 0).cast("long").alias("qty"),
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    j = orders.join(
+        F.broadcast(big), orders.o_orderkey == big.l_orderkey
+    ).join(cust, orders.o_custkey == cust.c_custkey)
+    wt = Window.orderBy(
+        F.col("total_qty").desc(), F.col("o_orderkey").asc()
+    )
+    return j.select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        "o_orderdate",
+        F.col("total_qty").cast("long").alias("total_qty"),
+        F.row_number().over(wt).cast("long").alias("rank"),
+    ).filter(F.col("rank") <= 100)
+
+
+def q_markov_attribution(spark, sf):
+    """Markov removal-effect attribution per channel
+    (plans/stats.py::markov_attribution): one replicated integer value
+    iteration over the (removed, state) frame, start-weighted exact
+    conversion probabilities, removal effect as the single float."""
+    from tsaug_spark.plans.stats import markov_attribution
+
+    return markov_attribution(_events(spark, sf))
+
+
+def q_stream_gapfill_ttl_1h(spark, sf):
+    """Streaming LOCF gap-fill with the 2-bucket staleness TTL
+    (streaming/stateful.py::gapfill_ttl_stream): the fill loop is
+    bounded by the TTL, stale grid buckets are never emitted, and the
+    caught-up view equals the batch fill_locf_ttl non-stale read."""
+    from tsaug_spark.streaming.stateful import (
+        run_stream_gapfill_ttl_once,
+    )
+
+    return run_stream_gapfill_ttl_once(
+        spark,
+        f"{sf}/events.parquet",
+        sink_table="stream_gapfill_ttl_q",
+    )
+
+
 def q_cuped_adjust(spark, sf):
     """CUPED variance-reduced A/B readout
     (plans/metrics.py::cuped): md5-bucket deterministic arms, exact
@@ -4932,6 +4994,9 @@ _PRIORITY = [
     "pmi_collocations",
     "centroid_assign",
     "holm_types",
+    "tpch_q18",
+    "markov_attribution",
+    "stream_gapfill_ttl_1h",
     "tpch_q3",
     "dau_overlap",
     "value_deciles",
@@ -5290,6 +5355,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "centroid_assign": q_centroid_assign,
         "holm_types": q_holm_types,
+        "tpch_q18": q_tpch_q18,
+        "markov_attribution": q_markov_attribution,
+        "stream_gapfill_ttl_1h": q_stream_gapfill_ttl_1h,
         "weighted_sample": q_weighted_sample,
         "season_strength": q_season_strength,
         "mase_backtest": q_mase_backtest,
@@ -8330,6 +8398,82 @@ def oracle_sql() -> dict[str, str]:
             "m_tests, MIN(passed) OVER (ORDER BY p ASC, typ ASC "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 "
             "AS rejected FROM hh"
+        ),
+        "tpch_q18": (
+            "SELECT c_custkey, c_name, o_orderkey, o_orderdate, "
+            "total_qty, CAST(rank AS BIGINT) AS rank FROM ("
+            "SELECT c_custkey, c_name, o_orderkey, o_orderdate, "
+            "total_qty, row_number() OVER (ORDER BY total_qty DESC, "
+            "o_orderkey ASC) AS rank FROM ("
+            "SELECT l_orderkey, CAST(SUM(CAST(round(l_quantity, 0) "
+            "AS BIGINT)) AS BIGINT) AS total_qty FROM lineitem "
+            "GROUP BY 1 HAVING SUM(CAST(round(l_quantity, 0) AS "
+            "BIGINT)) > 150) b "
+            "JOIN orders ON o_orderkey = b.l_orderkey "
+            "JOIN customer ON o_custkey = c_custkey) "
+            "WHERE rank <= 100"
+        ),
+        "markov_attribution": (
+            "WITH RECURSIVE seq AS (SELECT event_type AS x, "
+            "COALESCE(lead(event_type) OVER w, '__END__') AS y, "
+            "row_number() OVER w AS rn FROM events WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY ts, event_id)), "
+            "bi AS (SELECT x, y, COUNT(*) AS c_xy FROM seq "
+            "WHERE x <> 'purchase' GROUP BY 1, 2), "
+            "fst AS (SELECT x, COUNT(*) AS n_first FROM seq "
+            "WHERE rn = 1 AND x <> 'purchase' GROUP BY 1), "
+            "src AS (SELECT DISTINCT x FROM bi), "
+            "reps AS (SELECT x AS removed FROM src WHERE x NOT IN "
+            "('purchase', '__END__') UNION ALL SELECT '__none__'), "
+            "rbi AS (SELECT removed, x, y, c_xy FROM reps, bi "
+            "WHERE x <> removed), "
+            "bse AS (SELECT removed, x, SUM(CASE WHEN y = 'purchase' "
+            "THEN c_xy ELSE 0 END) * 1000000 AS b, SUM(c_xy) AS c_x "
+            "FROM rbi GROUP BY 1, 2), "
+            "c2 AS (SELECT r.removed, r.x, r.y, r.c_xy FROM rbi r "
+            "JOIN bse s ON s.removed = r.removed AND s.x = r.y "
+            "UNION ALL SELECT removed, x, x, CAST(0 AS BIGINT) "
+            "FROM bse), "
+            "it AS (SELECT 0 AS k, removed, x, CAST(0 AS BIGINT) AS v "
+            "FROM bse UNION ALL SELECT it.k + 1, t.removed, t.x, "
+            "(MIN(bs.b) + SUM(t.c_xy * it.v)) // MIN(bs.c_x) "
+            "FROM it JOIN c2 t ON t.removed = it.removed "
+            "AND t.y = it.x JOIN bse bs ON bs.removed = t.removed "
+            "AND bs.x = t.x WHERE it.k < 12 "
+            "GROUP BY it.k, t.removed, t.x), "
+            "pc AS (SELECT reps.removed AS rem, "
+            "SUM(f.n_first) AS n_starts, "
+            "SUM(f.n_first * COALESCE(vv.v, 0)) // SUM(f.n_first) "
+            "AS p_micro FROM reps CROSS JOIN fst f "
+            "LEFT JOIN (SELECT removed, x, v FROM it WHERE k = 12) vv "
+            "ON vv.removed = reps.removed AND vv.x = f.x "
+            "GROUP BY 1), "
+            "b0 AS (SELECT p_micro AS base_micro FROM pc "
+            "WHERE rem = '__none__') "
+            "SELECT rem AS channel, CAST(n_starts AS BIGINT) AS "
+            "n_starts, CAST(base_micro AS BIGINT) AS base_micro, "
+            "CAST(p_micro AS BIGINT) AS removed_micro, "
+            "1.0 - CAST(p_micro AS DOUBLE) / "
+            "CAST(base_micro AS DOUBLE) AS removal_effect "
+            "FROM pc, b0 WHERE rem <> '__none__'"
+        ),
+        "stream_gapfill_ttl_1h": (
+            f"WITH b AS ({_HOURLY_SQL}), "
+            "bounds AS (SELECT user_id, MIN(bucket_s) lo, "
+            "MAX(bucket_s) hi FROM b GROUP BY 1), "
+            "grid AS (SELECT user_id, CAST(unnest(range(lo, hi + 3600, "
+            "3600)) AS BIGINT) AS bucket_s FROM bounds), "
+            "j AS (SELECT g.user_id, g.bucket_s, b.cnt, "
+            "b.cnt IS NULL AS is_gap FROM grid g LEFT "
+            "JOIN b ON g.user_id = b.user_id AND g.bucket_s = b.bucket_s), "
+            "k AS (SELECT user_id, bucket_s, is_gap, "
+            "last_value(cnt IGNORE NULLS) OVER wl AS lv, "
+            "last_value(CASE WHEN cnt IS NOT NULL THEN bucket_s END "
+            "IGNORE NULLS) OVER wl AS lt FROM j WINDOW wl AS "
+            "(PARTITION BY user_id ORDER BY bucket_s ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW)) "
+            "SELECT user_id, bucket_s, CAST(lv AS BIGINT) AS cnt, "
+            "is_gap FROM k WHERE bucket_s - lt <= 7200"
         ),
         "pettitt_changepoint": (
             "WITH d AS (SELECT event_type AS typ, "

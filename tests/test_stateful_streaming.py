@@ -702,3 +702,117 @@ def test_stream_gapfill_interp_matches_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got[want.columns.tolist()], want, check_dtype=False
     )
+
+
+def test_stream_gapfill_ttl_truncates_stale_fill(spark, tmp_path):
+    """Observations at h0 and h0+5 with ttl=2 buckets: only h0+1 and
+    h0+2 are filled; h0+3 and h0+4 are stale and never emitted."""
+    import datetime as dt
+
+    from tsaug_spark.streaming.stateful import (
+        run_stream_gapfill_ttl_once,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    h0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    b1 = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": [t0, t0 + dt.timedelta(minutes=9)],
+            "user_id": [5, 5],
+            "event_type": ["click", "click"],
+            "value": [1.0, 1.0],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "event_id": [3],
+            "ts": [t0 + dt.timedelta(hours=5, minutes=1)],
+            "user_id": [5],
+            "event_type": ["click"],
+            "value": [1.0],
+        }
+    )
+    src = tmp_path / "gft_src"
+    src.mkdir()
+    for i, b in enumerate((b1, b2)):
+        f = str(src / f"p{i}.parquet")
+        b.to_parquet(f, engine="pyarrow", coerce_timestamps="us")
+        os.utime(f, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    out = {
+        r.bucket_s: r
+        for r in run_stream_gapfill_ttl_once(
+            spark, str(src), sink_table="gft_hand",
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    assert set(out) == {h0, h0 + 3600, h0 + 7200, h0 + 18000}
+    assert (out[h0].cnt, out[h0].is_gap) == (2, False)
+    assert (out[h0 + 3600].cnt, out[h0 + 3600].is_gap) == (2, True)
+    assert (out[h0 + 7200].cnt, out[h0 + 7200].is_gap) == (2, True)
+    assert (out[h0 + 18000].cnt, out[h0 + 18000].is_gap) == (1, False)
+
+
+def test_stream_gapfill_ttl_matches_batch(spark, tmp_path):
+    """Three time-ordered micro-batches over sf0.001: the caught-up
+    view equals the batch fill_locf_ttl non-stale read row for row."""
+    from tsaug_spark.plans.gapfill import complete_grid, fill_locf_ttl
+    from tsaug_spark.plans.rollup import rollup_events
+    from tsaug_spark.streaming.stateful import (
+        run_stream_gapfill_ttl_once,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    lo, hi = ev.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).collect()[0]
+    src = tmp_path / "gft_split"
+    src.mkdir()
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    parts = [
+        ev.filter(F.unix_timestamp("ts") <= cut1),
+        ev.filter(
+            (F.unix_timestamp("ts") > cut1)
+            & (F.unix_timestamp("ts") <= cut2)
+        ),
+        ev.filter(F.unix_timestamp("ts") > cut2),
+    ]
+    for i, part in enumerate(parts):
+        f = str(src / f"part{i}.parquet")
+        part.toPandas().to_parquet(
+            f, engine="pyarrow", coerce_timestamps="us"
+        )
+        os.utime(f, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    got = (
+        run_stream_gapfill_ttl_once(
+            spark, str(src), sink_table="gft_batchtwin",
+            max_files_per_trigger=1,
+        )
+        .orderBy("user_id", "bucket_s")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    hourly = rollup_events(ev, "1h").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.timestamp_seconds("bucket_s").alias("bucket_ts"),
+        "cnt",
+    )
+    grid = complete_grid(hourly, "1h")
+    want = (
+        fill_locf_ttl(grid, ["cnt"], 7200)
+        .filter(F.col("cnt").isNotNull())
+        .select(
+            F.col("conv_id").cast("long").alias("user_id"),
+            F.unix_timestamp("bucket_ts").alias("bucket_s"),
+            "cnt",
+            "is_gap",
+        )
+        .orderBy("user_id", "bucket_s")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )

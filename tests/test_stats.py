@@ -1680,3 +1680,48 @@ def test_holm_rejects_full_prefix(spark):
         for r in holm_bonferroni(_ev(spark, rows)).collect()
     }
     assert out == {"s1": True, "s2": True, "flat": False}
+
+
+def test_markov_attribution_hand_replay(spark):
+    """Two-channel chain replayed literally: A-only converters, a
+    B->A feeder, and an A-dead-end; removing A must hurt far more
+    than removing B, and every micro value replays the integer
+    recurrence."""
+    from tsaug_spark.plans.stats import markov_attribution
+
+    # user 1: A purchase; user 2: B A purchase; user 3: A (dies)
+    rows = [
+        (1, 0.00, "A", 1.0),
+        (1, 0.01, "purchase", 1.0),
+        (2, 0.00, "B", 1.0),
+        (2, 0.01, "A", 1.0),
+        (2, 0.02, "purchase", 1.0),
+        (3, 0.00, "A", 1.0),
+    ]
+    out = {
+        r.channel: r
+        for r in markov_attribution(
+            _ev(spark, rows), n_iters=6
+        ).collect()
+    }
+    # baseline chain: A -> purchase 2, A -> END 1, B -> A 1
+    # vA = 2e6 // 3 iterated (fixed point immediately), vB = vA // 1
+    va = 0
+    for _ in range(6):
+        va = (2 * 10**6) // 3
+    vb = va
+    # starts: A 2, B 1  ->  base = (2*vA + 1*vB) // 3
+    base = (2 * va + vb) // 3
+    # remove A: B's only transition dies -> vB = 0; A-starts fail
+    rem_a = 0
+    # remove B: chain unchanged for A; B-starts fail
+    rem_b = (2 * va + 0) // 3
+    assert set(out) == {"A", "B"}
+    assert out["A"].base_micro == base
+    assert out["B"].base_micro == base
+    assert out["A"].removed_micro == rem_a
+    assert out["B"].removed_micro == rem_b
+    assert out["A"].n_starts == 3 and out["B"].n_starts == 3
+    assert out["A"].removal_effect == 1.0
+    assert abs(out["B"].removal_effect - (1 - rem_b / base)) < 1e-15
+    assert out["A"].removal_effect > out["B"].removal_effect

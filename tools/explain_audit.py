@@ -1233,6 +1233,28 @@ def main() -> None:
         execute=True,
     )
 
+    # round-3m batch: q18's HAVING-shrunk aggregate broadcasts into
+    # the orders join; markov-attribution's replica expansion is a
+    # vocabulary-bounded crossJoin (intended BNLJ), everything else
+    # hash joins/aggregates
+    audit(
+        "tpch_q18 (broadcast HAVING aggregate, JVM only)",
+        em.q_tpch_q18(spark, sf),
+        must_have=["BroadcastHashJoin", "HashAggregate"],
+        must_not_have=["CartesianProduct", "BroadcastNestedLoopJoin",
+                       "BatchEvalPython", "ArrowEvalPython",
+                       "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+    audit(
+        "markov_attribution (r3m batch, bounded replicas, JVM only)",
+        em.q_markov_attribution(spark, sf),
+        must_have=["HashAggregate", "BroadcastNestedLoopJoin"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
     # croston: the ONLY Python in the plan is the grouped Arrow
     # kernel itself (one hash partition per key, no row-wise UDF)
     audit(

@@ -3585,3 +3585,161 @@ def holm_bonferroni(
         F.col("m").cast("long").alias("m_tests"),
         (F.min("passed").over(wpre) == 1).alias("rejected"),
     )
+
+
+def markov_attribution(
+    df: DataFrame,
+    target: str = "purchase",
+    n_iters: int = 12,
+    scale: int = 10**6,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Markov-chain attribution by REMOVAL EFFECT (Anderl et al. 2016
+    — the data-driven alternative to the positional credit rules in
+    metrics.py::attribution_models): for each candidate channel c,
+    delete it from the empirical event-type chain (paths through it
+    fail) and measure how much the start-weighted conversion
+    probability drops:
+
+        removal_effect(c) = 1 - P_removed-c(convert) / P(convert)
+
+    Built on the :func:`absorbing_conversion` integer value iteration:
+    the state space gains a ``removed`` dimension (one replica of the
+    vocabulary-bounded chain per candidate channel plus the baseline),
+    transitions INTO the removed state contribute exactly 0 (absorbed
+    at failure), rows FROM it are dropped, and all replicas iterate in
+    the SAME joins — adding channels widens a bounded frame, it never
+    adds passes.  P(convert) aggregates the per-state values over the
+    exact first-event distribution: sum(n_first(s) * v(s)) div
+    sum(n_first) — all int64, fold-order-free, so the oracle replays
+    the identical recurrence in one recursive CTE over (removed,
+    state).
+
+    Output per channel: the baseline and removed start-weighted
+    conversion probabilities (micro units + floats) and the removal
+    effect — the budget-split weights after normalization.
+    """
+    w = Window.partitionBy(F.col(key_col)).orderBy(
+        F.col(ts_col), F.col(order_col)
+    )
+    seq = df.select(
+        F.col(key_col).alias("k"),
+        F.col(type_col).alias("x"),
+        F.lead(F.col(type_col), 1, "__END__").over(w).alias("y"),
+        F.row_number().over(w).alias("rn"),
+    )
+    bi = (
+        seq.filter(F.col("x") != target)
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    first = (
+        seq.filter(F.col("rn") == 1)
+        .filter(F.col("x") != target)
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("n_first"))
+    )
+    src = bi.select("x").distinct()
+    channels = src.filter(
+        ~F.col("x").isin([target, "__END__"])
+    ).select(F.col("x").alias("removed"))
+    reps = channels.unionByName(
+        src.sparkSession.createDataFrame(
+            [("__none__",)], "removed string"
+        )
+    ).localCheckpoint(eager=False)
+    # replicate the chain per removal: drop rows FROM the removed
+    # state; transitions INTO it are handled below (worth 0, so they
+    # simply never join) — the zero self-loop keeps every survivor
+    # source alive in the inner join
+    rbi = reps.crossJoin(bi).filter(F.col("x") != F.col("removed"))
+    bse = rbi.groupBy("removed", "x").agg(
+        (
+            F.sum(
+                F.when(F.col("y") == target, F.col("c_xy")).otherwise(
+                    F.lit(0)
+                )
+            )
+            * F.lit(int(scale))
+        ).alias("b"),
+        F.sum("c_xy").alias("c_x"),
+    )
+    rsrc = bse.select("removed", "x")
+    c2 = (
+        rbi.join(
+            rsrc.select("removed", F.col("x").alias("y")),
+            ["removed", "y"],
+            "left_semi",
+        )
+        .select("removed", "x", "y", "c_xy")
+        .unionByName(
+            rsrc.select(
+                "removed",
+                "x",
+                F.col("x").alias("y"),
+                F.lit(0).cast("long").alias("c_xy"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    v = rsrc.select("removed", "x", F.lit(0).cast("long").alias("v"))
+    for i in range(n_iters):
+        vy = v.select(
+            "removed", F.col("x").alias("y"), F.col("v").alias("vy")
+        )
+        s = (
+            c2.join(vy, ["removed", "y"])
+            .groupBy("removed", "x")
+            .agg(F.sum(F.col("c_xy") * F.col("vy")).alias("s"))
+        )
+        v = s.join(bse, ["removed", "x"]).select(
+            "removed", "x", F.expr("(b + s) div c_x").alias("v")
+        )
+        if (i + 1) % 4 == 0 and i + 1 < n_iters:
+            v = v.localCheckpoint(eager=False)
+    # start-weighted conversion per replica over the exact first-event
+    # distribution (first events on the removed channel count as
+    # failed starts in that replica — weight kept, value 0)
+    starts = reps.crossJoin(first).select(
+        F.col("removed").alias("rem"),
+        F.col("x").alias("sx"),
+        F.col("n_first").alias("nf"),
+    )
+    pconv = (
+        starts.join(
+            v,
+            (starts["sx"] == v["x"]) & (starts["rem"] == v["removed"]),
+            "left",
+        )
+        .select(
+            "rem",
+            "nf",
+            F.coalesce(v["v"], F.lit(0)).alias("vv"),
+        )
+        .groupBy("rem")
+        .agg(
+            F.sum("nf").alias("n_starts"),
+            F.expr("sum(nf * vv) div sum(nf)").alias("p_micro"),
+        )
+    )
+    base = pconv.filter(F.col("rem") == "__none__").select(
+        F.col("p_micro").alias("base_micro")
+    )
+    return (
+        pconv.filter(F.col("rem") != "__none__")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("rem").alias("channel"),
+            F.col("n_starts").cast("long").alias("n_starts"),
+            F.col("base_micro").cast("long").alias("base_micro"),
+            F.col("p_micro").cast("long").alias("removed_micro"),
+            (
+                F.lit(1.0)
+                - F.col("p_micro").cast("double")
+                / F.col("base_micro").cast("double")
+            ).alias("removal_effect"),
+        )
+    )

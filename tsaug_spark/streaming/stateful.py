@@ -603,3 +603,131 @@ def run_stream_gapfill_interp_once(
         .filter(F.col("rn") == 1)
         .select("user_id", "bucket_s", "val", "is_gap")
     )
+
+
+def _gapfill_ttl_fn(bucket_seconds: int, ttl_seconds: int):
+    def fn(key, pdfs, state: GroupState):
+        batches = [p for p in pdfs if len(p)]
+        if not batches:
+            return
+        rows = pd.concat(batches, ignore_index=True)
+        t = (
+            rows["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+            // 1_000_000_000
+        )
+        buckets = (t // bucket_seconds) * bucket_seconds
+        ubs, counts = np.unique(buckets, return_counts=True)
+
+        if state.exists:
+            cur_b, cur_c = (int(v) for v in state.get)
+            if int(ubs[0]) < cur_b:
+                raise ValueError(
+                    "stream_gapfill_ttl: event older than the open "
+                    f"bucket ({int(ubs[0])} < {cur_b}) — arrival-order "
+                    "contract violated (see module docstring)"
+                )
+        else:
+            cur_b, cur_c = int(ubs[0]), 0
+        out = []
+        uid = int(key[0])
+        for b, c in zip(ubs, counts):
+            b, c = int(b), int(c)
+            if b == cur_b:
+                cur_c += c
+                continue
+            out.append((uid, cur_b, cur_c, False))
+            # carry forward only while the observation is fresh:
+            # bucket g is filled iff g - cur_b <= ttl (the batch
+            # fill_locf_ttl staleness rule); staler grid buckets are
+            # simply never emitted
+            g = cur_b + bucket_seconds
+            while g < b and g - cur_b <= ttl_seconds:
+                out.append((uid, g, cur_c, True))
+                g += bucket_seconds
+            cur_b, cur_c = b, c
+        out.append((uid, cur_b, cur_c, False))
+        state.update((cur_b, cur_c))
+        yield pd.DataFrame(
+            out, columns=["user_id", "bucket_s", "cnt", "is_gap"]
+        )
+
+    return fn
+
+
+def gapfill_ttl_stream(
+    events: DataFrame,
+    bucket_seconds: int = 3600,
+    ttl_seconds: int = 7200,
+) -> DataFrame:
+    """Streaming LOCF gap-fill with a staleness TTL — the stateful
+    twin of ``fill_locf_ttl`` (the Prometheus lookback-delta rule): a
+    skipped grid bucket is emitted carrying the last observation only
+    while that observation is at most ``ttl_seconds`` old; staler
+    buckets never appear, exactly the batch query's non-stale read.
+    Same state, arrival-order contract and max-per-bucket caught-up
+    view as :func:`gapfill_stream` — the TTL only bounds the emission
+    loop, which also bounds the per-transition work regardless of how
+    long a key goes quiet (the unbounded LOCF twin emits O(gap)
+    rows; this one O(ttl/bucket))."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _gapfill_ttl_fn(bucket_seconds, ttl_seconds),
+        outputStructType=GAPFILL_OUT_DDL,
+        stateStructType=GAPFILL_STATE_DDL,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_gapfill_ttl_once(
+    spark,
+    source_path: str,
+    bucket_seconds: int = 3600,
+    ttl_seconds: int = 7200,
+    sink_table: str = "stream_gapfill_ttl_out",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """availableNow backfill of the TTL gap-filler; caught-up
+    max-per-(user, bucket) view."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(source_path).schema
+    if os.path.isdir(source_path):
+        src_dir, glob = source_path, "*"
+    else:
+        src_dir = os.path.dirname(source_path)
+        glob = os.path.basename(source_path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", glob)
+        .parquet(src_dir)
+    )
+    q = (
+        gapfill_ttl_stream(
+            stream,
+            bucket_seconds=bucket_seconds,
+            ttl_seconds=ttl_seconds,
+        )
+        .writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "availableNow TTL gapfill backfill did not finish in "
+            "300s; the memory sink would be partial — refusing to "
+            "return it"
+        )
+    return (
+        spark.table(sink_table)
+        .groupBy("user_id", "bucket_s")
+        .agg(
+            F.max("cnt").alias("cnt"),
+            F.max("is_gap").alias("is_gap"),
+        )
+    )
