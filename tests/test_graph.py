@@ -257,3 +257,52 @@ def test_local_clustering_k4_all_one(spark):
     e = [(a, b) for a in range(4) for b in range(a + 1, 4)]
     for r in local_clustering(_edges(spark, e)).collect():
         assert (r.degree, r.tri_count, r.lcc) == (3, 3, 1.0)
+
+
+def test_triangle_count_rejects_oversize_node_ids(spark):
+    """ADVICE r3: ids >= 2^23 would silently corrupt the deg*2^23+id
+    orientation key; the in-plan assert_true must fail loudly."""
+    import pytest
+
+    e = _edges(spark, [(0, 1), (1, 1 << 23), (0, 1 << 23)])
+    with pytest.raises(Exception, match="2\\^23|ASSERT|assert"):
+        triangle_count(e).collect()
+
+
+def test_local_clustering_rejects_oversize_node_ids(spark):
+    import pytest
+
+    from tsaug_spark.plans.graph import local_clustering
+
+    e = _edges(spark, [(0, 1), (1, 1 << 24), (0, 1 << 24)])
+    with pytest.raises(Exception, match="2\\^23|ASSERT|assert"):
+        local_clustering(e).collect()
+
+
+def test_kcore_raises_when_peel_depth_exceeds_cap(spark):
+    """ADVICE r3: a long chain peels one layer per round from each
+    end; with rounds far below the peel depth kcore must RAISE (the
+    old behavior silently returned a supergraph of the true 2-core,
+    which is empty for any path graph)."""
+    import pytest
+
+    from tsaug_spark.plans.graph import kcore
+
+    chain = _edges(spark, [(i, i + 1) for i in range(30)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(chain, k=2, rounds=3)
+    # with an ample cap the peel converges and the 2-core is empty
+    assert kcore(chain, k=2, rounds=30).count() == 0
+
+
+def test_kcore_early_exit_matches_full_cap(spark):
+    """Convergence-checked early exit returns the identical core as a
+    much larger round cap (fixpoint property)."""
+    from tsaug_spark.plans.graph import kcore
+
+    e = _edges(
+        spark, [(1, 2), (2, 3), (1, 3), (3, 4), (1, 4), (4, 5)]
+    )
+    a = {(r.node, r.core_deg) for r in kcore(e, k=2, rounds=4).collect()}
+    b = {(r.node, r.core_deg) for r in kcore(e, k=2, rounds=40).collect()}
+    assert a == b == {(1, 3), (2, 2), (3, 3), (4, 2)}

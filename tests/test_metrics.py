@@ -1953,3 +1953,45 @@ def test_rate_ratio_balanced_is_null(spark):
         rows += [(2, d, "purchase", 1.0)] * 6
     (r,) = rate_ratio_test(_evt(spark, rows)).collect()
     assert r.rate_ratio == 1.0 and r.z == 0.0 and not r.significant
+
+
+def test_rate_ratio_single_day_horizon_degenerates_to_null(spark):
+    """ADVICE r3: a single-day horizon gives pre_days = 0; under ANSI
+    mode the old expression errored on division by zero — now the
+    test statistics degenerate to NULL instead."""
+    from tsaug_spark.plans.metrics import rate_ratio_test
+
+    rows = [(1, 0.1, "purchase", 1.0), (2, 0.6, "purchase", 1.0)]
+    (r,) = rate_ratio_test(_evt(spark, rows)).collect()
+    assert (r.pre_days, r.post_days) == (0, 1)
+    assert (r.pre_events, r.post_events) == (0, 2)
+    assert r.rate_ratio is None and r.z is None
+    assert r.significant is None
+
+
+def test_rate_ratio_no_outcome_events_is_null(spark):
+    """Zero purchases: nn = 0 makes z's denominator 0 — NULL, not an
+    ANSI division error."""
+    from tsaug_spark.plans.metrics import rate_ratio_test
+
+    rows = [(1, float(d) + 0.1, "view", 1.0) for d in range(10)]
+    (r,) = rate_ratio_test(_evt(spark, rows)).collect()
+    # the filtered count aggregate sees zero rows, so the whole row
+    # degenerates to NULLs (empty-agg semantics) — the point is it
+    # does NOT raise an ANSI division error
+    assert r.pre_events is None and r.post_events is None
+    assert r.rate_ratio is None and r.z is None and r.significant is None
+
+
+def test_rate_ratio_zero_pre_events_null_rr_valid_z(spark):
+    """x1 = 0 with a real two-sided horizon: RR is undefined (NULL)
+    but the conditional-binomial z is still finite."""
+    from tsaug_spark.plans.metrics import rate_ratio_test
+
+    rows = [(1, 0.1, "view", 1.0), (1, 9.9, "view", 1.0)]
+    rows += [(2, 7.5, "purchase", 1.0)] * 8
+    (r,) = rate_ratio_test(_evt(spark, rows)).collect()
+    assert (r.pre_events, r.post_events) == (0, 8)
+    assert r.rate_ratio is None
+    nn, p0 = 8.0, 0.5
+    assert r.z == (8.0 - nn * p0) / (nn * p0 * (1 - p0)) ** 0.5

@@ -828,3 +828,20 @@ def test_kmv_set_algebra_identity(spark):
             1 for r in a_rows if r.bucket_s == bkt and r.hv < theta
         )
         assert inter[bkt].n_common + diff[bkt].n_a_only == below
+
+
+def test_bitmap_distinct_negative_ids_exact(spark):
+    """ADVICE r3: negative ids used to collapse words -64..63 into
+    word 0 (truncating div + negative %); the pmod floor-division
+    packing keeps the count exactly COUNT(DISTINCT) on any int64."""
+    import datetime as dt
+
+    from tsaug_spark.plans.sketches import bitmap_distinct
+
+    t0 = dt.datetime(2024, 1, 1)
+    ids = [-130, -129, -128, -65, -64, -63, -1, 0, 1, 63, 64, -130, -1]
+    ev = spark.createDataFrame(
+        [(t0, int(i)) for i in ids], "ts timestamp, user_id long"
+    )
+    (r,) = bitmap_distinct(ev, "1h").collect()
+    assert r.n_distinct == len(set(ids))

@@ -70,17 +70,35 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     """Exact global triangle count + clustering coefficient of an
     undirected simple graph given as distinct (u < v) BIGINT edges.
 
-    Orientation key: okey(n) = deg(n) * 2^23 + n (node ids must be
-    < 2^23 ~ 8.4M; degree-major, id tie-break).  Wedges join the two
-    out-edges of their apex; the closing edge is confirmed by one
-    equi-join.  total_wedges = sum(deg*(deg-1)/2) exactly; the global
-    clustering coefficient 3*T/wedges is the single shared double.
+    Orientation key: okey(n) = deg(n) * 2^23 + n (degree-major, id
+    tie-break).  The packing needs 0 <= n < 2^23 (~8.4M ids); the
+    precondition is ENFORCED in-plan with ``assert_true`` folded into
+    the key expression (coalesce keeps it un-prunable, costs one
+    comparison per node, no extra job) — out-of-range ids fail loudly
+    instead of silently corrupting the degree ordering.  Wedges join
+    the two out-edges of their apex; the closing edge is confirmed by
+    one equi-join.  total_wedges = sum(deg*(deg-1)/2) exactly; the
+    global clustering coefficient 3*T/wedges is the single shared
+    double.
     """
     nodes = edges.select(F.col("u").alias("n")).union(
         edges.select(F.col("v").alias("n"))
     )
     deg = nodes.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
-    okey = (F.col("deg") * F.lit(1 << 23) + F.col("n")).alias("okey")
+    okey = (
+        F.col("deg") * F.lit(1 << 23)
+        + F.col("n")
+        + F.coalesce(
+            F.assert_true(
+                (F.col("n") >= 0) & (F.col("n") < F.lit(1 << 23)),
+                F.lit(
+                    "triangle_count: node ids must be in [0, 2^23) "
+                    "for the deg*2^23+id orientation key"
+                ),
+            ).cast("long"),
+            F.lit(0),
+        )
+    ).alias("okey")
     dk = deg.select("n", "deg", okey)
     e = (
         edges.join(dk.select(F.col("n").alias("u"),
@@ -361,14 +379,21 @@ def kcore(
 
     Exactness: pure integer degree counts and comparisons — no
     floats anywhere.  Peeling any node strictly decreases the edge
-    count, so ``rounds`` >= the peel depth (bounded by node count;
-    for the capped co-purchase graph 24 is ample) guarantees the
-    fixpoint.
+    count, so a round that removes no edges is the fixpoint; the loop
+    CHECKS this (per-round edge count on the checkpointed frame),
+    exits early on convergence, and RAISES if the cap is hit while
+    edges are still being peeled — a deep-peel graph (long chains)
+    fails loudly instead of silently returning a supergraph of the
+    true k-core, mirroring dedup_clusters' non-convergence contract.
+    The oracle replays exactly ``rounds`` rounds; a converged state
+    is a fixpoint, so the early-exited result equals the
+    round-``rounds`` state whenever the loop succeeds.
 
     Scale: per round O(E) rows through two hash-partition windows;
-    lineage truncated per round with a lazy localCheckpoint exactly
-    like :func:`bfs_hops`.  The max_buyers cap upstream bounds both
-    the edge count and the peel depth.
+    lineage truncated per round with an eager localCheckpoint (the
+    convergence count then reads cached partitions, like
+    pipeline/dedup.py::dedup_clusters).  The max_buyers cap upstream
+    bounds both the edge count and the peel depth.
 
     Output: node, core_deg (degree inside the k-core).
     """
@@ -377,7 +402,9 @@ def kcore(
     )
     ws = Window.partitionBy("u")
     wd = Window.partitionBy("v")
-    for i in range(rounds):
+    prev_cnt = None
+    converged = False
+    for _ in range(rounds):
         e = (
             e.withColumn("ds", F.count(F.lit(1)).over(ws))
             .withColumn("dd", F.count(F.lit(1)).over(wd))
@@ -386,9 +413,24 @@ def kcore(
                 & (F.col("dd") >= F.lit(int(k)))
             )
             .select("u", "v")
+            .localCheckpoint()
         )
-        if i + 1 < rounds:
-            e = e.localCheckpoint(eager=False)
+        cnt = e.count()
+        if cnt == prev_cnt or cnt == 0:
+            # a peel round that removes nothing is a fixpoint (the
+            # filter only deletes), so this IS the k-core; empty is
+            # trivially converged.
+            converged = True
+            break
+        prev_cnt = cnt
+    if not converged:
+        raise RuntimeError(
+            f"kcore did not converge in {rounds} peel rounds "
+            f"({prev_cnt} directed edges still shrinking); the "
+            "graph's peel depth exceeds the cap — raise `rounds` "
+            "(mirrors dedup_clusters' non-convergence contract "
+            "instead of silently returning a supergraph)"
+        )
     return e.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("core_deg")
     )
@@ -487,7 +529,20 @@ def local_clustering(edges: DataFrame) -> DataFrame:
         edges.select(F.col("v").alias("n"))
     )
     deg = nodes.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
-    okey = (F.col("deg") * F.lit(1 << 23) + F.col("n")).alias("okey")
+    okey = (
+        F.col("deg") * F.lit(1 << 23)
+        + F.col("n")
+        + F.coalesce(
+            F.assert_true(
+                (F.col("n") >= 0) & (F.col("n") < F.lit(1 << 23)),
+                F.lit(
+                    "local_clustering: node ids must be in [0, 2^23) "
+                    "for the deg*2^23+id orientation key"
+                ),
+            ).cast("long"),
+            F.lit(0),
+        )
+    ).alias("okey")
     dk = deg.select("n", "deg", okey)
     e = (
         edges.join(dk.select(F.col("n").alias("u"),

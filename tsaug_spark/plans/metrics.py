@@ -3574,12 +3574,22 @@ def rate_ratio_test(
     n2 = (F.col("mxd") - F.col("split_day") + 1).cast("long")
     nn = (F.col("x1") + F.col("x2")).cast("double")
     p0 = n2.cast("double") / (n1 + n2).cast("double")
-    z = (F.col("x2").cast("double") - nn * p0) / F.sqrt(
-        nn * p0 * (F.lit(1.0) - p0)
+    # Degenerate-horizon guards (ANSI mode turns /0 into an error, not
+    # inf): n1 = 0 on a single-day horizon (p0 = 1, z denominator 0,
+    # pre-rate undefined) and nn = 0 when there are no outcome events.
+    # Both branches yield NULL test statistics instead of erroring —
+    # n2 >= 1 always (split_day <= mxd by construction).
+    ok = (n1 > F.lit(0)) & (nn > F.lit(0.0))
+    z = F.when(
+        ok,
+        (F.col("x2").cast("double") - nn * p0)
+        / F.sqrt(nn * p0 * (F.lit(1.0) - p0)),
     )
-    rr = (
-        F.col("x2").cast("double") / n2.cast("double")
-    ) / (F.col("x1").cast("double") / n1.cast("double"))
+    rr = F.when(
+        ok & (F.col("x1") > F.lit(0)),
+        (F.col("x2").cast("double") / n2.cast("double"))
+        / (F.col("x1").cast("double") / n1.cast("double")),
+    )
     return counts.select(
         F.col("x1").cast("long").alias("pre_events"),
         F.col("x2").cast("long").alias("post_events"),
@@ -3587,5 +3597,5 @@ def rate_ratio_test(
         n2.alias("post_days"),
         rr.alias("rate_ratio"),
         z.alias("z"),
-        (F.abs(z) > F.lit(1.96)).alias("significant"),
+        F.when(ok, F.abs(z) > F.lit(1.96)).alias("significant"),
     )

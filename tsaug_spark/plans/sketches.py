@@ -444,9 +444,16 @@ def bitmap_distinct(
     words = (
         base.select(
             "bucket_s",
-            (F.col("id") / 64).cast("long").alias("word_idx"),
+            # floor division via pmod so NEGATIVE ids land in their
+            # own words (id % 64 is negative for id < 0, which made
+            # shiftleft undefined and truncating id/64 silently merge
+            # words -64..63 into word 0); id - pmod(id,64) is an
+            # exact multiple of 64, so `div` here IS floor division
+            # and everything stays int64 (no double rounding above
+            # 2^53).
+            F.expr("(id - pmod(id, 64)) div 64").alias("word_idx"),
             F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(id % 64 AS INT))"
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(id, 64) AS INT))"
             ).alias("bit"),
         )
         .groupBy("bucket_s", "word_idx")

@@ -509,9 +509,15 @@ def stream_bitmap_words(
     )
     keyed = stream_df.withWatermark(ts_col, watermark).select(
         F.col(ts_col),
-        (F.col(item_col) / 64).cast("long").alias("word_idx"),
+        # pmod-based floor division: same negative-id-safe word
+        # packing as plans/sketches.py::bitmap_distinct, so streaming
+        # words stay mergeable with the batch twin's.
         F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), CAST({item_col} % 64 AS INT))"
+            f"({item_col} - pmod({item_col}, 64)) div 64"
+        ).alias("word_idx"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pmod({item_col}, 64) AS INT))"
         ).alias("bit"),
     )
     return (
