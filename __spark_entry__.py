@@ -1099,9 +1099,11 @@ def q_distinct_cascade_1d(spark, sf):
     DataSketches HLL sketches unioned to daily, then estimated —
     distinct users per day answered from hourly tier state without
     re-reading raw events.  The sketch binary is engine-specific, so
-    this entry is rows-only; tests gate cascade == direct-build
-    estimates and <= 2% error vs exact, and ``hll_md5_cascade_1d`` is
-    the fully-oracled md5-register twin of the same cascade shape."""
+    the oracle is a golden-fixture pin (fixtures/golden/, generated
+    partition-independence-checked by tools/make_golden_fixtures.py);
+    tests gate cascade == direct-build estimates and <= 2% error vs
+    exact, and ``hll_md5_cascade_1d`` is the computed-SQL md5-register
+    twin of the same cascade shape."""
     from tsaug_spark.plans.sketches import (
         hll_estimate,
         hll_merge,
@@ -3495,11 +3497,12 @@ def q_sketch_distinct_daily(spark, sf):
     """HLL++ sketch distinct (approx_count_distinct, rsd=0.01) per
     day: the only distinct-count strategy that survives 100 TB — the
     sketch is a few KB per group, merges associatively map-side, and
-    never shuffles raw user ids.  Rows-only entry (the HLL estimate
-    has no DuckDB twin); the companion test gates the estimate within
+    never shuffles raw user ids.  The HLL++ estimate has no computable
+    DuckDB twin, so the oracle is a golden-fixture pin
+    (fixtures/golden/); the companion test gates the estimate within
     2% of the exact count at sf0.01, and the estimate itself is
     partitioning-independent because HLL register merge is
-    commutative."""
+    commutative (re-proven at fixture-generation time)."""
     ev = _events(spark, sf)
     return (
         ev.groupBy(F.to_date("ts").alias("day"))
@@ -3820,11 +3823,17 @@ def _kernel_query(op_factory, note=None):
     return run
 
 
-#: why the remaining kernel entries are rows-only (no oracle_sql): their
-#: outputs depend on MT19937 draw streams (subseed mode seeds a
-#: RandomState per series) and/or iterative numerics that ANSI SQL cannot
-#: express.  Each is verified instead by tests/test_spark_kernels.py
-#: parity against the reference implementation run on the same input.
+#: why the true-RNG kernel entries carry golden-fixture oracles rather
+#: than computed SQL: their outputs depend on MT19937 draw streams
+#: (subseed mode seeds a RandomState per series) and/or iterative
+#: numerics that ANSI SQL cannot express.  The VALUES are proven by
+#: tests/test_spark_kernels.py parity against the reference
+#: implementation on the same input; since the subseed plan makes each
+#: output a partition-layout-independent pure function of the input,
+#: those proven values are pinned into committed parquet
+#: (tools/make_golden_fixtures.py -> fixtures/golden/) and oracle_sql
+#: reads the pin, so the driver's rows/schema/hash gate covers them.
+#: Each also has a deterministic computed-SQL twin (see below).
 _NO_ORACLE_WHY = {
     "kernel_timewarp": (
         "PCHIP monotone spline through RNG-drawn anchors + linear "
@@ -5828,6 +5837,19 @@ def _knn_join_sql() -> str:
     )
 
 
+def _golden_fixture_sql(name: str) -> str:
+    """Oracle SQL for a golden-fixture entry: read the committed,
+    reference-anchored parquet pin (tools/make_golden_fixtures.py) and
+    select the slice for the scale factor under test via the events
+    row count — the only quantity that distinguishes sf0.001 / sf0.01 /
+    sf0.1 from inside static SQL."""
+    return (
+        "SELECT * EXCLUDE (n_events) FROM read_parquet("
+        f"'/root/repo/fixtures/golden/{name}.parquet') "
+        "WHERE n_events = (SELECT count(*) FROM events)"
+    )
+
+
 # Morton z-code as SQL bit algebra — the same 32 interleave terms the
 # Spark side builds (pipeline/shards.py::zorder_layout, bits=16).
 _ZORDER_SQL = " + ".join(
@@ -6554,6 +6576,27 @@ def oracle_sql() -> dict[str, str]:
         "kernel_timewarp_det": _timewarp_det_sql(),
         "kernel_drift_det": _drift_det_sql(),
         "kernel_kmeans_det": _kmeans_det_sql(),
+        # golden-fixture oracles for the true-RNG kernels and the two
+        # binary sketches: values are reference-anchored by the parity
+        # suite (tests/test_spark_kernels.py; reference seed contract
+        # /root/reference/tests/test_random_seed.py:44-164), proven
+        # partition-layout-independent at fixture-generation time
+        # (tools/make_golden_fixtures.py runs every query twice under
+        # different shuffle layouts), and pinned into committed parquet
+        # so the driver's rows/schema/hash gate checks them like any
+        # other oracle.  The n_events column discriminates the scale
+        # factor (events row count: 1000 / 10000 / 100000).
+        "kernel_dropout": _golden_fixture_sql("kernel_dropout"),
+        "kernel_addnoise": _golden_fixture_sql("kernel_addnoise"),
+        "kernel_timewarp": _golden_fixture_sql("kernel_timewarp"),
+        "kernel_drift": _golden_fixture_sql("kernel_drift"),
+        "kernel_kmeans": _golden_fixture_sql("kernel_kmeans"),
+        "sketch_distinct_daily": _golden_fixture_sql(
+            "sketch_distinct_daily"
+        ),
+        "distinct_cascade_1d": _golden_fixture_sql(
+            "distinct_cascade_1d"
+        ),
         "kernel_pool_chunked": (
             f"WITH b AS ({_HOURLY_SQL}), {_SERIES_SQL}, "
             "g AS (SELECT user_id, idx, idx // 7 AS grp, cnt FROM s), "
