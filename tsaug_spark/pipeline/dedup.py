@@ -27,6 +27,8 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tsaug_spark.lineage import truncate_lineage
+
 
 def cap_hot_buckets(
     bands: DataFrame,
@@ -356,13 +358,16 @@ def dedup_clusters(
     halves the remaining label-tree depth each round, so convergence
     is O(log diameter) — the pointer-doubling bound of classic
     PRAM/MapReduce connected components (Shiloach-Vishkin).
-    Per-round ``localCheckpoint`` truncates the iterative lineage (the
-    standard Spark pattern for bounded fixpoint loops).
+    Per-round lineage truncation via ``truncate_lineage`` (the
+    standard Spark pattern for bounded fixpoint loops): a zero-I/O
+    ``localCheckpoint`` by default, or a reliable
+    ``DataFrame.checkpoint`` surviving executor loss when a checkpoint
+    dir is configured — see tsaug_spark/lineage.py.
 
     The convergence check is folded into the round itself: the ``chg``
     flag is computed in the SAME projection that produces the new
     labels, so the per-round driver action is a single aggregate scan
-    over the already-materialized (localCheckpoint is eager) label
+    over the already-materialized (the truncation is eager) label
     partitions — no second join/pass over labels per round.
 
     Raises ``RuntimeError`` if the fixpoint is not reached within
@@ -379,13 +384,13 @@ def dedup_clusters(
             )
         )
         .distinct()
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     changed = None
     for _ in range(max_iters):
@@ -412,7 +417,7 @@ def dedup_clusters(
                 new_component.alias("m1_component"),
                 F.col("component").alias("old_component"),
             )
-            .localCheckpoint()
+            .transform(truncate_lineage)
         )
         # pointer jump: label <- label[label].  The parent row always
         # exists (labels are node ids) and parent.component <= its own
@@ -435,7 +440,7 @@ def dedup_clusters(
                 .cast("int")
                 .alias("chg"),
             )
-            .localCheckpoint()
+            .transform(truncate_lineage)
         )
         changed = new.agg(F.sum("chg").alias("c")).first()["c"] or 0
         labels = new.drop("chg")

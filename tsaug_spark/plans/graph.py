@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tsaug_spark.lineage import truncate_lineage, truncate_lineage_lazy
+
 
 def copurchase_edges(
     lineitem: DataFrame,
@@ -191,7 +193,7 @@ def pagerank(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionByName(
         edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).transform(truncate_lineage_lazy)
     deg = dir_e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n_df = deg.agg(F.count(F.lit(1)).alias("nn"))
     v = (
@@ -222,7 +224,7 @@ def pagerank(
             "nn",
         )
         if (i + 1) % 5 == 0 and i + 1 < n_iters:
-            v = v.localCheckpoint(eager=False)
+            v = v.transform(truncate_lineage_lazy)
     return v.select(
         "node",
         F.col("deg").alias("degree"),
@@ -260,7 +262,7 @@ def bfs_hops(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionByName(
         edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).transform(truncate_lineage_lazy)
     seed_col = seeds.columns[0]
     dist = seeds.select(
         F.col(seed_col).alias("node"), F.lit(0).cast("int").alias("dist")
@@ -279,7 +281,7 @@ def bfs_hops(
             .agg(F.min("dist").alias("dist"))
         )
         if h + 1 < max_hops:
-            dist = dist.localCheckpoint(eager=False)
+            dist = dist.transform(truncate_lineage_lazy)
     return dist
 
 
@@ -413,7 +415,7 @@ def kcore(
                 & (F.col("dd") >= F.lit(int(k)))
             )
             .select("u", "v")
-            .localCheckpoint()
+            .transform(truncate_lineage)
         )
         cnt = e.count()
         if cnt == prev_cnt or cnt == 0:
@@ -468,7 +470,7 @@ def eigencentrality(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionByName(
         edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).transform(truncate_lineage_lazy)
     deg = dir_e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     v = deg.select(
         F.col("src").alias("node"),
@@ -494,7 +496,7 @@ def eigencentrality(
             )
         )
         if (i + 1) % 4 == 0 and i + 1 < n_iters:
-            v = v.localCheckpoint(eager=False)
+            v = v.transform(truncate_lineage_lazy)
     return v.select(
         "node",
         F.col("deg").alias("degree"),

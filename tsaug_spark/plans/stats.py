@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tsaug_spark.lineage import truncate_lineage, truncate_lineage_lazy
+
 
 def _day_cents(
     df: DataFrame,
@@ -3017,7 +3019,7 @@ def absorbing_conversion(
                 F.lit(0).cast("long").alias("c_xy"),
             )
         )
-        .localCheckpoint(eager=False)
+        .transform(truncate_lineage_lazy)
     )
     v = src.select("x", F.lit(0).cast("long").alias("v"))
     for i in range(n_iters):
@@ -3032,7 +3034,7 @@ def absorbing_conversion(
             F.expr("(b + s) div c_x").alias("v"),
         )
         if (i + 1) % 4 == 0 and i + 1 < n_iters:
-            v = v.localCheckpoint(eager=False)
+            v = v.transform(truncate_lineage_lazy)
     return v.join(bse, "x").select(
         F.col("x").alias("event_type"),
         F.col("c_x").cast("long").alias("n_out"),
@@ -3650,7 +3652,7 @@ def markov_attribution(
         src.sparkSession.createDataFrame(
             [("__none__",)], "removed string"
         )
-    ).localCheckpoint(eager=False)
+    ).transform(truncate_lineage_lazy)
     # replicate the chain per removal: drop rows FROM the removed
     # state; transitions INTO it are handled below (worth 0, so they
     # simply never join) — the zero self-loop keeps every survivor
@@ -3683,7 +3685,7 @@ def markov_attribution(
                 F.lit(0).cast("long").alias("c_xy"),
             )
         )
-        .localCheckpoint(eager=False)
+        .transform(truncate_lineage_lazy)
     )
     v = rsrc.select("removed", "x", F.lit(0).cast("long").alias("v"))
     for i in range(n_iters):
@@ -3699,7 +3701,7 @@ def markov_attribution(
             "removed", "x", F.expr("(b + s) div c_x").alias("v")
         )
         if (i + 1) % 4 == 0 and i + 1 < n_iters:
-            v = v.localCheckpoint(eager=False)
+            v = v.transform(truncate_lineage_lazy)
     # start-weighted conversion per replica over the exact first-event
     # distribution (first events on the removed channel count as
     # failed starts in that replica — weight kept, value 0)

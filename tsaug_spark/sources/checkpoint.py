@@ -28,6 +28,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tsaug_spark.lineage import truncate_lineage
+
 from tsaug_spark.codec.chunks import compress_tier
 from tsaug_spark.plans.rollup import (
     METRIC_COLS,
@@ -387,7 +389,7 @@ class RollupJob:
         chunk_table = self.table(f"tier_{tier}_chunks")
         if not chunk_table.exists():
             return {}
-        affected = affected.localCheckpoint(eager=True)
+        affected = affected.transform(truncate_lineage)
         part_col = F.pmod(
             F.xxhash64("conv_id"), F.lit(self.n_partitions)
         ).cast("int")
@@ -408,7 +410,7 @@ class RollupJob:
                 METRIC_COLS,
             )
             .withColumn("partition_id", part_col)
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         kept_chunks = (
             chunk_table.read(self.spark)

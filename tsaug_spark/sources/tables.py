@@ -28,6 +28,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from tsaug_spark.lineage import truncate_lineage
+
 
 @dataclass
 class ParquetSnapshotTable:
@@ -394,7 +396,7 @@ class IcebergTable:
         # from read() of THIS table would re-read the post-replace
         # state at action time (ADVICE r2: the enforce_retention stale-
         # read hazard).  Materialize the replacement content first.
-        df = df.localCheckpoint(eager=True)
+        df = df.transform(truncate_lineage)
         df.writeTo(self.identifier).replace()
         return self.snapshot_id()
 
@@ -420,7 +422,7 @@ class IcebergTable:
         whole table."""
         from pyspark.sql import functions as F
 
-        df = df.localCheckpoint(eager=True)
+        df = df.transform(truncate_lineage)
         if partitions is None:
             partitions = [
                 r[0] for r in df.select(partition_col).distinct().collect()
