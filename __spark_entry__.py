@@ -731,6 +731,24 @@ def q_multimodal_features(spark, sf):
     )
 
 
+def q_multimodal_decode(spark, sf):
+    """REAL media decode end-to-end: deterministic 24-bit BMPs and PCM
+    WAVs are synthesized per doc through the actual encoders, then
+    decoded back by the pure-NumPy codecs (codec/media.py) and reduced
+    to exact integer statistics (pipeline/multimodal.py::
+    media_decode_stats).  The position-/channel-/index-weighted sums
+    are order-sensitive, so the DuckDB oracle — which replays the
+    integer generation laws directly, never seeing the bytes — fails on
+    any bottom-up-row, BGR/RGB, 4-byte-padding or endianness bug in
+    encode OR decode."""
+    from tsaug_spark.pipeline.multimodal import (
+        attach_real_media,
+        media_decode_stats,
+    )
+
+    return media_decode_stats(attach_real_media(_docs(spark, sf)))
+
+
 def q_moving_avg(spark, sf):
     """Centered +-3-bucket moving average — the SQL-expressible
     (boxcar) special case of Convolve."""
@@ -824,17 +842,31 @@ def q_sessionize(spark, sf):
 
 
 def q_set_ops(spark, sf):
-    """Users in the top half by event count but NOT top half by value."""
+    """Users in the top half by event count but NOT top half by value.
+
+    Single plan, zero driver actions: the two medians are a 1-row
+    aggregate broadcast-joined back onto the per-user frame (the
+    crossJoin builds a constant-size side, so the physical join is a
+    broadcast, never a shuffle), and EXCEPT becomes the equivalent
+    per-row predicate n > med_n AND NOT v > med_v — no second pass over
+    events, no collect round-trip per run."""
     ev = _events(spark, sf)
     agg = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
     )
-    med_n, med_v = agg.agg(
-        F.expr("percentile(n, 0.5)"), F.expr("percentile(v, 0.5)")
-    ).collect()[0]
-    by_count = agg.filter(F.col("n") > med_n).select("user_id")
-    by_value = agg.filter(F.col("v") > med_v).select("user_id")
-    return by_count.exceptAll(by_value).distinct()
+    med = agg.agg(
+        F.expr("percentile(n, 0.5)").alias("med_n"),
+        F.expr("percentile(v, 0.5)").alias("med_v"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(med))
+        .filter(
+            (F.col("n") > F.col("med_n"))
+            & ~(F.col("v") > F.col("med_v"))
+        )
+        .select("user_id")
+        .distinct()
+    )
 
 
 def q_percentiles(spark, sf):
@@ -5162,6 +5194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bytes": q_multimodal_bytes,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
+        "multimodal_decode": q_multimodal_decode,
         "moving_avg": q_moving_avg,
         "sessionize": q_sessionize,
         "sessionize_native": q_sessionize_native,
@@ -6218,6 +6251,40 @@ def oracle_sql() -> dict[str, str]:
                 for j in range(8)
             )
             + " FROM h"
+        ),
+        "multimodal_decode": (
+            # replay attach_real_media's integer generation laws on the
+            # DECODED domain: pixel k in row-major (r, c, ch) order is
+            # k = (r*w + c)*3 + ch with value (id + 3r + 7c + 11ch)%256;
+            # audio sample i is ((31 id + 17 i) % 65536) - 32768.  The
+            # Spark side must reproduce these exactly THROUGH the
+            # encode->bytes->decode round trip.
+            "WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, "
+            "8 + doc_id % 7 AS h, 64 + doc_id % 64 AS n FROM documents), "
+            "px AS (SELECT doc_id, w, h, k // (w*3) AS r, "
+            "(k % (w*3)) // 3 AS c, k % 3 AS ch, "
+            "(doc_id + 3*(k // (w*3)) + 7*((k % (w*3)) // 3) "
+            "+ 11*(k % 3)) % 256 AS v "
+            "FROM (SELECT doc_id, w, h, unnest(range(h*w*3)) AS k "
+            "FROM dims)), "
+            "pa AS (SELECT doc_id, MIN(w) AS w, MIN(h) AS h, "
+            "CAST(SUM(v) AS BIGINT) AS px_sum, "
+            "CAST(SUM(v * (r*w + c)) AS BIGINT) AS px_possum, "
+            "CAST(SUM(v * ch) AS BIGINT) AS px_chsum "
+            "FROM px GROUP BY doc_id), "
+            "au AS (SELECT doc_id, n, ((31*doc_id + 17*i) % 65536) - "
+            "32768 AS x, i FROM (SELECT doc_id, n, unnest(range(n)) AS "
+            "i FROM dims)), "
+            "aa AS (SELECT doc_id, MIN(n) AS n, "
+            "CAST(SUM(x) AS BIGINT) AS s_sum, "
+            "CAST(SUM(i*x) AS BIGINT) AS s_wsum, "
+            "CAST(MIN(x) AS BIGINT) AS s_min, "
+            "CAST(MAX(x) AS BIGINT) AS s_max "
+            "FROM au GROUP BY doc_id) "
+            "SELECT pa.doc_id, CAST(pa.w AS INT) AS width, "
+            "CAST(pa.h AS INT) AS height, px_sum, px_possum, px_chsum, "
+            "CAST(aa.n AS BIGINT) AS n_samples, s_sum, s_wsum, s_min, "
+            "s_max FROM pa JOIN aa ON pa.doc_id = aa.doc_id"
         ),
         "moving_avg": (
             f"WITH h AS ({hourly}) SELECT user_id, bucket_s, "

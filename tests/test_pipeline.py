@@ -279,7 +279,7 @@ def test_multimodal_plumbing(docs):
     # deterministic: same payload -> same features (docs 0 and 3)
     f = feats.set_index("doc_id")["feature"]
     assert list(f[0]) == list(f[3])
-    # the real decoder is an explicit stub
+    # compressed formats (non-BMP magic) still need a codec library
     with pytest.raises(NotImplementedError):
         decode_image(b"abc")
     # and the fake is stable across calls

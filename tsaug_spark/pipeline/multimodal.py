@@ -3,12 +3,20 @@
 Images / audio / video ride through the engine as ``binary`` columns plus
 a metadata struct (modality, byte size, declared dims/duration).  The
 Spark-side plumbing — schema, partition-friendly batch shapes, Arrow
-``mapInPandas`` feature extraction — is real and tested; the actual media
-*decoding* is stubbed (``NotImplementedError``) because no image/audio
-libraries exist in this container.  ``fake_features`` is the
-deterministic stand-in that preserves the exact UDF signature and batch
-shape a real decoder would use, so swapping in PIL/torchaudio later is a
-one-function change.
+``mapInPandas`` feature extraction — is real and tested.
+
+Decoding: UNCOMPRESSED containers decode for real in-sandbox through the
+pure-NumPy codecs in tsaug_spark/codec/media.py (BMP 24/32-bit BI_RGB;
+WAV PCM 8/16-bit) — ``decode_image`` / ``decode_audio`` dispatch on the
+container magic and raise only for compressed formats (JPEG/PNG/MP3/...),
+which genuinely need an external library; production deployments plug
+PIL / torchaudio / ffmpeg into the same slots.  ``attach_real_media``
+synthesizes deterministic BMP+WAV payloads per doc id and
+``media_decode_stats`` decodes them back and emits exact integer
+statistics — position- and channel-weighted so any row-order (bottom-up
+BMP), channel-order (BGR/RGB) or endianness (WAV int16) bug changes the
+answer — giving the decode path a full SQL oracle.  ``fake_features``
+remains the deterministic stand-in for opaque payloads of ANY format.
 """
 
 from __future__ import annotations
@@ -42,14 +50,34 @@ def attach_payloads(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real decoder slot — requires an imaging library.
+    """Decode an image payload to an (H, W, 3) uint8 RGB array.
 
-    STUB: this container ships no image/audio codecs; production
-    deployments plug PIL / torchvision / ffmpeg here.
+    Real in-sandbox for uncompressed BMP (pure-NumPy codec); compressed
+    formats raise — production plugs PIL/torchvision into this slot.
     """
+    from tsaug_spark.codec.media import decode_bmp
+
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "media decoding requires an imaging library not present in this "
-        "environment; use fake_features() for plumbing tests"
+        "only uncompressed BMP decodes without an imaging library; "
+        f"payload magic {payload[:4]!r} needs PIL/torchvision"
+    )
+
+
+def decode_audio(payload: bytes) -> tuple["np.ndarray", int]:
+    """Decode an audio payload to ``(int16 samples (n, ch), rate)``.
+
+    Real in-sandbox for PCM WAV (pure-NumPy codec); compressed formats
+    raise — production plugs torchaudio/ffmpeg into this slot.
+    """
+    from tsaug_spark.codec.media import decode_wav
+
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    raise NotImplementedError(
+        "only PCM WAV decodes without an audio library; "
+        f"payload magic {payload[:4]!r} needs torchaudio/ffmpeg"
     )
 
 
@@ -58,6 +86,17 @@ def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     digest = hashlib.sha256(payload).digest()
     ints = np.frombuffer(digest[: dim * 4], dtype=np.uint32)
     return (ints / np.float64(2 ** 32)).astype(np.float64)
+
+
+def real_features(payload: bytes) -> np.ndarray:
+    """Real pixel features from a decoded image: (w, h, per-channel
+    means, per-channel stds) — FEATURE_DIM floats."""
+    img = decode_image(payload).astype(np.float64)
+    h, w = img.shape[:2]
+    return np.concatenate(
+        [[float(w), float(h)], img.mean(axis=(0, 1)),
+         img.std(axis=(0, 1))]
+    )
 
 
 def extract_features(
@@ -73,7 +112,7 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-partition setup happens here (codec init, model load)
-        extractor = decode_image if use_real_decoder else fake_features
+        extractor = real_features if use_real_decoder else fake_features
         for pdf in batches:
             feats = [
                 extractor(bytes(p)).tolist() for p in pdf["payload"]
@@ -174,6 +213,102 @@ def sample_frames(
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, schema)
+
+
+def attach_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL media payloads per doc id: a 24-bit BMP and a
+    16-bit PCM WAV, synthesized through the actual encoders
+    (codec/media.py) inside ``mapInPandas``.
+
+    The generation laws are pure integer functions of the id so a SQL
+    oracle can replay the DECODED content exactly:
+
+    * image: ``w = 8 + id % 9``, ``h = 8 + id % 7``,
+      ``pixel(r, c, ch) = (id + 3r + 7c + 11ch) % 256`` (RGB order);
+    * audio: ``n = 64 + id % 64`` mono samples,
+      ``x[i] = ((31 id + 17 i) % 65536) - 32768``.
+    """
+    schema = f"{id_col} long, image binary, audio binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tsaug_spark.codec.media import encode_bmp, encode_wav
+
+        for pdf in batches:
+            imgs, wavs = [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 8 + d % 9, 8 + d % 7
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                ch = np.arange(3)[None, None, :]
+                img = ((d + 3 * r + 7 * c + 11 * ch) % 256).astype(
+                    np.uint8
+                )
+                imgs.append(encode_bmp(img))
+                i = np.arange(64 + d % 64, dtype=np.int64)
+                x = ((31 * d + 17 * i) % 65536 - 32768).astype(np.int16)
+                wavs.append(encode_wav(x, 16000))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "image": imgs,
+                    "audio": wavs,
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+def media_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode BMP + WAV payloads through the REAL codecs and emit exact
+    integer statistics.  The position-weighted pixel sum (``px_possum``,
+    weight ``r*w + c``), channel-weighted sum (``px_chsum``) and
+    index-weighted sample sum (``s_wsum``) are deliberately
+    order-sensitive: a bottom-up-row, BGR-channel, byte-padding or
+    endianness bug in the codec changes them, so the SQL oracle checks
+    the decode path itself, not just byte plumbing.
+    """
+    schema = (
+        f"{id_col} long, width int, height int, px_sum long, "
+        "px_possum long, px_chsum long, n_samples long, s_sum long, "
+        "s_wsum long, s_min long, s_max long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tsaug_spark.codec.media import decode_bmp, decode_wav
+
+        for pdf in batches:
+            rows = []
+            for d, ib, ab in zip(
+                pdf[id_col], pdf["image"], pdf["audio"]
+            ):
+                img = decode_bmp(bytes(ib)).astype(np.int64)
+                h, w = img.shape[:2]
+                pos = (
+                    np.arange(h)[:, None] * w + np.arange(w)[None, :]
+                )[:, :, None]
+                chw = np.arange(3)[None, None, :]
+                x, _rate = decode_wav(bytes(ab))
+                x = x[:, 0].astype(np.int64)
+                i = np.arange(len(x), dtype=np.int64)
+                rows.append(
+                    (
+                        int(d), w, h, int(img.sum()),
+                        int((img * pos).sum()), int((img * chw).sum()),
+                        len(x), int(x.sum()), int((i * x).sum()),
+                        int(x.min()), int(x.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "px_sum", "px_possum",
+                    "px_chsum", "n_samples", "s_sum", "s_wsum",
+                    "s_min", "s_max",
+                ],
+            )
+
+    return df.mapInPandas(run, schema)
 
 
 def exact_media_dedup(df: DataFrame) -> DataFrame:
