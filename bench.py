@@ -381,6 +381,182 @@ def run_stream_ingest(spark, loc: str, turns: int) -> dict:
     }
 
 
+def run_dedup_pipeline(spark, n_docs: int) -> dict:
+    """End-to-end near-dup survivorship chain at corpus scale:
+
+        signatures -> LSH candidate pairs -> exact-Jaccard verify ->
+        connected components -> survivors
+
+    over the deterministic template-mutation corpus
+    (``datagen.generate_docs``: ~n_docs/8 near-dup cliques, 25% exact
+    copies).  Every stage is the production path from
+    ``pipeline/dedup.py`` — banded equi-joins (never all-pairs),
+    hot-bucket capping with observable drop stats, pointer-jumping
+    components — so the reported docs/s is the real curation-pass
+    rate, not a single stage in isolation.  Corpus generation +
+    write are source prep, excluded from the measured wall.
+    """
+    from tsaug_spark.datagen import generate_docs
+    from tsaug_spark.pipeline.dedup import (
+        dedup_clusters,
+        hot_bucket_stats,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    loc = f"{BENCH_DIR}/docs_{n_docs}"
+    if not os.path.exists(f"{loc}/_SUCCESS"):
+        generate_docs(spark, n_docs).write.mode("overwrite").parquet(loc)
+    docs = spark.read.parquet(loc).select("doc_id", "text")
+
+    stages = {}
+
+    def timed(name, thunk):
+        t0 = time.time()
+        out = thunk()
+        stages[name] = round(time.time() - t0, 3)
+        return out
+
+    n_bands, max_bucket = 4, 256
+    sh = shingles(docs).persist()
+    sig = minhash_signatures(sh, n_bands=n_bands).persist()
+    timed("signatures", sig.count)
+    pairs = lsh_candidate_pairs(
+        sig, n_bands=n_bands, max_bucket=max_bucket
+    ).persist()
+    n_pairs = timed("lsh_pairs", pairs.count)
+    # the same band frame lsh_candidate_pairs capped, re-derived for the
+    # observable drop counter (one cheap pass over the tiny signatures)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.col(f"sig{b}").alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("band.band_idx", "band.band_val")
+    dropped = hot_bucket_stats(
+        bands, ["band_idx", "band_val"], max_bucket
+    ).agg(
+        F.count(F.lit(1)).alias("buckets"),
+        F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("rows"),
+    ).first()
+    verified = ngram_jaccard_pairs(
+        sh, threshold=0.4, candidates=pairs
+    ).persist()
+    n_verified = timed("verify", verified.count)
+    labels = timed(
+        "components", lambda: dedup_clusters(verified, max_iters=30)
+    )
+    dupes = labels.filter(F.col("component") != F.col("doc_id")).persist()
+    n_dupes = timed("survivors_mark", dupes.count)
+    survivors = timed(
+        "survivors",
+        lambda: docs.join(dupes, "doc_id", "left_anti").count(),
+    )
+    n_components = labels.select("component").distinct().count()
+    wall = sum(stages.values())
+    for df in (sh, sig, pairs, verified, dupes):
+        df.unpersist()
+    return {
+        "wall_s": round(wall, 3),
+        "stages_s": stages,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / wall),
+        "candidate_pairs": n_pairs,
+        "verified_pairs": n_verified,
+        "dup_clusters": n_components,
+        "docs_removed": n_dupes,
+        "survivors": survivors,
+        "dropped_hot_buckets": {
+            "buckets": int(dropped["buckets"]),
+            "rows": int(dropped["rows"]),
+        },
+    }
+
+
+def run_cascade_update(spark, table: str) -> dict:
+    """Incremental continuous-aggregate refresh vs full re-roll.
+
+    Rolls the first ~95% of the transcripts into a RollupJob tier
+    store (1m, then a FULL 1m->1h cascade — the timed full-re-roll
+    baseline), lands the late 5% tail via the fine-tier incremental
+    ``update()``, then times ``cascade_update`` — which re-aggregates
+    only the watermark-grace tail of each partition and rewrites only
+    touched rows.  Verifies the refreshed coarse tier equals the
+    direct full reaggregation (row count) and reports the
+    incremental-vs-full speedup.
+    """
+    import tempfile
+
+    from tsaug_spark.plans.rollup import reaggregate
+    from tsaug_spark.sources.checkpoint import RollupJob
+
+    raw = spark.table(table)
+    lo, hi = raw.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).first()
+    cutoff = F.timestamp_seconds(F.lit(int(lo + 0.95 * (hi - lo))))
+    work = tempfile.mkdtemp(prefix="cupd_", dir=BENCH_DIR)
+    job = RollupJob(
+        spark, work, n_partitions=4, source_snapshot="bench-early"
+    )
+    job.run(raw.filter(F.col("ts") < cutoff), "1m")
+
+    t0 = time.time()
+    job.cascade_tier("1m", "1h")
+    t_full = time.time() - t0
+    wm_before = min(
+        r["watermark_ts"]
+        for r in job.watermarks("1h").collect()
+    )
+
+    t0 = time.time()
+    job.update(
+        raw, "1m", grace="2 hours", new_snapshot="bench-late"
+    )
+    t_fine_update = time.time() - t0
+
+    t0 = time.time()
+    job.cascade_update(
+        "1m", "1h", grace="2 hours", new_snapshot="bench-late"
+    )
+    t_incr = time.time() - t0
+
+    coarse = job.read_tier("1h")
+    rows_after = coarse.count()
+    refresh_floor = F.timestamp_seconds(
+        F.floor(
+            (F.unix_timestamp(F.lit(wm_before)) - 7200) / 3600
+        ).cast("long")
+        * 3600
+    )
+    rows_rerolled = coarse.filter(
+        F.col("bucket_ts") >= refresh_floor
+    ).count()
+    matches = rows_after == reaggregate(
+        job.read_tier("1m"), "1m", "1h"
+    ).count()
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "full_reroll_s": round(t_full, 3),
+        "fine_update_s": round(t_fine_update, 3),
+        "incremental_s": round(t_incr, 3),
+        "speedup_vs_full": round(t_full / t_incr, 2),
+        "coarse_rows": rows_after,
+        "rows_rerolled": rows_rerolled,
+        "matches_full_reaggregate": matches,
+    }
+
+
 def _burn(_):
     """Cache-resident integer workload for the CPU control (module-level
     so multiprocessing can pickle it)."""
@@ -497,6 +673,22 @@ def main() -> None:
         result["streaming"] = run_stream_ingest(
             spark, loc, cascade["turns"]
         )
+
+    # end-to-end dedup survivorship chain (sig -> LSH -> verify ->
+    # components -> survivors) on the template-mutation corpus
+    if (
+        os.environ.get("BENCH_DEDUP", "1") == "1"
+        and os.environ.get("BENCH_SCALING") != "1"
+    ):
+        n_docs = int(os.environ.get("BENCH_DOCS", "200000"))
+        result["dedup_pipeline"] = run_dedup_pipeline(spark, n_docs)
+
+    # incremental continuous-aggregate refresh vs full re-roll
+    if (
+        os.environ.get("BENCH_CASCADE_UPDATE", "1") == "1"
+        and os.environ.get("BENCH_SCALING") != "1"
+    ):
+        result["cascade_update"] = run_cascade_update(spark, table)
 
     if os.environ.get("BENCH_SCALING") == "1":
         levels = tuple(

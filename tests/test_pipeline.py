@@ -747,3 +747,65 @@ def test_pmi_collocations_min_count_floor(spark):
     out = pmi_collocations(docs, min_count=3, top_k=10).collect()
     assert all((r.x, r.y) != ("aardvark", "zyzzyva") for r in out)
     assert any((r.x, r.y) == ("the", "cat") for r in out)
+
+
+def test_generate_docs_dedup_corpus(spark):
+    """The bench corpus is deterministic and has the advertised
+    near-dup structure: exact copies of a template are byte-identical,
+    mutated same-template docs keep high Jaccard, cross-template
+    Jaccard is ~0 — and the full chain recovers the template cliques."""
+    from tsaug_spark.datagen import generate_docs
+    from tsaug_spark.pipeline.dedup import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    docs = generate_docs(spark, 400, n_templates=50).cache()
+    # deterministic across partitionings
+    again = generate_docs(spark, 400, n_templates=50, partitions=7)
+    assert (
+        docs.join(again.withColumnRenamed("text", "t2"), "doc_id")
+        .filter(F.col("text") != F.col("t2"))
+        .count()
+        == 0
+    )
+    # exact copies are byte-identical within a template
+    nx = (
+        docs.filter("is_exact = 1")
+        .groupBy("template_id")
+        .agg(F.count_distinct("text").alias("k"))
+        .agg(F.max("k"))
+        .first()[0]
+    )
+    assert nx == 1
+    # the chain recovers template cliques: every verified pair is
+    # same-template, and most templates collapse to one component
+    sh = shingles(docs.select("doc_id", "text"))
+    sig = minhash_signatures(sh)
+    pairs = lsh_candidate_pairs(sig, max_bucket=256)
+    verified = ngram_jaccard_pairs(sh, threshold=0.4, candidates=pairs)
+    tpl = docs.select("doc_id", "template_id")
+    cross = (
+        verified.join(
+            tpl.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "template_id", "ta"
+            ),
+            "id_a",
+        )
+        .join(
+            tpl.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "template_id", "tb"
+            ),
+            "id_b",
+        )
+        .filter("ta != tb")
+        .count()
+    )
+    assert cross == 0
+    labels = dedup_clusters(verified, max_iters=30)
+    n_comp = labels.select("component").distinct().count()
+    assert 0 < n_comp <= 50
+    docs.unpersist()

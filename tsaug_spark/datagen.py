@@ -133,3 +133,65 @@ def generate_transcripts(
         tool.alias("tool"),
         F.timestamp_seconds(ts_epoch).alias("ts"),
     )
+
+
+def generate_docs(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 7,
+    n_templates: int | None = None,
+    doc_len: int = 32,
+    vocab: int = 4096,
+    mutation_pct: int = 6,
+    exact_pct: int = 25,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic near-duplicate document corpus for dedup benchmarks.
+
+    Each doc copies one of ``n_templates`` word templates (template t's
+    word j is a pure hash of (seed, t, j) into ``vocab``); a doc is
+    either VERBATIM (``exact_pct``% of docs — exact-duplicate clusters,
+    the mass ``exact_dedup``/``cap_hot_buckets`` must route around) or
+    MUTATED (each position independently rewritten with probability
+    ``mutation_pct``% to a doc-unique word — same-template Jaccard stays
+    high, cross-template ~0, the LSH near-dup target).  Everything is a
+    hash of (seed, doc_id, j): bit-identical across runs, partitionings
+    and cluster sizes, and generated distributed (range + transform, no
+    Python RNG, no UDFs).
+
+    Returns (doc_id: bigint, template_id: bigint, is_exact: int,
+    text: string).
+    """
+    if n_templates is None:
+        n_templates = max(n_docs // 8, 1)
+    d = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    if partitions:
+        d = d.repartition(partitions, "doc_id")
+    d = d.select(
+        "doc_id",
+        F.pmod(_h(F.col("doc_id"), seed=seed), F.lit(n_templates)).alias(
+            "template_id"
+        ),
+        (
+            F.pmod(_h(F.col("doc_id"), seed=seed + 1), F.lit(100))
+            < exact_pct
+        )
+        .cast("int")
+        .alias("is_exact"),
+    )
+    tpl_word = lambda j: F.format_string(  # noqa: E731
+        "w%04d",
+        F.pmod(_h(F.col("template_id"), j, seed=seed + 2), F.lit(vocab)),
+    )
+    mut_word = lambda j: F.format_string(  # noqa: E731
+        "m%012d", _h(F.col("doc_id"), j, seed=seed + 3) % F.lit(10**12)
+    )
+    mutate = lambda j: (  # noqa: E731
+        F.pmod(_h(F.col("doc_id"), j, seed=seed + 4), F.lit(100))
+        < mutation_pct
+    ) & (F.col("is_exact") == 0)
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(doc_len - 1)),
+        lambda j: F.when(mutate(j), mut_word(j)).otherwise(tpl_word(j)),
+    )
+    return d.withColumn("text", F.concat_ws(" ", words))
