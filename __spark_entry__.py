@@ -567,8 +567,9 @@ def q_ngram_jaccard(spark, sf):
 def q_dedup_pipeline(spark, sf):
     """The production dedup path end-to-end in ONE lazy plan: shingle ->
     MinHash band signatures -> LSH candidate pairs -> exact Jaccard
-    verify restricted to candidates (the semi-joins sit below the
-    shingle self-join, so verify cost tracks the candidate set)."""
+    verify restricted to candidates (per-doc shingle sets joined to the
+    pair list and intersected with array_intersect, so verify cost
+    tracks the candidate set — no shared-shingle self-join)."""
     from tsaug_spark.pipeline.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,

@@ -122,19 +122,33 @@ def test_simhash_pairs_rejects_unsound_params(documents):
         simhash_pairs(documents, bits=30, n_bands=4)
 
 
-def test_ngram_verify_prunes_before_self_join(spark, documents):
-    """In LSH-verify mode the candidate semi-join must sit BELOW the
-    shingle self-join so cost scales with candidates, not corpus^2."""
+def test_ngram_verify_uses_set_intersection(spark, documents):
+    """In LSH-verify mode the Jaccard comes from per-doc shingle SETS
+    intersected per candidate pair (array_intersect after two doc_id
+    equi-joins) — not a shared-shingle self-join, whose cost is one
+    shuffled row per co-occurring shingle of every pair.  Both paths
+    must agree exactly on the discovery path's own pairs."""
     from tsaug_spark.pipeline.dedup import ngram_jaccard_pairs, shingles
 
+    sh = shingles(documents)
     cand = spark.createDataFrame(
         pd.DataFrame({"id_a": [0], "id_b": [1]})
     )
     plan = ngram_jaccard_pairs(
-        shingles(documents), threshold=0.1, candidates=cand
+        sh, threshold=0.1, candidates=cand
     )._jdf.queryExecution().optimizedPlan().toString()
-    first_semi = plan.find("LeftSemi")
-    # two pair-level + two side-level semi-joins expected; at least one
-    # LeftSemi must appear (side pruning), and the DEEPEST join in the
-    # plan tree must not be the shingle self-join over unpruned sides
-    assert plan.count("LeftSemi") >= 3, plan
+    assert "array_intersect" in plan, plan
+    # two doc_id pair joins + two semi-join set prunes — no self-join
+    assert plan.count("Join Inner") == 2, plan
+    assert plan.count("LeftSemi") == 2, plan
+
+    # value parity: verify mode over the discovery path's own pairs
+    # reproduces the discovery path bit-for-bit
+    disc = ngram_jaccard_pairs(sh, threshold=0.1).toPandas()
+    ver = ngram_jaccard_pairs(
+        sh,
+        threshold=0.1,
+        candidates=spark.createDataFrame(disc[["id_a", "id_b"]]),
+    ).toPandas()
+    key = lambda d: sorted(map(tuple, d.to_numpy().tolist()))  # noqa: E731
+    assert key(disc) == key(ver)

@@ -210,10 +210,10 @@ def main() -> None:
     )
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     audit(
-        "ngram_jaccard verify mode (semi-join below the self-join)",
+        "ngram_jaccard verify mode (per-pair set intersection)",
         ngram_jaccard_pairs(shingles(docs), threshold=0.1,
                             candidates=cand),
-        must_have=["LeftSemi"],
+        must_have=["array_intersect"],
         must_not_have=["CartesianProduct"],
     )
 

@@ -179,29 +179,59 @@ def ngram_jaccard_pairs(
     With ``candidates`` (id_a, id_b) this verifies only those pairs —
     the LSH-then-verify pattern; without, it discovers pairs by joining
     on shared shingles (small-corpus / test path).
+
+    Verify mode attaches each side's distinct-shingle SET (one per-doc
+    aggregate + two equi-joins on doc_id) and intersects per pair with
+    ``array_intersect`` — cost is O(|candidates| * shingles_per_doc),
+    a narrow codegen expression after the joins.  The shared-shingle
+    self-join would instead stream one row per CO-OCCURRING SHINGLE of
+    every candidate-adjacent pair through a join + an extra group-by
+    shuffle: near-dup candidates share most of their shingles by
+    construction, so that path re-shuffles ~|pairs| * |doc| rows to
+    learn what the two set rows already hold.  Both paths compute the
+    same exact distinct-shingle Jaccard.
     """
     ds = sh.distinct()
+    if candidates is not None:
+        # build sets only for candidate-adjacent docs: at production
+        # scale the LSH shortlist touches a small fraction of the
+        # corpus, so the semi-join keeps the collect_set aggregate
+        # proportional to the shortlist, not the corpus
+        ids = (
+            candidates.select(F.col("id_a").alias("doc_id"))
+            .unionByName(candidates.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        sets = (
+            ds.join(ids, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("s").alias("ss"))
+        )
+        pa = sets.select(
+            F.col("doc_id").alias("id_a"), F.col("ss").alias("sa")
+        )
+        pb = sets.select(
+            F.col("doc_id").alias("id_b"), F.col("ss").alias("sb")
+        )
+        inter = F.size(F.array_intersect("sa", "sb"))
+        union = F.size("sa") + F.size("sb") - inter
+        return (
+            candidates.select("id_a", "id_b")
+            .join(pa, "id_a")
+            .join(pb, "id_b")
+            .withColumn("jaccard", inter / union.cast("double"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        )
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ds.select(F.col("doc_id").alias("id_a"), "s")
     b = ds.select(F.col("doc_id").alias("id_b"), "s")
-    if candidates is not None:
-        # prune the shingle sides BEFORE the self-join so verify-mode
-        # cost is proportional to the candidate set, not corpus^2; the
-        # pair-level semi-join below still enforces exact membership
-        a = a.join(
-            candidates.select("id_a").distinct(), "id_a", "left_semi"
-        )
-        b = b.join(
-            candidates.select("id_b").distinct(), "id_b", "left_semi"
-        )
     inter = (
         a.join(b, "s")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
     na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     return (
