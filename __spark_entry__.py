@@ -2582,6 +2582,424 @@ def q_tpch_q3(spark, sf):
     ).filter(F.col("rank") <= 10)
 
 
+def _rev_cents():
+    """Exact discounted revenue in integer cents (fold-order-free)."""
+    return (
+        F.round(
+            F.col("l_extendedprice")
+            * (F.lit(1) - F.col("l_discount"))
+            * F.lit(100),
+            0,
+        )
+        .cast("long")
+        .alias("rev_cents")
+    )
+
+
+def q_tpch_q6(spark, sf):
+    """TPC-H Q6 shape — forecasting revenue change: a pure scan-side
+    query (every predicate lands in PushedFilters, no join, single
+    partial+final agg over one projected column).  Revenue as exact
+    integer cents."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.coalesce(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * F.col("l_discount") * 100, 0
+                ).cast("long")
+            ),
+            F.lit(0).cast("long"),
+        ).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    ).select(
+        "revenue_cents",
+        (F.col("revenue_cents").cast("double") / 100.0).alias("revenue"),
+        "n_lines",
+    )
+
+
+def q_tpch_q14(spark, sf):
+    """TPC-H Q14 shape — promotion effect for one ship-month: part dim
+    broadcast onto the date-pruned lineitem scan, conditional + total
+    sums in one aggregate, share derived from the two exact integers."""
+    part = spark.read.parquet(f"{sf}/part.parquet").select(
+        "p_partkey", "p_type"
+    )
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01"))
+        )
+        .select("l_partkey", _rev_cents())
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", F.col("rev_cents")).otherwise(
+                F.lit(0)
+            )
+        ).alias("promo_cents"),
+        F.sum("rev_cents").alias("total_cents"),
+    ).select(
+        F.col("promo_cents").cast("long").alias("promo_cents"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+        (
+            F.lit(100.0)
+            * F.col("promo_cents").cast("double")
+            / F.col("total_cents").cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+def q_tpch_q19(spark, sf):
+    """TPC-H Q19 shape — discounted revenue under a 3-branch
+    brand/size/quantity disjunction: the branch predicates can't push
+    below the join, so the plan is a broadcast part join + one fused
+    codegen filter over the joined stream."""
+    part = spark.read.parquet(f"{sf}/part.parquet").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_partkey", "l_quantity", _rev_cents()
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    branch = (
+        ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#3") & s.between(1, 15) & q.between(20, 30))
+    )
+    return j.filter(branch).agg(
+        F.coalesce(F.sum("rev_cents"), F.lit(0))
+        .cast("long")
+        .alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    ).select(
+        "revenue_cents",
+        (F.col("revenue_cents").cast("double") / 100.0).alias("revenue"),
+        "n_lines",
+    )
+
+
+def q_tpch_q7(spark, sf):
+    """TPC-H Q7 shape — volume shipping between two nations: the
+    supplier and customer nation dims broadcast down both fact sides,
+    the 2-pair nation predicate applied post-join, revenue grouped by
+    (supp_nation, cust_nation, ship-year)."""
+    nation = spark.read.parquet(f"{sf}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    sup = spark.read.parquet(f"{sf}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cust = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").alias("l_year"),
+            _rev_cents(),
+        )
+    )
+    j = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(
+            (
+                (F.col("s_nationkey") == 1) & (F.col("c_nationkey") == 2)
+            )
+            | (
+                (F.col("s_nationkey") == 2) & (F.col("c_nationkey") == 1)
+            )
+        )
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("cn_key"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev_cents").cast("long").alias("revenue_cents"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.col("l_year").cast("int").alias("l_year"),
+            "revenue_cents",
+            (F.col("revenue_cents").cast("double") / 100.0).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+def q_tpch_q8(spark, sf):
+    """TPC-H Q8 shape — national market share: AMERICA-region customer
+    orders of ECONOMY parts by order-year; the share of NATION_3
+    suppliers is a conditional sum over the same aggregate (no second
+    pass), exact integer cents in both numerator and denominator."""
+    region = spark.read.parquet(f"{sf}/region.parquet").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    amer_nations = nation.join(
+        F.broadcast(region),
+        nation.n_regionkey == region.r_regionkey,
+    ).select(F.col("n_nationkey").alias("amer_key"))
+    cust = spark.read.parquet(f"{sf}/customer.parquet").join(
+        F.broadcast(amer_nations),
+        F.col("c_nationkey") == F.col("amer_key"),
+    ).select("c_custkey")
+    part = spark.read.parquet(f"{sf}/part.parquet").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    sup = spark.read.parquet(f"{sf}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = spark.read.parquet(f"{sf}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", _rev_cents()
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            orders.select(
+                "o_orderkey", "o_custkey", F.year("o_orderdate").alias(
+                    "o_year"
+                )
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == cust.c_custkey, "left_semi")
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+    )
+    return (
+        j.groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s_nationkey") == 3, F.col("rev_cents")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("nation_cents"),
+            F.sum("rev_cents").cast("long").alias("total_cents"),
+        )
+        .select(
+            F.col("o_year").cast("int").alias("o_year"),
+            "nation_cents",
+            "total_cents",
+            (
+                F.col("nation_cents").cast("double")
+                / F.col("total_cents").cast("double")
+            ).alias("mkt_share"),
+        )
+    )
+
+
+def q_tpch_q15(spark, sf):
+    """TPC-H Q15 shape — top supplier(s) by quarter revenue: the
+    revenue "view" is one hash aggregate; the max is an unbounded
+    window over it (no self-join), ties kept exactly as Q15 demands."""
+    sup = spark.read.parquet(f"{sf}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .select("l_suppkey", _rev_cents())
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum("rev_cents").cast("long").alias("revenue_cents")
+    )
+    # broadcast 1-row max instead of an unpartitioned window: the
+    # per-supplier aggregate is dimension-sized but a global window
+    # would still drag it onto one partition
+    mx = rev.agg(F.max("revenue_cents").alias("max_cents"))
+    top = rev.join(F.broadcast(mx)).filter(
+        F.col("revenue_cents") == F.col("max_cents")
+    )
+    return top.join(
+        F.broadcast(sup), top.l_suppkey == sup.s_suppkey
+    ).select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        "s_name",
+        "revenue_cents",
+        (F.col("revenue_cents").cast("double") / 100.0).alias("revenue"),
+    )
+
+
+def q_tpch_q17(spark, sf):
+    """TPC-H Q17 shape — small-quantity-order revenue for one brand:
+    per-part average quantity via a window over the brand-pruned join
+    (the 0.2-avg cut is the exact integer predicate 5*qty*cnt <
+    sum_qty, no float division), final single-row aggregate."""
+    part = spark.read.parquet(f"{sf}/part.parquet").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    marked = j.withColumn("sum_qty", F.sum("qty").over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(w)
+    )
+    small = marked.filter(
+        F.col("qty") * F.col("cnt") * 5 < F.col("sum_qty")
+    )
+    return small.agg(
+        F.coalesce(F.sum("price_cents"), F.lit(0))
+        .cast("long")
+        .alias("total_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    ).select(
+        "total_cents",
+        "n_lines",
+        (F.col("total_cents").cast("double") / 700.0).alias("avg_yearly"),
+    )
+
+
+def q_tpch_q4(spark, sf):
+    """TPC-H Q4 shape — order-priority checking: orders of one quarter
+    with at least one RETURNED line (the schema has no commit/receipt
+    dates, so the EXISTS predicate is returnflag-based), counted per
+    priority through a left-semi join — the fact side never fans out."""
+    orders = spark.read.parquet(f"{sf}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    returned = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_tpch_q16(spark, sf):
+    """TPC-H Q16 shape — supplier count per part group: the schema has
+    no partsupp, so supply relationships come from lineitem's
+    (partkey, suppkey) pairs; brand/type/size exclusions on the
+    broadcast part dim, distinct-supplier count per group."""
+    part = (
+        spark.read.parquet(f"{sf}/part.parquet")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 9, 19, 25, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .select(
+            "p_brand",
+            "p_type",
+            F.col("p_size").cast("int").alias("p_size"),
+            "supplier_cnt",
+        )
+    )
+
+
+def q_tpch_q22(spark, sf):
+    """TPC-H Q22 shape — global-customer relationship: customers with
+    above-average positive balance and no RECENT orders (dormant since
+    2000; the synthetic order stream covers every customer, so the
+    classic no-orders-ever predicate is vacuous); the global average is
+    a broadcast 1-row aggregate (single plan, no collect) and the
+    predicate is the exact integer cross-multiplication ac*cnt > sum,
+    the anti-join supplies the NOT EXISTS."""
+    cust = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("ac"),
+    )
+    pos = cust.filter(F.col("ac") > 0).agg(
+        F.sum("ac").alias("pos_sum"), F.count(F.lit(1)).alias("pos_cnt")
+    )
+    orders = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
+    sel = (
+        cust.join(F.broadcast(pos))
+        .filter(F.col("ac") * F.col("pos_cnt") > F.col("pos_sum"))
+        .join(
+            orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        )
+    )
+    return (
+        sel.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("ac").cast("long").alias("totacctbal_cents"),
+        )
+        .select(
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            "numcust",
+            "totacctbal_cents",
+            (F.col("totacctbal_cents").cast("double") / 100.0).alias(
+                "totacctbal"
+            ),
+        )
+    )
+
+
 def q_dau_overlap(spark, sf):
     """Day-over-day active-user overlap and Jaccard stickiness
     (plans/cohorts.py::dau_overlap): exact distinct-pair integers,
@@ -4344,6 +4762,26 @@ def q_holt_series(spark, sf):
     )
 
 
+def q_kalman_series(spark, sf):
+    """1-D Kalman filter (local-level model, q=0.25, r=1.0) per
+    rectangular series (plans/metrics.py::kalman_filter): prior mean,
+    gain, posterior level and variance via the grouped Arrow kernel;
+    the oracle's recursive CTE folds the same recurrence
+    token-for-token (exact-binary q/r), so raw doubles, no rounding."""
+    from tsaug_spark.plans.metrics import kalman_filter
+
+    out = kalman_filter(_series_df(spark, sf), q=0.25, r=1.0)
+    return out.select(
+        F.col("key").cast("long").alias("user_id"),
+        F.col("ord").alias("bucket_idx"),
+        F.col("v").alias("cnt"),
+        "pred",
+        "gain",
+        "level",
+        "p",
+    )
+
+
 #: the query shape for pattern_search: a single-bucket burst with
 #: symmetric shoulders (z-normalized inside the operator)
 _SEARCH_PATTERN = [0.0, 0.0, 1.0, 4.0, 9.0, 4.0, 1.0, 0.0]
@@ -4974,6 +5412,17 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "kalman_series",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q22",
     "hazard_sessions",
     "calibration_clicks",
     "psi_weekly",
@@ -5213,6 +5662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose_24h": q_seasonal_decompose,
         "crosscorr_click_purchase": q_crosscorr,
         "holt_series": q_holt_series,
+        "kalman_series": q_kalman_series,
         "sax_symbols": q_sax_symbols,
         "gapfill_locf_ttl": q_gapfill_locf_ttl,
         "concurrency_1m": q_concurrency_1m,
@@ -5353,6 +5803,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal_types": q_kruskal_types,
         "pacf_24": q_pacf_24,
         "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
         "triangle_copurchase": q_triangle_copurchase,
         "pagerank_copurchase": q_pagerank_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
@@ -6845,6 +7305,33 @@ def oracle_sql() -> dict[str, str]:
             "s2.idx = r.idx + 1) "
             "SELECT user_id, CAST(idx AS BIGINT) AS bucket_idx, "
             "cnt, level, trend, fitted FROM r"
+        ),
+        "kalman_series": (
+            # raw doubles: the recursive fold mirrors the kernel's
+            # p_pred = p + 0.25; k = p_pred/(p_pred + 1.0);
+            # level += k*(x - level); p = (1-k)*p_pred exactly
+            # (q/r exact in binary, same association order)
+            f"WITH RECURSIVE b AS ({hourly}), {_SERIES_SQL}, "
+            "r AS (SELECT user_id, idx, cnt, "
+            "CAST(NULL AS DOUBLE) AS pred, "
+            "CAST(NULL AS DOUBLE) AS gain, "
+            "cnt AS level, CAST(1.0 AS DOUBLE) AS p "
+            "FROM s WHERE idx = 0 "
+            "UNION ALL SELECT s2.user_id, s2.idx, s2.cnt, "
+            "r.level AS pred, "
+            "(r.p + CAST(0.25 AS DOUBLE)) / "
+            "((r.p + CAST(0.25 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) "
+            "AS gain, "
+            "r.level + ((r.p + CAST(0.25 AS DOUBLE)) / "
+            "((r.p + CAST(0.25 AS DOUBLE)) + CAST(1.0 AS DOUBLE))) "
+            "* (s2.cnt - r.level) AS level, "
+            "(CAST(1.0 AS DOUBLE) - ((r.p + CAST(0.25 AS DOUBLE)) / "
+            "((r.p + CAST(0.25 AS DOUBLE)) + CAST(1.0 AS DOUBLE)))) "
+            "* (r.p + CAST(0.25 AS DOUBLE)) AS p "
+            "FROM s s2 JOIN r ON s2.user_id = r.user_id AND "
+            "s2.idx = r.idx + 1) "
+            "SELECT user_id, CAST(idx AS BIGINT) AS bucket_idx, "
+            "cnt, pred, gain, level, p FROM r"
         ),
         "sax_symbols": (
             # discrete symbols from exact-integer statistics: mean,
@@ -9000,6 +9487,148 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderdate < TIMESTAMP '2000-01-01' "
             "AND l_shipdate > TIMESTAMP '2000-01-01' "
             "GROUP BY 1, 2, 3) WHERE rank <= 10"
+        ),
+        "tpch_q6": (
+            "SELECT CAST(COALESCE(SUM(CAST(round(l_extendedprice * "
+            "l_discount * 100, 0) AS BIGINT)), 0) AS BIGINT) AS "
+            "revenue_cents, "
+            "CAST(COALESCE(SUM(CAST(round(l_extendedprice * l_discount "
+            "* 100, 0) AS BIGINT)), 0) AS DOUBLE) / 100.0 AS revenue, "
+            "COUNT(*) AS n_lines FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount >= 0.05 AND l_discount <= 0.07 "
+            "AND l_quantity < 24"
+        ),
+        "tpch_q14": (
+            "SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 "
+            "END) AS BIGINT) AS promo_cents, "
+            "CAST(SUM(rc) AS BIGINT) AS total_cents, "
+            "100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 "
+            "END) AS DOUBLE) / CAST(SUM(rc) AS DOUBLE) AS promo_pct "
+            "FROM (SELECT l_partkey, CAST(round(l_extendedprice * "
+            "(1 - l_discount) * 100, 0) AS BIGINT) AS rc FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-09-01' "
+            "AND l_shipdate < TIMESTAMP '1996-10-01') "
+            "JOIN part ON l_partkey = p_partkey"
+        ),
+        "tpch_q19": (
+            "SELECT CAST(COALESCE(SUM(CAST(round(l_extendedprice * "
+            "(1 - l_discount) * 100, 0) AS BIGINT)), 0) AS BIGINT) AS "
+            "revenue_cents, "
+            "CAST(COALESCE(SUM(CAST(round(l_extendedprice * "
+            "(1 - l_discount) * 100, 0) AS BIGINT)), 0) AS DOUBLE) "
+            "/ 100.0 AS revenue, COUNT(*) AS n_lines "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
+            "AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
+            "AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 20 AND 30)"
+        ),
+        "tpch_q7": (
+            "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+            "CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year, "
+            "CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * "
+            "100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * "
+            "100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue "
+            "FROM lineitem "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+            "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND ((s_nationkey = 1 AND c_nationkey = 2) "
+            "OR (s_nationkey = 2 AND c_nationkey = 1)) "
+            "GROUP BY 1, 2, 3"
+        ),
+        "tpch_q8": (
+            "SELECT CAST(o_year AS INT) AS o_year, "
+            "CAST(SUM(CASE WHEN s_nationkey = 3 THEN rc ELSE 0 END) "
+            "AS BIGINT) AS nation_cents, "
+            "CAST(SUM(rc) AS BIGINT) AS total_cents, "
+            "CAST(SUM(CASE WHEN s_nationkey = 3 THEN rc ELSE 0 END) "
+            "AS DOUBLE) / CAST(SUM(rc) AS DOUBLE) AS mkt_share FROM ("
+            "SELECT EXTRACT(year FROM o_orderdate) AS o_year, "
+            "s_nationkey, CAST(round(l_extendedprice * (1 - l_discount) "
+            "* 100, 0) AS BIGINT) AS rc "
+            "FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE p_type = 'ECONOMY' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND EXISTS (SELECT 1 FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE c_custkey = o_custkey AND r_name = 'AMERICA')) "
+            "GROUP BY 1"
+        ),
+        "tpch_q15": (
+            "WITH rev AS (SELECT l_suppkey, "
+            "CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * "
+            "100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) "
+            "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, "
+            "revenue_cents, "
+            "CAST(revenue_cents AS DOUBLE) / 100.0 AS revenue "
+            "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE revenue_cents = (SELECT MAX(revenue_cents) FROM rev)"
+        ),
+        "tpch_q17": (
+            "WITH j AS (SELECT l_partkey, "
+            "CAST(l_quantity AS BIGINT) AS qty, "
+            "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS "
+            "price_cents, "
+            "SUM(CAST(l_quantity AS BIGINT)) OVER "
+            "(PARTITION BY l_partkey) AS sum_qty, "
+            "COUNT(*) OVER (PARTITION BY l_partkey) AS cnt "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand = 'Brand#23') "
+            "SELECT CAST(COALESCE(SUM(price_cents), 0) AS BIGINT) AS "
+            "total_cents, COUNT(*) AS n_lines, "
+            "CAST(COALESCE(SUM(price_cents), 0) AS DOUBLE) / 700.0 AS "
+            "avg_yearly FROM j WHERE qty * cnt * 5 < sum_qty"
+        ),
+        "tpch_q4": (
+            "SELECT o_orderpriority, COUNT(*) AS order_count "
+            "FROM orders WHERE "
+            "o_orderdate >= TIMESTAMP '1996-07-01' "
+            "AND o_orderdate < TIMESTAMP '1996-10-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') "
+            "GROUP BY 1"
+        ),
+        "tpch_q16": (
+            "SELECT p_brand, p_type, CAST(p_size AS INT) AS p_size, "
+            "COUNT(DISTINCT l_suppkey) AS supplier_cnt "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' "
+            "AND p_size IN (1, 9, 19, 25, 36, 49) "
+            "GROUP BY 1, 2, 3"
+        ),
+        "tpch_q22": (
+            "WITH cc AS (SELECT c_custkey, c_nationkey, "
+            "CAST(round(c_acctbal * 100, 0) AS BIGINT) AS ac "
+            "FROM customer), "
+            "p AS (SELECT SUM(ac) AS pos_sum, COUNT(*) AS pos_cnt "
+            "FROM cc WHERE ac > 0) "
+            "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+            "COUNT(*) AS numcust, "
+            "CAST(SUM(ac) AS BIGINT) AS totacctbal_cents, "
+            "CAST(SUM(ac) AS DOUBLE) / 100.0 AS totacctbal "
+            "FROM cc, p WHERE ac * pos_cnt > pos_sum "
+            "AND NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = cc.c_custkey "
+            "AND o_orderdate >= TIMESTAMP '2000-01-01') "
+            "GROUP BY 1"
         ),
         "dau_overlap": (
             "WITH du AS (SELECT DISTINCT user_id AS u, "

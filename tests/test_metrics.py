@@ -1995,3 +1995,46 @@ def test_rate_ratio_zero_pre_events_null_rr_valid_z(spark):
     assert r.rate_ratio is None
     nn, p0 = 8.0, 0.5
     assert r.z == (8.0 - nn * p0) / (nn * p0 * (1 - p0)) ** 0.5
+
+
+def test_kalman_matches_independent_replica(spark):
+    """Kalman level/gain/p vs an independent pure-Python fold on a
+    ramp+noise fixture (bit-exact, same fold); gain converges to the
+    steady-state Riccati solution and a constant series' level stays
+    pinned to the constant."""
+    import numpy as np
+
+    from tsaug_spark.plans.metrics import kalman_filter
+
+    rng = np.random.RandomState(23)
+    x = 5.0 + 0.25 * np.arange(60) + rng.uniform(-1, 1, size=60)
+    df = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(x)],
+        "conv_id string, bucket_idx long, cnt double",
+    )
+    out = {
+        r.ord: (r.pred, r.gain, r.level, r.p)
+        for r in kalman_filter(df, q=0.25, r=1.0).collect()
+    }
+    assert out[0] == (None, None, x[0], 1.0)
+    level, p = x[0], 1.0
+    for t in range(1, 60):
+        p_pred = p + 0.25
+        k = p_pred / (p_pred + 1.0)
+        pred = level
+        level = level + k * (x[t] - level)
+        p = (1.0 - k) * p_pred
+        assert out[t] == (pred, k, level, p), t
+
+    # steady-state gain: with P = p_pred*, the Riccati fixpoint is
+    # P = rP/(P+r) + q  =>  P^2 - qP - qr = 0, k* = P/(P+r)
+    ppred = (0.25 + np.sqrt(0.25**2 + 4 * 0.25 * 1.0)) / 2
+    k_star = ppred / (ppred + 1.0)
+    assert abs(out[59][1] - k_star) < 1e-12
+
+    const = spark.createDataFrame(
+        [("k", i, 7.0) for i in range(20)],
+        "conv_id string, bucket_idx long, cnt double",
+    )
+    rows = kalman_filter(const).collect()
+    assert all(r.level == 7.0 for r in rows)

@@ -1282,6 +1282,68 @@ def main() -> None:
             execute=True,
         )
 
+    # round-4 TPC-H batch: dims broadcast, fact filters pushed, no
+    # Python anywhere; q22's 1-row global-average aggregate and q15's
+    # 1-row max are intended broadcast-scalar BNLJs
+    audit(
+        "tpch_q6 (pure scan-side predicates + single aggregate)",
+        em.q_tpch_q6(spark, sf),
+        must_have=["HashAggregate", "PushedFilters"],
+        must_not_have=["Exchange hashpartitioning", "CartesianProduct",
+                       "BroadcastNestedLoopJoin", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+    for nm, q in [
+        ("tpch_q4", em.q_tpch_q4),
+        ("tpch_q7", em.q_tpch_q7),
+        ("tpch_q8", em.q_tpch_q8),
+        ("tpch_q14", em.q_tpch_q14),
+        ("tpch_q16", em.q_tpch_q16),
+        ("tpch_q17", em.q_tpch_q17),
+        ("tpch_q19", em.q_tpch_q19),
+    ]:
+        audit(
+            f"{nm} (r4 batch: broadcast dims, pushdown, JVM only)",
+            q(spark, sf),
+            must_have=["HashAggregate", "PushedFilters"],
+            must_not_have=["CartesianProduct",
+                           "BroadcastNestedLoopJoin",
+                           "BatchEvalPython", "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+    # q15's rev == max(rev) scalar screen becomes an equi-condition, so
+    # Catalyst plans a BroadcastHashJoin; q22's ac*cnt > sum inequality
+    # stays an intended 1-row broadcast-scalar BNLJ
+    audit(
+        "tpch_q15 (r4 batch: broadcast-scalar max as hash join)",
+        em.q_tpch_q15(spark, sf),
+        must_have=["HashAggregate", "BroadcastHashJoin"],
+        must_not_have=["CartesianProduct", "BroadcastNestedLoopJoin",
+                       "BatchEvalPython", "ArrowEvalPython",
+                       "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+    audit(
+        "tpch_q22 (r4 batch: broadcast-scalar screen, JVM only)",
+        em.q_tpch_q22(spark, sf),
+        must_have=["HashAggregate", "BroadcastNestedLoopJoin"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+    # kalman: the ONLY Python in the plan is the grouped Arrow kernel
+    # itself (one hash partition per key, no row-wise UDF)
+    audit(
+        "kalman_series (grouped Arrow kernel only)",
+        em.q_kalman_series(spark, sf),
+        must_have=["FlatMapGroupsInPandas"],
+        must_not_have=["CartesianProduct", "BroadcastNestedLoopJoin",
+                       "BatchEvalPython"],
+        execute=True,
+    )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")

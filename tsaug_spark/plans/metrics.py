@@ -1251,6 +1251,75 @@ def holt(
     return base.groupBy("key").applyInPandas(_kernel, out_schema)
 
 
+def kalman_filter(
+    df: DataFrame,
+    q: float = 0.25,
+    r: float = 1.0,
+    key_col: str = "conv_id",
+    order_col: str = "bucket_idx",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """1-D Kalman filter (local-level model) per series — the optimal
+    online smoother for a noisy constant-drift level, the classic
+    alternative to EWMA when the noise split (process ``q`` vs
+    measurement ``r``) is known:
+
+        l_0 = x_0,  p_0 = 1.0
+        t >= 1:  p_pred = p_{t-1} + q
+                 k      = p_pred / (p_pred + r)
+                 pred_t = l_{t-1}              (prior mean)
+                 l_t    = l_{t-1} + k*(x_t - l_{t-1})
+                 p_t    = (1 - k) * p_pred
+
+    Inherently sequential like ``holt``/``ewma``, so it runs as a
+    grouped Arrow kernel (one hash partition per key, bounded series
+    length).  With exact-binary ``q``/``r`` the fold is mirrored
+    token-for-token by the oracle's recursive CTE, so outputs are raw
+    doubles — bit-identical, no rounding.
+
+    Output: key, ord, v, pred (NULL at t=0), gain (NULL at t=0),
+    level, p.
+    """
+    qf, rf = float(q), float(r)
+    out_schema = (
+        f"key {dict(df.dtypes)[key_col]}, ord long, v double, "
+        "pred double, gain double, level double, p double"
+    )
+
+    def _kernel(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values("ord").reset_index(drop=True)
+        x = pdf["v"].to_numpy()
+        n = x.size
+        level = np.empty(n)
+        pvar = np.empty(n)
+        pred = np.full(n, np.nan)
+        gain = np.full(n, np.nan)
+        l_prev, p_prev = x[0], 1.0
+        level[0], pvar[0] = l_prev, p_prev
+        for t in range(1, n):
+            p_pred = p_prev + qf
+            k = p_pred / (p_pred + rf)
+            pred[t] = l_prev
+            gain[t] = k
+            l_prev = l_prev + k * (x[t] - l_prev)
+            p_prev = (1.0 - k) * p_pred
+            level[t], pvar[t] = l_prev, p_prev
+        pdf["pred"] = pred
+        pdf["gain"] = gain
+        pdf["level"] = level
+        pdf["p"] = pvar
+        return pdf[["key", "ord", "v", "pred", "gain", "level", "p"]]
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).cast("long").alias("ord"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    return base.groupBy("key").applyInPandas(_kernel, out_schema)
+
+
 # SAX breakpoints: standard-normal quantiles splitting the z axis into
 # equiprobable regions (Lin et al. 2003, "A Symbolic Representation of
 # Time Series").  Literal doubles so the SQL oracle replays them
