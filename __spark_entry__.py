@@ -3000,6 +3000,276 @@ def q_tpch_q22(spark, sf):
     )
 
 
+def q_tpch_q2(spark, sf):
+    """TPC-H Q2 shape — minimum-cost supplier per part: the schema has
+    no partsupp/ps_supplycost, so a supplier's cost for a part is the
+    MIN extendedprice (in exact cents) it ever charged on a lineitem;
+    candidate suppliers are pruned to one region through the broadcast
+    supplier->nation->region dim chain, and the correlated MIN subquery
+    becomes a window MIN over p_partkey — no re-scan of the fact."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    nat = spark.read.parquet(f"{sf}/nation.parquet")
+    reg = spark.read.parquet(f"{sf}/region.parquet").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    supp = (
+        spark.read.parquet(f"{sf}/supplier.parquet")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    part = spark.read.parquet(f"{sf}/part.parquet").filter(
+        F.col("p_size") == 15
+    ).select("p_partkey", "p_name")
+    cost = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "n_name")
+        .agg(F.min("price_cents").alias("cost_cents"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cost.withColumn("min_cost", F.min("cost_cents").over(w))
+        .filter(F.col("cost_cents") == F.col("min_cost"))
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name", "cost_cents"
+        )
+    )
+
+
+def q_tpch_q9(spark, sf):
+    """TPC-H Q9 shape — product-type profit by nation and order year:
+    no ps_supplycost in the schema, so line cost is quantity x the
+    part's retail price (exact cents); profit = discounted revenue
+    minus cost, grouped by the SUPPLIER's nation and YEAR(o_orderdate).
+    Fact-fact join on orderkey shuffles once; part and the
+    supplier->nation chain broadcast."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        )
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    part = spark.read.parquet(f"{sf}/part.parquet").filter(
+        F.col("p_name").contains("widget")
+    ).select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0)
+        .cast("long")
+        .alias("retail_cents"),
+    )
+    nat = spark.read.parquet(f"{sf}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    supp = (
+        spark.read.parquet(f"{sf}/supplier.parquet")
+        .join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select("s_suppkey", "n_name")
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        j.groupBy("n_name", "o_year")
+        .agg(
+            F.sum(
+                F.col("rev_cents") - F.col("qty") * F.col("retail_cents")
+            ).alias("profit_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "n_name",
+            F.col("o_year").cast("int").alias("o_year"),
+            "profit_cents",
+            "n_lines",
+        )
+    )
+
+
+def q_tpch_q11(spark, sf):
+    """TPC-H Q11 shape — important inventory value per part: with no
+    partsupp, a part's value held by AFRICA-region suppliers is the sum
+    of its lineitem revenue (exact cents) from those suppliers; parts
+    above 0.1% of the region total qualify. The global total is a
+    broadcast 1-row aggregate and the fraction cut is the exact integer
+    cross-multiplication value*1000 > total — single plan, no
+    collect."""
+    nat = spark.read.parquet(f"{sf}/nation.parquet")
+    reg = spark.read.parquet(f"{sf}/region.parquet").filter(
+        F.col("r_name") == "AFRICA"
+    )
+    supp = (
+        spark.read.parquet(f"{sf}/supplier.parquet")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey")
+    )
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    val = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("price_cents").alias("value_cents"))
+    )
+    total = val.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"), "value_cents"
+        )
+    )
+
+
+def q_tpch_q12(spark, sf):
+    """TPC-H Q12 shape — priority split per line class: the schema has
+    no shipmode/commitdate, so lines group by l_returnflag and the
+    late-vs-ontime CASE counts URGENT/HIGH orders against the rest for
+    one shipdate year. Fact-fact equi-join on orderkey, map-side CASE
+    aggregation — the classic two-branch conditional count."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_returnflag")
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q13(spark, sf):
+    """TPC-H Q13 shape — customer order-count distribution: LEFT OUTER
+    join so order-less customers land in the c_count=0 bucket (the
+    classic comment exclusion becomes an order-priority exclusion);
+    two-stage aggregation — per-customer count, then the distribution
+    over counts. Both shuffles are on low-cardinality keys."""
+    cust = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey"
+    )
+    orders = spark.read.parquet(f"{sf}/orders.parquet").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q_tpch_q20(spark, sf):
+    """TPC-H Q20 shape — dominant suppliers of a part family: with no
+    partsupp availqty, a supplier qualifies when its 1998 shipped
+    quantity of a 'bolt' part exceeds half that part's 1998 total
+    (exact integer 2*supp_qty > part_total via a window SUM — the
+    correlated 0.5*SUM subquery with no second fact scan); qualifying
+    (part, supplier) pairs roll up to parts-dominated per supplier."""
+    part = spark.read.parquet(f"{sf}/part.parquet").filter(
+        F.col("p_name").contains("bolt")
+    ).select("p_partkey")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01"))
+    ).select(
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    per_ps = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty").alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dom = per_ps.withColumn(
+        "part_total", F.sum("supp_qty").over(w)
+    ).filter(F.col("supp_qty") * 2 > F.col("part_total"))
+    supp = spark.read.parquet(f"{sf}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        dom.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts_dominated"))
+        .join(
+            F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey
+        )
+        .select("s_suppkey", "s_name", "n_parts_dominated")
+    )
+
+
+def q_tpch_q21(spark, sf):
+    """TPC-H Q21 shape — suppliers who alone held up an order: with no
+    commit/receipt dates, the 'late' marker is l_returnflag = 'R'; a
+    supplier waits-qualifies on a finished ('F') multi-supplier order
+    where it is the ONLY supplier with a returned line. The
+    EXISTS/NOT-EXISTS pair becomes one per-order aggregate —
+    collect_set of all suppliers and of returning suppliers — so the
+    fact is scanned once and never self-joined."""
+    orders = spark.read.parquet(f"{sf}/orders.parquet").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_semi")
+        .groupBy("l_orderkey")
+        .agg(
+            F.collect_set("l_suppkey").alias("all_supps"),
+            F.collect_set(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("ret_supps"),
+        )
+        .filter(
+            (F.size("ret_supps") == 1) & (F.size("all_supps") >= 2)
+        )
+        .select(F.element_at("ret_supps", 1).alias("suppkey"))
+    )
+    supp = spark.read.parquet(f"{sf}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        per_order.groupBy("suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
 def q_dau_overlap(spark, sf):
     """Day-over-day active-user overlap and Jaccard stickiness
     (plans/cohorts.py::dau_overlap): exact distinct-pair integers,
@@ -5413,6 +5683,13 @@ def _spectral_diurnal_sql() -> str:
 #: oracle-checked entry.
 _PRIORITY = [
     "kalman_series",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q20",
+    "tpch_q21",
     "tpch_q4",
     "tpch_q6",
     "tpch_q7",
@@ -5813,6 +6090,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": q_tpch_q17,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
         "triangle_copurchase": q_triangle_copurchase,
         "pagerank_copurchase": q_pagerank_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
@@ -9629,6 +9913,103 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o_custkey = cc.c_custkey "
             "AND o_orderdate >= TIMESTAMP '2000-01-01') "
             "GROUP BY 1"
+        ),
+        "tpch_q2": (
+            "WITH supp AS (SELECT s_suppkey, s_name, n_name "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'EUROPE'), "
+            "cost AS (SELECT p_partkey, p_name, s_suppkey, s_name, "
+            "n_name, MIN(CAST(round(l_extendedprice * 100, 0) AS "
+            "BIGINT)) AS cost_cents "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN supp ON l_suppkey = s_suppkey "
+            "WHERE p_size = 15 GROUP BY 1, 2, 3, 4, 5) "
+            "SELECT p_partkey, p_name, s_name, n_name, cost_cents "
+            "FROM (SELECT *, MIN(cost_cents) OVER ("
+            "PARTITION BY p_partkey) AS mc FROM cost) "
+            "WHERE cost_cents = mc"
+        ),
+        "tpch_q9": (
+            "SELECT n_name, "
+            "CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year, "
+            "CAST(SUM(rc - qty * retail_cents) AS BIGINT) AS "
+            "profit_cents, COUNT(*) AS n_lines "
+            "FROM (SELECT l_orderkey, l_partkey, l_suppkey, "
+            "CAST(l_quantity AS BIGINT) AS qty, "
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) "
+            "AS BIGINT) AS rc FROM lineitem) li "
+            "JOIN (SELECT p_partkey, CAST(round(p_retailprice * 100, "
+            "0) AS BIGINT) AS retail_cents FROM part "
+            "WHERE p_name LIKE '%widget%') p ON l_partkey = p_partkey "
+            "JOIN (SELECT s_suppkey, n_name FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey) s "
+            "ON l_suppkey = s_suppkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY 1, 2"
+        ),
+        "tpch_q11": (
+            "WITH supp AS (SELECT s_suppkey FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'AFRICA'), "
+            "val AS (SELECT l_partkey, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) "
+            "AS BIGINT) AS value_cents "
+            "FROM lineitem JOIN supp ON l_suppkey = s_suppkey "
+            "GROUP BY 1), "
+            "t AS (SELECT SUM(value_cents) AS total FROM val) "
+            "SELECT l_partkey AS p_partkey, value_cents "
+            "FROM val, t WHERE value_cents * 1000 > total"
+        ),
+        "tpch_q12": (
+            "SELECT l_returnflag, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN "
+            "('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS "
+            "high_line_count, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN "
+            "('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS "
+            "low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1"
+        ),
+        "tpch_q13": (
+            "WITH pc AS (SELECT c_custkey, "
+            "COUNT(o_orderkey) AS c_count FROM customer "
+            "LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders "
+            "WHERE o_orderpriority <> '4-NOT SPECIFIED') o "
+            "ON c_custkey = o_custkey GROUP BY 1) "
+            "SELECT CAST(c_count AS BIGINT) AS c_count, "
+            "COUNT(*) AS custdist FROM pc GROUP BY 1"
+        ),
+        "tpch_q20": (
+            "WITH per AS (SELECT l_partkey, l_suppkey, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS "
+            "supp_qty FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_name LIKE '%bolt%' "
+            "AND l_shipdate >= TIMESTAMP '1998-01-01' "
+            "AND l_shipdate < TIMESTAMP '1999-01-01' GROUP BY 1, 2), "
+            "dom AS (SELECT l_suppkey FROM (SELECT *, "
+            "SUM(supp_qty) OVER (PARTITION BY l_partkey) AS pt "
+            "FROM per) WHERE supp_qty * 2 > pt) "
+            "SELECT s_suppkey, s_name, COUNT(*) AS n_parts_dominated "
+            "FROM dom JOIN supplier ON l_suppkey = s_suppkey "
+            "GROUP BY 1, 2"
+        ),
+        "tpch_q21": (
+            "WITH per AS (SELECT l_orderkey, "
+            "COUNT(DISTINCT l_suppkey) AS nsupp, "
+            "COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN "
+            "l_suppkey END) AS nret, "
+            "MIN(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS "
+            "suppkey "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderstatus = 'F' GROUP BY 1) "
+            "SELECT s_suppkey, s_name, COUNT(*) AS numwait "
+            "FROM per JOIN supplier ON suppkey = s_suppkey "
+            "WHERE nret = 1 AND nsupp >= 2 GROUP BY 1, 2"
         ),
         "dau_overlap": (
             "WITH du AS (SELECT DISTINCT user_id AS u, "
