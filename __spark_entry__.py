@@ -3270,6 +3270,86 @@ def q_tpch_q21(spark, sf):
     )
 
 
+def q_hurst_rs(spark, sf):
+    """Hurst exponent per event type by rescaled-range analysis of the
+    dense hourly count series (plans/stats.py::hurst_rs) — the
+    long-memory screen.  Per-block R/S is the exact-integer ratio
+    R_int/sqrt(SS); H is the least-squares slope of ln(mean R/S) on
+    ln(block size) over sizes 8/16/32/64."""
+    from tsaug_spark.plans.stats import hurst_rs
+
+    return hurst_rs(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_sizes", "hurst"
+    )
+
+
+def q_variance_ratio(spark, sf):
+    """Lo–MacKinlay variance-ratio VR(4) per event type on the dense
+    hourly count series (plans/stats.py::variance_ratio): exact
+    integer increment sums, one shared float expression for VR and its
+    asymptotic z."""
+    from tsaug_spark.plans.stats import variance_ratio
+
+    return variance_ratio(_events(spark, sf), q=4).select(
+        F.col("key").alias("event_type"), "n_hours", "vr", "z"
+    )
+
+
+def q_dickey_fuller(spark, sf):
+    """Dickey–Fuller unit-root screen per event type
+    (plans/stats.py::dickey_fuller): OLS of hourly count differences
+    on the lagged level, rho and its t statistic from exact integer
+    sufficient sums."""
+    from tsaug_spark.plans.stats import dickey_fuller
+
+    return dickey_fuller(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_obs", "rho", "t_stat"
+    )
+
+
+def q_ljung_box(spark, sf):
+    """Ljung–Box whiteness test per event type over lags 1..12 of the
+    dense hourly count series (plans/stats.py::ljung_box): each
+    autocorrelation is an exact integer ratio via the T*x - S centered
+    series, Q is one shared float expression."""
+    from tsaug_spark.plans.stats import ljung_box
+
+    return ljung_box(_events(spark, sf), max_lag=12).select(
+        F.col("key").alias("event_type"), "n_hours", "max_lag",
+        "q_stat",
+    )
+
+
+def q_sample_entropy(spark, sf):
+    """Sample entropy (m=2, r=0.2*sigma) per event type over the
+    168-slot hour-of-week profile (plans/stats.py::
+    sample_entropy_how).  The quadratic template match runs on the
+    fixed-size profile, never the raw stream; the tolerance test is
+    the exact integer comparison 25*L^2*(a-b)^2 <= L*SS, so the match
+    counts are exact and SampEn = ln(B) - ln(A)."""
+    from tsaug_spark.plans.stats import sample_entropy_how
+
+    return sample_entropy_how(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "b_cnt", "a_cnt", "sampen"
+    )
+
+
+def q_poisson_bootstrap(spark, sf):
+    """Deterministic Poisson-bootstrap 95% CI for the mean value per
+    event type (plans/stats.py::poisson_bootstrap_ci, B=200) — the
+    cluster-scale bootstrap: per-row Poisson(1) weights from md5 of
+    (event_id, replicate) cut against exact integer CDF thresholds,
+    map-side collapse to keys x 200 replicate rows, order-statistic
+    CI.  Both engines draw the SAME bootstrap, so the CI matches
+    exactly."""
+    from tsaug_spark.plans.stats import poisson_bootstrap_ci
+
+    return poisson_bootstrap_ci(_events(spark, sf), n_boot=200).select(
+        F.col("key").alias("event_type"),
+        "mean_full", "ci_lo", "ci_hi", "n_boot",
+    )
+
+
 def q_dau_overlap(spark, sf):
     """Day-over-day active-user overlap and Jaccard stickiness
     (plans/cohorts.py::dau_overlap): exact distinct-pair integers,
@@ -5637,6 +5717,59 @@ def _hw_sql() -> str:
     )
 
 
+#: Shared DuckDB prefix: dense zero-filled hourly count series per
+#: event_type with 0-based hour index t — the exact twin of
+#: plans/stats.py::_dense_hourly (used by the hurst / variance-ratio /
+#: dickey-fuller / ljung-box oracles).
+_DENSE_HOURLY_TYPE_SQL = (
+    "WITH e AS (SELECT event_type AS key, "
+    "CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS h FROM events), "
+    "c0 AS (SELECT key, h, COUNT(*) AS cnt FROM e GROUP BY 1, 2), "
+    "bnd AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM e), "
+    "hours AS (SELECT CAST(unnest(generate_series(lo, hi, 3600)) "
+    "AS BIGINT) AS h FROM bnd), "
+    "grid AS (SELECT k.key, hours.h FROM "
+    "(SELECT DISTINCT key FROM e) k CROSS JOIN hours), "
+    "s AS (SELECT grid.key, "
+    "CAST((grid.h - (SELECT lo FROM bnd)) / 3600 AS BIGINT) AS t, "
+    "CAST(COALESCE(c0.cnt, 0) AS BIGINT) AS x FROM grid "
+    "LEFT JOIN c0 ON c0.key = grid.key AND c0.h = grid.h)"
+)
+
+
+def _ljung_box_sql(max_lag: int = 12) -> str:
+    """Ljung–Box oracle: same T*x - S centered integer series, same
+    ascending-lag addition order as the Spark expression."""
+    leads = ", ".join(
+        f"y * lead(y, {k}) OVER wd AS p{k}"
+        for k in range(1, max_lag + 1)
+    )
+    csums = ", ".join(
+        f"SUM(p{k}) AS c{k}" for k in range(1, max_lag + 1)
+    )
+    terms = " + ".join(
+        f"(CAST(c{k} AS DOUBLE) / CAST(c0 AS DOUBLE)) * "
+        f"(CAST(c{k} AS DOUBLE) / CAST(c0 AS DOUBLE)) / "
+        f"(CAST(tt AS DOUBLE) - {k}.0)"
+        for k in range(1, max_lag + 1)
+    )
+    return (
+        _DENSE_HOURLY_TYPE_SQL
+        + ", kw AS (SELECT key, t, "
+        "COUNT(*) OVER (PARTITION BY key) AS tt, "
+        "COUNT(*) OVER (PARTITION BY key) * x - "
+        "SUM(x) OVER (PARTITION BY key) AS y FROM s), "
+        f"p AS (SELECT key, tt, y, {leads} FROM kw "
+        "WINDOW wd AS (PARTITION BY key ORDER BY t)), "
+        f"a AS (SELECT key, MAX(tt) AS tt, SUM(y*y) AS c0, {csums} "
+        "FROM p GROUP BY 1) "
+        "SELECT key AS event_type, CAST(tt AS BIGINT) AS n_hours, "
+        f"CAST({max_lag} AS BIGINT) AS max_lag, "
+        "CAST(tt AS DOUBLE) * (CAST(tt AS DOUBLE) + 2.0) * "
+        f"({terms}) AS q_stat FROM a WHERE c0 > 0"
+    )
+
+
 def _spectral_diurnal_sql() -> str:
     """Diurnal DFT-bin oracle: the SAME 24 cos/sin doubles the Spark
     plan embeds (computed from the same Python expressions, emitted
@@ -5683,6 +5816,12 @@ def _spectral_diurnal_sql() -> str:
 #: oracle-checked entry.
 _PRIORITY = [
     "kalman_series",
+    "hurst_rs",
+    "variance_ratio",
+    "dickey_fuller",
+    "ljung_box",
+    "sample_entropy",
+    "poisson_bootstrap",
     "tpch_q2",
     "tpch_q9",
     "tpch_q11",
@@ -6097,6 +6236,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
+        "hurst_rs": q_hurst_rs,
+        "variance_ratio": q_variance_ratio,
+        "dickey_fuller": q_dickey_fuller,
+        "ljung_box": q_ljung_box,
+        "sample_entropy": q_sample_entropy,
+        "poisson_bootstrap": q_poisson_bootstrap,
         "triangle_copurchase": q_triangle_copurchase,
         "pagerank_copurchase": q_pagerank_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
@@ -10010,6 +10155,151 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s_suppkey, s_name, COUNT(*) AS numwait "
             "FROM per JOIN supplier ON suppkey = s_suppkey "
             "WHERE nret = 1 AND nsupp >= 2 GROUP BY 1, 2"
+        ),
+        "hurst_rs": (
+            _DENSE_HOURLY_TYPE_SQL
+            + ", sz AS (SELECT CAST(unnest([8, 16, 32, 64]) "
+            "AS BIGINT) AS bs), "
+            "sb AS (SELECT key, bs, t, x, t // bs AS bn "
+            "FROM s CROSS JOIN sz), "
+            "rws AS (SELECT key, bs, bn, x, "
+            "COUNT(*) OVER (PARTITION BY key, bs, bn) AS m, "
+            "SUM(x) OVER (PARTITION BY key, bs, bn) AS sn, "
+            "SUM(x) OVER (PARTITION BY key, bs, bn ORDER BY t "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs, "
+            "row_number() OVER (PARTITION BY key, bs, bn ORDER BY t) "
+            "AS i FROM sb), "
+            "z AS (SELECT key, bs, bn, x, sn, "
+            "bs * cs - i * sn AS z FROM rws WHERE m = bs), "
+            "blk AS (SELECT key, bs, bn, MAX(z) - MIN(z) AS r_int, "
+            "bs * SUM(x*x) - MAX(sn) * MAX(sn) AS ss "
+            "FROM z GROUP BY 1, 2, 3), "
+            "ps AS (SELECT key, ln(CAST(bs AS DOUBLE)) AS u, "
+            "ln(SUM(CAST(r_int AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)))"
+            " / CAST(COUNT(*) AS DOUBLE)) AS v "
+            "FROM blk WHERE ss > 0 GROUP BY key, bs), "
+            "fit AS (SELECT key, COUNT(*) AS k, SUM(u) AS su, "
+            "SUM(v) AS sv, SUM(u*v) AS suv, SUM(u*u) AS suu "
+            "FROM ps GROUP BY 1) "
+            "SELECT key AS event_type, CAST(k AS BIGINT) AS n_sizes, "
+            "(k * suv - su * sv) / (k * suu - su * su) AS hurst "
+            "FROM fit WHERE k >= 2"
+        ),
+        "variance_ratio": (
+            _DENSE_HOURLY_TYPE_SQL
+            + ", d AS (SELECT key, x - lag(x, 1) OVER wd AS d1, "
+            "x - lag(x, 4) OVER wd AS dq FROM s "
+            "WINDOW wd AS (PARTITION BY key ORDER BY t)), "
+            "a AS (SELECT key, COUNT(*) AS tt, SUM(d1) AS s1, "
+            "SUM(d1*d1) AS s11, COUNT(d1) AS n1, SUM(dq) AS sq, "
+            "SUM(dq*dq) AS sqq, COUNT(dq) AS nq FROM d GROUP BY 1) "
+            "SELECT key AS event_type, CAST(tt AS BIGINT) AS n_hours, "
+            "((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / "
+            "CAST(nq AS DOUBLE)) / CAST(nq AS DOUBLE)) / "
+            "(4.0 * ((CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / "
+            "CAST(n1 AS DOUBLE)) / CAST(n1 AS DOUBLE))) AS vr, "
+            "(((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / "
+            "CAST(nq AS DOUBLE)) / CAST(nq AS DOUBLE)) / "
+            "(4.0 * ((CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / "
+            "CAST(n1 AS DOUBLE)) / CAST(n1 AS DOUBLE))) - 1.0) / "
+            "sqrt(3.5 / CAST(tt AS DOUBLE)) AS z "
+            "FROM a WHERE nq > 0 AND n1 * s11 - s1 * s1 > 0"
+        ),
+        "dickey_fuller": (
+            _DENSE_HOURLY_TYPE_SQL
+            + ", dd AS (SELECT key, y, x - y AS d FROM ("
+            "SELECT key, x, lag(x, 1) OVER "
+            "(PARTITION BY key ORDER BY t) AS y FROM s) "
+            "WHERE y IS NOT NULL), "
+            "a AS (SELECT key, COUNT(*) AS n, SUM(y) AS sy, "
+            "SUM(d) AS sd, SUM(y*d) AS syd, SUM(y*y) AS syy, "
+            "SUM(d*d) AS sdd FROM dd GROUP BY 1), "
+            "x1 AS (SELECT key, n, sy, sd, syd, sdd, "
+            "n * syy - sy * sy AS den_i, "
+            "CAST(n * syd - sy * sd AS DOUBLE) / "
+            "CAST(n * syy - sy * sy AS DOUBLE) AS rho FROM a), "
+            "x2 AS (SELECT key, n, den_i, rho, "
+            "(CAST(sd AS DOUBLE) - rho * sy) / CAST(n AS DOUBLE) "
+            "AS alpha, sd, syd, sdd FROM x1), "
+            "x3 AS (SELECT key, n, den_i, rho, "
+            "CAST(sdd AS DOUBLE) - alpha * CAST(sd AS DOUBLE) - "
+            "rho * CAST(syd AS DOUBLE) AS sse FROM x2) "
+            "SELECT key AS event_type, CAST(n AS BIGINT) AS n_obs, "
+            "rho, rho / sqrt((sse / (CAST(n AS DOUBLE) - 2.0)) * "
+            "CAST(n AS DOUBLE) / CAST(den_i AS DOUBLE)) AS t_stat "
+            "FROM x3 WHERE n > 2 AND den_i > 0"
+        ),
+        "ljung_box": _ljung_box_sql(12),
+        "sample_entropy": (
+            "WITH c AS (SELECT event_type AS key, "
+            "CAST(floor((epoch(ts) - 345600) / 3600) AS BIGINT) % 168 "
+            "AS w, COUNT(*) AS cnt FROM events GROUP BY 1, 2), "
+            "g AS (SELECT k.key, CAST(unnest(range(0, 168)) AS BIGINT)"
+            " AS w FROM (SELECT DISTINCT key FROM c) k), "
+            "prof AS (SELECT g.key, g.w, "
+            "CAST(COALESCE(c.cnt, 0) AS BIGINT) AS p FROM g "
+            "LEFT JOIN c ON c.key = g.key AND c.w = g.w), "
+            "pr AS (SELECT key, w, p, lead(p, 1) OVER wd AS p1, "
+            "lead(p, 2) OVER wd AS p2, "
+            "COUNT(*) OVER (PARTITION BY key) AS ll, "
+            "COUNT(*) OVER (PARTITION BY key) * "
+            "SUM(p*p) OVER (PARTITION BY key) - "
+            "SUM(p) OVER (PARTITION BY key) * "
+            "SUM(p) OVER (PARTITION BY key) AS ss FROM prof "
+            "WINDOW wd AS (PARTITION BY key ORDER BY w)), "
+            "pairs AS (SELECT a.key, "
+            "CASE WHEN 25 * a.ll * a.ll * (a.p - b.p) * (a.p - b.p) "
+            "<= a.ll * a.ss AND 25 * a.ll * a.ll * (a.p1 - b.p1) * "
+            "(a.p1 - b.p1) <= a.ll * a.ss THEN 1 ELSE 0 END AS mb, "
+            "CASE WHEN 25 * a.ll * a.ll * (a.p - b.p) * (a.p - b.p) "
+            "<= a.ll * a.ss AND 25 * a.ll * a.ll * (a.p1 - b.p1) * "
+            "(a.p1 - b.p1) <= a.ll * a.ss AND 25 * a.ll * a.ll * "
+            "(a.p2 - b.p2) * (a.p2 - b.p2) <= a.ll * a.ss "
+            "THEN 1 ELSE 0 END AS ma "
+            "FROM pr a JOIN pr b ON b.key = a.key AND b.w > a.w "
+            "WHERE a.p2 IS NOT NULL AND b.p2 IS NOT NULL), "
+            "cnts AS (SELECT key, SUM(mb) AS b_cnt, SUM(ma) AS a_cnt "
+            "FROM pairs GROUP BY 1) "
+            "SELECT key AS event_type, CAST(b_cnt AS BIGINT) AS "
+            "b_cnt, CAST(a_cnt AS BIGINT) AS a_cnt, "
+            "ln(CAST(b_cnt AS DOUBLE)) - ln(CAST(a_cnt AS DOUBLE)) "
+            "AS sampen FROM cnts WHERE a_cnt > 0 AND b_cnt > 0"
+        ),
+        "poisson_bootstrap": (
+            "WITH ev AS (SELECT event_type AS key, "
+            "CAST(event_id AS VARCHAR) AS rid, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events),"
+            " reps AS (SELECT CAST(unnest(range(0, 200)) AS BIGINT) "
+            "AS b), "
+            "x AS (SELECT key, cents, b, ('0x' || substr(md5(rid || "
+            "':' || CAST(b AS VARCHAR)), 1, 15))::BIGINT AS u "
+            "FROM ev CROSS JOIN reps), "
+            "wt AS (SELECT key, b, cents, "
+            "CASE WHEN u < 424136118829305344 THEN 0 "
+            "WHEN u < 848272237658610688 THEN 1 "
+            "WHEN u < 1060340297073263360 THEN 2 "
+            "WHEN u < 1131029650211480960 THEN 3 "
+            "WHEN u < 1148701988496035328 THEN 4 "
+            "WHEN u < 1152236456152946176 THEN 5 ELSE 6 END AS w "
+            "FROM x), "
+            "rm AS (SELECT key, b, CAST(SUM(w * cents) AS DOUBLE) / "
+            "CAST(SUM(w) AS DOUBLE) / 100.0 AS mean_b FROM wt "
+            "GROUP BY 1, 2 HAVING SUM(w) > 0), "
+            "rk AS (SELECT key, mean_b, row_number() OVER ("
+            "PARTITION BY key ORDER BY mean_b, b) AS rn, "
+            "COUNT(*) OVER (PARTITION BY key) AS nb FROM rm), "
+            "ci AS (SELECT key, MAX(CASE WHEN rn = "
+            "GREATEST(1, (nb + 39) // 40) THEN mean_b END) AS ci_lo, "
+            "MAX(CASE WHEN rn = LEAST(nb, nb - ((nb + 39) // 40) + 1)"
+            " THEN mean_b END) AS ci_hi, COUNT(*) AS n_boot "
+            "FROM rk GROUP BY 1), "
+            "f AS (SELECT event_type AS key, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) "
+            "/ CAST(COUNT(*) AS DOUBLE) / 100.0 AS mean_full "
+            "FROM events GROUP BY 1) "
+            "SELECT f.key AS event_type, f.mean_full, ci.ci_lo, "
+            "ci.ci_hi, CAST(ci.n_boot AS BIGINT) AS n_boot "
+            "FROM f JOIN ci ON ci.key = f.key"
         ),
         "dau_overlap": (
             "WITH du AS (SELECT DISTINCT user_id AS u, "

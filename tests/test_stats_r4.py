@@ -1,0 +1,290 @@
+"""Round-4 series statistics: Hurst R/S, variance ratio,
+Dickey-Fuller, Ljung-Box, sample entropy, Poisson bootstrap —
+each checked against an independent NumPy brute-force reference on
+randomized inputs, plus determinism/shape invariants."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _hourly_events(spark, counts, key="a"):
+    """Build an events frame whose dense hourly count series for
+    ``key`` is exactly ``counts`` (count[t] events in hour t).  The
+    first and last hours get at least one event so the global grid
+    spans exactly len(counts) hours."""
+    rows = []
+    eid = 0
+    for t, c in enumerate(counts):
+        for j in range(int(c)):
+            rows.append(
+                (
+                    eid,
+                    T0 + dt.timedelta(hours=t, seconds=j % 3600),
+                    1,
+                    key,
+                    1.0,
+                )
+            )
+            eid += 1
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+
+
+def _counts_strategy(min_len=16, max_len=80):
+    return st.lists(
+        st.integers(min_value=0, max_value=9),
+        min_size=min_len,
+        max_size=max_len,
+    ).filter(lambda xs: xs[0] > 0 and xs[-1] > 0)
+
+
+def _ref_hurst(x, sizes=(8, 16, 32, 64)):
+    x = np.asarray(x, dtype=np.int64)
+    us, vs = [], []
+    for n in sizes:
+        rss = []
+        for b in range(len(x) // n):
+            blk = x[b * n:(b + 1) * n]
+            sn = blk.sum()
+            cs = np.cumsum(blk)
+            z = n * cs - np.arange(1, n + 1) * sn
+            ss = n * (blk.astype(np.int64) ** 2).sum() - sn * sn
+            if ss > 0:
+                rss.append(float(z.max() - z.min()) / math.sqrt(ss))
+        if rss:
+            us.append(math.log(n))
+            vs.append(math.log(sum(rss) / len(rss)))
+    if len(us) < 2:
+        return None
+    k = len(us)
+    su, sv = sum(us), sum(vs)
+    suv = sum(u * v for u, v in zip(us, vs))
+    suu = sum(u * u for u in us)
+    return (k * suv - su * sv) / (k * suu - su * su)
+
+
+@settings(max_examples=6, deadline=None)
+@given(counts=_counts_strategy(min_len=24, max_len=72))
+def test_hurst_matches_reference(spark, counts):
+    from tsaug_spark.plans.stats import hurst_rs
+
+    ref = _ref_hurst(counts)
+    rows = hurst_rs(_hourly_events(spark, counts)).collect()
+    if ref is None:
+        assert rows == []
+        return
+    assert len(rows) == 1
+    assert abs(rows[0].hurst - ref) < 1e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(counts=_counts_strategy(min_len=12, max_len=60))
+def test_variance_ratio_matches_reference(spark, counts):
+    from tsaug_spark.plans.stats import variance_ratio
+
+    x = np.asarray(counts, dtype=np.int64)
+    q = 4
+    d1 = np.diff(x, 1)
+    rows = variance_ratio(
+        _hourly_events(spark, counts), q=q
+    ).collect()
+    dq = x[q:] - x[:-q]
+    n1, nq = len(d1), len(dq)
+    if nq == 0 or n1 * (d1 ** 2).sum() - d1.sum() ** 2 <= 0:
+        assert rows == []
+        return
+    var1 = ((d1 ** 2).sum() - d1.sum() ** 2 / n1) / n1
+    varq = ((dq ** 2).sum() - dq.sum() ** 2 / nq) / nq
+    vr = varq / (q * var1)
+    z = (vr - 1.0) / math.sqrt(
+        2.0 * (2 * q - 1) * (q - 1) / (3.0 * q) / len(x)
+    )
+    assert len(rows) == 1
+    assert abs(rows[0].vr - vr) < 1e-9
+    assert abs(rows[0].z - z) < 1e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(counts=_counts_strategy(min_len=8, max_len=60))
+def test_dickey_fuller_matches_ols(spark, counts):
+    from tsaug_spark.plans.stats import dickey_fuller
+
+    x = np.asarray(counts, dtype=np.float64)
+    y = x[:-1]
+    d = np.diff(x)
+    n = len(d)
+    rows = dickey_fuller(_hourly_events(spark, counts)).collect()
+    den = n * (y ** 2).sum() - y.sum() ** 2
+    if n <= 2 or den <= 0:
+        assert rows == []
+        return
+    # closed-form OLS d = alpha + rho*y
+    rho = (n * (y * d).sum() - y.sum() * d.sum()) / den
+    alpha = (d.sum() - rho * y.sum()) / n
+    sse = ((d - alpha - rho * y) ** 2).sum()
+    t = rho / math.sqrt((sse / (n - 2)) * n / den)
+    assert len(rows) == 1
+    assert abs(rows[0].rho - rho) < 1e-9
+    # sse via the expanded identity loses a few digits vs the
+    # residual form when sse is tiny; compare t loosely
+    assert abs(rows[0].t_stat - t) < 1e-5 * max(1.0, abs(t))
+
+
+@settings(max_examples=6, deadline=None)
+@given(counts=_counts_strategy(min_len=20, max_len=60))
+def test_ljung_box_matches_reference(spark, counts):
+    from tsaug_spark.plans.stats import ljung_box
+
+    h = 5
+    x = np.asarray(counts, dtype=np.int64)
+    tt = len(x)
+    yv = tt * x - x.sum()
+    c0 = (yv.astype(object) ** 2).sum()
+    rows = ljung_box(_hourly_events(spark, counts), max_lag=h).collect()
+    if c0 == 0:
+        assert rows == []
+        return
+    q = 0.0
+    for k in range(1, h + 1):
+        ck = (yv[:-k] * yv[k:]).sum()
+        rho = float(ck) / float(c0)
+        q += rho * rho / (tt - k)
+    q *= tt * (tt + 2.0)
+    assert len(rows) == 1
+    assert abs(rows[0].q_stat - q) < 1e-6 * max(1.0, q)
+
+
+def _ref_sampen(profile):
+    p = np.asarray(profile, dtype=np.int64)
+    ll = len(p)
+    ss = ll * (p.astype(object) ** 2).sum() - int(p.sum()) ** 2
+    a_cnt = b_cnt = 0
+    for i in range(ll - 2):
+        for j in range(i + 1, ll - 2):
+            d0, d1, d2 = p[i] - p[j], p[i + 1] - p[j + 1], p[i + 2] - p[j + 2]
+            lim = 25 * ll * ll
+            if lim * d0 * d0 <= ll * ss and lim * d1 * d1 <= ll * ss:
+                b_cnt += 1
+                if lim * d2 * d2 <= ll * ss:
+                    a_cnt += 1
+    return a_cnt, b_cnt
+
+
+def test_sample_entropy_matches_bruteforce(spark):
+    from tsaug_spark.plans.stats import sample_entropy_how
+
+    rng = np.random.RandomState(7)
+    rows = []
+    eid = 0
+    # one event per (slot occurrence): counts per hour-of-week slot
+    # follow a weekly rhythm + noise over 3 weeks
+    for hr in range(3 * 168):
+        c = 1 + (hr % 24 < 8) * 2 + int(rng.randint(0, 3))
+        for j in range(c):
+            rows.append(
+                (
+                    eid,
+                    T0 + dt.timedelta(hours=hr, seconds=j),
+                    1,
+                    "a",
+                    1.0,
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    got = sample_entropy_how(df).collect()
+    assert len(got) == 1
+    # rebuild the hour-of-week profile exactly as the operator does
+    prof = np.zeros(168, dtype=np.int64)
+    for _, ts, _, _, _ in rows:
+        w = int(
+            math.floor((ts.timestamp() - 345600) / 3600)
+        ) % 168
+        prof[w] += 1
+    a_cnt, b_cnt = _ref_sampen(prof)
+    assert got[0].a_cnt == a_cnt
+    assert got[0].b_cnt == b_cnt
+    assert abs(
+        got[0].sampen - (math.log(b_cnt) - math.log(a_cnt))
+    ) < 1e-12
+
+
+def test_poisson_bootstrap_matches_reference(spark):
+    """Replay the md5 weight draw in pure Python on a small frame and
+    check the replicate means and the order-statistic CI exactly."""
+    from tsaug_spark.plans.stats import (
+        _POIS1_CDF_2P60,
+        poisson_bootstrap_ci,
+    )
+
+    vals = [10.0, 20.0, 30.5, 41.25, 55.0, 5.75, 60.0, 33.33]
+    rows = [
+        (i, T0 + dt.timedelta(minutes=i), 1, "a", v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    nb = 80
+    got = poisson_bootstrap_ci(df, n_boot=nb).collect()
+    assert len(got) == 1
+
+    def weight(rid, b):
+        u = int(
+            hashlib.md5(f"{rid}:{b}".encode()).hexdigest()[:15], 16
+        )
+        w = 6
+        for i, thr in enumerate(_POIS1_CDF_2P60):
+            if u < thr:
+                return i
+        return w
+
+    cents = [round(v * 100) for v in vals]
+    means = []
+    for b in range(nb):
+        ws = [weight(i, b) for i in range(len(vals))]
+        sw = sum(ws)
+        if sw > 0:
+            means.append(
+                (sum(w * c for w, c in zip(ws, cents)) / sw / 100.0, b)
+            )
+    means.sort()
+    n = len(means)
+    lo = means[max(1, (n + 39) // 40) - 1][0]
+    hi = means[min(n, n - (n + 39) // 40 + 1) - 1][0]
+    assert got[0].n_boot == n
+    assert abs(got[0].ci_lo - lo) < 1e-12
+    assert abs(got[0].ci_hi - hi) < 1e-12
+    assert abs(
+        got[0].mean_full - sum(cents) / len(cents) / 100.0
+    ) < 1e-12
+
+
+def test_hurst_persistent_vs_antipersistent(spark):
+    """Sanity direction: a trending (persistent) series scores a
+    higher H than a strictly alternating (anti-persistent) one."""
+    from tsaug_spark.plans.stats import hurst_rs
+
+    trend = [1 + t // 8 for t in range(128)]
+    alt = [1 + (t % 2) * 4 for t in range(128)]
+    h_trend = hurst_rs(_hourly_events(spark, trend)).collect()[0].hurst
+    h_alt = hurst_rs(_hourly_events(spark, alt)).collect()[0].hurst
+    assert h_trend > h_alt

@@ -1302,6 +1302,12 @@ def main() -> None:
         ("tpch_q16", em.q_tpch_q16),
         ("tpch_q17", em.q_tpch_q17),
         ("tpch_q19", em.q_tpch_q19),
+        ("tpch_q2", em.q_tpch_q2),
+        ("tpch_q9", em.q_tpch_q9),
+        ("tpch_q12", em.q_tpch_q12),
+        ("tpch_q13", em.q_tpch_q13),
+        ("tpch_q20", em.q_tpch_q20),
+        ("tpch_q21", em.q_tpch_q21),
     ]:
         audit(
             f"{nm} (r4 batch: broadcast dims, pushdown, JVM only)",
@@ -1333,6 +1339,16 @@ def main() -> None:
                        "ArrowEvalPython", "FlatMapGroupsInPandas"],
         execute=True,
     )
+    # q11's value*1000 > total inequality against the 1-row global
+    # aggregate is the same intended broadcast-scalar BNLJ as q22
+    audit(
+        "tpch_q11 (r4 batch: broadcast-scalar fraction cut, JVM only)",
+        em.q_tpch_q11(spark, sf),
+        must_have=["HashAggregate", "BroadcastNestedLoopJoin"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
     # kalman: the ONLY Python in the plan is the grouped Arrow kernel
     # itself (one hash partition per key, no row-wise UDF)
     audit(
@@ -1341,6 +1357,46 @@ def main() -> None:
         must_have=["FlatMapGroupsInPandas"],
         must_not_have=["CartesianProduct", "BroadcastNestedLoopJoin",
                        "BatchEvalPython"],
+        execute=True,
+    )
+    # r4 series-statistics batch: each rides the dense hourly grid
+    # (1-row broadcast bounds are the intended BNLJ there), windows
+    # partitioned by key, aggregates JVM-only
+    for nm, q in [
+        ("hurst_rs", em.q_hurst_rs),
+        ("variance_ratio", em.q_variance_ratio),
+        ("dickey_fuller", em.q_dickey_fuller),
+        ("ljung_box", em.q_ljung_box),
+    ]:
+        audit(
+            f"{nm} (r4 stats: dense-grid windows, JVM only)",
+            q(spark, sf),
+            must_have=["HashAggregate", "Window"],
+            must_not_have=["CartesianProduct", "BatchEvalPython",
+                           "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+    # sample entropy: quadratic template match runs on the FIXED
+    # 168-slot profile via a key-equi self-join — never a cross
+    # product over the raw stream
+    audit(
+        "sample_entropy (fixed-profile equi self-join, JVM only)",
+        em.q_sample_entropy(spark, sf),
+        must_have=["HashAggregate"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+    # poisson bootstrap: the B-fold explode collapses map-side into
+    # the partial aggregate (Generate feeds HashAggregate before any
+    # Exchange) — the shuffle carries only keys x B rows
+    audit(
+        "poisson_bootstrap (map-side explode collapse, JVM only)",
+        em.q_poisson_bootstrap(spark, sf),
+        must_have=["Generate", "HashAggregate"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
         execute=True,
     )
 

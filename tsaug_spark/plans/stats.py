@@ -3745,3 +3745,566 @@ def markov_attribution(
             ).alias("removal_effect"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4: long-memory / stationarity / complexity screening + the
+# distributed bootstrap.  Same determinism contract as the rest of the
+# module: integer sufficient statistics, one shared float expression.
+# ---------------------------------------------------------------------------
+
+
+def _dense_hourly(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
+    """Dense zero-filled hourly count series per key with a 0-based
+    hour index ``t`` (shared by hurst/variance-ratio/dickey-fuller/
+    ljung-box below; same grid contract as metrics._dense_count_series
+    — the global [min, max] hour span, every key zero-filled)."""
+    from tsaug_spark.plans.metrics import _dense_count_series
+
+    s = _dense_count_series(df, "1h", key_col, ts_col)
+    return s.select(
+        "key",
+        ((F.col("bucket_s") - F.col("lo")) / F.lit(3600))
+        .cast("long")
+        .alias("t"),
+        "x",
+    )
+
+
+def hurst_rs(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    block_sizes: tuple[int, ...] = (8, 16, 32, 64),
+) -> DataFrame:
+    """Hurst exponent per key by rescaled-range (R/S) analysis of the
+    dense hourly count series — the long-memory screen (H ~ 0.5 random
+    walk increments, H > 0.5 persistent/trending load, H < 0.5
+    mean-reverting).
+
+    For each block size n, the series splits into consecutive complete
+    blocks; per block the range R of cumulative mean-deviations over
+    the standard deviation S gives R/S, and H is the least-squares
+    slope of ln(mean R/S) on ln(n).
+
+    Exactness: with per-block sums kept as integers, the cumulative
+    deviation scaled by n is z_i = n*csum_i - (i+1)*S_n (exact BIGINT),
+    so R_int = max z - min z = n*R and SS = n*sumx2 - S_n^2 = n^2*var
+    are exact, and R/S = R_int / sqrt(SS) is ONE shared float division
+    per block.  Blocks with SS = 0 are dropped (R/S undefined), as are
+    keys with fewer than two usable sizes.
+
+    Scale: the dense grid is keys x retention-bounded hours; each block
+    statistic is one ordered window partitioned by (key, size, block)
+    plus one aggregate — no self-joins, no UDFs.  Fan-out is
+    len(block_sizes) x the grid, a constant factor.
+    """
+    sizes = F.array(*[F.lit(int(n)) for n in block_sizes])
+    s = _dense_hourly(df, key_col, ts_col).select(
+        "key", "t", "x", F.explode(sizes).alias("bs")
+    )
+    s = s.withColumn("bn", (F.col("t") / F.col("bs")).cast("long"))
+    wb = Window.partitionBy("key", "bs", "bn")
+    wo = (
+        Window.partitionBy("key", "bs", "bn")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = s.select(
+        "key",
+        "bs",
+        "bn",
+        "x",
+        F.count(F.lit(1)).over(wb).alias("m"),
+        F.sum("x").over(wb).alias("sn"),
+        F.sum("x").over(wo).alias("cs"),
+        F.row_number()
+        .over(Window.partitionBy("key", "bs", "bn").orderBy("t"))
+        .alias("i"),
+    ).filter(F.col("m") == F.col("bs"))
+    z = rows.select(
+        "key",
+        "bs",
+        "bn",
+        "x",
+        "sn",
+        (F.col("bs") * F.col("cs") - F.col("i") * F.col("sn")).alias(
+            "z"
+        ),
+    )
+    blk = z.groupBy("key", "bs", "bn").agg(
+        F.max("z").alias("zmax"),
+        F.min("z").alias("zmin"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.first("sn").alias("sn"),
+    )
+    blk = blk.select(
+        "key",
+        "bs",
+        (F.col("zmax") - F.col("zmin")).alias("r_int"),
+        (F.col("bs") * F.col("sxx") - F.col("sn") * F.col("sn")).alias(
+            "ss"
+        ),
+    ).filter(F.col("ss") > 0)
+    per_size = (
+        blk.select(
+            "key",
+            "bs",
+            (
+                F.col("r_int").cast("double")
+                / F.sqrt(F.col("ss").cast("double"))
+            ).alias("rs"),
+        )
+        .groupBy("key", "bs")
+        .agg(F.sum("rs").alias("srs"), F.count(F.lit(1)).alias("nb"))
+        .select(
+            "key",
+            F.log(F.col("bs").cast("double")).alias("u"),
+            F.log(F.col("srs") / F.col("nb").cast("double")).alias(
+                "v"
+            ),
+        )
+    )
+    fit = per_size.groupBy("key").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("u").alias("su"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("u") * F.col("v")).alias("suv"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+    )
+    return fit.filter(F.col("k") >= 2).select(
+        "key",
+        F.col("k").cast("long").alias("n_sizes"),
+        (
+            (F.col("k") * F.col("suv") - F.col("su") * F.col("sv"))
+            / (
+                F.col("k") * F.col("suu")
+                - F.col("su") * F.col("su")
+            )
+        ).alias("hurst"),
+    )
+
+
+def variance_ratio(
+    df: DataFrame,
+    q: int = 4,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Lo–MacKinlay variance-ratio test per key on the dense hourly
+    count series: VR(q) = Var(q-hour increments) / (q * Var(1-hour
+    increments)) with overlapping q-increments — the random-walk /
+    mean-reversion screen (VR < 1 mean-reverting, > 1 trending).
+
+    Both increment families are exact integer differences of counts,
+    so every sufficient statistic (n, sums, sums of squares) is an
+    exact BIGINT and VR plus its asymptotic z statistic
+
+        z = (VR - 1) / sqrt(2(2q-1)(q-1) / (3qT))
+
+    are ONE shared float expression.  Keys whose 1-hour increment
+    variance is zero are dropped (VR undefined).
+
+    Scale: two lag windows partitioned by key over the retention-
+    bounded grid, one aggregate.  No self-joins, no UDFs.
+    """
+    w = Window.partitionBy("key").orderBy("t")
+    s = _dense_hourly(df, key_col, ts_col).select(
+        "key",
+        "t",
+        "x",
+        (F.col("x") - F.lag("x", 1).over(w)).alias("d1"),
+        (F.col("x") - F.lag("x", int(q)).over(w)).alias("dq"),
+    )
+    agg = s.groupBy("key").agg(
+        F.count(F.lit(1)).alias("tt"),
+        F.sum("d1").alias("s1"),
+        F.sum(F.col("d1") * F.col("d1")).alias("s11"),
+        F.count("d1").alias("n1"),
+        F.sum("dq").alias("sq"),
+        F.sum(F.col("dq") * F.col("dq")).alias("sqq"),
+        F.count("dq").alias("nq"),
+    )
+    n1 = F.col("n1").cast("double")
+    nq = F.col("nq").cast("double")
+    var1 = (
+        F.col("s11").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / n1
+    ) / n1
+    varq = (
+        F.col("sqq").cast("double")
+        - F.col("sq").cast("double") * F.col("sq") / nq
+    ) / nq
+    vr = varq / (F.lit(float(q)) * var1)
+    se = F.sqrt(
+        F.lit(2.0 * (2 * q - 1) * (q - 1) / (3.0 * q))
+        / F.col("tt").cast("double")
+    )
+    return agg.filter(
+        (F.col("nq") > 0)
+        & (
+            F.col("n1") * F.col("s11") - F.col("s1") * F.col("s1")
+            > 0
+        )
+    ).select(
+        "key",
+        F.col("tt").cast("long").alias("n_hours"),
+        vr.alias("vr"),
+        ((vr - F.lit(1.0)) / se).alias("z"),
+    )
+
+
+def dickey_fuller(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Dickey–Fuller stationarity screen per key on the dense hourly
+    count series: the OLS regression dx_t = alpha + rho * x_{t-1} with
+    the t statistic on rho (strongly negative t -> mean-reverting /
+    stationary; t near 0 -> unit root).  The no-lagged-difference form
+    (DF, not augmented) keeps every sufficient statistic an exact
+    integer sum: x and dx are BIGINTs, so n, Sy, Sd, Syd, Syy, Sdd are
+    exact, and
+
+        rho = (n*Syd - Sy*Sd) / (n*Syy - Sy^2)
+        t   = rho / sqrt( (SSE/(n-2)) * n / (n*Syy - Sy^2) )
+
+    is ONE shared float expression (SSE via the standard identity).
+    Keys with zero lag-variance or n <= 2 are dropped.
+
+    Scale: one lag window + one aggregate per key over the retention-
+    bounded grid.
+    """
+    w = Window.partitionBy("key").orderBy("t")
+    s = (
+        _dense_hourly(df, key_col, ts_col)
+        .select(
+            "key",
+            "x",
+            F.lag("x", 1).over(w).alias("y"),
+        )
+        .filter(F.col("y").isNotNull())
+        .select("key", "y", (F.col("x") - F.col("y")).alias("d"))
+    )
+    agg = s.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("y") * F.col("d")).alias("syd"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+    )
+    n = F.col("n").cast("double")
+    den_i = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    rho = (
+        F.col("n") * F.col("syd") - F.col("sy") * F.col("sd")
+    ).cast("double") / den_i.cast("double")
+    alpha = (F.col("sd").cast("double") - rho * F.col("sy")) / n
+    sse = (
+        F.col("sdd").cast("double")
+        - alpha * F.col("sd").cast("double")
+        - rho * F.col("syd").cast("double")
+    )
+    t = rho / F.sqrt(
+        (sse / (n - F.lit(2.0))) * n / den_i.cast("double")
+    )
+    return agg.filter((F.col("n") > 2) & (den_i > 0)).select(
+        "key",
+        F.col("n").cast("long").alias("n_obs"),
+        rho.alias("rho"),
+        t.alias("t_stat"),
+    )
+
+
+def ljung_box(
+    df: DataFrame,
+    max_lag: int = 12,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ljung–Box portmanteau whiteness test per key on the dense
+    hourly count series: Q = T(T+2) * sum_{k=1..h} acf_k^2 / (T-k).
+    Large Q -> the series is autocorrelated (NOT white noise); the
+    standard residual-diagnostic companion to the AR fits.
+
+    Exactness: with S = sum(x) and T the grid length, the centered
+    series scaled by T is y_t = T*x_t - S (exact BIGINT), and each
+    autocorrelation is the exact-integer ratio
+
+        acf_k = sum_{t<=T-k} y_t*y_{t+k} / sum_t y_t^2
+
+    so Q is ONE shared float expression over integer sums.  Constant
+    series (zero denominator) are dropped.
+
+    Scale: ``max_lag`` lead windows partitioned by key (one pass), one
+    aggregate.  max_lag is a small constant; the grid is retention-
+    bounded.
+    """
+    base = _dense_hourly(df, key_col, ts_col)
+    kw = Window.partitionBy("key")
+    y = base.select(
+        "key",
+        "t",
+        (
+            F.count(F.lit(1)).over(kw) * F.col("x")
+            - F.sum("x").over(kw)
+        ).alias("y"),
+        F.count(F.lit(1)).over(kw).alias("tt"),
+    )
+    w = Window.partitionBy("key").orderBy("t")
+    lead_cols = [
+        (F.col("y") * F.lead("y", k).over(w)).alias(f"p{k}")
+        for k in range(1, int(max_lag) + 1)
+    ]
+    p = y.select("key", "tt", "y", *lead_cols)
+    agg = p.groupBy("key").agg(
+        F.first("tt").alias("tt"),
+        F.sum(F.col("y") * F.col("y")).alias("c0"),
+        *[F.sum(f"p{k}").alias(f"c{k}") for k in range(1, int(max_lag) + 1)],
+    )
+    tt = F.col("tt").cast("double")
+    q_expr = None
+    for k in range(1, int(max_lag) + 1):
+        # explicit rho*rho, not pow(rho, 2) — libm pow need not equal
+        # the multiplication bit-for-bit across engines
+        rho = F.col(f"c{k}").cast("double") / F.col("c0").cast(
+            "double"
+        )
+        rho2 = rho * rho / (tt - F.lit(float(k)))
+        q_expr = rho2 if q_expr is None else q_expr + rho2
+    q_expr = tt * (tt + F.lit(2.0)) * q_expr
+    return agg.filter(F.col("c0") > 0).select(
+        "key",
+        F.col("tt").cast("long").alias("n_hours"),
+        F.lit(int(max_lag)).cast("long").alias("max_lag"),
+        q_expr.alias("q_stat"),
+    )
+
+
+def sample_entropy_how(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sample entropy (m = 2, r = 0.2 sigma) per key over its
+    hour-of-week activity profile — the regularity/complexity screen
+    (low SampEn = repetitive weekly rhythm, high = irregular).
+
+    SampEn is inherently O(L^2) in the series length, so the scalable
+    design reduces the unbounded event stream FIRST to a fixed
+    168-slot hour-of-week count profile (one aggregate), then runs the
+    quadratic template match on that constant-size profile — 14k pairs
+    per key regardless of data volume.
+
+    Exactness: profile counts are exact integers; the tolerance test
+    |a - b| <= 0.2*sigma is evaluated as the EXACT integer comparison
+    25 * 168^2 * (a-b)^2 <= 168 * SS  (sigma^2 = SS/168^2 with
+    SS = 168*sumx2 - S^2), so the template counts A (length m+1) and
+    B (length m) are exact integers and SampEn = ln(B) - ln(A) is ONE
+    shared float expression.  Keys with A = 0 or B = 0 are dropped
+    (SampEn undefined).
+    """
+    counts = (
+        df.select(
+            F.col(key_col).alias("key"),
+            (
+                F.floor(
+                    (
+                        F.unix_timestamp(ts_col)
+                        - F.lit(345600)
+                    )
+                    / 3600
+                )
+                % 168
+            ).alias("w"),
+        )
+        .groupBy("key", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    grid = (
+        counts.select("key")
+        .distinct()
+        .select(
+            "key",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.lit(167).cast("long")
+                )
+            ).alias("w"),
+        )
+    )
+    prof = grid.join(counts, ["key", "w"], "left").select(
+        "key",
+        "w",
+        F.coalesce("cnt", F.lit(0).cast("long")).alias("p"),
+    )
+    kw = Window.partitionBy("key")
+    ow = Window.partitionBy("key").orderBy("w")
+    prof = prof.select(
+        "key",
+        "w",
+        "p",
+        F.lead("p", 1).over(ow).alias("p1"),
+        F.lead("p", 2).over(ow).alias("p2"),
+        (
+            F.count(F.lit(1)).over(kw) * F.sum(F.col("p") * F.col("p")).over(kw)
+            - F.sum("p").over(kw) * F.sum("p").over(kw)
+        ).alias("ss"),
+        F.count(F.lit(1)).over(kw).alias("ll"),
+    )
+    a = prof.alias("a")
+    b = prof.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.key") == F.col("b.key"))
+        & (F.col("b.w") > F.col("a.w")),
+    ).filter(
+        F.col("a.p2").isNotNull() & F.col("b.p2").isNotNull()
+    )
+    d0 = F.col("a.p") - F.col("b.p")
+    d1 = F.col("a.p1") - F.col("b.p1")
+    d2 = F.col("a.p2") - F.col("b.p2")
+    ll = F.col("a.ll")
+    thresh = ll * F.col("a.ss")
+    lim = F.lit(25) * ll * ll
+    m0 = lim * d0 * d0 <= thresh
+    m1 = lim * d1 * d1 <= thresh
+    m2 = lim * d2 * d2 <= thresh
+    cnt = pairs.groupBy(F.col("a.key").alias("key")).agg(
+        F.sum(F.when(m0 & m1, 1).otherwise(0)).alias("b_cnt"),
+        F.sum(F.when(m0 & m1 & m2, 1).otherwise(0)).alias("a_cnt"),
+    )
+    return cnt.filter(
+        (F.col("a_cnt") > 0) & (F.col("b_cnt") > 0)
+    ).select(
+        "key",
+        F.col("b_cnt").cast("long").alias("b_cnt"),
+        F.col("a_cnt").cast("long").alias("a_cnt"),
+        (
+            F.log(F.col("b_cnt").cast("double"))
+            - F.log(F.col("a_cnt").cast("double"))
+        ).alias("sampen"),
+    )
+
+
+#: Poisson(1) CDF thresholds scaled to 2^60 (exact integers), used by
+#: the deterministic Poisson bootstrap: a 60-bit md5-derived uniform u
+#: maps to weight w = #{thresholds <= u}.
+_POIS1_CDF_2P60 = (
+    424136118829305344,   # P(X<=0)
+    848272237658610688,   # P(X<=1)
+    1060340297073263360,  # P(X<=2)
+    1131029650211480960,  # P(X<=3)
+    1148701988496035328,  # P(X<=4)
+    1152236456152946176,  # P(X<=5)
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    n_boot: int = 200,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Distributed 95% bootstrap CI for the per-key mean value via the
+    Poisson bootstrap — THE cluster-scale bootstrap: instead of
+    resampling rows (impossible without materializing n draws), each
+    row independently receives a Poisson(1) replicate weight, which
+    converges to multinomial resampling as n grows.  One pass, fully
+    map-side until the (key, replicate) aggregate.
+
+    Determinism: the replicate weight is a pure function of
+    (id, replicate) — a 60-bit uniform from the first 15 hex chars of
+    md5(id || ':' || b), cut against exact integer Poisson(1) CDF
+    thresholds — so both engines draw the SAME bootstrap.  Replicate
+    means are exact integer ratios (sum of w*cents / sum of w); the CI
+    picks rank-5 and rank-196 of the 200 sorted replicate means
+    (2.5% / 97.5% order statistics), ties broken by replicate id for
+    total determinism.
+
+    Scale: the b-fold explode happens map-side and collapses into the
+    partial aggregate before any shuffle — the exchange carries only
+    keys x n_boot rows.  No collects, no UDFs.
+    """
+    reps = F.explode(
+        F.sequence(F.lit(0), F.lit(int(n_boot) - 1))
+    ).alias("b")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).cast("string").alias("rid"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+    ).select("key", "rid", "cents", reps)
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("rid"), F.lit(":"), F.col("b"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w_expr = F.lit(6)
+    for i in range(len(_POIS1_CDF_2P60) - 1, -1, -1):
+        w_expr = F.when(
+            u < F.lit(_POIS1_CDF_2P60[i]), F.lit(i)
+        ).otherwise(w_expr)
+    weighted = base.select("key", "b", "cents", w_expr.alias("w"))
+    rep_means = (
+        weighted.groupBy("key", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("swc"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "key",
+            "b",
+            (
+                F.col("swc").cast("double")
+                / F.col("sw").cast("double")
+                / F.lit(100.0)
+            ).alias("mean_b"),
+        )
+    )
+    rw = Window.partitionBy("key").orderBy("mean_b", "b")
+    ranked = rep_means.select(
+        "key",
+        "mean_b",
+        F.row_number().over(rw).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("key")).alias("nb"),
+    )
+    # 2.5% order-statistic ranks via exact integer ceil-division
+    # (ceil(nb/40) = (nb+39) div 40) — float 0.025 is DECIMAL in
+    # DuckDB but binary double in Spark, so a float rank expression
+    # could disagree at exact-integer boundaries; integers cannot.
+    lo_rn = F.greatest(F.lit(1), F.expr("(nb + 39) div 40"))
+    hi_rn = F.least(
+        F.col("nb"), F.expr("nb - ((nb + 39) div 40) + 1")
+    )
+    ci = ranked.groupBy("key").agg(
+        F.max(
+            F.when(F.col("rn") == lo_rn, F.col("mean_b"))
+        ).alias("ci_lo"),
+        F.max(
+            F.when(F.col("rn") == hi_rn, F.col("mean_b"))
+        ).alias("ci_hi"),
+        F.count(F.lit(1)).alias("n_boot"),
+    )
+    full = df.groupBy(F.col(key_col).alias("key")).agg(
+        (
+            F.sum(
+                F.round(F.col(value_col) * 100).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(100.0)
+        ).alias("mean_full")
+    )
+    return full.join(ci, "key").select(
+        "key",
+        "mean_full",
+        "ci_lo",
+        "ci_hi",
+        F.col("n_boot").cast("long").alias("n_boot"),
+    )
