@@ -3350,6 +3350,69 @@ def q_poisson_bootstrap(spark, sf):
     )
 
 
+def q_pot_exceedance(spark, sf):
+    """Peaks-over-threshold extremes per event type
+    (plans/stats.py::pot_exceedance): rank-selected p95 threshold on
+    the dense hourly counts, exact exceedance count / mean excess /
+    max — the GPD-tail starting statistics."""
+    from tsaug_spark.plans.stats import pot_exceedance
+
+    return pot_exceedance(_events(spark, sf), pct=95).select(
+        F.col("key").alias("event_type"), "n_hours", "thr",
+        "n_exceed", "mean_excess", "max_count",
+    )
+
+
+def q_effective_n(spark, sf):
+    """Autocorrelation-adjusted effective sample size per event type
+    (plans/stats.py::effective_n): n_eff = T / (1 + 2*sum acf_1..12)
+    over the dense hourly grid — exact integer ACF ratios, one float
+    expression."""
+    from tsaug_spark.plans.stats import effective_n
+
+    return effective_n(_events(spark, sf), max_lag=12).select(
+        F.col("key").alias("event_type"), "n_hours", "rho_sum",
+        "n_eff",
+    )
+
+
+def q_dominant_period(spark, sf):
+    """Dominant seasonality per event type (plans/stats.py::
+    dominant_period): Goertzel single-bin power at periods
+    6/8/12/24/168 h with folded-constant trig tables and sorted-fold
+    sums; argmax period, shortest-period tie-break."""
+    from tsaug_spark.plans.stats import dominant_period
+
+    return dominant_period(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_hours", "span_h",
+        "best_period_h", "best_power", "power_24h",
+    )
+
+
+def q_mann_whitney(spark, sf):
+    """Mann–Whitney U rank-sum test, click vs error values
+    (plans/stats.py::mann_whitney): doubled midranks keep every
+    sufficient statistic an exact BIGINT; tie-corrected normal z is
+    one shared float expression."""
+    from tsaug_spark.plans.stats import mann_whitney
+
+    return mann_whitney(_events(spark, sf), "click", "error")
+
+
+def q_reservoir_sample(spark, sf):
+    """Deterministic uniform 10-sample per event type
+    (pipeline/sampling.py::reservoir_k): min-k by md5(id) priority —
+    a mergeable reservoir (the KMV property), stable under
+    re-partitioning; Spark's window-group-limit keeps k rows per task
+    before the shuffle."""
+    from tsaug_spark.pipeline.sampling import reservoir_k
+
+    return reservoir_k(_events(spark, sf), k=10).select(
+        F.col("stratum").alias("event_type"), "id", "priority",
+        "rank",
+    )
+
+
 def q_dau_overlap(spark, sf):
     """Day-over-day active-user overlap and Jaccard stickiness
     (plans/cohorts.py::dau_overlap): exact distinct-pair integers,
@@ -5770,6 +5833,107 @@ def _ljung_box_sql(max_lag: int = 12) -> str:
     )
 
 
+def _effective_n_sql(max_lag: int = 12) -> str:
+    """Effective-sample-size oracle: same integer ACF machinery as
+    the Ljung-Box oracle, ascending-lag addition order."""
+    leads = ", ".join(
+        f"y * lead(y, {k}) OVER wd AS p{k}"
+        for k in range(1, max_lag + 1)
+    )
+    csums = ", ".join(
+        f"SUM(p{k}) AS c{k}" for k in range(1, max_lag + 1)
+    )
+    rho = " + ".join(
+        f"(CAST(c{k} AS DOUBLE) / CAST(c0 AS DOUBLE))"
+        for k in range(1, max_lag + 1)
+    )
+    return (
+        _DENSE_HOURLY_TYPE_SQL
+        + ", kw AS (SELECT key, t, "
+        "COUNT(*) OVER (PARTITION BY key) AS tt, "
+        "COUNT(*) OVER (PARTITION BY key) * x - "
+        "SUM(x) OVER (PARTITION BY key) AS y FROM s), "
+        f"p AS (SELECT key, tt, y, {leads} FROM kw "
+        "WINDOW wd AS (PARTITION BY key ORDER BY t)), "
+        f"a AS (SELECT key, MAX(tt) AS tt, SUM(y*y) AS c0, {csums} "
+        "FROM p GROUP BY 1) "
+        "SELECT key AS event_type, CAST(tt AS BIGINT) AS n_hours, "
+        f"({rho}) AS rho_sum, "
+        "CAST(tt AS DOUBLE) / "
+        f"GREATEST(1.0 + 2.0 * ({rho}), 1.0) AS n_eff "
+        "FROM a WHERE c0 > 0"
+    )
+
+
+def _dominant_period_sql(
+    periods: tuple[int, ...] = (6, 8, 12, 24, 168),
+) -> str:
+    """Dominant-period oracle: the SAME trig doubles the Spark plan
+    embeds (repr() round-trip), per-period sorted folds, identical
+    greatest/first-match argmax with shortest-period tie-break."""
+    import math
+
+    terms = []
+    folds = []
+    pows = []
+    for p in periods:
+        cos_tab = ", ".join(
+            repr(math.cos(2.0 * math.pi * i / float(p)))
+            for i in range(p)
+        )
+        sin_tab = ", ".join(
+            repr(math.sin(2.0 * math.pi * i / float(p)))
+            for i in range(p)
+        )
+        terms.append(
+            f"CAST(cnt AS DOUBLE) * ([{cos_tab}])"
+            f"[CAST(hour % {p} AS INT) + 1] AS tre{p}, "
+            f"CAST(cnt AS DOUBLE) * ([{sin_tab}])"
+            f"[CAST(hour % {p} AS INT) + 1] AS tim{p}"
+        )
+        folds.append(
+            f"list_reduce(list_prepend(0.0, list(tre{p} "
+            "ORDER BY hour)), (a_, b_) -> a_ + b_) AS "
+            f"tre{p}_s, "
+            f"list_reduce(list_prepend(0.0, list(tim{p} "
+            f"ORDER BY hour)), (a_, b_) -> a_ + b_) AS tim{p}_s"
+        )
+        pows.append(
+            f"(tre{p}_s * tre{p}_s + tim{p}_s * tim{p}_s) / "
+            "(CAST(span_h AS DOUBLE) * CAST(span_h AS DOUBLE)) "
+            f"AS pow{p}"
+        )
+    greatest = "GREATEST(" + ", ".join(
+        f"pow{p}" for p in periods
+    ) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN pow{p} = best THEN {p}" for p in periods
+    ) + " END"
+    return (
+        "WITH h AS (SELECT event_type AS key, "
+        "CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour, "
+        "COUNT(*) AS cnt FROM events GROUP BY 1, 2), "
+        "t AS (SELECT key, hour, "
+        + ", ".join(terms)
+        + " FROM h), "
+        "a AS (SELECT key, COUNT(*) AS n_hours, "
+        "MAX(hour) - MIN(hour) + 1 AS span_h, "
+        + ", ".join(folds)
+        + " FROM t GROUP BY 1), "
+        "pw AS (SELECT key, n_hours, span_h, "
+        + ", ".join(pows)
+        + " FROM a), "
+        "b AS (SELECT key, n_hours, span_h, "
+        + ", ".join(f"pow{p}" for p in periods)
+        + f", {greatest} AS best FROM pw) "
+        "SELECT key AS event_type, "
+        "CAST(n_hours AS BIGINT) AS n_hours, "
+        "CAST(span_h AS BIGINT) AS span_h, "
+        f"CAST({case} AS BIGINT) AS best_period_h, "
+        "best AS best_power, pow24 AS power_24h FROM b"
+    )
+
+
 def _spectral_diurnal_sql() -> str:
     """Diurnal DFT-bin oracle: the SAME 24 cos/sin doubles the Spark
     plan embeds (computed from the same Python expressions, emitted
@@ -5822,6 +5986,11 @@ _PRIORITY = [
     "ljung_box",
     "sample_entropy",
     "poisson_bootstrap",
+    "pot_exceedance",
+    "effective_n",
+    "dominant_period",
+    "mann_whitney",
+    "reservoir_sample",
     "tpch_q2",
     "tpch_q9",
     "tpch_q11",
@@ -6242,6 +6411,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ljung_box": q_ljung_box,
         "sample_entropy": q_sample_entropy,
         "poisson_bootstrap": q_poisson_bootstrap,
+        "pot_exceedance": q_pot_exceedance,
+        "effective_n": q_effective_n,
+        "dominant_period": q_dominant_period,
+        "mann_whitney": q_mann_whitney,
+        "reservoir_sample": q_reservoir_sample,
         "triangle_copurchase": q_triangle_copurchase,
         "pagerank_copurchase": q_pagerank_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
@@ -10230,6 +10404,63 @@ def oracle_sql() -> dict[str, str]:
             "FROM x3 WHERE n > 2 AND den_i > 0"
         ),
         "ljung_box": _ljung_box_sql(12),
+        "effective_n": _effective_n_sql(12),
+        "dominant_period": _dominant_period_sql(),
+        "pot_exceedance": (
+            _DENSE_HOURLY_TYPE_SQL
+            + ", rk AS (SELECT key, x, row_number() OVER ("
+            "PARTITION BY key ORDER BY x, t) AS rn, "
+            "COUNT(*) OVER (PARTITION BY key) AS tt FROM s), "
+            "th AS (SELECT key, MIN(x) AS thr, MIN(tt) AS tt "
+            "FROM rk WHERE rn = (95 * tt + 99) // 100 GROUP BY 1), "
+            "ex AS (SELECT s.key, MIN(th.thr) AS thr, "
+            "MIN(th.tt) AS n_hours, COUNT(*) AS n_exceed, "
+            "SUM(s.x - th.thr) AS sum_excess, MAX(s.x) AS max_count "
+            "FROM s JOIN th ON th.key = s.key WHERE s.x > th.thr "
+            "GROUP BY 1) "
+            "SELECT key AS event_type, "
+            "CAST(n_hours AS BIGINT) AS n_hours, "
+            "CAST(thr AS BIGINT) AS thr, "
+            "CAST(n_exceed AS BIGINT) AS n_exceed, "
+            "CAST(sum_excess AS DOUBLE) / CAST(n_exceed AS DOUBLE) "
+            "AS mean_excess, CAST(max_count AS BIGINT) AS max_count "
+            "FROM ex"
+        ),
+        "mann_whitney": (
+            "WITH ev AS (SELECT event_type AS k, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events "
+            "WHERE event_type IN ('click', 'error')), "
+            "pv AS (SELECT cents, "
+            "SUM(CASE WHEN k = 'click' THEN 1 ELSE 0 END) AS ca, "
+            "SUM(CASE WHEN k = 'error' THEN 1 ELSE 0 END) AS cb "
+            "FROM ev GROUP BY 1), "
+            "cm AS (SELECT cents, ca, cb, "
+            "SUM(ca + cb) OVER (ORDER BY cents ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) - (ca + cb) AS "
+            "cprev FROM pv), "
+            "st AS (SELECT SUM(ca) AS na, SUM(cb) AS nb, "
+            "SUM(ca * (2 * cprev + (ca + cb) + 1)) AS two_ra, "
+            "SUM((ca+cb)*(ca+cb)*(ca+cb) - (ca+cb)) AS ties FROM cm) "
+            "SELECT 'click' AS type_a, 'error' AS type_b, "
+            "CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, "
+            "CAST(two_ra - na * (na + 1) AS DOUBLE) / 2.0 AS u_a, "
+            "CAST((two_ra - na * (na + 1)) - na * nb AS DOUBLE) / "
+            "(2.0 * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / "
+            "12.0 * ((CAST(na + nb AS DOUBLE) + 1.0) - "
+            "CAST(ties AS DOUBLE) / (CAST(na + nb AS DOUBLE) * "
+            "(CAST(na + nb AS DOUBLE) - 1.0))))) AS z "
+            "FROM st WHERE na > 0 AND nb > 0 AND na + nb > 1"
+        ),
+        "reservoir_sample": (
+            "WITH b AS (SELECT event_type AS stratum, "
+            "CAST(event_id AS VARCHAR) AS id, "
+            "md5(CAST(event_id AS VARCHAR)) AS priority FROM events), "
+            "r AS (SELECT stratum, id, priority, row_number() OVER ("
+            "PARTITION BY stratum ORDER BY priority, id) AS rank "
+            "FROM b) "
+            "SELECT stratum AS event_type, id, priority, "
+            "CAST(rank AS INT) AS rank FROM r WHERE rank <= 10"
+        ),
         "sample_entropy": (
             "WITH c AS (SELECT event_type AS key, "
             "CAST(floor((epoch(ts) - 345600) / 3600) AS BIGINT) % 168 "

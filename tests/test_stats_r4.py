@@ -288,3 +288,148 @@ def test_hurst_persistent_vs_antipersistent(spark):
     h_trend = hurst_rs(_hourly_events(spark, trend)).collect()[0].hurst
     h_alt = hurst_rs(_hourly_events(spark, alt)).collect()[0].hurst
     assert h_trend > h_alt
+
+
+@settings(max_examples=6, deadline=None)
+@given(counts=_counts_strategy(min_len=20, max_len=60))
+def test_pot_exceedance_matches_reference(spark, counts):
+    from tsaug_spark.plans.stats import pot_exceedance
+
+    x = np.asarray(counts, dtype=np.int64)
+    tt = len(x)
+    thr = np.sort(x)[(95 * tt + 99) // 100 - 1]
+    exc = x[x > thr]
+    rows = pot_exceedance(_hourly_events(spark, counts)).collect()
+    if len(exc) == 0:
+        assert rows == []
+        return
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.thr == thr
+    assert r.n_exceed == len(exc)
+    assert r.max_count == x.max()
+    assert abs(
+        r.mean_excess - (exc - thr).sum() / len(exc)
+    ) < 1e-12
+
+
+@settings(max_examples=6, deadline=None)
+@given(counts=_counts_strategy(min_len=20, max_len=60))
+def test_effective_n_matches_reference(spark, counts):
+    from tsaug_spark.plans.stats import effective_n
+
+    h = 4
+    x = np.asarray(counts, dtype=np.int64)
+    tt = len(x)
+    yv = tt * x - x.sum()
+    c0 = int((yv ** 2).sum())
+    rows = effective_n(
+        _hourly_events(spark, counts), max_lag=h
+    ).collect()
+    if c0 == 0:
+        assert rows == []
+        return
+    rho_sum = 0.0
+    for k in range(1, h + 1):
+        rho_sum += float((yv[:-k] * yv[k:]).sum()) / c0
+    n_eff = tt / max(1.0 + 2.0 * rho_sum, 1.0)
+    assert len(rows) == 1
+    assert abs(rows[0].rho_sum - rho_sum) < 1e-9
+    assert abs(rows[0].n_eff - n_eff) < 1e-6
+
+
+def test_dominant_period_finds_planted_cycle(spark):
+    from tsaug_spark.plans.stats import dominant_period
+
+    # counts with a strong 24 h rhythm -> best period 24; a 12 h
+    # rhythm -> best period 12
+    for p_true in (24, 12):
+        counts = [
+            3 + 2 * int(math.cos(2 * math.pi * t / p_true) > 0.3)
+            for t in range(14 * 24)
+        ]
+        counts[0] = max(counts[0], 1)
+        r = dominant_period(
+            _hourly_events(spark, counts)
+        ).collect()[0]
+        assert r.best_period_h == p_true, (p_true, r)
+
+
+def test_mann_whitney_matches_reference(spark):
+    from tsaug_spark.plans.stats import mann_whitney
+
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 40, size=60) / 1.0
+    b = rng.randint(5, 45, size=45) / 1.0
+    rows = [
+        (i, T0 + dt.timedelta(minutes=i), 1, "click", float(v))
+        for i, v in enumerate(a)
+    ] + [
+        (1000 + i, T0 + dt.timedelta(minutes=i), 1, "error", float(v))
+        for i, v in enumerate(b)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    got = mann_whitney(df, "click", "error").collect()[0]
+    # midrank reference
+    av = np.round(a * 100).astype(np.int64)
+    bv = np.round(b * 100).astype(np.int64)
+    allv = np.concatenate([av, bv])
+    order = np.sort(allv)
+    # average rank per value
+    import collections
+
+    cnt = collections.Counter(allv.tolist())
+    start = {}
+    c = 0
+    for v in sorted(cnt):
+        start[v] = c
+        c += cnt[v]
+    ra = sum(start[v] + (cnt[v] + 1) / 2.0 for v in av.tolist())
+    na, nb = len(av), len(bv)
+    u = ra - na * (na + 1) / 2.0
+    nn = na + nb
+    ties = sum(t ** 3 - t for t in cnt.values())
+    sigma = math.sqrt(
+        na * nb / 12.0 * ((nn + 1) - ties / (nn * (nn - 1)))
+    )
+    z = (u - na * nb / 2.0) / sigma
+    assert got.n_a == na and got.n_b == nb
+    assert abs(got.u_a - u) < 1e-9
+    assert abs(got.z - z) < 1e-9
+
+
+def test_reservoir_k_deterministic_and_uniform_contract(spark):
+    from tsaug_spark.pipeline.sampling import reservoir_k
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = {
+        (r.stratum, r.id, r.rank)
+        for r in reservoir_k(ev, k=7).collect()
+    }
+    b = {
+        (r.stratum, r.id, r.rank)
+        for r in reservoir_k(ev.repartition(13), k=7).collect()
+    }
+    assert a == b  # partition-layout independent
+    per = {}
+    for s, _, _ in a:
+        per[s] = per.get(s, 0) + 1
+    assert all(v == 7 for v in per.values())
+    # the sample IS the k smallest md5 priorities per stratum
+    import hashlib
+
+    rows = ev.select("event_type", "event_id").collect()
+    bystr = {}
+    for r in rows:
+        bystr.setdefault(r.event_type, []).append(
+            (hashlib.md5(str(r.event_id).encode()).hexdigest(),
+             str(r.event_id))
+        )
+    for s, lst in bystr.items():
+        want = {i for _, i in sorted(lst)[:7]}
+        got = {i for ss, i, _ in a if ss == s}
+        assert got == want

@@ -1367,6 +1367,8 @@ def main() -> None:
         ("variance_ratio", em.q_variance_ratio),
         ("dickey_fuller", em.q_dickey_fuller),
         ("ljung_box", em.q_ljung_box),
+        ("effective_n", em.q_effective_n),
+        ("pot_exceedance", em.q_pot_exceedance),
     ]:
         audit(
             f"{nm} (r4 stats: dense-grid windows, JVM only)",
@@ -1395,6 +1397,38 @@ def main() -> None:
         "poisson_bootstrap (map-side explode collapse, JVM only)",
         em.q_poisson_bootstrap(spark, sf),
         must_have=["Generate", "HashAggregate"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+    # dominant_period: sorted folds over the sparse (key, hour)
+    # counts — no dense grid, so no 1-row-bounds BNLJ either
+    audit(
+        "dominant_period (sparse folded-constant DFT, JVM only)",
+        em.q_dominant_period(spark, sf),
+        must_have=["HashAggregate"],
+        must_not_have=["CartesianProduct", "BroadcastNestedLoopJoin",
+                       "BatchEvalPython", "ArrowEvalPython",
+                       "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+    # mann_whitney: value-cardinality-bounded single-partition window
+    # is the documented exception (distinct cents, not rows)
+    audit(
+        "mann_whitney (rank machinery on distinct values, JVM only)",
+        em.q_mann_whitney(spark, sf),
+        must_have=["HashAggregate", "Window"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+    # reservoir sample: Spark's WindowGroupLimit pushes the k-limit
+    # map-side — each task keeps only k rows per stratum BEFORE the
+    # shuffle, the property that makes the reservoir cluster-scale
+    audit(
+        "reservoir_sample (map-side WindowGroupLimit top-k)",
+        em.q_reservoir_sample(spark, sf),
+        must_have=["WindowGroupLimit"],
         must_not_have=["CartesianProduct", "BatchEvalPython",
                        "ArrowEvalPython", "FlatMapGroupsInPandas"],
         execute=True,

@@ -198,3 +198,39 @@ def weighted_sample(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def reservoir_k(
+    df: DataFrame,
+    k: int = 10,
+    stratum_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Deterministic uniform k-sample per stratum — the distributed
+    reservoir: every row's priority is md5(id) (a uniform 128-bit hex
+    string) and the sample is the k smallest priorities per stratum.
+    Unlike ``df.sample`` the result is stable under re-partitioning,
+    cluster resize and re-runs, and unlike a sequential reservoir it
+    needs no order — min-k by hash IS a mergeable reservoir (the same
+    property KMV sketches exploit), so Spark's window-group-limit
+    optimization keeps only k rows per stratum per task before the
+    shuffle.
+
+    Exactness: the priority is a lowercase hex STRING compared
+    byte-wise — identical ordering in any engine with md5.
+    """
+    w = Window.partitionBy("stratum").orderBy("priority", "id")
+    base = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col).cast("string").alias("id"),
+        F.md5(F.col(id_col).cast("string")).alias("priority"),
+    )
+    return (
+        base.select(
+            "stratum",
+            "id",
+            "priority",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= int(k))
+    )

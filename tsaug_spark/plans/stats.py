@@ -4308,3 +4308,326 @@ def poisson_bootstrap_ci(
         "ci_hi",
         F.col("n_boot").cast("long").alias("n_boot"),
     )
+
+
+def pot_exceedance(
+    df: DataFrame,
+    pct: int = 95,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Peaks-over-threshold extreme-value screen per key on the dense
+    hourly count series: threshold u = the rank-selected ``pct``-th
+    percentile of the key's hourly counts, then the exceedance count,
+    mean excess (the quantity a GPD tail fit starts from) and the
+    maximum observed count.
+
+    Exactness: u is an order statistic (rank ceil(pct*T/100) via exact
+    integer ceil-division, never an engine percentile), counts and
+    excesses are exact integers, and mean excess is ONE shared float
+    division.  Keys with no exceedances are dropped (mean excess
+    undefined).
+
+    Scale: one ordered window per key over the retention-bounded grid
+    + two aggregates.
+    """
+    base = _dense_hourly(df, key_col, ts_col)
+    w = Window.partitionBy("key").orderBy("x", "t")
+    kw = Window.partitionBy("key")
+    ranked = base.select(
+        "key",
+        "x",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(kw).alias("tt"),
+    )
+    thr = (
+        ranked.filter(
+            F.col("rn")
+            == F.expr(f"({pct} * tt + 99) div 100")
+        )
+        .groupBy("key")
+        .agg(F.min("x").alias("thr"), F.min("tt").alias("tt"))
+    )
+    exc = (
+        base.join(thr, "key")
+        .filter(F.col("x") > F.col("thr"))
+        .groupBy("key")
+        .agg(
+            F.min("thr").alias("thr"),
+            F.min("tt").alias("n_hours"),
+            F.count(F.lit(1)).alias("n_exceed"),
+            F.sum(F.col("x") - F.col("thr")).alias("sum_excess"),
+            F.max("x").alias("max_count"),
+        )
+    )
+    return exc.select(
+        "key",
+        F.col("n_hours").cast("long").alias("n_hours"),
+        F.col("thr").cast("long").alias("thr"),
+        F.col("n_exceed").cast("long").alias("n_exceed"),
+        (
+            F.col("sum_excess").cast("double")
+            / F.col("n_exceed").cast("double")
+        ).alias("mean_excess"),
+        F.col("max_count").cast("long").alias("max_count"),
+    )
+
+
+def effective_n(
+    df: DataFrame,
+    max_lag: int = 12,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Autocorrelation-adjusted effective sample size per key:
+    n_eff = T / (1 + 2 * sum_{k=1..h} acf_k) — how many INDEPENDENT
+    hourly observations the correlated series is worth (the correction
+    every CI over a time series needs before dividing by sqrt(n)).
+
+    Same exact-integer ACF machinery as :func:`ljung_box` (centered
+    series y = T*x - S, each acf_k an exact integer ratio); the lag
+    sum adds in ascending k (one shared expression) and n_eff is one
+    float division, floored at 1.0 when strong negative correlation
+    drives the denominator under 1.  Constant series are dropped.
+    """
+    base = _dense_hourly(df, key_col, ts_col)
+    kw = Window.partitionBy("key")
+    y = base.select(
+        "key",
+        "t",
+        (
+            F.count(F.lit(1)).over(kw) * F.col("x")
+            - F.sum("x").over(kw)
+        ).alias("y"),
+        F.count(F.lit(1)).over(kw).alias("tt"),
+    )
+    w = Window.partitionBy("key").orderBy("t")
+    lead_cols = [
+        (F.col("y") * F.lead("y", k).over(w)).alias(f"p{k}")
+        for k in range(1, int(max_lag) + 1)
+    ]
+    p = y.select("key", "tt", "y", *lead_cols)
+    agg = p.groupBy("key").agg(
+        F.first("tt").alias("tt"),
+        F.sum(F.col("y") * F.col("y")).alias("c0"),
+        *[
+            F.sum(f"p{k}").alias(f"c{k}")
+            for k in range(1, int(max_lag) + 1)
+        ],
+    )
+    rho_sum = None
+    for k in range(1, int(max_lag) + 1):
+        r = F.col(f"c{k}").cast("double") / F.col("c0").cast("double")
+        rho_sum = r if rho_sum is None else rho_sum + r
+    denom = F.lit(1.0) + F.lit(2.0) * rho_sum
+    tt = F.col("tt").cast("double")
+    return agg.filter(F.col("c0") > 0).select(
+        "key",
+        F.col("tt").cast("long").alias("n_hours"),
+        rho_sum.alias("rho_sum"),
+        (tt / F.greatest(denom, F.lit(1.0))).alias("n_eff"),
+    )
+
+
+#: candidate periods (hours) scanned by dominant_period — the usual
+#: telemetry rhythms: quarter-day, third-day, half-day, day, week.
+_PERIOD_CANDIDATES = (6, 8, 12, 24, 168)
+
+
+def dominant_period(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    periods: tuple[int, ...] = _PERIOD_CANDIDATES,
+) -> DataFrame:
+    """Dominant seasonality per key: single-bin DFT (Goertzel) power
+    at each candidate period of the hourly count series, reporting the
+    argmax period and its power — generalizes
+    :func:`spectral_diurnal` from the fixed 24 h bin to a small scan.
+
+    Missing hours contribute exactly 0, so no dense grid is needed.
+    Per period p: re = sum_h cnt_h*cos(2*pi*(h mod p)/p) (same for im)
+    with the p cosine/sine doubles computed ONCE in Python and embedded
+    as literals in BOTH engines (folded constants), sums folding in
+    hour order (sorted fold — bit-identical accumulation), and
+    power = re^2 + im^2.  The argmax compares the same doubles in both
+    engines; ties break toward the SHORTEST period.  Power is
+    normalized by span^2 so keys are comparable.
+
+    Scale: one (key, hour) aggregate + len(periods) sorted folds whose
+    list length is retention-bounded (hours, not events).
+    """
+    import math
+
+    hourly = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 3600)
+            .cast("long")
+            .alias("hour"),
+        )
+        .groupBy("key", "hour")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    term_cols = []
+    for p in periods:
+        cos_tab = [
+            math.cos(2.0 * math.pi * i / float(p)) for i in range(p)
+        ]
+        sin_tab = [
+            math.sin(2.0 * math.pi * i / float(p)) for i in range(p)
+        ]
+        idx = (F.col("hour") % p).cast("int")
+        carr = F.array(*[F.lit(c) for c in cos_tab])
+        sarr = F.array(*[F.lit(s) for s in sin_tab])
+        term_cols.append(
+            (F.col("cnt").cast("double") * F.element_at(carr, idx + 1))
+            .alias(f"tre{p}")
+        )
+        term_cols.append(
+            (F.col("cnt").cast("double") * F.element_at(sarr, idx + 1))
+            .alias(f"tim{p}")
+        )
+    terms = hourly.select("key", "hour", *term_cols)
+    def _fold(col_name):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("hour", col_name))),
+            F.lit(0.0),
+            lambda a, s: a + s[col_name],
+        )
+
+    folds = []
+    for p in periods:
+        for part in ("tre", "tim"):
+            folds.append(_fold(f"{part}{p}").alias(f"{part}{p}_s"))
+    agg = terms.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        (F.max("hour") - F.min("hour") + 1).alias("span_h"),
+        *folds,
+    )
+    span2 = (
+        F.col("span_h").cast("double") * F.col("span_h").cast("double")
+    )
+    pw = agg.select(
+        "key",
+        "n_hours",
+        "span_h",
+        *[
+            (
+                (
+                    F.col(f"tre{p}_s") * F.col(f"tre{p}_s")
+                    + F.col(f"tim{p}_s") * F.col(f"tim{p}_s")
+                )
+                / span2
+            ).alias(f"pow{p}")
+            for p in periods
+        ],
+    )
+    best = F.greatest(*[F.col(f"pow{p}") for p in periods])
+    period_expr = None
+    for p in periods:
+        cond = F.col(f"pow{p}") == best
+        period_expr = (
+            F.when(cond, F.lit(p))
+            if period_expr is None
+            else period_expr.when(cond, F.lit(p))
+        )
+    return pw.select(
+        "key",
+        F.col("n_hours").cast("long").alias("n_hours"),
+        F.col("span_h").cast("long").alias("span_h"),
+        period_expr.cast("long").alias("best_period_h"),
+        best.alias("best_power"),
+        F.col("pow24").alias("power_24h"),
+    )
+
+
+def mann_whitney(
+    df: DataFrame,
+    type_a: str = "click",
+    type_b: str = "error",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mann–Whitney U rank-sum test between the value distributions of
+    two event types — the two-sample companion of the k-group
+    Kruskal–Wallis screen (same null: identical distributions; no
+    normality assumed).
+
+    Midranks are exact half-integers handled as DOUBLED ranks
+    (dr = 2*C_prev + t + 1 for a tie group of size t starting after
+    C_prev earlier values) so every sufficient statistic — 2*R_a, U_a,
+    the tie correction sum(t^3 - t) — is an exact BIGINT.  The normal
+    approximation with tie correction
+
+        z = (U_a - n_a*n_b/2) /
+            sqrt(n_a*n_b/12 * ((N+1) - sum(t^3-t)/(N*(N-1))))
+
+    is ONE shared float expression (2U - n_a*n_b kept integer).
+
+    Scale: one groupBy over distinct cents values + one ordered
+    cumulative window over values (bounded by value cardinality, not
+    rows) + a 1-row aggregate.
+    """
+    ev = df.select(
+        F.col(key_col).alias("k"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+    ).filter(F.col("k").isin(type_a, type_b))
+    per_val = ev.groupBy("cents").agg(
+        F.sum(F.when(F.col("k") == type_a, 1).otherwise(0)).alias(
+            "ca"
+        ),
+        F.sum(F.when(F.col("k") == type_b, 1).otherwise(0)).alias(
+            "cb"
+        ),
+    )
+    w = (
+        Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_val.select(
+        "cents",
+        "ca",
+        "cb",
+        (
+            F.sum(F.col("ca") + F.col("cb")).over(w)
+            - (F.col("ca") + F.col("cb"))
+        ).alias("cprev"),
+    )
+    t = F.col("ca") + F.col("cb")
+    stats = cum.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum(
+            F.col("ca") * (F.lit(2) * F.col("cprev") + t + F.lit(1))
+        ).alias("two_ra"),
+        F.sum(t * t * t - t).alias("ties"),
+    )
+    na = F.col("na")
+    nb = F.col("nb")
+    nn = na + nb
+    two_u = F.col("two_ra") - na * (na + 1)
+    nad = na.cast("double")
+    nbd = nb.cast("double")
+    nnd = nn.cast("double")
+    sigma = F.sqrt(
+        nad
+        * nbd
+        / F.lit(12.0)
+        * (
+            (nnd + F.lit(1.0))
+            - F.col("ties").cast("double")
+            / (nnd * (nnd - F.lit(1.0)))
+        )
+    )
+    return stats.filter((na > 0) & (nb > 0) & (nn > 1)).select(
+        F.lit(type_a).alias("type_a"),
+        F.lit(type_b).alias("type_b"),
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        (two_u.cast("double") / F.lit(2.0)).alias("u_a"),
+        (
+            (two_u - na * nb).cast("double")
+            / (F.lit(2.0) * sigma)
+        ).alias("z"),
+    )
