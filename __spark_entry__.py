@@ -3399,6 +3399,53 @@ def q_mann_whitney(spark, sf):
     return mann_whitney(_events(spark, sf), "click", "error")
 
 
+def q_lomb_scargle(spark, sf):
+    """Floating-mean Lomb–Scargle periodogram per event type over the
+    unevenly-sampled 5-minute cents series (plans/stats.py::
+    lomb_scargle): tau-free quadratic form, Python-precomputed trig
+    tables broadcast-joined at integer phase, nine sorted-fold sums —
+    power = R² of the 3-parameter sinusoid fit at 6/12/24 h."""
+    from tsaug_spark.plans.stats import lomb_scargle
+
+    return lomb_scargle(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "period_h", "n_slots",
+        "power",
+    )
+
+
+def q_friedman_types(spark, sf):
+    """Friedman rank test across event types blocking on day
+    (plans/stats.py::friedman_test): doubled average ranks keep every
+    sufficient statistic an exact BIGINT; one shared float division
+    produces Q ~ chi2(k-1)."""
+    from tsaug_spark.plans.stats import friedman_test
+
+    return friedman_test(_events(spark, sf))
+
+
+def q_cvm_uniform(spark, sf):
+    """Cramér–von Mises diurnal-uniformity statistic per (type, day)
+    (plans/stats.py::cvm_uniform): exact integer micros-of-day ranks,
+    rank-ordered sorted fold of squared deviations."""
+    from tsaug_spark.plans.stats import cvm_uniform
+
+    return cvm_uniform(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "day_s", "n", "w2",
+    )
+
+
+def q_grubbs_daily(spark, sf):
+    """Grubbs' max-deviation outlier statistic per event type over
+    daily totals (plans/stats.py::grubbs_test): integer sufficient
+    statistics, IEEE-exact sqrt, deviation side flag."""
+    from tsaug_spark.plans.stats import grubbs_test
+
+    return grubbs_test(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_days", "mean_cnt",
+        "g_stat", "side",
+    )
+
+
 def q_reservoir_sample(spark, sf):
     """Deterministic uniform 10-sample per event type
     (pipeline/sampling.py::reservoir_k): min-k by md5(id) priority —
@@ -5934,6 +5981,72 @@ def _dominant_period_sql(
     )
 
 
+def _lomb_scargle_sql(
+    period_slots: tuple[int, ...] = (72, 144, 288),
+) -> str:
+    """Lomb–Scargle oracle: the SAME trig doubles the Spark plan
+    broadcasts (repr() round-trip), per-(key, period) sorted folds of
+    the nine sums, identical tau-free quadratic form."""
+    import math
+
+    branches = []
+    for m in period_slots:
+        cos_tab = ", ".join(
+            repr(math.cos(2.0 * math.pi * i / float(m)))
+            for i in range(m)
+        )
+        sin_tab = ", ".join(
+            repr(math.sin(2.0 * math.pi * i / float(m)))
+            for i in range(m)
+        )
+        branches.append(
+            f"SELECT {m} AS m, CAST(i AS INT) AS idx, "
+            f"([{cos_tab}])[CAST(i AS INT) + 1] AS c, "
+            f"([{sin_tab}])[CAST(i AS INT) + 1] AS s "
+            f"FROM range({m}) t_(i)"
+        )
+    trig = " UNION ALL ".join(branches)
+    periods = ", ".join(str(m) for m in period_slots)
+    folds = ", ".join(
+        "list_reduce(list_prepend(0.0, list(t{0} ORDER BY t5)), "
+        "(a_, b_) -> a_ + b_) AS {1}_s".format(t, t.rstrip("_"))
+        for t in ("c", "s_", "cc", "ss", "cs", "xc", "xs", "x", "x2")
+    )
+    return (
+        "WITH slots AS (SELECT event_type AS key, "
+        "CAST(floor(epoch(ts)/300) AS BIGINT) AS t5, "
+        "SUM(CAST(round(value * 100) AS BIGINT)) AS x "
+        "FROM events GROUP BY 1, 2), "
+        f"trig AS ({trig}), "
+        "e AS (SELECT sl.key, sl.t5, CAST(sl.x AS DOUBLE) AS xd, "
+        "p.m, CAST(sl.t5 % p.m AS INT) AS idx FROM slots sl "
+        f"CROSS JOIN (SELECT UNNEST([{periods}]) AS m) p), "
+        "j AS (SELECT e.key, e.m, e.t5, e.xd, tr.c, tr.s "
+        "FROM e JOIN trig tr ON e.m = tr.m AND e.idx = tr.idx), "
+        "t AS (SELECT key, m, t5, c AS tc, s AS ts_, c*c AS tcc, "
+        "s*s AS tss, c*s AS tcs, xd*c AS txc, xd*s AS txs, "
+        "xd AS tx, xd*xd AS tx2 FROM j), "
+        f"a AS (SELECT key, m, COUNT(*) AS n, {folds} "
+        "FROM t GROUP BY 1, 2), "
+        "f AS (SELECT key, m, n, x_s / CAST(n AS DOUBLE) AS xbar, "
+        "c_s, s_s, cc_s, ss_s, cs_s, xc_s, xs_s, x_s, x2_s FROM a), "
+        "g AS (SELECT key, m, n, "
+        "xc_s - xbar * c_s AS yc, xs_s - xbar * s_s AS ys, "
+        "cc_s - (c_s * c_s) / CAST(n AS DOUBLE) AS cc_, "
+        "ss_s - (s_s * s_s) / CAST(n AS DOUBLE) AS ss_, "
+        "cs_s - (c_s * s_s) / CAST(n AS DOUBLE) AS cs_, "
+        "x2_s - (x_s * x_s) / CAST(n AS DOUBLE) AS ssy FROM f), "
+        "h AS (SELECT key, m, n, ssy, "
+        "cc_ * ss_ - cs_ * cs_ AS det, "
+        "yc * yc * ss_ - 2.0 * yc * ys * cs_ + ys * ys * cc_ "
+        "AS num FROM g) "
+        "SELECT key AS event_type, "
+        "CAST(m * 300 / 3600 AS BIGINT) AS period_h, "
+        "CAST(n AS BIGINT) AS n_slots, num / (det * ssy) AS power "
+        "FROM h WHERE n >= 8 AND det <> 0 AND ssy > 0"
+    )
+
+
 def _spectral_diurnal_sql() -> str:
     """Diurnal DFT-bin oracle: the SAME 24 cos/sin doubles the Spark
     plan embeds (computed from the same Python expressions, emitted
@@ -5979,6 +6092,10 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "lomb_scargle",
+    "friedman_types",
+    "cvm_uniform",
+    "grubbs_daily",
     "kalman_series",
     "hurst_rs",
     "variance_ratio",
@@ -6415,6 +6532,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_n": q_effective_n,
         "dominant_period": q_dominant_period,
         "mann_whitney": q_mann_whitney,
+        "lomb_scargle": q_lomb_scargle,
+        "friedman_types": q_friedman_types,
+        "cvm_uniform": q_cvm_uniform,
+        "grubbs_daily": q_grubbs_daily,
         "reservoir_sample": q_reservoir_sample,
         "triangle_copurchase": q_triangle_copurchase,
         "pagerank_copurchase": q_pagerank_copurchase,
@@ -10406,6 +10527,78 @@ def oracle_sql() -> dict[str, str]:
         "ljung_box": _ljung_box_sql(12),
         "effective_n": _effective_n_sql(12),
         "dominant_period": _dominant_period_sql(),
+        "lomb_scargle": _lomb_scargle_sql(),
+        "friedman_types": (
+            "WITH daily AS (SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "COUNT(*) AS cnt FROM events GROUP BY 1, 2), "
+            "grid AS (SELECT d.day, k.key FROM "
+            "(SELECT DISTINCT day FROM daily) d CROSS JOIN "
+            "(SELECT DISTINCT key FROM daily) k), "
+            "dense AS (SELECT g.key, g.day, COALESCE(dl.cnt, 0) AS "
+            "cnt FROM grid g LEFT JOIN daily dl ON g.key = dl.key "
+            "AND g.day = dl.day), "
+            "ranked AS (SELECT key, day, CAST(2 * RANK() OVER "
+            "(PARTITION BY day ORDER BY cnt) + COUNT(*) OVER "
+            "(PARTITION BY day, cnt) - 1 AS BIGINT) AS r2 "
+            "FROM dense), "
+            "pk AS (SELECT key, SUM(r2) AS r2_sum, COUNT(*) AS n "
+            "FROM ranked GROUP BY 1), "
+            "tot AS (SELECT MAX(n) AS n_days, COUNT(*) AS k_types, "
+            "SUM(r2_sum * r2_sum) AS sum_r2sq FROM pk) "
+            "SELECT CAST(n_days AS BIGINT) AS n_days, "
+            "CAST(k_types AS BIGINT) AS k_types, "
+            "CAST(sum_r2sq AS BIGINT) AS sum_r2sq, "
+            "3.0 * CAST(sum_r2sq AS DOUBLE) / "
+            "CAST(n_days * k_types * (k_types + 1) AS DOUBLE) - "
+            "3.0 * CAST(n_days * (k_types + 1) AS DOUBLE) AS q_stat, "
+            "CAST(k_types - 1 AS BIGINT) AS dof "
+            "FROM tot WHERE n_days > 1 AND k_types > 1"
+        ),
+        "cvm_uniform": (
+            "WITH base AS (SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / "
+            "CAST(86400000000 AS DOUBLE) AS u, event_id "
+            "FROM events), "
+            "ranked AS (SELECT key, day, u, ROW_NUMBER() OVER "
+            "(PARTITION BY key, day ORDER BY u, event_id) AS i, "
+            "COUNT(*) OVER (PARTITION BY key, day) AS n FROM base), "
+            "terms AS (SELECT key, day, i, n, "
+            "(u - CAST(2 * i - 1 AS DOUBLE) / "
+            "CAST(2 * n AS DOUBLE)) * "
+            "(u - CAST(2 * i - 1 AS DOUBLE) / "
+            "CAST(2 * n AS DOUBLE)) AS sq FROM ranked), "
+            "f AS (SELECT key, day, MAX(n) AS n, "
+            "list_reduce(list_prepend(0.0, list(sq ORDER BY i)), "
+            "(a_, b_) -> a_ + b_) AS sq_sum FROM terms "
+            "GROUP BY 1, 2) "
+            "SELECT key AS event_type, "
+            "CAST(day * 86400 AS BIGINT) AS day_s, "
+            "CAST(n AS BIGINT) AS n, "
+            "1.0 / CAST(12 * n AS DOUBLE) + sq_sum AS w2 "
+            "FROM f WHERE n >= 5"
+        ),
+        "grubbs_daily": (
+            "WITH daily AS (SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "COUNT(*) AS cnt FROM events GROUP BY 1, 2), "
+            "a AS (SELECT key, COUNT(*) AS n, SUM(cnt) AS sx, "
+            "SUM(cnt * cnt) AS sx2, MIN(cnt) AS mn, MAX(cnt) AS mx "
+            "FROM daily GROUP BY 1), "
+            "f AS (SELECT key, n, mn, mx, "
+            "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_, "
+            "(CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * "
+            "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / "
+            "CAST(n - 1 AS DOUBLE) AS s2 FROM a) "
+            "SELECT key AS event_type, CAST(n AS BIGINT) AS n_days, "
+            "mean_ AS mean_cnt, "
+            "GREATEST(mean_ - CAST(mn AS DOUBLE), "
+            "CAST(mx AS DOUBLE) - mean_) / sqrt(s2) AS g_stat, "
+            "CASE WHEN CAST(mx AS DOUBLE) - mean_ >= "
+            "mean_ - CAST(mn AS DOUBLE) THEN 'high' ELSE 'low' END "
+            "AS side FROM f WHERE n >= 3 AND s2 > 0"
+        ),
         "pot_exceedance": (
             _DENSE_HOURLY_TYPE_SQL
             + ", rk AS (SELECT key, x, row_number() OVER ("

@@ -1434,6 +1434,45 @@ def main() -> None:
         execute=True,
     )
 
+    # r4b statistics batch: lomb_scargle broadcast-joins the 504-row
+    # trig table (BroadcastHashJoin, never a cross product); friedman's
+    # dense days x keys grid is the intended tiny-dim BNLJ; cvm and
+    # grubbs are pure window/aggregate plans — all JVM-only
+    audit(
+        "lomb_scargle (broadcast trig table, sorted folds, JVM only)",
+        em.q_lomb_scargle(spark, sf),
+        must_have=["BroadcastHashJoin", "HashAggregate"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+    audit(
+        "friedman_types (doubled ranks on the dense day-grid)",
+        em.q_friedman_types(spark, sf),
+        must_have=["HashAggregate", "Window"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+    audit(
+        "cvm_uniform (per-(key,day) window + sorted fold, JVM only)",
+        em.q_cvm_uniform(spark, sf),
+        must_have=["Window", "HashAggregate"],
+        must_not_have=["CartesianProduct", "BroadcastNestedLoopJoin",
+                       "BatchEvalPython", "ArrowEvalPython",
+                       "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+    audit(
+        "grubbs_daily (two integer hash aggregates, JVM only)",
+        em.q_grubbs_daily(spark, sf),
+        must_have=["HashAggregate"],
+        must_not_have=["CartesianProduct", "BroadcastNestedLoopJoin",
+                       "BatchEvalPython", "ArrowEvalPython",
+                       "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")

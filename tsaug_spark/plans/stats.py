@@ -4631,3 +4631,365 @@ def mann_whitney(
             / (F.lit(2.0) * sigma)
         ).alias("z"),
     )
+
+
+#: 5-minute slots per cycle scanned by :func:`lomb_scargle` — the
+#: 6 h / 12 h / 24 h telemetry rhythms at 300 s resolution.
+_LS_PERIOD_SLOTS = (72, 144, 288)
+
+
+def lomb_scargle(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period_slots: tuple[int, ...] = _LS_PERIOD_SLOTS,
+    slot_seconds: int = 300,
+    min_slots: int = 8,
+) -> DataFrame:
+    """Floating-mean Lomb–Scargle periodogram per key over the
+    UNEVENLY-sampled 5-minute value series — the spectral tool for
+    irregular grids (Lomb 1976; Scargle 1982; floating-mean /
+    generalized form per Zechmeister & Kürster 2009, A&A 496).
+
+    :func:`dominant_period` needs nothing but counts because missing
+    hours contribute zero to a count spectrum; a VALUE series has no
+    such luxury — absent slots are *unknown*, not zero, and a plain
+    DFT over the observed slots aliases badly.  Lomb–Scargle is the
+    classical fix: least-squares fit of ``a·cos(wt) + b·sin(wt) + c``
+    at the OBSERVED times only.  The reported ``power`` is the R² of
+    that 3-parameter fit — the fraction of the series variance the
+    sinusoid at each candidate period explains — computed in the
+    tau-free quadratic form
+
+        P = [YC²·SS − 2·YC·YS·CS + YS²·CC] / [(CC·SS − CS²)·SSY]
+
+    with the centered moments YC = Σx̃c, YS = Σx̃s, CC = Σc² − (Σc)²/n
+    etc., which is algebraically identical to the classical
+    tau-rotated expression (the rotation merely diagonalizes the
+    2×2 normal matrix) but needs no runtime trig on computed doubles.
+
+    Determinism: the signal is integerized (x = Σ cents per slot —
+    exact BIGINT), every cos/sin comes from a Python-precomputed
+    table at integer phase ``t5 mod m`` broadcast-joined in (both
+    engines consume the SAME IEEE doubles), and each of the nine
+    per-(key, period) sums folds in slot order (sorted fold), so the
+    whole statistic is one shared float expression.
+
+    Scale: one (key, slot) hash aggregate over the raw events, a
+    broadcast join against a 504-row trig table, and one (key,
+    period) aggregate whose fold length is the retention horizon in
+    slots (~105k/year) — never event volume.  No UDFs, no collects.
+    """
+    import math
+
+    spark = df.sparkSession
+    trig_rows = [
+        (
+            m,
+            i,
+            math.cos(2.0 * math.pi * i / float(m)),
+            math.sin(2.0 * math.pi * i / float(m)),
+        )
+        for m in period_slots
+        for i in range(m)
+    ]
+    trig = spark.createDataFrame(
+        trig_rows, "m int, idx int, c double, s double"
+    )
+
+    slots = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(
+                F.unix_timestamp(F.col(ts_col)) / slot_seconds
+            ).cast("long").alias("t5"),
+            F.round(F.col(value_col) * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("key", "t5")
+        .agg(F.sum("cents").alias("x"))
+    )
+    expanded = slots.select(
+        "key",
+        "t5",
+        "x",
+        F.explode(
+            F.array(*[F.lit(m) for m in period_slots])
+        ).alias("m"),
+    ).withColumn("idx", (F.col("t5") % F.col("m")).cast("int"))
+    joined = expanded.join(F.broadcast(trig), ["m", "idx"])
+
+    xd = F.col("x").cast("double")
+    c = F.col("c")
+    s = F.col("s")
+    terms = joined.select(
+        "key",
+        "m",
+        "t5",
+        c.alias("tc"),
+        s.alias("ts_"),
+        (c * c).alias("tcc"),
+        (s * s).alias("tss"),
+        (c * s).alias("tcs"),
+        (xd * c).alias("txc"),
+        (xd * s).alias("txs"),
+        xd.alias("tx"),
+        (xd * xd).alias("tx2"),
+    )
+
+    def _fold(col_name):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("t5", col_name))),
+            F.lit(0.0),
+            lambda a, r: a + r[col_name],
+        )
+
+    agg = terms.groupBy("key", "m").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            _fold(t).alias(t[1:].rstrip("_") + "_s")
+            for t in (
+                "tc", "ts_", "tcc", "tss", "tcs", "txc", "txs",
+                "tx", "tx2",
+            )
+        ],
+    )
+    nd = F.col("n").cast("double")
+    xbar = F.col("x_s") / nd
+    yc = F.col("xc_s") - xbar * F.col("c_s")
+    ys = F.col("xs_s") - xbar * F.col("s_s")
+    cc_ = F.col("cc_s") - (F.col("c_s") * F.col("c_s")) / nd
+    ss_ = F.col("ss_s") - (F.col("s_s") * F.col("s_s")) / nd
+    cs_ = F.col("cs_s") - (F.col("c_s") * F.col("s_s")) / nd
+    det = cc_ * ss_ - cs_ * cs_
+    ssy = F.col("x2_s") - (F.col("x_s") * F.col("x_s")) / nd
+    num = (
+        yc * yc * ss_
+        - F.lit(2.0) * yc * ys * cs_
+        + ys * ys * cc_
+    )
+    return (
+        agg.filter(
+            (F.col("n") >= min_slots) & (det != 0) & (ssy > 0)
+        )
+        .select(
+            "key",
+            (F.col("m") * F.lit(slot_seconds) / F.lit(3600))
+            .cast("long")
+            .alias("period_h"),
+            F.col("n").cast("long").alias("n_slots"),
+            (num / (det * ssy)).alias("power"),
+        )
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Friedman rank test: do the event types differ consistently in
+    daily volume, blocking on the day?  (The nonparametric repeated-
+    measures ANOVA — Friedman 1937.)  Blocks = days, treatments = the
+    k event types, response = the daily count (missing (day, type)
+    cells are true zeros for a count series, so the design is always
+    complete).
+
+    Within each day the k counts are average-ranked; doubled ranks
+    ``r2 = 2·rank_min + ties − 1`` keep every sufficient statistic an
+    exact BIGINT (the :func:`mann_whitney` midrank trick).  With
+    R2_j = Σ_days r2_j the uncorrected statistic is
+
+        Q = 3·Σ_j R2_j² / (n·k·(k+1)) − 3·n·(k+1)
+
+    (algebra: R_j = R2_j/2 folded into the classical
+    12/(n k (k+1))·ΣR_j² − 3n(k+1)); Q ~ χ²(k−1) under the null.
+    The single float division happens once, identically in both
+    engines.
+
+    Scale: one (day, key) count aggregate, a broadcast dense grid
+    (days × k, retention-bounded), two ordered windows partitioned by
+    day (k rows each), and two tiny aggregates.  No UDFs.
+    """
+    daily = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    days = daily.select("day").distinct()
+    keys = daily.select("key").distinct()
+    grid = days.join(F.broadcast(keys))
+    dense = grid.join(daily, ["key", "day"], "left").select(
+        "key", "day", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    w_rank = Window.partitionBy("day").orderBy("cnt")
+    w_tie = Window.partitionBy("day", "cnt")
+    ranked = dense.select(
+        "key",
+        "day",
+        (
+            F.lit(2) * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - F.lit(1)
+        ).cast("long").alias("r2"),
+    )
+    per_key = ranked.groupBy("key").agg(
+        F.sum("r2").alias("r2_sum"), F.count(F.lit(1)).alias("n")
+    )
+    total = per_key.agg(
+        F.max("n").alias("n_days"),
+        F.count(F.lit(1)).alias("k_types"),
+        F.sum(F.col("r2_sum") * F.col("r2_sum")).alias("sum_r2sq"),
+    )
+    n = F.col("n_days")
+    k = F.col("k_types")
+    q = (
+        F.lit(3.0) * F.col("sum_r2sq").cast("double")
+        / (n * k * (k + F.lit(1))).cast("double")
+        - F.lit(3.0) * (n * (k + F.lit(1))).cast("double")
+    )
+    return total.filter((n > 1) & (k > 1)).select(
+        n.cast("long").alias("n_days"),
+        k.cast("long").alias("k_types"),
+        F.col("sum_r2sq").cast("long").alias("sum_r2sq"),
+        q.alias("q_stat"),
+        (k - F.lit(1)).cast("long").alias("dof"),
+    )
+
+
+def cvm_uniform(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    min_n: int = 5,
+) -> DataFrame:
+    """Cramér–von Mises statistic per (key, day) that the event
+    *times of day* are uniform — the goodness-of-fit screen for "is
+    this stream diurnally flat or rhythmic?" (a changing W² trend is
+    an early seasonality/incident signal).
+
+        W² = 1/(12n) + Σ_i (u_(i) − (2i−1)/(2n))²
+
+    with u = microsecond-of-day / 86400e6 (an exact integer→double
+    division — no rounding ambiguity) and i the rank of u within the
+    (key, day) group, tie-broken on event_id so both engines rank
+    identically.  The squared deviations fold in rank order (sorted
+    fold), making W² one shared float expression.
+
+    Scale: one window + one aggregate, both hash-partitioned on
+    (key, day); group size is a single key's single-day volume.  The
+    fold list is that same bounded group.  No UDFs.
+    """
+    us_day = F.lit(86400000000)
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+        .cast("long")
+        .alias("day"),
+        (
+            (
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                % us_day
+            ).cast("double")
+            / us_day.cast("double")
+        ).alias("u"),
+        F.col("event_id"),
+    )
+    w = Window.partitionBy("key", "day").orderBy("u", "event_id")
+    wn = Window.partitionBy("key", "day")
+    ranked = base.select(
+        "key",
+        "day",
+        "u",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    d = F.col("u") - (
+        (F.lit(2) * F.col("i") - F.lit(1)).cast("double")
+        / (F.lit(2) * F.col("n")).cast("double")
+    )
+    terms = ranked.select(
+        "key", "day", "i", "n", (d * d).alias("sq")
+    )
+    folded = terms.groupBy("key", "day").agg(
+        F.max("n").alias("n"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("i", "sq"))),
+            F.lit(0.0),
+            lambda a, r: a + r["sq"],
+        ).alias("sq_sum"),
+    )
+    w2 = (
+        F.lit(1.0) / (F.lit(12) * F.col("n")).cast("double")
+        + F.col("sq_sum")
+    )
+    return folded.filter(F.col("n") >= min_n).select(
+        "key",
+        (F.col("day") * 86400).cast("long").alias("day_s"),
+        F.col("n").cast("long").alias("n"),
+        w2.alias("w2"),
+    )
+
+
+def grubbs_test(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Grubbs' outlier statistic per key over its observed daily
+    totals: G = max|x − x̄| / s (Grubbs 1950) — "does this series
+    contain at least one day wildly out of line?"  The caller
+    compares G against the t-based critical value offline; the engine
+    reports the exact statistic and the deviation side.
+
+    max|x − x̄| needs no per-row pass: it is
+    ``greatest(x̄ − min x, max x − x̄)``, so one aggregate of exact
+    integer sums (n, Σx, Σx², min, max) suffices.  s is the sample
+    standard deviation via the shared expression
+    ``sqrt((Σx² − (Σx)²/n)/(n−1))`` — sqrt is IEEE-exact, so both
+    engines agree bitwise.
+
+    Scale: two hash aggregates, integer state.  No UDFs.
+    """
+    daily = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    agg = daily.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sx2"),
+        F.min("cnt").alias("mn"),
+        F.max("cnt").alias("mx"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sx").cast("double") / nd
+    s2 = (
+        F.col("sx2").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / nd
+    ) / (F.col("n") - F.lit(1)).cast("double")
+    dev_lo = mean - F.col("mn").cast("double")
+    dev_hi = F.col("mx").cast("double") - mean
+    g = F.greatest(dev_lo, dev_hi) / F.sqrt(s2)
+    return agg.filter((F.col("n") >= 3) & (s2 > 0)).select(
+        "key",
+        F.col("n").cast("long").alias("n_days"),
+        mean.alias("mean_cnt"),
+        g.alias("g_stat"),
+        F.when(dev_hi >= dev_lo, F.lit("high"))
+        .otherwise(F.lit("low"))
+        .alias("side"),
+    )
