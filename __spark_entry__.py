@@ -3446,6 +3446,45 @@ def q_grubbs_daily(spark, sf):
     )
 
 
+def q_mk_seasonal(spark, sf):
+    """Seasonal (hour-of-day-stratified) Mann–Kendall trend test per
+    event type (plans/stats.py::mk_seasonal): per-stratum exact
+    integer S and tie-corrected variance numerators summed, one
+    shared continuity-corrected z."""
+    from tsaug_spark.plans.stats import mk_seasonal
+
+    return mk_seasonal(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_days", "s_stat",
+        "var18", "z",
+    )
+
+
+def q_kuiper_uniform(spark, sf):
+    """Kuiper's rotation-invariant V uniformity statistic per
+    (type, day) (plans/stats.py::kuiper_uniform): windowed maxima of
+    exact per-row deviations — no folds needed."""
+    from tsaug_spark.plans.stats import kuiper_uniform
+
+    return kuiper_uniform(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "day_s", "n", "d_plus",
+        "d_minus", "v_stat",
+    )
+
+
+def q_nw_trend(spark, sf):
+    """Newey–West HAC-robust daily trend per event type
+    (plans/stats.py::newey_west_trend): exact-integer OLS fit joined
+    back, Bartlett-weighted lag-covariance sorted folds, se_OLS
+    reported next to se_NW so the autocorrelation penalty is
+    visible."""
+    from tsaug_spark.plans.stats import newey_west_trend
+
+    return newey_west_trend(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_days", "slope",
+        "se_ols", "se_nw", "t_nw",
+    )
+
+
 def q_reservoir_sample(spark, sf):
     """Deterministic uniform 10-sample per event type
     (pipeline/sampling.py::reservoir_k): min-k by md5(id) priority —
@@ -5981,6 +6020,78 @@ def _dominant_period_sql(
     )
 
 
+def _newey_west_sql(lags: int = 5) -> str:
+    """Newey–West oracle: the SAME Bartlett weights the Spark plan
+    embeds (repr() round-trip), identical left-assoc accumulation,
+    day-ordered folds of e2 and each lag product."""
+    folds = ", ".join(
+        [
+            "list_reduce(list_prepend(0.0, list(e2 ORDER BY t)), "
+            "(x_, y_) -> x_ + y_) AS se2"
+        ]
+        + [
+            f"list_reduce(list_prepend(0.0, list(gl{l} ORDER BY t)),"
+            f" (x_, y_) -> x_ + y_) AS g{l}"
+            for l in range(lags + 1)
+        ]
+    )
+    lag_cols = ", ".join(
+        f"g * COALESCE(lead(g, {l}) OVER "
+        f"(PARTITION BY key ORDER BY t), 0.0) AS gl{l}"
+        for l in range(lags + 1)
+    )
+    s2nw = "g0" + "".join(
+        f" + {2.0 * (1.0 - l / float(lags + 1))!r} * g{l}"
+        for l in range(1, lags + 1)
+    )
+    bexpr = (
+        "CAST(n * sxy - sx * sy AS DOUBLE) / "
+        "CAST(n * sxx - sx * sx AS DOUBLE)"
+    )
+    return (
+        "WITH base AS (SELECT event_type AS key, "
+        "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day FROM events), "
+        "counts AS (SELECT key, day, COUNT(*) AS cnt FROM base "
+        "GROUP BY 1, 2), "
+        "bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi "
+        "FROM base), "
+        "dense AS (SELECT k.key, d.t, COALESCE(c.cnt, 0) AS y FROM "
+        "(SELECT DISTINCT key FROM base) k CROSS JOIN "
+        "(SELECT CAST(unnest(range(0, hi - lo + 1)) AS BIGINT) AS t, "
+        "lo FROM bounds) d LEFT JOIN counts c ON k.key = c.key AND "
+        "c.day = d.lo + d.t), "
+        "fit0 AS (SELECT key, COUNT(*) AS n, SUM(t) AS sx, "
+        "SUM(y) AS sy, SUM(t*y) AS sxy, SUM(t*t) AS sxx FROM dense "
+        "GROUP BY 1), "
+        f"fit1 AS (SELECT * FROM fit0 WHERE n > {lags + 2} AND "
+        "n * sxx - sx * sx > 0), "
+        f"fit AS (SELECT key, n, {bexpr} AS b, "
+        f"(CAST(sy AS DOUBLE) - ({bexpr}) * CAST(sx AS DOUBLE)) / "
+        "CAST(n AS DOUBLE) AS a, "
+        "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS tbar, "
+        "CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * "
+        "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS den FROM fit1), "
+        "rows_ AS (SELECT d.key, d.t, f.n, f.b, f.den, "
+        "(CAST(d.t AS DOUBLE) - f.tbar) * (CAST(d.y AS DOUBLE) - "
+        "f.a - f.b * CAST(d.t AS DOUBLE)) AS g, "
+        "(CAST(d.y AS DOUBLE) - f.a - f.b * CAST(d.t AS DOUBLE)) * "
+        "(CAST(d.y AS DOUBLE) - f.a - f.b * CAST(d.t AS DOUBLE)) "
+        "AS e2 FROM dense d JOIN fit f ON d.key = f.key), "
+        f"lagd AS (SELECT key, t, n, b, den, e2, {lag_cols} "
+        "FROM rows_), "
+        f"aggq AS (SELECT key, MAX(n) AS n, MAX(b) AS b, "
+        f"MAX(den) AS den, {folds} FROM lagd GROUP BY 1), "
+        f"fin AS (SELECT key, n, b, den, se2, {s2nw} AS s2nw "
+        "FROM aggq) "
+        "SELECT key AS event_type, CAST(n AS BIGINT) AS n_days, "
+        "b AS slope, "
+        "sqrt((se2 / CAST(n - 2 AS DOUBLE)) / den) AS se_ols, "
+        "sqrt(s2nw) / den AS se_nw, "
+        "b / (sqrt(s2nw) / den) AS t_nw "
+        "FROM fin WHERE s2nw > 0"
+    )
+
+
 def _lomb_scargle_sql(
     period_slots: tuple[int, ...] = (72, 144, 288),
 ) -> str:
@@ -6092,6 +6203,9 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "mk_seasonal",
+    "kuiper_uniform",
+    "nw_trend",
     "lomb_scargle",
     "friedman_types",
     "cvm_uniform",
@@ -6536,6 +6650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "friedman_types": q_friedman_types,
         "cvm_uniform": q_cvm_uniform,
         "grubbs_daily": q_grubbs_daily,
+        "mk_seasonal": q_mk_seasonal,
+        "kuiper_uniform": q_kuiper_uniform,
+        "nw_trend": q_nw_trend,
         "reservoir_sample": q_reservoir_sample,
         "triangle_copurchase": q_triangle_copurchase,
         "pagerank_copurchase": q_pagerank_copurchase,
@@ -10528,6 +10645,70 @@ def oracle_sql() -> dict[str, str]:
         "effective_n": _effective_n_sql(12),
         "dominant_period": _dominant_period_sql(),
         "lomb_scargle": _lomb_scargle_sql(),
+        "nw_trend": _newey_west_sql(),
+        "mk_seasonal": (
+            "WITH base AS (SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "CAST(floor((epoch(ts) % 86400)/3600) AS INT) AS season "
+            "FROM events), "
+            "counts AS (SELECT key, day, season, COUNT(*) AS cnt "
+            "FROM base GROUP BY 1, 2, 3), "
+            "bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi "
+            "FROM base), "
+            "grid AS (SELECT k.key, d.day, s.season FROM "
+            "(SELECT DISTINCT key FROM base) k CROSS JOIN "
+            "(SELECT CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS "
+            "day FROM bounds) d CROSS JOIN "
+            "(SELECT CAST(unnest(range(0, 24)) AS INT) AS season) "
+            "s), "
+            "dense AS (SELECT g.key, g.season, g.day, "
+            "COALESCE(c.cnt, 0) AS x FROM grid g LEFT JOIN counts c "
+            "ON g.key = c.key AND g.day = c.day AND "
+            "g.season = c.season), "
+            "sp AS (SELECT a.key, a.season, SUM(CASE WHEN b.x > a.x "
+            "THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS s_s FROM "
+            "dense a JOIN dense b ON a.key = b.key AND "
+            "a.season = b.season AND a.day < b.day GROUP BY 1, 2), "
+            "tg AS (SELECT key, season, x, COUNT(*) AS t FROM dense "
+            "GROUP BY 1, 2, 3), "
+            "ties AS (SELECT key, season, SUM(t) AS n_s, "
+            "SUM(t*(t-1)*(2*t+5)) AS tie_term FROM tg "
+            "GROUP BY 1, 2), "
+            "ps AS (SELECT s.key, s.season, s.s_s, t.n_s, "
+            "t.n_s*(t.n_s-1)*(2*t.n_s+5) - t.tie_term AS var18_s "
+            "FROM sp s JOIN ties t ON s.key = t.key AND "
+            "s.season = t.season), "
+            "agg AS (SELECT key, MAX(n_s) AS n_days, "
+            "SUM(s_s) AS s_stat, SUM(var18_s) AS var18 FROM ps "
+            "GROUP BY 1) "
+            "SELECT key AS event_type, "
+            "CAST(n_days AS BIGINT) AS n_days, "
+            "CAST(s_stat AS BIGINT) AS s_stat, "
+            "CAST(var18 AS BIGINT) AS var18, "
+            "CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / "
+            "sqrt(CAST(var18 AS DOUBLE) / 18.0) "
+            "WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / "
+            "sqrt(CAST(var18 AS DOUBLE) / 18.0) ELSE 0.0 END AS z "
+            "FROM agg WHERE var18 > 0"
+        ),
+        "kuiper_uniform": (
+            "WITH base AS (SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / "
+            "CAST(86400000000 AS DOUBLE) AS u, event_id "
+            "FROM events), "
+            "ranked AS (SELECT key, day, u, ROW_NUMBER() OVER "
+            "(PARTITION BY key, day ORDER BY u, event_id) AS i, "
+            "COUNT(*) OVER (PARTITION BY key, day) AS n FROM base), "
+            "agg AS (SELECT key, day, MAX(n) AS n, "
+            "MAX(CAST(i AS DOUBLE) / CAST(n AS DOUBLE) - u) AS dp, "
+            "MAX(u - CAST(i - 1 AS DOUBLE) / CAST(n AS DOUBLE)) AS "
+            "dm FROM ranked GROUP BY 1, 2) "
+            "SELECT key AS event_type, "
+            "CAST(day * 86400 AS BIGINT) AS day_s, "
+            "CAST(n AS BIGINT) AS n, dp AS d_plus, dm AS d_minus, "
+            "dp + dm AS v_stat FROM agg WHERE n >= 5"
+        ),
         "friedman_types": (
             "WITH daily AS (SELECT event_type AS key, "
             "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "

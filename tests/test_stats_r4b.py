@@ -299,3 +299,213 @@ def test_grubbs_flags_planted_spike(spark):
     ).collect()[0]
     assert got["g_stat"] > 2.5
     assert got["side"] == "high"
+
+
+def _hourly_count_events(spark, counts_by_day_hour, key="a"):
+    """counts_by_day_hour: {(day, hour): cnt}."""
+    rows = []
+    eid = 0
+    for (d, h), c in sorted(counts_by_day_hour.items()):
+        for j in range(int(c)):
+            rows.append(
+                (
+                    eid,
+                    T0
+                    + dt.timedelta(days=d, hours=h, seconds=j + 1),
+                    1,
+                    key,
+                    1.0,
+                )
+            )
+            eid += 1
+    return spark.createDataFrame(rows, _EVENT_DDL)
+
+
+def _ref_mk_seasonal(table):
+    """table: days x 24 array of counts.  Returns (s, var18, z)."""
+    table = np.asarray(table, dtype=np.int64)
+    n_days, n_seasons = table.shape
+    s = 0
+    var18 = 0
+    for sn in range(n_seasons):
+        col = table[:, sn]
+        for i in range(n_days):
+            for j in range(i + 1, n_days):
+                s += int(np.sign(col[j] - col[i]))
+        _, t = np.unique(col, return_counts=True)
+        tie = int((t * (t - 1) * (2 * t + 5)).sum())
+        var18 += n_days * (n_days - 1) * (2 * n_days + 5) - tie
+    var = var18 / 18.0
+    if s > 0:
+        z = (s - 1) / math.sqrt(var)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(var)
+    else:
+        z = 0.0
+    return s, var18, z
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=5),
+            min_size=24,
+            max_size=24,
+        ),
+        min_size=3,
+        max_size=8,
+    ).filter(
+        lambda rows: sum(rows[0]) > 0 and sum(rows[-1]) > 0
+    )
+)
+def test_mk_seasonal_matches_reference(spark, rows):
+    from tsaug_spark.plans.stats import mk_seasonal
+
+    counts = {
+        (d, h): rows[d][h]
+        for d in range(len(rows))
+        for h in range(24)
+        if rows[d][h]
+    }
+    df = _hourly_count_events(spark, counts)
+    got = mk_seasonal(df).collect()
+    s, var18, z = _ref_mk_seasonal(rows)
+    if var18 == 0:
+        assert got == []
+        return
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_days"] == len(rows)
+    assert r["s_stat"] == s
+    assert r["var18"] == var18
+    assert abs(r["z"] - z) <= 1e-12 * max(1.0, abs(z))
+
+
+def test_mk_seasonal_ignores_pure_diurnal_cycle(spark):
+    """A perfectly repeating diurnal pattern has NO seasonal trend:
+    every stratum is constant, so S = 0 and var18 = 0 (all ties) —
+    the key is filtered out rather than reported trending."""
+    from tsaug_spark.plans.stats import mk_seasonal
+
+    rows = [[(h % 4) + 1 for h in range(24)] for _ in range(5)]
+    counts = {
+        (d, h): rows[d][h] for d in range(5) for h in range(24)
+    }
+    got = mk_seasonal(
+        _hourly_count_events(spark, counts)
+    ).collect()
+    assert got == []  # all-tied strata: var18 = 0, no false trend
+
+
+def _ref_kuiper(micros):
+    u = np.sort(
+        np.array(micros, dtype=np.float64) / 86400000000.0
+    )
+    n = len(u)
+    i = np.arange(1, n + 1)
+    dp = (i / n - u).max()
+    dm = (u - (i - 1) / n).max()
+    return dp, dm, dp + dm
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=86399999999),
+        min_size=5,
+        max_size=50,
+        unique=True,
+    )
+)
+def test_kuiper_matches_reference(spark, micros):
+    from tsaug_spark.plans.stats import kuiper_uniform
+
+    got = kuiper_uniform(_micro_events(spark, micros)).collect()
+    assert len(got) == 1
+    dp, dm, v = _ref_kuiper(micros)
+    r = got[0]
+    assert abs(r["d_plus"] - dp) <= 1e-12
+    assert abs(r["d_minus"] - dm) <= 1e-12
+    assert abs(r["v_stat"] - v) <= 1e-12
+
+
+def test_kuiper_is_rotation_invariant(spark):
+    from tsaug_spark.plans.stats import kuiper_uniform
+
+    rng = np.random.RandomState(3)
+    micros = sorted(
+        int(x) for x in rng.randint(0, 86400000000, size=40)
+    )
+    shift = 31_000_000_000
+    rotated = sorted(
+        (m + shift) % 86400000000 for m in micros
+    )
+    v0 = kuiper_uniform(
+        _micro_events(spark, micros)
+    ).collect()[0]["v_stat"]
+    v1 = kuiper_uniform(
+        _micro_events(spark, rotated)
+    ).collect()[0]["v_stat"]
+    assert abs(v0 - v1) <= 1e-9
+
+
+def _ref_newey_west(y, lags=5):
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    t = np.arange(n, dtype=np.float64)
+    sx, sy = t.sum(), y.sum()
+    sxy, sxx = (t * y).sum(), (t * t).sum()
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    tbar = sx / n
+    den = sxx - sx * sx / n
+    e = y - a - b * t
+    g = (t - tbar) * e
+    s2 = (g * g).sum()
+    for l in range(1, lags + 1):
+        w = 2.0 * (1.0 - l / float(lags + 1))
+        s2 += w * (g[:-l] * g[l:]).sum()
+    se_nw = math.sqrt(s2) / den
+    se_ols = math.sqrt(((e * e).sum() / (n - 2)) / den)
+    return b, se_ols, se_nw
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=12),
+        min_size=9,
+        max_size=25,
+    ).filter(
+        lambda xs: xs[0] > 0 and xs[-1] > 0 and len(set(xs)) > 1
+    )
+)
+def test_newey_west_matches_reference(spark, counts):
+    from tsaug_spark.plans.stats import newey_west_trend
+
+    df = _daily_events(spark, {"a": counts})
+    got = newey_west_trend(df).collect()
+    b, se_ols, se_nw = _ref_newey_west(counts)
+    if not (se_nw > 0):
+        assert got == []
+        return
+    assert len(got) == 1
+    r = got[0]
+    assert abs(r["slope"] - b) <= 1e-9 * max(1.0, abs(b))
+    assert abs(r["se_ols"] - se_ols) <= 1e-9 * max(1.0, se_ols)
+    assert abs(r["se_nw"] - se_nw) <= 1e-9 * max(1.0, se_nw)
+
+
+def test_newey_west_penalizes_autocorrelation(spark):
+    """A smooth AR-like series must get se_nw > se_ols; white noise
+    must not get a large penalty."""
+    from tsaug_spark.plans.stats import newey_west_trend
+
+    smooth = [
+        int(10 + 8 * math.sin(2 * math.pi * d / 14)) for d in range(28)
+    ]
+    r = newey_west_trend(
+        _daily_events(spark, {"a": smooth})
+    ).collect()[0]
+    assert r["se_nw"] > r["se_ols"]

@@ -1473,6 +1473,37 @@ def main() -> None:
         execute=True,
     )
 
+    # r4c batch: mk_seasonal's pair join is a (key, season) equi-join
+    # over the retention-bounded day grid (never a cross product over
+    # events; the tiny bounds/season dims are intended broadcast
+    # BNLJs); kuiper is window+agg only; nw_trend joins the 1-row-per-
+    # key OLS fit back on key (equi-join) then folds
+    audit(
+        "mk_seasonal (per-stratum pair equi-join, JVM only)",
+        em.q_mk_seasonal(spark, sf),
+        must_have=["HashAggregate", "SortMergeJoin"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+    audit(
+        "kuiper_uniform (windowed maxima, no folds, JVM only)",
+        em.q_kuiper_uniform(spark, sf),
+        must_have=["Window", "HashAggregate"],
+        must_not_have=["CartesianProduct", "BroadcastNestedLoopJoin",
+                       "BatchEvalPython", "ArrowEvalPython",
+                       "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+    audit(
+        "nw_trend (OLS fit equi-joined back, Bartlett folds)",
+        em.q_nw_trend(spark, sf),
+        must_have=["HashAggregate", "Window"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")

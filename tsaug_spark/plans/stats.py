@@ -4993,3 +4993,382 @@ def grubbs_test(
         .otherwise(F.lit("low"))
         .alias("side"),
     )
+
+
+def mk_seasonal(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Seasonal Mann–Kendall trend test per key (Hirsch & Slack 1984):
+    the Mann–Kendall S statistic computed WITHIN each hour-of-day
+    stratum of the zero-filled daily-by-hour count grid, then summed —
+    so a strong diurnal cycle cannot masquerade as (or mask) a
+    monotone trend, the failure mode of the unstratified test on
+    telemetry.
+
+    Per (key, season s = hour-of-day, day): x = event count on the
+    complete global [min, max] day grid (zero-filled).  Then
+
+        S = Σ_s Σ_{i<j} sign(x_{s,j} − x_{s,i})                (exact int)
+        var·18 = Σ_s [ n_s(n_s−1)(2n_s+5) − Σ_t t(t−1)(2t+5) ] (exact int)
+
+    with t the tied-group sizes inside each (key, season), and the
+    continuity-corrected z = (S ∓ 1)/sqrt(var·18 / 18.0) is ONE shared
+    float expression.
+
+    Scale: the pair join is quadratic in DAYS (retention-bounded,
+    e.g. 730), linear in seasons and keys, co-partitioned on
+    (key, season) — never a pass over raw events beyond the first
+    rollup.  No UDFs.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+        .cast("long")
+        .alias("day"),
+        F.floor(
+            (F.unix_timestamp(F.col(ts_col)) % 86400) / 3600
+        ).cast("int").alias("season"),
+    )
+    counts = base.groupBy("key", "day", "season").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bounds = base.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = (
+        base.select("key")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "key",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"))
+            ).alias("day"),
+        )
+        .crossJoin(
+            F.broadcast(
+                df.sparkSession.range(24).select(
+                    F.col("id").cast("int").alias("season")
+                )
+            )
+        )
+    )
+    dense = grid.join(counts, ["key", "day", "season"], "left").select(
+        "key",
+        "season",
+        "day",
+        F.coalesce("cnt", F.lit(0)).alias("x"),
+    )
+    a, b = dense.alias("a"), dense.alias("b")
+    s_per = (
+        a.join(
+            b,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.season") == F.col("b.season"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .select(
+            F.col("a.key").alias("key"),
+            F.col("a.season").alias("season"),
+            F.when(F.col("b.x") > F.col("a.x"), F.lit(1))
+            .when(F.col("b.x") < F.col("a.x"), F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("sgn"),
+        )
+        .groupBy("key", "season")
+        .agg(F.sum("sgn").alias("s_s"))
+    )
+    nn = F.col("n_s")
+    ties = (
+        dense.groupBy("key", "season", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("key", "season")
+        .agg(
+            F.sum("t").alias("n_s"),
+            F.sum(
+                F.col("t")
+                * (F.col("t") - 1)
+                * (2 * F.col("t") + 5)
+            ).alias("tie_term"),
+        )
+        .select(
+            "key",
+            "season",
+            "n_s",
+            (
+                nn * (nn - 1) * (2 * nn + 5) - F.col("tie_term")
+            ).alias("var18_s"),
+        )
+    )
+    per_season = s_per.join(ties, ["key", "season"])
+    agg = per_season.groupBy("key").agg(
+        F.max("n_s").alias("n_days"),
+        F.sum("s_s").alias("s_stat"),
+        F.sum("var18_s").alias("var18"),
+    )
+    s = F.col("s_stat")
+    var = F.col("var18").cast("double") / F.lit(18.0)
+    z = (
+        F.when(s > 0, (s - 1).cast("double") / F.sqrt(var))
+        .when(s < 0, (s + 1).cast("double") / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return agg.filter(F.col("var18") > 0).select(
+        "key",
+        F.col("n_days").cast("long").alias("n_days"),
+        s.cast("long").alias("s_stat"),
+        F.col("var18").cast("long").alias("var18"),
+        z.alias("z"),
+    )
+
+
+def kuiper_uniform(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    min_n: int = 5,
+) -> DataFrame:
+    """Kuiper's V statistic per (key, day) that the event times of
+    day are uniform — the rotation-invariant companion to
+    :func:`cvm_uniform`: V = D⁺ + D⁻ is unchanged when the whole
+    distribution is rotated around the circle, so a rhythm peaking at
+    midnight scores exactly like the same rhythm peaking at noon
+    (where the KS/CvM forms lose power at the wrap-around).
+
+        D⁺ = max_i ( i/n − u_(i) ),  D⁻ = max_i ( u_(i) − (i−1)/n )
+
+    with u = microsecond-of-day / 86400e6 (exact integer→double
+    division) and i the (u, event_id)-ordered rank.  max() is
+    order-free, so no folds are even needed — the whole statistic is
+    two windowed maxima over exact per-row expressions.
+
+    Scale: one window + one aggregate on (key, day).  No UDFs.
+    """
+    us_day = F.lit(86400000000)
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+        .cast("long")
+        .alias("day"),
+        (
+            (
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                % us_day
+            ).cast("double")
+            / us_day.cast("double")
+        ).alias("u"),
+        F.col("event_id"),
+    )
+    w = Window.partitionBy("key", "day").orderBy("u", "event_id")
+    wn = Window.partitionBy("key", "day")
+    ranked = base.select(
+        "key",
+        "day",
+        "u",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    d_plus = F.col("i").cast("double") / nd - F.col("u")
+    d_minus = F.col("u") - (F.col("i") - F.lit(1)).cast("double") / nd
+    agg = ranked.groupBy("key", "day").agg(
+        F.max("n").alias("n"),
+        F.max(d_plus).alias("dp"),
+        F.max(d_minus).alias("dm"),
+    )
+    return agg.filter(F.col("n") >= min_n).select(
+        "key",
+        (F.col("day") * 86400).cast("long").alias("day_s"),
+        F.col("n").cast("long").alias("n"),
+        F.col("dp").alias("d_plus"),
+        F.col("dm").alias("d_minus"),
+        (F.col("dp") + F.col("dm")).alias("v_stat"),
+    )
+
+
+#: Bartlett-kernel lags used by newey_west_trend; weights 1 - l/(L+1)
+#: are computed once in Python and embedded as identical IEEE doubles
+#: in both engines.
+_NW_LAGS = 5
+
+
+def newey_west_trend(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    lags: int = _NW_LAGS,
+) -> DataFrame:
+    """OLS daily-count trend per key with a Newey–West (1987) HAC
+    standard error — the honest version of :func:`ols_daily` for
+    autocorrelated series: consecutive days of telemetry are never
+    independent, so the classical s.e. overstates significance; the
+    Bartlett-weighted long-run variance fixes the t statistic without
+    changing the slope.
+
+    Over the zero-filled daily count series (dense global [min, max]
+    day grid, t = 0..n−1):
+
+        b  = (nΣty − ΣtΣy)/(nΣt² − (Σt)²)          (exact-int ratio)
+        e_t = y_t − a − b·t,   g_t = (t − t̄)·e_t
+        γ_l = Σ_t g_t·g_{t+l}                       (sorted folds)
+        s²_NW = γ_0 + Σ_{l=1..L} 2(1 − l/(L+1))·γ_l
+        se_NW = sqrt(s²_NW) / Σ(t − t̄)²,  t_NW = b/se_NW
+
+    All integer sums are exact; a, b, t̄ join back to the rows as one
+    shared float expression; the lag products use ``lead`` over the
+    key-partitioned day order with missing leads contributing 0, and
+    every Σ folds in day order.  se_OLS is reported alongside so the
+    autocorrelation penalty is visible (se_NW/se_OLS > 1 on positively
+    autocorrelated series).
+
+    Scale: one (key, day) rollup, the dense grid, one key equi-join of
+    the 1-row-per-key OLS fit, one window, one fold aggregate — all
+    co-partitioned on key; series length is retention-bounded.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+        .cast("long")
+        .alias("day"),
+    )
+    counts = base.groupBy("key", "day").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bounds = base.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    dense = (
+        base.select("key")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "key",
+            F.explode(
+                F.sequence(F.lit(0), F.col("hi") - F.col("lo"))
+            ).alias("t"),
+            F.col("lo"),
+        )
+        .withColumn("day", F.col("lo") + F.col("t"))
+        .join(
+            counts.select("key", "day", F.col("cnt").alias("y")),
+            ["key", "day"],
+            "left",
+        )
+        .select(
+            "key", "t", F.coalesce("y", F.lit(0)).alias("y")
+        )
+    )
+    fit = (
+        dense.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("t").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("t") * F.col("y")).alias("sxy"),
+            F.sum(F.col("t") * F.col("t")).alias("sxx"),
+        )
+        .filter(
+            (F.col("n") > lags + 2)
+            & (
+                F.col("n") * F.col("sxx")
+                - F.col("sx") * F.col("sx")
+                > 0
+            )
+        )
+    )
+    nd = F.col("n").cast("double")
+    bb = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+    )
+    fit = fit.select(
+        "key",
+        "n",
+        bb.alias("b"),
+        (
+            (F.col("sy").cast("double") - bb * F.col("sx").cast("double"))
+            / nd
+        ).alias("a"),
+        (F.col("sx").cast("double") / nd).alias("tbar"),
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double")
+            * F.col("sx").cast("double")
+            / nd
+        ).alias("den"),
+    )
+    rows = dense.join(fit, "key").select(
+        "key",
+        "t",
+        "n",
+        "b",
+        "den",
+        (
+            (F.col("t").cast("double") - F.col("tbar"))
+            * (
+                F.col("y").cast("double")
+                - F.col("a")
+                - F.col("b") * F.col("t").cast("double")
+            )
+        ).alias("g"),
+        (
+            (
+                F.col("y").cast("double")
+                - F.col("a")
+                - F.col("b") * F.col("t").cast("double")
+            )
+            * (
+                F.col("y").cast("double")
+                - F.col("a")
+                - F.col("b") * F.col("t").cast("double")
+            )
+        ).alias("e2"),
+    )
+    wlead = Window.partitionBy("key").orderBy("t")
+    lag_cols = [
+        (
+            F.col("g")
+            * F.coalesce(F.lead("g", l).over(wlead), F.lit(0.0))
+        ).alias(f"gl{l}")
+        for l in range(lags + 1)
+    ]
+    terms = rows.select(
+        "key", "t", "n", "b", "den", "e2", *lag_cols
+    )
+
+    def _fold(col_name):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("t", col_name))),
+            F.lit(0.0),
+            lambda acc, r: acc + r[col_name],
+        )
+
+    agg = terms.groupBy("key").agg(
+        F.max("n").alias("n"),
+        F.max("b").alias("b"),
+        F.max("den").alias("den"),
+        _fold("e2").alias("se2"),
+        *[_fold(f"gl{l}").alias(f"g{l}") for l in range(lags + 1)],
+    )
+    s2_nw = F.col("g0")
+    for l in range(1, lags + 1):
+        w_l = 2.0 * (1.0 - l / float(lags + 1))
+        s2_nw = s2_nw + F.lit(w_l) * F.col(f"g{l}")
+    den = F.col("den")
+    se_nw = F.sqrt(s2_nw) / den
+    se_ols = F.sqrt(
+        (F.col("se2") / (F.col("n") - F.lit(2)).cast("double")) / den
+    )
+    return agg.filter(s2_nw > 0).select(
+        "key",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("b").alias("slope"),
+        se_ols.alias("se_ols"),
+        se_nw.alias("se_nw"),
+        (F.col("b") / se_nw).alias("t_nw"),
+    )
