@@ -51,6 +51,12 @@ HOT_QUERIES = {
     "triangle_copurchase": False,
     "pagerank_copurchase": True,
     "hll_md5_cascade_1d": True,
+    # r4 additions: the trig-table join must broadcast (never BNLJ a
+    # 504-row dim against events), and the MK pair join must stay an
+    # equi-join over the day grid
+    "lomb_scargle": True,
+    "mk_seasonal": False,
+    "nw_trend": False,
 }
 
 
