@@ -6193,6 +6193,71 @@ def _spectral_diurnal_sql() -> str:
     )
 
 
+def q_welch_ttest(spark, sf):
+    """Two-sample Welch t-test between deterministic md5-bucket arms
+    per event type (plans/stats.py::welch_ttest): exact BIGINT
+    sufficient statistics, one shared float expression per moment,
+    Welch–Satterthwaite dof."""
+    from tsaug_spark.plans.stats import welch_ttest
+
+    return welch_ttest(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_a", "n_b", "mean_a",
+        "mean_b", "t_stat", "dof",
+    )
+
+
+def q_jarque_bera(spark, sf):
+    """Jarque–Bera normality test of daily counts per event type
+    (plans/stats.py::jarque_bera): exact BIGINT power sums S1..S4,
+    central moments expanded in shared float expressions."""
+    from tsaug_spark.plans.stats import jarque_bera
+
+    return jarque_bera(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_days", "skew_g1",
+        "kurt_g2", "jb_stat",
+    )
+
+
+def q_durbin_watson(spark, sf):
+    """Durbin–Watson serial-correlation statistic of the daily-cents
+    OLS residuals per event type (plans/stats.py::durbin_watson):
+    exact-integer OLS joined back, day-ordered sorted folds of both
+    quadratic forms."""
+    from tsaug_spark.plans.stats import durbin_watson
+
+    return durbin_watson(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_days", "dw_stat",
+    )
+
+
+def q_anova_f(spark, sf):
+    """One-way ANOVA F across event types on per-event cents
+    (plans/stats.py::anova_f): exact BIGINT group moments, the one
+    order-sensitive reduction folds in key order."""
+    from tsaug_spark.plans.stats import anova_f
+
+    return anova_f(_events(spark, sf))
+
+
+def q_brown_forsythe(spark, sf):
+    """Brown–Forsythe median-centered variance-homogeneity test
+    across event types (plans/stats.py::brown_forsythe):
+    rank-selected integer medians, integer |2c - m2| spreads, key-
+    ordered fold."""
+    from tsaug_spark.plans.stats import brown_forsythe
+
+    return brown_forsythe(_events(spark, sf))
+
+
+def q_cramers_v(spark, sf):
+    """Cramér's V association strength of the type x hour-of-day
+    contingency table (plans/stats.py::cramers_v): exact margins,
+    (key, hour)-ordered chi-square fold, normalized effect size."""
+    from tsaug_spark.plans.stats import cramers_v
+
+    return cramers_v(_events(spark, sf))
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -6203,6 +6268,12 @@ def _spectral_diurnal_sql() -> str:
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "welch_ttest",
+    "jarque_bera",
+    "durbin_watson",
+    "anova_f",
+    "brown_forsythe",
+    "cramers_v",
     "mk_seasonal",
     "kuiper_uniform",
     "nw_trend",
@@ -6653,6 +6724,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mk_seasonal": q_mk_seasonal,
         "kuiper_uniform": q_kuiper_uniform,
         "nw_trend": q_nw_trend,
+        "welch_ttest": q_welch_ttest,
+        "jarque_bera": q_jarque_bera,
+        "durbin_watson": q_durbin_watson,
+        "anova_f": q_anova_f,
+        "brown_forsythe": q_brown_forsythe,
+        "cramers_v": q_cramers_v,
         "reservoir_sample": q_reservoir_sample,
         "triangle_copurchase": q_triangle_copurchase,
         "pagerank_copurchase": q_pagerank_copurchase,
@@ -10708,6 +10785,181 @@ def oracle_sql() -> dict[str, str]:
             "CAST(day * 86400 AS BIGINT) AS day_s, "
             "CAST(n AS BIGINT) AS n, dp AS d_plus, dm AS d_minus, "
             "dp + dm AS v_stat FROM agg WHERE n >= 5"
+        ),
+        "welch_ttest": (
+            "WITH b AS (SELECT event_type AS key, "
+            "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || "
+            "'exp1'), 1, 8))::BIGINT % 2 AS INT) AS arm, "
+            "CAST(round(value * 100) AS BIGINT) AS c FROM events), "
+            "g AS (SELECT key, arm, COUNT(*) AS n, SUM(c) AS s, "
+            "SUM(c * c) AS q FROM b GROUP BY 1, 2), "
+            "w AS (SELECT key, "
+            "MAX(CASE WHEN arm = 0 THEN n END) AS na, "
+            "MAX(CASE WHEN arm = 0 THEN s END) AS sa, "
+            "MAX(CASE WHEN arm = 0 THEN q END) AS qa, "
+            "MAX(CASE WHEN arm = 1 THEN n END) AS nb, "
+            "MAX(CASE WHEN arm = 1 THEN s END) AS sb, "
+            "MAX(CASE WHEN arm = 1 THEN q END) AS qb "
+            "FROM g GROUP BY 1), "
+            "f AS (SELECT key, na, nb, "
+            "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma, "
+            "CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb, "
+            "(CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * "
+            "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / "
+            "(CAST(na AS DOUBLE) - 1.0) / CAST(na AS DOUBLE) AS sea, "
+            "(CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * "
+            "CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / "
+            "(CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE) AS seb "
+            "FROM w WHERE na >= 2 AND nb >= 2) "
+            "SELECT key AS event_type, CAST(na AS BIGINT) AS n_a, "
+            "CAST(nb AS BIGINT) AS n_b, ma AS mean_a, mb AS mean_b, "
+            "(ma - mb) / sqrt(sea + seb) AS t_stat, "
+            "(sea + seb) * (sea + seb) / "
+            "(sea * sea / (CAST(na AS DOUBLE) - 1.0) + "
+            "seb * seb / (CAST(nb AS DOUBLE) - 1.0)) AS dof "
+            "FROM f WHERE sea + seb > 0"
+        ),
+        "jarque_bera": (
+            "WITH daily AS (SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "COUNT(*) AS y FROM events GROUP BY 1, 2), "
+            "a AS (SELECT key, COUNT(*) AS n, SUM(y) AS s1, "
+            "SUM(y*y) AS s2, SUM(y*y*y) AS s3, SUM(y*y*y*y) AS s4 "
+            "FROM daily GROUP BY 1 HAVING COUNT(*) >= 4), "
+            "m AS (SELECT key, n, "
+            "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu, "
+            "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2, "
+            "CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3, "
+            "CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4 FROM a), "
+            "c AS (SELECT key, n, r2 - mu * mu AS m2, "
+            "r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3, "
+            "r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - "
+            "3.0 * mu * mu * mu * mu AS m4 FROM m), "
+            "g AS (SELECT key, n, m3 / (m2 * sqrt(m2)) AS g1, "
+            "m4 / (m2 * m2) - 3.0 AS g2 FROM c WHERE m2 > 0) "
+            "SELECT key AS event_type, CAST(n AS BIGINT) AS n_days, "
+            "g1 AS skew_g1, g2 AS kurt_g2, "
+            "CAST(n AS DOUBLE) / 6.0 * (g1 * g1 + g2 * g2 / 4.0) AS "
+            "jb_stat FROM g"
+        ),
+        "durbin_watson": (
+            "WITH d AS (SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "SUM(CAST(round(value * 100) AS BIGINT)) AS y "
+            "FROM events GROUP BY 1, 2), "
+            "o AS (SELECT key, day - MIN(day) OVER "
+            "(PARTITION BY key) AS x, y FROM d), "
+            "f0 AS (SELECT key, COUNT(*) AS n, SUM(x) AS sx, "
+            "SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx "
+            "FROM o GROUP BY 1 HAVING COUNT(*) >= 3), "
+            "fit AS (SELECT key, n, "
+            "CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "CAST(n*sxx - sx*sx AS DOUBLE) AS b, "
+            "(CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "CAST(n*sxx - sx*sx AS DOUBLE) * CAST(sx AS DOUBLE)) / "
+            "CAST(n AS DOUBLE) AS a FROM f0 "
+            "WHERE n*sxx - sx*sx > 0), "
+            "res AS (SELECT o.key, fit.n, o.x, "
+            "CAST(o.y AS DOUBLE) - (fit.a + fit.b * "
+            "CAST(o.x AS DOUBLE)) AS e FROM o JOIN fit "
+            "ON o.key = fit.key), "
+            "t AS (SELECT key, n, x, e * e AS e2, "
+            "CASE WHEN lag(e) OVER (PARTITION BY key ORDER BY x) "
+            "IS NOT NULL THEN (e - lag(e) OVER (PARTITION BY key "
+            "ORDER BY x)) * (e - lag(e) OVER (PARTITION BY key "
+            "ORDER BY x)) ELSE 0.0 END AS de2 FROM res), "
+            "agg AS (SELECT key, MAX(n) AS n, "
+            "list_reduce(list_prepend(0.0, list(e2 ORDER BY x)), "
+            "(a_, b_) -> a_ + b_) AS se2, "
+            "list_reduce(list_prepend(0.0, list(de2 ORDER BY x)), "
+            "(a_, b_) -> a_ + b_) AS sde2 FROM t GROUP BY 1) "
+            "SELECT key AS event_type, CAST(n AS BIGINT) AS n_days, "
+            "sde2 / se2 AS dw_stat FROM agg WHERE se2 > 0"
+        ),
+        "anova_f": (
+            "WITH b AS (SELECT event_type AS key, "
+            "CAST(round(value * 100) AS BIGINT) AS c FROM events), "
+            "g AS (SELECT key, COUNT(*) AS n, SUM(c) AS s, "
+            "SUM(c*c) AS q FROM b GROUP BY 1 "
+            "HAVING COUNT(*) >= 2), "
+            "t AS (SELECT key, n, s, q, CAST(s AS DOUBLE) * "
+            "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS t_g FROM g), "
+            "a AS (SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(s) AS ss, "
+            "SUM(q) AS qq, list_reduce(list_prepend(0.0, "
+            "list(t_g ORDER BY key)), (a_, b_) -> a_ + b_) AS t "
+            "FROM t), "
+            "f AS (SELECT k, nn, "
+            "t - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / "
+            "CAST(nn AS DOUBLE) AS ssb, "
+            "CAST(qq AS DOUBLE) - t AS ssw FROM a "
+            "WHERE k >= 2 AND nn > k) "
+            "SELECT CAST(k AS BIGINT) AS k_groups, "
+            "CAST(nn AS BIGINT) AS n_total, ssb, ssw, "
+            "CASE WHEN ssw > 0 THEN (ssb / (CAST(k AS DOUBLE) - 1.0))"
+            " / (ssw / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))) "
+            "END AS f_stat FROM f"
+        ),
+        "brown_forsythe": (
+            "WITH b AS (SELECT event_type AS key, "
+            "CAST(round(value * 100) AS BIGINT) AS c FROM events), "
+            "r AS (SELECT key, c, ROW_NUMBER() OVER "
+            "(PARTITION BY key ORDER BY c) AS i, "
+            "COUNT(*) OVER (PARTITION BY key) AS n FROM b), "
+            "med AS (SELECT key, CASE WHEN MAX(i) > MIN(i) THEN "
+            "SUM(c) ELSE 2 * MAX(c) END AS m2 FROM r "
+            "WHERE i = (n + 1) // 2 OR i = (n + 2) // 2 "
+            "GROUP BY 1), "
+            "z AS (SELECT b.key, abs(2 * b.c - med.m2) AS z2 "
+            "FROM b JOIN med ON b.key = med.key), "
+            "g AS (SELECT key, COUNT(*) AS n, SUM(z2) AS s, "
+            "SUM(z2*z2) AS q FROM z GROUP BY 1 "
+            "HAVING COUNT(*) >= 2), "
+            "t AS (SELECT key, n, s, q, CAST(s AS DOUBLE) * "
+            "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS t_g FROM g), "
+            "a AS (SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(s) AS ss, "
+            "SUM(q) AS qq, list_reduce(list_prepend(0.0, "
+            "list(t_g ORDER BY key)), (a_, b_) -> a_ + b_) AS t "
+            "FROM t), "
+            "f AS (SELECT k, nn, "
+            "t - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / "
+            "CAST(nn AS DOUBLE) AS ssb, "
+            "CAST(qq AS DOUBLE) - t AS ssw FROM a "
+            "WHERE k >= 2 AND nn > k) "
+            "SELECT CAST(k AS BIGINT) AS k_groups, "
+            "CAST(nn AS BIGINT) AS n_total, "
+            "CASE WHEN ssw > 0 THEN (ssb / (CAST(k AS DOUBLE) - 1.0))"
+            " / (ssw / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))) "
+            "END AS f_stat FROM f"
+        ),
+        "cramers_v": (
+            "WITH cells AS (SELECT event_type AS key, "
+            "CAST(floor((epoch(ts) % 86400) / 3600) AS INT) AS hr, "
+            "COUNT(*) AS o FROM events GROUP BY 1, 2), "
+            "rows_ AS (SELECT key, SUM(o) AS rt FROM cells "
+            "GROUP BY 1), "
+            "cols_ AS (SELECT hr, SUM(o) AS ct FROM cells "
+            "GROUP BY 1), "
+            "tot AS (SELECT SUM(o) AS nn FROM cells), "
+            "e AS (SELECT cells.key, cells.hr, tot.nn, "
+            "(CAST(cells.o AS DOUBLE) - CAST(rows_.rt * cols_.ct AS "
+            "DOUBLE) / CAST(tot.nn AS DOUBLE)) * "
+            "(CAST(cells.o AS DOUBLE) - CAST(rows_.rt * cols_.ct AS "
+            "DOUBLE) / CAST(tot.nn AS DOUBLE)) / "
+            "(CAST(rows_.rt * cols_.ct AS DOUBLE) / "
+            "CAST(tot.nn AS DOUBLE)) AS term "
+            "FROM cells JOIN rows_ ON cells.key = rows_.key "
+            "JOIN cols_ ON cells.hr = cols_.hr CROSS JOIN tot), "
+            "agg AS (SELECT MAX(nn) AS nn, "
+            "COUNT(DISTINCT key) AS r, COUNT(DISTINCT hr) AS c, "
+            "list_reduce(list_prepend(0.0, "
+            "list(term ORDER BY key, hr)), (a_, b_) -> a_ + b_) AS "
+            "chi2 FROM e) "
+            "SELECT CAST(nn AS BIGINT) AS n_total, "
+            "CAST(r AS BIGINT) AS r_levels, "
+            "CAST(c AS BIGINT) AS c_levels, chi2, "
+            "sqrt(chi2 / (CAST(nn AS DOUBLE) * "
+            "(CAST(LEAST(r, c) AS DOUBLE) - 1.0))) AS cramers_v "
+            "FROM agg WHERE r >= 2 AND c >= 2"
         ),
         "friedman_types": (
             "WITH daily AS (SELECT event_type AS key, "

@@ -5372,3 +5372,609 @@ def newey_west_trend(
         se_nw.alias("se_nw"),
         (F.col("b") / se_nw).alias("t_nw"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    key_col: str = "event_type",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    salt: str = "exp1",
+) -> DataFrame:
+    """Two-sample Welch t-test of the per-event value between two
+    deterministic md5-bucket arms, per key — the unequal-variance
+    A/B significance readout (Welch 1947) next to :func:`cuped`'s
+    variance-reduced point estimate.
+
+        t   = (m_a - m_b) / sqrt(s2_a/n_a + s2_b/n_b)
+        dof = (s2_a/n_a + s2_b/n_b)^2
+              / ((s2_a/n_a)^2/(n_a-1) + (s2_b/n_b)^2/(n_b-1))
+
+    Arms come from the repo's md5-bucket idiom (2 buckets, same salt
+    as ``cuped`` so readouts line up).  Per (key, arm) the sufficient
+    statistics n, S = sum(cents), Q = sum(cents^2) are exact BIGINTs;
+    mean and variance cast the integers to double only at the final
+    products (the ols_daily overflow idiom), so every float is ONE
+    shared expression in both engines.
+
+    Scale: one hash aggregate at (key, arm) grain, then a 2-row
+    pivot per key — no window, no join, no iteration.
+
+    Output: key, n_a, n_b, mean_a, mean_b, t_stat, dof.
+    """
+    from tsaug_spark.pipeline.sampling import hash_bucket
+
+    per_arm = (
+        df.select(
+            F.col(key_col).alias("key"),
+            hash_bucket(user_col, salt, 2).alias("arm"),
+            F.round(F.col(value_col) * 100).cast("long").alias("c"),
+        )
+        .groupBy("key", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("q"),
+        )
+    )
+    arm = lambda col, a: F.max(F.when(F.col("arm") == a, F.col(col)))
+    wide = per_arm.groupBy("key").agg(
+        arm("n", 0).alias("na"), arm("s", 0).alias("sa"),
+        arm("q", 0).alias("qa"), arm("n", 1).alias("nb"),
+        arm("s", 1).alias("sb"), arm("q", 1).alias("qb"),
+    ).filter((F.col("na") >= 2) & (F.col("nb") >= 2))
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    ma = F.col("sa").cast("double") / nad
+    mb = F.col("sb").cast("double") / nbd
+    va = (
+        F.col("qa").cast("double")
+        - F.col("sa").cast("double") * F.col("sa").cast("double") / nad
+    ) / (nad - F.lit(1.0))
+    vb = (
+        F.col("qb").cast("double")
+        - F.col("sb").cast("double") * F.col("sb").cast("double") / nbd
+    ) / (nbd - F.lit(1.0))
+    sea = va / nad
+    seb = vb / nbd
+    se2 = sea + seb
+    return wide.filter(se2 > 0).select(
+        "key",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        ((ma - mb) / F.sqrt(se2)).alias("t_stat"),
+        (
+            se2 * se2
+            / (
+                sea * sea / (nad - F.lit(1.0))
+                + seb * seb / (nbd - F.lit(1.0))
+            )
+        ).alias("dof"),
+    )
+
+
+def jarque_bera(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Jarque–Bera normality test of each key's daily event counts —
+    the standard "is this series Gaussian enough for z-scores"
+    pre-check in front of :func:`grubbs_test` / Hampel screens
+    (Jarque & Bera 1980).
+
+        JB = n/6 * (g1^2 + (g2)^2/4)
+
+    with g1 = m3/m2^1.5 the sample skewness and g2 = m4/m2^2 - 3 the
+    excess kurtosis.  The four raw power sums S1..S4 of the daily
+    counts are exact BIGINTs (counts are small integers; S4 stays
+    far under 2^63 at retention-bounded day counts), the central
+    moments expand the raw moments in ONE shared float expression
+    each, and m2^1.5 is written m2*sqrt(m2) identically in both
+    engines.
+
+    Scale: one (key, day) count rollup then one key aggregate — two
+    hash shuffles on the same key, no window, no pairs.
+
+    Output: key, n_days, skew_g1, kurt_g2, jb_stat.
+    """
+    daily = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    y = F.col("y")
+    agg = daily.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("s1"),
+        F.sum(y * y).alias("s2"),
+        F.sum(y * y * y).alias("s3"),
+        F.sum(y * y * y * y).alias("s4"),
+    ).filter(F.col("n") >= 4)
+    nd = F.col("n").cast("double")
+    m = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    m2 = r2 - m * m
+    m3 = r3 - F.lit(3.0) * m * r2 + F.lit(2.0) * m * m * m
+    m4 = (
+        r4
+        - F.lit(4.0) * m * r3
+        + F.lit(6.0) * m * m * r2
+        - F.lit(3.0) * m * m * m * m
+    )
+    g1 = m3 / (m2 * F.sqrt(m2))
+    g2 = m4 / (m2 * m2) - F.lit(3.0)
+    return agg.filter(m2 > 0).select(
+        "key",
+        F.col("n").cast("long").alias("n_days"),
+        g1.alias("skew_g1"),
+        g2.alias("kurt_g2"),
+        (nd / F.lit(6.0) * (g1 * g1 + g2 * g2 / F.lit(4.0)))
+        .alias("jb_stat"),
+    )
+
+
+def durbin_watson(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Durbin–Watson first-order autocorrelation statistic of the
+    residuals from each key's daily-cents OLS trend — the classic
+    "are the trend residuals serially correlated" diagnostic
+    (Durbin & Watson 1950) that says when :func:`ols_daily`'s naive
+    standard errors lie and :func:`newey_west_trend` is needed.
+
+        DW = sum_t (e_t - e_{t-1})^2 / sum_t e_t^2     (~2 = none)
+
+    x is the day offset, y the daily cents; the OLS slope/intercept
+    come from the exact BIGINT sufficient statistics (the ols_daily
+    idiom), each residual e = y - (a + b*x) is ONE shared float
+    expression of exact integers, and both quadratic-form sums fold
+    in day order (sorted fold) so accumulation is bit-identical in
+    both engines.
+
+    Scale: one (key, day) rollup, one key aggregate for the OLS fit,
+    one co-partitioned equi-join back, one key-ordered window for the
+    lag, then per-key sorted folds whose list length is the
+    retention-bounded day count — never event volume.
+
+    Output: key, n_days, slope, dw_stat.
+    """
+    d = _day_cents(df, key_col, ts_col, value_col)
+    w = Window.partitionBy("key")
+    o = d.select(
+        "key",
+        (F.col("day") - F.min("day").over(w)).alias("x"),
+        F.col("cents").alias("y"),
+    )
+    fit = (
+        o.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    fit = fit.filter(dxx > 0).select(
+        "key",
+        "n",
+        (num.cast("double") / dxx.cast("double")).alias("b"),
+        (
+            (
+                F.col("sy").cast("double")
+                - (num.cast("double") / dxx.cast("double"))
+                * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double")
+        ).alias("a"),
+    )
+    res = o.join(fit, "key").select(
+        "key",
+        "n",
+        "x",
+        (
+            F.col("y").cast("double")
+            - (F.col("a") + F.col("b") * F.col("x").cast("double"))
+        ).alias("e"),
+    )
+    wo = Window.partitionBy("key").orderBy("x")
+    terms = res.select(
+        "key",
+        "n",
+        "x",
+        (F.col("e") * F.col("e")).alias("e2"),
+        F.when(
+            F.lag("e").over(wo).isNotNull(),
+            (F.col("e") - F.lag("e").over(wo))
+            * (F.col("e") - F.lag("e").over(wo)),
+        ).otherwise(F.lit(0.0)).alias("de2"),
+    )
+    fold = lambda c: F.aggregate(
+        F.array_sort(F.collect_list(F.struct("x", c))),
+        F.lit(0.0),
+        lambda acc, s: acc + s[c],
+    )
+    agg = terms.groupBy("key").agg(
+        F.max("n").alias("n"),
+        fold("e2").alias("se2"),
+        fold("de2").alias("sde2"),
+    )
+    return agg.filter(F.col("se2") > 0).select(
+        "key",
+        F.col("n").cast("long").alias("n_days"),
+        (F.col("sde2") / F.col("se2")).alias("dw_stat"),
+    )
+
+
+def anova_f(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """One-way ANOVA F across the keys on per-event cents — the
+    parametric k-sample mean-difference omnibus next to the
+    rank-based :func:`kruskal_types` twin (equal-variance Fisher
+    form; :func:`brown_forsythe` checks that assumption).
+
+        F = (SSB/(k-1)) / (SSW/(N-k))
+
+    Per-group n, S = sum(cents), Q = sum(cents^2) are exact BIGINTs;
+    the grand N, S, Q are exact integer sums of those.  The only
+    order-sensitive float reduction, T = sum_g S_g^2/n_g, folds over
+    the groups in key order (sorted fold over a k-element list), then
+    SSB = T - S^2/N and SSW = Q - T are single shared expressions.
+
+    Scale: one hash aggregate at key grain, then a k-row fold on one
+    final row — group count is the type vocabulary, not event volume.
+
+    Output (1 row): k_groups, n_total, ssb, ssw, f_stat.
+    """
+    g = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.round(F.col(value_col) * 100).cast("long").alias("c"),
+        )
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("q"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    terms = g.select(
+        "key",
+        "n",
+        "s",
+        "q",
+        (
+            F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        ).alias("t_g"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("key", "t_g"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t_g"],
+        ).alias("t"),
+    )
+    nd = F.col("nn").cast("double")
+    ssb = F.col("t") - F.col("ss").cast("double") * F.col("ss").cast("double") / nd
+    ssw = F.col("qq").cast("double") - F.col("t")
+    kd = F.col("k").cast("double")
+    return agg.filter(
+        (F.col("k") >= 2) & (F.col("nn") > F.col("k"))
+    ).select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n_total"),
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        F.when(
+            ssw > 0,
+            (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd)),
+        ).alias("f_stat"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Brown–Forsythe (median-centered Levene) test that the keys'
+    value distributions share a variance — the robust
+    homoscedasticity check guarding :func:`anova_f`'s equal-variance
+    assumption (Brown & Forsythe 1974; the median form keeps its
+    level under heavy tails where the mean form breaks).
+
+    The spread score is z = |c - median_g(c)|; we compute on
+    z2 = |2c - m2_g| with m2 = lower + upper rank-selected median
+    (an exact BIGINT — rank selection, never an engine percentile),
+    which is 2z exactly, and the F statistic is invariant under that
+    positive rescaling.  Per-group n, S = sum(z2), Q = sum(z2^2) are
+    exact BIGINTs and the one order-sensitive reduction
+    T = sum_g S_g^2/n_g folds in key order, exactly as in
+    :func:`anova_f`.
+
+    Scale: one per-key ordered window for the median ranks, one hash
+    aggregate at key grain, one k-row fold — the window is the only
+    event-volume pass.
+
+    Output (1 row): k_groups, n_total, f_stat.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.round(F.col(value_col) * 100).cast("long").alias("c"),
+    )
+    wr = Window.partitionBy("key").orderBy("c")
+    wn = Window.partitionBy("key")
+    ranked = base.select(
+        "key",
+        "c",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    lo = F.floor((F.col("n") + 1) / 2)
+    hi = F.ceil((F.col("n") + 1) / 2)
+    med = (
+        ranked.filter((F.col("i") == lo) | (F.col("i") == hi))
+        .groupBy("key")
+        .agg(
+            (
+                F.when(F.max("i") > F.min("i"), F.sum("c"))
+                .otherwise(F.lit(2) * F.max("c"))
+            ).alias("m2")
+        )
+    )
+    z = base.join(med, "key").select(
+        "key", F.abs(F.lit(2) * F.col("c") - F.col("m2")).alias("z2")
+    )
+    g = (
+        z.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("z2").alias("s"),
+            F.sum(F.col("z2") * F.col("z2")).alias("q"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    terms = g.select(
+        "key",
+        "n",
+        "s",
+        "q",
+        (
+            F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        ).alias("t_g"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("key", "t_g"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t_g"],
+        ).alias("t"),
+    )
+    nd = F.col("nn").cast("double")
+    kd = F.col("k").cast("double")
+    ssb = F.col("t") - F.col("ss").cast("double") * F.col("ss").cast("double") / nd
+    ssw = F.col("qq").cast("double") - F.col("t")
+    return agg.filter(
+        (F.col("k") >= 2) & (F.col("nn") > F.col("k"))
+    ).select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n_total"),
+        F.when(
+            ssw > 0,
+            (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd)),
+        ).alias("f_stat"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cramér's V association strength for the key x hour-of-day
+    contingency table — the [0, 1]-normalized effect size that makes
+    :func:`chi2_type_hour`'s raw statistic comparable across tables
+    of different size and shape (Cramér 1946).
+
+        V = sqrt( chi2 / (N * (min(r, c) - 1)) )
+
+    Cell, row and column counts are exact BIGINTs; each cell's
+    expected count E = row*col/N casts the exact integer product to
+    double in one shared expression, and chi2 folds the (O-E)^2/E
+    terms in (key, hour) order — a sorted fold over at most r*c
+    cells (vocabulary-bounded, here <= 24*|types|).
+
+    Scale: one hash aggregate at (key, hour) grain, two broadcast
+    joins of the r- and c-row margins, one tiny fold — the contingency
+    table never leaves vocabulary size regardless of event volume.
+
+    Output (1 row): n_total, r_levels, c_levels, chi2, cramers_v.
+    """
+    cells = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(
+                (F.unix_timestamp(F.col(ts_col)) % 86400) / 3600
+            ).cast("int").alias("hr"),
+        )
+        .groupBy("key", "hr")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rows = cells.groupBy("key").agg(F.sum("o").alias("rt"))
+    cols = cells.groupBy("hr").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("nn"))
+    e = (
+        cells.join(F.broadcast(rows), "key")
+        .join(F.broadcast(cols), "hr")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "hr",
+            "nn",
+            (
+                (F.col("rt") * F.col("ct")).cast("double")
+                / F.col("nn").cast("double")
+            ).alias("exp"),
+            F.col("o").cast("double").alias("od"),
+        )
+        .select(
+            "key",
+            "hr",
+            "nn",
+            (
+                (F.col("od") - F.col("exp"))
+                * (F.col("od") - F.col("exp"))
+                / F.col("exp")
+            ).alias("term"),
+        )
+    )
+    agg = e.agg(
+        F.max("nn").alias("nn"),
+        F.count_distinct("key").alias("r"),
+        F.count_distinct("hr").alias("c"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("key", "hr", "term"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("chi2"),
+    )
+    dmin = F.least(F.col("r"), F.col("c")).cast("double") - F.lit(1.0)
+    return agg.filter((F.col("r") >= 2) & (F.col("c") >= 2)).select(
+        F.col("nn").cast("long").alias("n_total"),
+        F.col("r").cast("long").alias("r_levels"),
+        F.col("c").cast("long").alias("c_levels"),
+        F.col("chi2").alias("chi2"),
+        F.sqrt(F.col("chi2") / (F.col("nn").cast("double") * dmin))
+        .alias("cramers_v"),
+    )
+
+
+def chao1_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    species_col: str = "user_id",
+) -> DataFrame:
+    """Bias-corrected Chao1 species-richness estimate of the TRUE
+    distinct-user count per day (Chao 1984) — "how many users were
+    really active, counting the ones we never sampled", the
+    ecology-borrowed completeness check next to the exact/HLL
+    distinct counters in plans/sketches.py.
+
+        chao1 = D + f1*(f1 - 1) / (2*(f2 + 1))
+
+    with D observed distinct species, f1/f2 the singleton/doubleton
+    species counts.  The bias-corrected form is used unconditionally
+    (it is defined for f2 = 0 too), so the estimate is ONE shared
+    float division of exact BIGINTs.
+
+    Scale: one hash aggregate at (day, species) grain then one at day
+    grain — the frequency-of-frequencies table per day is tiny.
+
+    Output: day_s, d_obs, f1, f2, chao1.
+    """
+    per = (
+        df.select(
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+            F.col(species_col).alias("sp"),
+        )
+        .groupBy("day", "sp")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    agg = per.groupBy("day").agg(
+        F.count(F.lit(1)).alias("d_obs"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0)).alias("f2"),
+    )
+    return agg.select(
+        (F.col("day") * 86400).cast("long").alias("day_s"),
+        F.col("d_obs").cast("long").alias("d_obs"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        (
+            F.col("d_obs").cast("double")
+            + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+            / (F.lit(2) * (F.col("f2") + 1)).cast("double")
+        ).alias("chao1"),
+    )
+
+
+def good_turing(
+    df: DataFrame,
+    key_col: str = "event_type",
+    species_col: str = "user_id",
+) -> DataFrame:
+    """Good–Turing unseen-mass and singleton-discount estimates per
+    key over its user-frequency spectrum (Good 1953) — the "what
+    fraction of the next batch will be brand-new users" screen, the
+    same machinery LLM-pipeline token-frequency smoothing uses.
+
+        p0  = N1 / N          (probability mass of unseen species)
+        r1* = 2 * N2 / N1     (smoothed true count of once-seen ones)
+
+    N = total events, N1/N2 = species seen exactly once/twice — all
+    exact BIGINTs; the two estimates are single shared divisions.
+
+    Scale: one hash aggregate at (key, species) grain then one at key
+    grain.
+
+    Output: key, n_events, d_species, n1, n2, p0_unseen, r1_smooth.
+    """
+    per = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(species_col).alias("sp"),
+        )
+        .groupBy("key", "sp")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    agg = per.groupBy("key").agg(
+        F.sum("f").alias("n"),
+        F.count(F.lit(1)).alias("d"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0)).alias("n2"),
+    )
+    return agg.filter(F.col("n1") > 0).select(
+        "key",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("d").cast("long").alias("d_species"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        (F.col("n1").cast("double") / F.col("n").cast("double"))
+        .alias("p0_unseen"),
+        (
+            F.lit(2.0) * F.col("n2").cast("double")
+            / F.col("n1").cast("double")
+        ).alias("r1_smooth"),
+    )
