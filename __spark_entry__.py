@@ -6258,6 +6258,48 @@ def q_cramers_v(spark, sf):
     return cramers_v(_events(spark, sf))
 
 
+def q_chao1_daily(spark, sf):
+    """Bias-corrected Chao1 true-richness estimate of daily distinct
+    users (plans/stats.py::chao1_daily): exact singleton/doubleton
+    counts, one shared float division."""
+    from tsaug_spark.plans.stats import chao1_daily
+
+    return chao1_daily(_events(spark, sf))
+
+
+def q_good_turing(spark, sf):
+    """Good-Turing unseen-mass and singleton-discount estimates per
+    event type over user frequencies (plans/stats.py::good_turing)."""
+    from tsaug_spark.plans.stats import good_turing
+
+    return good_turing(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_events", "d_species",
+        "n1", "n2", "p0_unseen", "r1_smooth",
+    )
+
+
+def q_assortativity(spark, sf):
+    """Degree assortativity of the capped co-purchase graph
+    (plans/graph.py::assortativity): exact BIGINT stub moments,
+    Pearson r as one shared float expression."""
+    from tsaug_spark.plans.graph import assortativity, copurchase_edges
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    return assortativity(copurchase_edges(li, orders, max_buyers=20))
+
+
+def q_adamic_adar(spark, sf):
+    """Adamic-Adar link prediction over the capped co-purchase graph
+    (plans/graph.py::adamic_adar): wedge-join candidates, z-ordered
+    sorted fold of 1/ln(deg), deterministic top-k."""
+    from tsaug_spark.plans.graph import adamic_adar, copurchase_edges
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    return adamic_adar(copurchase_edges(li, orders, max_buyers=20))
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -6268,6 +6310,10 @@ def q_cramers_v(spark, sf):
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "chao1_daily",
+    "good_turing",
+    "assortativity",
+    "adamic_adar",
     "welch_ttest",
     "jarque_bera",
     "durbin_watson",
@@ -6724,6 +6770,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mk_seasonal": q_mk_seasonal,
         "kuiper_uniform": q_kuiper_uniform,
         "nw_trend": q_nw_trend,
+        "chao1_daily": q_chao1_daily,
+        "good_turing": q_good_turing,
+        "assortativity": q_assortativity,
+        "adamic_adar": q_adamic_adar,
         "welch_ttest": q_welch_ttest,
         "jarque_bera": q_jarque_bera,
         "durbin_watson": q_durbin_watson,
@@ -10785,6 +10835,100 @@ def oracle_sql() -> dict[str, str]:
             "CAST(day * 86400 AS BIGINT) AS day_s, "
             "CAST(n AS BIGINT) AS n, dp AS d_plus, dm AS d_minus, "
             "dp + dm AS v_stat FROM agg WHERE n >= 5"
+        ),
+        "chao1_daily": (
+            "WITH per AS (SELECT "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "user_id AS sp, COUNT(*) AS f FROM events "
+            "GROUP BY 1, 2), "
+            "a AS (SELECT day, COUNT(*) AS d_obs, "
+            "SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS f1, "
+            "SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS f2 "
+            "FROM per GROUP BY 1) "
+            "SELECT CAST(day * 86400 AS BIGINT) AS day_s, "
+            "CAST(d_obs AS BIGINT) AS d_obs, "
+            "CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2, "
+            "CAST(d_obs AS DOUBLE) + CAST(f1 * (f1 - 1) AS DOUBLE) "
+            "/ CAST(2 * (f2 + 1) AS DOUBLE) AS chao1 FROM a"
+        ),
+        "good_turing": (
+            "WITH per AS (SELECT event_type AS key, user_id AS sp, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "COUNT(*) AS f FROM events GROUP BY 1, 2, 3), "
+            "a AS (SELECT key, SUM(f) AS n, COUNT(*) AS d, "
+            "SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS n1, "
+            "SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS n2 "
+            "FROM per GROUP BY 1) "
+            "SELECT key AS event_type, CAST(n AS BIGINT) AS "
+            "n_events, CAST(d AS BIGINT) AS d_species, "
+            "CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, "
+            "CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE) AS p0_unseen, "
+            "2.0 * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) AS "
+            "r1_smooth FROM a WHERE n1 > 0"
+        ),
+        "assortativity": (
+            "WITH bp AS (SELECT DISTINCT l_partkey AS part, "
+            "o_custkey AS cust FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey), "
+            "sz AS (SELECT part FROM bp GROUP BY part "
+            "HAVING COUNT(*) <= 20), "
+            "k AS (SELECT bp.part, bp.cust FROM bp JOIN sz "
+            "USING (part)), "
+            "e AS (SELECT DISTINCT a.cust AS u, b.cust AS v "
+            "FROM k a JOIN k b USING (part) WHERE a.cust < b.cust), "
+            "adj AS (SELECT u AS a, v AS b FROM e "
+            "UNION ALL SELECT v, u FROM e), "
+            "deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS "
+            "deg FROM adj GROUP BY 1), "
+            "stubs AS (SELECT dx.deg AS x, dy.deg AS y FROM adj "
+            "JOIN deg dx ON adj.a = dx.node "
+            "JOIN deg dy ON adj.b = dy.node), "
+            "agg AS (SELECT COUNT(*) AS m2, SUM(x) AS sx, "
+            "SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx, "
+            "SUM(y*y) AS syy FROM stubs), "
+            "n AS (SELECT COUNT(*) AS n_nodes FROM deg) "
+            "SELECT CAST(n_nodes AS BIGINT) AS n_nodes, "
+            "CAST(m2 // 2 AS BIGINT) AS n_edges, "
+            "CASE WHEN CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE) - "
+            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 AND "
+            "CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE) - "
+            "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN "
+            "(CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE) - "
+            "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+            "(sqrt(CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE) - "
+            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+            "sqrt(CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE) - "
+            "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS "
+            "r_assort FROM agg CROSS JOIN n WHERE m2 > 0"
+        ),
+        "adamic_adar": (
+            "WITH bp AS (SELECT DISTINCT l_partkey AS part, "
+            "o_custkey AS cust FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey), "
+            "sz AS (SELECT part FROM bp GROUP BY part "
+            "HAVING COUNT(*) <= 20), "
+            "k AS (SELECT bp.part, bp.cust FROM bp JOIN sz "
+            "USING (part)), "
+            "e AS (SELECT DISTINCT a.cust AS u, b.cust AS v "
+            "FROM k a JOIN k b USING (part) WHERE a.cust < b.cust), "
+            "adj AS (SELECT u AS node, v AS nbr FROM e "
+            "UNION ALL SELECT v, u FROM e), "
+            "deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg "
+            "FROM adj GROUP BY 1), "
+            "w AS (SELECT x.node AS a, y.node AS b, x.nbr AS z, "
+            "1.0 / ln(CAST(dz.deg AS DOUBLE)) AS w FROM adj x "
+            "JOIN adj y ON y.nbr = x.nbr AND x.node < y.node "
+            "JOIN deg dz ON dz.node = x.nbr), "
+            "cand AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS "
+            "common, list_reduce(list_prepend(0.0, "
+            "list(w ORDER BY z)), (a_, b_) -> a_ + b_) AS aa_score "
+            "FROM w GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+            "nonedge AS (SELECT c.a, c.b, c.common, c.aa_score "
+            "FROM cand c LEFT JOIN e ON e.u = c.a AND e.v = c.b "
+            "WHERE e.u IS NULL) "
+            "SELECT a, b, common, aa_score FROM "
+            "(SELECT *, row_number() OVER (ORDER BY aa_score DESC, "
+            "a ASC, b ASC) AS rk FROM nonedge) WHERE rk <= 100"
         ),
         "welch_ttest": (
             "WITH b AS (SELECT event_type AS key, "

@@ -593,3 +593,154 @@ def local_clustering(edges: DataFrame) -> DataFrame:
             / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
         ).otherwise(F.lit(0.0)).alias("lcc"),
     )
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient of an undirected simple graph
+    given as distinct (u < v) edges (Newman 2002, "Assortative mixing
+    in networks") — do hubs attach to hubs (r > 0, social-style) or
+    to leaves (r < 0, infrastructure-style)?
+
+    r is the Pearson correlation of the endpoint degrees over all 2m
+    directed stubs.  Degrees and the five sufficient statistics
+    (M = 2m, Sx, Sy, Sxy, Sxx, Syy) are exact BIGINTs; r casts the
+    integer moments to double only at the final products (the
+    ols_daily overflow idiom) — ONE shared float expression.
+
+    Scale: one degree aggregate, two co-partitioned equi-joins to
+    decorate stubs with endpoint degrees, one global aggregate — no
+    wedge join, no pairs beyond the existing edges.
+
+    Output (1 row): n_nodes, n_edges, r_assort.
+    """
+    adj = edges.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionByName(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    stubs = (
+        adj.join(deg.withColumnsRenamed({"deg": "dx"}), "a")
+        .join(
+            deg.withColumnsRenamed({"a": "b", "deg": "dy"}), "b"
+        )
+        .select(
+            F.col("dx").cast("long").alias("x"),
+            F.col("dy").cast("long").alias("y"),
+        )
+    )
+    agg = stubs.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    md = F.col("m2").cast("double")
+    cov = md * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    vx = md * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vy = md * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return (
+        agg.crossJoin(F.broadcast(nodes))
+        .filter((F.col("m2") > 0))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            (F.col("m2") / 2).cast("long").alias("n_edges"),
+            F.when(
+                (vx > 0) & (vy > 0),
+                cov / (F.sqrt(vx) * F.sqrt(vy)),
+            ).alias("r_assort"),
+        )
+    )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    min_common: int = 2,
+    top_k: int = 100,
+) -> DataFrame:
+    """Adamic–Adar link-prediction score for non-adjacent pairs
+    (Adamic & Adar 2003): common neighbors weighted by the
+    informativeness 1/ln(deg) of each shared neighbor — rare mutual
+    friends say more than hubs, the refinement over
+    :func:`link_jaccard`'s raw overlap.
+
+        AA(a, b) = sum over z in N(a) n N(b) of 1 / ln(deg(z))
+
+    Degrees and common counts are exact BIGINTs; each 1/ln(deg(z))
+    is one shared float expression (deg(z) >= 2 always holds for a
+    wedge center, so ln > 0), and the per-pair sum folds in z order
+    (sorted fold) — bit-identical accumulation in both engines.  The
+    final top-k orders by (score DESC, a, b).
+
+    Scale: same wedge join as link_jaccard — candidates come from the
+    shared-neighbor key, fan-out bounded by copurchase_edges's
+    max_buyers cap; existing edges leave via one LEFT ANTI join.
+
+    Output: a, b, common, aa_score.
+    """
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    wz = adj.join(
+        deg.withColumnsRenamed({"node": "nbr", "deg": "degz"}), "nbr"
+    )
+    x = wz.select(
+        F.col("nbr").alias("z"),
+        F.col("node").alias("a"),
+        F.col("degz"),
+    )
+    y = adj.select(F.col("nbr").alias("z"), F.col("node").alias("b"))
+    cand = (
+        x.join(y, "z")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            "z",
+            (
+                F.lit(1.0) / F.log(F.col("degz").cast("double"))
+            ).alias("w"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("z", "w"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["w"],
+            ).alias("aa_score"),
+        )
+        .filter(F.col("common") >= F.lit(int(min_common)))
+        .join(
+            edges.select(
+                F.col("u").alias("a"), F.col("v").alias("b")
+            ),
+            ["a", "b"],
+            "left_anti",
+        )
+    )
+    w = Window.orderBy(
+        F.col("aa_score").desc(), F.col("a").asc(), F.col("b").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.lit(int(top_k)))
+        .select(
+            "a",
+            "b",
+            F.col("common").cast("long").alias("common"),
+            "aa_score",
+        )
+    )

@@ -5945,9 +5945,13 @@ def good_turing(
 
     N = total events, N1/N2 = species seen exactly once/twice — all
     exact BIGINTs; the two estimates are single shared divisions.
+    The species unit is the (user, day) cell, not the bare user, so
+    singletons survive at every data scale (a heavy user is a new
+    species each day; with bare users the spectrum degenerates to
+    all-frequent as volume grows and N1 hits 0).
 
-    Scale: one hash aggregate at (key, species) grain then one at key
-    grain.
+    Scale: one hash aggregate at (key, species, day) grain then one
+    at key grain.
 
     Output: key, n_events, d_species, n1, n2, p0_unseen, r1_smooth.
     """
@@ -5955,8 +5959,11 @@ def good_turing(
         df.select(
             F.col(key_col).alias("key"),
             F.col(species_col).alias("sp"),
+            F.floor(F.unix_timestamp(F.col("ts")) / 86400)
+            .cast("long")
+            .alias("day"),
         )
-        .groupBy("key", "sp")
+        .groupBy("key", "sp", "day")
         .agg(F.count(F.lit(1)).alias("f"))
     )
     agg = per.groupBy("key").agg(
