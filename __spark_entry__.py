@@ -5919,6 +5919,82 @@ def _ljung_box_sql(max_lag: int = 12) -> str:
     )
 
 
+def _kpss_sql(lags: int = 12) -> str:
+    """KPSS oracle: same exact-integer T*e / T*S_t series, identical
+    Bartlett-weight double literals in the same addition order as the
+    Spark expression."""
+    leads = ", ".join(
+        f"e * lead(e, {j}) OVER wd AS g{j}"
+        for j in range(1, lags + 1)
+    )
+    csums = ", ".join(
+        f"SUM(g{j}) AS c{j}" for j in range(1, lags + 1)
+    )
+    lrv = "CAST(c0 AS DOUBLE)" + "".join(
+        f" + {2.0 * (1.0 - j / float(lags + 1))!r} * "
+        f"CAST(c{j} AS DOUBLE)"
+        for j in range(1, lags + 1)
+    )
+    return (
+        _DENSE_HOURLY_TYPE_SQL
+        + ", s2 AS (SELECT key, t, "
+        "COUNT(*) OVER (PARTITION BY key) AS tt, "
+        "COUNT(*) OVER (PARTITION BY key) * x - "
+        "SUM(x) OVER (PARTITION BY key) AS e, "
+        "COUNT(*) OVER (PARTITION BY key) * "
+        "SUM(x) OVER (PARTITION BY key ORDER BY t) - "
+        "(t + 1) * SUM(x) OVER (PARTITION BY key) AS p FROM s), "
+        "t2 AS (SELECT key, t, tt, e, "
+        f"CAST(p AS DOUBLE) * CAST(p AS DOUBLE) AS sq, {leads} "
+        "FROM s2 WINDOW wd AS (PARTITION BY key ORDER BY t)), "
+        f"a AS (SELECT key, MAX(tt) AS tt, SUM(e*e) AS c0, {csums}, "
+        "list_reduce(list_prepend(0.0, list(sq ORDER BY t)), "
+        "(a_, b_) -> a_ + b_) AS eta FROM t2 GROUP BY 1), "
+        f"l AS (SELECT key, tt, eta, {lrv} AS lrv FROM a) "
+        "SELECT key AS event_type, CAST(tt AS BIGINT) AS n_hours, "
+        "lrv AS lrv_num, eta / (CAST(tt AS DOUBLE) * lrv) AS "
+        f"kpss_stat FROM l WHERE lrv > 0 AND tt > {lags + 2}"
+    )
+
+
+def _perm_entropy_sql() -> str:
+    """Order-3 permutation-entropy oracle: identical integer ordinal
+    codes, code-ordered entropy fold, ln(6) as the same double."""
+    import math
+
+    return (
+        _DENSE_HOURLY_TYPE_SQL
+        + ", trip AS (SELECT key, t, x AS a, "
+        "lead(x, 1) OVER wd AS b, lead(x, 2) OVER wd AS c FROM s "
+        "WINDOW wd AS (PARTITION BY key ORDER BY t)), "
+        "coded AS (SELECT key, "
+        "(CASE WHEN b < a THEN 1 ELSE 0 END + "
+        "CASE WHEN c < a THEN 1 ELSE 0 END) * 9 + "
+        "(CASE WHEN a <= b THEN 1 ELSE 0 END + "
+        "CASE WHEN c < b THEN 1 ELSE 0 END) * 3 + "
+        "(CASE WHEN a <= c THEN 1 ELSE 0 END + "
+        "CASE WHEN b <= c THEN 1 ELSE 0 END) AS code "
+        "FROM trip WHERE c IS NOT NULL), "
+        "per AS (SELECT key, code, COUNT(*) AS np FROM coded "
+        "GROUP BY 1, 2), "
+        "t2 AS (SELECT key, code, "
+        "SUM(np) OVER (PARTITION BY key) AS nw, "
+        "-(CAST(np AS DOUBLE) / "
+        "CAST(SUM(np) OVER (PARTITION BY key) AS DOUBLE)) * "
+        "ln(CAST(np AS DOUBLE) / "
+        "CAST(SUM(np) OVER (PARTITION BY key) AS DOUBLE)) AS term "
+        "FROM per), "
+        "a AS (SELECT key, MAX(nw) AS n_windows, "
+        "COUNT(*) AS n_patterns, "
+        "list_reduce(list_prepend(0.0, list(term ORDER BY code)), "
+        "(a_, b_) -> a_ + b_) AS h FROM t2 GROUP BY 1) "
+        "SELECT key AS event_type, "
+        "CAST(n_windows AS BIGINT) AS n_windows, "
+        "CAST(n_patterns AS BIGINT) AS n_patterns, h AS h_perm, "
+        f"h / {math.log(6.0)!r} AS h_norm FROM a"
+    )
+
+
 def _effective_n_sql(max_lag: int = 12) -> str:
     """Effective-sample-size oracle: same integer ACF machinery as
     the Ljung-Box oracle, ascending-lag addition order."""
@@ -6300,6 +6376,52 @@ def q_adamic_adar(spark, sf):
     return adamic_adar(copurchase_edges(li, orders, max_buyers=20))
 
 
+def q_kpss_level(spark, sf):
+    """KPSS level-stationarity statistic per event type on the dense
+    hourly grid (plans/stats.py::kpss_level): exact-integer partial
+    sums and lag covariances, Bartlett-weighted long-run variance."""
+    from tsaug_spark.plans.stats import kpss_level
+
+    return kpss_level(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_hours", "lrv_num",
+        "kpss_stat",
+    )
+
+
+def q_perm_entropy(spark, sf):
+    """Order-3 Bandt-Pompe permutation entropy per event type
+    (plans/stats.py::permutation_entropy): exact integer ordinal
+    codes, code-ordered entropy fold."""
+    from tsaug_spark.plans.stats import permutation_entropy
+
+    return permutation_entropy(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_windows", "n_patterns",
+        "h_perm", "h_norm",
+    )
+
+
+def q_theta_forecast(spark, sf):
+    """Theta-method h=1/h=7 forecasts of daily cents per event type
+    (plans/stats.py::theta_forecast): exact-integer OLS theta-0 line
+    averaged with a day-ordered SES fold of the theta-2 line."""
+    from tsaug_spark.plans.stats import theta_forecast
+
+    return theta_forecast(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_days", "slope",
+        "ses_level", "theta_f1", "theta_f7",
+    )
+
+
+def q_engle_granger(spark, sf):
+    """Engle-Granger cointegration screen between the click and
+    purchase daily series (plans/stats.py::engle_granger):
+    exact-integer step-1 OLS, float-hardened day-ordered folds for
+    the residual Dickey-Fuller step."""
+    from tsaug_spark.plans.stats import engle_granger
+
+    return engle_granger(_events(spark, sf))
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -6310,6 +6432,10 @@ def q_adamic_adar(spark, sf):
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "kpss_level",
+    "perm_entropy",
+    "theta_forecast",
+    "engle_granger",
     "chao1_daily",
     "good_turing",
     "assortativity",
@@ -6770,6 +6896,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mk_seasonal": q_mk_seasonal,
         "kuiper_uniform": q_kuiper_uniform,
         "nw_trend": q_nw_trend,
+        "kpss_level": q_kpss_level,
+        "perm_entropy": q_perm_entropy,
+        "theta_forecast": q_theta_forecast,
+        "engle_granger": q_engle_granger,
         "chao1_daily": q_chao1_daily,
         "good_turing": q_good_turing,
         "assortativity": q_assortativity,
@@ -10835,6 +10965,104 @@ def oracle_sql() -> dict[str, str]:
             "CAST(day * 86400 AS BIGINT) AS day_s, "
             "CAST(n AS BIGINT) AS n, dp AS d_plus, dm AS d_minus, "
             "dp + dm AS v_stat FROM agg WHERE n >= 5"
+        ),
+        "kpss_level": _kpss_sql(12),
+        "perm_entropy": _perm_entropy_sql(),
+        "theta_forecast": (
+            "WITH d AS (SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "SUM(CAST(round(value * 100) AS BIGINT)) AS cents "
+            "FROM events GROUP BY 1, 2), "
+            "o AS (SELECT key, day - MIN(day) OVER "
+            "(PARTITION BY key) AS x, cents AS y FROM d), "
+            "f0 AS (SELECT key, COUNT(*) AS n, SUM(x) AS sx, "
+            "SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx, "
+            "MAX(x) AS xmax FROM o GROUP BY 1 "
+            "HAVING COUNT(*) >= 3), "
+            "fit AS (SELECT key, n, xmax, "
+            "CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "CAST(n*sxx - sx*sx AS DOUBLE) AS b, "
+            "(CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "CAST(n*sxx - sx*sx AS DOUBLE) * CAST(sx AS DOUBLE)) / "
+            "CAST(n AS DOUBLE) AS a FROM f0 "
+            "WHERE n*sxx - sx*sx > 0), "
+            "z AS (SELECT o.key, fit.n, fit.xmax, fit.a, fit.b, "
+            "o.x, 2.0 * CAST(o.y AS DOUBLE) - "
+            "(fit.a + fit.b * CAST(o.x AS DOUBLE)) AS z "
+            "FROM o JOIN fit ON o.key = fit.key), "
+            "a2 AS (SELECT key, MAX(n) AS n, MAX(xmax) AS xmax, "
+            "MAX(a) AS a, MAX(b) AS b, "
+            "list_reduce(list(z ORDER BY x), "
+            "(acc_, z_) -> acc_ * 0.8 + 0.2 * z_) AS ses "
+            "FROM z GROUP BY 1) "
+            "SELECT key AS event_type, CAST(n AS BIGINT) AS n_days, "
+            "b AS slope, ses AS ses_level, "
+            "0.5 * (a + b * CAST(xmax + 1 AS DOUBLE)) + 0.5 * ses "
+            "AS theta_f1, "
+            "0.5 * (a + b * CAST(xmax + 7 AS DOUBLE)) + 0.5 * ses "
+            "AS theta_f7 FROM a2"
+        ),
+        "engle_granger": (
+            "WITH daily AS (SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "COUNT(*) AS cnt FROM events "
+            "WHERE event_type IN ('click', 'purchase') "
+            "GROUP BY 1, 2), "
+            "b AS (SELECT MIN(day) AS lo, MAX(day) AS hi "
+            "FROM daily), "
+            "g AS (SELECT CAST(unnest(range(lo, hi + 1)) AS BIGINT) "
+            "AS day FROM b), "
+            "xy AS (SELECT g.day, "
+            "CAST(COALESCE(cx.cnt, 0) AS BIGINT) AS x, "
+            "CAST(COALESCE(cy.cnt, 0) AS BIGINT) AS y FROM g "
+            "LEFT JOIN (SELECT day, cnt FROM daily WHERE "
+            "key = 'click') cx ON g.day = cx.day "
+            "LEFT JOIN (SELECT day, cnt FROM daily WHERE "
+            "key = 'purchase') cy ON g.day = cy.day), "
+            "f0 AS (SELECT COUNT(*) AS n, SUM(x) AS sx, "
+            "SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx "
+            "FROM xy), "
+            "fit AS (SELECT n, "
+            "CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "CAST(n*sxx - sx*sx AS DOUBLE) AS beta, "
+            "(CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "CAST(n*sxx - sx*sx AS DOUBLE) * CAST(sx AS DOUBLE)) / "
+            "CAST(n AS DOUBLE) AS a0 FROM f0 "
+            "WHERE n >= 4 AND n*sxx - sx*sx > 0), "
+            "res AS (SELECT xy.day, fit.n AS n_days, fit.beta, "
+            "CAST(xy.y AS DOUBLE) - (fit.a0 + fit.beta * "
+            "CAST(xy.x AS DOUBLE)) AS e FROM xy CROSS JOIN fit), "
+            "dd AS (SELECT day, n_days, beta, ep, e - ep AS de "
+            "FROM (SELECT day, n_days, beta, e, lag(e, 1) OVER "
+            "(ORDER BY day) AS ep FROM res) WHERE ep IS NOT NULL), "
+            "a AS (SELECT COUNT(*) AS m, MAX(n_days) AS n_days, "
+            "MAX(beta) AS beta, "
+            "list_reduce(list_prepend(0.0, list(ep ORDER BY day)), "
+            "(a_, b_) -> a_ + b_) AS se, "
+            "list_reduce(list_prepend(0.0, list(de ORDER BY day)), "
+            "(a_, b_) -> a_ + b_) AS sd, "
+            "list_reduce(list_prepend(0.0, "
+            "list(ep * de ORDER BY day)), "
+            "(a_, b_) -> a_ + b_) AS sed, "
+            "list_reduce(list_prepend(0.0, "
+            "list(ep * ep ORDER BY day)), "
+            "(a_, b_) -> a_ + b_) AS see, "
+            "list_reduce(list_prepend(0.0, "
+            "list(de * de ORDER BY day)), "
+            "(a_, b_) -> a_ + b_) AS sdd FROM dd), "
+            "x1 AS (SELECT m, n_days, beta, se, sd, sed, see, sdd, "
+            "CAST(m AS DOUBLE) * see - se * se AS den, "
+            "(CAST(m AS DOUBLE) * sed - se * sd) / "
+            "(CAST(m AS DOUBLE) * see - se * se) AS rho FROM a), "
+            "x2 AS (SELECT m, n_days, beta, den, rho, sed, sdd, "
+            "(sd - rho * se) / CAST(m AS DOUBLE) AS alpha, sd "
+            "FROM x1), "
+            "x3 AS (SELECT m, n_days, beta, den, rho, "
+            "sdd - alpha * sd - rho * sed AS sse FROM x2) "
+            "SELECT CAST(n_days AS BIGINT) AS n_days, beta, rho, "
+            "rho / sqrt((sse / (CAST(m AS DOUBLE) - 2.0)) * "
+            "CAST(m AS DOUBLE) / den) AS adf_t FROM x3 "
+            "WHERE m > 2 AND den > 0"
         ),
         "chao1_daily": (
             "WITH per AS (SELECT "

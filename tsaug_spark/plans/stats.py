@@ -5985,3 +5985,407 @@ def good_turing(
             / F.col("n1").cast("double")
         ).alias("r1_smooth"),
     )
+
+
+def kpss_level(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    lags: int = 12,
+) -> DataFrame:
+    """KPSS level-stationarity statistic per key on the dense hourly
+    count series (Kwiatkowski, Phillips, Schmidt & Shin 1992) — the
+    null-reversed companion to :func:`dickey_fuller`: here the NULL is
+    stationarity, so a LARGE statistic rejects it; running both closes
+    the "inconclusive unit-root screen" gap.
+
+        KPSS = T^-2 * sum_t S_t^2 / s^2(L)
+
+    with S_t the partial sums of the demeaned series and s^2(L) the
+    Bartlett long-run variance at ``lags`` lags.  Integerization: with
+    S = sum(x) and T the grid length, T*e_t = T*x_t - S and
+    T*S_t = T*cum_t - (t+1)*S are exact BIGINTs, every lag covariance
+    numerator c_j = sum_t (T*e_t)(T*e_{t+j}) is an exact BIGINT sum
+    (the ljung_box magnitude envelope), the Bartlett weights
+    1 - j/(L+1) are Python-folded double literals, and the one
+    order-sensitive float reduction eta = sum_t (T*S_t)^2 folds in t
+    order.  The powers of T cancel to
+
+        KPSS = eta / (T * (c_0 + 2*sum_j w_j*c_j)).
+
+    Scale: ``lags`` lead windows + one cumulative window per key over
+    the retention-bounded grid, one aggregate — identical plan shape
+    to ljung_box.
+
+    Output: key, n_hours, lrv_num, kpss_stat.
+    """
+    base = _dense_hourly(df, key_col, ts_col)
+    kw = Window.partitionBy("key")
+    ow = Window.partitionBy("key").orderBy("t")
+    s = base.select(
+        "key",
+        "t",
+        F.count(F.lit(1)).over(kw).alias("tt"),
+        (
+            F.count(F.lit(1)).over(kw) * F.col("x")
+            - F.sum("x").over(kw)
+        ).alias("e"),
+        (
+            F.count(F.lit(1)).over(kw) * F.sum("x").over(ow)
+            - (F.col("t") + 1) * F.sum("x").over(kw)
+        ).alias("p"),
+    )
+    lead_cols = [
+        (F.col("e") * F.lead("e", j).over(ow)).alias(f"g{j}")
+        for j in range(1, int(lags) + 1)
+    ]
+    pd_ = F.col("p").cast("double")
+    terms = s.select(
+        "key", "t", "tt", "e", (pd_ * pd_).alias("sq"), *lead_cols
+    )
+    agg = terms.groupBy("key").agg(
+        F.first("tt").alias("tt"),
+        F.sum(F.col("e") * F.col("e")).alias("c0"),
+        *[F.sum(f"g{j}").alias(f"c{j}") for j in range(1, int(lags) + 1)],
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("t", "sq"))),
+            F.lit(0.0),
+            lambda acc, r: acc + r["sq"],
+        ).alias("eta"),
+    )
+    lrv = F.col("c0").cast("double")
+    for j in range(1, int(lags) + 1):
+        w_j = 2.0 * (1.0 - j / float(lags + 1))
+        lrv = lrv + F.lit(w_j) * F.col(f"c{j}").cast("double")
+    return agg.filter((lrv > 0) & (F.col("tt") > lags + 2)).select(
+        "key",
+        F.col("tt").cast("long").alias("n_hours"),
+        lrv.alias("lrv_num"),
+        (F.col("eta") / (F.col("tt").cast("double") * lrv)).alias(
+            "kpss_stat"
+        ),
+    )
+
+
+def permutation_entropy(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Order-3 permutation entropy per key on the dense hourly count
+    series (Bandt & Pompe 2002) — the complexity screen that is
+    invariant to any monotone rescaling of the load: low for
+    predictable ramps/cycles, ~1 for white noise.
+
+    Each consecutive triple maps to its ordinal pattern with ties
+    broken by time of occurrence (the standard Bandt–Pompe rule,
+    realized as exact lexicographic (value, position) rank sums —
+    pure integer comparisons).  Pattern frequencies are exact BIGINTs
+    and the entropy folds its <= 6 terms in pattern-code order:
+
+        H = -sum_p (n_p/N) ln(n_p/N),   h_norm = H / ln 6.
+
+    Scale: two lead windows per key + a (key, pattern) aggregate
+    whose fan-in is at most 6 rows per key.
+
+    Output: key, n_windows, n_patterns, h_perm, h_norm.
+    """
+    import math
+
+    base = _dense_hourly(df, key_col, ts_col)
+    ow = Window.partitionBy("key").orderBy("t")
+    trip = base.select(
+        "key",
+        "t",
+        F.col("x").alias("a"),
+        F.lead("x", 1).over(ow).alias("b"),
+        F.lead("x", 2).over(ow).alias("c"),
+    ).filter(F.col("c").isNotNull())
+    i_ = lambda cond: F.when(cond, 1).otherwise(0)
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    rank_a = i_(b < a) + i_(c < a)
+    rank_b = i_(a <= b) + i_(c < b)
+    rank_c = i_(a <= c) + i_(b <= c)
+    coded = trip.select(
+        "key", (rank_a * 9 + rank_b * 3 + rank_c).alias("code")
+    )
+    per = coded.groupBy("key", "code").agg(
+        F.count(F.lit(1)).alias("np")
+    )
+    kw = Window.partitionBy("key")
+    terms = per.select(
+        "key",
+        "code",
+        F.sum("np").over(kw).alias("nw"),
+        (
+            -(
+                F.col("np").cast("double")
+                / F.sum("np").over(kw).cast("double")
+            )
+            * F.log(
+                F.col("np").cast("double")
+                / F.sum("np").over(kw).cast("double")
+            )
+        ).alias("term"),
+    )
+    agg = terms.groupBy("key").agg(
+        F.max("nw").alias("n_windows"),
+        F.count(F.lit(1)).alias("n_patterns"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("code", "term"))),
+            F.lit(0.0),
+            lambda acc, r: acc + r["term"],
+        ).alias("h"),
+    )
+    return agg.select(
+        "key",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("n_patterns").cast("long").alias("n_patterns"),
+        F.col("h").alias("h_perm"),
+        (F.col("h") / F.lit(math.log(6.0))).alias("h_norm"),
+    )
+
+
+def theta_forecast(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Theta-method forecast of each key's daily cents total
+    (Assimakopoulos & Nikolopoulos 2000; the M3 competition winner):
+    the average of the theta=0 line (the OLS trend, pure long-run
+    direction) and an SES-smoothed theta=2 line (2y - trend, doubled
+    local curvature), read out at horizons h = 1 and 7.
+
+        z_t      = 2*y_t - (a + b*x_t)
+        l        = SES_alpha(z),  l_1 = z_1  (seeded, then folded)
+        yhat(h)  = 0.5*(a + b*(x_last + h)) + 0.5*l
+
+    a, b come from exact BIGINT OLS sums; each z_t is one shared
+    float expression; the SES recursion folds over the day-ordered
+    list seeded with the first element (Spark: slice+init aggregate,
+    DuckDB: seedless list_reduce — the identical recursion).
+
+    Scale: one (key, day) rollup, one key aggregate, one bounded
+    fold — list length is the retention-bounded day count.
+
+    Output: key, n_days, slope, ses_level, theta_f1, theta_f7.
+    """
+    d = _day_cents(df, key_col, ts_col, value_col)
+    w = Window.partitionBy("key")
+    o = d.select(
+        "key",
+        (F.col("day") - F.min("day").over(w)).alias("x"),
+        F.col("cents").alias("y"),
+    )
+    fit = (
+        o.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.max("x").alias("xmax"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    fit = fit.filter(dxx > 0).select(
+        "key",
+        "n",
+        "xmax",
+        (num.cast("double") / dxx.cast("double")).alias("b"),
+        (
+            (
+                F.col("sy").cast("double")
+                - (num.cast("double") / dxx.cast("double"))
+                * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double")
+        ).alias("a"),
+    )
+    z = o.join(fit, "key").select(
+        "key",
+        "n",
+        "xmax",
+        "a",
+        "b",
+        "x",
+        (
+            F.lit(2.0) * F.col("y").cast("double")
+            - (F.col("a") + F.col("b") * F.col("x").cast("double"))
+        ).alias("z"),
+    )
+    agg = z.groupBy("key").agg(
+        F.max("n").alias("n"),
+        F.max("xmax").alias("xmax"),
+        F.max("a").alias("a"),
+        F.max("b").alias("b"),
+        F.array_sort(F.collect_list(F.struct("x", "z"))).alias("arr"),
+    )
+    al = float(alpha)
+    ses = F.aggregate(
+        F.slice(F.col("arr"), 2, F.size(F.col("arr")) - 1),
+        F.element_at(F.col("arr"), 1)["z"],
+        lambda acc, r: acc * F.lit(1.0 - al) + F.lit(al) * r["z"],
+    )
+    out = agg.select(
+        "key",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("b").alias("slope"),
+        ses.alias("ses_level"),
+        "a",
+        "xmax",
+    )
+    fc = lambda h: (
+        F.lit(0.5)
+        * (
+            F.col("a")
+            + F.col("slope")
+            * (F.col("xmax") + F.lit(h)).cast("double")
+        )
+        + F.lit(0.5) * F.col("ses_level")
+    )
+    return out.select(
+        "key",
+        "n_days",
+        "slope",
+        "ses_level",
+        fc(1).alias("theta_f1"),
+        fc(7).alias("theta_f7"),
+    )
+
+
+def engle_granger(
+    df: DataFrame,
+    x_type: str = "click",
+    y_type: str = "purchase",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Engle–Granger two-step cointegration screen between two event
+    types' daily count series (Engle & Granger 1987): regress y on x,
+    then Dickey–Fuller-test the residuals — a strongly negative ADF t
+    says the two series share a common stochastic trend (they never
+    drift apart), the time-series upgrade over plain correlation.
+
+    Step 1 is exact-integer OLS on the zero-filled global day grid.
+    Step 2's regression de_t = alpha + rho*e_{t-1} runs on FLOAT
+    residuals, so all six of its sufficient statistics fold in day
+    order (sorted folds over the retention-bounded grid) and every
+    derived quantity is one shared expression — the dickey_fuller
+    algebra, float-hardened.
+
+    Scale: one (type, day) rollup, a broadcast of the global day
+    bounds, one two-column day grid, one 1-row fit broadcast, one
+    bounded fold — days, never events.
+
+    Output (1 row): n_days, beta, rho, adf_t.
+    """
+    daily = (
+        df.filter(F.col(key_col).isin([x_type, y_type]))
+        .select(
+            F.col(key_col).alias("key"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    xy = (
+        grid.join(
+            daily.filter(F.col("key") == x_type).select(
+                "day", F.col("cnt").alias("x")
+            ),
+            "day",
+            "left",
+        )
+        .join(
+            daily.filter(F.col("key") == y_type).select(
+                "day", F.col("cnt").alias("y")
+            ),
+            "day",
+            "left",
+        )
+        .select(
+            "day",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    fit = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    fit = fit.filter((F.col("n") >= 4) & (dxx > 0)).select(
+        F.col("n").alias("n_days"),
+        (num.cast("double") / dxx.cast("double")).alias("beta"),
+        (
+            (
+                F.col("sy").cast("double")
+                - (num.cast("double") / dxx.cast("double"))
+                * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double")
+        ).alias("a0"),
+    )
+    res = xy.crossJoin(F.broadcast(fit)).select(
+        "day",
+        "n_days",
+        "beta",
+        (
+            F.col("y").cast("double")
+            - (F.col("a0") + F.col("beta") * F.col("x").cast("double"))
+        ).alias("e"),
+    )
+    ow = Window.orderBy("day")
+    dd = res.select(
+        "day",
+        "n_days",
+        "beta",
+        F.lag("e", 1).over(ow).alias("ep"),
+        (F.col("e") - F.lag("e", 1).over(ow)).alias("de"),
+    ).filter(F.col("ep").isNotNull())
+    fold = lambda expr, name: F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("day"), expr.alias(name)))),
+        F.lit(0.0),
+        lambda acc, r: acc + r[name],
+    )
+    agg = dd.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.max("n_days").alias("n_days"),
+        F.max("beta").alias("beta"),
+        fold(F.col("ep"), "v").alias("se"),
+        fold(F.col("de"), "v").alias("sd"),
+        fold(F.col("ep") * F.col("de"), "v").alias("sed"),
+        fold(F.col("ep") * F.col("ep"), "v").alias("see"),
+        fold(F.col("de") * F.col("de"), "v").alias("sdd"),
+    )
+    m = F.col("m").cast("double")
+    den = m * F.col("see") - F.col("se") * F.col("se")
+    rho = (m * F.col("sed") - F.col("se") * F.col("sd")) / den
+    alpha = (F.col("sd") - rho * F.col("se")) / m
+    sse = F.col("sdd") - alpha * F.col("sd") - rho * F.col("sed")
+    t = rho / F.sqrt((sse / (m - F.lit(2.0))) * m / den)
+    return agg.filter((F.col("m") > 2) & (den > 0)).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        "beta",
+        rho.alias("rho"),
+        t.alias("adf_t"),
+    )
