@@ -6422,6 +6422,24 @@ def q_engle_granger(spark, sf):
     return engle_granger(_events(spark, sf))
 
 
+def q_flesch_kincaid(spark, sf):
+    """Flesch reading-ease + Flesch-Kincaid grade per document
+    (pipeline/text.py::flesch_kincaid): exact regexp word/sentence/
+    vowel-cluster counts, two shared float score expressions."""
+    from tsaug_spark.pipeline.text import flesch_kincaid
+
+    return flesch_kincaid(_docs(spark, sf))
+
+
+def q_gopher_rules(spark, sf):
+    """Gopher quality-rule battery per document
+    (pipeline/text.py::gopher_rules): per-rule exact counts and
+    ratios plus the combined pass verdict."""
+    from tsaug_spark.pipeline.text import gopher_rules
+
+    return gopher_rules(_docs(spark, sf))
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -6432,6 +6450,8 @@ def q_engle_granger(spark, sf):
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "flesch_kincaid",
+    "gopher_rules",
     "kpss_level",
     "perm_entropy",
     "theta_forecast",
@@ -6896,6 +6916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mk_seasonal": q_mk_seasonal,
         "kuiper_uniform": q_kuiper_uniform,
         "nw_trend": q_nw_trend,
+        "flesch_kincaid": q_flesch_kincaid,
+        "gopher_rules": q_gopher_rules,
         "kpss_level": q_kpss_level,
         "perm_entropy": q_perm_entropy,
         "theta_forecast": q_theta_forecast,
@@ -10965,6 +10987,80 @@ def oracle_sql() -> dict[str, str]:
             "CAST(day * 86400 AS BIGINT) AS day_s, "
             "CAST(n AS BIGINT) AS n, dp AS d_plus, dm AS d_minus, "
             "dp + dm AS v_stat FROM agg WHERE n >= 5"
+        ),
+        "flesch_kincaid": (
+            "WITH b AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS "
+            "BIGINT) AS w, "
+            "CAST(GREATEST(1, len(regexp_extract_all(text, "
+            "'[.!?]+'))) AS BIGINT) AS s, "
+            "CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) "
+            "AS BIGINT) AS y FROM documents) "
+            "SELECT doc_id, w AS n_words, s AS n_sentences, "
+            "y AS n_syllables, "
+            "0.39 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE)) + "
+            "11.8 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)) - "
+            "15.59 AS fk_grade, "
+            "206.835 - 1.015 * (CAST(w AS DOUBLE) / "
+            "CAST(s AS DOUBLE)) - 84.6 * (CAST(y AS DOUBLE) / "
+            "CAST(w AS DOUBLE)) AS fk_ease FROM b WHERE w > 0"
+        ),
+        "gopher_rules": (
+            "WITH b AS (SELECT doc_id, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS w, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS "
+            "BIGINT) AS aw, "
+            "CAST(length(regexp_replace(text, '[^A-Za-z]', '', "
+            "'g')) AS BIGINT) AS ac, "
+            "CAST(len(regexp_extract_all(text, "
+            "'#|\\.\\.\\.|…')) AS BIGINT) AS sym, "
+            "CAST(len(string_split(text, chr(10))) AS BIGINT) AS "
+            "nl, "
+            "CAST(len(list_filter(string_split(text, chr(10)), "
+            "l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS "
+            "BIGINT) AS bl, "
+            "CAST(len(list_filter(string_split(text, chr(10)), "
+            "l -> l LIKE '%...' OR l LIKE '%…')) AS BIGINT) AS el, "
+            "CAST(len(list_filter(string_split(text, ' '), "
+            "x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS "
+            "at, "
+            "CAST("
+            "CASE WHEN contains(' ' || lower(text) || ' ', "
+            "' the ') THEN 1 ELSE 0 END + "
+            "CASE WHEN contains(' ' || lower(text) || ' ', "
+            "' be ') THEN 1 ELSE 0 END + "
+            "CASE WHEN contains(' ' || lower(text) || ' ', "
+            "' to ') THEN 1 ELSE 0 END + "
+            "CASE WHEN contains(' ' || lower(text) || ' ', "
+            "' of ') THEN 1 ELSE 0 END + "
+            "CASE WHEN contains(' ' || lower(text) || ' ', "
+            "' and ') THEN 1 ELSE 0 END + "
+            "CASE WHEN contains(' ' || lower(text) || ' ', "
+            "' that ') THEN 1 ELSE 0 END + "
+            "CASE WHEN contains(' ' || lower(text) || ' ', "
+            "' have ') THEN 1 ELSE 0 END + "
+            "CASE WHEN contains(' ' || lower(text) || ' ', "
+            "' with ') THEN 1 ELSE 0 END AS BIGINT) AS stop_hits "
+            "FROM documents), "
+            "r AS (SELECT doc_id, w, aw, stop_hits, "
+            "CAST(ac AS DOUBLE) / CAST(aw AS DOUBLE) AS "
+            "mean_word_len, "
+            "CAST(sym AS DOUBLE) / CAST(w AS DOUBLE) AS "
+            "symbol_ratio, "
+            "CAST(bl AS DOUBLE) / CAST(nl AS DOUBLE) AS "
+            "bullet_frac, "
+            "CAST(el AS DOUBLE) / CAST(nl AS DOUBLE) AS "
+            "ellipsis_frac, "
+            "CAST(at AS DOUBLE) / CAST(w AS DOUBLE) AS "
+            "alpha_word_frac FROM b WHERE w > 0 AND aw > 0) "
+            "SELECT doc_id, w AS n_words, mean_word_len, "
+            "symbol_ratio, bullet_frac, ellipsis_frac, "
+            "alpha_word_frac, stop_hits, "
+            "(w >= 50 AND w <= 100000 AND mean_word_len >= 3.0 AND "
+            "mean_word_len <= 10.0 AND symbol_ratio <= 0.1 AND "
+            "bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND "
+            "alpha_word_frac >= 0.8 AND stop_hits >= 2) AS passes "
+            "FROM r"
         ),
         "kpss_level": _kpss_sql(12),
         "perm_entropy": _perm_entropy_sql(),

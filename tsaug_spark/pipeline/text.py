@@ -853,3 +853,166 @@ def pmi_collocations(
         )
         .filter(F.col("rank") <= int(top_k))
     )
+
+
+def flesch_kincaid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease and Flesch–Kincaid grade level per doc
+    (Kincaid et al. 1975) — the classic readability pair every
+    text-quality pipeline reports next to the raw length/punctuation
+    features of :func:`quality_metrics`.
+
+        grade = 0.39*(W/S) + 11.8*(Syll/W) - 15.59
+        ease  = 206.835 - 1.015*(W/S) - 84.6*(Syll/W)
+
+    W = alphabetic word runs, S = sentence-terminator runs (min 1),
+    Syll = vowel-cluster count (the standard dictionary-free syllable
+    proxy).  All three are exact integers from Catalyst-native
+    regexp_extract_all; the two scores are single shared float
+    expressions — no UDFs, and the identical regexes run in the
+    DuckDB oracle.
+
+    Scale: embarrassingly parallel per-document map — no shuffle.
+
+    Output: doc_id, n_words, n_sentences, n_syllables, fk_grade,
+    fk_ease.
+    """
+    t = F.col(text_col)
+    words = F.size(F.regexp_extract_all(t, F.lit("[A-Za-z]+"), 0))
+    sents = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), 0))
+    )
+    syll = F.size(
+        F.regexp_extract_all(t, F.lit("[aeiouyAEIOUY]+"), 0)
+    )
+    out = df.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        syll.cast("long").alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    ws = F.col("n_words").cast("double") / F.col("n_sentences").cast(
+        "double"
+    )
+    sw = F.col("n_syllables").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (
+            F.lit(0.39) * ws + F.lit(11.8) * sw - F.lit(15.59)
+        ).alias("fk_grade"),
+        (
+            F.lit(206.835) - F.lit(1.015) * ws - F.lit(84.6) * sw
+        ).alias("fk_ease"),
+    )
+
+
+#: the stopword octet of the Gopher quality rules (Rae et al. 2021,
+#: "Scaling Language Models: ... Gopher", appendix A1.1)
+GOPHER_STOPWORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher document-quality rule set per doc (Rae et al. 2021,
+    A1.1) — the published heuristic filter battery large-scale LLM
+    corpora are screened with; reported per rule so the pass/fail
+    mix is auditable, plus the combined verdict.
+
+    Rules (all Catalyst-native integer counts, each ratio ONE shared
+    float division):
+      * word count in [min_words, max_words]
+      * mean alphabetic word length in [3, 10]
+      * symbol-to-word ratio (# or ellipsis) <= 0.1
+      * lines starting with a bullet <= 90%
+      * lines ending in an ellipsis <= 30%
+      * >= 80% of whitespace tokens contain a letter
+      * >= 2 distinct stopwords from the Gopher octet
+
+    Scale: embarrassingly parallel per-document map — no shuffle.
+
+    Output: doc_id, n_words, mean_word_len, symbol_ratio,
+    bullet_frac, ellipsis_frac, alpha_word_frac, stop_hits, passes.
+    """
+    t = F.col(text_col)
+    toks = F.split(t, " ")
+    w = F.size(toks)
+    alpha_words = F.size(F.regexp_extract_all(t, F.lit("[A-Za-z]+"), 0))
+    alpha_chars = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    symbols = F.size(
+        F.regexp_extract_all(t, F.lit("#|\\.\\.\\.|…"), 0)
+    )
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullets = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("-")
+            | l.startswith("*")
+            | l.startswith("•"),
+        )
+    )
+    ell_end = F.size(
+        F.filter(
+            lines,
+            lambda l: l.endswith("...") | l.endswith("…"),
+        )
+    )
+    alpha_toks = F.size(
+        F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+    )
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    stop_hits = None
+    for sw_ in GOPHER_STOPWORDS:
+        hit = F.when(
+            padded.contains(f" {sw_} "), F.lit(1)
+        ).otherwise(F.lit(0))
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    base = df.select(
+        "doc_id",
+        w.cast("long").alias("n_words"),
+        alpha_words.cast("long").alias("aw"),
+        alpha_chars.cast("long").alias("ac"),
+        symbols.cast("long").alias("sym"),
+        n_lines.cast("long").alias("nl"),
+        bullets.cast("long").alias("bl"),
+        ell_end.cast("long").alias("el"),
+        alpha_toks.cast("long").alias("at"),
+        stop_hits.cast("long").alias("stop_hits"),
+    ).filter((F.col("n_words") > 0) & (F.col("aw") > 0))
+    mwl = F.col("ac").cast("double") / F.col("aw").cast("double")
+    symr = F.col("sym").cast("double") / F.col("n_words").cast("double")
+    bf = F.col("bl").cast("double") / F.col("nl").cast("double")
+    ef = F.col("el").cast("double") / F.col("nl").cast("double")
+    af = F.col("at").cast("double") / F.col("n_words").cast("double")
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (mwl >= 3.0)
+        & (mwl <= 10.0)
+        & (symr <= 0.1)
+        & (bf <= 0.9)
+        & (ef <= 0.3)
+        & (af >= 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        mwl.alias("mean_word_len"),
+        symr.alias("symbol_ratio"),
+        bf.alias("bullet_frac"),
+        ef.alias("ellipsis_frac"),
+        af.alias("alpha_word_frac"),
+        "stop_hits",
+        passes.alias("passes"),
+    )
