@@ -5995,6 +5995,67 @@ def _perm_entropy_sql() -> str:
     )
 
 
+def _spectral_entropy_sql(
+    periods: tuple[int, ...] = (6, 8, 12, 24, 168),
+) -> str:
+    """Spectral-entropy oracle: the SAME trig doubles as the Spark
+    plan, hour-ordered folds, raw powers, the identical fixed-order
+    total and entropy chains, ln(K) as the same double."""
+    import math
+
+    terms = []
+    folds = []
+    pows = []
+    for p in periods:
+        cos_tab = ", ".join(
+            repr(math.cos(2.0 * math.pi * i / float(p)))
+            for i in range(p)
+        )
+        sin_tab = ", ".join(
+            repr(math.sin(2.0 * math.pi * i / float(p)))
+            for i in range(p)
+        )
+        terms.append(
+            f"CAST(cnt AS DOUBLE) * ([{cos_tab}])"
+            f"[CAST(hour % {p} AS INT) + 1] AS tre{p}, "
+            f"CAST(cnt AS DOUBLE) * ([{sin_tab}])"
+            f"[CAST(hour % {p} AS INT) + 1] AS tim{p}"
+        )
+        folds.append(
+            f"list_reduce(list_prepend(0.0, list(tre{p} "
+            "ORDER BY hour)), (a_, b_) -> a_ + b_) AS "
+            f"re{p}, "
+            f"list_reduce(list_prepend(0.0, list(tim{p} "
+            f"ORDER BY hour)), (a_, b_) -> a_ + b_) AS im{p}"
+        )
+        pows.append(
+            f"re{p} * re{p} + im{p} * im{p} AS p{p}"
+        )
+    total = " + ".join(f"p{p}" for p in periods)
+    ent = " + ".join(
+        f"CASE WHEN p{p} > 0 THEN -(p{p} / p_total) * "
+        f"ln(p{p} / p_total) ELSE 0.0 END"
+        for p in periods
+    )
+    return (
+        "WITH h AS (SELECT event_type AS key, "
+        "CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour, "
+        "COUNT(*) AS cnt FROM events GROUP BY 1, 2), "
+        f"t AS (SELECT key, hour, {', '.join(terms)} FROM h), "
+        "a AS (SELECT key, COUNT(*) AS n_hours, "
+        f"{', '.join(folds)} FROM t GROUP BY 1), "
+        f"pw AS (SELECT key, n_hours, {', '.join(pows)} FROM a), "
+        f"pt AS (SELECT key, n_hours, {', '.join('p%d' % p for p in periods)}, "
+        f"{total} AS p_total FROM pw), "
+        f"e AS (SELECT key, n_hours, p_total, {ent} AS h_spec "
+        "FROM pt WHERE p_total > 0) "
+        "SELECT key AS event_type, "
+        "CAST(n_hours AS BIGINT) AS n_hours, p_total, h_spec, "
+        f"h_spec / {math.log(float(len(periods)))!r} AS h_norm "
+        "FROM e"
+    )
+
+
 def _effective_n_sql(max_lag: int = 12) -> str:
     """Effective-sample-size oracle: same integer ACF machinery as
     the Ljung-Box oracle, ascending-lag addition order."""
@@ -6440,6 +6501,45 @@ def q_gopher_rules(spark, sf):
     return gopher_rules(_docs(spark, sf))
 
 
+def q_mi_type_hour(spark, sf):
+    """Mutual information + NMI between event type and hour-of-day
+    (plans/stats.py::mi_type_hour): exact margins, (key, hour)-ordered
+    folds for MI and both entropies."""
+    from tsaug_spark.plans.stats import mi_type_hour
+
+    return mi_type_hour(_events(spark, sf))
+
+
+def q_chapman_estimate(spark, sf):
+    """Chapman capture-recapture population estimate per consecutive
+    day pair (plans/stats.py::chapman_estimate): exact distinct
+    integers via the dau_overlap join shape."""
+    from tsaug_spark.plans.stats import chapman_estimate
+
+    return chapman_estimate(_events(spark, sf))
+
+
+def q_spectral_entropy(spark, sf):
+    """Spectral entropy of the candidate-period Goertzel powers per
+    event type (plans/stats.py::spectral_entropy): literal trig
+    tables, hour-ordered folds, fixed-order K-term entropy chain."""
+    from tsaug_spark.plans.stats import spectral_entropy
+
+    return spectral_entropy(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_hours", "p_total",
+        "h_spec", "h_norm",
+    )
+
+
+def q_cohen_kappa(spark, sf):
+    """Cohen's kappa between the marker-word language prediction and
+    the labeled lang column (pipeline/text.py::cohen_kappa): exact
+    confusion-table integers, chance-corrected agreement."""
+    from tsaug_spark.pipeline.text import cohen_kappa
+
+    return cohen_kappa(_docs(spark, sf))
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -6450,6 +6550,10 @@ def q_gopher_rules(spark, sf):
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "mi_type_hour",
+    "chapman_estimate",
+    "spectral_entropy",
+    "cohen_kappa",
     "flesch_kincaid",
     "gopher_rules",
     "kpss_level",
@@ -6916,6 +7020,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mk_seasonal": q_mk_seasonal,
         "kuiper_uniform": q_kuiper_uniform,
         "nw_trend": q_nw_trend,
+        "mi_type_hour": q_mi_type_hour,
+        "chapman_estimate": q_chapman_estimate,
+        "spectral_entropy": q_spectral_entropy,
+        "cohen_kappa": q_cohen_kappa,
         "flesch_kincaid": q_flesch_kincaid,
         "gopher_rules": q_gopher_rules,
         "kpss_level": q_kpss_level,
@@ -10987,6 +11095,91 @@ def oracle_sql() -> dict[str, str]:
             "CAST(day * 86400 AS BIGINT) AS day_s, "
             "CAST(n AS BIGINT) AS n, dp AS d_plus, dm AS d_minus, "
             "dp + dm AS v_stat FROM agg WHERE n >= 5"
+        ),
+        "mi_type_hour": (
+            "WITH cells AS (SELECT event_type AS key, "
+            "CAST(floor((epoch(ts) % 86400) / 3600) AS INT) AS hr, "
+            "COUNT(*) AS o FROM events GROUP BY 1, 2), "
+            "rows_ AS (SELECT key, SUM(o) AS rt FROM cells "
+            "GROUP BY 1), "
+            "cols_ AS (SELECT hr, SUM(o) AS ct FROM cells "
+            "GROUP BY 1), "
+            "tot AS (SELECT SUM(o) AS nn FROM cells), "
+            "e AS (SELECT cells.key, cells.hr, tot.nn, "
+            "(CAST(cells.o AS DOUBLE) / CAST(tot.nn AS DOUBLE)) * "
+            "ln(CAST(tot.nn * cells.o AS DOUBLE) / "
+            "CAST(rows_.rt * cols_.ct AS DOUBLE)) AS term "
+            "FROM cells JOIN rows_ ON cells.key = rows_.key "
+            "JOIN cols_ ON cells.hr = cols_.hr CROSS JOIN tot), "
+            "mi AS (SELECT MAX(nn) AS nn, "
+            "list_reduce(list_prepend(0.0, "
+            "list(term ORDER BY key, hr)), (a_, b_) -> a_ + b_) AS "
+            "mi FROM e), "
+            "hrw AS (SELECT list_reduce(list_prepend(0.0, "
+            "list(-(CAST(rt AS DOUBLE) / CAST(nn AS DOUBLE)) * "
+            "ln(CAST(rt AS DOUBLE) / CAST(nn AS DOUBLE)) "
+            "ORDER BY key)), (a_, b_) -> a_ + b_) AS h_row "
+            "FROM rows_ CROSS JOIN tot), "
+            "hcw AS (SELECT list_reduce(list_prepend(0.0, "
+            "list(-(CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE)) * "
+            "ln(CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE)) "
+            "ORDER BY hr)), (a_, b_) -> a_ + b_) AS h_col "
+            "FROM cols_ CROSS JOIN tot) "
+            "SELECT CAST(nn AS BIGINT) AS n_total, mi AS mi_nats, "
+            "h_row, h_col, mi / sqrt(h_row * h_col) AS nmi "
+            "FROM mi CROSS JOIN hrw CROSS JOIN hcw "
+            "WHERE h_row > 0 AND h_col > 0"
+        ),
+        "chapman_estimate": (
+            "WITH du AS (SELECT DISTINCT user_id AS u, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day "
+            "FROM events), "
+            "pd AS (SELECT day, COUNT(*) AS actives FROM du "
+            "GROUP BY 1), "
+            "i AS (SELECT a.day, COUNT(*) AS m FROM du a "
+            "JOIN du b ON a.u = b.u AND a.day = b.day - 1 "
+            "GROUP BY 1) "
+            "SELECT CAST(p1.day * 86400 AS BIGINT) AS day_s, "
+            "CAST(p1.actives AS BIGINT) AS n1, "
+            "CAST(p2.actives AS BIGINT) AS n2, "
+            "CAST(COALESCE(i.m, 0) AS BIGINT) AS m_both, "
+            "CAST((p1.actives + 1) * (p2.actives + 1) AS DOUBLE) / "
+            "CAST(COALESCE(i.m, 0) + 1 AS DOUBLE) - 1.0 AS "
+            "chapman_n "
+            "FROM pd p1 JOIN pd p2 ON p2.day = p1.day + 1 "
+            "LEFT JOIN i ON i.day = p1.day"
+        ),
+        "spectral_entropy": _spectral_entropy_sql(),
+        "cohen_kappa": (
+            "WITH conf AS (SELECT lang AS truth, CASE "
+            + " ".join(
+                f"WHEN instr(text, '{m}') > 0 THEN '{c}'"
+                for c, m in _LANG_RULES
+            )
+            + " ELSE 'en' END AS pred, COUNT(*) AS n "
+            "FROM documents GROUP BY 1, 2), "
+            "rows_ AS (SELECT truth, SUM(n) AS rt FROM conf "
+            "GROUP BY 1), "
+            "cols_ AS (SELECT pred, SUM(n) AS ct FROM conf "
+            "GROUP BY 1), "
+            "tot AS (SELECT SUM(n) AS nn, "
+            "SUM(CASE WHEN truth = pred THEN n ELSE 0 END) AS "
+            "agree FROM conf), "
+            "pe AS (SELECT SUM(rt * ct) AS pe_num FROM rows_ "
+            "JOIN cols_ ON rows_.truth = cols_.pred) "
+            "SELECT CAST(nn AS BIGINT) AS n_docs, "
+            "CAST(agree AS BIGINT) AS agree, "
+            "CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE) AS po, "
+            "CAST(pe_num AS DOUBLE) / (CAST(nn AS DOUBLE) * "
+            "CAST(nn AS DOUBLE)) AS pe, "
+            "CASE WHEN CAST(pe_num AS DOUBLE) / "
+            "(CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) < 1.0 THEN "
+            "(CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE) - "
+            "CAST(pe_num AS DOUBLE) / (CAST(nn AS DOUBLE) * "
+            "CAST(nn AS DOUBLE))) / (1.0 - "
+            "CAST(pe_num AS DOUBLE) / (CAST(nn AS DOUBLE) * "
+            "CAST(nn AS DOUBLE))) END AS kappa "
+            "FROM tot CROSS JOIN pe WHERE nn > 0"
         ),
         "flesch_kincaid": (
             "WITH b AS (SELECT doc_id, "

@@ -1504,6 +1504,135 @@ def main() -> None:
         execute=True,
     )
 
+    # r4f batch: the classical-stats additions.  All are hash
+    # aggregates (exact integer moments) with at most per-key windows
+    # and equi-joins; the only nested-loop joins anywhere are the
+    # documented 1-row broadcast-scalar patterns (cramers_v's totals
+    # row, engle_granger's fit row, the dense-grid bounds rows), so
+    # those entries assert cartesian-free but not BNLJ-free.
+    for nm, q in [
+        ("welch_ttest", em.q_welch_ttest),
+        ("jarque_bera", em.q_jarque_bera),
+        ("anova_f", em.q_anova_f),
+        ("brown_forsythe", em.q_brown_forsythe),
+        ("good_turing", em.q_good_turing),
+        ("chao1_daily", em.q_chao1_daily),
+    ]:
+        audit(
+            f"{nm} (r4f stats: hash aggregates, JVM only)",
+            q(spark, sf),
+            must_have=["HashAggregate"],
+            must_not_have=["CartesianProduct",
+                           "BroadcastNestedLoopJoin",
+                           "BatchEvalPython", "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+    for nm, q in [
+        ("durbin_watson", em.q_durbin_watson),
+        ("theta_forecast", em.q_theta_forecast),
+    ]:
+        audit(
+            f"{nm} (r4f stats: fit equi-joined back, day folds)",
+            q(spark, sf),
+            must_have=["HashAggregate", "Window"],
+            must_not_have=["CartesianProduct",
+                           "BroadcastNestedLoopJoin",
+                           "BatchEvalPython", "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+    for nm, q in [
+        ("kpss_level", em.q_kpss_level),
+        ("perm_entropy", em.q_perm_entropy),
+        ("cramers_v", em.q_cramers_v),
+        ("engle_granger", em.q_engle_granger),
+    ]:
+        audit(
+            f"{nm} (r4f stats: dense grid / broadcast-scalar, "
+            "JVM only)",
+            q(spark, sf),
+            must_have=["HashAggregate"],
+            must_not_have=["CartesianProduct", "BatchEvalPython",
+                           "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+    # graph additions: assortativity is pure equi-joins on the edge
+    # list; adamic_adar shares link_jaccard's wedge-join shape
+    audit(
+        "assortativity (stub equi-joins, exact moments)",
+        em.q_assortativity(spark, sf),
+        must_have=["HashAggregate"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+    audit(
+        "adamic_adar (wedge equi-join, anti-join, bounded top-k)",
+        em.q_adamic_adar(spark, sf),
+        must_have=["HashAggregate", "SortMergeJoin"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+    # text additions: embarrassingly parallel per-doc maps — no
+    # shuffle at all beyond the scan
+    for nm, q in [
+        ("flesch_kincaid", em.q_flesch_kincaid),
+        ("gopher_rules", em.q_gopher_rules),
+    ]:
+        # no Exchange at all -> no AQE wrapper, so the codegen marker
+        # prints as the star notation "*(1)" rather than a
+        # WholeStageCodegen node name
+        audit(
+            f"{nm} (per-doc map, shuffle-free, JVM only)",
+            q(spark, sf),
+            must_have=["*(1)"],
+            must_not_have=["Exchange", "CartesianProduct",
+                           "BatchEvalPython", "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+
+    # r4g batch: information-theoretic / capture-recapture additions.
+    # mi_type_hour and cohen_kappa combine 1-row aggregates via the
+    # documented broadcast-scalar pattern (BNLJ allowed); chapman is a
+    # co-partitioned equi-join; spectral_entropy is fold-only.
+    for nm, q in [
+        ("mi_type_hour", em.q_mi_type_hour),
+        ("cohen_kappa", em.q_cohen_kappa),
+    ]:
+        audit(
+            f"{nm} (margins + broadcast-scalar combine, JVM only)",
+            q(spark, sf),
+            must_have=["HashAggregate"],
+            must_not_have=["CartesianProduct", "BatchEvalPython",
+                           "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+    audit(
+        "chapman_estimate (co-partitioned day equi-join)",
+        em.q_chapman_estimate(spark, sf),
+        must_have=["HashAggregate"],
+        must_not_have=["CartesianProduct",
+                       "BroadcastNestedLoopJoin",
+                       "BatchEvalPython", "ArrowEvalPython",
+                       "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+    audit(
+        "spectral_entropy (trig-literal folds, join-free)",
+        em.q_spectral_entropy(spark, sf),
+        must_have=["HashAggregate"],
+        must_not_have=["CartesianProduct",
+                       "BroadcastNestedLoopJoin", "SortMergeJoin",
+                       "BatchEvalPython", "ArrowEvalPython",
+                       "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")

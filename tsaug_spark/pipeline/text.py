@@ -1016,3 +1016,60 @@ def gopher_rules(
         "stop_hits",
         passes.alias("passes"),
     )
+
+
+def cohen_kappa(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cohen's kappa agreement between the marker-word language
+    prediction (:func:`lang_pred`) and the labeled ``lang`` column
+    (Cohen 1960) — the chance-corrected accuracy that turns
+    :func:`lang_id`'s confusion table into one scalar.
+
+        kappa = (p_o - p_e) / (1 - p_e)
+
+    with p_o the exact agreement fraction and
+    p_e = sum_k r_k*c_k / N^2 the chance agreement from the margins.
+    Every count and the r_k*c_k products are exact BIGINTs (plain
+    integer sums — order-free), so both probabilities and kappa are
+    single shared float expressions.
+
+    Scale: one (truth, pred) hash aggregate over a vocabulary-sized
+    table, two margin aggregates, one broadcast combine — no folds.
+
+    Output (1 row): n_docs, agree, po, pe, kappa.
+    """
+    conf = (
+        df.select(
+            F.col("lang").alias("truth"),
+            lang_pred(text_col).alias("pred"),
+        )
+        .groupBy("truth", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = conf.groupBy("truth").agg(F.sum("n").alias("rt"))
+    cols = conf.groupBy("pred").agg(F.sum("n").alias("ct"))
+    tot = conf.agg(
+        F.sum("n").alias("nn"),
+        F.sum(
+            F.when(F.col("truth") == F.col("pred"), F.col("n"))
+            .otherwise(F.lit(0))
+        ).alias("agree"),
+    )
+    pe_num = (
+        rows.join(
+            cols, rows["truth"] == cols["pred"], "inner"
+        )
+        .agg(F.sum(F.col("rt") * F.col("ct")).alias("pe_num"))
+    )
+    out = tot.crossJoin(F.broadcast(pe_num))
+    nn = F.col("nn").cast("double")
+    po = F.col("agree").cast("double") / nn
+    pe = F.col("pe_num").cast("double") / (nn * nn)
+    return out.filter(F.col("nn") > 0).select(
+        F.col("nn").cast("long").alias("n_docs"),
+        F.col("agree").cast("long").alias("agree"),
+        po.alias("po"),
+        pe.alias("pe"),
+        F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)).alias(
+            "kappa"
+        ),
+    )

@@ -6389,3 +6389,272 @@ def engle_granger(
         rho.alias("rho"),
         t.alias("adf_t"),
     )
+
+
+def mi_type_hour(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Mutual information (and its normalized form) between the key
+    and the hour-of-day — the information-theoretic twin of
+    :func:`cramers_v`: how many nats knowing the hour tells you about
+    WHAT happens, comparable across tables via NMI in [0, 1].
+
+        MI  = sum_ij (n_ij/N) ln(N n_ij / (r_i c_j))
+        NMI = MI / sqrt(H_row * H_col)
+
+    Cell and margin counts are exact BIGINTs, N*n_ij and r_i*c_j are
+    exact integer products, each cell/margin term is ONE shared float
+    expression, and all three order-sensitive reductions fold in
+    (key, hour) / key / hour order — vocabulary-bounded lists.
+
+    Scale: one (key, hour) hash aggregate, two tiny margin
+    aggregates, three bounded folds — identical plan family to
+    cramers_v.
+
+    Output (1 row): n_total, mi_nats, h_row, h_col, nmi.
+    """
+    cells = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(
+                (F.unix_timestamp(F.col(ts_col)) % 86400) / 3600
+            ).cast("int").alias("hr"),
+        )
+        .groupBy("key", "hr")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rows = cells.groupBy("key").agg(F.sum("o").alias("rt"))
+    cols = cells.groupBy("hr").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("nn"))
+    j = (
+        cells.join(F.broadcast(rows), "key")
+        .join(F.broadcast(cols), "hr")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi_term = (
+        F.col("o").cast("double") / F.col("nn").cast("double")
+    ) * F.log(
+        (F.col("nn") * F.col("o")).cast("double")
+        / (F.col("rt") * F.col("ct")).cast("double")
+    )
+    mi = j.select("key", "hr", "nn", mi_term.alias("term")).groupBy().agg(
+        F.max("nn").alias("nn"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("key", "hr", "term"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("mi"),
+    )
+    ent = lambda margins, mcol, ocol: margins.crossJoin(
+        F.broadcast(tot)
+    ).select(
+        F.col(mcol).alias("k"),
+        (
+            -(F.col(ocol).cast("double") / F.col("nn").cast("double"))
+            * F.log(
+                F.col(ocol).cast("double") / F.col("nn").cast("double")
+            )
+        ).alias("term"),
+    ).groupBy().agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("k", "term"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("h"),
+    )
+    hr_ = ent(rows, "key", "rt").select(F.col("h").alias("h_row"))
+    hc_ = ent(cols, "hr", "ct").select(F.col("h").alias("h_col"))
+    out = mi.crossJoin(F.broadcast(hr_)).crossJoin(F.broadcast(hc_))
+    return out.filter(
+        (F.col("h_row") > 0) & (F.col("h_col") > 0)
+    ).select(
+        F.col("nn").cast("long").alias("n_total"),
+        F.col("mi").alias("mi_nats"),
+        "h_row",
+        "h_col",
+        (
+            F.col("mi") / F.sqrt(F.col("h_row") * F.col("h_col"))
+        ).alias("nmi"),
+    )
+
+
+def chapman_estimate(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Chapman bias-corrected capture–recapture population estimate
+    from each consecutive-day active-user pair (Chapman 1951) — treat
+    day d as the marking visit and day d+1 as the recapture: how big
+    is the TRUE user population the two samples were drawn from?  The
+    mark-recapture companion to :func:`chao1_daily`'s abundance
+    estimator.
+
+        N_hat = (n1 + 1)(n2 + 1)/(m + 1) - 1
+
+    n1/n2 = actives on the two days, m = users active on both — exact
+    distinct integers via a (user, day)-co-partitioned equi-join (the
+    dau_overlap join shape); the estimate is ONE shared float
+    expression and the integer products are exact BIGINTs.
+
+    Scale: one distinct (user, day) aggregate + one co-partitioned
+    self-join — linear, never a cross of the actives.
+
+    Output: day_s, n1, n2, m_both, chapman_n.
+    """
+    du = df.select(
+        F.col(key_col).alias("u"),
+        F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    per_day = du.groupBy("day").agg(F.count(F.lit(1)).alias("actives"))
+    inter = (
+        du.alias("a")
+        .join(
+            du.select(
+                F.col("u").alias("u_b"),
+                (F.col("day") - 1).alias("day"),
+            ).alias("b"),
+            (F.col("a.u") == F.col("u_b"))
+            & (F.col("a.day") == F.col("b.day")),
+        )
+        .groupBy("a.day")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    n1 = per_day.select("day", F.col("actives").alias("n1"))
+    n2 = per_day.select(
+        (F.col("day") - 1).alias("day"), F.col("actives").alias("n2")
+    )
+    out = (
+        n1.join(n2, "day")
+        .join(inter, "day", "left")
+        .withColumn("m", F.coalesce("m", F.lit(0)))
+    )
+    return out.select(
+        (F.col("day") * 86400).cast("long").alias("day_s"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("m").cast("long").alias("m_both"),
+        (
+            ((F.col("n1") + 1) * (F.col("n2") + 1)).cast("double")
+            / (F.col("m") + 1).cast("double")
+            - F.lit(1.0)
+        ).alias("chapman_n"),
+    )
+
+
+def spectral_entropy(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    periods: tuple[int, ...] = _PERIOD_CANDIDATES,
+) -> DataFrame:
+    """Spectral entropy of the candidate-period Goertzel power
+    spectrum per key — "is the rhythm concentrated in one period
+    (H -> 0, e.g. pure diurnal) or spread across all candidates
+    (H -> 1, arrhythmic)?"; the spectral sibling of
+    :func:`permutation_entropy` over the same hourly series and the
+    summary statistic on top of :func:`dominant_period`'s argmax.
+
+        p_k = P_k / sum_k P_k,   H = -sum_k p_k ln p_k / ln K
+
+    Each P_k = re_k^2 + im_k^2 reuses dominant_period's machinery:
+    trig tables folded ONCE in Python as double literals, hour-ordered
+    sorted folds for re/im, so every P_k is bit-identical in both
+    engines; the K-term total and entropy then add in the FIXED
+    period order (compile-time expression chain, no data-dependent
+    order), with exact-zero powers contributing exactly 0.
+
+    Scale: one (key, hour) aggregate + 2*K bounded folds — identical
+    plan to dominant_period.
+
+    Output: key, n_hours, p_total, h_spec, h_norm.
+    """
+    import math
+
+    hourly = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 3600)
+            .cast("long")
+            .alias("hour"),
+        )
+        .groupBy("key", "hour")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    term_cols = []
+    for p in periods:
+        cos_tab = [
+            math.cos(2.0 * math.pi * i / float(p)) for i in range(p)
+        ]
+        sin_tab = [
+            math.sin(2.0 * math.pi * i / float(p)) for i in range(p)
+        ]
+        idx = (F.col("hour") % p).cast("int")
+        carr = F.array(*[F.lit(c) for c in cos_tab])
+        sarr = F.array(*[F.lit(s) for s in sin_tab])
+        term_cols.append(
+            (F.col("cnt").cast("double") * F.element_at(carr, idx + 1))
+            .alias(f"tre{p}")
+        )
+        term_cols.append(
+            (F.col("cnt").cast("double") * F.element_at(sarr, idx + 1))
+            .alias(f"tim{p}")
+        )
+    terms = hourly.select("key", "hour", *term_cols)
+
+    def _fold(col_name):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("hour", col_name))),
+            F.lit(0.0),
+            lambda a, s: a + s[col_name],
+        )
+
+    agg = terms.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        *[
+            _fold(f"tre{p}").alias(f"re{p}")
+            for p in periods
+        ],
+        *[
+            _fold(f"tim{p}").alias(f"im{p}")
+            for p in periods
+        ],
+    )
+    pw = agg.select(
+        "key",
+        "n_hours",
+        *[
+            (
+                F.col(f"re{p}") * F.col(f"re{p}")
+                + F.col(f"im{p}") * F.col(f"im{p}")
+            ).alias(f"p{p}")
+            for p in periods
+        ],
+    )
+    tot = None
+    for p in periods:
+        tot = F.col(f"p{p}") if tot is None else tot + F.col(f"p{p}")
+    pw = pw.select(
+        "key",
+        "n_hours",
+        *[F.col(f"p{p}") for p in periods],
+        tot.alias("p_total"),
+    ).filter(F.col("p_total") > 0)
+    h = None
+    for p in periods:
+        frac = F.col(f"p{p}") / F.col("p_total")
+        term = F.when(
+            F.col(f"p{p}") > 0, -frac * F.log(frac)
+        ).otherwise(F.lit(0.0))
+        h = term if h is None else h + term
+    return pw.select(
+        "key",
+        F.col("n_hours").cast("long").alias("n_hours"),
+        "p_total",
+        h.alias("h_spec"),
+        (h / F.lit(math.log(float(len(periods))))).alias("h_norm"),
+    )
