@@ -6540,6 +6540,49 @@ def q_cohen_kappa(spark, sf):
     return cohen_kappa(_docs(spark, sf))
 
 
+def q_tukey_fences(spark, sf):
+    """Tukey box-plot outlier screen on daily counts per event type
+    (plans/stats.py::tukey_fences): exact-integer hinge arithmetic —
+    the 4*cnt vs 2*m1 - 3*iqr2 rewrite keeps floats out of the
+    outlier decision."""
+    from tsaug_spark.plans.stats import tukey_fences
+
+    return tukey_fences(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_days", "h1", "h3",
+        "fence_lo", "fence_hi", "n_low", "n_high",
+    )
+
+
+def q_odds_ratio(spark, sf):
+    """Click->purchase odds ratio over (user, day) cells with the
+    Woolf log CI (plans/stats.py::odds_ratio): exact 2x2 cells,
+    shared float bounds."""
+    from tsaug_spark.plans.stats import odds_ratio
+
+    return odds_ratio(_events(spark, sf))
+
+
+def q_mcnemar_weeks(spark, sf):
+    """McNemar week-1 vs week-2 paired conversion-change test
+    (plans/stats.py::mcnemar_weeks): exact discordant-pair counts,
+    continuity-corrected chi-square."""
+    from tsaug_spark.plans.stats import mcnemar_weeks
+
+    return mcnemar_weeks(_events(spark, sf))
+
+
+def q_gumbel_weekly(spark, sf):
+    """Gumbel method-of-moments fit of weekly-maximum daily counts
+    with the 52-week return level (plans/stats.py::gumbel_weekly):
+    exact BIGINT block maxima, literal Gumbel constants."""
+    from tsaug_spark.plans.stats import gumbel_weekly
+
+    return gumbel_weekly(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_weeks", "mean_max",
+        "beta", "mu", "return_level",
+    )
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -6550,6 +6593,10 @@ def q_cohen_kappa(spark, sf):
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "tukey_fences",
+    "odds_ratio",
+    "mcnemar_weeks",
+    "gumbel_weekly",
     "mi_type_hour",
     "chapman_estimate",
     "spectral_entropy",
@@ -7020,6 +7067,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mk_seasonal": q_mk_seasonal,
         "kuiper_uniform": q_kuiper_uniform,
         "nw_trend": q_nw_trend,
+        "tukey_fences": q_tukey_fences,
+        "odds_ratio": q_odds_ratio,
+        "mcnemar_weeks": q_mcnemar_weeks,
+        "gumbel_weekly": q_gumbel_weekly,
         "mi_type_hour": q_mi_type_hour,
         "chapman_estimate": q_chapman_estimate,
         "spectral_entropy": q_spectral_entropy,
@@ -11095,6 +11146,137 @@ def oracle_sql() -> dict[str, str]:
             "CAST(day * 86400 AS BIGINT) AS day_s, "
             "CAST(n AS BIGINT) AS n, dp AS d_plus, dm AS d_minus, "
             "dp + dm AS v_stat FROM agg WHERE n >= 5"
+        ),
+        "tukey_fences": (
+            "WITH daily AS (SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "COUNT(*) AS cnt FROM events GROUP BY 1, 2), "
+            "r AS (SELECT key, cnt, ROW_NUMBER() OVER "
+            "(PARTITION BY key ORDER BY cnt, day) AS i, "
+            "COUNT(*) OVER (PARTITION BY key) AS n FROM daily), "
+            "rr AS (SELECT * FROM r WHERE n >= 4), "
+            "low AS (SELECT key, cnt, i AS j, (n + 1) // 2 AS h "
+            "FROM rr WHERE i <= (n + 1) // 2), "
+            "up AS (SELECT key, cnt, "
+            "i - (n - (n + 1) // 2) AS j, (n + 1) // 2 AS h "
+            "FROM rr WHERE i - (n - (n + 1) // 2) >= 1), "
+            "h1 AS (SELECT key, CASE WHEN MAX(j) > MIN(j) THEN "
+            "SUM(cnt) ELSE 2 * MAX(cnt) END AS m1 FROM low "
+            "WHERE j = (h + 1) // 2 OR j = (h + 2) // 2 "
+            "GROUP BY 1), "
+            "h3 AS (SELECT key, CASE WHEN MAX(j) > MIN(j) THEN "
+            "SUM(cnt) ELSE 2 * MAX(cnt) END AS m3 FROM up "
+            "WHERE j = (h + 1) // 2 OR j = (h + 2) // 2 "
+            "GROUP BY 1), "
+            "j2 AS (SELECT d.key, d.cnt, h1.m1, h3.m3 FROM daily d "
+            "JOIN h1 ON d.key = h1.key JOIN h3 ON d.key = h3.key), "
+            "a AS (SELECT key, COUNT(*) AS n_days, MAX(m1) AS m1, "
+            "MAX(m3) AS m3, "
+            "SUM(CASE WHEN 4 * cnt < 2 * m1 - 3 * (m3 - m1) "
+            "THEN 1 ELSE 0 END) AS n_low, "
+            "SUM(CASE WHEN 4 * cnt > 2 * m3 + 3 * (m3 - m1) "
+            "THEN 1 ELSE 0 END) AS n_high FROM j2 GROUP BY 1) "
+            "SELECT key AS event_type, "
+            "CAST(n_days AS BIGINT) AS n_days, "
+            "CAST(m1 AS DOUBLE) / 2.0 AS h1, "
+            "CAST(m3 AS DOUBLE) / 2.0 AS h3, "
+            "CAST(2 * m1 - 3 * (m3 - m1) AS DOUBLE) / 4.0 AS "
+            "fence_lo, "
+            "CAST(2 * m3 + 3 * (m3 - m1) AS DOUBLE) / 4.0 AS "
+            "fence_hi, "
+            "CAST(n_low AS BIGINT) AS n_low, "
+            "CAST(n_high AS BIGINT) AS n_high FROM a"
+        ),
+        "odds_ratio": (
+            "WITH pu AS (SELECT user_id AS u, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+            "AS a, "
+            "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 "
+            "END) AS b FROM events "
+            "GROUP BY 1, 2), "
+            "c AS (SELECT "
+            "SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS "
+            "n11, "
+            "SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS "
+            "n10, "
+            "SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS "
+            "n01, "
+            "SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS "
+            "n00 FROM pu) "
+            "SELECT CAST(n11 AS BIGINT) AS n11, "
+            "CAST(n10 AS BIGINT) AS n10, "
+            "CAST(n01 AS BIGINT) AS n01, "
+            "CAST(n00 AS BIGINT) AS n00, "
+            "CAST(n11 * n00 AS DOUBLE) / CAST(n10 * n01 AS DOUBLE) "
+            "AS or_, "
+            "exp(ln(CAST(n11 * n00 AS DOUBLE) / "
+            "CAST(n10 * n01 AS DOUBLE)) - 1.96 * "
+            "sqrt(1.0 / CAST(n11 AS DOUBLE) + "
+            "1.0 / CAST(n10 AS DOUBLE) + "
+            "1.0 / CAST(n01 AS DOUBLE) + "
+            "1.0 / CAST(n00 AS DOUBLE))) AS ci_lo, "
+            "exp(ln(CAST(n11 * n00 AS DOUBLE) / "
+            "CAST(n10 * n01 AS DOUBLE)) + 1.96 * "
+            "sqrt(1.0 / CAST(n11 AS DOUBLE) + "
+            "1.0 / CAST(n10 AS DOUBLE) + "
+            "1.0 / CAST(n01 AS DOUBLE) + "
+            "1.0 / CAST(n00 AS DOUBLE))) AS ci_hi "
+            "FROM c WHERE n11 > 0 AND n10 > 0 AND n01 > 0 AND "
+            "n00 > 0"
+        ),
+        "mcnemar_weeks": (
+            "WITH lo AS (SELECT "
+            "MIN(CAST(floor(epoch(ts)/86400) AS BIGINT)) AS lo "
+            "FROM events), "
+            "b0 AS (SELECT user_id AS u, "
+            "CAST(floor((CAST(floor(epoch(ts)/86400) AS BIGINT) "
+            "- lo) / 7) AS BIGINT) AS week, "
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END "
+            "AS hit FROM events CROSS JOIN lo), "
+            "bb AS (SELECT * FROM b0 WHERE week <= 1), "
+            "pu AS (SELECT u, "
+            "MAX(CASE WHEN week = 0 THEN hit ELSE 0 END) AS w1, "
+            "MAX(CASE WHEN week = 1 THEN hit ELSE 0 END) AS w2 "
+            "FROM bb GROUP BY 1), "
+            "c AS (SELECT COUNT(*) AS n, "
+            "SUM(CASE WHEN w1 = w2 THEN 1 ELSE 0 END) AS conc, "
+            "SUM(CASE WHEN w1 = 1 AND w2 = 0 THEN 1 ELSE 0 END) "
+            "AS b_, "
+            "SUM(CASE WHEN w1 = 0 AND w2 = 1 THEN 1 ELSE 0 END) "
+            "AS c_ FROM pu) "
+            "SELECT CAST(n AS BIGINT) AS n_users, "
+            "CAST(conc AS BIGINT) AS n_concordant, "
+            "CAST(b_ AS BIGINT) AS b_yes_no, "
+            "CAST(c_ AS BIGINT) AS c_no_yes, "
+            "(CAST(abs(b_ - c_) AS DOUBLE) - 1.0) * "
+            "(CAST(abs(b_ - c_) AS DOUBLE) - 1.0) / "
+            "CAST(b_ + c_ AS DOUBLE) AS chi2_cc "
+            "FROM c WHERE b_ + c_ > 0"
+        ),
+        "gumbel_weekly": (
+            "WITH daily AS (SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "COUNT(*) AS cnt FROM events GROUP BY 1, 2), "
+            "wk AS (SELECT key, CAST(floor(day / 7) AS BIGINT) AS "
+            "wk, MAX(cnt) AS mx FROM daily GROUP BY 1, 2), "
+            "a AS (SELECT key, COUNT(*) AS n, SUM(mx) AS s, "
+            "SUM(mx*mx) AS q FROM wk GROUP BY 1 "
+            "HAVING COUNT(*) >= 4), "
+            "m AS (SELECT key, n, "
+            "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_, "
+            "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * "
+            "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / "
+            "(CAST(n AS DOUBLE) - 1.0) AS var_ FROM a), "
+            "g AS (SELECT key, n, mean_, "
+            f"sqrt(var_) * {__import__('math').sqrt(6.0) / __import__('math').pi!r} AS beta "
+            "FROM m WHERE var_ > 0) "
+            "SELECT key AS event_type, CAST(n AS BIGINT) AS "
+            "n_weeks, mean_ AS mean_max, beta, "
+            "mean_ - 0.5772156649015329 * beta AS mu, "
+            "(mean_ - 0.5772156649015329 * beta) + beta * "
+            f"{-__import__('math').log(-__import__('math').log(1.0 - 1.0 / 52.0))!r} "
+            "AS return_level FROM g"
         ),
         "mi_type_hour": (
             "WITH cells AS (SELECT event_type AS key, "

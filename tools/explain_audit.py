@@ -1633,6 +1633,27 @@ def main() -> None:
         execute=True,
     )
 
+    # r4h batch: robust-screen / epidemiology / EVT additions.
+    # tukey joins the tiny hinge tables back on key (equi-joins);
+    # odds_ratio and gumbel are pure aggregate chains; mcnemar uses
+    # the 1-row broadcast-scalar min-day (BNLJ allowed there).
+    for nm, q, bnlj_free in [
+        ("tukey_fences", em.q_tukey_fences, True),
+        ("odds_ratio", em.q_odds_ratio, True),
+        ("gumbel_weekly", em.q_gumbel_weekly, True),
+        ("mcnemar_weeks", em.q_mcnemar_weeks, False),
+    ]:
+        audit(
+            f"{nm} (r4h stats: exact-integer screens, JVM only)",
+            q(spark, sf),
+            must_have=["HashAggregate"],
+            must_not_have=["CartesianProduct", "BatchEvalPython",
+                           "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"]
+            + (["BroadcastNestedLoopJoin"] if bnlj_free else []),
+            execute=True,
+        )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")

@@ -6658,3 +6658,328 @@ def spectral_entropy(
         h.alias("h_spec"),
         (h / F.lit(math.log(float(len(periods))))).alias("h_norm"),
     )
+
+
+def tukey_fences(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tukey box-plot outlier screen per key on its daily counts
+    (Tukey 1977): days outside [H1 - 1.5*IQR, H3 + 1.5*IQR] where
+    H1/H3 are the Tukey hinges (medians of the lower/upper halves) —
+    the nonparametric companion to :func:`grubbs_test`'s normal-theory
+    maximum test.
+
+    EXACT integer arithmetic throughout: with the doubled hinges
+    m1 = 2*H1, m3 = 2*H3 (rank-selected lower+upper medians of each
+    half, BIGINTs) and iqr2 = m3 - m1 = 2*IQR, the fence tests
+    rewrite as
+
+        low:  4*cnt < 2*m1 - 3*iqr2
+        high: 4*cnt > 2*m3 + 3*iqr2
+
+    so not a single float enters the outlier decision; the reported
+    hinge/fence columns are exact quarter-integers.
+
+    Scale: one (key, day) rollup, one per-key ordered window for the
+    half-ranks, two tiny hinge aggregates joined back on key.
+
+    Output: key, n_days, h1, h3, fence_lo, fence_hi, n_low, n_high.
+    """
+    daily = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wr = Window.partitionBy("key").orderBy("cnt", "day")
+    wn = Window.partitionBy("key")
+    ranked = daily.select(
+        "key",
+        "cnt",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).filter(F.col("n") >= 4)
+    half = F.ceil(F.col("n") / 2)
+
+    def _hinge(sub, lo_rank, hi_rank):
+        return (
+            sub.filter(
+                (F.col("j") == lo_rank) | (F.col("j") == hi_rank)
+            )
+            .groupBy("key")
+            .agg(
+                F.when(F.max("j") > F.min("j"), F.sum("cnt"))
+                .otherwise(F.lit(2) * F.max("cnt"))
+                .alias("m2")
+            )
+        )
+
+    lower = ranked.select(
+        "key", "cnt", F.col("i").alias("j"), half.alias("h")
+    ).filter(F.col("j") <= F.col("h"))
+    upper = ranked.select(
+        "key",
+        "cnt",
+        (F.col("i") - (F.col("n") - half)).alias("j"),
+        half.alias("h"),
+    ).filter(F.col("j") >= 1)
+    h1 = _hinge(
+        lower, F.floor((F.col("h") + 1) / 2), F.ceil((F.col("h") + 1) / 2)
+    ).withColumnRenamed("m2", "m1")
+    h3 = _hinge(
+        upper, F.floor((F.col("h") + 1) / 2), F.ceil((F.col("h") + 1) / 2)
+    ).withColumnRenamed("m2", "m3")
+    j = daily.join(h1, "key").join(h3, "key")
+    iqr2 = F.col("m3") - F.col("m1")
+    lo_i = 2 * F.col("m1") - 3 * iqr2
+    hi_i = 2 * F.col("m3") + 3 * iqr2
+    agg = j.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("m1").alias("m1"),
+        F.max("m3").alias("m3"),
+        F.sum(
+            F.when(4 * F.col("cnt") < lo_i, 1).otherwise(0)
+        ).alias("n_low"),
+        F.sum(
+            F.when(4 * F.col("cnt") > hi_i, 1).otherwise(0)
+        ).alias("n_high"),
+    )
+    iqr2o = F.col("m3") - F.col("m1")
+    return agg.select(
+        "key",
+        F.col("n_days").cast("long").alias("n_days"),
+        (F.col("m1").cast("double") / F.lit(2.0)).alias("h1"),
+        (F.col("m3").cast("double") / F.lit(2.0)).alias("h3"),
+        (
+            (2 * F.col("m1") - 3 * iqr2o).cast("double") / F.lit(4.0)
+        ).alias("fence_lo"),
+        (
+            (2 * F.col("m3") + 3 * iqr2o).cast("double") / F.lit(4.0)
+        ).alias("fence_hi"),
+        F.col("n_low").cast("long").alias("n_low"),
+        F.col("n_high").cast("long").alias("n_high"),
+    )
+
+
+def odds_ratio(
+    df: DataFrame,
+    a_type: str = "click",
+    b_type: str = "purchase",
+    key_col: str = "event_type",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Odds ratio (with the Woolf log CI) that a user-day with an
+    ``a_type`` event also carries a ``b_type`` event — the
+    epidemiologist's 2x2 readout next to :func:`rate_ratio_test`'s
+    Poisson form.  The unit is the (user, day) cell (the
+    good_turing species convention) so all four cells stay populated
+    at every data scale; at whole-user grain heavy users saturate
+    both exposures and the table degenerates.
+
+        OR = (n11 * n00) / (n10 * n01)
+        CI = exp(ln OR -+ 1.96 * sqrt(1/n11 + 1/n10 + 1/n01 + 1/n00))
+
+    The four cells are exact BIGINTs from one cell-grain aggregate;
+    the integer cross-products are exact, and ln/exp/sqrt compose one
+    shared float expression per bound.  Zero cells drop the row (the
+    classic undefined-OR case) rather than silently Haldane-correct.
+
+    Scale: one (user, day) hash aggregate, one 4-cell global
+    aggregate — no joins, no windows.
+
+    Output (1 row): n11, n10, n01, n00, or_, ci_lo, ci_hi.
+    """
+    per_user = (
+        df.groupBy(
+            F.col(user_col).alias("u"),
+            F.floor(F.unix_timestamp(F.col("ts")) / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col(key_col) == a_type, 1).otherwise(0)
+            ).alias("a"),
+            F.max(
+                F.when(F.col(key_col) == b_type, 1).otherwise(0)
+            ).alias("b"),
+        )
+    )
+    cells = per_user.agg(
+        F.sum(
+            F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0)
+        ).alias("n11"),
+        F.sum(
+            F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0)
+        ).alias("n10"),
+        F.sum(
+            F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0)
+        ).alias("n01"),
+        F.sum(
+            F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0)
+        ).alias("n00"),
+    )
+    orr = (F.col("n11") * F.col("n00")).cast("double") / (
+        F.col("n10") * F.col("n01")
+    ).cast("double")
+    se = F.sqrt(
+        F.lit(1.0) / F.col("n11").cast("double")
+        + F.lit(1.0) / F.col("n10").cast("double")
+        + F.lit(1.0) / F.col("n01").cast("double")
+        + F.lit(1.0) / F.col("n00").cast("double")
+    )
+    return cells.filter(
+        (F.col("n11") > 0)
+        & (F.col("n10") > 0)
+        & (F.col("n01") > 0)
+        & (F.col("n00") > 0)
+    ).select(
+        F.col("n11").cast("long").alias("n11"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n01").cast("long").alias("n01"),
+        F.col("n00").cast("long").alias("n00"),
+        orr.alias("or_"),
+        F.exp(F.log(orr) - F.lit(1.96) * se).alias("ci_lo"),
+        F.exp(F.log(orr) + F.lit(1.96) * se).alias("ci_hi"),
+    )
+
+
+def mcnemar_weeks(
+    df: DataFrame,
+    target_type: str = "purchase",
+    key_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """McNemar's paired test of week-1 vs week-2 conversion
+    (McNemar 1947): did the per-user probability of doing
+    ``target_type`` CHANGE between the first two weeks of the
+    horizon?  Pairing on the user removes the between-user variance
+    a two-sample test would drown in.
+
+        chi2_cc = (|b - c| - 1)^2 / (b + c)
+
+    b/c are the discordant-pair counts (did-then-didn't vs
+    didn't-then-did) — exact BIGINTs from one per-user aggregate over
+    the md5-free deterministic week split (day offset // 7); the
+    continuity-corrected statistic is ONE shared float expression.
+
+    Scale: one user-grain hash aggregate + one 4-cell global
+    aggregate — the dual of :func:`odds_ratio` on the time axis.
+
+    Output (1 row): n_users, n_concordant, b_yes_no, c_no_yes, chi2_cc.
+    """
+    lo = df.select(
+        F.min(F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)).alias(
+            "lo"
+        )
+    )
+    base = df.crossJoin(F.broadcast(lo)).select(
+        F.col(user_col).alias("u"),
+        F.floor(
+            (F.floor(F.unix_timestamp(F.col(ts_col)) / 86400) - F.col("lo"))
+            / 7
+        ).alias("week"),
+        F.when(F.col(key_col) == target_type, 1).otherwise(0).alias("hit"),
+    ).filter(F.col("week") <= 1)
+    per_user = base.groupBy("u").agg(
+        F.max(F.when(F.col("week") == 0, F.col("hit")).otherwise(0)).alias(
+            "w1"
+        ),
+        F.max(F.when(F.col("week") == 1, F.col("hit")).otherwise(0)).alias(
+            "w2"
+        ),
+    )
+    cells = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("w1") == F.col("w2"), 1).otherwise(0)
+        ).alias("conc"),
+        F.sum(
+            F.when((F.col("w1") == 1) & (F.col("w2") == 0), 1).otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when((F.col("w1") == 0) & (F.col("w2") == 1), 1).otherwise(0)
+        ).alias("c"),
+    )
+    bc = (F.col("b") + F.col("c")).cast("double")
+    d = F.abs(F.col("b") - F.col("c")).cast("double") - F.lit(1.0)
+    return cells.filter(F.col("b") + F.col("c") > 0).select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("conc").cast("long").alias("n_concordant"),
+        F.col("b").cast("long").alias("b_yes_no"),
+        F.col("c").cast("long").alias("c_no_yes"),
+        (d * d / bc).alias("chi2_cc"),
+    )
+
+
+def gumbel_weekly(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    return_weeks: int = 52,
+) -> DataFrame:
+    """Gumbel extreme-value fit of the weekly-maximum daily count per
+    key, by the method of moments, with the ``return_weeks`` return
+    level — "how bad is the once-a-year worst day?", the block-maxima
+    companion to :func:`pot_exceedance`'s peaks-over-threshold view.
+
+        beta  = s * sqrt(6)/pi
+        mu    = xbar - gamma * beta          (gamma = Euler-Mascheroni)
+        x_T   = mu - beta * ln(-ln(1 - 1/T))
+
+    Weekly maxima are exact BIGINTs; mean and sample s^2 come from
+    exact sums (the ols_daily overflow idiom) and the three constants
+    (sqrt(6)/pi, gamma, the T-quantile of the standard Gumbel) are
+    Python-folded double literals identical in both engines.
+
+    Scale: a (key, day) rollup, a (key, week) max, a key aggregate —
+    three hash shuffles on the same key, no windows, no pairs.
+
+    Output: key, n_weeks, mean_max, beta, mu, return_level.
+    """
+    import math
+
+    daily = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    weekly = daily.groupBy(
+        "key", F.floor(F.col("day") / 7).alias("wk")
+    ).agg(F.max("cnt").alias("mx"))
+    agg = weekly.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mx").alias("s"),
+        F.sum(F.col("mx") * F.col("mx")).alias("q"),
+    ).filter(F.col("n") >= 4)
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    var = (
+        F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / nd
+    ) / (nd - F.lit(1.0))
+    k_beta = math.sqrt(6.0) / math.pi
+    euler_gamma = 0.5772156649015329
+    t_quant = -math.log(-math.log(1.0 - 1.0 / float(return_weeks)))
+    beta = F.sqrt(var) * F.lit(k_beta)
+    mu = mean - F.lit(euler_gamma) * beta
+    return agg.filter(var > 0).select(
+        "key",
+        F.col("n").cast("long").alias("n_weeks"),
+        mean.alias("mean_max"),
+        beta.alias("beta"),
+        mu.alias("mu"),
+        (mu + beta * F.lit(t_quant)).alias("return_level"),
+    )
