@@ -6583,6 +6583,24 @@ def q_gumbel_weekly(spark, sf):
     )
 
 
+def q_bartlett_test(spark, sf):
+    """Bartlett variance-homogeneity chi-square across event types
+    (plans/stats.py::bartlett_test): exact BIGINT group moments,
+    key-ordered folds for the ln-variance and correction sums."""
+    from tsaug_spark.plans.stats import bartlett_test
+
+    return bartlett_test(_events(spark, sf))
+
+
+def q_gunning_fog(spark, sf):
+    """Gunning fog readability per document
+    (pipeline/text.py::gunning_fog): higher-order complex-word
+    filter, identical inner regexp in both engines."""
+    from tsaug_spark.pipeline.text import gunning_fog
+
+    return gunning_fog(_docs(spark, sf))
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -6593,6 +6611,8 @@ def q_gumbel_weekly(spark, sf):
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "bartlett_test",
+    "gunning_fog",
     "tukey_fences",
     "odds_ratio",
     "mcnemar_weeks",
@@ -7067,6 +7087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mk_seasonal": q_mk_seasonal,
         "kuiper_uniform": q_kuiper_uniform,
         "nw_trend": q_nw_trend,
+        "bartlett_test": q_bartlett_test,
+        "gunning_fog": q_gunning_fog,
         "tukey_fences": q_tukey_fences,
         "odds_ratio": q_odds_ratio,
         "mcnemar_weeks": q_mcnemar_weeks,
@@ -11146,6 +11168,55 @@ def oracle_sql() -> dict[str, str]:
             "CAST(day * 86400 AS BIGINT) AS day_s, "
             "CAST(n AS BIGINT) AS n, dp AS d_plus, dm AS d_minus, "
             "dp + dm AS v_stat FROM agg WHERE n >= 5"
+        ),
+        "bartlett_test": (
+            "WITH b AS (SELECT event_type AS key, "
+            "CAST(round(value * 100) AS BIGINT) AS c FROM events), "
+            "g AS (SELECT key, COUNT(*) AS n, SUM(c) AS s, "
+            "SUM(c*c) AS q FROM b GROUP BY 1 "
+            "HAVING COUNT(*) >= 2), "
+            "v AS (SELECT key, n, "
+            "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * "
+            "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / "
+            "(CAST(n AS DOUBLE) - 1.0) AS s2 FROM g), "
+            "t AS (SELECT key, n, "
+            "(CAST(n AS DOUBLE) - 1.0) * ln(s2) AS lns, "
+            "(CAST(n AS DOUBLE) - 1.0) * s2 AS ssw, "
+            "1.0 / (CAST(n AS DOUBLE) - 1.0) AS inv "
+            "FROM v WHERE s2 > 0), "
+            "a AS (SELECT COUNT(*) AS k, SUM(n) AS nn, "
+            "list_reduce(list_prepend(0.0, list(lns ORDER BY key)), "
+            "(a_, b_) -> a_ + b_) AS sum_lns, "
+            "list_reduce(list_prepend(0.0, list(ssw ORDER BY key)), "
+            "(a_, b_) -> a_ + b_) AS sum_ssw, "
+            "list_reduce(list_prepend(0.0, list(inv ORDER BY key)), "
+            "(a_, b_) -> a_ + b_) AS sum_inv FROM t), "
+            "f AS (SELECT k, nn, "
+            "(CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)) * "
+            "ln(sum_ssw / (CAST(nn AS DOUBLE) - "
+            "CAST(k AS DOUBLE))) - sum_lns AS t_num, "
+            "1.0 + (sum_inv - 1.0 / (CAST(nn AS DOUBLE) - "
+            "CAST(k AS DOUBLE))) / (3.0 * (CAST(k AS DOUBLE) - "
+            "1.0)) AS c_f FROM a WHERE k >= 2 AND nn > k) "
+            "SELECT CAST(k AS BIGINT) AS k_groups, "
+            "CAST(nn AS BIGINT) AS n_total, t_num / c_f AS t_stat, "
+            "c_f AS c_factor FROM f"
+        ),
+        "gunning_fog": (
+            "WITH b AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS "
+            "BIGINT) AS w, "
+            "CAST(GREATEST(1, len(regexp_extract_all(text, "
+            "'[.!?]+'))) AS BIGINT) AS s, "
+            "CAST(len(list_filter(regexp_extract_all(text, "
+            "'[A-Za-z]+'), w_ -> len(regexp_extract_all(w_, "
+            "'[aeiouyAEIOUY]+')) >= 3)) AS BIGINT) AS cx "
+            "FROM documents) "
+            "SELECT doc_id, w AS n_words, s AS n_sentences, "
+            "cx AS n_complex, "
+            "0.4 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE) + "
+            "100.0 * CAST(cx AS DOUBLE) / CAST(w AS DOUBLE)) AS "
+            "fog_index FROM b WHERE w > 0"
         ),
         "tukey_fences": (
             "WITH daily AS (SELECT event_type AS key, "

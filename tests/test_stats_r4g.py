@@ -194,3 +194,99 @@ def test_gumbel_matches_reference(spark):
     assert math.isclose(r["return_level"], ret, rel_tol=1e-9)
     # the 1-in-52-week level must sit above every observed max's mean
     assert r["return_level"] > r["mean_max"]
+
+
+# --------------------------------------------------------- bartlett
+
+
+def test_bartlett_matches_reference(spark):
+    from tsaug_spark.plans.stats import bartlett_test
+
+    groups = {
+        "t0": [10.00, 12.50, 9.75, 11.20, 10.80, 13.10],
+        "t1": [20.00, 45.50, 5.25, 33.00, 18.75],
+        "t2": [7.00, 7.10, 7.05, 6.95, 7.20, 7.15, 6.90],
+    }
+    rows, eid = [], 0
+    for k, vals in groups.items():
+        for v in vals:
+            rows.append(
+                (eid, T0 + dt.timedelta(minutes=eid), 1, k, v)
+            )
+            eid += 1
+    r = bartlett_test(
+        spark.createDataFrame(rows, _EVENT_DDL)
+    ).collect()[0]
+    cents = {
+        k: np.asarray([round(v * 100) for v in vals], float)
+        for k, vals in groups.items()
+    }
+    k = len(cents)
+    n = sum(len(v) for v in cents.values())
+    sp2 = sum(
+        (len(v) - 1) * v.var(ddof=1) for v in cents.values()
+    ) / (n - k)
+    t_num = (n - k) * math.log(sp2) - sum(
+        (len(cents[kk]) - 1) * math.log(cents[kk].var(ddof=1))
+        for kk in sorted(cents)
+    )
+    c_f = 1.0 + (
+        sum(1.0 / (len(v) - 1) for v in cents.values())
+        - 1.0 / (n - k)
+    ) / (3.0 * (k - 1))
+    assert r["k_groups"] == k and r["n_total"] == n
+    assert math.isclose(r["t_stat"], t_num / c_f, rel_tol=1e-9)
+    assert math.isclose(r["c_factor"], c_f, rel_tol=1e-12)
+
+
+def test_bartlett_equal_variances_near_zero(spark):
+    from tsaug_spark.plans.stats import bartlett_test
+
+    rows, eid = [], 0
+    for k in ("a", "b"):
+        for i in range(30):
+            rows.append(
+                (eid, T0 + dt.timedelta(minutes=eid), 1, k,
+                 10.0 + (i % 5))
+            )
+            eid += 1
+    r = bartlett_test(
+        spark.createDataFrame(rows, _EVENT_DDL)
+    ).collect()[0]
+    assert abs(r["t_stat"]) < 0.05
+
+
+# ------------------------------------------------------ gunning fog
+
+
+def test_gunning_fog_matches_reference(spark):
+    import re
+    from tsaug_spark.pipeline.text import gunning_fog
+
+    texts = [
+        "The cat sat. It was happy!",
+        "Incomprehensibility characterizes institutional "
+        "bureaucratization extraordinarily.",
+        "go go go",
+    ]
+    rows = [(i, t, "en", "test", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars int",
+    )
+    out = {r["doc_id"]: r for r in gunning_fog(df).collect()}
+    for i, t in enumerate(texts):
+        words = re.findall(r"[A-Za-z]+", t)
+        s = max(1, len(re.findall(r"[.!?]+", t)))
+        cx = sum(
+            1
+            for w in words
+            if len(re.findall(r"[aeiouyAEIOUY]+", w)) >= 3
+        )
+        fog = 0.4 * (len(words) / s + 100.0 * cx / len(words))
+        r = out[i]
+        assert (r["n_words"], r["n_sentences"], r["n_complex"]) == (
+            len(words), s, cx
+        )
+        assert math.isclose(r["fog_index"], fog, rel_tol=1e-12)

@@ -1654,6 +1654,26 @@ def main() -> None:
             execute=True,
         )
 
+    audit(
+        "bartlett_test (key-fold aggregate chain, JVM only)",
+        em.q_bartlett_test(spark, sf),
+        must_have=["HashAggregate"],
+        must_not_have=["CartesianProduct",
+                       "BroadcastNestedLoopJoin",
+                       "BatchEvalPython", "ArrowEvalPython",
+                       "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+    audit(
+        "gunning_fog (per-doc map, shuffle-free, JVM only)",
+        em.q_gunning_fog(spark, sf),
+        must_have=["*(1)"],
+        must_not_have=["Exchange", "CartesianProduct",
+                       "BatchEvalPython", "ArrowEvalPython",
+                       "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")

@@ -1073,3 +1073,60 @@ def cohen_kappa(df: DataFrame, text_col: str = "text") -> DataFrame:
             "kappa"
         ),
     )
+
+
+def gunning_fog(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gunning fog readability index per doc (Gunning 1952) — the
+    complex-word-based companion to :func:`flesch_kincaid`'s
+    syllable-rate form; the two disagreeing flags documents whose
+    difficulty is concentrated in a few jargon terms.
+
+        fog = 0.4 * (W/S + 100 * C/W)
+
+    W = alphabetic word runs, S = sentence-terminator runs (min 1),
+    C = "complex" words with >= 3 vowel clusters — counted with a
+    higher-order array filter whose inner regexp runs identically in
+    the DuckDB oracle.  All integers exact; fog is ONE shared float
+    expression.
+
+    Scale: embarrassingly parallel per-document map — no shuffle.
+
+    Output: doc_id, n_words, n_sentences, n_complex, fog_index.
+    """
+    t = F.col(text_col)
+    words_arr = F.regexp_extract_all(t, F.lit("[A-Za-z]+"), 0)
+    words = F.size(words_arr)
+    sents = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), 0))
+    )
+    complex_ = F.size(
+        F.filter(
+            words_arr,
+            lambda w: F.size(
+                F.regexp_extract_all(
+                    w, F.lit("[aeiouyAEIOUY]+"), 0
+                )
+            )
+            >= 3,
+        )
+    )
+    out = df.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        complex_.cast("long").alias("n_complex"),
+    ).filter(F.col("n_words") > 0)
+    ws = F.col("n_words").cast("double") / F.col("n_sentences").cast(
+        "double"
+    )
+    cw = (
+        F.lit(100.0) * F.col("n_complex").cast("double")
+        / F.col("n_words").cast("double")
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_complex",
+        (F.lit(0.4) * (ws + cw)).alias("fog_index"),
+    )

@@ -6983,3 +6983,82 @@ def gumbel_weekly(
         mu.alias("mu"),
         (mu + beta * F.lit(t_quant)).alias("return_level"),
     )
+
+
+def bartlett_test(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Bartlett's chi-square test that the keys' value variances are
+    equal (Bartlett 1937) — the normal-theory, high-power companion
+    to the robust :func:`brown_forsythe`; read them together
+    (Bartlett fires on heavy tails alone, Brown–Forsythe does not).
+
+        T = [(N-k) ln s_p^2 - sum_i (n_i-1) ln s_i^2] / C
+        C = 1 + (sum_i 1/(n_i-1) - 1/(N-k)) / (3(k-1))
+
+    Per-group n, S, Q are exact BIGINTs; each s_i^2 and its ln is one
+    shared float expression and the two order-sensitive reductions
+    (the ln sum and the 1/(n_i-1) sum) fold in key order.
+
+    Scale: one key-grain hash aggregate + one k-row fold — the
+    anova_f plan shape exactly.
+
+    Output (1 row): k_groups, n_total, t_stat, c_factor.
+    """
+    g = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.round(F.col(value_col) * 100).cast("long").alias("c"),
+        )
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("q"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    nd = F.col("n").cast("double")
+    s2 = (
+        F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / nd
+    ) / (nd - F.lit(1.0))
+    terms = g.filter(s2 > 0).select(
+        "key",
+        "n",
+        ((nd - F.lit(1.0)) * F.log(s2)).alias("lns"),
+        (
+            (nd - F.lit(1.0)) * s2
+        ).alias("ssw"),
+        (F.lit(1.0) / (nd - F.lit(1.0))).alias("inv"),
+    )
+    fold = lambda c: F.aggregate(
+        F.array_sort(F.collect_list(F.struct("key", c))),
+        F.lit(0.0),
+        lambda acc, r: acc + r[c],
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        fold("lns").alias("sum_lns"),
+        fold("ssw").alias("sum_ssw"),
+        fold("inv").alias("sum_inv"),
+    )
+    kd = F.col("k").cast("double")
+    nd_ = F.col("nn").cast("double")
+    dof = nd_ - kd
+    sp2 = F.col("sum_ssw") / dof
+    t_num = dof * F.log(sp2) - F.col("sum_lns")
+    c_f = F.lit(1.0) + (
+        F.col("sum_inv") - F.lit(1.0) / dof
+    ) / (F.lit(3.0) * (kd - F.lit(1.0)))
+    return agg.filter(
+        (F.col("k") >= 2) & (F.col("nn") > F.col("k"))
+    ).select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n_total"),
+        (t_num / c_f).alias("t_stat"),
+        c_f.alias("c_factor"),
+    )
