@@ -11279,16 +11279,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n10 AS BIGINT) AS n10, "
             "CAST(n01 AS BIGINT) AS n01, "
             "CAST(n00 AS BIGINT) AS n00, "
-            "CAST(n11 * n00 AS DOUBLE) / CAST(n10 * n01 AS DOUBLE) "
+            "CAST(n11 AS DOUBLE) * CAST(n00 AS DOUBLE) / "
+            "(CAST(n10 AS DOUBLE) * CAST(n01 AS DOUBLE)) "
             "AS or_, "
-            "exp(ln(CAST(n11 * n00 AS DOUBLE) / "
-            "CAST(n10 * n01 AS DOUBLE)) - 1.96 * "
+            "exp(ln(CAST(n11 AS DOUBLE) * CAST(n00 AS DOUBLE) / "
+            "(CAST(n10 AS DOUBLE) * CAST(n01 AS DOUBLE))) - 1.96 * "
             "sqrt(1.0 / CAST(n11 AS DOUBLE) + "
             "1.0 / CAST(n10 AS DOUBLE) + "
             "1.0 / CAST(n01 AS DOUBLE) + "
             "1.0 / CAST(n00 AS DOUBLE))) AS ci_lo, "
-            "exp(ln(CAST(n11 * n00 AS DOUBLE) / "
-            "CAST(n10 * n01 AS DOUBLE)) + 1.96 * "
+            "exp(ln(CAST(n11 AS DOUBLE) * CAST(n00 AS DOUBLE) / "
+            "(CAST(n10 AS DOUBLE) * CAST(n01 AS DOUBLE))) + 1.96 * "
             "sqrt(1.0 / CAST(n11 AS DOUBLE) + "
             "1.0 / CAST(n10 AS DOUBLE) + "
             "1.0 / CAST(n01 AS DOUBLE) + "
@@ -11360,8 +11361,9 @@ def oracle_sql() -> dict[str, str]:
             "tot AS (SELECT SUM(o) AS nn FROM cells), "
             "e AS (SELECT cells.key, cells.hr, tot.nn, "
             "(CAST(cells.o AS DOUBLE) / CAST(tot.nn AS DOUBLE)) * "
-            "ln(CAST(tot.nn * cells.o AS DOUBLE) / "
-            "CAST(rows_.rt * cols_.ct AS DOUBLE)) AS term "
+            "ln(CAST(tot.nn AS DOUBLE) * CAST(cells.o AS DOUBLE) / "
+            "(CAST(rows_.rt AS DOUBLE) * CAST(cols_.ct AS DOUBLE))) "
+            "AS term "
             "FROM cells JOIN rows_ ON cells.key = rows_.key "
             "JOIN cols_ ON cells.hr = cols_.hr CROSS JOIN tot), "
             "mi AS (SELECT MAX(nn) AS nn, "
@@ -11396,7 +11398,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(p1.actives AS BIGINT) AS n1, "
             "CAST(p2.actives AS BIGINT) AS n2, "
             "CAST(COALESCE(i.m, 0) AS BIGINT) AS m_both, "
-            "CAST((p1.actives + 1) * (p2.actives + 1) AS DOUBLE) / "
+            "CAST(p1.actives + 1 AS DOUBLE) * "
+            "CAST(p2.actives + 1 AS DOUBLE) / "
             "CAST(COALESCE(i.m, 0) + 1 AS DOUBLE) - 1.0 AS "
             "chapman_n "
             "FROM pd p1 JOIN pd p2 ON p2.day = p1.day + 1 "
@@ -11855,11 +11858,11 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1), "
             "tot AS (SELECT SUM(o) AS nn FROM cells), "
             "e AS (SELECT cells.key, cells.hr, tot.nn, "
-            "(CAST(cells.o AS DOUBLE) - CAST(rows_.rt * cols_.ct AS "
-            "DOUBLE) / CAST(tot.nn AS DOUBLE)) * "
-            "(CAST(cells.o AS DOUBLE) - CAST(rows_.rt * cols_.ct AS "
-            "DOUBLE) / CAST(tot.nn AS DOUBLE)) / "
-            "(CAST(rows_.rt * cols_.ct AS DOUBLE) / "
+            "(CAST(cells.o AS DOUBLE) - CAST(rows_.rt AS DOUBLE) * "
+            "CAST(cols_.ct AS DOUBLE) / CAST(tot.nn AS DOUBLE)) * "
+            "(CAST(cells.o AS DOUBLE) - CAST(rows_.rt AS DOUBLE) * "
+            "CAST(cols_.ct AS DOUBLE) / CAST(tot.nn AS DOUBLE)) / "
+            "(CAST(rows_.rt AS DOUBLE) * CAST(cols_.ct AS DOUBLE) / "
             "CAST(tot.nn AS DOUBLE)) AS term "
             "FROM cells JOIN rows_ ON cells.key = rows_.key "
             "JOIN cols_ ON cells.hr = cols_.hr CROSS JOIN tot), "

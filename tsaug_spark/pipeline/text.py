@@ -1058,7 +1058,15 @@ def cohen_kappa(df: DataFrame, text_col: str = "text") -> DataFrame:
         rows.join(
             cols, rows["truth"] == cols["pred"], "inner"
         )
-        .agg(F.sum(F.col("rt") * F.col("ct")).alias("pe_num"))
+        # decimal(38,0): the margin cross-products stay exact at
+        # 10^12-doc scale (int64 would overflow near 1e19); DuckDB's
+        # SUM widens to HUGEINT likewise
+        .agg(
+            F.sum(
+                F.col("rt").cast("decimal(19,0)")
+                * F.col("ct").cast("decimal(19,0)")
+            ).alias("pe_num")
+        )
     )
     out = tot.crossJoin(F.broadcast(pe_num))
     nn = F.col("nn").cast("double")

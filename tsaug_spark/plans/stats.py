@@ -5414,7 +5414,15 @@ def welch_ttest(
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("c").alias("s"),
-            F.sum(F.col("c") * F.col("c")).alias("q"),
+            # decimal(38,0) accumulation: exact to 1e38, so the
+            # quadratic power sum cannot overflow at 10^12-row scale
+            # (int64 would saturate near 1e19); DuckDB's SUM already
+            # widens to HUGEINT, so both engines stay exact and the
+            # double casts below see identical integers
+            F.sum(
+                F.col("c").cast("decimal(19,0)")
+                * F.col("c").cast("decimal(19,0)")
+            ).alias("q"),
         )
     )
     arm = lambda col, a: F.max(F.when(F.col("arm") == a, F.col(col)))
@@ -5654,7 +5662,12 @@ def anova_f(
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("c").alias("s"),
-            F.sum(F.col("c") * F.col("c")).alias("q"),
+            # decimal(38,0): overflow-safe exact quadratic sum (see
+            # welch_ttest); DuckDB SUM widens to HUGEINT likewise
+            F.sum(
+                F.col("c").cast("decimal(19,0)")
+                * F.col("c").cast("decimal(19,0)")
+            ).alias("q"),
         )
         .filter(F.col("n") >= 2)
     )
@@ -5755,7 +5768,10 @@ def brown_forsythe(
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("z2").alias("s"),
-            F.sum(F.col("z2") * F.col("z2")).alias("q"),
+            F.sum(
+                F.col("z2").cast("decimal(19,0)")
+                * F.col("z2").cast("decimal(19,0)")
+            ).alias("q"),
         )
         .filter(F.col("n") >= 2)
     )
@@ -5842,7 +5858,7 @@ def cramers_v(
             "hr",
             "nn",
             (
-                (F.col("rt") * F.col("ct")).cast("double")
+                F.col("rt").cast("double") * F.col("ct").cast("double")
                 / F.col("nn").cast("double")
             ).alias("exp"),
             F.col("o").cast("double").alias("od"),
@@ -6436,8 +6452,8 @@ def mi_type_hour(
     mi_term = (
         F.col("o").cast("double") / F.col("nn").cast("double")
     ) * F.log(
-        (F.col("nn") * F.col("o")).cast("double")
-        / (F.col("rt") * F.col("ct")).cast("double")
+        F.col("nn").cast("double") * F.col("o").cast("double")
+        / (F.col("rt").cast("double") * F.col("ct").cast("double"))
     )
     mi = j.select("key", "hr", "nn", mi_term.alias("term")).groupBy().agg(
         F.max("nn").alias("nn"),
@@ -6539,7 +6555,8 @@ def chapman_estimate(
         F.col("n2").cast("long").alias("n2"),
         F.col("m").cast("long").alias("m_both"),
         (
-            ((F.col("n1") + 1) * (F.col("n2") + 1)).cast("double")
+            (F.col("n1") + 1).cast("double")
+            * (F.col("n2") + 1).cast("double")
             / (F.col("m") + 1).cast("double")
             - F.lit(1.0)
         ).alias("chapman_n"),
@@ -6825,9 +6842,9 @@ def odds_ratio(
             F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0)
         ).alias("n00"),
     )
-    orr = (F.col("n11") * F.col("n00")).cast("double") / (
-        F.col("n10") * F.col("n01")
-    ).cast("double")
+    orr = (
+        F.col("n11").cast("double") * F.col("n00").cast("double")
+    ) / (F.col("n10").cast("double") * F.col("n01").cast("double"))
     se = F.sqrt(
         F.lit(1.0) / F.col("n11").cast("double")
         + F.lit(1.0) / F.col("n10").cast("double")
@@ -7016,7 +7033,12 @@ def bartlett_test(
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("c").alias("s"),
-            F.sum(F.col("c") * F.col("c")).alias("q"),
+            # decimal(38,0): overflow-safe exact quadratic sum (see
+            # welch_ttest); DuckDB SUM widens to HUGEINT likewise
+            F.sum(
+                F.col("c").cast("decimal(19,0)")
+                * F.col("c").cast("decimal(19,0)")
+            ).alias("q"),
         )
         .filter(F.col("n") >= 2)
     )
