@@ -11456,7 +11456,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "gopher_rules": (
             "WITH b AS (SELECT doc_id, "
-            "CAST(len(string_split(text, ' ')) AS BIGINT) AS w, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS w, "
             "CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS "
             "BIGINT) AS aw, "
             "CAST(length(regexp_replace(text, '[^A-Za-z]', '', "
@@ -11470,7 +11470,7 @@ def oracle_sql() -> dict[str, str]:
             "BIGINT) AS bl, "
             "CAST(len(list_filter(string_split(text, chr(10)), "
             "l -> l LIKE '%...' OR l LIKE '%…')) AS BIGINT) AS el, "
-            "CAST(len(list_filter(string_split(text, ' '), "
+            "CAST(len(list_filter(regexp_extract_all(text, '\\S+'), "
             "x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS "
             "at, "
             "CAST("

@@ -944,7 +944,10 @@ def gopher_rules(
     bullet_frac, ellipsis_frac, alpha_word_frac, stop_hits, passes.
     """
     t = F.col(text_col)
-    toks = F.split(t, " ")
+    # whitespace-run tokenization (non-space runs): repeated spaces
+    # contribute no empty tokens and newlines/tabs separate words,
+    # matching the Gopher paper's any-whitespace word definition
+    toks = F.regexp_extract_all(t, F.lit("\\S+"), 0)
     w = F.size(toks)
     alpha_words = F.size(F.regexp_extract_all(t, F.lit("[A-Za-z]+"), 0))
     alpha_chars = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))

@@ -5499,12 +5499,19 @@ def jarque_bera(
         .agg(F.count(F.lit(1)).alias("y"))
     )
     y = F.col("y")
+    # decimal(38,0) for the cubic/quartic sums: y*y stays BIGINT-safe
+    # to y < 3e9/day (far above 1e12 rows spread over a retention
+    # horizon), and the decimal products keep y^3 <= 2.7e28 and
+    # y^4 <= 8.1e37 under the 1e38 precision cap; DuckDB's SUM widens
+    # to HUGEINT, so both engines stay exact
+    y2d = (y * y).cast("decimal(19,0)")
+    yd = y.cast("decimal(19,0)")
     agg = daily.groupBy("key").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(y).alias("s1"),
         F.sum(y * y).alias("s2"),
-        F.sum(y * y * y).alias("s3"),
-        F.sum(y * y * y * y).alias("s4"),
+        F.sum(y2d * yd).alias("s3"),
+        F.sum(y2d * y2d).alias("s4"),
     ).filter(F.col("n") >= 4)
     nd = F.col("n").cast("double")
     m = F.col("s1").cast("double") / nd
@@ -5950,6 +5957,7 @@ def good_turing(
     df: DataFrame,
     key_col: str = "event_type",
     species_col: str = "user_id",
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Good–Turing unseen-mass and singleton-discount estimates per
     key over its user-frequency spectrum (Good 1953) — the "what
@@ -5975,7 +5983,7 @@ def good_turing(
         df.select(
             F.col(key_col).alias("key"),
             F.col(species_col).alias("sp"),
-            F.floor(F.unix_timestamp(F.col("ts")) / 86400)
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
             .cast("long")
             .alias("day"),
         )
@@ -6051,17 +6059,24 @@ def kpss_level(
             - (F.col("t") + 1) * F.sum("x").over(kw)
         ).alias("p"),
     )
+    # decimal(38,0) residual products: e = T*x - S reaches ~1e10 on
+    # hot keys at 1e12-row scale, so e*e (~1e20) overflows BIGINT;
+    # the decimal cast keeps every product exact under the 1e38 cap
+    # (DuckDB's SUM widens to HUGEINT likewise)
+    ed = F.col("e").cast("decimal(19,0)")
     lead_cols = [
-        (F.col("e") * F.lead("e", j).over(ow)).alias(f"g{j}")
+        (ed * F.lead("e", j).over(ow).cast("decimal(19,0)"))
+        .alias(f"g{j}")
         for j in range(1, int(lags) + 1)
     ]
     pd_ = F.col("p").cast("double")
     terms = s.select(
         "key", "t", "tt", "e", (pd_ * pd_).alias("sq"), *lead_cols
     )
+    ed2 = F.col("e").cast("decimal(19,0)")
     agg = terms.groupBy("key").agg(
         F.first("tt").alias("tt"),
-        F.sum(F.col("e") * F.col("e")).alias("c0"),
+        F.sum(ed2 * ed2).alias("c0"),
         *[F.sum(f"g{j}").alias(f"c{j}") for j in range(1, int(lags) + 1)],
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("t", "sq"))),
@@ -6790,6 +6805,7 @@ def odds_ratio(
     b_type: str = "purchase",
     key_col: str = "event_type",
     user_col: str = "user_id",
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Odds ratio (with the Woolf log CI) that a user-day with an
     ``a_type`` event also carries a ``b_type`` event — the
@@ -6815,7 +6831,7 @@ def odds_ratio(
     per_user = (
         df.groupBy(
             F.col(user_col).alias("u"),
-            F.floor(F.unix_timestamp(F.col("ts")) / 86400)
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
             .cast("long")
             .alias("day"),
         )
@@ -6979,7 +6995,12 @@ def gumbel_weekly(
     agg = weekly.groupBy("key").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("mx").alias("s"),
-        F.sum(F.col("mx") * F.col("mx")).alias("q"),
+        # decimal(38,0): overflow-safe exact quadratic sum (see
+        # welch_ttest); DuckDB SUM widens to HUGEINT likewise
+        F.sum(
+            F.col("mx").cast("decimal(19,0)")
+            * F.col("mx").cast("decimal(19,0)")
+        ).alias("q"),
     ).filter(F.col("n") >= 4)
     nd = F.col("n").cast("double")
     mean = F.col("s").cast("double") / nd
