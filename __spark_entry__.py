@@ -6056,6 +6056,41 @@ def _spectral_entropy_sql(
     )
 
 
+#: shared oracle for welch_1h AND its streaming twin (the caught-up
+#: availableNow sink equals the batch plan exactly, so one SQL serves
+#: both): hourly per-arm sufficient statistics + the welch_ttest
+#: float tree per bucket
+_WELCH_1H_SQL = (
+    "WITH b AS (SELECT "
+    "CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s, "
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || "
+    "'exp1'), 1, 8))::BIGINT % 2 AS INT) AS arm, "
+    "CAST(round(value * 100) AS BIGINT) AS c FROM events), "
+    "w AS (SELECT bucket_s, "
+    "SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na, "
+    "SUM(CASE WHEN arm = 0 THEN c END) AS sa, "
+    "SUM(CASE WHEN arm = 0 THEN c * c END) AS qa, "
+    "SUM(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS nb, "
+    "SUM(CASE WHEN arm <> 0 THEN c END) AS sb, "
+    "SUM(CASE WHEN arm <> 0 THEN c * c END) AS qb "
+    "FROM b GROUP BY 1), "
+    "f AS (SELECT bucket_s, na, nb, "
+    "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma, "
+    "CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb, "
+    "(CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * "
+    "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / "
+    "(CAST(na AS DOUBLE) - 1.0) / CAST(na AS DOUBLE) AS sea, "
+    "(CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * "
+    "CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / "
+    "(CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE) AS seb "
+    "FROM w WHERE na >= 2 AND nb >= 2) "
+    "SELECT bucket_s, CAST(na AS BIGINT) AS n_a, "
+    "CAST(nb AS BIGINT) AS n_b, ma AS mean_a, mb AS mean_b, "
+    "(ma - mb) / sqrt(sea + seb) AS t_stat FROM f "
+    "WHERE sea + seb > 0"
+)
+
+
 def _effective_n_sql(max_lag: int = 12) -> str:
     """Effective-sample-size oracle: same integer ACF machinery as
     the Ljung-Box oracle, ascending-lag addition order."""
@@ -6601,6 +6636,28 @@ def q_gunning_fog(spark, sf):
     return gunning_fog(_docs(spark, sf))
 
 
+def q_welch_1h(spark, sf):
+    """Hourly continuous-aggregate Welch A/B t track
+    (plans/stats.py::welch_hourly): algebraic per-arm sufficient
+    statistics, shared float readout."""
+    from tsaug_spark.plans.stats import welch_hourly
+
+    return welch_hourly(_events(spark, sf))
+
+
+def q_stream_welch_1h(spark, sf):
+    """Streaming twin of welch_1h (streaming/stream_rollup.py::
+    stream_welch): watermarked 1h-window aggregation of the SAME six
+    algebraic sufficient statistics, availableNow backfill — the
+    caught-up sink equals the batch plan exactly, so the batch SQL
+    oracle applies verbatim."""
+    from tsaug_spark.streaming.stream_rollup import (
+        run_stream_welch_once,
+    )
+
+    return run_stream_welch_once(spark, f"{sf}/events.parquet")
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -6611,6 +6668,8 @@ def q_gunning_fog(spark, sf):
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "welch_1h",
+    "stream_welch_1h",
     "bartlett_test",
     "gunning_fog",
     "tukey_fences",
@@ -7087,6 +7146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mk_seasonal": q_mk_seasonal,
         "kuiper_uniform": q_kuiper_uniform,
         "nw_trend": q_nw_trend,
+        "welch_1h": q_welch_1h,
+        "stream_welch_1h": q_stream_welch_1h,
         "bartlett_test": q_bartlett_test,
         "gunning_fog": q_gunning_fog,
         "tukey_fences": q_tukey_fences,
@@ -11169,6 +11230,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n AS BIGINT) AS n, dp AS d_plus, dm AS d_minus, "
             "dp + dm AS v_stat FROM agg WHERE n >= 5"
         ),
+        "welch_1h": _WELCH_1H_SQL,
+        "stream_welch_1h": _WELCH_1H_SQL,
         "bartlett_test": (
             "WITH b AS (SELECT event_type AS key, "
             "CAST(round(value * 100) AS BIGINT) AS c FROM events), "

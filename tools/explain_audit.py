@@ -1674,6 +1674,17 @@ def main() -> None:
         execute=True,
     )
 
+    audit(
+        "welch_1h (hourly A/B continuous aggregate, JVM only)",
+        em.q_welch_1h(spark, sf),
+        must_have=["HashAggregate"],
+        must_not_have=["CartesianProduct",
+                       "BroadcastNestedLoopJoin", "SortMergeJoin",
+                       "BatchEvalPython", "ArrowEvalPython",
+                       "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")

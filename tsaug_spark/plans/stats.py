@@ -7105,3 +7105,89 @@ def bartlett_test(
         (t_num / c_f).alias("t_stat"),
         c_f.alias("c_factor"),
     )
+
+
+def welch_suff_cols(user_col: str = "user_id",
+                    value_col: str = "value",
+                    salt: str = "exp1"):
+    """The six Welch sufficient-statistic aggregate columns (per-arm
+    n / sum(cents) / sum(cents^2)) shared VERBATIM by the batch
+    :func:`welch_hourly` and the streaming twin
+    (streaming/stream_rollup.py::stream_welch) — all algebraic
+    (commutative monoid state), which is exactly what makes the
+    t-test a legal watermarked streaming aggregate."""
+    from tsaug_spark.pipeline.sampling import hash_bucket
+
+    arm = hash_bucket(user_col, salt, 2)
+    c = F.round(F.col(value_col) * 100).cast("long")
+    cd = F.round(F.col(value_col) * 100).cast("decimal(19,0)")
+    a0 = arm == 0
+    return [
+        F.sum(F.when(a0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(a0, c)).alias("sa"),
+        F.sum(F.when(a0, cd * cd)).alias("qa"),
+        F.sum(F.when(~a0, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(~a0, c)).alias("sb"),
+        F.sum(F.when(~a0, cd * cd)).alias("qb"),
+    ]
+
+
+def welch_readout(wide: DataFrame) -> DataFrame:
+    """Shared t/dof readout over the six Welch sufficient statistics
+    (the welch_ttest float tree, verbatim)."""
+    wide = wide.filter((F.col("na") >= 2) & (F.col("nb") >= 2))
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    ma = F.col("sa").cast("double") / nad
+    mb = F.col("sb").cast("double") / nbd
+    va = (
+        F.col("qa").cast("double")
+        - F.col("sa").cast("double") * F.col("sa").cast("double") / nad
+    ) / (nad - F.lit(1.0))
+    vb = (
+        F.col("qb").cast("double")
+        - F.col("sb").cast("double") * F.col("sb").cast("double") / nbd
+    ) / (nbd - F.lit(1.0))
+    sea = va / nad
+    seb = vb / nbd
+    se2 = sea + seb
+    return wide.filter(se2 > 0).select(
+        "bucket_s",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        ((ma - mb) / F.sqrt(se2)).alias("t_stat"),
+    )
+
+
+def welch_hourly(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    salt: str = "exp1",
+) -> DataFrame:
+    """The Welch A/B t statistic as an hourly CONTINUOUS AGGREGATE —
+    the experiment dashboard's live significance track, one t per
+    hour bucket between the deterministic md5 arms.  The per-arm
+    sufficient statistics are algebraic (n, S, Q sums), so this same
+    aggregation runs unchanged as a watermarked streaming query
+    (streaming/stream_rollup.py::stream_welch) whose caught-up sink
+    equals this batch plan EXACTLY — the mergeable-sketch property,
+    for inference.
+
+    Scale: one hash aggregate at hour grain (map-side combined,
+    6-number state per bucket), then a stateless readout projection.
+
+    Output: bucket_s, n_a, n_b, mean_a, mean_b, t_stat.
+    """
+    wide = (
+        df.groupBy(
+            (F.floor(F.unix_timestamp(F.col(ts_col)) / 3600) * 3600)
+            .cast("long")
+            .alias("bucket_s")
+        )
+        .agg(*welch_suff_cols(user_col, value_col, salt))
+    )
+    return welch_readout(wide)

@@ -612,3 +612,45 @@ def run_stream_count_sketch_once(
         lambda st: stream_count_sketch(st, tier),
         sink_table, "CountSketch",
     )
+
+
+def stream_welch(stream_df: DataFrame, watermark: str = "2 hours"):
+    """Watermarked streaming twin of plans/stats.py::welch_hourly:
+    the SAME six algebraic Welch sufficient-statistic aggregates
+    (shared column builder welch_suff_cols) over a 1-hour tumbling
+    window — a live A/B significance track whose caught-up
+    complete-mode sink equals the batch plan exactly.  State per
+    window is six numbers; the watermark bounds it."""
+    from pyspark.sql import functions as F
+
+    from tsaug_spark.plans.stats import welch_suff_cols
+
+    # event-time columns must be TIMESTAMP (watermarks reject NTZ)
+    stream_df = stream_df.withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(*welch_suff_cols())
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_s"),
+            "na", "sa", "qa", "nb", "sb", "qb",
+        )
+    )
+
+
+def run_stream_welch_once(
+    spark,
+    source_path: str,
+    sink_table: str = "stream_welch_out",
+) -> DataFrame:
+    """availableNow-trigger backfill of the streaming Welch A/B
+    aggregate; applies the shared readout to the caught-up sink so
+    the result equals welch_hourly on the same data exactly."""
+    from tsaug_spark.plans.stats import welch_readout
+
+    wide = _run_availablenow_backfill(
+        spark, source_path, stream_welch, sink_table, "Welch A/B",
+    )
+    return welch_readout(wide)
