@@ -6056,6 +6056,28 @@ def _spectral_entropy_sql(
     )
 
 
+#: shared oracle for wilson_ctr_1d AND its streaming twin (caught-up
+#: availableNow sink equals the batch plan exactly)
+_WILSON_1D_SQL = (
+    "WITH a AS (SELECT user_id, "
+    "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+    "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 "
+    "END) AS k, COUNT(*) AS n FROM events "
+    "WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2) "
+    "SELECT user_id, day, CAST(k AS BIGINT) AS k, "
+    "CAST(n AS BIGINT) AS n, "
+    "(CAST(k AS DOUBLE) + 1.96 * 1.96 / 2.0 - 1.96 * "
+    "sqrt(CAST(k AS DOUBLE) * (CAST(n AS DOUBLE) - "
+    "CAST(k AS DOUBLE)) / CAST(n AS DOUBLE) + 1.96 * 1.96 / "
+    "4.0)) / (CAST(n AS DOUBLE) + 1.96 * 1.96) AS wilson_lo, "
+    "(CAST(k AS DOUBLE) + 1.96 * 1.96 / 2.0 + 1.96 * "
+    "sqrt(CAST(k AS DOUBLE) * (CAST(n AS DOUBLE) - "
+    "CAST(k AS DOUBLE)) / CAST(n AS DOUBLE) + 1.96 * 1.96 / "
+    "4.0)) / (CAST(n AS DOUBLE) + 1.96 * 1.96) AS wilson_hi "
+    "FROM a"
+)
+
+
 #: shared oracle for welch_1h AND its streaming twin (the caught-up
 #: availableNow sink equals the batch plan exactly, so one SQL serves
 #: both): hourly per-arm sufficient statistics + the welch_ttest
@@ -6658,6 +6680,33 @@ def q_stream_welch_1h(spark, sf):
     return run_stream_welch_once(spark, f"{sf}/events.parquet")
 
 
+def q_cohort_ltv(spark, sf):
+    """Weekly-cohort cumulative LTV curve
+    (plans/cohorts.py::cohort_ltv): exact cents, dense zero-filled
+    offset grid, integer running totals, one final division."""
+    from tsaug_spark.plans.cohorts import cohort_ltv
+
+    return cohort_ltv(_events(spark, sf))
+
+
+def q_stream_wilson_1d(spark, sf):
+    """Streaming twin of wilson_ctr_1d (streaming/stream_rollup.py::
+    stream_wilson): watermarked daily-window exact success/trial
+    counts, shared wilson_bounds readout — the caught-up sink equals
+    the batch plan exactly, so the batch SQL oracle applies
+    verbatim."""
+    from tsaug_spark.streaming.stream_rollup import (
+        run_stream_wilson_once,
+    )
+
+    return run_stream_wilson_once(
+        spark, f"{sf}/events.parquet"
+    ).select(
+        F.col("key").alias("user_id"), "day", "k", "n",
+        "wilson_lo", "wilson_hi",
+    )
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -6668,6 +6717,8 @@ def q_stream_welch_1h(spark, sf):
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "cohort_ltv",
+    "stream_wilson_1d",
     "welch_1h",
     "stream_welch_1h",
     "bartlett_test",
@@ -7146,6 +7197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mk_seasonal": q_mk_seasonal,
         "kuiper_uniform": q_kuiper_uniform,
         "nw_trend": q_nw_trend,
+        "cohort_ltv": q_cohort_ltv,
+        "stream_wilson_1d": q_stream_wilson_1d,
         "welch_1h": q_welch_1h,
         "stream_welch_1h": q_stream_welch_1h,
         "bartlett_test": q_bartlett_test,
@@ -13016,24 +13069,46 @@ def oracle_sql() -> dict[str, str]:
             "CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE))) AS ks "
             "FROM cum WHERE n_a > 0 AND n_b > 0 GROUP BY 1"
         ),
-        "wilson_ctr_1d": (
-            "WITH a AS (SELECT user_id, "
+        "cohort_ltv": (
+            "WITH base AS (SELECT user_id AS key, "
             "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
-            "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 "
-            "END) AS k, COUNT(*) AS n FROM events "
-            "WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2) "
-            "SELECT user_id, day, CAST(k AS BIGINT) AS k, "
-            "CAST(n AS BIGINT) AS n, "
-            "(CAST(k AS DOUBLE) + 1.96 * 1.96 / 2.0 - 1.96 * "
-            "sqrt(CAST(k AS DOUBLE) * (CAST(n AS DOUBLE) - "
-            "CAST(k AS DOUBLE)) / CAST(n AS DOUBLE) + 1.96 * 1.96 / "
-            "4.0)) / (CAST(n AS DOUBLE) + 1.96 * 1.96) AS wilson_lo, "
-            "(CAST(k AS DOUBLE) + 1.96 * 1.96 / 2.0 + 1.96 * "
-            "sqrt(CAST(k AS DOUBLE) * (CAST(n AS DOUBLE) - "
-            "CAST(k AS DOUBLE)) / CAST(n AS DOUBLE) + 1.96 * 1.96 / "
-            "4.0)) / (CAST(n AS DOUBLE) + 1.96 * 1.96) AS wilson_hi "
-            "FROM a"
+            "event_type AS etype, "
+            "CAST(round(value * 100) AS BIGINT) AS cents "
+            "FROM events), "
+            "cohort AS (SELECT key, MIN(day) AS c_day FROM base "
+            "GROUP BY 1), "
+            "c2 AS (SELECT key, c_day, "
+            "CAST(floor(c_day / 7) AS BIGINT) AS c_wk FROM cohort), "
+            "sizes AS (SELECT c_wk, COUNT(*) AS cohort_size "
+            "FROM c2 GROUP BY 1), "
+            "purch AS (SELECT c2.c_wk, "
+            "CAST(floor((b.day - c2.c_day) / 7) AS BIGINT) AS "
+            "offset_w, SUM(b.cents) AS rev FROM base b "
+            "JOIN c2 ON b.key = c2.key "
+            "WHERE b.etype = 'purchase' GROUP BY 1, 2), "
+            "mx AS (SELECT COALESCE(MAX(offset_w), 0) AS mx "
+            "FROM purch), "
+            "grid AS (SELECT s.c_wk, "
+            "CAST(unnest(range(0, mx + 1)) AS BIGINT) AS offset_w "
+            "FROM sizes s CROSS JOIN mx), "
+            "dense AS (SELECT g.c_wk, g.offset_w, "
+            "COALESCE(p.rev, 0) AS rev FROM grid g LEFT JOIN purch "
+            "p ON g.c_wk = p.c_wk AND g.offset_w = p.offset_w), "
+            "cum AS (SELECT c_wk, offset_w, rev, SUM(rev) OVER "
+            "(PARTITION BY c_wk ORDER BY offset_w ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+            "FROM dense) "
+            "SELECT CAST(c.c_wk * 7 * 86400 AS BIGINT) AS "
+            "cohort_wk_s, CAST(c.offset_w AS BIGINT) AS offset_w, "
+            "CAST(s.cohort_size AS BIGINT) AS cohort_size, "
+            "CAST(c.rev AS BIGINT) AS rev_cents, "
+            "CAST(c.cum AS BIGINT) AS cum_cents, "
+            "CAST(c.cum AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) "
+            "AS ltv_cents_per_user "
+            "FROM cum c JOIN sizes s ON c.c_wk = s.c_wk"
         ),
+        "stream_wilson_1d": _WILSON_1D_SQL,
+        "wilson_ctr_1d": _WILSON_1D_SQL,
         "peaks_1h": (
             "WITH h AS (SELECT event_type AS key, "
             "CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour, "

@@ -1685,6 +1685,15 @@ def main() -> None:
         execute=True,
     )
 
+    audit(
+        "cohort_ltv (dense offset grid, integer running totals)",
+        em.q_cohort_ltv(spark, sf),
+        must_have=["HashAggregate", "Window"],
+        must_not_have=["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        execute=True,
+    )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")

@@ -623,3 +623,99 @@ def rfm_segments(
             "example_user",
         )
     )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    revenue_type: str = "purchase",
+) -> DataFrame:
+    """Weekly-cohort cumulative lifetime value curve — for each
+    signup-week cohort (a user's cohort is the week of their first
+    event of ANY type) and each user-aligned week offset, the
+    cumulative ``revenue_type`` cents per cohort member; the revenue
+    companion to :func:`cohort_retention`'s activity matrix.
+
+    Exactness: revenue is exact cents, the running total is a window
+    sum of exact BIGINTs over the dense zero-filled offset grid
+    (missing weeks must carry the cumulative value forward, not punch
+    holes in the curve), and LTV-per-user is ONE final division.
+
+    Scale: a user-grain first-seen aggregate, one co-partitioned
+    equi-join to stamp offsets, a (cohort, offset) hash aggregate,
+    and one ordered window over the retention-bounded offset axis —
+    offsets scale with the horizon, never event volume.
+
+    Output: cohort_wk_s, offset_w, cohort_size, rev_cents,
+    cum_cents, ltv_cents_per_user.
+    """
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / DAY_S).cast(
+        "long"
+    )
+    base = df.select(
+        F.col(key_col).alias("key"),
+        day.alias("day"),
+        F.col(type_col).alias("etype"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+    )
+    cohort = base.groupBy("key").agg(F.min("day").alias("c_day"))
+    cohort = cohort.select(
+        "key", "c_day", F.floor(F.col("c_day") / 7).alias("c_wk")
+    )
+    sizes = cohort.groupBy("c_wk").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    purch = (
+        base.filter(F.col("etype") == revenue_type)
+        .join(cohort, "key")
+        .groupBy(
+            "c_wk",
+            F.floor((F.col("day") - F.col("c_day")) / 7)
+            .cast("long")
+            .alias("offset_w"),
+        )
+        .agg(F.sum("cents").alias("rev"))
+    )
+    maxoff = purch.agg(
+        F.coalesce(F.max("offset_w"), F.lit(0)).alias("mx")
+    )
+    grid = (
+        sizes.select("c_wk")
+        .crossJoin(F.broadcast(maxoff))
+        .select(
+            "c_wk",
+            F.explode(F.sequence(F.lit(0), F.col("mx"))).alias(
+                "offset_w"
+            ),
+        )
+    )
+    dense = grid.join(purch, ["c_wk", "offset_w"], "left").select(
+        "c_wk",
+        "offset_w",
+        F.coalesce("rev", F.lit(0)).alias("rev"),
+    )
+    w = (
+        Window.partitionBy("c_wk")
+        .orderBy("offset_w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = dense.select(
+        "c_wk",
+        "offset_w",
+        "rev",
+        F.sum("rev").over(w).alias("cum"),
+    ).join(F.broadcast(sizes), "c_wk")
+    return out.select(
+        (F.col("c_wk") * 7 * DAY_S).cast("long").alias("cohort_wk_s"),
+        F.col("offset_w").cast("long").alias("offset_w"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        F.col("rev").cast("long").alias("rev_cents"),
+        F.col("cum").cast("long").alias("cum_cents"),
+        (
+            F.col("cum").cast("double")
+            / F.col("cohort_size").cast("double")
+        ).alias("ltv_cents_per_user"),
+    )

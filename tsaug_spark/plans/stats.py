@@ -233,18 +233,27 @@ def wilson_interval(
     agg = ev.groupBy("key", "day").agg(
         F.sum("succ").alias("k"), F.count(F.lit(1)).alias("n")
     )
+    lo, hi = wilson_bounds(z)
+    return agg.select(
+        "key", "day", "k", "n",
+        lo.alias("wilson_lo"), hi.alias("wilson_hi"),
+    )
+
+
+def wilson_bounds(z: float = 1.96):
+    """The Wilson score bound expressions over exact (k, n) count
+    columns — the one shared float tree, used by the batch
+    :func:`wilson_interval` AND the watermarked streaming twin
+    (streaming/stream_rollup.py::stream_wilson); counts are algebraic,
+    so the CI is a legal streaming aggregate readout."""
     kd = F.col("k").cast("double")
     nd = F.col("n").cast("double")
     zl = F.lit(z)
     half = zl * F.sqrt(kd * (nd - kd) / nd + zl * zl / F.lit(4.0))
     denom = nd + zl * zl
-    return agg.select(
-        "key",
-        "day",
-        "k",
-        "n",
-        ((kd + zl * zl / F.lit(2.0) - half) / denom).alias("wilson_lo"),
-        ((kd + zl * zl / F.lit(2.0) + half) / denom).alias("wilson_hi"),
+    return (
+        (kd + zl * zl / F.lit(2.0) - half) / denom,
+        (kd + zl * zl / F.lit(2.0) + half) / denom,
     )
 
 

@@ -654,3 +654,70 @@ def run_stream_welch_once(
         spark, source_path, stream_welch, sink_table, "Welch A/B",
     )
     return welch_readout(wide)
+
+
+def stream_wilson(
+    stream_df: DataFrame,
+    success_type: str = "purchase",
+    trial_types=("click", "purchase"),
+    watermark: str = "2 days",
+):
+    """Watermarked streaming twin of plans/stats.py::wilson_interval:
+    exact per-(user, day-window) success/trial counts — algebraic
+    state, two numbers per open window — whose caught-up
+    complete-mode sink equals the batch plan exactly; the Wilson CI
+    readout (shared wilson_bounds float tree) is applied after the
+    sink catches up."""
+    from pyspark.sql import functions as F
+
+    stream_df = stream_df.withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        stream_df.filter(
+            F.col("event_type").isin(list(trial_types))
+        )
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.col("user_id").alias("key"),
+            F.window("ts", "1 day").alias("w"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == success_type, 1
+                ).otherwise(0)
+            ).alias("k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "key",
+            F.floor(F.unix_timestamp(F.col("w.start")) / 86400)
+            .cast("long")
+            .alias("day"),
+            "k",
+            "n",
+        )
+    )
+
+
+def run_stream_wilson_once(
+    spark,
+    source_path: str,
+    sink_table: str = "stream_wilson_out",
+) -> DataFrame:
+    """availableNow-trigger backfill of the streaming Wilson CTR
+    aggregate; the shared readout makes the result equal
+    wilson_interval on the same data exactly."""
+    from pyspark.sql import functions as F
+
+    from tsaug_spark.plans.stats import wilson_bounds
+
+    agg = _run_availablenow_backfill(
+        spark, source_path, stream_wilson, sink_table, "Wilson CTR",
+    )
+    lo, hi = wilson_bounds()
+    return agg.select(
+        "key", "day", "k", "n",
+        lo.alias("wilson_lo"), hi.alias("wilson_hi"),
+    )
