@@ -6056,6 +6056,72 @@ def _spectral_entropy_sql(
     )
 
 
+def _psi_1d_sql() -> str:
+    """Shared oracle for psi_daily_fixed AND its streaming twin: the
+    same literal bin edges, Laplace-smoothed proportions, 1/K
+    reference double, fixed bin-order term chain."""
+    from tsaug_spark.plans.stats import PSI_BIN_EDGES
+
+    k = len(PSI_BIN_EDGES) + 1
+    q = 1.0 / k
+    case = "CASE "
+    for i, e in enumerate(PSI_BIN_EDGES):
+        case += (
+            f"WHEN CAST(round(value * 100) AS BIGINT) < {e} "
+            f"THEN {i} "
+        )
+    case += f"ELSE {k - 1} END AS bin"
+    bsums = ", ".join(
+        f"SUM(CASE WHEN bin = {i} THEN cnt ELSE 0 END) AS b{i}"
+        for i in range(k)
+    )
+    terms = " + ".join(
+        f"((CAST(b{i} AS DOUBLE) + 0.5) / "
+        f"(CAST(nn AS DOUBLE) + {k / 2.0!r}) - {q!r}) * "
+        f"ln(((CAST(b{i} AS DOUBLE) + 0.5) / "
+        f"(CAST(nn AS DOUBLE) + {k / 2.0!r})) / {q!r})"
+        for i in range(k)
+    )
+    return (
+        "WITH b AS (SELECT "
+        "CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket_s, "
+        f"{case} FROM events), "
+        "g AS (SELECT bucket_s, bin, COUNT(*) AS cnt FROM b "
+        "GROUP BY 1, 2), "
+        f"w AS (SELECT bucket_s, SUM(cnt) AS nn, {bsums} FROM g "
+        "GROUP BY 1) "
+        "SELECT bucket_s, CAST(nn AS BIGINT) AS n, "
+        f"{terms} AS psi FROM w WHERE nn > 0"
+    )
+
+
+#: shared oracle for jb_values_1d AND its streaming twin: the
+#: jarque_bera raw-to-central float tree over per-day cent power sums
+_JB_1D_SQL = (
+    "WITH b AS (SELECT "
+    "CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket_s, "
+    "CAST(round(value * 100) AS BIGINT) AS c FROM events), "
+    "a AS (SELECT bucket_s, COUNT(*) AS n, SUM(c) AS s1, "
+    "SUM(c*c) AS s2, SUM(c*c*c) AS s3, SUM(c*c*c*c) AS s4 "
+    "FROM b GROUP BY 1 HAVING COUNT(*) >= 4), "
+    "m AS (SELECT bucket_s, n, "
+    "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu, "
+    "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2, "
+    "CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3, "
+    "CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4 FROM a), "
+    "c2 AS (SELECT bucket_s, n, r2 - mu * mu AS m2, "
+    "r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3, "
+    "r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - "
+    "3.0 * mu * mu * mu * mu AS m4 FROM m), "
+    "g AS (SELECT bucket_s, n, m3 / (m2 * sqrt(m2)) AS g1, "
+    "m4 / (m2 * m2) - 3.0 AS g2 FROM c2 WHERE m2 > 0) "
+    "SELECT bucket_s, CAST(n AS BIGINT) AS n, g1 AS skew_g1, "
+    "g2 AS kurt_g2, "
+    "CAST(n AS DOUBLE) / 6.0 * (g1 * g1 + g2 * g2 / 4.0) AS "
+    "jb_stat FROM g"
+)
+
+
 #: shared oracle for wilson_ctr_1d AND its streaming twin (caught-up
 #: availableNow sink equals the batch plan exactly)
 _WILSON_1D_SQL = (
@@ -6707,6 +6773,45 @@ def q_stream_wilson_1d(spark, sf):
     )
 
 
+def q_psi_daily(spark, sf):
+    """Daily PSI drift monitor vs the fixed literal-bin uniform
+    reference (plans/stats.py::psi_daily_fixed)."""
+    from tsaug_spark.plans.stats import psi_daily_fixed
+
+    return psi_daily_fixed(_events(spark, sf))
+
+
+def q_stream_psi_1d(spark, sf):
+    """Streaming twin of psi_daily (stream_rollup.py::stream_psi):
+    watermarked per-(day, bin) exact counts, shared readout — equals
+    the batch plan exactly, same SQL oracle."""
+    from tsaug_spark.streaming.stream_rollup import (
+        run_stream_psi_once,
+    )
+
+    return run_stream_psi_once(spark, f"{sf}/events.parquet")
+
+
+def q_jb_values_1d(spark, sf):
+    """Daily Jarque-Bera normality track of per-event values
+    (plans/stats.py::jb_values_daily): algebraic decimal power sums,
+    shared readout."""
+    from tsaug_spark.plans.stats import jb_values_daily
+
+    return jb_values_daily(_events(spark, sf))
+
+
+def q_stream_jb_1d(spark, sf):
+    """Streaming twin of jb_values_1d (stream_rollup.py::stream_jb):
+    the same five algebraic sufficient statistics per daily window —
+    equals the batch plan exactly, same SQL oracle."""
+    from tsaug_spark.streaming.stream_rollup import (
+        run_stream_jb_once,
+    )
+
+    return run_stream_jb_once(spark, f"{sf}/events.parquet")
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -6717,6 +6822,10 @@ def q_stream_wilson_1d(spark, sf):
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "psi_daily",
+    "stream_psi_1d",
+    "jb_values_1d",
+    "stream_jb_1d",
     "cohort_ltv",
     "stream_wilson_1d",
     "welch_1h",
@@ -7197,6 +7306,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mk_seasonal": q_mk_seasonal,
         "kuiper_uniform": q_kuiper_uniform,
         "nw_trend": q_nw_trend,
+        "psi_daily": q_psi_daily,
+        "stream_psi_1d": q_stream_psi_1d,
+        "jb_values_1d": q_jb_values_1d,
+        "stream_jb_1d": q_stream_jb_1d,
         "cohort_ltv": q_cohort_ltv,
         "stream_wilson_1d": q_stream_wilson_1d,
         "welch_1h": q_welch_1h,
@@ -13069,6 +13182,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE))) AS ks "
             "FROM cum WHERE n_a > 0 AND n_b > 0 GROUP BY 1"
         ),
+        "psi_daily": _psi_1d_sql(),
+        "stream_psi_1d": _psi_1d_sql(),
+        "jb_values_1d": _JB_1D_SQL,
+        "stream_jb_1d": _JB_1D_SQL,
         "cohort_ltv": (
             "WITH base AS (SELECT user_id AS key, "
             "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "

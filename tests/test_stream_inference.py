@@ -1,0 +1,153 @@
+"""Daily PSI drift monitor and Jarque-Bera value track: NumPy
+references plus streaming == batch equality for both twins."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+
+T0 = dt.datetime(2024, 1, 1)
+
+_EVENT_DDL = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double"
+)
+
+
+def _ref_psi(cents, edges=(500, 1500, 3000, 6000, 12000)):
+    k = len(edges) + 1
+    counts = [0] * k
+    for c in cents:
+        for i, e in enumerate(edges):
+            if c < e:
+                counts[i] += 1
+                break
+        else:
+            counts[k - 1] += 1
+    n = sum(counts)
+    q = 1.0 / k
+    nd = n + k / 2.0
+    psi = 0.0
+    for b in counts:
+        p = (b + 0.5) / nd
+        psi += (p - q) * math.log(p / q)
+    return n, psi
+
+
+def test_psi_daily_matches_reference(spark):
+    from tsaug_spark.plans.stats import psi_daily_fixed
+
+    rng = np.random.RandomState(21)
+    rows, eid = [], 0
+    byday = {}
+    for d in range(3):
+        vals = np.round(rng.uniform(0.5, 200.0, 120), 2)
+        byday[d] = [round(v * 100) for v in vals]
+        for v in vals:
+            rows.append(
+                (eid, T0 + dt.timedelta(days=d, minutes=eid % 60),
+                 1, "x", float(v))
+            )
+            eid += 1
+    out = {r["bucket_s"]: r for r in psi_daily_fixed(
+        spark.createDataFrame(rows, _EVENT_DDL)).collect()}
+    e0 = (T0 - dt.datetime(1970, 1, 1)).days
+    for d, cents in byday.items():
+        n, psi = _ref_psi(cents)
+        r = out[(e0 + d) * 86400]
+        assert r["n"] == n
+        assert math.isclose(r["psi"], psi, rel_tol=1e-9,
+                            abs_tol=1e-12)
+
+
+def test_psi_detects_shift(spark):
+    """A day whose values all land in one bin scores a large PSI;
+    a day spread across bins scores lower."""
+    from tsaug_spark.plans.stats import psi_daily_fixed
+
+    rows, eid = [], 0
+    for v in [1.0, 7.0, 20.0, 45.0, 90.0, 150.0] * 20:
+        rows.append((eid, T0 + dt.timedelta(minutes=eid), 1, "x", v))
+        eid += 1
+    for _ in range(120):
+        rows.append(
+            (eid, T0 + dt.timedelta(days=1, minutes=eid % 60),
+             1, "x", 2.0)
+        )
+        eid += 1
+    out = sorted(
+        psi_daily_fixed(
+            spark.createDataFrame(rows, _EVENT_DDL)
+        ).collect(),
+        key=lambda r: r["bucket_s"],
+    )
+    assert out[1]["psi"] > out[0]["psi"] + 0.5
+
+
+def test_stream_psi_equals_batch(spark):
+    from tsaug_spark.plans.stats import psi_daily_fixed
+    from tsaug_spark.streaming.stream_rollup import (
+        run_stream_psi_once,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    batch = {r["bucket_s"]: r for r in psi_daily_fixed(
+        spark.read.parquet(src)).collect()}
+    stream = {r["bucket_s"]: r for r in run_stream_psi_once(
+        spark, src, sink_table="stream_psi_test").collect()}
+    assert set(batch) == set(stream) and len(batch) > 0
+    for k, b in batch.items():
+        s = stream[k]
+        assert b["n"] == s["n"] and b["psi"] == s["psi"]
+
+
+def _ref_jb(cents):
+    y = np.asarray(cents, float)
+    n = len(y)
+    m = y.mean()
+    m2 = ((y - m) ** 2).mean()
+    m3 = ((y - m) ** 3).mean()
+    m4 = ((y - m) ** 4).mean()
+    g1 = m3 / m2**1.5
+    g2 = m4 / m2**2 - 3.0
+    return g1, g2, n / 6.0 * (g1**2 + g2**2 / 4.0)
+
+
+def test_jb_values_daily_matches_reference(spark):
+    from tsaug_spark.plans.stats import jb_values_daily
+
+    rng = np.random.RandomState(4)
+    vals = np.round(rng.uniform(1.0, 80.0, 200), 2)
+    rows = [
+        (i, T0 + dt.timedelta(minutes=i % 60), 1, "x", float(v))
+        for i, v in enumerate(vals)
+    ]
+    r = jb_values_daily(
+        spark.createDataFrame(rows, _EVENT_DDL)
+    ).collect()[0]
+    cents = [round(v * 100) for v in vals]
+    g1, g2, jb = _ref_jb(cents)
+    assert r["n"] == len(vals)
+    assert math.isclose(r["skew_g1"], g1, rel_tol=1e-9)
+    assert math.isclose(r["kurt_g2"], g2, rel_tol=1e-9)
+    assert math.isclose(r["jb_stat"], jb, rel_tol=1e-9)
+
+
+def test_stream_jb_equals_batch(spark):
+    from tsaug_spark.plans.stats import jb_values_daily
+    from tsaug_spark.streaming.stream_rollup import (
+        run_stream_jb_once,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    batch = {r["bucket_s"]: r for r in jb_values_daily(
+        spark.read.parquet(src)).collect()}
+    stream = {r["bucket_s"]: r for r in run_stream_jb_once(
+        spark, src, sink_table="stream_jb_test").collect()}
+    assert set(batch) == set(stream) and len(batch) > 0
+    for k, b in batch.items():
+        s = stream[k]
+        assert b["n"] == s["n"]
+        assert b["jb_stat"] == s["jb_stat"]

@@ -1694,6 +1694,22 @@ def main() -> None:
         execute=True,
     )
 
+    for nm, q in [
+        ("psi_daily", em.q_psi_daily),
+        ("jb_values_1d", em.q_jb_values_1d),
+    ]:
+        audit(
+            f"{nm} (daily continuous aggregate, JVM only)",
+            q(spark, sf),
+            must_have=["HashAggregate"],
+            must_not_have=["CartesianProduct",
+                           "BroadcastNestedLoopJoin",
+                           "SortMergeJoin",
+                           "BatchEvalPython", "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")

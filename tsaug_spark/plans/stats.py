@@ -7200,3 +7200,157 @@ def welch_hourly(
         .agg(*welch_suff_cols(user_col, value_col, salt))
     )
     return welch_readout(wide)
+
+
+#: fixed literal cent-bin edges for the PSI drift monitor — static by
+#: design (a drift monitor needs a frozen binning; both engines embed
+#: the same literals)
+PSI_BIN_EDGES = (500, 1500, 3000, 6000, 12000)
+
+
+def psi_bin_col(value_col: str = "value"):
+    """The literal-edged PSI bin id (0..len(edges)) over exact cents
+    — shared by the batch :func:`psi_daily_fixed` and the streaming
+    twin (streaming/stream_rollup.py::stream_psi)."""
+    c = F.round(F.col(value_col) * 100).cast("long")
+    b = None
+    for i, e in enumerate(PSI_BIN_EDGES):
+        cond = c < F.lit(int(e))
+        b = F.when(cond, i) if b is None else b.when(cond, i)
+    return b.otherwise(len(PSI_BIN_EDGES)).alias("bin")
+
+
+def psi_readout(binned: DataFrame) -> DataFrame:
+    """PSI-vs-uniform readout over per-(bucket_s, bin) exact counts:
+
+        PSI = sum_i (p_i - q) * ln(p_i / q),   q = 1/K
+
+    Empty bins are zero-filled with the documented epsilon-free
+    convention p_i -> (n_i + 0.5)/(N + K/2) (the Laplace-smoothed
+    form, so ln never sees 0); the K terms add in FIXED bin order.
+    Shared by batch and streaming (identical caught-up counts)."""
+    k = len(PSI_BIN_EDGES) + 1
+    wide = binned.groupBy("bucket_s").agg(
+        F.sum("cnt").alias("nn"),
+        *[
+            F.sum(F.when(F.col("bin") == i, F.col("cnt")).otherwise(0))
+            .alias(f"b{i}")
+            for i in range(k)
+        ],
+    )
+    q = 1.0 / k
+    nd = F.col("nn").cast("double") + F.lit(k / 2.0)
+    psi = None
+    for i in range(k):
+        p = (F.col(f"b{i}").cast("double") + F.lit(0.5)) / nd
+        term = (p - F.lit(q)) * F.log(p / F.lit(q))
+        psi = term if psi is None else psi + term
+    return wide.filter(F.col("nn") > 0).select(
+        "bucket_s",
+        F.col("nn").cast("long").alias("n"),
+        psi.alias("psi"),
+    )
+
+
+def psi_daily_fixed(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Daily PSI (population stability index) of the value
+    distribution against the FIXED uniform reference over literal
+    cent bins — the classic model-input drift alarm (PSI > 0.2 =
+    investigate), as a continuous aggregate.  Bin counts are
+    algebraic, so the identical aggregation runs as a watermarked
+    streaming query (streaming/stream_rollup.py::stream_psi) whose
+    caught-up sink equals this batch plan exactly.
+
+    Scale: one (day, bin) hash aggregate (map-side combined, K+1
+    cells per day) + a stateless K-term readout.
+
+    Output: bucket_s, n, psi.
+    """
+    binned = (
+        df.select(
+            (F.floor(F.unix_timestamp(F.col(ts_col)) / 86400) * 86400)
+            .cast("long")
+            .alias("bucket_s"),
+            psi_bin_col(value_col),
+        )
+        .groupBy("bucket_s", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return psi_readout(binned)
+
+
+def jb_suff_cols(value_col: str = "value"):
+    """The five algebraic Jarque–Bera sufficient statistics over
+    exact cents (decimal(38,0) power sums — overflow-safe and exact;
+    DuckDB SUM widens to HUGEINT) — shared by :func:`jb_values_daily`
+    and the streaming twin (stream_rollup.py::stream_jb)."""
+    c = F.round(F.col(value_col) * 100).cast("long")
+    cd = F.round(F.col(value_col) * 100).cast("decimal(19,0)")
+    c2 = cd * cd
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(c2).alias("s2"),
+        F.sum(c2 * cd).alias("s3"),
+        F.sum(c2 * c2).alias("s4"),
+    ]
+
+
+def jb_readout(wide: DataFrame) -> DataFrame:
+    """The Jarque–Bera float tree over (n, s1..s4) — the
+    :func:`jarque_bera` raw-to-central expansion, shared verbatim by
+    the batch daily track and the streaming twin."""
+    wide = wide.filter(F.col("n") >= 4)
+    nd = F.col("n").cast("double")
+    m = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    m2 = r2 - m * m
+    m3 = r3 - F.lit(3.0) * m * r2 + F.lit(2.0) * m * m * m
+    m4 = (
+        r4
+        - F.lit(4.0) * m * r3
+        + F.lit(6.0) * m * m * r2
+        - F.lit(3.0) * m * m * m * m
+    )
+    g1 = m3 / (m2 * F.sqrt(m2))
+    g2 = m4 / (m2 * m2) - F.lit(3.0)
+    return wide.filter(m2 > 0).select(
+        "bucket_s",
+        F.col("n").cast("long").alias("n"),
+        g1.alias("skew_g1"),
+        g2.alias("kurt_g2"),
+        (nd / F.lit(6.0) * (g1 * g1 + g2 * g2 / F.lit(4.0)))
+        .alias("jb_stat"),
+    )
+
+
+def jb_values_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Daily Jarque–Bera normality track of the per-event value
+    distribution — "did today's payments stop looking like
+    yesterday's?", as a continuous aggregate.  The five sufficient
+    statistics are algebraic (decimal power sums), so the identical
+    aggregation runs as a watermarked streaming query
+    (stream_rollup.py::stream_jb) whose caught-up sink equals this
+    batch plan exactly.
+
+    Scale: one day-grain hash aggregate (5-number state) + a
+    stateless readout.
+
+    Output: bucket_s, n, skew_g1, kurt_g2, jb_stat.
+    """
+    wide = df.groupBy(
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / 86400) * 86400)
+        .cast("long")
+        .alias("bucket_s")
+    ).agg(*jb_suff_cols(value_col))
+    return jb_readout(wide)

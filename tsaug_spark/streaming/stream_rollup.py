@@ -721,3 +721,81 @@ def run_stream_wilson_once(
         "key", "day", "k", "n",
         lo.alias("wilson_lo"), hi.alias("wilson_hi"),
     )
+
+
+def stream_psi(stream_df: DataFrame, watermark: str = "2 days"):
+    """Watermarked streaming twin of plans/stats.py::psi_daily_fixed:
+    per-(1-day window, literal bin) exact counts — algebraic state —
+    with the shared PSI readout applied to the caught-up sink."""
+    from pyspark.sql import functions as F
+
+    from tsaug_spark.plans.stats import psi_bin_col
+
+    stream_df = stream_df.withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        stream_df.select("ts", psi_bin_col("value"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_s"),
+            "bin",
+            "cnt",
+        )
+    )
+
+
+def run_stream_psi_once(
+    spark,
+    source_path: str,
+    sink_table: str = "stream_psi_out",
+) -> DataFrame:
+    """availableNow-trigger backfill of the streaming PSI monitor;
+    the shared readout makes the result equal psi_daily_fixed on the
+    same data exactly."""
+    from tsaug_spark.plans.stats import psi_readout
+
+    binned = _run_availablenow_backfill(
+        spark, source_path, stream_psi, sink_table, "PSI",
+    )
+    return psi_readout(binned)
+
+
+def stream_jb(stream_df: DataFrame, watermark: str = "2 days"):
+    """Watermarked streaming twin of plans/stats.py::jb_values_daily:
+    the five algebraic Jarque-Bera sufficient statistics per 1-day
+    window (shared builder jb_suff_cols)."""
+    from pyspark.sql import functions as F
+
+    from tsaug_spark.plans.stats import jb_suff_cols
+
+    stream_df = stream_df.withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(*jb_suff_cols("value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_s"),
+            "n", "s1", "s2", "s3", "s4",
+        )
+    )
+
+
+def run_stream_jb_once(
+    spark,
+    source_path: str,
+    sink_table: str = "stream_jb_out",
+) -> DataFrame:
+    """availableNow-trigger backfill of the streaming Jarque-Bera
+    normality track; shared readout => equals jb_values_daily
+    exactly."""
+    from tsaug_spark.plans.stats import jb_readout
+
+    wide = _run_availablenow_backfill(
+        spark, source_path, stream_jb, sink_table, "Jarque-Bera",
+    )
+    return jb_readout(wide)
