@@ -6812,6 +6812,34 @@ def q_stream_jb_1d(spark, sf):
     return run_stream_jb_once(spark, f"{sf}/events.parquet")
 
 
+def q_jb_cascade_1d(spark, sf):
+    """Daily JB track merged from hourly sufficient-statistic
+    partials (plans/stats.py::jb_cascade_daily) — the retention-tier
+    cascade applied to inference; oracled against the DIRECT daily
+    computation (the merge must be exact)."""
+    from tsaug_spark.plans.stats import jb_cascade_daily
+
+    return jb_cascade_daily(_events(spark, sf))
+
+
+def q_welch_cascade_1d(spark, sf):
+    """Daily Welch A/B t merged from hourly per-arm partials
+    (plans/stats.py::welch_cascade_daily); oracled against the direct
+    daily aggregation."""
+    from tsaug_spark.plans.stats import welch_cascade_daily
+
+    return welch_cascade_daily(_events(spark, sf))
+
+
+def q_psi_cascade_1d(spark, sf):
+    """Daily PSI merged from hourly per-bin partial counts
+    (plans/stats.py::psi_cascade_daily); oracled against the direct
+    daily computation."""
+    from tsaug_spark.plans.stats import psi_cascade_daily
+
+    return psi_cascade_daily(_events(spark, sf))
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -6822,6 +6850,9 @@ def q_stream_jb_1d(spark, sf):
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "jb_cascade_1d",
+    "welch_cascade_1d",
+    "psi_cascade_1d",
     "psi_daily",
     "stream_psi_1d",
     "jb_values_1d",
@@ -7306,6 +7337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mk_seasonal": q_mk_seasonal,
         "kuiper_uniform": q_kuiper_uniform,
         "nw_trend": q_nw_trend,
+        "jb_cascade_1d": q_jb_cascade_1d,
+        "welch_cascade_1d": q_welch_cascade_1d,
+        "psi_cascade_1d": q_psi_cascade_1d,
         "psi_daily": q_psi_daily,
         "stream_psi_1d": q_stream_psi_1d,
         "jb_values_1d": q_jb_values_1d,
@@ -13181,6 +13215,14 @@ def oracle_sql() -> dict[str, str]:
             "MAX(abs(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE) - "
             "CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE))) AS ks "
             "FROM cum WHERE n_a > 0 AND n_b > 0 GROUP BY 1"
+        ),
+        # cascade entries: merged hourly partials must equal the
+        # DIRECT daily computation, so each reuses the daily oracle
+        # (welch's daily variant rebuckets the shared hourly SQL)
+        "jb_cascade_1d": _JB_1D_SQL,
+        "psi_cascade_1d": _psi_1d_sql(),
+        "welch_cascade_1d": _WELCH_1H_SQL.replace(
+            "floor(epoch(ts)/3600)*3600", "floor(epoch(ts)/86400)*86400"
         ),
         "psi_daily": _psi_1d_sql(),
         "stream_psi_1d": _psi_1d_sql(),

@@ -151,3 +151,55 @@ def test_stream_jb_equals_batch(spark):
         s = stream[k]
         assert b["n"] == s["n"]
         assert b["jb_stat"] == s["jb_stat"]
+
+
+# ------------------------------------------------- cascade == direct
+
+
+def test_inference_cascades_equal_direct(spark):
+    """Merging hourly partials must reproduce the direct daily
+    computation bit-for-bit for all three inference cascades."""
+    from tsaug_spark.plans.stats import (
+        jb_cascade_daily,
+        jb_values_daily,
+        psi_cascade_daily,
+        psi_daily_fixed,
+        welch_cascade_daily,
+        welch_hourly,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    direct = {r["bucket_s"]: r for r in jb_values_daily(df).collect()}
+    merged = {r["bucket_s"]: r for r in jb_cascade_daily(df).collect()}
+    assert set(direct) == set(merged) and len(direct) > 0
+    for k in direct:
+        assert direct[k]["jb_stat"] == merged[k]["jb_stat"]
+        assert direct[k]["skew_g1"] == merged[k]["skew_g1"]
+
+    d2 = {r["bucket_s"]: r for r in psi_daily_fixed(df).collect()}
+    m2 = {r["bucket_s"]: r for r in psi_cascade_daily(df).collect()}
+    assert set(d2) == set(m2) and len(d2) > 0
+    for k in d2:
+        assert d2[k]["psi"] == m2[k]["psi"]
+
+    # welch: direct daily == cascade daily (direct via the hourly
+    # helper re-bucketed is exactly what the oracle runs; here we
+    # assert cascade against a direct daily groupBy)
+    from pyspark.sql import functions as F
+
+    from tsaug_spark.plans.stats import welch_readout, welch_suff_cols
+
+    direct_w = welch_readout(
+        df.groupBy(
+            (F.floor(F.unix_timestamp(F.col("ts")) / 86400) * 86400)
+            .cast("long")
+            .alias("bucket_s")
+        ).agg(*welch_suff_cols())
+    )
+    d3 = {r["bucket_s"]: r for r in direct_w.collect()}
+    m3 = {r["bucket_s"]: r
+          for r in welch_cascade_daily(df).collect()}
+    assert set(d3) == set(m3) and len(d3) > 0
+    for k in d3:
+        assert d3[k]["t_stat"] == m3[k]["t_stat"]

@@ -1710,6 +1710,23 @@ def main() -> None:
             execute=True,
         )
 
+    for nm, q in [
+        ("jb_cascade_1d", em.q_jb_cascade_1d),
+        ("welch_cascade_1d", em.q_welch_cascade_1d),
+        ("psi_cascade_1d", em.q_psi_cascade_1d),
+    ]:
+        audit(
+            f"{nm} (hourly partials merged to daily, JVM only)",
+            q(spark, sf),
+            must_have=["HashAggregate"],
+            must_not_have=["CartesianProduct",
+                           "BroadcastNestedLoopJoin",
+                           "SortMergeJoin",
+                           "BatchEvalPython", "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")

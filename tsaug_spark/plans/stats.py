@@ -7354,3 +7354,108 @@ def jb_values_daily(
         .alias("bucket_s")
     ).agg(*jb_suff_cols(value_col))
     return jb_readout(wide)
+
+
+def jb_cascade_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Daily Jarque–Bera track computed BY MERGING hourly partials —
+    the retention-tier cascade applied to inference: the five
+    sufficient statistics are a commutative monoid, so the 1h tier
+    can be stored and the 1d tier re-aggregated from it without
+    touching raw events, exactly like the rollup cascade.  The result
+    equals :func:`jb_values_daily`'s direct computation bit-for-bit
+    (integer/decimal partials, shared readout), which is what the
+    driver oracle asserts.
+
+    Scale: the hourly partial pass is the only event-volume pass; the
+    merge is 24 rows -> 1 per day.
+
+    Output: bucket_s, n, skew_g1, kurt_g2, jb_stat.
+    """
+    hourly = df.groupBy(
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / 3600) * 3600)
+        .cast("long")
+        .alias("h")
+    ).agg(*jb_suff_cols(value_col))
+    daily = hourly.groupBy(
+        (F.floor(F.col("h") / 86400) * 86400)
+        .cast("long")
+        .alias("bucket_s")
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.sum("s3").alias("s3"),
+        F.sum("s4").alias("s4"),
+    )
+    return jb_readout(daily)
+
+
+def welch_cascade_daily(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    salt: str = "exp1",
+) -> DataFrame:
+    """Daily Welch A/B t computed by merging hourly per-arm partials
+    (the :func:`jb_cascade_daily` cascade pattern on the welch_1h
+    state): store the 1h tier, merge 24 rows per day, shared
+    readout — equals the direct daily aggregation exactly.
+
+    Output: bucket_s, n_a, n_b, mean_a, mean_b, t_stat.
+    """
+    hourly = df.groupBy(
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / 3600) * 3600)
+        .cast("long")
+        .alias("h")
+    ).agg(*welch_suff_cols(user_col, value_col, salt))
+    daily = hourly.groupBy(
+        (F.floor(F.col("h") / 86400) * 86400)
+        .cast("long")
+        .alias("bucket_s")
+    ).agg(
+        F.sum("na").alias("na"),
+        F.sum("sa").alias("sa"),
+        F.sum("qa").alias("qa"),
+        F.sum("nb").alias("nb"),
+        F.sum("sb").alias("sb"),
+        F.sum("qb").alias("qb"),
+    )
+    return welch_readout(daily)
+
+
+def psi_cascade_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Daily PSI drift monitor computed by merging hourly per-bin
+    partial counts (the cascade pattern on the psi_daily state) —
+    equals :func:`psi_daily_fixed` exactly.
+
+    Output: bucket_s, n, psi.
+    """
+    hourly = (
+        df.select(
+            (F.floor(F.unix_timestamp(F.col(ts_col)) / 3600) * 3600)
+            .cast("long")
+            .alias("h"),
+            psi_bin_col(value_col),
+        )
+        .groupBy("h", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    daily = (
+        hourly.groupBy(
+            (F.floor(F.col("h") / 86400) * 86400)
+            .cast("long")
+            .alias("bucket_s"),
+            "bin",
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return psi_readout(daily)
