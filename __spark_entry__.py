@@ -6840,6 +6840,91 @@ def q_psi_cascade_1d(spark, sf):
     return psi_cascade_daily(_events(spark, sf))
 
 
+def q_breusch_pagan(spark, sf):
+    """Breusch-Pagan heteroskedasticity LM test on each type's daily
+    OLS residuals (plans/stats.py::breusch_pagan): exact-int OLS fit,
+    sorted-fold float sums, n*R^2 readout."""
+    from tsaug_spark.plans.stats import breusch_pagan
+
+    return breusch_pagan(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_days", "lm_stat",
+        "significant",
+    )
+
+
+def q_chow_break(spark, sf):
+    """Chow structural-break F at the horizon midpoint per type
+    (plans/stats.py::chow_break): pooled vs per-half OLS SSEs, all
+    from exact-int sufficient stats + sorted folds."""
+    from tsaug_spark.plans.stats import chow_break
+
+    return chow_break(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_days", "break_x",
+        "f_stat",
+    )
+
+
+def q_cochran_q(spark, sf):
+    """Cochran's Q over the day-by-type presence matrix
+    (plans/stats.py::cochran_q): all-integer marginal sums, one float
+    division."""
+    from tsaug_spark.plans.stats import cochran_q
+
+    return cochran_q(_events(spark, sf))
+
+
+def q_icc_oneway(spark, sf):
+    """ICC(1,1) of hourly counts within days per type
+    (plans/stats.py::icc_oneway): one-way ANOVA decimal power sums."""
+    from tsaug_spark.plans.stats import icc_oneway
+
+    return icc_oneway(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_days", "icc",
+    )
+
+
+def q_cohens_d(spark, sf):
+    """Cohen's d + Hedges' g between click and purchase daily counts
+    (plans/stats.py::cohens_d_effect): exact-int power sums, single
+    closed-form readout."""
+    from tsaug_spark.plans.stats import cohens_d_effect
+
+    return cohens_d_effect(_events(spark, sf))
+
+
+def q_partial_corr(spark, sf):
+    """Partial correlation of click vs purchase daily counts given
+    total volume (plans/stats.py::partial_corr_day): three exact-int
+    Pearsons, one first-order partial readout."""
+    from tsaug_spark.plans.stats import partial_corr_day
+
+    return partial_corr_day(_events(spark, sf))
+
+
+def q_cusum_squares(spark, sf):
+    """CUSUM-of-squares variance changepoint per type
+    (plans/stats.py::cusum_squares): decimal running sums, earliest
+    argmax break day."""
+    from tsaug_spark.plans.stats import cusum_squares
+
+    return cusum_squares(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_days", "cs_stat",
+        "break_day",
+    )
+
+
+def q_higuchi_fd(spark, sf):
+    """Higuchi-style fractal dimension of the dense hourly count
+    series per type (plans/stats.py::higuchi_fd): exact-int curve
+    lengths at k=1,2,4, closed-form log-log slope."""
+    from tsaug_spark.plans.stats import higuchi_fd
+
+    return higuchi_fd(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_hours", "l1", "l2",
+        "l4", "hfd",
+    )
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -6850,6 +6935,14 @@ def q_psi_cascade_1d(spark, sf):
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "breusch_pagan",
+    "chow_break",
+    "cochran_q",
+    "icc_oneway",
+    "cohens_d",
+    "partial_corr",
+    "cusum_squares",
+    "higuchi_fd",
     "jb_cascade_1d",
     "welch_cascade_1d",
     "psi_cascade_1d",
@@ -7107,6 +7200,14 @@ def _registry_order(reg: dict) -> dict:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _registry_order({
+        "breusch_pagan": q_breusch_pagan,
+        "chow_break": q_chow_break,
+        "cochran_q": q_cochran_q,
+        "icc_oneway": q_icc_oneway,
+        "cohens_d": q_cohens_d,
+        "partial_corr": q_partial_corr,
+        "cusum_squares": q_cusum_squares,
+        "higuchi_fd": q_higuchi_fd,
         "rollup_1m": q_rollup_1m,
         "rollup_1h": q_rollup_1h,
         "cascade_1d": q_cascade_1d,
@@ -7917,7 +8018,244 @@ _ZORDER_SQL = " + ".join(
 
 def oracle_sql() -> dict[str, str]:
     hourly = _HOURLY_SQL
+    # shared daily-cents + OLS-residual CTE prefix for the round-4n
+    # regression diagnostics (mirrors plans/stats.py::
+    # _day_ols_residuals expression-for-expression)
+    ols_prefix = (
+        "WITH d AS (SELECT event_type AS key, "
+        "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+        "SUM(CAST(round(value * 100) AS BIGINT)) AS y "
+        "FROM events GROUP BY 1, 2), "
+        "o AS (SELECT key, day - MIN(day) OVER "
+        "(PARTITION BY key) AS x, y FROM d), "
+        "f0 AS (SELECT key, COUNT(*) AS n, SUM(x) AS sx, "
+        "SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx "
+        "FROM o GROUP BY 1 HAVING COUNT(*) >= 3), "
+        "fit AS (SELECT key, n, sx, sxx, "
+        "CAST(n*sxy - sx*sy AS DOUBLE) / "
+        "CAST(n*sxx - sx*sx AS DOUBLE) AS b, "
+        "(CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE) / "
+        "CAST(n*sxx - sx*sx AS DOUBLE) * CAST(sx AS DOUBLE)) / "
+        "CAST(n AS DOUBLE) AS a FROM f0 "
+        "WHERE n*sxx - sx*sx > 0)"
+    )
+    fold = (
+        "list_reduce(list_prepend(0.0, list({v} ORDER BY x)), "
+        "(a_, b_) -> a_ + b_)"
+    )
     d = {
+        "breusch_pagan": (
+            f"{ols_prefix}, "
+            "res AS (SELECT o.key, fit.n, fit.sx, fit.sxx, o.x, "
+            "CAST(o.y AS DOUBLE) - (fit.a + fit.b * "
+            "CAST(o.x AS DOUBLE)) AS e FROM o JOIN fit "
+            "ON o.key = fit.key), "
+            "t AS (SELECT key, n, sx, sxx, x, e * e AS u, "
+            "e * e * CAST(x AS DOUBLE) AS ux, "
+            "(e * e) * (e * e) AS uu FROM res), "
+            "agg AS (SELECT key, MAX(n) AS n, MAX(sx) AS sx, "
+            "MAX(sxx) AS sxx, "
+            f"{fold.format(v='u')} AS su, "
+            f"{fold.format(v='ux')} AS sux, "
+            f"{fold.format(v='uu')} AS suu FROM t GROUP BY 1), "
+            "r AS (SELECT key, n, suu, "
+            "CAST(n AS DOUBLE) * sux - CAST(sx AS DOUBLE) * su "
+            "AS nu, CAST(n*sxx - sx*sx AS DOUBLE) AS dxx, "
+            "CAST(n AS DOUBLE) * suu - su * su AS duu FROM agg) "
+            "SELECT key AS event_type, CAST(n AS BIGINT) AS n_days, "
+            "CAST(n AS DOUBLE) * (nu * nu) / (dxx * duu) AS lm_stat, "
+            "CAST(n AS DOUBLE) * (nu * nu) / (dxx * duu) > 3.841 "
+            "AS significant FROM r WHERE suu > 0 AND duu > 0"
+        ),
+        "chow_break": (
+            f"{ols_prefix}, "
+            "o2 AS (SELECT key, x, y, "
+            "x <= CAST(floor(MAX(x) OVER (PARTITION BY key) / 2) "
+            "AS BIGINT) AS lo, "
+            "CAST(floor(MAX(x) OVER (PARTITION BY key) / 2) "
+            "AS BIGINT) AS break_x FROM o), "
+            "seg0 AS (SELECT key, lo, COUNT(*) AS m, SUM(x) AS tx, "
+            "SUM(y) AS ty, SUM(x*y) AS txy, SUM(x*x) AS txx "
+            "FROM o2 GROUP BY 1, 2), "
+            "segf AS (SELECT key, lo, m, "
+            "CAST(m*txy - tx*ty AS DOUBLE) / "
+            "CAST(m*txx - tx*tx AS DOUBLE) AS bs, "
+            "(CAST(ty AS DOUBLE) - CAST(m*txy - tx*ty AS DOUBLE) / "
+            "CAST(m*txx - tx*tx AS DOUBLE) * CAST(tx AS DOUBLE)) / "
+            "CAST(m AS DOUBLE) AS as_ FROM seg0 "
+            "WHERE m >= 3 AND m*txx - tx*tx > 0), "
+            "bo AS (SELECT o2.key, fit.n, o2.x, o2.lo, o2.break_x, "
+            "CAST(o2.y AS DOUBLE) - (fit.a + fit.b * "
+            "CAST(o2.x AS DOUBLE)) AS ep, "
+            "CAST(o2.y AS DOUBLE) - (segf.as_ + segf.bs * "
+            "CAST(o2.x AS DOUBLE)) AS es "
+            "FROM o2 JOIN fit ON o2.key = fit.key "
+            "JOIN segf ON o2.key = segf.key AND o2.lo = segf.lo), "
+            "t AS (SELECT key, n, x, break_x, ep * ep AS ep2, "
+            "CASE WHEN lo THEN es * es ELSE 0.0 END AS e1, "
+            "CASE WHEN NOT lo THEN es * es ELSE 0.0 END AS e2 "
+            "FROM bo), "
+            "agg AS (SELECT key, MAX(n) AS n, COUNT(*) AS nboth, "
+            "MAX(break_x) AS break_x, "
+            f"{fold.format(v='ep2')} AS ssep, "
+            f"{fold.format(v='e1')} AS sse1, "
+            f"{fold.format(v='e2')} AS sse2 FROM t GROUP BY 1) "
+            "SELECT key AS event_type, CAST(n AS BIGINT) AS n_days, "
+            "CAST(break_x AS BIGINT) AS break_x, "
+            "((ssep - sse1 - sse2) / 2.0) / "
+            "((sse1 + sse2) / (CAST(n AS DOUBLE) - 4.0)) AS f_stat "
+            "FROM agg WHERE nboth = n AND n >= 6 "
+            "AND sse1 + sse2 > 0"
+        ),
+        "cochran_q": (
+            "WITH p AS (SELECT DISTINCT event_type AS typ, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day "
+            "FROM events), "
+            "rw AS (SELECT day, COUNT(*) AS rr FROM p GROUP BY 1), "
+            "cl AS (SELECT typ, COUNT(*) AS cc FROM p GROUP BY 1), "
+            "ra AS (SELECT COUNT(*) AS n_days, SUM(rr) AS nn, "
+            "SUM(rr*rr) AS sr2 FROM rw), "
+            "ca AS (SELECT COUNT(*) AS k, SUM(cc*cc) AS sc2 FROM cl) "
+            "SELECT CAST(k AS BIGINT) AS k_types, "
+            "CAST(n_days AS BIGINT) AS n_days, "
+            "CASE WHEN k*nn - sr2 > 0 THEN "
+            "CAST((k-1) * (k*sc2 - nn*nn) AS DOUBLE) / "
+            "CAST(k*nn - sr2 AS DOUBLE) END AS q_stat, "
+            "CAST(k - 1 AS BIGINT) AS dof FROM ra, ca"
+        ),
+        "icc_oneway": (
+            "WITH h AS (SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "CAST(floor(epoch(ts)/3600) % 24 AS BIGINT) AS hr, "
+            "COUNT(*) AS y FROM events GROUP BY 1, 2, 3), "
+            "dly AS (SELECT key, day, SUM(y) AS g, "
+            "SUM(CAST(y AS HUGEINT) * y) AS q FROM h GROUP BY 1, 2), "
+            "agg AS (SELECT key, COUNT(*) AS n, SUM(g) AS t, "
+            "SUM(CAST(g AS HUGEINT) * g) AS sg2, SUM(q) AS sq "
+            "FROM dly GROUP BY 1 HAVING COUNT(*) >= 2), "
+            "r AS (SELECT key, n, "
+            "(CAST(sg2 AS DOUBLE) / 24.0 - CAST(t AS DOUBLE) * "
+            "CAST(t AS DOUBLE) / (24.0 * CAST(n AS DOUBLE))) / "
+            "(CAST(n AS DOUBLE) - 1.0) AS msb, "
+            "(CAST(sq AS DOUBLE) - CAST(sg2 AS DOUBLE) / 24.0) / "
+            "(CAST(n AS DOUBLE) * 23.0) AS msw FROM agg) "
+            "SELECT key AS event_type, CAST(n AS BIGINT) AS n_days, "
+            "CASE WHEN msb + 23.0 * msw > 0 THEN "
+            "(msb - msw) / (msb + 23.0 * msw) END AS icc FROM r"
+        ),
+        "cohens_d": (
+            "WITH dly AS (SELECT event_type AS typ, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "COUNT(*) AS y FROM events "
+            "WHERE event_type IN ('click', 'purchase') "
+            "GROUP BY 1, 2), "
+            "s AS (SELECT typ, COUNT(*) AS n, SUM(y) AS s1, "
+            "SUM(y*y) AS s2 FROM dly GROUP BY 1), "
+            "a AS (SELECT n AS na, s1 AS sa, s2 AS qa FROM s "
+            "WHERE typ = 'click'), "
+            "b AS (SELECT n AS nb, s1 AS sb, s2 AS qb FROM s "
+            "WHERE typ = 'purchase'), "
+            "j AS (SELECT na, nb, "
+            "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma, "
+            "CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb, "
+            "((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * "
+            "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) + "
+            "(CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * "
+            "CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))) / "
+            "(CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0) "
+            "AS sp2, "
+            "1.0 - 3.0 / (4.0 * (CAST(na AS DOUBLE) + "
+            "CAST(nb AS DOUBLE)) - 9.0) AS jc FROM a, b) "
+            "SELECT CAST(na AS BIGINT) AS n_a, "
+            "CAST(nb AS BIGINT) AS n_b, ma AS mean_a, mb AS mean_b, "
+            "(ma - mb) / sqrt(sp2) AS cohens_d, "
+            "jc * ((ma - mb) / sqrt(sp2)) AS hedges_g "
+            "FROM j WHERE na >= 2 AND nb >= 2 AND sp2 > 0"
+        ),
+        "partial_corr": (
+            "WITH byday AS (SELECT "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "COUNT(*) AS z, "
+            "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+            "AS x, "
+            "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 "
+            "END) AS y FROM events GROUP BY 1), "
+            "agg AS (SELECT COUNT(*) AS n, SUM(x) AS sx, "
+            "SUM(y) AS sy, SUM(z) AS sz, SUM(x*x) AS sxx, "
+            "SUM(y*y) AS syy, SUM(z*z) AS szz, SUM(x*y) AS sxy, "
+            "SUM(x*z) AS sxz, SUM(y*z) AS syz FROM byday), "
+            "r AS (SELECT n, "
+            "CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * "
+            "sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS rxy, "
+            "CAST(n*sxz - sx*sz AS DOUBLE) / "
+            "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * "
+            "sqrt(CAST(n*szz - sz*sz AS DOUBLE))) AS rxz, "
+            "CAST(n*syz - sy*sz AS DOUBLE) / "
+            "(sqrt(CAST(n*syy - sy*sy AS DOUBLE)) * "
+            "sqrt(CAST(n*szz - sz*sz AS DOUBLE))) AS ryz "
+            "FROM agg WHERE n >= 3) "
+            "SELECT CAST(n AS BIGINT) AS n_days, rxy AS r_xy, "
+            "rxz AS r_xz, ryz AS r_yz, "
+            "CASE WHEN 1.0 - rxz*rxz > 0 AND 1.0 - ryz*ryz > 0 "
+            "THEN (rxy - rxz * ryz) / (sqrt(1.0 - rxz*rxz) * "
+            "sqrt(1.0 - ryz*ryz)) END AS r_xy_given_z FROM r"
+        ),
+        "cusum_squares": (
+            "WITH d AS (SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "SUM(CAST(round(value * 100) AS BIGINT)) AS y "
+            "FROM events GROUP BY 1, 2), "
+            "sq AS (SELECT key, day, CAST(y AS HUGEINT) * y AS y2 "
+            "FROM d), "
+            "run AS (SELECT key, day, "
+            "SUM(y2) OVER (PARTITION BY key ORDER BY day ROWS "
+            "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st, "
+            "SUM(y2) OVER (PARTITION BY key) AS sn, "
+            "ROW_NUMBER() OVER (PARTITION BY key ORDER BY day) AS t, "
+            "COUNT(*) OVER (PARTITION BY key) AS n FROM sq), "
+            "sc AS (SELECT key, day, n, "
+            "abs(CAST(st AS DOUBLE) / CAST(sn AS DOUBLE) - "
+            "CAST(t AS DOUBLE) / CAST(n AS DOUBLE)) AS dd "
+            "FROM run WHERE n >= 4 AND sn > 0), "
+            "pick AS (SELECT key, day, n, dd, ROW_NUMBER() OVER "
+            "(PARTITION BY key ORDER BY dd DESC, day ASC) AS rk "
+            "FROM sc) "
+            "SELECT key AS event_type, CAST(n AS BIGINT) AS n_days, "
+            "dd AS cs_stat, day AS break_day FROM pick WHERE rk = 1"
+        ),
+        "higuchi_fd": (
+            "WITH h AS (SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour, "
+            "COUNT(*) AS cnt FROM events GROUP BY 1, 2), "
+            "b AS (SELECT key, MIN(hour) AS lo, MAX(hour) AS hi "
+            "FROM h GROUP BY 1), "
+            "grid AS (SELECT key, CAST(unnest(range(lo, hi + 1)) "
+            "AS BIGINT) AS hour FROM b), "
+            "dense AS (SELECT g.key, g.hour, COALESCE(h.cnt, 0) "
+            "AS cnt FROM grid g LEFT JOIN h "
+            "ON g.key = h.key AND g.hour = h.hour), "
+            "l AS (SELECT key, cnt, lag(cnt, 1) OVER w AS p1, "
+            "lag(cnt, 2) OVER w AS p2, lag(cnt, 4) OVER w AS p4 "
+            "FROM dense WINDOW w AS "
+            "(PARTITION BY key ORDER BY hour)), "
+            "agg AS (SELECT key, COUNT(*) AS nh, "
+            "SUM(abs(cnt - p1)) AS d1, SUM(abs(cnt - p2)) AS d2, "
+            "SUM(abs(cnt - p4)) AS d4 FROM l GROUP BY 1 "
+            "HAVING COUNT(*) >= 8 AND SUM(abs(cnt - p1)) > 0 "
+            "AND SUM(abs(cnt - p2)) > 0 "
+            "AND SUM(abs(cnt - p4)) > 0), "
+            "r AS (SELECT key, nh, "
+            "CAST(nh - 1 AS DOUBLE) * CAST(d1 AS DOUBLE) / 1.0 "
+            "AS l1, "
+            "CAST(nh - 1 AS DOUBLE) * CAST(d2 AS DOUBLE) / 8.0 "
+            "AS l2, "
+            "CAST(nh - 1 AS DOUBLE) * CAST(d4 AS DOUBLE) / 64.0 "
+            "AS l4 FROM agg) "
+            "SELECT key AS event_type, CAST(nh AS BIGINT) AS "
+            "n_hours, l1, l2, l4, "
+            "(ln(l1) - ln(l4)) / 1.3862943611198906 AS hfd FROM r"
+        ),
         "rollup_1m": (
             "SELECT user_id, CAST(floor(epoch(ts)/60)*60 AS BIGINT) AS "
             "bucket_s, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value, "

@@ -7459,3 +7459,731 @@ def psi_cascade_daily(
         .agg(F.sum("cnt").alias("cnt"))
     )
     return psi_readout(daily)
+
+
+# --------------------------------------------------------------------
+# round-4n inference batch: regression diagnostics, agreement, effect
+# sizes, and fractal/variance structure — all on the exact-integer /
+# sorted-fold determinism contract shared by the rest of this module.
+# --------------------------------------------------------------------
+
+
+def _day_ols_residuals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+):
+    """Shared base for the residual-diagnostic family: per-key daily
+    cents, day offset x, the exact-BIGINT OLS sufficient statistics,
+    and each residual e = y - (a + b*x) as ONE float expression —
+    exactly the durbin_watson idiom, factored so breusch_pagan /
+    chow_break reuse one plan shape.
+
+    Returns (o, fit): o = (key, x, y) day rows, fit = (key, n, a, b).
+    """
+    d = _day_cents(df, key_col, ts_col, value_col)
+    w = Window.partitionBy("key")
+    o = d.select(
+        "key",
+        (F.col("day") - F.min("day").over(w)).alias("x"),
+        F.col("cents").alias("y"),
+    )
+    fit = (
+        o.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    fit = fit.filter(dxx > 0).select(
+        "key",
+        "n",
+        "sx",
+        "sxx",
+        (num.cast("double") / dxx.cast("double")).alias("b"),
+        (
+            (
+                F.col("sy").cast("double")
+                - (num.cast("double") / dxx.cast("double"))
+                * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double")
+        ).alias("a"),
+    )
+    return o, fit
+
+
+def _sorted_fold(order_col: str, value_col: str):
+    """Sum a float column in ``order_col`` order via a sorted fold —
+    bit-identical to DuckDB's ``list_reduce(list(v ORDER BY o))``."""
+    return F.aggregate(
+        F.array_sort(F.collect_list(F.struct(order_col, value_col))),
+        F.lit(0.0),
+        lambda acc, s: acc + s[value_col],
+    )
+
+
+def breusch_pagan(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Breusch–Pagan heteroskedasticity LM test of each key's daily
+    OLS trend (Breusch & Pagan 1979; Koenker's studentized n*R^2
+    form): regress the squared residuals u = e^2 back on the day
+    offset x and report LM = n * R^2 ~ chi^2(1).  The companion to
+    :func:`durbin_watson` — DW asks "are the residuals correlated",
+    BP asks "does their variance drift", and either failing means
+    ols_daily's naive standard errors lie.
+
+    The OLS fit comes from exact BIGINT sufficient statistics
+    (:func:`_day_ols_residuals`); u, u*x and u^2 are per-row float
+    expressions of exact integers, summed with per-key sorted folds
+    (day order) so accumulation is bit-identical in both engines;
+    R^2 of the auxiliary regression is the one shared closed form
+        R^2 = (n*Sux - sx*Su)^2 / ((n*sxx - sx^2) * (n*Suu - Su^2)).
+
+    Scale: one (key, day) rollup, one key aggregate, one
+    co-partitioned join back, per-key folds over retention-bounded
+    day counts — never event volume.
+
+    Output: key, n_days, lm_stat, significant (5% chi^2_1).
+    """
+    o, fit = _day_ols_residuals(df, key_col, ts_col, value_col)
+    res = o.join(fit, "key").select(
+        "key",
+        "n",
+        "sx",
+        "sxx",
+        "x",
+        (
+            F.col("y").cast("double")
+            - (F.col("a") + F.col("b") * F.col("x").cast("double"))
+        ).alias("e"),
+    )
+    terms = res.select(
+        "key",
+        "n",
+        "sx",
+        "sxx",
+        "x",
+        (F.col("e") * F.col("e")).alias("u"),
+        (F.col("e") * F.col("e") * F.col("x").cast("double")).alias(
+            "ux"
+        ),
+        (
+            F.col("e") * F.col("e") * (F.col("e") * F.col("e"))
+        ).alias("uu"),
+    )
+    agg = terms.groupBy("key").agg(
+        F.max("n").alias("n"),
+        F.max("sx").alias("sx"),
+        F.max("sxx").alias("sxx"),
+        _sorted_fold("x", "u").alias("su"),
+        _sorted_fold("x", "ux").alias("sux"),
+        _sorted_fold("x", "uu").alias("suu"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    nu = nd * F.col("sux") - sxd * F.col("su")
+    dxx = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+    )
+    duu = nd * F.col("suu") - F.col("su") * F.col("su")
+    lm = nd * (nu * nu) / (dxx * duu)
+    return agg.filter(F.col("suu") > 0).filter(duu > 0).select(
+        "key",
+        F.col("n").cast("long").alias("n_days"),
+        lm.alias("lm_stat"),
+        (lm > F.lit(3.841)).alias("significant"),
+    )
+
+
+def chow_break(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Chow structural-break F-test of each key's daily trend at the
+    horizon midpoint (Chow 1960): fit the pooled OLS line and a
+    separate line per half, and test whether the pooled fit is a
+    significantly worse description,
+
+        F = ((SSE_p - SSE_1 - SSE_2) / 2) / ((SSE_1 + SSE_2) / (n-4)).
+
+    The confirmatory twin to the nonparametric changepoint screens
+    (:func:`pettitt_changepoint` finds *where*, Chow confirms *that*
+    the two regimes have different linear structure at a known split).
+
+    All three fits come from exact BIGINT sufficient statistics; each
+    SSE is a per-key sorted fold (day order) of the squared-residual
+    float expressions, so accumulation is bit-identical in both
+    engines.  Split at x <= x_max div 2 (integer midpoint).
+
+    Scale: one (key, day) rollup, two key aggregates (pooled +
+    per-half fits), one co-partitioned join back, bounded folds.
+
+    Output: key, n_days, break_x, f_stat.
+    """
+    o, fit_p = _day_ols_residuals(df, key_col, ts_col, value_col)
+    wk = Window.partitionBy("key")
+    o2 = o.select(
+        "key",
+        "x",
+        "y",
+        (
+            F.col("x")
+            <= F.floor(F.max("x").over(wk) / 2).cast("long")
+        ).alias("lo"),
+        F.floor(F.max("x").over(wk) / 2).cast("long").alias("break_x"),
+    )
+    seg = (
+        o2.groupBy("key", "lo")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum("x").alias("tx"),
+            F.sum("y").alias("ty"),
+            F.sum(F.col("x") * F.col("y")).alias("txy"),
+            F.sum(F.col("x") * F.col("x")).alias("txx"),
+        )
+    )
+    mnum = F.col("m") * F.col("txy") - F.col("tx") * F.col("ty")
+    mdxx = F.col("m") * F.col("txx") - F.col("tx") * F.col("tx")
+    seg = seg.filter((F.col("m") >= 3) & (mdxx > 0)).select(
+        "key",
+        "lo",
+        "m",
+        (mnum.cast("double") / mdxx.cast("double")).alias("bs"),
+        (
+            (
+                F.col("ty").cast("double")
+                - (mnum.cast("double") / mdxx.cast("double"))
+                * F.col("tx").cast("double")
+            )
+            / F.col("m").cast("double")
+        ).alias("as_"),
+    )
+    both = (
+        o2.join(fit_p, "key")
+        .join(seg, ["key", "lo"])
+        .select(
+            "key",
+            "n",
+            "x",
+            "lo",
+            "break_x",
+            (
+                F.col("y").cast("double")
+                - (
+                    F.col("a")
+                    + F.col("b") * F.col("x").cast("double")
+                )
+            ).alias("ep"),
+            (
+                F.col("y").cast("double")
+                - (
+                    F.col("as_")
+                    + F.col("bs") * F.col("x").cast("double")
+                )
+            ).alias("es"),
+        )
+    )
+    terms = both.select(
+        "key",
+        "n",
+        "x",
+        "break_x",
+        (F.col("ep") * F.col("ep")).alias("ep2"),
+        F.when(F.col("lo"), F.col("es") * F.col("es"))
+        .otherwise(F.lit(0.0))
+        .alias("e1"),
+        F.when(~F.col("lo"), F.col("es") * F.col("es"))
+        .otherwise(F.lit(0.0))
+        .alias("e2"),
+    )
+    agg = terms.groupBy("key").agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("nboth"),
+        F.max("break_x").alias("break_x"),
+        _sorted_fold("x", "ep2").alias("ssep"),
+        _sorted_fold("x", "e1").alias("sse1"),
+        _sorted_fold("x", "e2").alias("sse2"),
+    )
+    # nboth == n: every day row joined a segment fit (both halves had
+    # >= 3 days and positive x-variance) — the balanced-design gate.
+    nd = F.col("n").cast("double")
+    fstat = (
+        (F.col("ssep") - F.col("sse1") - F.col("sse2")) / F.lit(2.0)
+    ) / ((F.col("sse1") + F.col("sse2")) / (nd - F.lit(4.0)))
+    return (
+        agg.filter(
+            (F.col("nboth") == F.col("n"))
+            & (F.col("n") >= 6)
+            & (F.col("sse1") + F.col("sse2") > 0)
+        )
+        .select(
+            "key",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("break_x").cast("long").alias("break_x"),
+            fstat.alias("f_stat"),
+        )
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cochran's Q omnibus test (Cochran 1950) that the k event types
+    are "present on a day" at the same rate — the k-treatment
+    generalization of :func:`mcnemar_weeks` over the day-by-type
+    presence matrix (blocks = days, treatments = types,
+    x_ij = 1 iff type j fired on day i),
+
+        Q = (k-1) * (k * sum_j C_j^2 - N^2) / (k*N - sum_i R_i^2)
+
+    with R_i the types present on day i, C_j the days type j was
+    present, N = sum R_i.  Q ~ chi^2(k-1) under exchangeability.
+    ENTIRELY integer sufficient statistics (presence is 0/1, the
+    sums are BIGINT-exact), one float division at the end.
+
+    Scale: one distinct (day, type) projection, two bounded
+    aggregates (per-day and per-type marginals), a single-row
+    reduce — retention-bounded, never event volume.
+
+    Output: one row — k_types, n_days, q_stat, dof, significant.
+    """
+    p = (
+        df.select(
+            F.col(key_col).alias("typ"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .distinct()
+    )
+    rows = p.groupBy("day").agg(F.count(F.lit(1)).alias("r"))
+    cols = p.groupBy("typ").agg(F.count(F.lit(1)).alias("c"))
+    ra = rows.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("r").alias("nn"),
+        F.sum(F.col("r") * F.col("r")).alias("sr2"),
+    )
+    ca = cols.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+    )
+    j = ra.crossJoin(F.broadcast(ca))
+    den = F.col("k") * F.col("nn") - F.col("sr2")
+    q = (
+        (F.col("k") - 1)
+        * (F.col("k") * F.col("sc2") - F.col("nn") * F.col("nn"))
+    ).cast("double") / den.cast("double")
+    return j.select(
+        F.col("k").cast("long").alias("k_types"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.when(den > 0, q).alias("q_stat"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+    )
+
+
+def icc_oneway(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1,1)
+    (Shrout & Fleiss 1979) of each key's hourly counts within days:
+    days are the random groups, the 24 hour-of-day counts the
+    measurements — "how much of hourly volume variance is explained
+    by which day it is" (high ICC = day-level regime shifts dominate;
+    low = within-day noise dominates).  The variance-decomposition
+    companion to :func:`seasonal_profile`'s mean diurnal shape.
+
+        ICC = (MSB - MSW) / (MSB + (k-1)*MSW),   k = 24
+
+    from the one-way ANOVA sums with missing hours counted as the
+    zeros they are (the grid is dense by construction: G_i is the
+    day's total, sum y^2 only gets contributions from present
+    hours).  Quadratic sums are decimal(38,0) (the jarque_bera
+    hardening: exact far past int64 at 1e12-row scale); every float
+    appears once.
+
+    Scale: one (key, day, hour) count rollup, one (key, day)
+    aggregate, one key aggregate.  Single shuffle chain on the key.
+
+    Output: key, n_days, icc.
+    """
+    hourly = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+            (
+                F.floor(F.unix_timestamp(F.col(ts_col)) / 3600) % 24
+            ).cast("long").alias("hr"),
+        )
+        .groupBy("key", "day", "hr")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    yd = F.col("y").cast("decimal(19,0)")
+    daily = hourly.groupBy("key", "day").agg(
+        F.sum("y").alias("g"),
+        F.sum(yd * yd).alias("q"),
+    )
+    gd = F.col("g").cast("decimal(19,0)")
+    agg = (
+        daily.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("g").alias("t"),
+            F.sum(gd * gd).alias("sg2"),
+            F.sum("q").alias("sq"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    nd = F.col("n").cast("double")
+    k = F.lit(24.0)
+    t2 = F.col("t").cast("double") * F.col("t").cast("double")
+    sg2 = F.col("sg2").cast("double")
+    sq = F.col("sq").cast("double")
+    ssb = sg2 / k - t2 / (k * nd)
+    ssw = sq - sg2 / k
+    msb = ssb / (nd - F.lit(1.0))
+    msw = ssw / (nd * F.lit(23.0))
+    icc = (msb - msw) / (msb + F.lit(23.0) * msw)
+    return agg.select(
+        "key",
+        F.col("n").cast("long").alias("n_days"),
+        F.when(msb + F.lit(23.0) * msw > 0, icc).alias("icc"),
+    )
+
+
+def cohens_d_effect(
+    df: DataFrame,
+    type_a: str = "click",
+    type_b: str = "purchase",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohen's d and Hedges' g standardized effect size between the
+    daily count distributions of two event types — the magnitude
+    companion to :func:`welch_ttest`'s significance (a 1e12-row
+    pipeline makes everything "significant"; d says whether anyone
+    should care).
+
+        d = (m_a - m_b) / s_pooled,   g = J * d,
+        J = 1 - 3 / (4*(n_a + n_b) - 9)          (Hedges 1981)
+
+    with s_pooled^2 = ((q_a - s_a^2/n_a) + (q_b - s_b^2/n_b)) /
+    (n_a + n_b - 2) from exact BIGINT power sums of the daily counts.
+
+    Scale: one (type, day) count rollup filtered to two types, one
+    two-row aggregate, a single-row reduce.
+
+    Output: one row — n_a, n_b, mean_a, mean_b, cohens_d, hedges_g.
+    """
+    daily = (
+        df.filter(F.col(key_col).isin([type_a, type_b]))
+        .select(
+            F.col(key_col).alias("typ"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("typ", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    s = daily.groupBy("typ").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).alias("s2"),
+    )
+    a = s.filter(F.col("typ") == type_a).select(
+        F.col("n").alias("na"),
+        F.col("s1").alias("sa"),
+        F.col("s2").alias("qa"),
+    )
+    b = s.filter(F.col("typ") == type_b).select(
+        F.col("n").alias("nb"),
+        F.col("s1").alias("sb"),
+        F.col("s2").alias("qb"),
+    )
+    j = a.crossJoin(F.broadcast(b))
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    sad = F.col("sa").cast("double")
+    sbd = F.col("sb").cast("double")
+    ma = sad / nad
+    mb = sbd / nbd
+    sp2 = (
+        (F.col("qa").cast("double") - sad * sad / nad)
+        + (F.col("qb").cast("double") - sbd * sbd / nbd)
+    ) / (nad + nbd - F.lit(2.0))
+    d = (ma - mb) / F.sqrt(sp2)
+    jcorr = F.lit(1.0) - F.lit(3.0) / (
+        F.lit(4.0) * (nad + nbd) - F.lit(9.0)
+    )
+    return j.filter(
+        (F.col("na") >= 2) & (F.col("nb") >= 2) & (sp2 > 0)
+    ).select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        d.alias("cohens_d"),
+        (jcorr * d).alias("hedges_g"),
+    )
+
+
+def partial_corr_day(
+    df: DataFrame,
+    type_x: str = "click",
+    type_y: str = "purchase",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """First-order partial correlation of two event types' daily
+    counts controlling for total daily volume — does click co-move
+    with purchase beyond both just tracking overall traffic?  The
+    confounder-adjusted refinement of the raw Pearson in
+    :func:`crosscorr_pair`:
+
+        r_xy.z = (r_xy - r_xz*r_zy) / sqrt((1-r_xz^2)*(1-r_zy^2))
+
+    Day spine = every day with any events (x/y zero-filled via the
+    spine join); each pairwise Pearson comes from exact BIGINT
+    sufficient statistics in the standard
+    (n*Sxy - SxSy) / (sqrt(n*Sxx-Sx^2) * sqrt(n*Syy-Sy^2)) form —
+    every float shared verbatim by both engines.
+
+    Scale: one (day, type) count rollup, one day-spine aggregate, a
+    single-row reduce over retention-bounded day counts.
+
+    Output: one row — n_days, r_xy, r_xz, r_yz, r_xy_given_z.
+    """
+    byday = (
+        df.select(
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+            F.col(key_col).alias("typ"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("z"),
+            F.sum(
+                F.when(F.col("typ") == type_x, 1).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("typ") == type_y, 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    agg = byday.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).alias("syz"),
+    ).filter(F.col("n") >= 3)
+
+    def _r(sab, saa, sbb, sa, sb):
+        num = (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)).cast(
+            "double"
+        )
+        da = (
+            F.col("n") * F.col(saa) - F.col(sa) * F.col(sa)
+        ).cast("double")
+        db = (
+            F.col("n") * F.col(sbb) - F.col(sb) * F.col(sb)
+        ).cast("double")
+        return num / (F.sqrt(da) * F.sqrt(db))
+
+    rxy = _r("sxy", "sxx", "syy", "sx", "sy")
+    rxz = _r("sxz", "sxx", "szz", "sx", "sz")
+    ryz = _r("syz", "syy", "szz", "sy", "sz")
+    pc = (rxy - rxz * ryz) / (
+        F.sqrt(F.lit(1.0) - rxz * rxz)
+        * F.sqrt(F.lit(1.0) - ryz * ryz)
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        rxy.alias("r_xy"),
+        rxz.alias("r_xz"),
+        ryz.alias("r_yz"),
+        F.when(
+            (F.lit(1.0) - rxz * rxz > 0)
+            & (F.lit(1.0) - ryz * ryz > 0),
+            pc,
+        ).alias("r_xy_given_z"),
+    )
+
+
+def cusum_squares(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """CUSUM-of-squares variance-changepoint statistic per key
+    (Brown, Durbin & Evans 1975): on the daily cents series,
+
+        stat = max_t | S_t / S_n  -  t / n |,
+        S_t = running sum of cents^2 in day order,
+
+    locating where the series' *second moment* breaks — the variance
+    twin of :func:`cusum_changepoint`'s mean-shift screen.  Running
+    sums are decimal(38,0)-exact (order-defined window accumulation,
+    no float folds at all); each D_t is one shared float expression,
+    and the break day is the earliest argmax (D desc, day asc).
+
+    Scale: one (key, day) rollup, one ordered window per key, one
+    row_number — retention-bounded rows after the first aggregate.
+
+    Output: key, n_days, cs_stat, break_day.
+    """
+    d = _day_cents(df, key_col, ts_col, value_col)
+    cd = F.col("cents").cast("decimal(19,0)")
+    sq = d.select(
+        "key", "day", (cd * cd).alias("y2")
+    )
+    wo = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wk = Window.partitionBy("key")
+    run = sq.select(
+        "key",
+        "day",
+        F.sum("y2").over(wo).alias("st"),
+        F.sum("y2").over(wk).alias("sn"),
+        F.row_number()
+        .over(Window.partitionBy("key").orderBy("day"))
+        .alias("t"),
+        F.count(F.lit(1)).over(wk).alias("n"),
+    )
+    dt = F.abs(
+        F.col("st").cast("double") / F.col("sn").cast("double")
+        - F.col("t").cast("double") / F.col("n").cast("double")
+    )
+    scored = run.filter(
+        (F.col("n") >= 4) & (F.col("sn") > 0)
+    ).select("key", "day", "n", dt.alias("d"))
+    pick = Window.partitionBy("key").orderBy(
+        F.col("d").desc(), F.col("day").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "key",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("d").alias("cs_stat"),
+            F.col("day").alias("break_day"),
+        )
+    )
+
+
+def higuchi_fd(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Higuchi-style fractal dimension of each key's dense
+    zero-filled hourly count series (Higuchi 1988, the simplified
+    single-origin curve-length form): for lags k in {1, 2, 4},
+
+        L(k) = (N - 1) * sum_i |x_{i+k} - x_i| / k^3,
+
+    and HFD is the slope of ln L(k) on ln(1/k) — roughness between
+    :func:`hurst_rs`'s long-memory exponent (HFD ~ 2 - H for fGn)
+    and :func:`sample_entropy`'s irregularity.  The absolute-
+    difference sums are exact BIGINTs on the dense grid (the
+    peak_detect zero-fill: a missing hour is a real zero), each
+    ln L(k) is one shared float expression, and the 3-point slope is
+    the closed form  slope = sum(a_i - abar)*b_i / sum(a_i - abar)^2
+    with a = ln(1/k) constants folded to literals.
+
+    Scale: one (key, hour) rollup, one bounded grid explode, three
+    lag windows in one pass, one key aggregate.
+
+    Output: key, n_hours, l1, l2, l4, hfd.
+    """
+    hourly = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 3600)
+            .cast("long")
+            .alias("hour"),
+        )
+        .groupBy("key", "hour")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bounds = hourly.groupBy("key").agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    grid = bounds.select(
+        "key",
+        F.explode(
+            F.sequence(
+                F.col("lo").cast("int"), F.col("hi").cast("int")
+            )
+        ).alias("hour_i"),
+    ).select("key", F.col("hour_i").cast("long").alias("hour"))
+    dense = grid.join(hourly, ["key", "hour"], "left").select(
+        "key", "hour", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    w = Window.partitionBy("key").orderBy("hour")
+    lagged = dense.select(
+        "key",
+        "cnt",
+        F.lag("cnt", 1).over(w).alias("p1"),
+        F.lag("cnt", 2).over(w).alias("p2"),
+        F.lag("cnt", 4).over(w).alias("p4"),
+    )
+    agg = lagged.groupBy("key").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(F.abs(F.col("cnt") - F.col("p1"))).alias("d1"),
+        F.sum(F.abs(F.col("cnt") - F.col("p2"))).alias("d2"),
+        F.sum(F.abs(F.col("cnt") - F.col("p4"))).alias("d4"),
+    ).filter(
+        (F.col("nh") >= 8)
+        & (F.col("d1") > 0)
+        & (F.col("d2") > 0)
+        & (F.col("d4") > 0)
+    )
+    nm1 = (F.col("nh") - 1).cast("double")
+    l1 = nm1 * F.col("d1").cast("double") / F.lit(1.0)
+    l2 = nm1 * F.col("d2").cast("double") / F.lit(8.0)
+    l4 = nm1 * F.col("d4").cast("double") / F.lit(64.0)
+    # a = ln(1/k) for k in {1,2,4}: {0, -ln2, -2ln2}; abar = -ln2;
+    # sum (a_i - abar)^2 = 2 ln2^2; slope = (ln2*b1 - ln2*b3)/(2 ln2^2)
+    # = (ln L(1) - ln L(4)) / (2 ln 2)
+    hfd = (F.log(l1) - F.log(l4)) / F.lit(2.0 * 0.6931471805599453)
+    return agg.select(
+        "key",
+        F.col("nh").cast("long").alias("n_hours"),
+        l1.alias("l1"),
+        l2.alias("l2"),
+        l4.alias("l4"),
+        hfd.alias("hfd"),
+    )
