@@ -6925,6 +6925,59 @@ def q_higuchi_fd(spark, sf):
     )
 
 
+def q_link_prediction(spark, sf):
+    """CN / preferential-attachment / resource-allocation link
+    scores for non-adjacent co-purchase pairs
+    (plans/graph.py::link_prediction): one wedge join, sorted-fold
+    RA sums, top-100 by (ra_score, a, b)."""
+    from tsaug_spark.plans.graph import (
+        copurchase_edges,
+        link_prediction,
+    )
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    return link_prediction(
+        copurchase_edges(li, orders, max_buyers=20),
+        min_common=2,
+        top_k=100,
+    )
+
+
+def q_degree_powerlaw(spark, sf):
+    """Clauset-Shalizi-Newman power-law alpha over the co-purchase
+    degree distribution (plans/graph.py::degree_powerlaw):
+    node-ordered sorted fold of ln(deg)."""
+    from tsaug_spark.plans.graph import (
+        copurchase_edges,
+        degree_powerlaw,
+    )
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    return degree_powerlaw(
+        copurchase_edges(li, orders, max_buyers=20)
+    )
+
+
+def q_littles_law(spark, sf):
+    """Per-day Little's-law audit of the gap-session stream
+    (plans/metrics.py::littles_law): exact busy-second overlap sums
+    vs started-session duration sums."""
+    from tsaug_spark.plans.metrics import littles_law
+
+    return littles_law(_events(spark, sf))
+
+
+def q_readability(spark, sf):
+    """Coleman-Liau + ARI + SMOG per document
+    (pipeline/text.py::readability_indices): exact letter/word/
+    sentence/polysyllable counts, identical regexes both engines."""
+    from tsaug_spark.pipeline.text import readability_indices
+
+    return readability_indices(_docs(spark, sf))
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -6935,6 +6988,10 @@ def q_higuchi_fd(spark, sf):
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "link_prediction",
+    "degree_powerlaw",
+    "littles_law",
+    "readability",
     "breusch_pagan",
     "chow_break",
     "cochran_q",
@@ -7200,6 +7257,10 @@ def _registry_order(reg: dict) -> dict:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _registry_order({
+        "link_prediction": q_link_prediction,
+        "degree_powerlaw": q_degree_powerlaw,
+        "littles_law": q_littles_law,
+        "readability": q_readability,
         "breusch_pagan": q_breusch_pagan,
         "chow_break": q_chow_break,
         "cochran_q": q_cochran_q,
@@ -8255,6 +8316,125 @@ def oracle_sql() -> dict[str, str]:
             "SELECT key AS event_type, CAST(nh AS BIGINT) AS "
             "n_hours, l1, l2, l4, "
             "(ln(l1) - ln(l4)) / 1.3862943611198906 AS hfd FROM r"
+        ),
+        "link_prediction": (
+            "WITH bp AS (SELECT DISTINCT l_partkey AS part, "
+            "o_custkey AS cust FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey), "
+            "sz AS (SELECT part FROM bp GROUP BY part "
+            "HAVING COUNT(*) <= 20), "
+            "k AS (SELECT bp.part, bp.cust FROM bp JOIN sz "
+            "USING (part)), "
+            "e AS (SELECT DISTINCT a.cust AS u, b.cust AS v "
+            "FROM k a JOIN k b USING (part) WHERE a.cust < b.cust), "
+            "adj AS (SELECT u AS node, v AS nbr FROM e "
+            "UNION ALL SELECT v, u FROM e), "
+            "deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg "
+            "FROM adj GROUP BY 1), "
+            "w AS (SELECT x.node AS a, y.node AS b, x.nbr AS z, "
+            "1.0 / CAST(dz.deg AS DOUBLE) AS w FROM adj x "
+            "JOIN adj y ON y.nbr = x.nbr AND x.node < y.node "
+            "JOIN deg dz ON dz.node = x.nbr), "
+            "cand AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS "
+            "common, list_reduce(list_prepend(0.0, "
+            "list(w ORDER BY z)), (a_, b_) -> a_ + b_) AS ra_score "
+            "FROM w GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+            "nonedge AS (SELECT c.a, c.b, c.common, c.ra_score, "
+            "da.deg AS deg_a, db.deg AS deg_b "
+            "FROM cand c LEFT JOIN e ON e.u = c.a AND e.v = c.b "
+            "JOIN deg da ON da.node = c.a "
+            "JOIN deg db ON db.node = c.b "
+            "WHERE e.u IS NULL) "
+            "SELECT a, b, common, deg_a, deg_b, "
+            "CAST(deg_a * deg_b AS BIGINT) AS pref_attach, "
+            "ra_score FROM "
+            "(SELECT *, row_number() OVER (ORDER BY ra_score DESC, "
+            "a ASC, b ASC) AS rk FROM nonedge) WHERE rk <= 100"
+        ),
+        "degree_powerlaw": (
+            "WITH bp AS (SELECT DISTINCT l_partkey AS part, "
+            "o_custkey AS cust FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey), "
+            "sz AS (SELECT part FROM bp GROUP BY part "
+            "HAVING COUNT(*) <= 20), "
+            "k AS (SELECT bp.part, bp.cust FROM bp JOIN sz "
+            "USING (part)), "
+            "e AS (SELECT DISTINCT a.cust AS u, b.cust AS v "
+            "FROM k a JOIN k b USING (part) WHERE a.cust < b.cust), "
+            "adj AS (SELECT u AS node FROM e "
+            "UNION ALL SELECT v FROM e), "
+            "deg AS (SELECT node, COUNT(*) AS deg FROM adj "
+            "GROUP BY 1), "
+            "agg AS (SELECT COUNT(*) AS n, SUM(deg) AS sdeg, "
+            "MAX(deg) AS dmax, "
+            "list_reduce(list_prepend(0.0, "
+            "list(ln(CAST(deg AS DOUBLE)) ORDER BY node)), "
+            "(a_, b_) -> a_ + b_) AS slog FROM deg) "
+            "SELECT CAST(n AS BIGINT) AS n_nodes, "
+            "CAST(sdeg / 2 AS BIGINT) AS n_edges, "
+            "CAST(dmax AS BIGINT) AS max_degree, "
+            "1.0 + CAST(n AS DOUBLE) / slog AS alpha "
+            "FROM agg WHERE slog > 0"
+        ),
+        "littles_law": (
+            "WITH ev AS (SELECT user_id AS u, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events), "
+            "m AS (SELECT u, s, CASE WHEN lag(s) OVER "
+            "(PARTITION BY u ORDER BY s) IS NULL OR "
+            "s - lag(s) OVER (PARTITION BY u ORDER BY s) >= 1800 "
+            "THEN 1 ELSE 0 END AS brk FROM ev), "
+            "mk AS (SELECT u, s, SUM(brk) OVER (PARTITION BY u "
+            "ORDER BY s RANGE BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS sid FROM m), "
+            "sess AS (SELECT u, sid, MIN(s) AS st, MAX(s) AS en "
+            "FROM mk GROUP BY 1, 2), "
+            "span AS (SELECT st, en, "
+            "CAST(floor(st / 86400.0) AS BIGINT) AS d0, "
+            "CAST(floor(en / 86400.0) AS BIGINT) AS d1 FROM sess), "
+            "days AS (SELECT st, en, CAST(unnest(range(d0, d1 + 1)) "
+            "AS BIGINT) AS d FROM span), "
+            "busy AS (SELECT d, SUM(LEAST(en, (d + 1) * 86400) - "
+            "GREATEST(st, d * 86400)) AS busy_s FROM days "
+            "GROUP BY 1), "
+            "started AS (SELECT d0 AS d, COUNT(*) AS n_started, "
+            "SUM(en - st) AS started_s FROM span GROUP BY 1), "
+            "j AS (SELECT COALESCE(started.d, busy.d) AS d, "
+            "COALESCE(n_started, 0) AS n_started, "
+            "COALESCE(started_s, 0) AS started_s, "
+            "COALESCE(busy_s, 0) AS busy_s FROM started "
+            "FULL JOIN busy ON busy.d = started.d) "
+            "SELECT d * 86400 AS bucket_s, "
+            "CAST(n_started AS BIGINT) AS n_started, "
+            "CAST(busy_s AS BIGINT) AS busy_s, "
+            "CAST(started_s AS BIGINT) AS started_s, "
+            "CAST(busy_s AS DOUBLE) / 86400.0 AS l_avg, "
+            "CAST(started_s AS DOUBLE) / 86400.0 AS lambda_w, "
+            "CASE WHEN started_s > 0 THEN CAST(busy_s AS DOUBLE) / "
+            "CAST(started_s AS DOUBLE) END AS ratio FROM j"
+        ),
+        "readability": (
+            "WITH b AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS "
+            "BIGINT) AS l, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS "
+            "BIGINT) AS w, "
+            "CAST(GREATEST(1, len(regexp_extract_all(text, "
+            "'[.!?]+'))) AS BIGINT) AS s, "
+            "CAST(len(list_filter(regexp_extract_all(text, "
+            "'[A-Za-z]+'), w_ -> len(regexp_extract_all(w_, "
+            "'[aeiouyAEIOUY]+')) >= 3)) AS BIGINT) AS p "
+            "FROM documents) "
+            "SELECT doc_id, l AS n_letters, w AS n_words, "
+            "s AS n_sentences, p AS n_poly, "
+            "0.0588 * (CAST(l AS DOUBLE) / CAST(w AS DOUBLE) * "
+            "100.0) - 0.296 * (CAST(s AS DOUBLE) / "
+            "CAST(w AS DOUBLE) * 100.0) - 15.8 AS cli, "
+            "4.71 * (CAST(l AS DOUBLE) / CAST(w AS DOUBLE)) + "
+            "0.5 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE)) - "
+            "21.43 AS ari, "
+            "1.043 * sqrt(CAST(p AS DOUBLE) * 30.0 / "
+            "CAST(s AS DOUBLE)) + 3.1291 AS smog "
+            "FROM b WHERE w > 0"
         ),
         "rollup_1m": (
             "SELECT user_id, CAST(floor(epoch(ts)/60)*60 AS BIGINT) AS "

@@ -1141,3 +1141,91 @@ def gunning_fog(df: DataFrame, text_col: str = "text") -> DataFrame:
         "n_complex",
         (F.lit(0.4) * (ws + cw)).alias("fog_index"),
     )
+
+
+def readability_indices(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The character-count readability triple per doc — Coleman-Liau
+    (1975), Automated Readability Index (Senter & Smith 1967) and
+    SMOG (McLaughlin 1969) — the three classic grade-level formulas
+    that do NOT need the syllable-per-word ratio Flesch-Kincaid
+    uses, so together with :func:`flesch_kincaid` /
+    :func:`gunning_fog` the corpus gets all five standard scores:
+
+        CLI  = 0.0588*L - 0.296*S - 15.8
+               (L = letters per 100 words, S = sentences per 100 words)
+        ARI  = 4.71*(letters/words) + 0.5*(words/sentences) - 21.43
+        SMOG = 1.043*sqrt(polysyllables * 30 / sentences) + 3.1291
+
+    Letters, alphabetic word runs, sentence-terminator runs and
+    polysyllabic words (>= 3 vowel clusters, counted with a
+    higher-order filter over the word array — still Catalyst, no
+    UDF) are exact integers; each score is one shared float
+    expression, and the identical regexes run in the DuckDB oracle.
+
+    Scale: embarrassingly parallel per-document map — no shuffle.
+
+    Output: doc_id, n_letters, n_words, n_sentences, n_poly, cli,
+    ari, smog.
+    """
+    t = F.col(text_col)
+    warr = F.regexp_extract_all(t, F.lit("[A-Za-z]+"), 0)
+    letters = F.size(F.regexp_extract_all(t, F.lit("[A-Za-z]"), 0))
+    words = F.size(warr)
+    sents = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), 0))
+    )
+    poly = F.size(
+        F.filter(
+            warr,
+            lambda w: F.size(
+                F.regexp_extract_all(
+                    w, F.lit("[aeiouyAEIOUY]+"), 0
+                )
+            )
+            >= F.lit(3),
+        )
+    )
+    out = df.select(
+        "doc_id",
+        letters.cast("long").alias("n_letters"),
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        poly.cast("long").alias("n_poly"),
+    ).filter(F.col("n_words") > 0)
+    lw = F.col("n_letters").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    ws = F.col("n_words").cast("double") / F.col(
+        "n_sentences"
+    ).cast("double")
+    lper100 = lw * F.lit(100.0)
+    sper100 = (
+        F.col("n_sentences").cast("double")
+        / F.col("n_words").cast("double")
+    ) * F.lit(100.0)
+    return out.select(
+        "doc_id",
+        "n_letters",
+        "n_words",
+        "n_sentences",
+        "n_poly",
+        (
+            F.lit(0.0588) * lper100
+            - F.lit(0.296) * sper100
+            - F.lit(15.8)
+        ).alias("cli"),
+        (
+            F.lit(4.71) * lw + F.lit(0.5) * ws - F.lit(21.43)
+        ).alias("ari"),
+        (
+            F.lit(1.043)
+            * F.sqrt(
+                F.col("n_poly").cast("double")
+                * F.lit(30.0)
+                / F.col("n_sentences").cast("double")
+            )
+            + F.lit(3.1291)
+        ).alias("smog"),
+    )

@@ -744,3 +744,157 @@ def adamic_adar(
             "aa_score",
         )
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    min_common: int = 2,
+    top_k: int = 100,
+) -> DataFrame:
+    """The classic link-prediction score triple for non-adjacent
+    pairs, one wedge join for all three (Liben-Nowell & Kleinberg
+    2003 survey ordering):
+
+      * common neighbors  CN(a,b) = |N(a) n N(b)|           (BIGINT)
+      * preferential attachment  PA(a,b) = deg(a) * deg(b)  (BIGINT)
+      * resource allocation  RA(a,b) = sum_z 1/deg(z)       (float)
+
+    RA is Adamic-Adar's harder-decaying sibling (1/deg instead of
+    1/ln deg — hubs are discounted *linearly*), the empirically
+    strongest of the degree-normalized family on co-occurrence
+    graphs; PA is the no-structure baseline the others are judged
+    against.  CN/PA are exact BIGINTs; each 1/deg(z) is one shared
+    float expression and the per-pair RA sum folds in z order
+    (sorted fold) — bit-identical in both engines.
+
+    Scale: the adamic_adar wedge join (candidates from the
+    shared-neighbor key, fan-out bounded upstream by
+    copurchase_edges's max_buyers cap), one broadcast-sized degree
+    join per endpoint, one LEFT ANTI join against existing edges.
+    The final top-k orders by (ra_score DESC, a, b).
+
+    Output: a, b, common, deg_a, deg_b, pref_attach, ra_score.
+    """
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    wz = adj.join(
+        deg.withColumnsRenamed({"node": "nbr", "deg": "degz"}), "nbr"
+    )
+    x = wz.select(
+        F.col("nbr").alias("z"),
+        F.col("node").alias("a"),
+        F.col("degz"),
+    )
+    y = adj.select(F.col("nbr").alias("z"), F.col("node").alias("b"))
+    cand = (
+        x.join(y, "z")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            "z",
+            (F.lit(1.0) / F.col("degz").cast("double")).alias("w"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("z", "w"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["w"],
+            ).alias("ra_score"),
+        )
+        .filter(F.col("common") >= F.lit(int(min_common)))
+        .join(
+            edges.select(
+                F.col("u").alias("a"), F.col("v").alias("b")
+            ),
+            ["a", "b"],
+            "left_anti",
+        )
+        .join(
+            deg.withColumnsRenamed({"node": "a", "deg": "deg_a"}),
+            "a",
+        )
+        .join(
+            deg.withColumnsRenamed({"node": "b", "deg": "deg_b"}),
+            "b",
+        )
+    )
+    w = Window.orderBy(
+        F.col("ra_score").desc(), F.col("a").asc(), F.col("b").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.lit(int(top_k)))
+        .select(
+            "a",
+            "b",
+            F.col("common").cast("long").alias("common"),
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            (F.col("deg_a") * F.col("deg_b"))
+            .cast("long")
+            .alias("pref_attach"),
+            "ra_score",
+        )
+    )
+
+
+def degree_powerlaw(edges: DataFrame) -> DataFrame:
+    """Continuous-approximation power-law MLE over the degree
+    distribution (Clauset, Shalizi & Newman 2009, eq. 3.1 with
+    x_min = 1):
+
+        alpha = 1 + n / sum_i ln(deg_i)
+
+    the one-number "is this graph scale-free" summary next to
+    :func:`assortativity`'s mixing coefficient — alpha in [2, 3] is
+    the small-world signature, larger means the degree tail dies
+    too fast for hubs to matter.  Degrees are exact BIGINTs; each
+    ln(deg) is one shared float expression, summed with a node-
+    ordered sorted fold (degree-1 nodes contribute ln 1 = 0 exactly,
+    so they are kept, matching the x_min = 1 contract).
+
+    Scale: one degree aggregate, one single-row reduce whose fold
+    list is node-count-bounded — for a truly massive graph swap the
+    fold for a histogram-side sum (degree counts are power-law few).
+
+    Output: one row — n_nodes, n_edges, max_degree, alpha.
+    """
+    adj = edges.select(
+        F.col("u").alias("node")
+    ).unionByName(edges.select(F.col("v").alias("node")))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    agg = deg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("deg").alias("sdeg"),
+        F.max("deg").alias("dmax"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "node",
+                        F.log(F.col("deg").cast("double")).alias(
+                            "ld"
+                        ),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["ld"],
+        ).alias("slog"),
+    )
+    return agg.filter(F.col("slog") > 0).select(
+        F.col("n").cast("long").alias("n_nodes"),
+        (F.col("sdeg") / 2).cast("long").alias("n_edges"),
+        F.col("dmax").cast("long").alias("max_degree"),
+        (
+            F.lit(1.0)
+            + F.col("n").cast("double") / F.col("slog")
+        ).alias("alpha"),
+    )

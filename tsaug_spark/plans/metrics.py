@@ -3668,3 +3668,105 @@ def rate_ratio_test(
         z.alias("z"),
         F.when(ok, F.abs(z) > F.lit(1.96)).alias("significant"),
     )
+
+
+def littles_law(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: int = 1800,
+) -> DataFrame:
+    """Per-day Little's-law audit of the session stream: measured
+    time-average concurrency L vs the lambda*W the law predicts
+    (Little 1961) — the queueing sanity check an ops dashboard runs
+    over :func:`concurrency` and the sessionizer ("if these disagree,
+    your session definition or your load balancer is lying").
+
+    Sessions are the repo-standard gap sessions (break at
+    diff >= gap, matching sessionize_native's half-open contract);
+    a session is "in system" over [first_event, last_event].  Per
+    day d:
+
+        busy_s    = sum over sessions of overlap with day d (BIGINT)
+        started_s = sum of durations of sessions STARTING in d
+        L         = busy_s / 86400,   lambda*W = started_s / 86400,
+        ratio     = busy_s / started_s
+
+    ratio ~ 1 when arrivals are stationary; boundary-crossing
+    sessions push it off 1 exactly as queueing theory says.  ALL
+    sums are exact BIGINT second counts; the three readouts are one
+    float division each.
+
+    Scale: one user-ordered window (the sessionizer), one
+    (user, session) aggregate, one bounded day-span explode
+    (sessions are gap-bounded, so the span is tiny), two day
+    aggregates merged by one co-partitioned join on day.
+
+    Output: bucket_s, n_started, busy_s, started_s, l_avg,
+    lambda_w, ratio.
+    """
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.unix_timestamp(F.col(ts_col)).cast("long").alias("s"),
+    )
+    wo = Window.partitionBy("u").orderBy("s")
+    brk = F.when(
+        F.lag("s").over(wo).isNull()
+        | (F.col("s") - F.lag("s").over(wo) >= F.lit(int(gap))),
+        1,
+    ).otherwise(0)
+    marked = ev.select(
+        "u", "s", F.sum(brk).over(wo).alias("sid")
+    )
+    sess = marked.groupBy("u", "sid").agg(
+        F.min("s").alias("st"), F.max("s").alias("en")
+    )
+    span = sess.select(
+        "st",
+        "en",
+        F.floor(F.col("st") / 86400).cast("long").alias("d0"),
+        F.floor(F.col("en") / 86400).cast("long").alias("d1"),
+    )
+    days = span.select(
+        "st",
+        "en",
+        F.explode(
+            F.sequence(F.col("d0").cast("int"), F.col("d1").cast("int"))
+        ).alias("di"),
+    ).select("st", "en", F.col("di").cast("long").alias("d"))
+    busy = days.select(
+        "d",
+        (
+            F.least(F.col("en"), (F.col("d") + 1) * 86400)
+            - F.greatest(F.col("st"), F.col("d") * 86400)
+        ).alias("ov"),
+    ).groupBy("d").agg(F.sum("ov").alias("busy_s"))
+    started = span.groupBy(F.col("d0").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_started"),
+        F.sum(F.col("en") - F.col("st")).alias("started_s"),
+    )
+    # FULL join: a day can hold only carried-over sessions (busy with
+    # nothing started — the midnight tail) or only zero-length starts
+    j = started.join(busy, "d", "full").select(
+        "d",
+        F.coalesce("n_started", F.lit(0)).alias("n_started"),
+        F.coalesce("started_s", F.lit(0)).alias("started_s"),
+        F.coalesce("busy_s", F.lit(0)).alias("busy_s"),
+    )
+    return j.select(
+        (F.col("d") * 86400).alias("bucket_s"),
+        F.col("n_started").cast("long").alias("n_started"),
+        F.col("busy_s").cast("long").alias("busy_s"),
+        F.col("started_s").cast("long").alias("started_s"),
+        (F.col("busy_s").cast("double") / F.lit(86400.0)).alias(
+            "l_avg"
+        ),
+        (F.col("started_s").cast("double") / F.lit(86400.0)).alias(
+            "lambda_w"
+        ),
+        F.when(
+            F.col("started_s") > 0,
+            F.col("busy_s").cast("double")
+            / F.col("started_s").cast("double"),
+        ).alias("ratio"),
+    )
