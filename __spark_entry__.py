@@ -6102,7 +6102,8 @@ _JB_1D_SQL = (
     "CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket_s, "
     "CAST(round(value * 100) AS BIGINT) AS c FROM events), "
     "a AS (SELECT bucket_s, COUNT(*) AS n, SUM(c) AS s1, "
-    "SUM(c*c) AS s2, SUM(c*c*c) AS s3, SUM(c*c*c*c) AS s4 "
+    "SUM(c*c) AS s2, SUM(CAST(c*c AS HUGEINT) * c) AS s3, "
+    "SUM(CAST(c*c AS HUGEINT) * (c*c)) AS s4 "
     "FROM b GROUP BY 1 HAVING COUNT(*) >= 4), "
     "m AS (SELECT bucket_s, n, "
     "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu, "
@@ -6978,6 +6979,57 @@ def q_readability(spark, sf):
     return readability_indices(_docs(spark, sf))
 
 
+def q_cox_stuart(spark, sf):
+    """Cox-Stuart paired-sign trend test per type
+    (plans/stats.py::cox_stuart): integer rising/falling pair counts,
+    one binomial z readout."""
+    from tsaug_spark.plans.stats import cox_stuart
+
+    return cox_stuart(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_days", "n_pairs",
+        "n_pos", "n_neg", "z",
+    )
+
+
+def q_cronbach_alpha(spark, sf):
+    """Cronbach's alpha over the 24 hour-of-day count items per type
+    (plans/stats.py::cronbach_alpha): decimal power sums, hour-ordered
+    item-variance fold."""
+    from tsaug_spark.plans.stats import cronbach_alpha
+
+    return cronbach_alpha(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_days", "item_var_sum",
+        "total_var", "alpha",
+    )
+
+
+def q_kendalls_w(spark, sf):
+    """Kendall's W concordance of the days' event-type volume
+    rankings (plans/stats.py::kendalls_w): doubled average ranks keep
+    the tie-corrected W all-integer until one division."""
+    from tsaug_spark.plans.stats import kendalls_w
+
+    return kendalls_w(_events(spark, sf))
+
+
+def q_transfer_entropy(spark, sf):
+    """Lag-1 binary transfer entropy click->purchase and back
+    (plans/stats.py::transfer_entropy): median-binarized dense hourly
+    series, exact 2x2x2 contingency, folded cell terms."""
+    from tsaug_spark.plans.stats import transfer_entropy
+
+    return transfer_entropy(_events(spark, sf))
+
+
+def q_bowker_symmetry(spark, sf):
+    """Bowker transition-symmetry test over the user event-type
+    transition matrix (plans/stats.py::bowker_symmetry): McNemar's
+    k-state generalization, integer matrix + folded pair terms."""
+    from tsaug_spark.plans.stats import bowker_symmetry
+
+    return bowker_symmetry(_events(spark, sf))
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -6988,6 +7040,11 @@ def q_readability(spark, sf):
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "transfer_entropy",
+    "kendalls_w",
+    "cronbach_alpha",
+    "cox_stuart",
+    "bowker_symmetry",
     "link_prediction",
     "degree_powerlaw",
     "littles_law",
@@ -7257,6 +7314,11 @@ def _registry_order(reg: dict) -> dict:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _registry_order({
+        "transfer_entropy": q_transfer_entropy,
+        "kendalls_w": q_kendalls_w,
+        "cronbach_alpha": q_cronbach_alpha,
+        "cox_stuart": q_cox_stuart,
+        "bowker_symmetry": q_bowker_symmetry,
         "link_prediction": q_link_prediction,
         "degree_powerlaw": q_degree_powerlaw,
         "littles_law": q_littles_law,
@@ -8316,6 +8378,184 @@ def oracle_sql() -> dict[str, str]:
             "SELECT key AS event_type, CAST(nh AS BIGINT) AS "
             "n_hours, l1, l2, l4, "
             "(ln(l1) - ln(l4)) / 1.3862943611198906 AS hfd FROM r"
+        ),
+        "cox_stuart": (
+            "WITH d AS (SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "COUNT(*) AS y FROM events GROUP BY 1, 2), "
+            "ix AS (SELECT key, y, ROW_NUMBER() OVER "
+            "(PARTITION BY key ORDER BY day) - 1 AS i, "
+            "COUNT(*) OVER (PARTITION BY key) AS n FROM d), "
+            "ld AS (SELECT key, "
+            "i - (n - CAST(floor(n / 2) AS BIGINT)) AS i, "
+            "y AS y2 FROM ix), "
+            "pr AS (SELECT ix.key, ix.n, ix.y, ld.y2 FROM ix "
+            "JOIN ld ON ld.key = ix.key AND ld.i = ix.i "
+            "WHERE ix.i < CAST(floor(ix.n / 2) AS BIGINT)), "
+            "agg AS (SELECT key, MAX(n) AS n, "
+            "SUM(CASE WHEN y2 > y THEN 1 ELSE 0 END) AS pos, "
+            "SUM(CASE WHEN y2 < y THEN 1 ELSE 0 END) AS neg "
+            "FROM pr GROUP BY 1) "
+            "SELECT key AS event_type, CAST(n AS BIGINT) AS n_days, "
+            "CAST(pos + neg AS BIGINT) AS n_pairs, "
+            "CAST(pos AS BIGINT) AS n_pos, "
+            "CAST(neg AS BIGINT) AS n_neg, "
+            "(CAST(pos AS DOUBLE) - CAST(pos + neg AS DOUBLE) / "
+            "2.0) / sqrt(CAST(pos + neg AS DOUBLE) / 4.0) AS z "
+            "FROM agg WHERE n >= 4 AND pos + neg > 0"
+        ),
+        "cronbach_alpha": (
+            "WITH c AS (SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "CAST(floor(epoch(ts)/3600) % 24 AS BIGINT) AS hr, "
+            "COUNT(*) AS y FROM events GROUP BY 1, 2, 3), "
+            "dly AS (SELECT key, day, SUM(y) AS g FROM c "
+            "GROUP BY 1, 2), "
+            "ka AS (SELECT key, COUNT(*) AS n, SUM(g) AS sg, "
+            "SUM(CAST(g AS HUGEINT) * g) AS sg2 FROM dly "
+            "GROUP BY 1 HAVING COUNT(*) >= 2), "
+            "hs AS (SELECT key, hr, SUM(y) AS sh, "
+            "SUM(CAST(y AS HUGEINT) * y) AS qh FROM c "
+            "GROUP BY 1, 2), "
+            "hv AS (SELECT hs.key, hs.hr, "
+            "CAST(CAST(ka.n AS HUGEINT) * hs.qh - "
+            "CAST(hs.sh AS HUGEINT) * CAST(hs.sh AS HUGEINT) "
+            "AS DOUBLE) / (CAST(ka.n AS DOUBLE) * "
+            "(CAST(ka.n AS DOUBLE) - 1.0)) AS vh "
+            "FROM hs JOIN ka ON hs.key = ka.key), "
+            "vs AS (SELECT key, list_reduce(list_prepend(0.0, "
+            "list(vh ORDER BY hr)), (a_, b_) -> a_ + b_) AS vh_sum "
+            "FROM hv GROUP BY 1), "
+            "o AS (SELECT ka.key, ka.n, vs.vh_sum, "
+            "CAST(CAST(ka.n AS HUGEINT) * ka.sg2 - "
+            "CAST(ka.sg AS HUGEINT) * CAST(ka.sg AS HUGEINT) "
+            "AS DOUBLE) / (CAST(ka.n AS DOUBLE) * "
+            "(CAST(ka.n AS DOUBLE) - 1.0)) AS vt "
+            "FROM ka JOIN vs ON ka.key = vs.key) "
+            "SELECT key AS event_type, CAST(n AS BIGINT) AS n_days, "
+            "vh_sum AS item_var_sum, vt AS total_var, "
+            "(24.0 / 23.0) * (1.0 - vh_sum / vt) AS alpha "
+            "FROM o WHERE vt > 0"
+        ),
+        "kendalls_w": (
+            "WITH c AS (SELECT "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "event_type AS typ, COUNT(*) AS y FROM events "
+            "GROUP BY 1, 2), "
+            "ds AS (SELECT DISTINCT day FROM c), "
+            "tp AS (SELECT DISTINCT typ FROM c), "
+            "grid AS (SELECT day, typ FROM ds, tp), "
+            "dense AS (SELECT g.day, g.typ, COALESCE(c.y, 0) AS v "
+            "FROM grid g LEFT JOIN c "
+            "ON c.day = g.day AND c.typ = g.typ), "
+            "rk AS (SELECT day, typ, v, "
+            "rank() OVER (PARTITION BY day ORDER BY v) * 2 + "
+            "(COUNT(*) OVER (PARTITION BY day, v) - 1) AS r2, "
+            "COUNT(*) OVER (PARTITION BY day, v) AS t FROM dense), "
+            "pt AS (SELECT typ, SUM(r2) AS r2j, COUNT(*) AS m "
+            "FROM rk GROUP BY 1), "
+            "sr AS (SELECT COUNT(*) AS k, MAX(m) AS m, "
+            "SUM(r2j * r2j) AS sr2sq FROM pt), "
+            "ti AS (SELECT SUM(t*t*t - t) AS tsum FROM "
+            "(SELECT DISTINCT day, v, t FROM rk)), "
+            "fin AS (SELECT m, k, "
+            "3 * sr2sq - 3 * m * m * k * (k+1) * (k+1) AS num, "
+            "m * m * k * (k*k - 1) - m * tsum AS den "
+            "FROM sr, ti) "
+            "SELECT CAST(m AS BIGINT) AS m_days, "
+            "CAST(k AS BIGINT) AS k_types, "
+            "CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS w_stat, "
+            "CAST(m * (k-1) AS DOUBLE) * (CAST(num AS DOUBLE) / "
+            "CAST(den AS DOUBLE)) AS chi2 "
+            "FROM fin WHERE den > 0 AND k >= 2"
+        ),
+        "transfer_entropy": (
+            "WITH hr AS (SELECT "
+            "CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour, "
+            "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+            "AS xr, "
+            "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 "
+            "END) AS yr FROM events "
+            "WHERE event_type IN ('click', 'purchase') "
+            "GROUP BY 1), "
+            "b0 AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi "
+            "FROM hr), "
+            "grid AS (SELECT CAST(unnest(range(lo, hi + 1)) "
+            "AS BIGINT) AS hour FROM b0), "
+            "dense AS (SELECT g.hour, COALESCE(hr.xr, 0) AS x, "
+            "COALESCE(hr.yr, 0) AS y FROM grid g "
+            "LEFT JOIN hr ON hr.hour = g.hour), "
+            "mx AS (SELECT v AS med_x FROM (SELECT x AS v, "
+            "ROW_NUMBER() OVER (ORDER BY x, hour) AS r, "
+            "COUNT(*) OVER () AS n FROM dense) "
+            "WHERE r = CAST(floor((n + 1) / 2) AS BIGINT)), "
+            "my AS (SELECT v AS med_y FROM (SELECT y AS v, "
+            "ROW_NUMBER() OVER (ORDER BY y, hour) AS r, "
+            "COUNT(*) OVER () AS n FROM dense) "
+            "WHERE r = CAST(floor((n + 1) / 2) AS BIGINT)), "
+            "bb AS (SELECT hour, "
+            "CASE WHEN x > med_x THEN 1 ELSE 0 END AS bx, "
+            "CASE WHEN y > med_y THEN 1 ELSE 0 END AS byy "
+            "FROM dense, mx, my), "
+            "t1 AS (SELECT byy AS b, bx AS c, "
+            "lead(byy) OVER (ORDER BY hour) AS a FROM bb), "
+            "c1 AS (SELECT a, b, c, COUNT(*) AS nabc FROM t1 "
+            "WHERE a IS NOT NULL GROUP BY 1, 2, 3), "
+            "m1 AS (SELECT a, b, c, nabc, "
+            "SUM(nabc) OVER (PARTITION BY b) AS nb, "
+            "SUM(nabc) OVER (PARTITION BY b, c) AS nbc, "
+            "SUM(nabc) OVER (PARTITION BY a, b) AS nab FROM c1), "
+            "e1 AS (SELECT a, b, c, nabc, CAST(nabc AS DOUBLE) * "
+            "ln(CAST(nabc * nb AS DOUBLE) / "
+            "CAST(nbc * nab AS DOUBLE)) AS term FROM m1), "
+            "a1 AS (SELECT SUM(nabc) AS n, "
+            "list_reduce(list_prepend(0.0, "
+            "list(term ORDER BY a, b, c)), (a_, b_) -> a_ + b_) "
+            "AS tsum FROM e1), "
+            "r1 AS (SELECT n, tsum / CAST(n AS DOUBLE) AS te "
+            "FROM a1), "
+            "t2 AS (SELECT bx AS b, byy AS c, "
+            "lead(bx) OVER (ORDER BY hour) AS a FROM bb), "
+            "c2 AS (SELECT a, b, c, COUNT(*) AS nabc FROM t2 "
+            "WHERE a IS NOT NULL GROUP BY 1, 2, 3), "
+            "m2 AS (SELECT a, b, c, nabc, "
+            "SUM(nabc) OVER (PARTITION BY b) AS nb, "
+            "SUM(nabc) OVER (PARTITION BY b, c) AS nbc, "
+            "SUM(nabc) OVER (PARTITION BY a, b) AS nab FROM c2), "
+            "e2 AS (SELECT a, b, c, nabc, CAST(nabc AS DOUBLE) * "
+            "ln(CAST(nabc * nb AS DOUBLE) / "
+            "CAST(nbc * nab AS DOUBLE)) AS term FROM m2), "
+            "a2 AS (SELECT SUM(nabc) AS n, "
+            "list_reduce(list_prepend(0.0, "
+            "list(term ORDER BY a, b, c)), (a_, b_) -> a_ + b_) "
+            "AS tsum FROM e2), "
+            "r2 AS (SELECT tsum / CAST(n AS DOUBLE) AS te FROM a2) "
+            "SELECT CAST(r1.n AS BIGINT) AS n_transitions, "
+            "r1.te AS te_x_to_y, r2.te AS te_y_to_x FROM r1, r2"
+        ),
+        "bowker_symmetry": (
+            "WITH e AS (SELECT user_id, event_id, event_type, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events), "
+            "m AS (SELECT lag(event_type) OVER (PARTITION BY "
+            "user_id ORDER BY t, event_id) AS fs, "
+            "event_type AS tsx FROM e), "
+            "tc AS (SELECT fs, tsx, COUNT(*) AS n FROM m "
+            "WHERE fs IS NOT NULL GROUP BY 1, 2), "
+            "a AS (SELECT fs AS i, tsx AS j, n AS nij FROM tc "
+            "WHERE fs < tsx), "
+            "bb AS (SELECT tsx AS i, fs AS j, n AS nji FROM tc "
+            "WHERE tsx < fs), "
+            "p AS (SELECT COALESCE(a.i, bb.i) AS i, "
+            "COALESCE(a.j, bb.j) AS j, COALESCE(nij, 0) AS nij, "
+            "COALESCE(nji, 0) AS nji FROM a "
+            "FULL JOIN bb ON a.i = bb.i AND a.j = bb.j), "
+            "s AS (SELECT i, j, CAST((nij - nji) * (nij - nji) "
+            "AS DOUBLE) / CAST(nij + nji AS DOUBLE) AS term "
+            "FROM p WHERE nij + nji > 0) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS dof, "
+            "list_reduce(list_prepend(0.0, "
+            "list(term ORDER BY i, j)), (a_, b_) -> a_ + b_) "
+            "AS bowker_stat FROM s"
         ),
         "link_prediction": (
             "WITH bp AS (SELECT DISTINCT l_partkey AS part, "

@@ -8187,3 +8187,495 @@ def higuchi_fd(
         l4.alias("l4"),
         hfd.alias("hfd"),
     )
+
+
+# --------------------------------------------------------------------
+# round-4j inference batch: trend signs, reliability, concordance,
+# directed information flow, and transition symmetry.
+# --------------------------------------------------------------------
+
+
+def cox_stuart(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cox–Stuart sign test for monotone trend per key (Cox & Stuart
+    1955): pair each day in the first half of the daily-count series
+    with its shifted twin ceil(n/2) later, count rising vs falling
+    pairs, and score the binomial z
+
+        z = (S+ - m/2) / sqrt(m/4),   m = S+ + S-   (ties dropped).
+
+    The "is there ANY monotone drift" screen that needs even less
+    than :func:`mk_trend_daily` (no rank sums at all — just signs),
+    and the standard cheap pre-filter in front of it.  ENTIRELY
+    integer counts; z is one shared float expression.
+
+    Scale: one (key, day) rollup, one key-ordered row_number, one
+    self-equi-join on (key, idx + offset) — both sides are
+    retention-bounded day rows.
+
+    Output: key, n_days, n_pairs, n_pos, n_neg, z.
+    """
+    daily = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    wo = Window.partitionBy("key").orderBy("day")
+    wk = Window.partitionBy("key")
+    idx = daily.select(
+        "key",
+        "y",
+        (F.row_number().over(wo) - 1).alias("i"),
+        F.count(F.lit(1)).over(wk).alias("n"),
+    )
+    lead = idx.select(
+        "key",
+        F.col("n").alias("n2"),
+        (F.col("i") - (F.col("n") - F.floor(F.col("n") / 2)
+                       .cast("long"))).alias("i"),
+        F.col("y").alias("y2"),
+    )
+    pairs = idx.filter(
+        F.col("i") < F.floor(F.col("n") / 2).cast("long")
+    ).join(lead, ["key", "i"])
+    agg = pairs.groupBy("key").agg(
+        F.max("n").alias("n"),
+        F.sum(F.when(F.col("y2") > F.col("y"), 1).otherwise(0))
+        .alias("pos"),
+        F.sum(F.when(F.col("y2") < F.col("y"), 1).otherwise(0))
+        .alias("neg"),
+    )
+    m = F.col("pos") + F.col("neg")
+    md = m.cast("double")
+    z = (
+        F.col("pos").cast("double") - md / F.lit(2.0)
+    ) / F.sqrt(md / F.lit(4.0))
+    return agg.filter((F.col("n") >= 4) & (m > 0)).select(
+        "key",
+        F.col("n").cast("long").alias("n_days"),
+        m.cast("long").alias("n_pairs"),
+        F.col("pos").cast("long").alias("n_pos"),
+        F.col("neg").cast("long").alias("n_neg"),
+        z.alias("z"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient per key
+    (Cronbach 1951) treating the 24 hour-of-day counts as the items
+    and days as the cases,
+
+        alpha = k/(k-1) * (1 - sum_h var_h / var_total),   k = 24
+
+    — "do the hours of the day tell one coherent volume story"; the
+    reliability companion to :func:`icc_oneway` (alpha is exactly the
+    Spearman-Brown-stepped ICC under the one-way model).  Item and
+    total variances come from exact integer power sums (decimal(38,0)
+    quadratics, the jarque_bera hardening); each var_h is one shared
+    float expression and the 24-term item-variance sum folds in hour
+    order (sorted fold).
+
+    Scale: one (key, day, hour) rollup, one (key, hour) and one
+    (key, day) aggregate, one broadcast-sized join on key.
+
+    Output: key, n_days, item_var_sum, total_var, alpha.
+    """
+    cells = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+            (
+                F.floor(F.unix_timestamp(F.col(ts_col)) / 3600) % 24
+            ).cast("long").alias("hr"),
+        )
+        .groupBy("key", "day", "hr")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    yd = F.col("y").cast("decimal(19,0)")
+    daily = cells.groupBy("key", "day").agg(
+        F.sum("y").alias("g")
+    )
+    gd = F.col("g").cast("decimal(19,0)")
+    keyagg = daily.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("g").alias("sg"),
+        F.sum(gd * gd).alias("sg2"),
+    ).filter(F.col("n") >= 2)
+    hr_sums = cells.groupBy("key", "hr").agg(
+        F.sum("y").alias("sh"),
+        F.sum(yd * yd).alias("qh"),
+    )
+    nd = F.col("n").cast("double")
+    hv = hr_sums.join(keyagg, "key").select(
+        "key",
+        "hr",
+        (
+            (
+                F.col("n").cast("decimal(19,0)") * F.col("qh")
+                - F.col("sh").cast("decimal(19,0)")
+                * F.col("sh").cast("decimal(19,0)")
+            ).cast("double")
+            / (nd * (nd - F.lit(1.0)))
+        ).alias("vh"),
+    )
+    vsum = hv.groupBy("key").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("hr", "vh"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["vh"],
+        ).alias("vh_sum")
+    )
+    out = keyagg.join(vsum, "key")
+    vt = (
+        F.col("n").cast("decimal(19,0)") * F.col("sg2")
+        - F.col("sg").cast("decimal(19,0)")
+        * F.col("sg").cast("decimal(19,0)")
+    ).cast("double") / (nd * (nd - F.lit(1.0)))
+    alpha = (F.lit(24.0) / F.lit(23.0)) * (
+        F.lit(1.0) - F.col("vh_sum") / vt
+    )
+    return out.filter(vt > 0).select(
+        "key",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("vh_sum").alias("item_var_sum"),
+        vt.alias("total_var"),
+        alpha.alias("alpha"),
+    )
+
+
+def kendalls_w(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Kendall's coefficient of concordance W with tie correction
+    (Kendall & Babington Smith 1939): each day ranks the k event
+    types by daily count — do the days agree on the volume ordering?
+    The k-object generalization of day-to-day rank stability,
+    reported with the chi^2 = m(k-1)W large-sample statistic.
+
+    Ranks are DOUBLED average ranks (2*avg = min_rank*2 + (ties-1)),
+    so everything stays integer:
+
+        W = (3*sum_j R2_j^2 - 3 m^2 k (k+1)^2)
+            / (m^2 k (k^2-1) - m * sum_i T_i),
+
+    T_i = sum over tie groups of (t^3 - t) on day i.  The day-by-type
+    grid is dense (a type with no events that day competes with count
+    0 — otherwise the ranking is over shifting contestant sets).
+    ENTIRELY integer sufficient statistics; W and chi2 are single
+    shared float expressions.
+
+    Scale: one (day, type) rollup, one bounded grid (m*k rows, both
+    retention/vocabulary-bounded), two window ranks, three bounded
+    aggregates.
+
+    Output: one row — m_days, k_types, w_stat, chi2.
+    """
+    counts = (
+        df.select(
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+            F.col(key_col).alias("typ"),
+        )
+        .groupBy("day", "typ")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    days = counts.select("day").distinct()
+    typs = counts.select("typ").distinct()
+    grid = days.crossJoin(F.broadcast(typs))
+    dense = grid.join(counts, ["day", "typ"], "left").select(
+        "day", "typ", F.coalesce("y", F.lit(0)).alias("v")
+    )
+    wd = Window.partitionBy("day").orderBy("v")
+    wt = Window.partitionBy("day", "v")
+    ranked = dense.select(
+        "day",
+        "typ",
+        "v",
+        (
+            F.rank().over(wd) * 2
+            + (F.count(F.lit(1)).over(wt) - 1)
+        ).alias("r2"),
+        F.count(F.lit(1)).over(wt).alias("t"),
+    )
+    per_typ = ranked.groupBy("typ").agg(
+        F.sum("r2").alias("r2j"), F.count(F.lit(1)).alias("m")
+    )
+    s_r2 = per_typ.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("m").alias("m"),
+        F.sum(F.col("r2j") * F.col("r2j")).alias("sr2sq"),
+    )
+    ties = (
+        ranked.select("day", "v", "t")
+        .distinct()
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tsum")
+        )
+    )
+    j = s_r2.crossJoin(F.broadcast(ties))
+    num = (
+        F.lit(3) * F.col("sr2sq")
+        - F.lit(3)
+        * F.col("m")
+        * F.col("m")
+        * F.col("k")
+        * (F.col("k") + 1)
+        * (F.col("k") + 1)
+    )
+    den = F.col("m") * F.col("m") * F.col("k") * (
+        F.col("k") * F.col("k") - 1
+    ) - F.col("m") * F.col("tsum")
+    w = num.cast("double") / den.cast("double")
+    chi2 = (
+        F.col("m") * (F.col("k") - 1)
+    ).cast("double") * w
+    return j.filter((den > 0) & (F.col("k") >= 2)).select(
+        F.col("m").cast("long").alias("m_days"),
+        F.col("k").cast("long").alias("k_types"),
+        w.alias("w_stat"),
+        chi2.alias("chi2"),
+    )
+
+
+def _te_direction(dense: DataFrame, src: str, dst: str):
+    """Lag-1 binary transfer entropy src -> dst over the dense
+    hourly frame (columns: hour, bx_<src>, bx_<dst> already
+    binarized).  Returns a 1-row frame (n, te)."""
+    wo = Window.orderBy("hour")
+    tri = dense.select(
+        F.col(f"b_{dst}").alias("b"),
+        F.col(f"b_{src}").alias("c"),
+        F.lead(f"b_{dst}").over(wo).alias("a"),
+        "hour",
+    ).filter(F.col("a").isNotNull())
+    cells = tri.groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).alias("nabc")
+    )
+    wb = Window.partitionBy("b")
+    wbc = Window.partitionBy("b", "c")
+    wab = Window.partitionBy("a", "b")
+    terms = cells.select(
+        "a",
+        "b",
+        "c",
+        "nabc",
+        F.sum("nabc").over(wb).alias("nb"),
+        F.sum("nabc").over(wbc).alias("nbc"),
+        F.sum("nabc").over(wab).alias("nab"),
+    ).select(
+        "a",
+        "b",
+        "c",
+        "nabc",
+        (
+            F.col("nabc").cast("double")
+            * F.log(
+                (F.col("nabc") * F.col("nb")).cast("double")
+                / (F.col("nbc") * F.col("nab")).cast("double")
+            )
+        ).alias("term"),
+    )
+    return terms.agg(
+        F.sum("nabc").alias("n"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("a", "b", "c", "term"))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("tsum"),
+    ).select(
+        "n",
+        (F.col("tsum") / F.col("n").cast("double")).alias("te"),
+    )
+
+
+def transfer_entropy(
+    df: DataFrame,
+    type_x: str = "click",
+    type_y: str = "purchase",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Lag-1 binary transfer entropy between two event types' hourly
+    activity (Schreiber 2000), both directions:
+
+        TE(X->Y) = sum p(y', y, x) ln[ p(y'|y,x) / p(y'|y) ]
+
+    estimated from the 2x2x2 contingency of (next-Y, Y, X) after
+    binarizing each dense zero-filled hourly count series at its own
+    rank-selected lower median.  The *directed* companion to
+    :func:`granger_click_purchase` — Granger is linear, TE catches
+    any lag-1 dependence, and the asymmetry TE(X->Y) vs TE(Y->X) is
+    the direction signal.  Cell counts and all three marginals are
+    exact BIGINTs; each of the <= 8 cell terms is one shared float
+    expression folded in (a, b, c) order.
+
+    Scale: one (hour, type) rollup, one bounded grid, two global
+    hour-ordered windows on the retention-bounded dense series (the
+    documented single-partition pattern of the spectral family), one
+    8-row aggregate per direction.
+
+    Output: one row — n_transitions, te_x_to_y, te_y_to_x.
+    """
+    hourly = (
+        df.filter(F.col(key_col).isin([type_x, type_y]))
+        .select(
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 3600)
+            .cast("long")
+            .alias("hour"),
+            F.col(key_col).alias("typ"),
+        )
+        .groupBy("hour")
+        .agg(
+            F.sum(
+                F.when(F.col("typ") == type_x, 1).otherwise(0)
+            ).alias("xr"),
+            F.sum(
+                F.when(F.col("typ") == type_y, 1).otherwise(0)
+            ).alias("yr"),
+        )
+    )
+    bounds = hourly.agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence(
+                F.col("lo").cast("int"), F.col("hi").cast("int")
+            )
+        ).alias("hour_i")
+    ).select(F.col("hour_i").cast("long").alias("hour"))
+    dense = grid.join(hourly, "hour", "left").select(
+        "hour",
+        F.coalesce("xr", F.lit(0)).alias("x"),
+        F.coalesce("yr", F.lit(0)).alias("y"),
+    )
+
+    def lower_median(col):
+        wv = Window.orderBy(col, "hour")
+        wn = Window.partitionBy()
+        return (
+            dense.select(
+                F.col(col).alias("v"),
+                F.row_number().over(wv).alias("r"),
+                F.count(F.lit(1)).over(wn).alias("n"),
+            )
+            .filter(
+                F.col("r")
+                == F.floor((F.col("n") + 1) / 2).cast("int")
+            )
+            .select(F.col("v").alias(f"med_{col}"))
+        )
+    med = lower_median("x").crossJoin(lower_median("y"))
+    b = dense.crossJoin(F.broadcast(med)).select(
+        "hour",
+        (F.col("x") > F.col("med_x")).cast("int").alias("b_x"),
+        (F.col("y") > F.col("med_y")).cast("int").alias("b_y"),
+    )
+    xy = _te_direction(b, "x", "y").select(
+        "n", F.col("te").alias("te_x_to_y")
+    )
+    yx = _te_direction(b, "y", "x").select(
+        F.col("te").alias("te_y_to_x")
+    )
+    return xy.crossJoin(yx).select(
+        F.col("n").cast("long").alias("n_transitions"),
+        "te_x_to_y",
+        "te_y_to_x",
+    )
+
+
+def bowker_symmetry(
+    df: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Bowker's test of transition-matrix symmetry (Bowker 1948) over
+    the per-user consecutive event-type transitions — McNemar's k-state
+    generalization: is i -> j as common as j -> i, or does the event
+    flow have a direction?
+
+        B = sum_{i<j} (n_ij - n_ji)^2 / (n_ij + n_ji) ~ chi^2(dof),
+
+    dof = number of (i, j) pairs with n_ij + n_ji > 0.  Transition
+    counts are exact BIGINTs from the (ts, event_id)-ordered lag
+    window (the event_transitions contract); each pair term is one
+    shared float expression folded in (i, j) order.
+
+    Scale: one user-ordered lag window, one transition-matrix
+    aggregate (|states|^2 rows), one self-join of the tiny matrix on
+    the swapped key, one fold over <= k^2/2 terms.
+
+    Output: one row — n_pairs, dof, bowker_stat.
+    """
+    from tsaug_spark.plans.metrics import transition_counts
+
+    ev = df.select(
+        key_col,
+        order_col,
+        state_col,
+        F.unix_timestamp(F.col(ts_col)).alias("t"),
+    )
+    tc = transition_counts(
+        ev,
+        key_col=key_col,
+        ts_col="t",
+        state_col=state_col,
+        order_col=order_col,
+    )
+    a = tc.select(
+        F.col("from_state").alias("i"),
+        F.col("to_state").alias("j"),
+        F.col("n").alias("nij"),
+    ).filter(F.col("i") < F.col("j"))
+    bb = tc.select(
+        F.col("to_state").alias("i"),
+        F.col("from_state").alias("j"),
+        F.col("n").alias("nji"),
+    ).filter(F.col("i") < F.col("j"))
+    pairs = a.join(bb, ["i", "j"], "full").select(
+        "i",
+        "j",
+        F.coalesce("nij", F.lit(0)).alias("nij"),
+        F.coalesce("nji", F.lit(0)).alias("nji"),
+    )
+    diff = F.col("nij") - F.col("nji")
+    term = (diff * diff).cast("double") / (
+        F.col("nij") + F.col("nji")
+    ).cast("double")
+    scored = pairs.filter(
+        F.col("nij") + F.col("nji") > 0
+    ).select("i", "j", term.alias("term"))
+    return scored.agg(
+        F.count(F.lit(1)).alias("dof"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("i", "j", "term"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("b"),
+    ).select(
+        F.col("dof").cast("long").alias("dof"),
+        F.col("b").alias("bowker_stat"),
+    )
