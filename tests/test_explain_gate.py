@@ -57,6 +57,27 @@ HOT_QUERIES = {
     "lomb_scargle": True,
     "mk_seasonal": False,
     "nw_trend": False,
+    # r4h-r4j additions: the link-prediction wedge join is a pair
+    # search (never nested-loop); the inference screens join fits /
+    # marginals back by key (equi) and may broadcast 1-row medians
+    # or tiny day*type grids through a BNLJ
+    "link_prediction": True,
+    "degree_powerlaw": False,
+    "breusch_pagan": False,
+    "chow_break": False,
+    "cochran_q": False,
+    "icc_oneway": False,
+    "cohens_d": False,
+    "partial_corr": False,
+    "cusum_squares": False,
+    "higuchi_fd": False,
+    "littles_law": False,
+    "readability": False,
+    "cox_stuart": False,
+    "cronbach_alpha": False,
+    "kendalls_w": False,
+    "transfer_entropy": False,
+    "bowker_symmetry": False,
 }
 
 
