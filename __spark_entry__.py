@@ -7030,6 +7030,38 @@ def q_bowker_symmetry(spark, sf):
     return bowker_symmetry(_events(spark, sf))
 
 
+def _fmt_roundtrip(spark, sf, fmt):
+    from tsaug_spark.sources.formats import (
+        roundtrip_dir,
+        write_read_roundtrip,
+    )
+
+    h = _hourly(spark, sf).select(
+        "user_id",
+        "bucket_s",
+        "cnt",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+    return write_read_roundtrip(
+        h, roundtrip_dir(sf, f"rollup_1h_{fmt}"), fmt
+    )
+
+
+def q_orc_roundtrip(spark, sf):
+    """Interchange proof for the ORC sink+source
+    (sources/formats.py::write_read_roundtrip): the 1h tier written
+    to ORC and read back; the oracle recomputes the tier from the
+    source table, so a hash match certifies the format round-trip."""
+    return _fmt_roundtrip(spark, sf, "orc")
+
+
+def q_csv_roundtrip(spark, sf):
+    """Interchange proof for the CSV sink+source with catalog-owned
+    schema on read (sources/formats.py): shortest-round-trip doubles
+    + 4-decimal normalization make the text round-trip bit-stable."""
+    return _fmt_roundtrip(spark, sf, "csv")
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -7040,6 +7072,8 @@ def q_bowker_symmetry(spark, sf):
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "orc_roundtrip",
+    "csv_roundtrip",
     "transfer_entropy",
     "kendalls_w",
     "cronbach_alpha",
@@ -7314,6 +7348,8 @@ def _registry_order(reg: dict) -> dict:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _registry_order({
+        "orc_roundtrip": q_orc_roundtrip,
+        "csv_roundtrip": q_csv_roundtrip,
         "transfer_entropy": q_transfer_entropy,
         "kendalls_w": q_kendalls_w,
         "cronbach_alpha": q_cronbach_alpha,
@@ -8378,6 +8414,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT key AS event_type, CAST(nh AS BIGINT) AS "
             "n_hours, l1, l2, l4, "
             "(ln(l1) - ln(l4)) / 1.3862943611198906 AS hfd FROM r"
+        ),
+        "orc_roundtrip": (
+            f"WITH h AS ({_HOURLY_SQL}) SELECT user_id, bucket_s, "
+            "cnt, ROUND(sum_value, 4) AS sum_value FROM h"
+        ),
+        "csv_roundtrip": (
+            f"WITH h AS ({_HOURLY_SQL}) SELECT user_id, bucket_s, "
+            "cnt, ROUND(sum_value, 4) AS sum_value FROM h"
         ),
         "cox_stuart": (
             "WITH d AS (SELECT event_type AS key, "
