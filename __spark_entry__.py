@@ -7062,6 +7062,41 @@ def q_csv_roundtrip(spark, sf):
     return _fmt_roundtrip(spark, sf, "csv")
 
 
+def q_turning_points(spark, sf):
+    """Turning-point + difference-sign randomness screens per type
+    (plans/stats.py::turning_points): all-integer extrema/rise
+    counts, closed-form z pair."""
+    from tsaug_spark.plans.stats import turning_points
+
+    return turning_points(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_days", "n_turning",
+        "tp_z", "n_rises", "ds_z",
+    )
+
+
+def q_von_neumann(spark, sf):
+    """Von Neumann successive-difference ratio per type
+    (plans/stats.py::von_neumann): decimal quadratic sums, one float
+    division."""
+    from tsaug_spark.plans.stats import von_neumann
+
+    return von_neumann(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_days", "vn_ratio",
+    )
+
+
+def q_siegel_slopes(spark, sf):
+    """Siegel repeated-medians robust slope per type
+    (plans/stats.py::siegel_slopes): two nested rank-selected
+    medians over the day-pair slopes."""
+    from tsaug_spark.plans.stats import siegel_slopes
+
+    return siegel_slopes(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_days",
+        "slope_cents_per_day",
+    )
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -7072,6 +7107,9 @@ def q_csv_roundtrip(spark, sf):
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "siegel_slopes",
+    "turning_points",
+    "von_neumann",
     "orc_roundtrip",
     "csv_roundtrip",
     "transfer_entropy",
@@ -7348,6 +7386,9 @@ def _registry_order(reg: dict) -> dict:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _registry_order({
+        "siegel_slopes": q_siegel_slopes,
+        "turning_points": q_turning_points,
+        "von_neumann": q_von_neumann,
         "orc_roundtrip": q_orc_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
         "transfer_entropy": q_transfer_entropy,
@@ -8414,6 +8455,75 @@ def oracle_sql() -> dict[str, str]:
             "SELECT key AS event_type, CAST(nh AS BIGINT) AS "
             "n_hours, l1, l2, l4, "
             "(ln(l1) - ln(l4)) / 1.3862943611198906 AS hfd FROM r"
+        ),
+        "turning_points": (
+            "WITH d AS (SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "COUNT(*) AS y FROM events GROUP BY 1, 2), "
+            "l AS (SELECT key, y, lag(y) OVER w AS p, "
+            "lead(y) OVER w AS q FROM d WINDOW w AS "
+            "(PARTITION BY key ORDER BY day)), "
+            "agg AS (SELECT key, COUNT(*) AS n, "
+            "SUM(CASE WHEN p IS NOT NULL AND q IS NOT NULL AND "
+            "((p < y AND y > q) OR (p > y AND y < q)) "
+            "THEN 1 ELSE 0 END) AS t, "
+            "SUM(CASE WHEN p IS NOT NULL AND y > p THEN 1 ELSE 0 "
+            "END) AS s FROM l GROUP BY 1 HAVING COUNT(*) >= 4) "
+            "SELECT key AS event_type, CAST(n AS BIGINT) AS n_days, "
+            "CAST(t AS BIGINT) AS n_turning, "
+            "(CAST(t AS DOUBLE) - 2.0 * (CAST(n AS DOUBLE) - 2.0) "
+            "/ 3.0) / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / "
+            "90.0) AS tp_z, "
+            "CAST(s AS BIGINT) AS n_rises, "
+            "(CAST(s AS DOUBLE) - (CAST(n AS DOUBLE) - 1.0) / 2.0) "
+            "/ sqrt((CAST(n AS DOUBLE) + 1.0) / 12.0) AS ds_z "
+            "FROM agg"
+        ),
+        "von_neumann": (
+            "WITH d AS (SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "SUM(CAST(round(value * 100) AS BIGINT)) AS y "
+            "FROM events GROUP BY 1, 2), "
+            "l AS (SELECT key, y, CAST(y AS HUGEINT) AS cd, "
+            "CAST(y AS HUGEINT) - lag(CAST(y AS HUGEINT)) OVER "
+            "(PARTITION BY key ORDER BY day) AS dd FROM d), "
+            "agg AS (SELECT key, COUNT(*) AS n, SUM(y) AS sx, "
+            "SUM(cd * cd) AS sxx, SUM(dd * dd) AS sd2 FROM l "
+            "GROUP BY 1 HAVING COUNT(*) >= 3) "
+            "SELECT key AS event_type, CAST(n AS BIGINT) AS n_days, "
+            "CAST(CAST(n AS HUGEINT) * sd2 AS DOUBLE) / "
+            "CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * "
+            "CAST(sx AS HUGEINT) AS DOUBLE) AS vn_ratio FROM agg "
+            "WHERE CAST(CAST(n AS HUGEINT) * sxx - "
+            "CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) "
+            "> 0"
+        ),
+        "siegel_slopes": (
+            "WITH d AS (SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "SUM(CAST(round(value * 100) AS BIGINT)) AS cents "
+            "FROM events GROUP BY 1, 2), "
+            "p AS (SELECT a.key, a.day AS di, b.day AS dj, "
+            "CAST(b.cents - a.cents AS DOUBLE) / "
+            "CAST(b.day - a.day AS DOUBLE) AS s "
+            "FROM d a JOIN d b ON a.key = b.key "
+            "AND a.day <> b.day), "
+            "r1 AS (SELECT key, di, s, ROW_NUMBER() OVER "
+            "(PARTITION BY key, di ORDER BY s, dj) AS rn, "
+            "COUNT(*) OVER (PARTITION BY key, di) AS m FROM p), "
+            "i1 AS (SELECT key, di, SUM(s) / COUNT(*) AS med_i "
+            "FROM r1 WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2 "
+            "GROUP BY 1, 2), "
+            "r2 AS (SELECT key, di, med_i, ROW_NUMBER() OVER "
+            "(PARTITION BY key ORDER BY med_i, di) AS rn, "
+            "COUNT(*) OVER (PARTITION BY key) AS m FROM i1), "
+            "o AS (SELECT key, MAX(m) AS n_days, "
+            "SUM(med_i) / COUNT(*) AS slope FROM r2 "
+            "WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2 "
+            "GROUP BY 1) "
+            "SELECT key AS event_type, CAST(n_days AS BIGINT) AS "
+            "n_days, slope AS slope_cents_per_day FROM o "
+            "WHERE n_days >= 2"
         ),
         "orc_roundtrip": (
             f"WITH h AS ({_HOURLY_SQL}) SELECT user_id, bucket_s, "

@@ -78,6 +78,12 @@ HOT_QUERIES = {
     "kendalls_w": False,
     "transfer_entropy": False,
     "bowker_symmetry": False,
+    # r4k: the siegel day-pair self-join must stay a key equi-join
+    "siegel_slopes": True,
+    "turning_points": False,
+    "von_neumann": False,
+    "orc_roundtrip": False,
+    "csv_roundtrip": False,
 }
 
 

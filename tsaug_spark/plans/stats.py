@@ -8679,3 +8679,222 @@ def bowker_symmetry(
         F.col("dof").cast("long").alias("dof"),
         F.col("b").alias("bowker_stat"),
     )
+
+
+# --------------------------------------------------------------------
+# round-4k inference batch: randomness screens and the repeated-
+# medians robust slope.
+# --------------------------------------------------------------------
+
+
+def turning_points(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The two classical IID-randomness screens on each key's daily
+    count series (Kendall & Stuart ch. 45): the turning-point test
+
+        E[T] = 2(n-2)/3,  Var[T] = (16n - 29)/90,
+
+    (T = strict interior local extrema) and the difference-sign test
+
+        E[S] = (n-1)/2,   Var[S] = (n+1)/12,
+
+    (S = rises between consecutive days).  Too many turning points
+    means over-differencing / oscillation, too few means trend — the
+    cheap pre-screen in front of :func:`runs_test` (which needs a
+    median) and :func:`ljung_box` (which needs autocorrelations).
+    ENTIRELY integer counts; the two z-scores are single shared
+    float expressions.
+
+    Scale: one (key, day) rollup, one lag/lead window per key, one
+    key aggregate.
+
+    Output: key, n_days, n_turning, tp_z, n_rises, ds_z.
+    """
+    daily = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = Window.partitionBy("key").orderBy("day")
+    lagged = daily.select(
+        "key",
+        "y",
+        F.lag("y").over(w).alias("p"),
+        F.lead("y").over(w).alias("q"),
+    )
+    turn = (
+        F.col("p").isNotNull()
+        & F.col("q").isNotNull()
+        & (
+            ((F.col("p") < F.col("y")) & (F.col("y") > F.col("q")))
+            | ((F.col("p") > F.col("y")) & (F.col("y") < F.col("q")))
+        )
+    )
+    rise = F.col("p").isNotNull() & (F.col("y") > F.col("p"))
+    agg = lagged.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(turn, 1).otherwise(0)).alias("t"),
+        F.sum(F.when(rise, 1).otherwise(0)).alias("s"),
+    ).filter(F.col("n") >= 4)
+    nd = F.col("n").cast("double")
+    tp_z = (
+        F.col("t").cast("double")
+        - F.lit(2.0) * (nd - F.lit(2.0)) / F.lit(3.0)
+    ) / F.sqrt(
+        (F.lit(16.0) * nd - F.lit(29.0)) / F.lit(90.0)
+    )
+    ds_z = (
+        F.col("s").cast("double") - (nd - F.lit(1.0)) / F.lit(2.0)
+    ) / F.sqrt((nd + F.lit(1.0)) / F.lit(12.0))
+    return agg.select(
+        "key",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("t").cast("long").alias("n_turning"),
+        tp_z.alias("tp_z"),
+        F.col("s").cast("long").alias("n_rises"),
+        ds_z.alias("ds_z"),
+    )
+
+
+def von_neumann(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Von Neumann successive-difference ratio per key on the daily
+    cents series (von Neumann 1941),
+
+        VN = sum_t (x_t - x_{t-1})^2 / sum_t (x_t - xbar)^2
+           = n * SUM(d^2) / (n * SUM(x^2) - SUM(x)^2),
+
+    ~ 2 for white noise, << 2 under positive serial correlation —
+    the no-regression sibling of :func:`durbin_watson` (DW is VN on
+    OLS residuals).  The rewrite keeps EVERYTHING integer
+    (decimal(38,0) quadratics) until one float division.
+
+    Scale: one (key, day) rollup, one lag window, one key aggregate.
+
+    Output: key, n_days, vn_ratio.
+    """
+    d = _day_cents(df, key_col, ts_col, value_col)
+    w = Window.partitionBy("key").orderBy("day")
+    cd = F.col("cents").cast("decimal(19,0)")
+    lagged = d.select(
+        "key",
+        "cents",
+        cd.alias("cd"),
+        (cd - F.lag(cd).over(w)).alias("dd"),
+    )
+    agg = lagged.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("cd") * F.col("cd")).alias("sxx"),
+        F.sum(F.col("dd") * F.col("dd")).alias("sd2"),
+    ).filter(F.col("n") >= 3)
+    den = (
+        F.col("n").cast("decimal(19,0)") * F.col("sxx")
+        - F.col("sx").cast("decimal(19,0)")
+        * F.col("sx").cast("decimal(19,0)")
+    )
+    vn = (
+        (F.col("n").cast("decimal(19,0)") * F.col("sd2"))
+        .cast("double")
+        / den.cast("double")
+    )
+    return agg.filter(den.cast("double") > 0).select(
+        "key",
+        F.col("n").cast("long").alias("n_days"),
+        vn.alias("vn_ratio"),
+    )
+
+
+def siegel_slopes(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Siegel repeated-medians slope per key (Siegel 1982): for each
+    anchor day i take the median of its pairwise slopes to every
+    other day, then the median of those per-anchor medians — a 50%
+    breakdown point vs Theil-Sen's 29% (:func:`theil_sen`), the
+    robust trend of last resort when half the days are outliers.
+
+    Each pairwise slope is one division of exact BIGINTs; BOTH
+    median layers are rank-selected with deterministic tie-breaks
+    ((slope, other-day) inner, (med, anchor-day) outer) and average
+    the two middle ranks on even counts — never an engine
+    percentile.
+
+    Scale: the theil_sen day-pair self-join (quadratic in the
+    retention-bounded day count, linear in events), two window
+    rank-selections.
+
+    Output: key, n_days, slope_cents_per_day.
+    """
+    d = _day_cents(df, key_col, ts_col, value_col)
+    a = d.select(
+        "key", F.col("day").alias("di"), F.col("cents").alias("ci")
+    )
+    b = d.select(
+        "key", F.col("day").alias("dj"), F.col("cents").alias("cj")
+    )
+    pairs = (
+        a.join(b, "key")
+        .filter(F.col("di") != F.col("dj"))
+        .select(
+            "key",
+            "di",
+            "dj",
+            (
+                (F.col("cj") - F.col("ci")).cast("double")
+                / (F.col("dj") - F.col("di")).cast("double")
+            ).alias("s"),
+        )
+    )
+    wi = Window.partitionBy("key", "di").orderBy("s", "dj")
+    ci = Window.partitionBy("key", "di")
+    r1 = pairs.select(
+        "key",
+        "di",
+        "s",
+        F.row_number().over(wi).alias("rn"),
+        F.count(F.lit(1)).over(ci).alias("m"),
+    )
+    inner = r1.filter(
+        (F.col("rn") == F.floor((F.col("m") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("m") + 2) / 2))
+    ).groupBy("key", "di").agg(
+        (F.sum("s") / F.count(F.lit(1))).alias("med_i")
+    )
+    wo = Window.partitionBy("key").orderBy("med_i", "di")
+    co = Window.partitionBy("key")
+    r2 = inner.select(
+        "key",
+        "med_i",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(co).alias("m"),
+    )
+    outer = r2.filter(
+        (F.col("rn") == F.floor((F.col("m") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("m") + 2) / 2))
+    ).groupBy("key").agg(
+        F.max("m").alias("n_days"),
+        (F.sum("med_i") / F.count(F.lit(1))).alias(
+            "slope_cents_per_day"
+        ),
+    )
+    return outer.filter(F.col("n_days") >= 2).select(
+        "key",
+        F.col("n_days").cast("long").alias("n_days"),
+        "slope_cents_per_day",
+    )
