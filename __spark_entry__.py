@@ -7097,6 +7097,57 @@ def q_siegel_slopes(spark, sf):
     )
 
 
+def q_hoover_index(spark, sf):
+    """Hoover/Robin-Hood daily-volume inequality per type
+    (plans/stats.py::hoover_index): exact |n*y - Y| integer sums."""
+    from tsaug_spark.plans.stats import hoover_index
+
+    return hoover_index(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_days", "hoover",
+    )
+
+
+def q_atkinson_index(spark, sf):
+    """Atkinson(1) inequality of daily volumes per type
+    (plans/stats.py::atkinson_index): day-ordered ln fold, one float
+    readout."""
+    from tsaug_spark.plans.stats import atkinson_index
+
+    return atkinson_index(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_days", "atkinson",
+    )
+
+
+def q_hhi_daily(spark, sf):
+    """Daily Herfindahl concentration + effective-type count of the
+    event-type mix (plans/stats.py::hhi_daily): decimal quadratic
+    share sums."""
+    from tsaug_spark.plans.stats import hhi_daily
+
+    return hhi_daily(_events(spark, sf))
+
+
+def q_rolling_beta_7d(spark, sf):
+    """Trailing-7-day OLS hedge ratio purchase-on-click
+    (plans/stats.py::rolling_beta): calendar RANGE frame over the
+    integer day axis, exact windowed sums."""
+    from tsaug_spark.plans.stats import rolling_beta
+
+    return rolling_beta(_events(spark, sf))
+
+
+def q_winsorized_mean(spark, sf):
+    """10%-winsorized mean of daily counts per type
+    (plans/stats.py::winsorized_mean): rank-selected clamp bounds,
+    all-integer sums."""
+    from tsaug_spark.plans.stats import winsorized_mean
+
+    return winsorized_mean(_events(spark, sf)).select(
+        F.col("key").alias("event_type"), "n_days", "k_clipped",
+        "wins_mean",
+    )
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -7107,6 +7158,11 @@ def q_siegel_slopes(spark, sf):
 #: and the 5 rows-only RandomState-stream runs go last, after every
 #: oracle-checked entry.
 _PRIORITY = [
+    "hoover_index",
+    "atkinson_index",
+    "hhi_daily",
+    "rolling_beta_7d",
+    "winsorized_mean",
     "siegel_slopes",
     "turning_points",
     "von_neumann",
@@ -7386,6 +7442,11 @@ def _registry_order(reg: dict) -> dict:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _registry_order({
+        "hoover_index": q_hoover_index,
+        "atkinson_index": q_atkinson_index,
+        "hhi_daily": q_hhi_daily,
+        "rolling_beta_7d": q_rolling_beta_7d,
+        "winsorized_mean": q_winsorized_mean,
         "siegel_slopes": q_siegel_slopes,
         "turning_points": q_turning_points,
         "von_neumann": q_von_neumann,
@@ -8455,6 +8516,91 @@ def oracle_sql() -> dict[str, str]:
             "SELECT key AS event_type, CAST(nh AS BIGINT) AS "
             "n_hours, l1, l2, l4, "
             "(ln(l1) - ln(l4)) / 1.3862943611198906 AS hfd FROM r"
+        ),
+        "hoover_index": (
+            "WITH d AS (SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "COUNT(*) AS y FROM events GROUP BY 1, 2), "
+            "t AS (SELECT key, COUNT(*) AS n, SUM(y) AS yy FROM d "
+            "GROUP BY 1 HAVING COUNT(*) >= 2 AND SUM(y) > 0), "
+            "j AS (SELECT d.key, d.y, t.n, t.yy FROM d "
+            "JOIN t ON d.key = t.key), "
+            "num AS (SELECT key, MAX(n) AS n, MAX(yy) AS yy, "
+            "SUM(abs(n * y - yy)) AS s FROM j GROUP BY 1) "
+            "SELECT key AS event_type, CAST(n AS BIGINT) AS n_days, "
+            "CAST(s AS DOUBLE) / (2.0 * CAST(n * yy AS DOUBLE)) "
+            "AS hoover FROM num"
+        ),
+        "atkinson_index": (
+            "WITH d AS (SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "COUNT(*) AS y FROM events GROUP BY 1, 2), "
+            "lg AS (SELECT key, day, ln(CAST(y AS DOUBLE)) AS ly, "
+            "y FROM d), "
+            "agg AS (SELECT key, COUNT(*) AS n, SUM(y) AS yy, "
+            "list_reduce(list_prepend(0.0, list(ly ORDER BY day)), "
+            "(a_, b_) -> a_ + b_) AS slog FROM lg GROUP BY 1 "
+            "HAVING COUNT(*) >= 2 AND SUM(y) > 0) "
+            "SELECT key AS event_type, CAST(n AS BIGINT) AS n_days, "
+            "1.0 - exp(slog / CAST(n AS DOUBLE)) / "
+            "(CAST(yy AS DOUBLE) / CAST(n AS DOUBLE)) AS atkinson "
+            "FROM agg"
+        ),
+        "hhi_daily": (
+            "WITH c AS (SELECT "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "event_type AS typ, COUNT(*) AS c FROM events "
+            "GROUP BY 1, 2), "
+            "agg AS (SELECT day, SUM(c) AS cc, COUNT(*) AS k, "
+            "SUM(CAST(c AS HUGEINT) * c) AS c2 FROM c GROUP BY 1 "
+            "HAVING SUM(c) > 0) "
+            "SELECT day * 86400 AS bucket_s, "
+            "CAST(cc AS BIGINT) AS n_events, "
+            "CAST(k AS BIGINT) AS n_types, "
+            "CAST(c2 AS DOUBLE) / (CAST(cc AS DOUBLE) * "
+            "CAST(cc AS DOUBLE)) AS hhi, "
+            "1.0 / (CAST(c2 AS DOUBLE) / (CAST(cc AS DOUBLE) * "
+            "CAST(cc AS DOUBLE))) AS effective_types FROM agg"
+        ),
+        "rolling_beta_7d": (
+            "WITH b AS (SELECT "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+            "AS x, "
+            "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 "
+            "END) AS y FROM events "
+            "WHERE event_type IN ('click', 'purchase') "
+            "GROUP BY 1), "
+            "s AS (SELECT day, COUNT(*) OVER w AS n, "
+            "SUM(x) OVER w AS sx, SUM(y) OVER w AS sy, "
+            "SUM(x*y) OVER w AS sxy, SUM(x*x) OVER w AS sxx "
+            "FROM b WINDOW w AS (ORDER BY day RANGE BETWEEN 6 "
+            "PRECEDING AND CURRENT ROW)) "
+            "SELECT day * 86400 AS bucket_s, "
+            "CAST(n AS BIGINT) AS n_win, "
+            "CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "CAST(n*sxx - sx*sx AS DOUBLE) AS beta FROM s "
+            "WHERE n >= 3 AND n*sxx - sx*sx > 0"
+        ),
+        "winsorized_mean": (
+            "WITH d AS (SELECT event_type AS key, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "COUNT(*) AS y FROM events GROUP BY 1, 2), "
+            "r AS (SELECT key, y, ROW_NUMBER() OVER "
+            "(PARTITION BY key ORDER BY y, day) AS rn, "
+            "COUNT(*) OVER (PARTITION BY key) AS n FROM d), "
+            "rk AS (SELECT key, y, rn, n, "
+            "CAST(floor(n * 1 / 10) AS BIGINT) AS k FROM r), "
+            "agg AS (SELECT key, MAX(n) AS n, MAX(k) AS k, "
+            "SUM(CASE WHEN rn > k AND rn <= n - k THEN y ELSE 0 "
+            "END) AS smid, "
+            "SUM(CASE WHEN rn = k + 1 THEN y ELSE 0 END) AS vlo, "
+            "SUM(CASE WHEN rn = n - k THEN y ELSE 0 END) AS vhi "
+            "FROM rk GROUP BY 1 HAVING MAX(n) >= 3) "
+            "SELECT key AS event_type, CAST(n AS BIGINT) AS n_days, "
+            "CAST(k AS BIGINT) AS k_clipped, "
+            "CAST(smid + k * vlo + k * vhi AS DOUBLE) / "
+            "CAST(n AS DOUBLE) AS wins_mean FROM agg"
         ),
         "turning_points": (
             "WITH d AS (SELECT event_type AS key, "

@@ -84,6 +84,12 @@ HOT_QUERIES = {
     "von_neumann": False,
     "orc_roundtrip": False,
     "csv_roundtrip": False,
+    # r4l: inequality/concentration screens — key equi-joins only
+    "hoover_index": False,
+    "atkinson_index": False,
+    "hhi_daily": False,
+    "rolling_beta_7d": False,
+    "winsorized_mean": False,
 }
 
 

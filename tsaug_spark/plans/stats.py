@@ -8898,3 +8898,313 @@ def siegel_slopes(
         F.col("n_days").cast("long").alias("n_days"),
         "slope_cents_per_day",
     )
+
+
+# --------------------------------------------------------------------
+# round-4l batch: inequality / concentration indices, rolling hedge
+# ratio, winsorized location.
+# --------------------------------------------------------------------
+
+
+def hoover_index(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hoover (Robin Hood) index of each key's daily-volume
+    inequality: the share of total volume that would have to move
+    between days to equalize them,
+
+        H = sum_i |n*y_i - Y| / (2 * n * Y),
+
+    the L1 companion to :func:`activity_gini` — Gini weighs all
+    transfers, Hoover answers the capacity question ("how much
+    buffer does the peak day need").  The scaled form keeps the
+    numerator an EXACT integer (|n*y_i - Y| of BIGINTs, summed),
+    one float division at the end.
+
+    Scale: one (key, day) rollup, one key aggregate for (n, Y), one
+    co-partitioned join back, one key aggregate — no folds, no
+    windows.
+
+    Output: key, n_days, hoover.
+    """
+    daily = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    tot = daily.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("yy")
+    ).filter((F.col("n") >= 2) & (F.col("yy") > 0))
+    j = daily.join(tot, "key")
+    num = j.groupBy("key").agg(
+        F.max("n").alias("n"),
+        F.max("yy").alias("yy"),
+        F.sum(
+            F.abs(F.col("n") * F.col("y") - F.col("yy"))
+        ).alias("s"),
+    )
+    return num.select(
+        "key",
+        F.col("n").cast("long").alias("n_days"),
+        (
+            F.col("s").cast("double")
+            / (F.lit(2.0) * (F.col("n") * F.col("yy")).cast("double"))
+        ).alias("hoover"),
+    )
+
+
+def atkinson_index(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Atkinson inequality index (epsilon = 1) of each key's daily
+    volumes (Atkinson 1970):
+
+        A = 1 - geomean(y) / mean(y)
+          = 1 - exp(sum ln y / n) / (Y / n),
+
+    the welfare-theoretic member of the inequality triple next to
+    Gini and Hoover — epsilon = 1 weights transfers at the bottom of
+    the distribution hardest.  Daily counts are >= 1 by construction
+    (a day is present only if it had events), so ln is total; the
+    ln sum folds in day order (sorted fold), everything else is
+    exact integers with one float readout.
+
+    Scale: one (key, day) rollup, one key aggregate with a
+    retention-bounded fold.
+
+    Output: key, n_days, atkinson.
+    """
+    daily = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    lg = daily.select(
+        "key",
+        "day",
+        F.log(F.col("y").cast("double")).alias("ly"),
+        "y",
+    )
+    agg = lg.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("yy"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("day", "ly"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["ly"],
+        ).alias("slog"),
+    ).filter((F.col("n") >= 2) & (F.col("yy") > 0))
+    nd = F.col("n").cast("double")
+    return agg.select(
+        "key",
+        F.col("n").cast("long").alias("n_days"),
+        (
+            F.lit(1.0)
+            - F.exp(F.col("slog") / nd)
+            / (F.col("yy").cast("double") / nd)
+        ).alias("atkinson"),
+    )
+
+
+def hhi_daily(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily Herfindahl-Hirschman concentration of event-type shares:
+
+        HHI = sum_j (c_j / C)^2 = sum_j c_j^2 / C^2,
+
+    with the effective-type count 1/HHI (the "perplexity" of the
+    type mix) — the concentration dual of :func:`type_entropy`'s
+    diversity track (HHI is the Renyi-2 collision probability where
+    entropy is Renyi-1).  ENTIRELY integer sufficient statistics
+    (decimal quadratics for 1e12-row days), two float readouts.
+
+    Scale: one (day, type) rollup, one day aggregate.
+
+    Output: bucket_s, n_events, n_types, hhi, effective_types.
+    """
+    c = (
+        df.select(
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+            F.col(key_col).alias("typ"),
+        )
+        .groupBy("day", "typ")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cd = F.col("c").cast("decimal(19,0)")
+    agg = c.groupBy("day").agg(
+        F.sum("c").alias("cc"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(cd * cd).alias("c2"),
+    ).filter(F.col("cc") > 0)
+    ccd = F.col("cc").cast("double")
+    hhi = F.col("c2").cast("double") / (ccd * ccd)
+    return agg.select(
+        (F.col("day") * 86400).alias("bucket_s"),
+        F.col("cc").cast("long").alias("n_events"),
+        F.col("k").cast("long").alias("n_types"),
+        hhi.alias("hhi"),
+        (F.lit(1.0) / hhi).alias("effective_types"),
+    )
+
+
+def rolling_beta(
+    df: DataFrame,
+    type_x: str = "click",
+    type_y: str = "purchase",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window OLS hedge ratio of two event types' daily
+    counts (y on x over the last ``window_days`` days) — the local
+    coupling track that :func:`crosscorr_pair`'s single global
+    correlation hides:
+
+        beta_d = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)   over [d-6, d].
+
+    All five windowed sums are EXACT integers accumulated by a
+    RANGE frame on the integer day axis (missing spine days simply
+    contribute nothing — the frame is calendar-correct, not
+    row-sliding); each beta is one shared float expression.
+
+    Scale: one (day, type) rollup to the day spine, one ordered
+    range window — retention-bounded rows.
+
+    Output: bucket_s, n_win, beta.
+    """
+    byday = (
+        df.filter(F.col(key_col).isin([type_x, type_y]))
+        .select(
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+            F.col(key_col).alias("typ"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("typ") == type_x, 1).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("typ") == type_y, 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    w = (
+        Window.orderBy("day")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    sums = byday.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        / den.cast("double")
+    )
+    return sums.filter((F.col("n") >= 3) & (den > 0)).select(
+        (F.col("day") * 86400).alias("bucket_s"),
+        F.col("n").cast("long").alias("n_win"),
+        beta.alias("beta"),
+    )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    tenths_clipped: int = 1,
+) -> DataFrame:
+    """10%-winsorized mean of each key's daily counts: the k = n div
+    10 smallest days are pulled up to the (k+1)-th order statistic
+    and the k largest pulled down to the (n-k)-th, then averaged —
+    the location estimate that KEEPS the tail observations (at
+    clamped weight) where :func:`trimmed_mean` deletes them.
+
+        wmean = (sum_{k<rn<=n-k} y_(rn) + k*y_(k+1) + k*y_(n-k)) / n
+
+    Order statistics are rank-selected ((y, day) tie-break), every
+    sum is an exact BIGINT, one float division.
+
+    Scale: one (key, day) rollup, one rank window, one key
+    aggregate.
+
+    Output: key, n_days, k_clipped, wins_mean.
+    """
+    daily = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = Window.partitionBy("key").orderBy("y", "day")
+    ck = Window.partitionBy("key")
+    r = daily.select(
+        "key",
+        "y",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(ck).alias("n"),
+    ).withColumn(
+        "k", F.floor(F.col("n") * tenths_clipped / 10).cast("long")
+    )
+    agg = r.groupBy("key").agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.sum(
+            F.when(
+                (F.col("rn") > F.col("k"))
+                & (F.col("rn") <= F.col("n") - F.col("k")),
+                F.col("y"),
+            ).otherwise(0)
+        ).alias("smid"),
+        F.sum(
+            F.when(F.col("rn") == F.col("k") + 1, F.col("y"))
+            .otherwise(0)
+        ).alias("vlo"),
+        F.sum(
+            F.when(F.col("rn") == F.col("n") - F.col("k"),
+                   F.col("y")).otherwise(0)
+        ).alias("vhi"),
+    ).filter(F.col("n") >= 3)
+    total = (
+        F.col("smid")
+        + F.col("k") * F.col("vlo")
+        + F.col("k") * F.col("vhi")
+    )
+    return agg.select(
+        "key",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("k").cast("long").alias("k_clipped"),
+        (total.cast("double") / F.col("n").cast("double")).alias(
+            "wins_mean"
+        ),
+    )
