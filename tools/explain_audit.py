@@ -1727,6 +1727,85 @@ def main() -> None:
             execute=True,
         )
 
+    # round-4 continuation (r4h-r4l): the residual-diagnostic /
+    # agreement / inequality screens must stay JVM-only with key
+    # equi-joins; the link-prediction wedge join must never
+    # nested-loop; the scalar single-row screens may broadcast a
+    # constant-size build through a BNLJ (documented pattern).
+    for nm, q in [
+        ("breusch_pagan", em.q_breusch_pagan),
+        ("chow_break", em.q_chow_break),
+        ("cusum_squares", em.q_cusum_squares),
+        ("higuchi_fd", em.q_higuchi_fd),
+        ("cronbach_alpha", em.q_cronbach_alpha),
+        ("cox_stuart", em.q_cox_stuart),
+        ("turning_points", em.q_turning_points),
+        ("von_neumann", em.q_von_neumann),
+        ("siegel_slopes", em.q_siegel_slopes),
+        ("hoover_index", em.q_hoover_index),
+        ("atkinson_index", em.q_atkinson_index),
+        ("hhi_daily", em.q_hhi_daily),
+        ("rolling_beta_7d", em.q_rolling_beta_7d),
+        ("winsorized_mean", em.q_winsorized_mean),
+        ("littles_law", em.q_littles_law),
+    ]:
+        audit(
+            f"{nm} (r4 inference screen, JVM only, equi-joins)",
+            q(spark, sf),
+            must_have=["HashAggregate"],
+            must_not_have=["CartesianProduct",
+                           "BroadcastNestedLoopJoin",
+                           "BatchEvalPython", "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+
+    for nm, q in [
+        ("link_prediction", em.q_link_prediction),
+        ("degree_powerlaw", em.q_degree_powerlaw),
+    ]:
+        audit(
+            f"{nm} (wedge/degree graph op, no nested loop)",
+            q(spark, sf),
+            must_have=["HashAggregate"],
+            must_not_have=["CartesianProduct",
+                           "BroadcastNestedLoopJoin",
+                           "BatchEvalPython", "ArrowEvalPython"],
+            execute=True,
+        )
+
+    for nm, q in [
+        ("cochran_q", em.q_cochran_q),
+        ("cohens_d", em.q_cohens_d),
+        ("partial_corr", em.q_partial_corr),
+        ("kendalls_w", em.q_kendalls_w),
+        ("transfer_entropy", em.q_transfer_entropy),
+        ("bowker_symmetry", em.q_bowker_symmetry),
+    ]:
+        audit(
+            f"{nm} (single-row screen, constant-size broadcast ok)",
+            q(spark, sf),
+            must_have=["HashAggregate"],
+            must_not_have=["CartesianProduct",
+                           "BatchEvalPython", "ArrowEvalPython",
+                           "FlatMapGroupsInPandas"],
+            execute=True,
+        )
+
+    for nm, q in [
+        ("readability", em.q_readability),
+        ("orc_roundtrip", em.q_orc_roundtrip),
+        ("csv_roundtrip", em.q_csv_roundtrip),
+    ]:
+        audit(
+            f"{nm} (shuffle-free map / round-trip scan, JVM only)",
+            q(spark, sf),
+            must_not_have=["CartesianProduct",
+                           "BroadcastNestedLoopJoin",
+                           "BatchEvalPython", "ArrowEvalPython"],
+            execute=True,
+        )
+
     header = ["# EXPLAIN audit — physical-plan evidence\n"]
     header.append("| query | property | ok |")
     header.append("|---|---|---|")
