@@ -8382,7 +8382,14 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN k*nn - sr2 > 0 THEN "
             "CAST((k-1) * (k*sc2 - nn*nn) AS DOUBLE) / "
             "CAST(k*nn - sr2 AS DOUBLE) END AS q_stat, "
-            "CAST(k - 1 AS BIGINT) AS dof FROM ra, ca"
+            "CAST(k - 1 AS BIGINT) AS dof, "
+            "COALESCE(CASE WHEN k*nn - sr2 > 0 THEN "
+            "CAST((k-1) * (k*sc2 - nn*nn) AS DOUBLE) / "
+            "CAST(k*nn - sr2 AS DOUBLE) > "
+            "CAST(k-1 AS DOUBLE) * pow(1.0 - "
+            "2.0/(9.0*CAST(k-1 AS DOUBLE)) + 1.6448536269514722 * "
+            "sqrt(2.0/(9.0*CAST(k-1 AS DOUBLE))), 3.0) "
+            "END, FALSE) AS significant FROM ra, ca"
         ),
         "icc_oneway": (
             "WITH h AS (SELECT event_type AS key, "
@@ -8905,11 +8912,14 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT v FROM e), "
             "deg AS (SELECT node, COUNT(*) AS deg FROM adj "
             "GROUP BY 1), "
-            "agg AS (SELECT COUNT(*) AS n, SUM(deg) AS sdeg, "
+            "hist AS (SELECT deg, COUNT(*) AS cnt FROM deg "
+            "GROUP BY 1), "
+            "agg AS (SELECT SUM(cnt) AS n, SUM(deg * cnt) AS sdeg, "
             "MAX(deg) AS dmax, "
             "list_reduce(list_prepend(0.0, "
-            "list(ln(CAST(deg AS DOUBLE)) ORDER BY node)), "
-            "(a_, b_) -> a_ + b_) AS slog FROM deg) "
+            "list(CAST(cnt AS DOUBLE) * ln(CAST(deg AS DOUBLE)) "
+            "ORDER BY deg)), "
+            "(a_, b_) -> a_ + b_) AS slog FROM hist) "
             "SELECT CAST(n AS BIGINT) AS n_nodes, "
             "CAST(sdeg / 2 AS BIGINT) AS n_edges, "
             "CAST(dmax AS BIGINT) AS max_degree, "

@@ -855,14 +855,17 @@ def degree_powerlaw(edges: DataFrame) -> DataFrame:
     the one-number "is this graph scale-free" summary next to
     :func:`assortativity`'s mixing coefficient — alpha in [2, 3] is
     the small-world signature, larger means the degree tail dies
-    too fast for hubs to matter.  Degrees are exact BIGINTs; each
-    ln(deg) is one shared float expression, summed with a node-
-    ordered sorted fold (degree-1 nodes contribute ln 1 = 0 exactly,
-    so they are kept, matching the x_min = 1 contract).
+    too fast for hubs to matter.  Degrees are exact BIGINTs; the
+    ln-degree total folds over the DEGREE HISTOGRAM — sum over
+    distinct degrees d of count_d * ln(d), accumulated in ascending
+    d order — so the one-row reduce's array is bounded by the number
+    of distinct degree values (power-law few, <= max_degree), not by
+    node count.  Degree-1 nodes contribute count_1 * ln 1 = 0
+    exactly, so they are kept, matching the x_min = 1 contract.
 
-    Scale: one degree aggregate, one single-row reduce whose fold
-    list is node-count-bounded — for a truly massive graph swap the
-    fold for a histogram-side sum (degree counts are power-law few).
+    Scale: one degree aggregate, one distinct-degree histogram
+    aggregate (both map-side-combinable), a single-row reduce whose
+    fold list is max-degree-bounded — never node or edge volume.
 
     Output: one row — n_nodes, n_edges, max_degree, alpha.
     """
@@ -870,18 +873,20 @@ def degree_powerlaw(edges: DataFrame) -> DataFrame:
         F.col("u").alias("node")
     ).unionByName(edges.select(F.col("v").alias("node")))
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-    agg = deg.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("deg").alias("sdeg"),
+    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = hist.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("deg") * F.col("cnt")).alias("sdeg"),
         F.max("deg").alias("dmax"),
         F.aggregate(
             F.array_sort(
                 F.collect_list(
                     F.struct(
-                        "node",
-                        F.log(F.col("deg").cast("double")).alias(
-                            "ld"
-                        ),
+                        "deg",
+                        (
+                            F.col("cnt").cast("double")
+                            * F.log(F.col("deg").cast("double"))
+                        ).alias("ld"),
                     )
                 )
             ),

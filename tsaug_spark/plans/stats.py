@@ -7475,10 +7475,18 @@ def _day_ols_residuals(
     value_col: str,
 ):
     """Shared base for the residual-diagnostic family: per-key daily
-    cents, day offset x, the exact-BIGINT OLS sufficient statistics,
-    and each residual e = y - (a + b*x) as ONE float expression —
+    cents, day offset x, the exact OLS sufficient statistics, and
+    each residual e = y - (a + b*x) as ONE float expression —
     exactly the durbin_watson idiom, factored so breusch_pagan /
     chow_break reuse one plan shape.
+
+    The quadratic-magnitude sums (x*y, x*x) and the cross terms
+    (n*sxy, sx*sy) accumulate in decimal(38,0): x*y is day-offset
+    times daily cents, and while Spark BIGINT arithmetic wraps
+    silently past ~9.2e18, DuckDB's SUM promotes to HUGEINT and
+    stays exact — the decimal path keeps both engines identical at
+    any retention the module claims (see von_neumann / jarque_bera,
+    the same hardening).
 
     Returns (o, fit): o = (key, x, y) day rows, fit = (key, n, a, b).
     """
@@ -7489,19 +7497,28 @@ def _day_ols_residuals(
         (F.col("day") - F.min("day").over(w)).alias("x"),
         F.col("cents").alias("y"),
     )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     fit = (
         o.groupBy("key")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("x").alias("sx"),
             F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(dec("x") * dec("y")).alias("sxy"),
+            F.sum(dec("x") * dec("x")).alias("sxx"),
         )
         .filter(F.col("n") >= 3)
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = (
+        F.col("n").cast("decimal(19,0)") * F.col("sxy")
+        - F.col("sx").cast("decimal(19,0)")
+        * F.col("sy").cast("decimal(19,0)")
+    )
+    dxx = (
+        F.col("n").cast("decimal(19,0)") * F.col("sxx")
+        - F.col("sx").cast("decimal(19,0)")
+        * F.col("sx").cast("decimal(19,0)")
+    )
     fit = fit.filter(dxx > 0).select(
         "key",
         "n",
@@ -7594,8 +7611,14 @@ def breusch_pagan(
     nd = F.col("n").cast("double")
     sxd = F.col("sx").cast("double")
     nu = nd * F.col("sux") - sxd * F.col("su")
+    # sxx is the decimal(38,0) exact sum from _day_ols_residuals;
+    # keep the recomputed denominator in decimal until the division
     dxx = (
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        (
+            F.col("n").cast("decimal(19,0)") * F.col("sxx")
+            - F.col("sx").cast("decimal(19,0)")
+            * F.col("sx").cast("decimal(19,0)")
+        )
         .cast("double")
     )
     duu = nd * F.col("suu") - F.col("su") * F.col("su")
@@ -7647,18 +7670,21 @@ def chow_break(
         ).alias("lo"),
         F.floor(F.max("x").over(wk) / 2).cast("long").alias("break_x"),
     )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     seg = (
         o2.groupBy("key", "lo")
         .agg(
             F.count(F.lit(1)).alias("m"),
             F.sum("x").alias("tx"),
             F.sum("y").alias("ty"),
-            F.sum(F.col("x") * F.col("y")).alias("txy"),
-            F.sum(F.col("x") * F.col("x")).alias("txx"),
+            F.sum(dec("x") * dec("y")).alias("txy"),
+            F.sum(dec("x") * dec("x")).alias("txx"),
         )
     )
-    mnum = F.col("m") * F.col("txy") - F.col("tx") * F.col("ty")
-    mdxx = F.col("m") * F.col("txx") - F.col("tx") * F.col("tx")
+    # decimal(38,0) cross terms — same overflow hardening as the
+    # pooled fit in _day_ols_residuals
+    mnum = dec("m") * F.col("txy") - dec("tx") * dec("ty")
+    mdxx = dec("m") * F.col("txx") - dec("tx") * dec("tx")
     seg = seg.filter((F.col("m") >= 3) & (mdxx > 0)).select(
         "key",
         "lo",
@@ -7790,11 +7816,25 @@ def cochran_q(
         (F.col("k") - 1)
         * (F.col("k") * F.col("sc2") - F.col("nn") * F.col("nn"))
     ).cast("double") / den.cast("double")
+    # 5% critical value of chi^2(dof) at arbitrary dof via the
+    # Wilson–Hilferty cube approximation (z_0.95 = 1.6448536...),
+    # the same closed form on both engines so the boolean agrees
+    dofd = (F.col("k") - 1).cast("double")
+    wh = dofd * F.pow(
+        F.lit(1.0)
+        - F.lit(2.0) / (F.lit(9.0) * dofd)
+        + F.lit(1.6448536269514722)
+        * F.sqrt(F.lit(2.0) / (F.lit(9.0) * dofd)),
+        F.lit(3.0),
+    )
     return j.select(
         F.col("k").cast("long").alias("k_types"),
         F.col("n_days").cast("long").alias("n_days"),
         F.when(den > 0, q).alias("q_stat"),
         (F.col("k") - 1).cast("long").alias("dof"),
+        F.coalesce(F.when(den > 0, q > wh), F.lit(False)).alias(
+            "significant"
+        ),
     )
 
 

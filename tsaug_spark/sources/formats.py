@@ -52,8 +52,14 @@ def write_read_roundtrip(
 
 
 def roundtrip_dir(sf_dir: str, name: str) -> str:
-    """Deterministic scratch location for a round-trip artifact —
-    keyed by the sf dir so concurrent checks at different scales
-    never collide."""
-    base = os.path.basename(os.path.normpath(sf_dir))
-    return f"/tmp/tsaug_spark_fmt/{base}/{name}"
+    """Per-run scratch location for a round-trip artifact — keyed by
+    the FULL sf-dir path (not just its basename, so distinct trees
+    sharing a basename never collide) plus this process's pid, so two
+    concurrent sweeps at the same scale write disjoint directories
+    and neither can read the other's partially rewritten artifact."""
+    import hashlib
+
+    norm = os.path.normpath(sf_dir)
+    base = os.path.basename(norm)
+    tok = hashlib.md5(norm.encode()).hexdigest()[:8]
+    return f"/tmp/tsaug_spark_fmt/{base}-{tok}-{os.getpid()}/{name}"
