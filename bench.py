@@ -338,6 +338,7 @@ def run_stream_ingest(spark, loc: str, turns: int) -> dict:
     )
     files = sorted(_glob.glob(os.path.join(staged, "part-*.parquet")))
     half = max(1, len(files) // 2)
+    fpt = int(os.environ.get("BENCH_STREAM_FPT", "4"))
 
     def arrive(batch):
         for f in batch:
@@ -352,7 +353,7 @@ def run_stream_ingest(spark, loc: str, turns: int) -> dict:
     t0 = time.time()
     run_stream_ingest_once(
         spark, src, schema, job, "1m", watermark="1 hour",
-        max_files_per_trigger=4, checkpoint_dir=ckpt,
+        max_files_per_trigger=fpt, checkpoint_dir=ckpt,
     )
     phase1 = time.time() - t0
 
@@ -360,7 +361,7 @@ def run_stream_ingest(spark, loc: str, turns: int) -> dict:
     t1 = time.time()
     run_stream_ingest_once(
         spark, src, schema, job, "1m", watermark="1 hour",
-        max_files_per_trigger=4, checkpoint_dir=ckpt,
+        max_files_per_trigger=fpt, checkpoint_dir=ckpt,
     )
     wall = time.time() - t1 + phase1
 
@@ -378,6 +379,11 @@ def run_stream_ingest(spark, loc: str, turns: int) -> dict:
         "turns_per_sec": round(turns / wall),
         "tier_rows": got,
         "matches_batch_rollup": got == want,
+        "knobs": {
+            "maxFilesPerTrigger": fpt,
+            "staged_files": len(files),
+            "watermark": "1 hour",
+        },
     }
 
 

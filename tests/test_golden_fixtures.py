@@ -1,89 +1,57 @@
-"""Golden-fixture oracle integrity (fixtures/golden/).
+"""Golden-fixture regeneration gate (round-5 ask #7).
 
-The 7 former rows-only registry entries (5 true-RNG kernels + 2 binary
-sketches) are oracled against committed parquet pins.  These tests gate:
+fixtures/golden/ pins the 7 true-RNG / binary-sketch registry entries
+to values proven by the distributed-vs-local parity suite.  This gate
+recomputes each entry at sf0.001 and compares EXACTLY against the
+committed parquet — a kernel drift fails the suite loudly instead of
+silently passing the pinned oracle (the oracle compares the driver's
+output to the fixture, so an in-sync drift of kernel AND fixture would
+otherwise go unnoticed until parity re-ran).
 
-1. every fixture holds exactly the three scale-factor slices keyed by
-   the events row count (1000 / 10000 / 100000);
-2. a fresh Spark run at sf0.001 reproduces the pinned slice exactly
-   (the fixture is a pin of a deterministic, partition-independent
-   computation — see tools/make_golden_fixtures.py);
-3. the oracle SQL in __spark_entry__.oracle_sql() reads back the same
-   slice through DuckDB, including the EXCLUDE(n_events) projection.
+Self-check: a perturbed frame must NOT match, proving the comparator
+can fail.
 """
 
 from __future__ import annotations
 
+import sys
 from pathlib import Path
 
-import duckdb
 import pandas as pd
 import pytest
 
-REPO = Path(__file__).resolve().parent.parent
-GOLDEN_DIR = REPO / "fixtures" / "golden"
-SF0001 = "/root/testdata/sf0.001"
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
-GOLDEN = [
-    "kernel_dropout",
-    "kernel_addnoise",
-    "kernel_timewarp",
-    "kernel_drift",
-    "kernel_kmeans",
-    "sketch_distinct_daily",
-    "distinct_cascade_1d",
-]
+from make_golden_fixtures import (  # noqa: E402
+    GOLDEN,
+    OUT_DIR,
+    check_entry,
+    frames_match,
+)
 
-
-def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Mirror the driver's hash normalization: floats stay float64,
-    everything else stringifies (so a DATE read back as all-midnight
-    datetime64 equals the original datetime.date objects)."""
-    cols = sorted(pdf.columns)
-    out = pdf[cols].copy()
-    for c in cols:
-        if pd.api.types.is_float_dtype(out[c]):
-            out[c] = out[c].astype("float64")
-        else:
-            out[c] = out[c].astype(str)
-    return out.sort_values(cols).reset_index(drop=True)
+SF = "/root/testdata/sf0.001"
 
 
 @pytest.mark.parametrize("name", GOLDEN)
-def test_fixture_has_all_three_sf_slices(name):
-    pdf = pd.read_parquet(GOLDEN_DIR / f"{name}.parquet")
-    assert sorted(pdf["n_events"].unique()) == [1000, 10000, 100000]
-    # every slice non-empty
-    assert (pdf.groupby("n_events").size() > 0).all()
+def test_fixture_matches_live_kernel(spark, name):
+    check_entry(spark, name, SF)
 
 
-@pytest.mark.parametrize("name", GOLDEN)
-def test_fresh_run_matches_pin_sf0001(spark, name):
-    import __spark_entry__ as entrymod
+def test_comparator_flags_perturbed_values():
+    fixture = pd.read_parquet(f"{OUT_DIR}/{GOLDEN[0]}.parquet")
+    pinned = fixture.drop(columns=["n_events"])
+    perturbed = pinned.copy()
+    num_cols = [
+        c for c in perturbed.columns
+        if pd.api.types.is_numeric_dtype(perturbed[c])
+    ]
+    assert num_cols, "fixture has no numeric column to perturb"
+    perturbed.loc[perturbed.index[0], num_cols[0]] += 1
+    assert frames_match(pinned, pinned)
+    assert not frames_match(pinned, perturbed)
 
-    got = entrymod.queries()[name](spark, SF0001).toPandas()
-    pin = pd.read_parquet(GOLDEN_DIR / f"{name}.parquet")
-    pin = pin[pin["n_events"] == 1000].drop(columns=["n_events"])
-    a, b = _norm(got), _norm(pin)
-    assert list(a.columns) == list(b.columns)
-    pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
-
-@pytest.mark.parametrize("name", GOLDEN)
-def test_oracle_sql_reads_pin_through_duckdb(name):
-    import __spark_entry__ as entrymod
-
-    sql = entrymod.oracle_sql()[name]
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW events AS SELECT * FROM "
-        f"read_parquet('{SF0001}/events.parquet')"
-    )
-    got = con.execute(sql).fetchdf()
-    assert "n_events" not in got.columns
-    pin = pd.read_parquet(GOLDEN_DIR / f"{name}.parquet")
-    pin = pin[pin["n_events"] == 1000].drop(columns=["n_events"])
-    assert len(got) == len(pin)
-    pd.testing.assert_frame_equal(
-        _norm(got), _norm(pin), check_dtype=False
-    )
+def test_comparator_flags_missing_rows():
+    fixture = pd.read_parquet(f"{OUT_DIR}/{GOLDEN[0]}.parquet")
+    pinned = fixture.drop(columns=["n_events"])
+    assert not frames_match(pinned, pinned.iloc[:-1])

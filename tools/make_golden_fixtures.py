@@ -31,6 +31,12 @@ factors, discriminated by an ``n_events`` column (= row count of the
 Usage::
 
     python tools/make_golden_fixtures.py [name ...]
+    python tools/make_golden_fixtures.py --check [name ...]
+
+``--check`` recomputes every entry and compares it EXACTLY against the
+committed fixture without rewriting anything — a kernel drift vs the
+pinned values fails loudly instead of silently passing the pinned
+oracle.  tests/test_golden_fixtures.py wires the check into pytest.
 """
 
 from __future__ import annotations
@@ -67,9 +73,64 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(cols).reset_index(drop=True)
 
 
+def frames_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    """Exact-value, order- and dtype-width-insensitive frame equality."""
+    import pandas.testing as pdt
+
+    na, nb = _normalize(a), _normalize(b)
+    if list(na.columns) != list(nb.columns) or len(na) != len(nb):
+        return False
+    try:
+        pdt.assert_frame_equal(
+            na, nb, check_dtype=False, check_exact=True
+        )
+        return True
+    except AssertionError:
+        return False
+
+
+def check_entry(spark, name: str, sf: str) -> None:
+    """Recompute ``name`` at ``sf`` and assert it equals the committed
+    fixture slice exactly.  Raises AssertionError on drift."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    n_events = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchone()[0]
+    fixture = pd.read_parquet(f"{OUT_DIR}/{name}.parquet")
+    pinned = fixture[fixture["n_events"] == n_events].drop(
+        columns=["n_events"]
+    )
+    assert len(pinned), f"{name}: no fixture slice for n_events={n_events}"
+    live = entrymod.queries()[name](spark, sf).toPandas()
+    assert frames_match(live, pinned), (
+        f"{name}@{sf}: live output drifted from the committed fixture "
+        f"({len(live)} live rows vs {len(pinned)} pinned) — if the "
+        "kernel change is INTENDED, regenerate via "
+        "tools/make_golden_fixtures.py and re-verify parity first"
+    )
+
+
 def main() -> int:
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    check_only = "--check" in argv
+    only = {a for a in argv if a != "--check"}
     names = [n for n in GOLDEN if not only or n in only]
+
+    if check_only:
+        from tsaug_spark.session import get_spark
+
+        spark = get_spark(
+            "golden-check", master="local[8]", shuffle_partitions=8
+        )
+        for name in names:
+            for sf in SF_DIRS:
+                check_entry(spark, name, sf)
+                print(f"  {name}@{os.path.basename(sf)}: matches")
+        print("all fixtures match")
+        return 0
 
     import duckdb
 

@@ -190,8 +190,16 @@ def ngram_jaccard_pairs(
     construction, so that path re-shuffles ~|pairs| * |doc| rows to
     learn what the two set rows already hold.  Both paths compute the
     same exact distinct-shingle Jaccard.
+
+    Verify mode does NOT pre-``distinct`` the corpus-wide shingles
+    (that is a full-corpus shuffle): ``collect_set`` dedups within
+    each doc, which IS the distinct-shingle set.  A size-ratio
+    prescreen drops pairs that cannot reach ``threshold`` —
+    ``J(A,B) <= min(|A|,|B|)/max(|A|,|B|)`` — on the tiny per-doc
+    size frame BEFORE the heavy set-array joins; the filter is
+    conservative, so survivors are verified exactly and the output is
+    identical to the unscreened computation.
     """
-    ds = sh.distinct()
     if candidates is not None:
         # build sets only for candidate-adjacent docs: at production
         # scale the LSH shortlist touches a small fraction of the
@@ -202,10 +210,35 @@ def ngram_jaccard_pairs(
             .unionByName(candidates.select(F.col("id_b").alias("doc_id")))
             .distinct()
         )
-        sets = (
-            ds.join(ids, "doc_id", "left_semi")
-            .groupBy("doc_id")
-            .agg(F.collect_set("s").alias("ss"))
+        ssub = sh.join(ids, "doc_id", "left_semi")
+        sets = ssub.groupBy("doc_id").agg(
+            F.collect_set("s").alias("ss")
+        )
+        # size-ratio prescreen on the (doc_id, n) projection — a
+        # second lightweight aggregate over the shortlisted shingles,
+        # joined as two tiny broadcast-size sides
+        sizes = ssub.groupBy("doc_id").agg(
+            F.count_distinct("s").alias("n")
+        )
+        screened = (
+            candidates.select("id_a", "id_b")
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("id_a"), F.col("n").alias("za")
+                ),
+                "id_a",
+            )
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("id_b"), F.col("n").alias("zb")
+                ),
+                "id_b",
+            )
+            .filter(
+                F.least("za", "zb").cast("double")
+                >= F.lit(threshold) * F.greatest("za", "zb")
+            )
+            .select("id_a", "id_b")
         )
         pa = sets.select(
             F.col("doc_id").alias("id_a"), F.col("ss").alias("sa")
@@ -216,13 +249,14 @@ def ngram_jaccard_pairs(
         inter = F.size(F.array_intersect("sa", "sb"))
         union = F.size("sa") + F.size("sb") - inter
         return (
-            candidates.select("id_a", "id_b")
+            screened
             .join(pa, "id_a")
             .join(pb, "id_b")
             .withColumn("jaccard", inter / union.cast("double"))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
         )
+    ds = sh.distinct()
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ds.select(F.col("doc_id").alias("id_a"), "s")
     b = ds.select(F.col("doc_id").alias("id_b"), "s")
@@ -416,13 +450,44 @@ def dedup_clusters(
         .distinct()
         .transform(truncate_lineage)
     )
+    # isolated-pair fast path: an edge whose BOTH endpoints have
+    # degree 1 is its own two-node component — component = min(a, b)
+    # immediately, no iteration.  Template-drift corpora are full of
+    # exact twins, so carving these out shrinks every round's join
+    # input and the fixpoint runs on the singleton-free subgraph only.
+    deg = edges.groupBy(F.col("src").alias("n")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    with_deg = (
+        edges.join(
+            deg.select(F.col("n").alias("src"), F.col("d").alias("ds")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("n").alias("dst"), F.col("d").alias("dd")),
+            "dst",
+        )
+    )
+    iso_labels = (
+        with_deg.filter((F.col("ds") == 1) & (F.col("dd") == 1))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least("src", "dst").alias("component"),
+        )
+        .transform(truncate_lineage)
+    )
+    edges = (
+        with_deg.filter((F.col("ds") > 1) | (F.col("dd") > 1))
+        .select("src", "dst")
+        .transform(truncate_lineage)
+    )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
         .transform(truncate_lineage)
     )
-    changed = None
+    changed = 0
     for _ in range(max_iters):
         nbr = (
             edges.join(
@@ -440,6 +505,10 @@ def dedup_clusters(
             F.col("component"),
             F.coalesce("nbr_min", F.col("component")),
         )
+        # lazy truncation: m1 is referenced twice (itself + as the
+        # jump parent) — the checkpoint dedupes that into ONE
+        # materialization, folded into the eager `new` checkpoint's
+        # job instead of costing a separate job per round
         m1 = (
             labels.join(nbr, "doc_id", "left")
             .select(
@@ -447,7 +516,7 @@ def dedup_clusters(
                 new_component.alias("m1_component"),
                 F.col("component").alias("old_component"),
             )
-            .transform(truncate_lineage)
+            .transform(lambda d: truncate_lineage(d, eager=False))
         )
         # pointer jump: label <- label[label].  The parent row always
         # exists (labels are node ids) and parent.component <= its own
@@ -482,7 +551,7 @@ def dedup_clusters(
             f"({changed} labels still changing); the pair graph's "
             "component diameter exceeds max_iters — raise it"
         )
-    return labels
+    return labels.unionByName(iso_labels)
 
 
 def hyperplane_bands(

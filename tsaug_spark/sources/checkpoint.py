@@ -47,6 +47,35 @@ MANIFEST_SCHEMA = (
     "bytes_compressed long, committed_at double"
 )
 
+_GRACE_UNITS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def _grace_seconds(grace: str) -> int:
+    """Parse the ``"<n> <unit>"`` grace strings (``"2 hours"``) to
+    seconds — the driver-side twin of ``INTERVAL <grace>`` so cutoffs
+    can be computed as literals and PUSHED DOWN to the source scan."""
+    n, unit = grace.split()
+    return int(n) * _GRACE_UNITS[unit.rstrip("s")]
+
+
+def _ts_epoch(ts) -> int:
+    """Naive session-UTC datetime -> epoch seconds (never the OS tz)."""
+    import calendar
+
+    return calendar.timegm(ts.timetuple())
+
+
+def _epoch_ts(epoch: int):
+    import datetime as _dt
+
+    return _dt.datetime.utcfromtimestamp(epoch)
+
 
 @dataclass
 class RollupJob:
@@ -137,7 +166,7 @@ class RollupJob:
             self.table(f"tier_{tier}_chunks").append(
                 chunks.withColumn("partition_id", F.lit(p))
             )
-            manifest_row = self.spark.createDataFrame(
+            self._append_manifest(
                 [
                     (
                         tier,
@@ -150,10 +179,8 @@ class RollupJob:
                         int(stats["comp"]),
                         time.time(),
                     )
-                ],
-                MANIFEST_SCHEMA,
+                ]
             )
-            self.manifest.append(manifest_row)
             rolled.unpersist()
             chunks.unpersist()
         return len(todo)
@@ -368,7 +395,10 @@ class RollupJob:
         t.overwrite_partitions(rows, "partition_id", partitions=[p])
 
     def _rebuild_chunks(
-        self, tier: str, affected: DataFrame
+        self,
+        tier: str,
+        affected: DataFrame,
+        pids: "Optional[list]" = None,
     ) -> "dict[int, dict]":
         """Re-derive compressed chunk rows for ``affected``
         conversations from the (already committed) tier table, leaving
@@ -385,23 +415,39 @@ class RollupJob:
 
         Returns per-partition stored-chunk stats for the affected
         conversations ({partition_id: {points, raw, comp}}), so callers
-        don't run a second Gorilla encode just for manifest metrics."""
+        don't run a second Gorilla encode just for manifest metrics.
+
+        ``pids``: the affected partition ids, when the caller already
+        knows them (update/cascade_update derive them from the rolled
+        bounds) — skips a distinct+collect job, and scopes BOTH the
+        tier re-read and the chunk carry-over to those partitions."""
         chunk_table = self.table(f"tier_{tier}_chunks")
         if not chunk_table.exists():
             return {}
-        affected = affected.transform(truncate_lineage)
+        # lazy truncation: the plan is cut without an extra eager job —
+        # materialization folds into the overwrite below (safe: the
+        # snapshot backend resolves reads against the pre-commit
+        # snapshot, and `affected` derives from a cached frame anyway)
+        affected = affected.transform(
+            lambda d: truncate_lineage(d, eager=False)
+        )
         part_col = F.pmod(
             F.xxhash64("conv_id"), F.lit(self.n_partitions)
         ).cast("int")
-        pids = [
-            r[0]
-            for r in affected.select(
-                part_col.alias("partition_id")
-            )
-            .distinct()
-            .collect()
-        ]
-        kept_tier = self.table(f"tier_{tier}").read(self.spark)
+        if pids is None:
+            pids = [
+                r[0]
+                for r in affected.select(
+                    part_col.alias("partition_id")
+                )
+                .distinct()
+                .collect()
+            ]
+        kept_tier = (
+            self.table(f"tier_{tier}")
+            .read(self.spark)
+            .filter(F.col("partition_id").isin([int(p) for p in pids]))
+        )
         rebuilt = (
             compress_tier(
                 kept_tier.join(F.broadcast(affected), "conv_id").drop(
@@ -410,7 +456,9 @@ class RollupJob:
                 METRIC_COLS,
             )
             .withColumn("partition_id", part_col)
-            .transform(truncate_lineage)
+            # lazy here too: materializes inside the overwrite job, the
+            # stats collect below then reads the checkpointed blocks
+            .transform(lambda d: truncate_lineage(d, eager=False))
         )
         kept_chunks = (
             chunk_table.read(self.spark)
@@ -443,6 +491,53 @@ class RollupJob:
             .agg(F.max("watermark_ts").alias("watermark_ts"))
         )
 
+    def _watermark_map(self) -> dict:
+        """{(tier, partition_id): max watermark_ts} across ALL tiers,
+        loaded from the manifest ONCE per job object and maintained
+        incrementally by :meth:`_append_manifest` — so an
+        update() -> cascade_update() chain pays a single manifest read
+        instead of one per tier.  A second live job object over the
+        same work_dir sees its own snapshot (same caveat as any
+        driver-side plan cache); a fresh process reloads."""
+        cache = self.__dict__.get("_wm_map")
+        if cache is None:
+            cache = {}
+            if self.manifest.exists():
+                for r in (
+                    self.manifest.read(self.spark)
+                    .groupBy("tier", "partition_id")
+                    .agg(F.max("watermark_ts").alias("wm"))
+                    .collect()
+                ):
+                    cache[(r["tier"], r["partition_id"])] = r["wm"]
+            self.__dict__["_wm_map"] = cache
+        return cache
+
+    def _tier_watermarks(self, tier: str) -> dict:
+        """{partition_id: watermark_ts} for one tier, via the cache."""
+        return {
+            p: wm
+            for (t, p), wm in self._watermark_map().items()
+            if t == tier
+        }
+
+    def _append_manifest(self, rows: list) -> None:
+        """Append manifest rows AND keep the watermark cache in sync —
+        every commit site routes through here so the cache can never
+        miss a watermark this job itself advanced."""
+        self.manifest.append(
+            self.spark.createDataFrame(rows, MANIFEST_SCHEMA)
+        )
+        cache = self.__dict__.get("_wm_map")
+        if cache is not None:
+            for r in rows:
+                key, wm = (r[0], r[1]), r[4]
+                old = cache.get(key)
+                if key not in cache or (
+                    wm is not None and (old is None or wm > old)
+                ):
+                    cache[key] = wm
+
     def update(
         self,
         transcripts: DataFrame,
@@ -473,61 +568,78 @@ class RollupJob:
         """
         from tsaug_spark.plans.rollup import TIERS
 
-        wm = self.watermarks(tier).collect()
-        if not wm:
+        # a NULL watermark = a committed-but-empty partition: route it
+        # through the missing-partition path (run() then skips it via
+        # completed_partitions), matching the pre-cache behavior
+        cutoffs = {
+            p: wm
+            for p, wm in self._tier_watermarks(tier).items()
+            if wm is not None
+        }
+        if not cutoffs:
             return self.run(transcripts, tier)
-        cutoffs = {r["partition_id"]: r["watermark_ts"] for r in wm}
         snapshot = new_snapshot or self.source_snapshot
 
         part_col = F.pmod(
             F.xxhash64("conv_id"), F.lit(self.n_partitions)
         ).cast("int")
-        grace_expr = F.expr(f"INTERVAL {grace}")
         # floor the cutoff to the tier bucket grid: a grace that is not
         # a multiple of the bucket width would otherwise KEEP the old
         # full-bucket row (bucket_ts < cut_ts) while the re-roll emits
         # a partial aggregate for the SAME bucket from raw rows >=
-        # cut_ts — two conflicting rows per (conv, bucket)
+        # cut_ts — two conflicting rows per (conv, bucket).  Cutoffs
+        # are computed DRIVER-SIDE from the cached watermarks so the
+        # global minimum is a LITERAL the source scan can prune on.
         width = TIERS[tier][1]
-        aligned_cut = F.timestamp_seconds(
-            F.floor(
-                F.unix_timestamp(F.col("wm") - grace_expr) / width
-            ).cast("long")
-            * width
-        )
+        g = _grace_seconds(grace)
+        cuts = {
+            p: (_ts_epoch(wm) - g) // width * width
+            for p, wm in cutoffs.items()
+        }
         touched = 0
         # partitions with no committed watermark: full first-time run
         missing = [
-            p for p in range(self.n_partitions) if p not in cutoffs
+            p for p in range(self.n_partitions) if p not in cuts
         ]
         if missing:
             touched += self.run(transcripts, tier, partitions=missing)
 
-        # one incremental pass over every watermarked partition: each
-        # row keeps only if at/after ITS partition's (watermark - grace)
+        # one incremental pass over every watermarked partition: a
+        # literal min-cutoff prefilter reaches the parquet scan
+        # (PushedFilters / partition pruning on a ts-partitioned
+        # table), then each row keeps only if at/after ITS partition's
+        # aligned (watermark - grace)
+        min_cut = min(cuts.values())
         cut_df = self.spark.createDataFrame(
-            list(cutoffs.items()), "partition_id int, wm timestamp"
-        ).withColumn("cut_ts", aligned_cut)
+            [(p, _epoch_ts(c)) for p, c in cuts.items()],
+            "partition_id int, cut_ts timestamp",
+        )
         src = (
-            transcripts.withColumn("partition_id", part_col)
+            transcripts.filter(
+                F.col("ts") >= F.timestamp_seconds(F.lit(min_cut))
+            )
+            .withColumn("partition_id", part_col)
             .join(F.broadcast(cut_df), "partition_id")
             .filter(F.col("ts") >= F.col("cut_ts"))
-            .drop("partition_id", "wm", "cut_ts")
+            .drop("partition_id", "cut_ts")
         )
         rolled = (
             rollup_transcripts(src, tier)
             .withColumn("partition_id", part_col)
             .cache()
         )
-        bounds = {
-            r["partition_id"]: (r["lo"], r["hi"])
-            for r in rolled.groupBy("partition_id")
+        # ONE collect for bounds + counts (was two jobs)
+        stats_rows = (
+            rolled.groupBy("partition_id")
             .agg(
                 F.min("bucket_ts").alias("lo"),
                 F.max("bucket_ts").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
             )
             .collect()
-        }
+        )
+        bounds = {r["partition_id"]: (r["lo"], r["hi"]) for r in stats_rows}
+        counts = {r["partition_id"]: r["n"] for r in stats_rows}
         if not bounds:
             rolled.unpersist()
             return touched
@@ -535,9 +647,9 @@ class RollupJob:
         # single commit: drop each re-rolled partition's tail, append
         # its fresh rows (partitions with no new rows keep theirs)
         replace_df = self.spark.createDataFrame(
-            [(p, cutoffs[p]) for p in bounds],
-            "partition_id int, wm timestamp",
-        ).withColumn("cut_ts", aligned_cut)
+            [(p, _epoch_ts(cuts[p])) for p in bounds],
+            "partition_id int, cut_ts timestamp",
+        )
         tier_table = self.table(f"tier_{tier}")
         existing = tier_table.read(self.spark)
         kept = (
@@ -546,7 +658,7 @@ class RollupJob:
                 F.col("cut_ts").isNull()
                 | (F.col("bucket_ts") < F.col("cut_ts"))
             )
-            .drop("wm", "cut_ts")
+            .drop("cut_ts")
         )
         tier_table.overwrite(
             kept.unionByName(rolled.select(*kept.columns))
@@ -557,34 +669,27 @@ class RollupJob:
         # metrics for a refresh are: points/raw = the re-rolled rows,
         # comp = the affected conversations' stored chunk bytes
         chunk_stats = self._rebuild_chunks(
-            tier, rolled.select("conv_id").distinct()
+            tier,
+            rolled.select("conv_id").distinct(),
+            pids=sorted(bounds),
         )
-        counts = {
-            r["partition_id"]: r["n"]
-            for r in rolled.groupBy("partition_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
         row_bytes = 8 * (1 + len(METRIC_COLS))
         now = time.time()
-        self.manifest.append(
-            self.spark.createDataFrame(
-                [
-                    (
-                        tier,
-                        p,
-                        snapshot,
-                        bounds[p][0],
-                        bounds[p][1],
-                        int(counts.get(p, 0)),
-                        int(counts.get(p, 0)) * row_bytes,
-                        int(chunk_stats.get(p, {"comp": 0})["comp"]),
-                        now,
-                    )
-                    for p in sorted(bounds)
-                ],
-                MANIFEST_SCHEMA,
-            )
+        self._append_manifest(
+            [
+                (
+                    tier,
+                    p,
+                    snapshot,
+                    bounds[p][0],
+                    bounds[p][1],
+                    int(counts.get(p, 0)),
+                    int(counts.get(p, 0)) * row_bytes,
+                    int(chunk_stats.get(p, {"comp": 0})["comp"]),
+                    now,
+                )
+                for p in sorted(bounds)
+            ]
         )
         rolled.unpersist()
         return touched + len(bounds)
@@ -675,23 +780,20 @@ def enforce_retention(
         # rebuilds the rest, touches only their partitions)
         self._rebuild_chunks(tier, scratch.read(self.spark))
 
-        self.manifest.append(
-            self.spark.createDataFrame(
-                [
-                    (
-                        _expiry_tier(tier),
-                        -1,
-                        self.source_snapshot,
-                        anchor,       # range_start_ts: the anchor used
-                        cutoff_val,   # watermark_ts: the expiry boundary
-                        -n_old,
-                        0,
-                        0,
-                        time.time(),
-                    )
-                ],
-                MANIFEST_SCHEMA,
-            )
+        self._append_manifest(
+            [
+                (
+                    _expiry_tier(tier),
+                    -1,
+                    self.source_snapshot,
+                    anchor,       # range_start_ts: the anchor used
+                    cutoff_val,   # watermark_ts: the expiry boundary
+                    -n_old,
+                    0,
+                    0,
+                    time.time(),
+                )
+            ]
         )
     return dropped
 
@@ -750,23 +852,20 @@ def cascade_tier(
             p,
             chunks.withColumn("partition_id", F.lit(p)),
         )
-        self.manifest.append(
-            self.spark.createDataFrame(
-                [
-                    (
-                        coarse,
-                        p,
-                        self.source_snapshot,
-                        lo,
-                        wm,
-                        int(stats["points"]),
-                        int(stats["raw"]),
-                        int(stats["comp"]),
-                        time.time(),
-                    )
-                ],
-                MANIFEST_SCHEMA,
-            )
+        self._append_manifest(
+            [
+                (
+                    coarse,
+                    p,
+                    self.source_snapshot,
+                    lo,
+                    wm,
+                    int(stats["points"]),
+                    int(stats["raw"]),
+                    int(stats["comp"]),
+                    time.time(),
+                )
+            ]
         )
         rolled.unpersist()
         chunks.unpersist()
@@ -804,10 +903,13 @@ def cascade_update(
     """
     from tsaug_spark.plans.rollup import TIERS, reaggregate
 
-    wm = self.watermarks(coarse).collect()
-    if not wm:
+    cutoffs = {
+        p: wm
+        for p, wm in self._tier_watermarks(coarse).items()
+        if wm is not None
+    }
+    if not cutoffs:
         return self.cascade_tier(fine, coarse)
-    cutoffs = {r["partition_id"]: r["watermark_ts"] for r in wm}
     snapshot = new_snapshot or self.source_snapshot
     width = TIERS[coarse][1]
 
@@ -823,37 +925,46 @@ def cascade_update(
     part_col = F.pmod(
         F.xxhash64("conv_id"), F.lit(self.n_partitions)
     ).cast("int")
-    grace_expr = F.expr(f"INTERVAL {grace}")
-    aligned_cut = F.timestamp_seconds(
-        F.floor(
-            F.unix_timestamp(F.col("wm") - grace_expr) / width
-        ).cast("long")
-        * width
-    )
+    # driver-side aligned cutoffs (cached watermarks, zero manifest
+    # jobs) — the global minimum is a LITERAL so the fine-tier scan
+    # prunes files/row-groups on bucket_ts instead of reading it all
+    g = _grace_seconds(grace)
+    cuts = {
+        p: (_ts_epoch(wm) - g) // width * width
+        for p, wm in cutoffs.items()
+    }
+    min_cut = min(cuts.values())
     cut_df = self.spark.createDataFrame(
-        list(cutoffs.items()), "partition_id int, wm timestamp"
-    ).withColumn("cut_ts", aligned_cut)
+        [(p, _epoch_ts(c)) for p, c in cuts.items()],
+        "partition_id int, cut_ts timestamp",
+    )
 
     fine_df = self.table(f"tier_{fine}").read(self.spark)
     src = (
-        fine_df.join(F.broadcast(cut_df), "partition_id")
+        fine_df.filter(
+            F.col("bucket_ts") >= F.timestamp_seconds(F.lit(min_cut))
+        )
+        .join(F.broadcast(cut_df), "partition_id")
         .filter(F.col("bucket_ts") >= F.col("cut_ts"))
-        .drop("partition_id", "wm", "cut_ts")
+        .drop("partition_id", "cut_ts")
     )
     rolled = (
         reaggregate(src, fine, coarse)
         .withColumn("partition_id", part_col)
         .cache()
     )
-    bounds = {
-        r["partition_id"]: (r["lo"], r["hi"])
-        for r in rolled.groupBy("partition_id")
+    # ONE collect for bounds + counts (was two jobs)
+    stats_rows = (
+        rolled.groupBy("partition_id")
         .agg(
             F.min("bucket_ts").alias("lo"),
             F.max("bucket_ts").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
         )
         .collect()
-    }
+    )
+    bounds = {r["partition_id"]: (r["lo"], r["hi"]) for r in stats_rows}
+    counts = {r["partition_id"]: r["n"] for r in stats_rows}
     if not bounds:
         rolled.unpersist()
         return touched
@@ -861,15 +972,15 @@ def cascade_update(
     # single dynamic-partition-overwrite commit: touched partitions'
     # pre-cutoff rows + their fresh re-aggregated tail
     replace_df = self.spark.createDataFrame(
-        [(p, cutoffs[p]) for p in bounds],
-        "partition_id int, wm timestamp",
-    ).withColumn("cut_ts", aligned_cut)
+        [(p, _epoch_ts(cuts[p])) for p in bounds],
+        "partition_id int, cut_ts timestamp",
+    )
     tier_table = self.table(f"tier_{coarse}")
     kept = (
         tier_table.read(self.spark)
         .join(F.broadcast(replace_df), "partition_id")
         .filter(F.col("bucket_ts") < F.col("cut_ts"))
-        .drop("wm", "cut_ts")
+        .drop("cut_ts")
     )
     tier_table.overwrite_partitions(
         kept.unionByName(rolled.select(*kept.columns)),
@@ -879,34 +990,27 @@ def cascade_update(
     # Gorilla encode runs just for manifest metrics (points/raw = the
     # re-aggregated rows; comp = affected conversations' chunk bytes)
     chunk_stats = self._rebuild_chunks(
-        coarse, rolled.select("conv_id").distinct()
+        coarse,
+        rolled.select("conv_id").distinct(),
+        pids=sorted(bounds),
     )
-    counts = {
-        r["partition_id"]: r["n"]
-        for r in rolled.groupBy("partition_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
     row_bytes = 8 * (1 + len(METRIC_COLS))
     now = time.time()
-    self.manifest.append(
-        self.spark.createDataFrame(
-            [
-                (
-                    coarse,
-                    p,
-                    snapshot,
-                    bounds[p][0],
-                    bounds[p][1],
-                    int(counts.get(p, 0)),
-                    int(counts.get(p, 0)) * row_bytes,
-                    int(chunk_stats.get(p, {"comp": 0})["comp"]),
-                    now,
-                )
-                for p in sorted(bounds)
-            ],
-            MANIFEST_SCHEMA,
-        )
+    self._append_manifest(
+        [
+            (
+                coarse,
+                p,
+                snapshot,
+                bounds[p][0],
+                bounds[p][1],
+                int(counts.get(p, 0)),
+                int(counts.get(p, 0)) * row_bytes,
+                int(chunk_stats.get(p, {"comp": 0})["comp"]),
+                now,
+            )
+            for p in sorted(bounds)
+        ]
     )
     rolled.unpersist()
     return touched + len(bounds)
@@ -1001,23 +1105,20 @@ def op_downsample_tier(
             p,
             out.withColumn("partition_id", F.lit(p)),
         )
-        self.manifest.append(
-            self.spark.createDataFrame(
-                [
-                    (
-                        out_name,
-                        p,
-                        self.source_snapshot,
-                        lo,
-                        wm,
-                        int(n_rows * len(value_cols)),
-                        0,
-                        0,
-                        time.time(),
-                    )
-                ],
-                MANIFEST_SCHEMA,
-            )
+        self._append_manifest(
+            [
+                (
+                    out_name,
+                    p,
+                    self.source_snapshot,
+                    lo,
+                    wm,
+                    int(n_rows * len(value_cols)),
+                    0,
+                    0,
+                    time.time(),
+                )
+            ]
         )
         series.unpersist()
         out.unpersist()

@@ -24,7 +24,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tsaug_spark.sources.checkpoint import MANIFEST_SCHEMA, RollupJob
+from tsaug_spark.sources.checkpoint import RollupJob
 
 from .stream_rollup import stream_rollup
 
@@ -50,7 +50,13 @@ def merge_batch_into_tier(
         F.xxhash64("conv_id"), F.lit(job.n_partitions)
     ).cast("int")
     rows = batch_df.withColumn("partition_id", part_col).cache()
-    n = rows.count()
+    # ONE action materializes the cache and yields count + lineage
+    # bounds together (was a count job + a separate min/max job)
+    n, lo, wm = rows.agg(
+        F.count(F.lit(1)),
+        F.min("bucket_ts"),
+        F.max("bucket_ts"),
+    ).collect()[0]
     if n == 0:
         rows.unpersist()
         return
@@ -78,44 +84,55 @@ def merge_batch_into_tier(
         t.append(rows)
     # foreachBatch is at-least-once: the merge above is idempotent on
     # retry, but the lineage append is not — skip it when this batch_id
-    # already has a manifest row for this tier (ADVICE r2)
+    # already has a manifest row for this tier (ADVICE r2).  The seen
+    # set loads from the manifest ONCE per (job, tier, stream) and is
+    # maintained in-driver after that — a retry lands in the same
+    # driver with the same set, so the per-batch manifest re-read the
+    # old code paid is pure overhead (a NEW driver resuming the
+    # checkpoint reloads the set from the manifest on its first batch)
     snap = (
         f"stream-batch:{stream_id}:{batch_id}"
         if stream_id
         else f"stream-batch:{batch_id}"
     )
-    if job.manifest.exists():
-        dup = (
-            job.manifest.read(spark)
-            .filter(
-                (F.col("tier") == tier)
-                & (F.col("source_snapshot") == snap)
-            )
-            .limit(1)
-            .count()
+    seen_key = (tier, stream_id)
+    seen_all = job.__dict__.setdefault("_stream_seen", {})
+    if seen_key not in seen_all:
+        prefix = (
+            f"stream-batch:{stream_id}:" if stream_id else "stream-batch:"
         )
-        if dup:
-            rows.unpersist()
-            return
-    lo, wm = rows.agg(F.min("bucket_ts"), F.max("bucket_ts")).collect()[0]
-    job.manifest.append(
-        spark.createDataFrame(
-            [
-                (
-                    tier,
-                    -1,  # streaming commits are not partition-scoped
-                    snap,
-                    lo,
-                    wm,
-                    int(n),
-                    0,
-                    0,
-                    time.time(),
+        seen = set()
+        if job.manifest.exists():
+            seen = {
+                r[0]
+                for r in job.manifest.read(spark)
+                .filter(
+                    (F.col("tier") == tier)
+                    & F.col("source_snapshot").startswith(prefix)
                 )
-            ],
-            MANIFEST_SCHEMA,
-        )
+                .select("source_snapshot")
+                .collect()
+            }
+        seen_all[seen_key] = seen
+    if snap in seen_all[seen_key]:
+        rows.unpersist()
+        return
+    job._append_manifest(
+        [
+            (
+                tier,
+                -1,  # streaming commits are not partition-scoped
+                snap,
+                lo,
+                wm,
+                int(n),
+                0,
+                0,
+                time.time(),
+            )
+        ]
     )
+    seen_all[seen_key].add(snap)
     rows.unpersist()
 
 
