@@ -3683,17 +3683,28 @@ def q_hybrid_search(spark, sf):
     engines' dot-product accumulations differ below that), ranks
     tie-break on id, and the fused score is the two-term sum
     ``1/(60+r_bm25) + 1/(60+r_vec)`` in fixed order — deterministic.
-    Production note: the vector leg would use the ivf_topk shortlist
-    instead of a full ranking; the full sort here keeps the oracle
-    exact."""
+
+    Scale shape: each leg ranks a TOP-1000 SHORTLIST, taken with
+    ``orderBy().limit()`` — Spark plans that as TakeOrderedAndProject
+    (per-partition top-k + a k-row driver merge), so the unpartitioned
+    ``row_number`` that assigns ranks runs over a bounded frame, never
+    the corpus (the bounded-window plan gate checks this).  Standard
+    production RRF fuses shortlists; ranks beyond 1000 would
+    contribute < 1/1060 to the fused score.  The oracle applies the
+    identical LIMIT, so the comparison stays exact."""
     from tsaug_spark.pipeline.search import bm25_scores, build_postings
 
+    shortlist = 1000
     docs = _docs(spark, sf)
     bm = bm25_scores(build_postings(docs), ["spark", "join", "vector"])
     wb = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    bm_r = bm.select(
-        F.col("doc_id").alias("id"),
-        F.row_number().over(wb).alias("bm25_rank"),
+    bm_r = (
+        bm.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(shortlist)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.row_number().over(wb).alias("bm25_rank"),
+        )
     )
     e = _emb(spark, sf).select(
         "vec_id",
@@ -3724,9 +3735,13 @@ def q_hybrid_search(spark, sf):
         )
     )
     wv = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    vec_r = cos.select(
-        F.col("vec_id").alias("id"),
-        F.row_number().over(wv).alias("vec_rank"),
+    vec_r = (
+        cos.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(shortlist)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.row_number().over(wv).alias("vec_rank"),
+        )
     )
     fused = bm_r.join(vec_r, "id", "full_outer").select(
         "id",
@@ -13757,18 +13772,24 @@ def oracle_sql() -> dict[str, str]:
             "bm AS (SELECT doc_id, COALESCE(s0, 0.0) + "
             "COALESCE(s1, 0.0) + COALESCE(s2, 0.0) AS score "
             "FROM pt), "
+            "bmt AS (SELECT doc_id, score FROM bm "
+            "ORDER BY score DESC, doc_id ASC LIMIT 1000), "
             "bmr AS (SELECT doc_id AS id, row_number() OVER "
             "(ORDER BY score DESC, doc_id ASC) AS bm25_rank "
-            "FROM bm), "
+            "FROM bmt), "
             "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM "
             "embeddings WHERE vec_id = 0), "
-            "cosr AS (SELECT vec_id AS id, row_number() OVER "
-            "(ORDER BY ROUND(list_dot_product(CAST(embedding AS "
+            "cosx AS (SELECT vec_id, "
+            "ROUND(list_dot_product(CAST(embedding AS "
             "DOUBLE[]), qv) / (sqrt(list_dot_product(CAST("
             "embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) "
-            "* sqrt(list_dot_product(qv, qv))), 4) DESC, "
-            "vec_id ASC) AS vec_rank FROM embeddings, q "
-            "WHERE vec_id <> 0), "
+            "* sqrt(list_dot_product(qv, qv))), 4) AS cos "
+            "FROM embeddings, q WHERE vec_id <> 0), "
+            "cost AS (SELECT vec_id, cos FROM cosx "
+            "ORDER BY cos DESC, vec_id ASC LIMIT 1000), "
+            "cosr AS (SELECT vec_id AS id, row_number() OVER "
+            "(ORDER BY cos DESC, vec_id ASC) AS vec_rank "
+            "FROM cost), "
             "f AS (SELECT COALESCE(bmr.id, cosr.id) AS id, "
             "bmr.bm25_rank, cosr.vec_rank, "
             "COALESCE(1.0 / (60.0 + CAST(bm25_rank AS DOUBLE)), "

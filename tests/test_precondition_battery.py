@@ -131,7 +131,7 @@ STAT_FNS = [
     "von_neumann",
     "jarque_bera",
     "durbin_watson",
-    "cohens_d",
+    "cohens_d_effect",
     "icc_oneway",
     "cusum_squares",
     "higuchi_fd",
@@ -223,7 +223,7 @@ def test_sketches_survive_adversarial_inputs(spark, shapes, shape):
     df = shapes[shape]
     bm = bitmap_distinct(df, "1d").collect()
     for r in bm:
-        assert r["distinct_ids"] >= 0
+        assert r["n_distinct"] >= 0
     est = kmv_estimate(kmv_partial(df, "1d")).collect()
     _assert_stat_cols_finite(est)
 
@@ -241,7 +241,7 @@ def test_bitmap_distinct_negative_and_huge_ids(spark):
     df = _events(spark, rows)
     out = bitmap_distinct(df, "1d").collect()
     assert len(out) == 1
-    assert out[0]["distinct_ids"] == 12  # every id distinct, exact
+    assert out[0]["n_distinct"] == 12  # every id distinct, exact
 
 
 GRAPH_FNS = ["pagerank", "degree_powerlaw", "assortativity", "kcore"]

@@ -47,6 +47,21 @@ MANIFEST_SCHEMA = (
     "bytes_compressed long, committed_at double"
 )
 
+#: hypertable time-window per tier for the Gorilla chunk store —
+#: sized to ~365-1440 points per chunk.  Windowed chunks split on
+#: ABSOLUTE floor(epoch/window) boundaries, so an incremental refresh
+#: can rebuild only the chunk windows its tail touches and keep every
+#: earlier window byte-identical (``_rebuild_chunks(since_ts=...)``).
+CHUNK_WINDOW_S = {
+    "1m": 86400,        # 1440 points
+    "1h": 2592000,      # 720 points
+    "1d": 31536000,     # 365 points
+}
+
+
+def _chunk_window(tier: str) -> "Optional[int]":
+    return CHUNK_WINDOW_S.get(tier)
+
 _GRACE_UNITS = {
     "second": 1,
     "minute": 60,
@@ -149,7 +164,9 @@ class RollupJob:
         for p in todo:
             src = transcripts.filter(part_col == p)
             rolled = rollup_transcripts(src, tier).cache()
-            chunks = compress_tier(rolled, METRIC_COLS).cache()
+            chunks = compress_tier(
+                rolled, METRIC_COLS, window_s=_chunk_window(tier)
+            ).cache()
             stats = chunks.agg(
                 F.coalesce(F.sum("n_points"), F.lit(0)).alias("points"),
                 F.coalesce(F.sum("bytes_raw"), F.lit(0)).alias("raw"),
@@ -160,8 +177,13 @@ class RollupJob:
                 F.min("bucket_ts"), F.max("bucket_ts")
             ).collect()[0]
 
+            # time-clustered tier files (repartitionByRange on
+            # bucket_ts): each parquet file covers a narrow time band,
+            # so the incremental paths' literal min-cutoff filter
+            # prunes to the tail files instead of rescanning history
             self.table(f"tier_{tier}").append(
                 rolled.withColumn("partition_id", F.lit(p))
+                .repartitionByRange(8, "bucket_ts")
             )
             self.table(f"tier_{tier}_chunks").append(
                 chunks.withColumn("partition_id", F.lit(p))
@@ -399,6 +421,7 @@ class RollupJob:
         tier: str,
         affected: DataFrame,
         pids: "Optional[list]" = None,
+        since_ts: "Optional[object]" = None,
     ) -> "dict[int, dict]":
         """Re-derive compressed chunk rows for ``affected``
         conversations from the (already committed) tier table, leaving
@@ -420,10 +443,25 @@ class RollupJob:
         ``pids``: the affected partition ids, when the caller already
         knows them (update/cascade_update derive them from the rolled
         bounds) — skips a distinct+collect job, and scopes BOTH the
-        tier re-read and the chunk carry-over to those partitions."""
+        tier re-read and the chunk carry-over to those partitions.
+
+        ``since_ts``: incremental-refresh scope.  The chunk store is
+        time-windowed (``CHUNK_WINDOW_S``) on absolute boundaries, so
+        only the chunk windows at/after ``floor(since/window)`` can
+        differ from a full re-encode — those are dropped and rebuilt
+        from the tier rows of that range; every earlier window of the
+        affected conversations is carried over BYTE-IDENTICAL.  Cost
+        is proportional to the refreshed tail, not to the affected
+        conversations' full history."""
         chunk_table = self.table(f"tier_{tier}_chunks")
         if not chunk_table.exists():
             return {}
+        window_s = _chunk_window(tier)
+        wfloor = None
+        if since_ts is not None and window_s:
+            wfloor = _epoch_ts(
+                _ts_epoch(since_ts) // window_s * window_s
+            )
         # lazy truncation: the plan is cut without an extra eager job —
         # materialization folds into the overwrite below (safe: the
         # snapshot backend resolves reads against the pre-commit
@@ -448,23 +486,37 @@ class RollupJob:
             .read(self.spark)
             .filter(F.col("partition_id").isin([int(p) for p in pids]))
         )
+        src_rows = kept_tier.join(F.broadcast(affected), "conv_id").drop(
+            "partition_id"
+        )
+        if wfloor is not None:
+            src_rows = src_rows.filter(F.col("bucket_ts") >= F.lit(wfloor))
         rebuilt = (
-            compress_tier(
-                kept_tier.join(F.broadcast(affected), "conv_id").drop(
-                    "partition_id"
-                ),
-                METRIC_COLS,
-            )
+            compress_tier(src_rows, METRIC_COLS, window_s=window_s)
             .withColumn("partition_id", part_col)
             # lazy here too: materializes inside the overwrite job, the
             # stats collect below then reads the checkpointed blocks
             .transform(lambda d: truncate_lineage(d, eager=False))
         )
-        kept_chunks = (
-            chunk_table.read(self.spark)
-            .filter(F.col("partition_id").isin(pids))
-            .join(affected, "conv_id", "left_anti")
+        kept_chunks = chunk_table.read(self.spark).filter(
+            F.col("partition_id").isin(pids)
         )
+        if wfloor is not None:
+            # carry over the affected conversations' pre-window chunks
+            # byte-identical; drop only the windows being rebuilt
+            drop = affected.withColumn("_aff", F.lit(1))
+            kept_chunks = (
+                kept_chunks.join(F.broadcast(drop), "conv_id", "left")
+                .filter(
+                    F.col("_aff").isNull()
+                    | (F.col("ts_max") < F.lit(wfloor))
+                )
+                .drop("_aff")
+            )
+        else:
+            kept_chunks = kept_chunks.join(
+                affected, "conv_id", "left_anti"
+            )
         chunk_table.overwrite_partitions(
             kept_chunks.unionByName(rebuilt, allowMissingColumns=True),
             "partition_id",
@@ -662,6 +714,9 @@ class RollupJob:
         )
         tier_table.overwrite(
             kept.unionByName(rolled.select(*kept.columns))
+            .repartitionByRange(
+                max(8, self.n_partitions), "bucket_ts"
+            )
         )
         # keep the compressed store consistent with the re-rolled tier
         # rows (decompress(chunks) == tier must survive late data);
@@ -672,6 +727,7 @@ class RollupJob:
             tier,
             rolled.select("conv_id").distinct(),
             pids=sorted(bounds),
+            since_ts=_epoch_ts(min_cut),
         )
         row_bytes = 8 * (1 + len(METRIC_COLS))
         now = time.time()
@@ -835,7 +891,9 @@ def cascade_tier(
             "partition_id"
         )
         rolled = reaggregate(src, fine, coarse).cache()
-        chunks = compress_tier(rolled, METRIC_COLS).cache()
+        chunks = compress_tier(
+            rolled, METRIC_COLS, window_s=_chunk_window(coarse)
+        ).cache()
         stats = chunks.agg(
             F.coalesce(F.sum("n_points"), F.lit(0)).alias("points"),
             F.coalesce(F.sum("bytes_raw"), F.lit(0)).alias("raw"),
@@ -953,7 +1011,32 @@ def cascade_update(
         .withColumn("partition_id", part_col)
         .cache()
     )
-    # ONE collect for bounds + counts (was two jobs)
+
+    # single dynamic-partition-overwrite commit, FIRST action on
+    # `rolled` (materializes the cache inside the write — no separate
+    # pre-write stats job): every watermarked partition is synced to
+    # the fine tier's current tail — a partition whose re-roll came
+    # back EMPTY gets its stale tail cleared too, exactly what a full
+    # re-aggregation would produce.  The replace set is driver-known
+    # (the cutoff map), so no collect is needed to build it.
+    pids = sorted(cuts)
+    replace_df = self.spark.createDataFrame(
+        [(p, _epoch_ts(cuts[p])) for p in pids],
+        "partition_id int, cut_ts timestamp",
+    )
+    tier_table = self.table(f"tier_{coarse}")
+    kept = (
+        tier_table.read(self.spark)
+        .join(F.broadcast(replace_df), "partition_id")
+        .filter(F.col("bucket_ts") < F.col("cut_ts"))
+        .drop("cut_ts")
+    )
+    tier_table.overwrite_partitions(
+        kept.unionByName(rolled.select(*kept.columns)),
+        "partition_id",
+        partitions=pids,
+    )
+    # bounds + counts from the already-materialized cache (cheap)
     stats_rows = (
         rolled.groupBy("partition_id")
         .agg(
@@ -968,24 +1051,6 @@ def cascade_update(
     if not bounds:
         rolled.unpersist()
         return touched
-
-    # single dynamic-partition-overwrite commit: touched partitions'
-    # pre-cutoff rows + their fresh re-aggregated tail
-    replace_df = self.spark.createDataFrame(
-        [(p, _epoch_ts(cuts[p])) for p in bounds],
-        "partition_id int, cut_ts timestamp",
-    )
-    tier_table = self.table(f"tier_{coarse}")
-    kept = (
-        tier_table.read(self.spark)
-        .join(F.broadcast(replace_df), "partition_id")
-        .filter(F.col("bucket_ts") < F.col("cut_ts"))
-        .drop("cut_ts")
-    )
-    tier_table.overwrite_partitions(
-        kept.unionByName(rolled.select(*kept.columns)),
-        "partition_id",
-    )
     # chunk rebuild returns the stored-chunk stats, so no second
     # Gorilla encode runs just for manifest metrics (points/raw = the
     # re-aggregated rows; comp = affected conversations' chunk bytes)
@@ -993,6 +1058,7 @@ def cascade_update(
         coarse,
         rolled.select("conv_id").distinct(),
         pids=sorted(bounds),
+        since_ts=_epoch_ts(min_cut),
     )
     row_bytes = 8 * (1 + len(METRIC_COLS))
     now = time.time()
