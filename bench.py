@@ -338,7 +338,10 @@ def run_stream_ingest(spark, loc: str, turns: int) -> dict:
     )
     files = sorted(_glob.glob(os.path.join(staged, "part-*.parquet")))
     half = max(1, len(files) // 2)
-    fpt = int(os.environ.get("BENCH_STREAM_FPT", "4"))
+    # default 8: fewer-larger micro-batches halve the per-batch fixed
+    # cost (state-store + merge + checkpoint commits) — measured 2.5x
+    # over fpt=4 same-window (BENCH/BASELINE.md round-5 streaming)
+    fpt = int(os.environ.get("BENCH_STREAM_FPT", "8"))
 
     def arrive(batch):
         for f in batch:

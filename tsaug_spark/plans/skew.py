@@ -105,6 +105,55 @@ def rollup_salted(df_raw: DataFrame, tier: str, n_salts: int = 16) -> DataFrame:
     )
 
 
+#: split size for skewed-input scans: small enough that one hot
+#: conversation's oversized file fans out over many map tasks instead
+#: of riding a single straggler (pair with ``balanced_scan_conf``)
+SKEW_SPLIT_BYTES = 16 * 1024 * 1024
+
+
+def balanced_scan_conf() -> dict:
+    """Session conf for the planner's skewed-input scan: see
+    :func:`cascade_balanced`."""
+    return {"spark.sql.files.maxPartitionBytes": str(SKEW_SPLIT_BYTES)}
+
+
+def cascade_balanced(df_raw: DataFrame) -> "dict[str, DataFrame]":
+    """The planner's SKEW cascade — chosen when :func:`plan_salts`
+    returns > 1 for the input.
+
+    The bucket-aligned cascade (plans/rollup.py + a bucketed tier
+    store) is the uniform-input fast path, but its one-task-per-bucket
+    contract on BOTH the scan and the write side turns a hot
+    conversation's bucket into a straggler (measured: a 25%-hot corpus
+    runs the 64-task tier write as 63 fast tasks + one 5x-average
+    straggler that dominates the wall at full parallelism —
+    BENCH/BASELINE.md round 5).  This variant swaps it for:
+
+    * a size-split scan — apply :func:`balanced_scan_conf` (16 MB
+      splits) so the hot file fans out over many map tasks;
+    * AQE-balanced hash-shuffle aggregation — the (conv, bucket) keys
+      are fine-grained, so reducers balance regardless of how hot any
+      conversation is;
+    * plain time-ordered parquet tier writes (no bucketBy) — write
+      tasks follow the balanced shuffle, not the bucket layout.
+
+    Trade-off: coarser tiers re-aggregate through a (cheap) shuffle
+    instead of bucket-locally, and per-conversation kernels shuffle on
+    read — which they do anyway via the chunked kernels a skewed
+    corpus needs (plans/chunked.py).  Output is EXACTLY the plain
+    cascade's (same rollup expressions; tested bit-identical).
+
+    Returns the same lazy {tier: DataFrame} dict as
+    ``plans.rollup.cascade``.
+    """
+    from .rollup import cascade
+
+    spark = df_raw.sparkSession
+    for k, v in balanced_scan_conf().items():
+        spark.conf.set(k, v)
+    return cascade(df_raw)
+
+
 def skew_report(
     df: DataFrame, key: str = "user_id", top: int = 10
 ) -> DataFrame:
